@@ -1,18 +1,26 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.operators.WindowAssign
+import graft.operators.{Dedup, Relational, Similarity, TextAnalysis, WindowAssign}
+import graft.functions.VectorFunctions
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
   * Every `queries` entry is a deterministic, order-stable batch query over
   * the driver's parquet tables; every SQL-expressible one has a matching
-  * DuckDB `oracleSql` with IDENTICAL output column names. Aggregated doubles
-  * are rounded on both sides so cross-engine float summation order cannot
-  * flip the driver's hash compare.
+  * DuckDB `oracleSql` with IDENTICAL output column names. Cross-engine
+  * determinism rules used throughout:
+  *   - aggregated doubles are `round(_, 2|4)` on BOTH sides so float
+  *     summation order can't flip the hash compare;
+  *   - timestamp bucketing is integer epoch-seconds math on BOTH sides
+  *     (events.ts is nanos in parquet; Spark truncates to micros — raw
+  *     timestamp output would hash-mismatch);
+  *   - every ranking has a total tie-break order;
+  *   - every result ends in ORDER BY.
   */
 object SparkEntry {
 
@@ -20,12 +28,24 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("count_window_agg")(spark, "/root/testdata/sf0.001")
 
+  private def lineitem(s: SparkSession, d: String)   = Tables.lineitem(s, d)
+  private def orders(s: SparkSession, d: String)     = Tables.orders(s, d)
+  private def customer(s: SparkSession, d: String)   = Tables.customer(s, d)
+  private def part(s: SparkSession, d: String)       = Tables.part(s, d)
+  private def nation(s: SparkSession, d: String)     = Tables.nation(s, d)
+  private def region(s: SparkSession, d: String)     = Tables.region(s, d)
+  private def events(s: SparkSession, d: String)     = Tables.events(s, d)
+  private def documents(s: SparkSession, d: String)  = Tables.documents(s, d)
+  private def embeddings(s: SparkSession, d: String) = Tables.embeddings(s, d)
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // A6 CountWindow (batch form): every 100 events in arrival order form a
-    // window; aggregate per window. event_id is the arrival order key.
+
+    // ── minibatch emitter strategies, batch-expressible forms ─────────────
+
+    // A6 CountWindow: every 100 events in arrival order form a window.
     "count_window_agg" -> ((s, dir) => {
-      val ev = Tables.events(s, dir).select(col("event_id"), col("value"))
+      val ev = events(s, dir).select(col("event_id"), col("value"))
       WindowAssign.countWindow(ev, 100, Seq(col("event_id")))
         .groupBy(col("window_id"))
         .agg(
@@ -35,6 +55,369 @@ object SparkEntry {
           min(col("event_id")).as("first_id"),
           max(col("event_id")).as("last_id"))
         .orderBy(col("window_id"))
+    }),
+
+    // A6 CountWindow, per-key variant (scales: sort shards by user).
+    "count_window_per_key" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("event_id"), col("user_id"), col("value"))
+      WindowAssign.countWindowPerKey(ev, 10, col("user_id"), Seq(col("event_id")))
+        .groupBy(col("user_id"), col("window_id"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+        .orderBy(col("user_id"), col("window_id"))
+    }),
+
+    // A7 FixedTimeWindow: aligned 1h tumbling windows (epoch-seconds grid).
+    "fixed_time_window" -> ((s, dir) => {
+      events(s, dir)
+        .withColumn("window_start_s", floor(unix_timestamp(col("ts")) / 3600) * 3600)
+        .groupBy(col("window_start_s"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("sum_value"),
+          round(avg(col("value")), 4).as("avg_value"))
+        .orderBy(col("window_start_s"))
+    }),
+
+    // A7 with emit_empty=True: 300s grid spine keeps empty windows.
+    "fixed_time_window_spine" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .withColumn("window_start_s", floor(unix_timestamp(col("ts")) / 300) * 300)
+      val agg = ev.groupBy(col("window_start_s"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sv"))
+      val spine = ev
+        .agg(min(col("window_start_s")).as("lo"), max(col("window_start_s")).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"), lit(300L))).as("window_start_s"))
+      spine.join(agg, Seq("window_start_s"), "left")
+        .select(
+          col("window_start_s"),
+          coalesce(col("n"), lit(0L)).as("n_events"),
+          coalesce(col("sv"), lit(0.0)).as("sum_value"))
+        .orderBy(col("window_start_s"))
+    }),
+
+    // A8 RelaxedTimeWindow batch form: everything at or before the cutoff.
+    "relaxed_time_window" -> ((s, dir) => {
+      WindowAssign.relaxedWindow(events(s, dir), col("ts"),
+          lit("2024-01-15 00:00:00").cast("timestamp"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+        .orderBy(col("event_type"))
+    }),
+
+    // A9 custom emitter (README SortedWindow): evens, sorted, batches of 50.
+    "sorted_window" -> ((s, dir) => {
+      WindowAssign.sortedWindow(
+          events(s, dir).select(col("event_id"), col("value")),
+          col("event_id"), col("value"), 50)
+        .groupBy(col("window_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          round(min(col("value")), 2).as("min_value"),
+          round(max(col("value")), 2).as("max_value"))
+        .orderBy(col("window_id"))
+    }),
+
+    // A18 buffer accessor: filtered projected read (predicate pushdown).
+    "stream_buffer_filter" -> ((s, dir) => {
+      events(s, dir)
+        .filter(col("event_type") === "error" && col("value") > 150)
+        .select(col("event_id"), col("user_id"), col("value"))
+        .orderBy(col("event_id"))
+    }),
+
+    // A17 retention (max_age): rows younger than max(ts) - 7 days.
+    "retention_cutoff" -> ((s, dir) => {
+      val ev = events(s, dir).withColumn("ts_s", unix_timestamp(col("ts")))
+      val cutoff = ev.agg((max(col("ts_s")) - lit(7L * 86400)).as("cutoff_s"))
+      ev.crossJoin(broadcast(cutoff))
+        .filter(col("ts_s") > col("cutoff_s"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"), min(col("event_id")).as("first_id"))
+        .orderBy(col("event_type"))
+    }),
+
+    // ── relational surface [EXT] ──────────────────────────────────────────
+
+    // Partial+final hash aggregation, TPC-H Q1 shape.
+    "q1_agg" -> ((s, dir) => {
+      lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit("1995-09-02 00:00:00").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // Multi-way join; small dims broadcast explicitly.
+    "q_join_broadcast" -> ((s, dir) => {
+      orders(s, dir)
+        .join(customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("revenue"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+
+    // Left-semi join (EXISTS).
+    "q_semi_join" -> ((s, dir) => {
+      customer(s, dir)
+        .join(orders(s, dir), col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"), round(sum(col("c_acctbal")), 2).as("sum_acctbal"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // Left-anti join (NOT EXISTS): customers with no 1995 orders.
+    "q_anti_join" -> ((s, dir) => {
+      customer(s, dir)
+        .join(orders(s, dir).filter(year(col("o_orderdate")) === 1995),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(broadcast(nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("n_name"))
+    }),
+
+    // Ranking window function: top-3 parts per brand.
+    "q_topk_per_group" -> ((s, dir) => {
+      val w = Window.partitionBy(col("p_brand"))
+        .orderBy(col("p_retailprice").desc, col("p_partkey"))
+      part(s, dir)
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("p_brand"), col("rnk"), col("p_partkey"), col("p_retailprice"))
+        .orderBy(col("p_brand"), col("rnk"))
+    }),
+
+    // Analytic window functions with explicit ROWS frame.
+    "q_window_running" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      orders(s, dir)
+        .withColumn("running_total",
+          round(sum(col("o_totalprice"))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2))
+        .withColumn("prev_price", round(coalesce(lag(col("o_totalprice"), 1).over(w), lit(0.0)), 2))
+        .withColumn("rn", row_number().over(w))
+        .select(col("o_orderkey"), col("o_custkey"), col("running_total"),
+          col("prev_price"), col("rn"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // Global sort + limit (top-k).
+    "q_sort_limit" -> ((s, dir) => {
+      orders(s, dir)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(20)
+        .select(col("o_orderkey"), col("o_totalprice"))
+    }),
+
+    // Set operations: INTERSECT / EXCEPT / UNION on distinct key sets.
+    "q_set_ops" -> ((s, dir) => {
+      def keys(st: String) =
+        orders(s, dir).filter(col("o_orderstatus") === st).select(col("o_custkey")).distinct()
+      def counted(df: DataFrame, opName: String) =
+        df.agg(count(lit(1)).as("n")).select(lit(opName).as("op"), col("n"))
+      counted(keys("O").intersect(keys("F")), "intersect")
+        .union(counted(keys("O").except(keys("F")), "except"))
+        .union(counted(keys("O").union(keys("F")).distinct(), "union"))
+        .orderBy(col("op"))
+    }),
+
+    // Distinct aggregation.
+    "q_distinct_agg" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("sum_value"))
+        .orderBy(col("event_type"))
+    }),
+
+    // HLL approximate distinct — no DuckDB oracle (sketch-dependent);
+    // accuracy asserted against exact counts in ScalaTest.
+    "q_approx_distinct" -> ((s, dir) => {
+      lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+          approx_count_distinct(col("l_partkey")).as("approx_parts"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // ROLLUP grouping sets (rolled-up levels shown as 'ALL').
+    "q_rollup" -> ((s, dir) => {
+      lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("sum_qty"), col("n"))
+        .orderBy(col("returnflag"), col("linestatus"))
+    }),
+
+    // Semi-structured payload: JSON extraction from events.props.
+    "q_json_extract" -> ((s, dir) => {
+      events(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .groupBy(pmod(col("k"), lit(10)).as("k_mod"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          round(avg(col("value")), 4).as("avg_value"))
+        .orderBy(col("k_mod"))
+    }),
+
+    // Scalar string functions.
+    "q_scalar_funcs" -> ((s, dir) => {
+      part(s, dir)
+        .withColumn("type_prefix", element_at(split(col("p_type"), " "), 1))
+        .groupBy(col("type_prefix"))
+        .agg(
+          count(lit(1)).as("n_parts"),
+          round(avg(col("p_retailprice")), 2).as("avg_price"),
+          max(length(col("p_name"))).as("max_name_len"),
+          min(upper(col("p_brand"))).as("min_brand"))
+        .orderBy(col("type_prefix"))
+    }),
+
+    // Date/time functions.
+    "q_date_agg" -> ((s, dir) => {
+      orders(s, dir)
+        .groupBy(year(col("o_orderdate")).as("o_year"), quarter(col("o_orderdate")).as("o_quarter"))
+        .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("revenue"))
+        .orderBy(col("o_year"), col("o_quarter"))
+    }),
+
+    // As-of join: for each purchase, the latest click at or before it by
+    // the same user. Linear formulation (sort-carry), not a range join.
+    "q_asof_join" -> ((s, dir) => {
+      Relational.lastMatchAsOf(
+          events(s, dir), col("user_id"), col("event_id"),
+          col("event_type") === "click", col("event_id"), "last_click_id")
+        .filter(col("event_type") === "purchase")
+        .select(
+          col("event_id").as("purchase_id"),
+          col("user_id"),
+          coalesce(col("last_click_id"), lit(-1L)).as("last_click_id"))
+        .orderBy(col("purchase_id"))
+    }),
+
+    // Range/interval join against broadcast value tiers (theta join).
+    "q_range_join" -> ((s, dir) => {
+      import s.implicits._
+      val tiers = Seq(
+        (0.0, 50.0, "t1_low"), (50.0, 100.0, "t2_mid"),
+        (100.0, 150.0, "t3_high"), (150.0, 100000.0, "t4_extreme"))
+        .toDF("lo", "hi", "tier")
+      Relational.rangeJoin(events(s, dir), tiers, col("value"), col("lo"), col("hi"))
+        .groupBy(col("tier"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+        .orderBy(col("tier"))
+    }),
+
+    // ── LLM-pipeline operators [EXT] ──────────────────────────────────────
+
+    // Exact dedup stats per language (text + normalized-fingerprint keys).
+    "dedup_exact" -> ((s, dir) => {
+      documents(s, dir)
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("text")).as("n_unique_text"),
+          countDistinct(TextAnalysis.md5Fingerprint(col("text"))).as("n_unique_fp"))
+        .orderBy(col("lang"))
+    }),
+
+    // Exact dedup keeper set: lowest doc_id per content fingerprint.
+    "dedup_fingerprint_keep" -> ((s, dir) => {
+      documents(s, dir)
+        .groupBy(TextAnalysis.md5Fingerprint(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+        .select(col("doc_id"), col("n_copies"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Exact 3-gram Jaccard near-dup pairs within length-bucket blocks
+    // (near-dups have near-equal length; the bucket bounds the quadratic).
+    "dedup_ngram_jaccard" -> ((s, dir) => {
+      val docs = documents(s, dir)
+        .withColumn("len_bucket", floor(col("n_chars") / 100))
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          Seq(col("len_bucket")), shingleSize = 3, threshold = 0.5)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // MinHash+LSH near-dup (no SQL oracle: hash-family-specific; exactness
+    // of reported Jaccard + recall vs exact pairs asserted in ScalaTest).
+    "dedup_minhash" -> ((s, dir) => {
+      Dedup.minhashPairs(documents(s, dir), "doc_id", "text", threshold = 0.5)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // SimHash near-dup candidates at Hamming ≤ 3 (no SQL oracle).
+    "dedup_simhash" -> ((s, dir) => {
+      Dedup.simhashPairs(documents(s, dir), "doc_id", "text", maxHamming = 3)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // Per-language token statistics.
+    "text_stats" -> ((s, dir) => {
+      val d = documents(s, dir)
+      d.groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          round(avg(col("n_chars")), 2).as("avg_chars"),
+          round(avg(size(TextAnalysis.wsTokens(col("text")))), 4).as("avg_ws_tokens"),
+          round(avg(size(TextAnalysis.wordTokens(col("text")))), 4).as("avg_word_tokens"))
+        .orderBy(col("lang"))
+    }),
+
+    // Per-document quality scores.
+    "text_quality" -> ((s, dir) => {
+      TextAnalysis.withQuality(documents(s, dir), col("text"))
+        .select(
+          col("doc_id"),
+          col("n_tokens"),
+          round(col("mean_token_len"), 4).as("mean_token_len"),
+          round(col("alpha_ratio"), 4).as("alpha_ratio"),
+          round(col("stopword_ratio"), 4).as("stopword_ratio"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Language-ID heuristic (marker hit-rate argmax; deterministic).
+    "text_langid" -> ((s, dir) => {
+      documents(s, dir)
+        .withColumn("lang_pred", TextAnalysis.langId(col("text")))
+        .groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("lang"), col("lang_pred"))
+    }),
+
+    // Brute-force cosine top-5 for query vectors (vec_id < 5).
+    "similarity_topk" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // LSH-bucketed ANN top-5 (no SQL oracle; recall vs brute force in tests).
+    "similarity_lsh_topk" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Exact embedding near-dup pairs (cosine ≥ 0.3).
+    "embedding_neardup" -> ((s, dir) => {
+      Dedup.embeddingNearDupExact(embeddings(s, dir), "vec_id", "embedding", 0.3)
+        .orderBy(col("vec_a"), col("vec_b"))
     })
   )
 
@@ -53,6 +436,286 @@ object SparkEntry {
         |             (row_number() OVER (ORDER BY event_id) - 1) // 100 AS window_id
         |      FROM events)
         |GROUP BY window_id
-        |ORDER BY window_id""".stripMargin
+        |ORDER BY window_id""".stripMargin,
+
+    "count_window_per_key" ->
+      """SELECT user_id, window_id, count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM (SELECT user_id, value,
+        |             (row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1) // 10 AS window_id
+        |      FROM events)
+        |GROUP BY user_id, window_id
+        |ORDER BY user_id, window_id""".stripMargin,
+
+    "fixed_time_window" ->
+      """SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS window_start_s,
+        |       count(*) AS n_events,
+        |       round(sum(value), 2) AS sum_value,
+        |       round(avg(value), 4) AS avg_value
+        |FROM events
+        |GROUP BY window_start_s
+        |ORDER BY window_start_s""".stripMargin,
+
+    "fixed_time_window_spine" ->
+      """WITH ev AS (SELECT (epoch_ns(ts) // 300000000000) * 300 AS ws, value FROM events),
+        |     bounds AS (SELECT min(ws) AS lo, max(ws) AS hi FROM ev),
+        |     spine AS (SELECT unnest(generate_series(lo, hi, 300)) AS window_start_s FROM bounds),
+        |     agg AS (SELECT ws, count(*) AS n, round(sum(value), 2) AS sv FROM ev GROUP BY ws)
+        |SELECT s.window_start_s,
+        |       coalesce(a.n, 0) AS n_events,
+        |       coalesce(a.sv, 0.0) AS sum_value
+        |FROM spine s LEFT JOIN agg a ON s.window_start_s = a.ws
+        |ORDER BY s.window_start_s""".stripMargin,
+
+    "relaxed_time_window" ->
+      """SELECT event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM events
+        |WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    "sorted_window" ->
+      """SELECT window_id, count(*) AS n_events,
+        |       round(min(value), 2) AS min_value,
+        |       round(max(value), 2) AS max_value
+        |FROM (SELECT value,
+        |             (row_number() OVER (ORDER BY value, event_id) - 1) // 50 AS window_id
+        |      FROM events WHERE event_id % 2 = 0)
+        |GROUP BY window_id
+        |ORDER BY window_id""".stripMargin,
+
+    "stream_buffer_filter" ->
+      """SELECT event_id, user_id, value
+        |FROM events
+        |WHERE event_type = 'error' AND value > 150
+        |ORDER BY event_id""".stripMargin,
+
+    "retention_cutoff" ->
+      """SELECT event_type, count(*) AS n_events, min(event_id) AS first_id
+        |FROM events
+        |WHERE epoch_ns(ts) // 1000000000 >
+        |      (SELECT max(epoch_ns(ts) // 1000000000) - 7*86400 FROM events)
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity), 2) AS sum_qty,
+        |       round(sum(l_extendedprice), 2) AS sum_base_price,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |       round(avg(l_quantity), 4) AS avg_qty,
+        |       round(avg(l_discount), 4) AS avg_disc,
+        |       count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1995-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_join_broadcast" ->
+      """SELECT r_name, n_name, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin,
+
+    "q_semi_join" ->
+      """SELECT c_mktsegment, count(*) AS n_customers, round(sum(c_acctbal), 2) AS sum_acctbal
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT n_name, count(*) AS n_customers
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND year(o_orderdate) = 1995)
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
+
+    "q_topk_per_group" ->
+      """SELECT p_brand, rnk, p_partkey, p_retailprice
+        |FROM (SELECT p_brand, p_partkey, p_retailprice,
+        |             row_number() OVER (PARTITION BY p_brand
+        |                                ORDER BY p_retailprice DESC, p_partkey) AS rnk
+        |      FROM part)
+        |WHERE rnk <= 3
+        |ORDER BY p_brand, rnk""".stripMargin,
+
+    "q_window_running" ->
+      """SELECT o_orderkey, o_custkey,
+        |       round(sum(o_totalprice) OVER w_frame, 2) AS running_total,
+        |       round(coalesce(lag(o_totalprice, 1) OVER w, 0), 2) AS prev_price,
+        |       row_number() OVER w AS rn
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        |       w_frame AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_sort_limit" ->
+      """SELECT o_orderkey, o_totalprice
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 20""".stripMargin,
+
+    "q_set_ops" ->
+      """SELECT 'intersect' AS op, count(*) AS n FROM (
+        |  SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |  INTERSECT
+        |  SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        |UNION ALL
+        |SELECT 'except' AS op, count(*) AS n FROM (
+        |  SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |  EXCEPT
+        |  SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        |UNION ALL
+        |SELECT 'union' AS op, count(*) AS n FROM (
+        |  SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |  UNION
+        |  SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        |ORDER BY op""".stripMargin,
+
+    "q_distinct_agg" ->
+      """SELECT event_type,
+        |       count(DISTINCT user_id) AS n_users,
+        |       count(*) AS n_events,
+        |       round(sum(value), 2) AS sum_value
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |       coalesce(l_linestatus, 'ALL') AS linestatus,
+        |       round(sum(l_quantity), 2) AS sum_qty,
+        |       count(*) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
+
+    "q_json_extract" ->
+      """SELECT (json_extract_string(props, '$.k')::INTEGER) % 10 AS k_mod,
+        |       count(*) AS n,
+        |       sum(json_extract_string(props, '$.k')::INTEGER) AS sum_k,
+        |       round(avg(value), 4) AS avg_value
+        |FROM events
+        |GROUP BY k_mod
+        |ORDER BY k_mod""".stripMargin,
+
+    "q_scalar_funcs" ->
+      """SELECT split_part(p_type, ' ', 1) AS type_prefix,
+        |       count(*) AS n_parts,
+        |       round(avg(p_retailprice), 2) AS avg_price,
+        |       max(length(p_name)) AS max_name_len,
+        |       min(upper(p_brand)) AS min_brand
+        |FROM part
+        |GROUP BY type_prefix
+        |ORDER BY type_prefix""".stripMargin,
+
+    "q_date_agg" ->
+      """SELECT year(o_orderdate) AS o_year, quarter(o_orderdate) AS o_quarter,
+        |       count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+        |FROM orders
+        |GROUP BY o_year, o_quarter
+        |ORDER BY o_year, o_quarter""".stripMargin,
+
+    "q_asof_join" ->
+      """SELECT event_id AS purchase_id, user_id, coalesce(last_click_id, -1) AS last_click_id
+        |FROM (SELECT event_id, user_id, event_type,
+        |             last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+        |               OVER (PARTITION BY user_id ORDER BY event_id
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_id
+        |      FROM events)
+        |WHERE event_type = 'purchase'
+        |ORDER BY purchase_id""".stripMargin,
+
+    "q_range_join" ->
+      """SELECT tier, count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM events e
+        |JOIN (VALUES (0.0, 50.0, 't1_low'), (50.0, 100.0, 't2_mid'),
+        |             (100.0, 150.0, 't3_high'), (150.0, 100000.0, 't4_extreme'))
+        |     t(lo, hi, tier)
+        |  ON e.value >= t.lo AND e.value < t.hi
+        |GROUP BY tier
+        |ORDER BY tier""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT lang, count(*) AS n_docs,
+        |       count(DISTINCT text) AS n_unique_text,
+        |       count(DISTINCT md5(lower(trim(text)))) AS n_unique_fp
+        |FROM documents
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin,
+
+    "dedup_fingerprint_keep" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+        |FROM documents
+        |GROUP BY md5(lower(trim(text)))
+        |ORDER BY doc_id""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      """WITH s AS (
+        |  SELECT doc_id, n_chars // 100 AS len_bucket,
+        |         list_distinct([array_to_string(toks[i:i+2], ' ')
+        |                        for i in range(1, len(toks) - 1)]) AS sh
+        |  FROM (SELECT doc_id, n_chars, string_split_regex(text, ' +') AS toks
+        |        FROM documents)
+        |)
+        |SELECT doc_a, doc_b, jaccard FROM (
+        |  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+        |         round(len(list_intersect(l.sh, r.sh))::DOUBLE
+        |               / len(list_distinct(l.sh || r.sh)), 4) AS jaccard,
+        |         len(list_intersect(l.sh, r.sh))::DOUBLE
+        |               / len(list_distinct(l.sh || r.sh)) AS raw_j
+        |  FROM s l JOIN s r
+        |    ON l.len_bucket = r.len_bucket AND l.doc_id < r.doc_id)
+        |WHERE raw_j >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "text_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+        |       round(avg(n_chars), 2) AS avg_chars,
+        |       round(avg(len(string_split_regex(text, ' +'))), 4) AS avg_ws_tokens,
+        |       round(avg(len(regexp_extract_all(text, '[a-z0-9]+'))), 4) AS avg_word_tokens
+        |FROM documents
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin,
+
+    "text_quality" ->
+      """SELECT doc_id,
+        |       len(toks) AS n_tokens,
+        |       round(list_sum(list_transform(toks, t -> length(t)))::DOUBLE
+        |             / greatest(len(toks), 1), 4) AS mean_token_len,
+        |       round(length(regexp_replace(text, '[^a-z]', '', 'g'))::DOUBLE
+        |             / greatest(length(text), 1), 4) AS alpha_ratio,
+        |       round(len(list_filter(toks,
+        |               t -> t IN ('the','a','and','of','to','in','is','it')))::DOUBLE
+        |             / greatest(len(toks), 1), 4) AS stopword_ratio
+        |FROM (SELECT doc_id, text, string_split_regex(text, ' +') AS toks FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "similarity_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |           FROM embeddings WHERE vec_id < 5),
+        |     c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+        |     scored AS (
+        |       SELECT query_id, neighbor_id, list_cosine_similarity(qv, cv) AS s
+        |       FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
+        |     ranked AS (
+        |       SELECT query_id, neighbor_id, s,
+        |              row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rank
+        |       FROM scored)
+        |SELECT query_id, neighbor_id, round(s, 4) AS cos_sim, rank
+        |FROM ranked WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "embedding_neardup" ->
+      """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos_sim
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.3
+        |ORDER BY vec_a, vec_b""".stripMargin
   )
 }

@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, token counting, quality scoring, language ID, document
+  * fingerprinting. All are per-row, shuffle-free, codegen-friendly column
+  * expressions — they scale linearly and embarrassingly parallel.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens (reference-style "words"). */
+  def wsTokens(text: Column): Column = split(text, " +")
+
+  /** Word tokens by regex extraction (BPE-ish pre-tokenizer: runs of
+    * alphanumerics; punctuation splits). Matches DuckDB regexp_extract_all.
+    */
+  def wordTokens(text: Column): Column =
+    regexp_extract_all(text, lit("[a-z0-9]+"), lit(0))
+
+  def tokenCount(text: Column): Column = size(wordTokens(text))
+
+  /** Distinct n-gram (shingle) strings over whitespace tokens. Documents
+    * shorter than n tokens yield an empty array (sequence() would otherwise
+    * run descending and fabricate windows).
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val t = wsTokens(text)
+    when(size(t) >= n,
+      array_distinct(
+        transform(
+          sequence(lit(1), size(t) - (n - 1)),
+          i => concat_ws(" ",
+            (0 until n).map(j => call_function("element_at", t, i + lit(j))): _*))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Stopword ratio: fraction of tokens in `stopwords`. */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val t = wsTokens(text)
+    size(filter(t, tok => tok.isInCollection(stopwords))) / greatest(size(t), lit(1)).cast("double")
+  }
+
+  /** Quality score heuristics: length, mean token length, alpha ratio,
+    * stopword ratio — the standard cheap pre-filters for web corpora.
+    */
+  def withQuality(df: DataFrame, textCol: Column): DataFrame = {
+    val t = wsTokens(textCol)
+    df.withColumn("n_tokens", size(t))
+      .withColumn("mean_token_len",
+        aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double") /
+          greatest(size(t), lit(1)))
+      .withColumn("alpha_ratio",
+        length(regexp_replace(textCol, "[^a-z]", "")).cast("double") /
+          greatest(length(textCol), lit(1)))
+      .withColumn("stopword_ratio", stopwordRatio(textCol, QualityStopwords))
+  }
+
+  val QualityStopwords: Seq[String] =
+    Seq("the", "a", "and", "of", "to", "in", "is", "it")
+
+  /** Tiny per-language marker sets for the n-gram/stopword language-ID
+    * heuristic. Deterministic; prediction = argmax marker hit-rate, ties
+    * broken by language code (descending, via struct max ordering).
+    */
+  val LangMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "and", "of", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "zh" -> Seq("de5", "shi4", "le5", "zai4", "he2"))
+
+  /** Predict language by marker hit counts. Returns (score, lang) argmax. */
+  def langId(text: Column): Column = {
+    val t = wsTokens(text)
+    val scored = LangMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
+      struct(
+        size(filter(t, tok => tok.isInCollection(markers))).as("score"),
+        lit(lang).as("lang"))
+    }
+    array_max(array(scored: _*)).getField("lang")
+  }
+
+  /** Content-defined fingerprint: md5 of normalized text — exact-dup key
+    * stable across engines (oracle-able).
+    */
+  def md5Fingerprint(text: Column): Column = md5(lower(trim(text)))
+
+  /** Rolling-hash (winnowing-style) fingerprint: min xxhash64 over the
+    * document's shingles. Robust to small edits away from the minimum.
+    */
+  def winnowFingerprint(text: Column, n: Int = 3): Column =
+    array_min(transform(shingles(text, n), s => xxhash64(s)))
+}

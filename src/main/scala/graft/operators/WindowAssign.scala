@@ -71,12 +71,12 @@ object WindowAssign {
   def relaxedWindow(df: DataFrame, tsCol: Column, cutoff: Column): DataFrame =
     df.filter(tsCol <= cutoff)
 
-  /** README SortedWindow example: keep rows where valueCol is even, sort by
-    * it, group into batches of `size` (README.rst:216-231).
+  /** README SortedWindow example: keep rows where `filterCol` is even, sort
+    * by `sortCol`, group into batches of `size` (README.rst:216-231).
     */
-  def sortedWindow(df: DataFrame, valueCol: Column, tieBreak: Column, size: Int): DataFrame = {
-    val w = Window.orderBy(valueCol, tieBreak)
-    df.filter(valueCol % 2 === 0)
+  def sortedWindow(df: DataFrame, filterCol: Column, sortCol: Column, size: Int): DataFrame = {
+    val w = Window.orderBy(sortCol, filterCol)
+    df.filter(filterCol % 2 === 0)
       .withColumn("window_id", floor((row_number().over(w) - lit(1)) / lit(size)))
   }
 }
