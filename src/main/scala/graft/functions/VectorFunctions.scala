@@ -4,21 +4,24 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
-/** Vector math over `ArrayType` columns built from Spark's higher-order
-  * functions (`zip_with`/`aggregate`/`transform`) — these are Catalyst
-  * expressions, stay inside whole-stage codegen, and need no UDF or
-  * serialization, unlike `udf((a, b) => ...)`.
+/** Vector math over `ArrayType` columns. The dot product — the hot
+  * primitive — is a native codegen'd Catalyst expression
+  * ([[DotProduct]]); the rest composes it. No UDFs, no serialization.
   *
-  * The fold order of `aggregate` is the list order, so results are
-  * deterministic and match a sequential reference implementation (DuckDB's
-  * list_cosine_similarity) to ~1e-16.
+  * Loop order is ascending-index in both the native expression and the HOF
+  * fallback, so results are deterministic and match a sequential reference
+  * implementation (DuckDB's list_cosine_similarity) to ~1e-16.
   */
 object VectorFunctions {
 
   /** Cast array<float> (parquet `list<float>`) to array<double> for stable math. */
   def toDoubleArray(c: Column): Column = transform(c, _.cast(DoubleType))
 
-  def dot(a: Column, b: Column): Column =
+  /** Native codegen'd dot product (inputs must be array<double>). */
+  def dot(a: Column, b: Column): Column = DotProduct.dot(a, b)
+
+  /** HOF formulation, kept as a cross-check for the native expression. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))

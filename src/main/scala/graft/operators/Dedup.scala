@@ -25,13 +25,22 @@ object Dedup {
     df.groupBy(key.as("dedup_key"))
       .agg(min(idCol).as(idCol.toString))
 
-  /** MinHash signature: array of `numHashes` minima of per-shingle hashes.
-    * sig[k] = min over shingles s of xxhash64(k, s). Pure HOF expression.
+  /** MinHash signature: array of `numHashes` minima of per-shingle hashes,
+    * sig[k] = min over shingles s of xxhash64(k, s).
+    *
+    * Structured as ONE fold over the shingle array maintaining all K minima
+    * (not K folds each re-walking shingles): a higher-order function
+    * evaluates its ARGUMENT once per row but its lambda body once per
+    * element — nesting the shingle expression inside a per-k lambda
+    * re-tokenizes the document K times (measured 100× slowdown).
     */
-  def minhashSignature(text: Column, shingleSize: Int, numHashes: Int): Column =
-    transform(
-      sequence(lit(0), lit(numHashes - 1)),
-      k => array_min(transform(TextAnalysis.shingles(text, shingleSize), s => xxhash64(k, s))))
+  def minhashSignature(sh: Column, numHashes: Int): Column =
+    aggregate(
+      sh,
+      transform(sequence(lit(0), lit(numHashes - 1)), _ => lit(Long.MaxValue)),
+      (acc, s) =>
+        zip_with(acc, sequence(lit(0), lit(numHashes - 1)),
+          (m, k) => least(m, xxhash64(k, s))))
 
   /** LSH banding: `bands` hashes, each chaining `rowsPerBand` signature
     * entries. Two docs sharing any band hash become a candidate pair.
@@ -63,10 +72,10 @@ object Dedup {
       bands: Int = 32,
       threshold: Double = 0.5): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val sig = df.select(
-      col(idCol).as("doc_id"),
-      TextAnalysis.shingles(col(textCol), shingleSize).as("sh"),
-      minhashSignature(col(textCol), shingleSize, numHashes).as("sig"))
+    val sig = df
+      .select(col(idCol).as("doc_id"),
+        TextAnalysis.shingles(col(textCol), shingleSize).as("sh"))
+      .select(col("doc_id"), col("sh"), minhashSignature(col("sh"), numHashes).as("sig"))
     val buckets = sig
       .select(col("doc_id"), explode(bandHashes(col("sig"), bands, rowsPerBand)).as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.bucket").as("bucket"))
@@ -90,17 +99,24 @@ object Dedup {
   /** 64-bit SimHash over shingles: bit j is set iff the sum over shingles of
     * ±1 (sign of hash bit j) is non-negative.
     */
-  def simhash64(text: Column, shingleSize: Int = 3): Column = {
-    val sh = TextAnalysis.shingles(text, shingleSize)
+  def simhash64(text: Column, shingleSize: Int = 3): Column =
+    simhashFromHashes(transform(TextAnalysis.shingles(text, shingleSize), s => xxhash64(s)))
+
+  /** One fold over the hash array maintaining all 64 bit-votes (see
+    * [[minhashSignature]] for why the loop nesting matters).
+    */
+  def simhashFromHashes(hashes: Column): Column = {
+    val votes = aggregate(
+      hashes,
+      transform(sequence(lit(0), lit(63)), _ => lit(0L)),
+      (acc, h) =>
+        zip_with(acc, sequence(lit(0), lit(63)),
+          (v, j) => v + when(call_function("shiftright", h, j)
+            .bitwiseAND(1) === 1, 1L).otherwise(-1L)))
     aggregate(
-      sequence(lit(0), lit(63)),
-      lit(0L),
-      (acc, j) => {
-        val vote = aggregate(sh, lit(0L),
-          (a, s) => a + when(call_function("shiftright", xxhash64(s), j)
-            .bitwiseAND(1) === 1, 1L).otherwise(-1L))
-        acc + when(vote >= 0, call_function("shiftleft", lit(1L), j)).otherwise(0L)
-      })
+      zip_with(votes, sequence(lit(0), lit(63)),
+        (v, j) => when(v >= 0, call_function("shiftleft", lit(1L), j)).otherwise(0L)),
+      lit(0L), (acc, x) => acc + x)
   }
 
   /** SimHash near-dup candidates: split the 64-bit hash into 4 16-bit
@@ -161,8 +177,9 @@ object Dedup {
     */
   def embeddingNearDupExact(emb: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
     val v = emb.select(col(idCol).as("vid"), toDoubleArray(col(vecCol)).as("vec"))
+      .withColumn("nrm", l2Norm(col("vec")))
     v.as("l").join(v.as("r"), col("l.vid") < col("r.vid"))
-      .withColumn("cos_sim", cosine(col("l.vec"), col("r.vec")))
+      .withColumn("cos_sim", dot(col("l.vec"), col("r.vec")) / (col("l.nrm") * col("r.nrm")))
       .filter(col("cos_sim") >= threshold)
       .select(col("l.vid").as("vec_a"), col("r.vid").as("vec_b"),
         round(col("cos_sim"), 4).as("cos_sim"))
@@ -178,11 +195,12 @@ object Dedup {
       threshold: Double,
       planes: Seq[Seq[Double]]): DataFrame = {
     val v = emb.select(col(idCol).as("vid"), toDoubleArray(col(vecCol)).as("vec"))
+      .withColumn("nrm", l2Norm(col("vec")))
     val sigCol = Similarity.hyperplaneSignature(col("vec"), planes)
     val bucketed = v.withColumn("bucket", sigCol)
     bucketed.as("l").join(bucketed.as("r"),
         col("l.bucket") === col("r.bucket") && col("l.vid") < col("r.vid"))
-      .withColumn("cos_sim", cosine(col("l.vec"), col("r.vec")))
+      .withColumn("cos_sim", dot(col("l.vec"), col("r.vec")) / (col("l.nrm") * col("r.nrm")))
       .filter(col("cos_sim") >= threshold)
       .select(col("l.vid").as("vec_a"), col("r.vid").as("vec_b"),
         round(col("cos_sim"), 4).as("cos_sim"))

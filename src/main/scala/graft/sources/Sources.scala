@@ -1,0 +1,73 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.streaming.MbStream
+
+/** Source connectors (reference protocol: `stream(stream)` + `cancel()`,
+  * README.rst:154-163).
+  *
+  *  - Kafka (reference contrib/kafka.py:6-58) → Spark's built-in kafka
+  *    format: [[KafkaIO.source]]. Untestable offline; thin wiring only.
+  *  - Mongo poll-by-monotonic-key (contrib/mongodb.py:7-87) → generalized
+  *    [[TableTailSource]]: incremental reads of any table with a
+  *    monotonically increasing key.
+  *  - Change-stream source (contrib/mongodb.py:104-121) → a file-source
+  *    `readStream` over the table directory IS the CDC path here.
+  *  - MQTT/Celery envelopes (contrib/mqtt.py:62-69, celery.py:72-80) are
+  *    message-shape specs over the generic append API; no broker client
+  *    ships in-engine.
+  */
+object KafkaIO {
+  /** `spark.readStream.format("kafka")` wiring (built-in; S1). */
+  def source(spark: SparkSession, servers: String, topic: String, startingOffsets: String = "earliest"): DataFrame =
+    spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", servers)
+      .option("subscribe", topic)
+      .option("startingOffsets", startingOffsets)
+      .load()
+      .select(col("key").cast("string"), col("value").cast("string"),
+        col("topic"), col("partition"), col("offset"), col("timestamp"))
+
+  /** Kafka sink wiring (K1): JSON-serialize all columns into `value`. */
+  def sink(df: DataFrame, servers: String, topic: String, checkpointDir: String) =
+    df.selectExpr("to_json(struct(*)) AS value")
+      .writeStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", servers)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpointDir)
+}
+
+/** Poll a table with a monotonically increasing key and append new rows to
+  * a stream as JSON payloads (reference MongoSource changes(),
+  * contrib/mongodb.py:60-75: `idcol > last_seen`, sorted ascending).
+  * `poll()` is driven by the caller's cadence (the reference polls every
+  * 0.1 s, contrib/mongodb.py:52).
+  */
+final class TableTailSource(
+    spark: SparkSession,
+    tablePath: String,
+    keyCol: String) {
+
+  @volatile private var lastSeen: Long = Long.MinValue
+  @volatile private var cancelled: Boolean = false
+
+  def poll(target: MbStream): Int = {
+    if (cancelled) return 0
+    val newRows = spark.read.parquet(tablePath)
+      .filter(col(keyCol) > lastSeen)
+      .orderBy(col(keyCol))
+    val collected = newRows.toJSON.collect()
+    if (collected.nonEmpty) {
+      lastSeen = newRows.agg(max(col(keyCol).cast("long"))).collect()(0).getLong(0)
+      target.appendAll(collected.toIndexedSeq)
+    }
+    collected.length
+  }
+
+  /** Reference `source.cancel()` (contrib/mongodb.py:84-86). */
+  def cancel(): Unit = cancelled = true
+}

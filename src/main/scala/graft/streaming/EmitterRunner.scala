@@ -1,0 +1,141 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+/** The consumer-side run loop (reference `WindowEmitter.run`,
+  * minibatch/window.py:13-227) on Structured Streaming.
+  *
+  * Stage mapping (SURVEY.md §3 E2): `window_ready`+`sleep` → trigger;
+  * `query` → source offsets; `process`/`timestamp`/`commit` → checkpoint
+  * commit log; `emit` → foreachBatch; `undo` → failed-batch replay
+  * (at-least-once into side effects, same as the reference's undo/redo,
+  * window.py:119-124); `persist(keep=True)` → append to the stream's
+  * windows table (window.py:126-136).
+  */
+object EmitterRunner {
+
+  case class Message(stream: String, created: Timestamp, data: String)
+  case class WindowedMessage(stream: String, created: Timestamp, data: String, window_id: Long)
+  case class CountState(pending: Seq[Message], nextWindowId: Long, emittedInBatch: Long)
+
+  implicit val msgEnc: Encoder[Message] = Encoders.product[Message]
+  implicit val winMsgEnc: Encoder[WindowedMessage] = Encoders.product[WindowedMessage]
+  implicit val stateEnc: Encoder[CountState] = Encoders.product[CountState]
+  implicit val strEnc: Encoder[String] = Encoders.STRING
+
+  sealed trait Strategy
+  /** Emit a window for every N messages, exact, across micro-batches
+    * (reference CountWindow, window.py:305-327). */
+  final case class CountWindow(size: Int) extends Strategy
+  /** Aligned tumbling windows over arrival time (reference FixedTimeWindow,
+    * window.py:229-278). A window fragments across micro-batches only if
+    * the trigger outpaces the window interval — the same hazard the
+    * reference mitigates by over-sleeping (window.py:269-278); run with
+    * trigger interval ≥ window interval.
+    */
+  final case class FixedTimeWindow(intervalSeconds: Long) extends Strategy
+  /** Each micro-batch is one window — exactly Spark's contract (reference
+    * RelaxedTimeWindow, window.py:281-302). */
+  case object RelaxedTimeWindow extends Strategy
+
+  /** Open the buffer as a stream (the reference's polling `query()` over
+    * unprocessed docs — offsets instead of `processed` flags).
+    */
+  def readBuffer(stream: MbStream): Dataset[Message] =
+    stream.spark.readStream
+      .schema(MbStream.MessageSchema)
+      .parquet(stream.bufferDir)
+      .as[Message]
+
+  /** Assign window ids per strategy. Count windows keep exact-N semantics
+    * across micro-batches via per-stream `flatMapGroupsWithState`: the
+    * state holds the sub-N remainder and the next window id, so windows
+    * never straddle a batch boundary with the wrong size. State size is
+    * bounded by N messages per stream key.
+    */
+  def assign(ds: Dataset[Message], strategy: Strategy): Dataset[WindowedMessage] =
+    strategy match {
+      case CountWindow(n) =>
+        ds.groupByKey(_.stream)
+          .flatMapGroupsWithState[CountState, WindowedMessage](
+            OutputMode.Append, GroupStateTimeout.NoTimeout) {
+            (key: String, it: Iterator[Message], state: GroupState[CountState]) =>
+              val prev = state.getOption.getOrElse(CountState(Seq.empty, 0L, 0L))
+              // arrival order within the batch: by created, then payload
+              val incoming = it.toSeq.sortBy(m => (m.created.getTime, m.data))
+              val all = prev.pending ++ incoming
+              val nFull = all.size / n
+              val (full, rest) = all.splitAt(nFull * n)
+              val out = full.zipWithIndex.map { case (m, i) =>
+                WindowedMessage(m.stream, m.created, m.data, prev.nextWindowId + i / n)
+              }
+              state.update(CountState(rest, prev.nextWindowId + nFull, nFull))
+              out.iterator
+          }
+      case FixedTimeWindow(secs) =>
+        ds.withColumn("window_id",
+            floor(unix_timestamp(col("created")) / secs))
+          .as[WindowedMessage]
+      case RelaxedTimeWindow =>
+        // window id assigned per micro-batch in the runner (batchId)
+        ds.withColumn("window_id", lit(-1L)).as[WindowedMessage]
+    }
+
+  /** Start the emitter: strategy-assign, then per micro-batch hand each
+    * complete window to `emitFn` (the reference's dill-marshalled emitfn —
+    * here an ordinary closure; JVM serialization is free, marshaller.py is
+    * moot). `keep=true` appends emitted windows to the stream's windows
+    * table (reference persist(keep), window.py:126-136). Failed emitFn →
+    * whole-batch replay from checkpoint (at-least-once, window.py:119-124).
+    */
+  def start(
+      stream: MbStream,
+      strategy: Strategy,
+      emitFn: (Long, DataFrame) => Unit,
+      keep: Boolean = false,
+      trigger: Trigger = Trigger.AvailableNow(),
+      queryName: Option[String] = None): StreamingQuery = {
+    val assigned = assign(readBuffer(stream), strategy)
+    val writer = assigned.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", stream.checkpointsDir)
+      .foreachBatch { (batch: Dataset[WindowedMessage], batchId: Long) =>
+        val df = strategy match {
+          case RelaxedTimeWindow =>
+            batch.toDF.withColumn("window_id", lit(batchId))
+          case _ => batch.toDF
+        }
+        val cached = df.cache()
+        try {
+          val ids = cached.select("window_id").distinct()
+            .collect().map(_.getLong(0)).sorted
+          ids.foreach { id =>
+            emitFn(id, cached.filter(col("window_id") === id).drop("window_id"))
+          }
+          if (keep && ids.nonEmpty) {
+            cached.withColumn("batch_id", lit(batchId))
+              .select("stream", "created", "data", "window_id", "batch_id")
+              .write.mode("append").parquet(stream.windowsDir)
+          }
+        } finally cached.unpersist()
+      }
+    queryName.fold(writer)(writer.queryName).start()
+  }
+
+  /** Drain-and-stop: process everything currently buffered, then return
+    * (the deterministic test/batch mode; reference tests' produce-sleep-stop
+    * choreography collapses to Trigger.AvailableNow + awaitTermination).
+    */
+  def drain(
+      stream: MbStream,
+      strategy: Strategy,
+      emitFn: (Long, DataFrame) => Unit,
+      keep: Boolean = false): Unit = {
+    val q = start(stream, strategy, emitFn, keep, Trigger.AvailableNow())
+    q.awaitTermination()
+  }
+}

@@ -1,0 +1,137 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+import java.sql.Timestamp
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** One durable stream: producer `append`, buffer/window accessors, clear,
+  * retention — the reference's `Stream` + `Buffer` surface
+  * (minibatch/models.py:209-226, 282-288, 309-348).
+  *
+  * Message shape mirrors Buffer docs `{stream, created, data, processed}`
+  * (models.py:139-154): payload rides as a JSON string (`data`), `created`
+  * is stamped at append, and `processed` is subsumed by streaming
+  * checkpoints.
+  */
+final class MbStream(val spark: SparkSession, val name: String, val dir: String) {
+  import MbStream._
+
+  val bufferDir: String = s"$dir/buffer"
+  val windowsDir: String = s"$dir/windows"
+  val checkpointsDir: String = s"$dir/checkpoints"
+
+  private val pending = new ArrayBuffer[(String, Timestamp)]()
+
+  /** Producer ingest (reference `Stream.append`, models.py:209-211): stamp
+    * arrival time, accumulate in the producer-side batcher (models.py:25-81),
+    * flush as one parquet file per `batchSize` messages. The durable file is
+    * the process boundary — no ack protocol, like the reference's
+    * fast-insert path (models.py:84-113).
+    */
+  def append(dataJson: String, batchSize: Int = 1): Unit = synchronized {
+    pending += ((dataJson, new Timestamp(System.currentTimeMillis())))
+    if (pending.size >= batchSize) flush()
+  }
+
+  def appendAll(rows: Seq[String]): Unit = synchronized {
+    val now = new Timestamp(System.currentTimeMillis())
+    pending ++= rows.map(r => (r, now))
+    flush()
+  }
+
+  /** Flush the producer batch to one parquet file in the buffer dir. */
+  def flush(): Unit = synchronized {
+    if (pending.nonEmpty) {
+      val rows = pending.map { case (d, ts) => Row(name, ts, d) }.toSeq
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), MessageSchema)
+        .write.mode("append").parquet(bufferDir)
+      pending.clear()
+    }
+  }
+
+  /** Filtered read of the buffer (reference `stream.buffer()`, models.py:282-284). */
+  def buffer(): DataFrame = readOrEmpty(bufferDir, MessageSchema)
+
+  /** Read of the emitted-window history (reference `stream.window()`). */
+  def windows(): DataFrame = readOrEmpty(windowsDir, WindowSchema)
+
+  /** Delete all buffered messages (reference `stream.clear()`, models.py:216-217). */
+  def clear(): Unit = {
+    deleteChildren(bufferDir)
+  }
+
+  /** Retention / housekeeping (reference `max_age` autoclear,
+    * models.py:309-348): drop buffer files whose NEWEST row is older than
+    * maxAge. File-granularity deletion means at most one extra batch of
+    * young-enough rows survives — same ≤2× maxAge guarantee the reference
+    * documents (models.py:327-338). At cluster scale this is a partition
+    * drop on a date-partitioned buffer, never a row rewrite.
+    */
+  def runRetention(maxAgeSeconds: Long, nowMs: Long = System.currentTimeMillis()): Int = {
+    val cutoff = nowMs - maxAgeSeconds * 1000L
+    var dropped = 0
+    listParquet(bufferDir).foreach { f =>
+      val maxCreated = spark.read.schema(MessageSchema).parquet(f)
+        .agg(max(col("created"))).collect()(0).getTimestamp(0)
+      if (maxCreated != null && maxCreated.getTime <= cutoff) {
+        Files.deleteIfExists(Paths.get(f))
+        dropped += 1
+      }
+    }
+    dropped
+  }
+
+  private def listParquet(d: String): Seq[String] = {
+    val p = Paths.get(d)
+    if (!Files.exists(p)) Seq.empty
+    else {
+      val s = Files.list(p)
+      try {
+        val b = ArrayBuffer.empty[String]
+        s.forEach(f => if (f.toString.endsWith(".parquet")) b += f.toString)
+        b.toSeq.sorted
+      } finally s.close()
+    }
+  }
+
+  private def readOrEmpty(d: String, schema: StructType): DataFrame =
+    if (listParquet(d).isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    else spark.read.schema(schema).parquet(d)
+
+  private def deleteChildren(d: String): Unit = {
+    val p = Paths.get(d)
+    if (Files.exists(p)) {
+      val s = Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .filter(f => f != p)
+        .forEach(f => Files.deleteIfExists(f))
+      finally s.close()
+    }
+  }
+}
+
+object MbStream {
+  /** Mirrors Buffer `{stream, created, data}` (models.py:139-154); the
+    * `processed` flag is replaced by checkpoint offsets.
+    */
+  val MessageSchema: StructType = StructType(Seq(
+    StructField("stream", StringType, nullable = false),
+    StructField("created", TimestampType, nullable = false),
+    StructField("data", StringType, nullable = false)))
+
+  /** Mirrors Window `{stream, created, data, query}` (models.py:116-136),
+    * one row per message with its window id (relational, not list-of-dicts).
+    */
+  val WindowSchema: StructType = StructType(Seq(
+    StructField("stream", StringType, nullable = false),
+    StructField("created", TimestampType, nullable = false),
+    StructField("data", StringType, nullable = false),
+    StructField("window_id", LongType, nullable = false),
+    StructField("batch_id", LongType, nullable = false)))
+}

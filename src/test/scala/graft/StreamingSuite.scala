@@ -1,0 +1,178 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming._
+import graft.sources.{TableSink, TableTailSource}
+
+/** Semantic ports of the reference's behavioral tests (SURVEY.md §5:
+  * minibatch/tests/test_minibatch.py) against the Structured Streaming
+  * emitter runner.
+  */
+class StreamingSuite extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("graft-streams").toString
+
+  /** Collect emitted windows as (windowId -> payloads). */
+  private def collector(): (mutable.ArrayBuffer[(Long, Seq[String])], (Long, DataFrame) => Unit) = {
+    val sink = mutable.ArrayBuffer.empty[(Long, Seq[String])]
+    val fn = (id: Long, df: DataFrame) => {
+      val rows = df.select("data").collect().map(_.getString(0)).toSeq.sorted
+      sink.synchronized { sink += ((id, rows)) }
+      ()
+    }
+    (sink, fn)
+  }
+
+  test("append writes messages to the buffer (test_stream port)") {
+    val mb = Minibatch(spark, freshRoot())
+    val st = mb.stream("test")
+    st.append("""{"foo":"bar1"}""")
+    st.append("""{"foo":"bar2"}""")
+    st.flush()
+    assert(st.buffer().count() === 2)
+    assert(st.buffer().select("stream").distinct().collect().map(_.getString(0)).toSeq === Seq("test"))
+  }
+
+  test("count window size=2: 10 messages -> exactly 5 windows of 2 (test_fixed_size port)") {
+    val mb = Minibatch(spark, freshRoot())
+    val st = mb.stream("counted")
+    st.appendAll((0 until 10).map(i => s"""{"index":$i}"""))
+    val (sink, fn) = collector()
+    mb.streaming("counted").size(2).keep(true).emit(fn).run()
+    assert(sink.size === 5, s"expected 5 windows, got: $sink")
+    assert(sink.map(_._1).sorted === Seq(0L, 1L, 2L, 3L, 4L))
+    sink.foreach { case (_, rows) => assert(rows.size === 2) }
+    // keep=true persisted the window history (persist(keep) port)
+    assert(st.windows().count() === 10)
+    assert(st.windows().select("window_id").distinct().count() === 5)
+  }
+
+  test("commit semantics: a second drain emits nothing (test_buffer_cleaned port)") {
+    val mb = Minibatch(spark, freshRoot())
+    val st = mb.stream("cleaned")
+    st.appendAll((0 until 4).map(i => s"""{"i":$i}"""))
+    val (sink1, fn1) = collector()
+    mb.streaming("cleaned").size(2).emit(fn1).run()
+    assert(sink1.size === 2)
+    // offsets are committed in the checkpoint — consumed messages never re-emit
+    val (sink2, fn2) = collector()
+    mb.streaming("cleaned").size(2).emit(fn2).run()
+    assert(sink2.isEmpty, s"re-drain must emit nothing, got $sink2")
+  }
+
+  test("count window keeps exact N across micro-batches (remainder carry)") {
+    val mb = Minibatch(spark, freshRoot())
+    val st = mb.stream("carry")
+    st.appendAll((0 until 7).map(i => s"""{"i":$i}"""))
+    val (sink1, fn1) = collector()
+    mb.streaming("carry").size(3).emit(fn1).run()
+    assert(sink1.size === 2) // 7 = 2 full windows + remainder 1 held in state
+    st.appendAll((7 until 9).map(i => s"""{"i":$i}"""))
+    val (sink2, fn2) = collector()
+    mb.streaming("carry").size(3).emit(fn2).run()
+    assert(sink2.size === 1, s"remainder + 2 new = exactly one window, got $sink2")
+    assert(sink2.head._1 === 2L) // window ids continue across batches
+    val all = (sink1 ++ sink2).flatMap(_._2)
+    assert(all.size === 9 && all.distinct.size === 9) // every message exactly once
+  }
+
+  test("relaxed time window: each micro-batch is one window (test_relaxed port)") {
+    val mb = Minibatch(spark, freshRoot())
+    val st = mb.stream("relaxed")
+    st.appendAll((0 until 5).map(i => s"""{"i":$i}"""))
+    val (sink, fn) = collector()
+    mb.streaming("relaxed").emitter(EmitterRunner.RelaxedTimeWindow).emit(fn).run()
+    assert(sink.map(_._2.size).sum === 5)
+    // everything available at trigger time lands in one batch-window
+    assert(sink.size === 1)
+  }
+
+  test("fixed time window groups by aligned arrival-time intervals (test_timed_window port)") {
+    val mb = Minibatch(spark, freshRoot())
+    val st = mb.stream("timed")
+    // craft arrival timestamps directly in the buffer (deterministic analogue
+    // of the reference's produce-sleep choreography)
+    val base = 1700000000L // aligned to 60s grid
+    val rows = (0 until 10).map { i =>
+      Row("timed", new Timestamp((base + i * 30) * 1000L), s"""{"i":$i}""")
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), MbStream.MessageSchema)
+      .write.mode("append").parquet(st.bufferDir)
+    val (sink, fn) = collector()
+    mb.streaming("timed").emitter(EmitterRunner.FixedTimeWindow(60)).emit(fn).run()
+    // 10 msgs at 30s spacing = 300s span = 5 aligned 60s windows of 2
+    assert(sink.size === 5, s"got $sink")
+    sink.foreach { case (_, r) => assert(r.size === 2) }
+    assert(sink.map(_._1).sorted === (0 until 5).map(i => base / 60 + i).map(_.toLong))
+  }
+
+  test("retention drops buffer files older than max_age (housekeeping port)") {
+    val mb = Minibatch(spark, freshRoot())
+    val st = mb.stream("aged")
+    val oldTs = new Timestamp(System.currentTimeMillis() - 7200 * 1000L)
+    val rows = (0 until 3).map(i => Row("aged", oldTs, s"""{"i":$i}"""))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), MbStream.MessageSchema)
+      .write.mode("append").parquet(st.bufferDir)
+    st.append("""{"fresh":true}""")
+    st.flush()
+    assert(st.buffer().count() === 4)
+    val dropped = st.runRetention(maxAgeSeconds = 3600)
+    assert(dropped === 1)
+    assert(st.buffer().count() === 1) // only the fresh message survives
+  }
+
+  test("registry is idempotent, race-safe shaped, listable, droppable") {
+    val root = freshRoot()
+    val mb = Minibatch(spark, root)
+    val a = mb.stream("alpha")
+    val b = mb.stream("alpha") // get-or-create: same stream
+    assert(a.dir === b.dir)
+    mb.stream("beta")
+    assert(mb.registry.list() === Seq("alpha", "beta"))
+    assert(mb.registry.exists("alpha"))
+    mb.registry.drop("alpha")
+    assert(!mb.registry.exists("alpha"))
+    assert(mb.registry.list() === Seq("beta"))
+  }
+
+  test("table-tail source polls new rows by monotonic key (MongoSource port)") {
+    val mb = Minibatch(spark, freshRoot())
+    val st = mb.stream("tailed")
+    val src = new TableTailSource(spark, s"${TestSpark.sf0001}/nation.parquet", "n_nationkey")
+    val n1 = src.poll(st)
+    assert(n1 === 25)
+    val n2 = src.poll(st) // nothing new
+    assert(n2 === 0)
+    assert(st.buffer().count() === 25)
+    src.cancel()
+    assert(src.poll(st) === 0)
+  }
+
+  test("sink receives forwarded windows (MongoSink port)") {
+    val mb = Minibatch(spark, freshRoot())
+    val st = mb.stream("sunk")
+    st.appendAll((0 until 4).map(i => s"""{"i":$i}"""))
+    val target = Files.createTempDirectory("graft-sink").toString + "/out"
+    val sink = new TableSink(target)
+    mb.streaming("sunk").size(2).sink(df => sink.put(df)).run()
+    assert(spark.read.parquet(target).count() === 4)
+  }
+
+  test("clear() empties the buffer (stream.clear port)") {
+    val mb = Minibatch(spark, freshRoot())
+    val st = mb.stream("cleared")
+    st.appendAll((0 until 3).map(i => s"""{"i":$i}"""))
+    assert(st.buffer().count() === 3)
+    st.clear()
+    assert(st.buffer().count() === 0)
+  }
+}
