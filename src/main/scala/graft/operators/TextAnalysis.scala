@@ -21,20 +21,12 @@ object TextAnalysis {
 
   def tokenCount(text: Column): Column = size(wordTokens(text))
 
-  /** Distinct n-gram (shingle) strings over whitespace tokens. Documents
-    * shorter than n tokens yield an empty array (sequence() would otherwise
-    * run descending and fabricate windows).
+  /** Distinct n-gram (shingle) strings over whitespace tokens, native
+    * codegen'd ([[graft.functions.Shingles]]); tokenizes once per row.
+    * Documents shorter than n tokens yield an empty array.
     */
-  def shingles(text: Column, n: Int): Column = {
-    val t = wsTokens(text)
-    when(size(t) >= n,
-      array_distinct(
-        transform(
-          sequence(lit(1), size(t) - (n - 1)),
-          i => concat_ws(" ",
-            (0 until n).map(j => call_function("element_at", t, i + lit(j))): _*))))
-      .otherwise(array().cast("array<string>"))
-  }
+  def shingles(text: Column, n: Int): Column =
+    graft.functions.Shingles.shingles(wsTokens(text), n)
 
   /** Stopword ratio: fraction of tokens in `stopwords`. */
   def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
