@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.operators.{Dedup, Relational, Similarity, TextAnalysis, WindowAssign}
+import graft.operators.{Dedup, Multimodal, Relational, Similarity, TextAnalysis, WindowAssign}
 import graft.functions.VectorFunctions
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -418,6 +418,119 @@ object SparkEntry {
     "embedding_neardup" -> ((s, dir) => {
       Dedup.embeddingNearDupExact(embeddings(s, dir), "vec_id", "embedding", 0.3)
         .orderBy(col("vec_a"), col("vec_b"))
+    }),
+
+    // LSH-bucketed embedding near-dup — the scale path for the exact query
+    // above (no SQL oracle: hyperplane-family-specific; recall vs exact
+    // asserted in ScalaTest).
+    "embedding_neardup_lsh" -> ((s, dir) => {
+      Dedup.embeddingNearDupLSH(embeddings(s, dir), "vec_id", "embedding", 0.3,
+          Similarity.randomPlanes(4, 64, 7L))
+        .orderBy(col("vec_a"), col("vec_b"))
+    }),
+
+    // Per-label embedding centroids (element-wise mean): posexplode →
+    // hash-agg on (label, pos) — partial+final agg, no collect.
+    "embedding_centroid" -> ((s, dir) => {
+      embeddings(s, dir)
+        .select(col("label"),
+          posexplode(VectorFunctions.toDoubleArray(col("embedding"))).as(Seq("pos0", "v")))
+        .select(col("label"), (col("pos0") + 1).as("pos"), col("v"))
+        .groupBy(col("label"), col("pos"))
+        .agg(round(avg(col("v")), 6).as("centroid_v"))
+        .orderBy(col("label"), col("pos"))
+    }),
+
+    // Gap-based session windows (6h gap), per user.
+    "session_window" -> ((s, dir) => {
+      val ev = events(s, dir).withColumn("ts_s", unix_timestamp(col("ts")))
+      WindowAssign.sessionWindow(ev, col("user_id"), col("ts_s"), col("event_id"), 21600L)
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          min(col("ts_s")).as("session_start_s"),
+          (max(col("ts_s")) - min(col("ts_s"))).as("duration_s"),
+          round(sum(col("value")), 2).as("sum_value"))
+        .orderBy(col("user_id"), col("session_id"))
+    }),
+
+    // Sliding (hopping) windows: 1h size, 15min slide — every event in 4.
+    "sliding_window" -> ((s, dir) => {
+      val ev = events(s, dir).withColumn("ts_s", unix_timestamp(col("ts")))
+      WindowAssign.slidingWindow(ev, col("ts_s"), 3600L, 900L)
+        .groupBy(col("window_start_s"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+        .orderBy(col("window_start_s"))
+    }),
+
+    // CUBE grouping sets (all four combinations).
+    "q_cube" -> ((s, dir) => {
+      lineitem(s, dir)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("sum_qty"), col("n"))
+        .orderBy(col("returnflag"), col("linestatus"))
+    }),
+
+    // Exact interpolated percentiles (sort-based agg) per order priority.
+    "q_percentiles" -> ((s, dir) => {
+      orders(s, dir)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          round(percentile(col("o_totalprice"), lit(0.25)), 2).as("p25"),
+          round(percentile(col("o_totalprice"), lit(0.5)), 2).as("p50"),
+          round(percentile(col("o_totalprice"), lit(0.75)), 2).as("p75"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // ── multimodal column plumbing [EXT] ──────────────────────────────────
+    // Synthetic media derived deterministically from documents (the binary
+    // payload is the utf-8 text; metadata from doc_id) — the oracle rebuilds
+    // the same derivation in SQL, so the PLUMBING (explode, integer-math
+    // transforms) is what's being checked.
+
+    // Frame sampling: one row per 1000ms frame tick per video.
+    "multimodal_frames" -> ((s, dir) => {
+      val media = Multimodal.syntheticMedia(documents(s, dir), "doc_id", "text")
+      Multimodal.frameSample(media.filter(col("duration_ms") > 0), 1000L)
+        .groupBy(col("media_id"))
+        .agg(count(lit(1)).as("n_frames"), max(col("frame_ts_ms")).as("last_frame_ms"))
+        .orderBy(col("media_id"))
+    }),
+
+    // Resize planning: aspect-preserving fit into a 256px box, integer math.
+    "multimodal_resize" -> ((s, dir) => {
+      val media = Multimodal.syntheticMedia(documents(s, dir), "doc_id", "text")
+      Multimodal.resizePlan(media, 256)
+        .orderBy(col("media_id"))
+    }),
+
+    // Feature extraction through the partition-local batched decoder stub
+    // (mapPartitions — not SQL-expressible, so no oracle; determinism and
+    // batch shape asserted in ScalaTest).
+    "multimodal_features" -> ((s, dir) => {
+      val media = Multimodal.syntheticMedia(documents(s, dir), "doc_id", "text")
+      Multimodal.extractFeatures(media)
+        .groupBy(col("media_type"))
+        .agg(
+          count(lit(1)).as("n_media"),
+          round(avg(element_at(col("features"), 1)), 4).as("avg_f0"),
+          round(avg(element_at(col("features"), 16)), 4).as("avg_f15"))
+        .orderBy(col("media_type"))
+    }),
+
+    // Winnowing-style rolling-hash fingerprint dedup groups (xxhash64-based
+    // — no DuckDB equivalent, rows-only; edit-stability asserted in tests).
+    "text_winnow" -> ((s, dir) => {
+      documents(s, dir)
+        .groupBy(TextAnalysis.winnowFingerprint(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_docs"))
+        .select(col("doc_id"), col("n_docs"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -716,6 +829,80 @@ object SparkEntry {
         |       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos_sim
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.3
-        |ORDER BY vec_a, vec_b""".stripMargin
+        |ORDER BY vec_a, vec_b""".stripMargin,
+
+    "embedding_centroid" ->
+      """SELECT label, i AS pos, round(avg(embedding[i]::DOUBLE), 6) AS centroid_v
+        |FROM embeddings, range(1, 65) t(i)
+        |GROUP BY label, i
+        |ORDER BY label, pos""".stripMargin,
+
+    "session_window" ->
+      """WITH e AS (SELECT user_id, event_id, value,
+        |                  epoch_ns(ts) // 1000000000 AS ts_s
+        |           FROM events),
+        |     f AS (SELECT *, CASE WHEN lag(ts_s) OVER w IS NULL
+        |                            OR ts_s - lag(ts_s) OVER w > 21600
+        |                          THEN 1 ELSE 0 END AS new_sess
+        |           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)),
+        |     g AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |           FROM f)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |       min(ts_s) AS session_start_s,
+        |       max(ts_s) - min(ts_s) AS duration_s,
+        |       round(sum(value), 2) AS sum_value
+        |FROM g
+        |GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+
+    "sliding_window" ->
+      """SELECT ws AS window_start_s, count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM (SELECT value,
+        |             unnest([((epoch_ns(ts) // 1000000000) // 900 - k) * 900
+        |                     for k in [0, 1, 2, 3]]) AS ws
+        |      FROM events)
+        |GROUP BY ws
+        |ORDER BY ws""".stripMargin,
+
+    "q_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |       coalesce(l_linestatus, 'ALL') AS linestatus,
+        |       round(sum(l_quantity), 2) AS sum_qty,
+        |       count(*) AS n
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
+
+    "q_percentiles" ->
+      """SELECT o_orderpriority,
+        |       round(quantile_cont(o_totalprice, 0.25), 2) AS p25,
+        |       round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+        |       round(quantile_cont(o_totalprice, 0.75), 2) AS p75,
+        |       count(*) AS n_orders
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "multimodal_frames" ->
+      """SELECT media_id, count(*) AS n_frames, max(f) AS last_frame_ms
+        |FROM (SELECT doc_id AS media_id,
+        |             unnest(generate_series(0, length(text) * 10 - 1, 1000)) AS f
+        |      FROM documents
+        |      WHERE doc_id % 3 = 2 AND length(text) > 0)
+        |GROUP BY media_id
+        |ORDER BY media_id""".stripMargin,
+
+    "multimodal_resize" ->
+      """SELECT doc_id AS media_id,
+        |       ((doc_id % 64) * 16 + 16)::INTEGER AS width,
+        |       ((doc_id % 48) * 16 + 16)::INTEGER AS height,
+        |       floor(((doc_id % 64) * 16 + 16) * 256.0
+        |             / greatest((doc_id % 64) * 16 + 16, (doc_id % 48) * 16 + 16))::INTEGER AS out_width,
+        |       floor(((doc_id % 48) * 16 + 16) * 256.0
+        |             / greatest((doc_id % 64) * 16 + 16, (doc_id % 48) * 16 + 16))::INTEGER AS out_height
+        |FROM documents
+        |WHERE doc_id % 3 = 0
+        |ORDER BY media_id""".stripMargin
   )
 }

@@ -79,4 +79,41 @@ object WindowAssign {
     df.filter(filterCol % 2 === 0)
       .withColumn("window_id", floor((row_number().over(w) - lit(1)) / lit(size)))
   }
+
+  /** Gap-based session assignment (the batch form of
+    * `session_window(ts, gap)`): a new session starts when the gap since the
+    * previous event of the same key exceeds `gapSeconds`. Adds a 1-based
+    * `session_id` per key. One shuffle on the key; sorting is per-key, so
+    * this parallelizes across keys (no global sort).
+    */
+  def sessionWindow(
+      df: DataFrame,
+      key: Column,
+      tsSecs: Column,
+      tieBreak: Column,
+      gapSeconds: Long): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(tsSecs, tieBreak)
+    df.withColumn("_prev_ts_s", lag(tsSecs, 1).over(w))
+      .withColumn("_new_sess",
+        when(col("_prev_ts_s").isNull || tsSecs - col("_prev_ts_s") > gapSeconds, 1)
+          .otherwise(0))
+      .withColumn("session_id",
+        sum(col("_new_sess"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("_prev_ts_s", "_new_sess")
+  }
+
+  /** Sliding (hopping) window assignment: every row lands in
+    * `size/slide` windows; `window_start_s = (floor(ts_s/slide) - k) * slide`
+    * for k in [0, size/slide). Pure map-side explode + integer math — no
+    * shuffle until the downstream aggregation, same ideal shape as tumbling.
+    * `sizeSeconds` must be a multiple of `slideSeconds`.
+    */
+  def slidingWindow(df: DataFrame, tsSecs: Column, sizeSeconds: Long, slideSeconds: Long): DataFrame = {
+    require(sizeSeconds % slideSeconds == 0, "size must be a multiple of slide")
+    val k = (sizeSeconds / slideSeconds).toInt
+    df.withColumn("window_start_s",
+      explode(transform(sequence(lit(0), lit(k - 1)),
+        kk => (floor(tsSecs / slideSeconds) - kk) * slideSeconds)))
+  }
 }
