@@ -98,7 +98,8 @@ object EmitterRunner {
       emitFn: (Long, DataFrame) => Unit,
       keep: Boolean = false,
       trigger: Trigger = Trigger.AvailableNow(),
-      queryName: Option[String] = None): StreamingQuery = {
+      queryName: Option[String] = None,
+      maxWorkers: Int = 1): StreamingQuery = {
     val assigned = assign(readBuffer(stream), strategy)
     val writer = assigned.writeStream
       .trigger(trigger)
@@ -113,9 +114,8 @@ object EmitterRunner {
         try {
           val ids = cached.select("window_id").distinct()
             .collect().map(_.getLong(0)).sorted
-          ids.foreach { id =>
-            emitFn(id, cached.filter(col("window_id") === id).drop("window_id"))
-          }
+          emitAll(ids, id => emitFn(id, cached.filter(col("window_id") === id).drop("window_id")),
+            maxWorkers)
           if (keep && ids.nonEmpty) {
             cached.withColumn("batch_id", lit(batchId))
               .select("stream", "created", "data", "window_id", "batch_id")
@@ -125,6 +125,29 @@ object EmitterRunner {
       }
     queryName.fold(writer)(writer.queryName).start()
   }
+
+  /** Emit windows of one micro-batch, optionally in parallel (the
+    * reference's ProcessPoolExecutor `max_workers`, window.py:84,145-146 —
+    * proven by test_slow_emitfn: one worker falls behind a slow emitfn,
+    * five keep up). Spark supports concurrent job submission from multiple
+    * threads, so each worker can run full DataFrame actions. Any window's
+    * failure fails the whole batch (reference undo is per-window; our
+    * replay unit is the micro-batch — documented semantic delta).
+    */
+  private def emitAll(ids: Seq[Long], emit: Long => Unit, maxWorkers: Int): Unit =
+    if (maxWorkers <= 1 || ids.size <= 1) ids.foreach(emit)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(maxWorkers, ids.size))
+      try {
+        val futures = ids.map(id => pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = emit(id)
+        }))
+        futures.foreach { f =>
+          try f.get()
+          catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+        }
+      } finally pool.shutdownNow()
+    }
 
   /** Drain-and-stop: process everything currently buffered, then return
     * (the deterministic test/batch mode; reference tests' produce-sleep-stop

@@ -31,7 +31,13 @@ final case class EmitterBuilder(
     keepWindows: Boolean = false,
     trigger: Trigger = Trigger.AvailableNow(),
     emitFn: Option[(Long, DataFrame) => Unit] = None,
-    sinkFn: Option[DataFrame => Unit] = None) {
+    sinkFn: Option[DataFrame => Unit] = None,
+    workers: Int = 1) {
+
+  /** max_workers= → parallel window emit within a micro-batch (reference
+    * ProcessPoolExecutor, window.py:84).
+    */
+  def maxWorkers(n: Int): EmitterBuilder = copy(workers = n)
 
   /** size= → CountWindow (reference __init__.py:107-115). */
   def size(n: Int): EmitterBuilder = copy(strategy = Some(EmitterRunner.CountWindow(n)))
@@ -66,7 +72,7 @@ final case class EmitterBuilder(
       emitter(id, df)
       sinkFn.foreach(_(df))
     }
-    EmitterRunner.start(stream, strat, combined, keepWindows, trigger)
+    EmitterRunner.start(stream, strat, combined, keepWindows, trigger, maxWorkers = workers)
   }
 
   /** Blocking drain (the reference's run(blocking=True) against a finite

@@ -167,6 +167,108 @@ class StreamingSuite extends AnyFunSuite {
     assert(spark.read.parquet(target).count() === 4)
   }
 
+  test("parallel emit keeps up with a slow emitfn (test_slow_emitfn port)") {
+    val mb = Minibatch(spark, freshRoot())
+    val st = mb.stream("slow")
+    st.appendAll((0 until 10).map(i => s"""{"i":$i}"""))
+    val spans = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val slowFn = (_: Long, df: DataFrame) => {
+      val t0 = System.nanoTime()
+      df.count() // a real Spark action inside the worker thread
+      Thread.sleep(300)
+      spans.add((t0, System.nanoTime()))
+      ()
+    }
+    mb.streaming("slow").size(2).maxWorkers(5).emit(slowFn).run()
+    import scala.jdk.CollectionConverters._
+    val s = spans.asScala.toSeq
+    assert(s.size === 5)
+    // emit phase wall-clock: all 5 windows (300ms sleep each) must overlap,
+    // beating the 1.5s sequential lower bound
+    val emitWallMs = (s.map(_._2).max - s.map(_._1).min) / 1e6
+    assert(emitWallMs < 1400, s"parallel emit should beat the 1.5s sequential bound, took ${emitWallMs}ms")
+  }
+
+  test("failed emit replays the batch; successful rerun emits all (undo port)") {
+    val mb = Minibatch(spark, freshRoot())
+    val st = mb.stream("undone")
+    st.appendAll((0 until 4).map(i => s"""{"i":$i}"""))
+    val boom = (_: Long, _: DataFrame) => throw new RuntimeException("emitfn failed")
+    val failed = intercept[Exception] {
+      mb.streaming("undone").size(2).emit(boom).run()
+    }
+    assert(failed.getMessage != null)
+    // nothing was committed: a rerun with a working emitfn sees every message
+    val (sink, fn) = collector()
+    mb.streaming("undone").size(2).emit(fn).run()
+    assert(sink.size === 2, s"failed batch must be redelivered, got $sink")
+    assert(sink.flatMap(_._2).size === 4)
+  }
+
+  test("event-time session windows with watermark (streaming session_window)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val sessions = input.toDF().toDF("ts", "user", "value")
+      .withWatermark("ts", "10 seconds")
+      .groupBy(session_window(col("ts"), "30 seconds").as("sw"), col("user"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"))
+      .select(col("user"), col("n"), col("sv"))
+    val q = sessions.writeStream
+      .format("memory").queryName("graft_sessions").outputMode("append").start()
+    val base = 1700000000L
+    def ts(off: Long) = new Timestamp((base + off) * 1000L)
+    // user a: two events 10s apart (one session); user b: one event
+    input.addData((ts(0), "a", 1.0), (ts(10), "a", 2.0), (ts(5), "b", 5.0))
+    q.processAllAvailable()
+    // advance event time far past the watermark so the sessions close
+    input.addData((ts(300), "c", 0.0))
+    q.processAllAvailable()
+    input.addData((ts(600), "c", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("graft_sessions")
+      .select("user", "n", "sv").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(out.contains(("a", 2L, 3.0)), s"merged session for a, got $out")
+    assert(out.contains(("b", 1L, 5.0)), s"singleton session for b, got $out")
+  }
+
+  test("event-time sliding windows with watermark drop late data") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Double)]
+    val agg = input.toDF().toDF("ts", "value")
+      .withWatermark("ts", "5 seconds")
+      .groupBy(window(col("ts"), "20 seconds", "10 seconds").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").cast("long").as("ws"), col("n"))
+    val q = agg.writeStream
+      .format("memory").queryName("graft_sliding").outputMode("append").start()
+    val base = 1700000000L // multiple of 20
+    def ts(off: Long) = new Timestamp((base + off) * 1000L)
+    input.addData((ts(0), 1.0), (ts(12), 1.0))
+    q.processAllAvailable()
+    input.addData((ts(100), 1.0)) // advances watermark to 95: closes early windows
+    q.processAllAvailable()
+    // late arrival far behind the watermark: must be dropped, not re-open a window
+    input.addData((ts(1), 9.0))
+    q.processAllAvailable()
+    input.addData((ts(200), 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("graft_sliding").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // event@0 in windows [-10,10) and [0,20); event@12 in [0,20) and [10,30)
+    assert(out.get(base - 10) === Some(1L), s"got $out")
+    assert(out.get(base) === Some(2L), s"got $out")
+    assert(out.get(base + 10) === Some(1L), s"got $out")
+  }
+
   test("clear() empties the buffer (stream.clear port)") {
     val mb = Minibatch(spark, freshRoot())
     val st = mb.stream("cleared")
