@@ -32,6 +32,7 @@ object SparkEntry {
   private def orders(s: SparkSession, d: String)     = Tables.orders(s, d)
   private def customer(s: SparkSession, d: String)   = Tables.customer(s, d)
   private def part(s: SparkSession, d: String)       = Tables.part(s, d)
+  private def supplier(s: SparkSession, d: String)   = Tables.supplier(s, d)
   private def nation(s: SparkSession, d: String)     = Tables.nation(s, d)
   private def region(s: SparkSession, d: String)     = Tables.region(s, d)
   private def events(s: SparkSession, d: String)     = Tables.events(s, d)
@@ -322,7 +323,39 @@ object SparkEntry {
         .orderBy(col("tier"))
     }),
 
+    // TPC-H Q5 shape: 6-way join across the full star schema. Fact-fact
+    // joins (orders⋈lineitem, ⋈customer) shuffle on their keys; nation/
+    // region/supplier are dims — Catalyst/AQE picks broadcast at any scale
+    // where they fit, shuffle otherwise.
+    "q_multi_join" -> ((s, dir) => {
+      val o = orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      lineitem(s, dir)
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(supplier(s, dir),
+          col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(region(s, dir).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("n_name"))
+    }),
+
     // ── LLM-pipeline operators [EXT] ──────────────────────────────────────
+
+    // Term frequency: explode word tokens → hash agg → global top-20.
+    "text_term_freq" -> ((s, dir) => {
+      documents(s, dir)
+        .select(explode(TextAnalysis.wordTokens(col("text"))).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(20)
+    }),
 
     // Exact dedup stats per language (text + normalized-fingerprint keys).
     "dedup_exact" -> ((s, dir) => {
@@ -733,6 +766,30 @@ object SparkEntry {
         |FROM orders
         |GROUP BY o_year, o_quarter
         |ORDER BY o_year, o_quarter""".stripMargin,
+
+    "q_multi_join" ->
+      """SELECT n_name,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
+
+    "text_term_freq" ->
+      """SELECT token, count(*) AS n
+        |FROM (SELECT unnest(regexp_extract_all(text, '[a-z0-9]+')) AS token
+        |      FROM documents)
+        |GROUP BY token
+        |ORDER BY n DESC, token
+        |LIMIT 20""".stripMargin,
 
     "q_asof_join" ->
       """SELECT event_id AS purchase_id, user_id, coalesce(last_click_id, -1) AS last_click_id

@@ -86,6 +86,24 @@ final class MbStream(val spark: SparkSession, val name: String, val dir: String)
     dropped
   }
 
+  /** Attach a polling source on a background daemon thread (reference
+    * `stream.attach(source, background=True)`, models.py:219-226, 350-356):
+    * calls `poll()` every `pollMs` until `cancel()`/`detach()`. Returns a
+    * handle whose `detach()` stops the thread (reference `source.cancel()`).
+    */
+  def attach(poll: MbStream => Int, pollMs: Long = 100L): AttachedSource = {
+    val running = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val t = new Thread(() => {
+      while (running.get()) {
+        poll(this)
+        Thread.sleep(pollMs)
+      }
+    }, s"graft-source-$name")
+    t.setDaemon(true)
+    t.start()
+    new AttachedSource(running, t)
+  }
+
   private def listParquet(d: String): Seq[String] = {
     val p = Paths.get(d)
     if (!Files.exists(p)) Seq.empty
@@ -114,6 +132,17 @@ final class MbStream(val spark: SparkSession, val name: String, val dir: String)
       finally s.close()
     }
   }
+}
+
+/** Handle for a background-attached source thread. */
+final class AttachedSource(
+    running: java.util.concurrent.atomic.AtomicBoolean,
+    thread: Thread) {
+  def detach(): Unit = {
+    running.set(false)
+    thread.join(5000)
+  }
+  def isRunning: Boolean = thread.isAlive
 }
 
 object MbStream {

@@ -269,6 +269,46 @@ class StreamingSuite extends AnyFunSuite {
     assert(out.get(base + 10) === Some(1L), s"got $out")
   }
 
+  test("attach runs a polling source on a background thread (stream.attach port)") {
+    val mb = Minibatch(spark, freshRoot())
+    val st = mb.stream("attached")
+    val src = new TableTailSource(spark, s"${TestSpark.sf0001}/region.parquet", "r_regionkey")
+    val handle = st.attach(s => src.poll(s), pollMs = 50L)
+    // wait until the background thread has ingested the table
+    val deadline = System.currentTimeMillis() + 10000
+    while (st.buffer().count() < 5 && System.currentTimeMillis() < deadline) Thread.sleep(100)
+    handle.detach()
+    assert(!handle.isRunning)
+    assert(st.buffer().count() === 5)
+    // detached: appending to the source table no longer flows (cancel port)
+    src.cancel()
+    assert(src.poll(st) === 0)
+  }
+
+  test("stream-static join enriches windows against a dimension table") {
+    val mb = Minibatch(spark, freshRoot())
+    val st = mb.stream("enriched")
+    // payloads referencing nation keys
+    st.appendAll(Seq(0, 1, 2, 0).map(k => s"""{"nkey":$k}"""))
+    val nations = spark.read.parquet(s"${TestSpark.sf0001}/nation.parquet")
+      .select(org.apache.spark.sql.functions.col("n_nationkey"),
+        org.apache.spark.sql.functions.col("n_name"))
+    val seen = mutable.ArrayBuffer.empty[(Long, String)]
+    val fn = (id: Long, df: DataFrame) => {
+      import org.apache.spark.sql.functions._
+      val joined = df
+        .withColumn("nkey", get_json_object(col("data"), "$.nkey").cast("long"))
+        .join(broadcast(nations), col("nkey") === col("n_nationkey"))
+      joined.select("n_name").collect().foreach(r => seen.synchronized {
+        seen += ((id, r.getString(0)))
+      })
+      ()
+    }
+    mb.streaming("enriched").size(2).emit(fn).run()
+    assert(seen.size === 4, s"all messages enriched, got $seen")
+    assert(seen.map(_._2).sorted === Seq("NATION_0", "NATION_0", "NATION_1", "NATION_2"), s"got $seen")
+  }
+
   test("clear() empties the buffer (stream.clear port)") {
     val mb = Minibatch(spark, freshRoot())
     val st = mb.stream("cleared")
