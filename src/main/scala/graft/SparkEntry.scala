@@ -520,6 +520,31 @@ object SparkEntry {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // Pivot (dynamic columns from event_type values) over per-user activity.
+    "q_pivot" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "view", "purchase", "error"))
+        .agg(round(sum(col("value")), 2))
+        .select(col("user_id"),
+          coalesce(col("click"), lit(0.0)).as("click_value"),
+          coalesce(col("view"), lit(0.0)).as("view_value"),
+          coalesce(col("purchase"), lit(0.0)).as("purchase_value"),
+          coalesce(col("error"), lit(0.0)).as("error_value"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Collection aggregation: distinct set -> sorted -> joined (stable
+    // string form so the oracle hash-compares exactly).
+    "q_collect" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(
+          concat_ws(",", array_sort(collect_set(col("event_type")))).as("event_types"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"))
+    }),
+
     // ── multimodal column plumbing [EXT] ──────────────────────────────────
     // Synthetic media derived deterministically from documents (the binary
     // payload is the utf-8 text; metadata from doc_id) — the oracle rebuilds
@@ -940,6 +965,24 @@ object SparkEntry {
         |FROM orders
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT user_id,
+        |       round(coalesce(sum(value) FILTER (event_type = 'click'), 0), 2) AS click_value,
+        |       round(coalesce(sum(value) FILTER (event_type = 'view'), 0), 2) AS view_value,
+        |       round(coalesce(sum(value) FILTER (event_type = 'purchase'), 0), 2) AS purchase_value,
+        |       round(coalesce(sum(value) FILTER (event_type = 'error'), 0), 2) AS error_value
+        |FROM events
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+
+    "q_collect" ->
+      """SELECT user_id,
+        |       string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS event_types,
+        |       count(*) AS n_events
+        |FROM events
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
 
     "multimodal_frames" ->
       """SELECT media_id, count(*) AS n_frames, max(f) AS last_frame_ms

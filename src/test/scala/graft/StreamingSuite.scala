@@ -309,6 +309,58 @@ class StreamingSuite extends AnyFunSuite {
     assert(seen.map(_._2).sorted === Seq("NATION_0", "NATION_0", "NATION_1", "NATION_2"), s"got $seen")
   }
 
+  test("streaming exact dedup within watermark emits each key once") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val deduped = input.toDF().toDF("ts", "doc_key")
+      .withWatermark("ts", "10 seconds")
+      .dropDuplicatesWithinWatermark("doc_key")
+    val q = deduped.writeStream
+      .format("memory").queryName("graft_dedup").outputMode("append").start()
+    val base = 1700000000L
+    def ts(off: Long) = new Timestamp((base + off) * 1000L)
+    input.addData((ts(0), "a"), (ts(1), "b"), (ts(2), "a"))
+    q.processAllAvailable()
+    input.addData((ts(3), "a"), (ts(4), "c")) // 'a' again within watermark
+    q.processAllAvailable()
+    q.stop()
+    val keys = spark.table("graft_dedup").select("doc_key")
+      .collect().map(_.getString(0)).toSeq.sorted
+    assert(keys === Seq("a", "b", "c"), s"each key exactly once, got $keys")
+  }
+
+  test("stream-stream interval join matches purchases to preceding clicks") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Timestamp, Long)]
+    val purchases = MemoryStream[(Timestamp, Long)]
+    val c = clicks.toDF().toDF("cts", "cuser").withWatermark("cts", "10 seconds")
+    val p = purchases.toDF().toDF("pts", "puser").withWatermark("pts", "10 seconds")
+    val joined = p.join(c,
+      expr("cuser = puser AND cts BETWEEN pts - interval 60 seconds AND pts"))
+      .select(col("puser"), col("pts").cast("long").as("pts_s"), col("cts").cast("long").as("cts_s"))
+    val q = joined.writeStream
+      .format("memory").queryName("graft_ssj").outputMode("append").start()
+    val base = 1700000000L
+    def ts(off: Long) = new Timestamp((base + off) * 1000L)
+    clicks.addData((ts(0), 1L), (ts(5), 2L), (ts(100), 1L))
+    purchases.addData((ts(30), 1L), (ts(40), 3L))
+    q.processAllAvailable()
+    clicks.addData((ts(500), 9L)) // advance watermark, close the join windows
+    purchases.addData((ts(500), 9L))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("graft_ssj").select("puser", "cts_s")
+      .collect().map(r => (r.getLong(0), r.getLong(1) - base)).toSet
+    // purchase by user1 @30 matches click @0 (within 60s before); user3 has
+    // no click; user1's click @100 is AFTER the purchase — excluded
+    assert(out === Set((1L, 0L), (9L, 500L)), s"got $out")
+  }
+
   test("clear() empties the buffer (stream.clear port)") {
     val mb = Minibatch(spark, freshRoot())
     val st = mb.stream("cleared")
