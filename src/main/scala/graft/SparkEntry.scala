@@ -447,6 +447,14 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // IVF ANN top-5: per-label centroid codebook, 3 probed cells per query
+    // (no SQL oracle; recall vs brute force asserted in ScalaTest).
+    "similarity_ivf_topk" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", "label", 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Exact embedding near-dup pairs (cosine ≥ 0.3).
     "embedding_neardup" -> ((s, dir) => {
       Dedup.embeddingNearDupExact(embeddings(s, dir), "vec_id", "embedding", 0.3)

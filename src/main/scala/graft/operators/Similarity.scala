@@ -119,4 +119,54 @@ object Similarity {
       .withColumn("cos_sim", dot(col("qvec"), col("cvec")) / (col("qnorm") * col("cnorm")))
     topKScored(scored, k)
   }
+
+  /** IVF (inverted-file) ANN top-k: a coarse codebook of cell centroids
+    * partitions the corpus; each query is scored only against the cells
+    * whose centroids are its `nprobe` nearest — a `nprobe/nlist` fraction
+    * of the corpus instead of all of it.
+    *
+    * The codebook here is the per-`cellCol` centroid (computed
+    * distributed: posexplode → hash agg → array reassembly; only `nlist`
+    * tiny rows ever reach the driver-free broadcast). In production the
+    * cell assignment comes from offline k-means; the query-side plan is
+    * identical. All joins: centroids are broadcast (nlist rows), the
+    * corpus join is hash-partitioned on the cell id.
+    */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cellCol: String,
+      k: Int,
+      nprobe: Int = 3): DataFrame = {
+    // codebook: cell -> centroid vector (array reassembled in pos order)
+    val centroids = corpus
+      .select(col(cellCol).as("cell"),
+        posexplode(toDoubleArray(col(vecCol))).as(Seq("pos", "v")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(avg(col("v")).as("cv"))
+      .groupBy(col("cell"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("cv")))).as("pcs"))
+      .select(col("cell"), transform(col("pcs"), p => p.getField("cv")).as("cent"))
+      .withColumn("centnorm", l2Norm(col("cent")))
+    val q = queries.select(col(idCol).as("query_id"), toDoubleArray(col(vecCol)).as("qvec"))
+      .withColumn("qnorm", l2Norm(col("qvec")))
+    // probe list: nprobe closest centroids per query
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("cent_sim").desc, col("cell"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("cent_sim", dot(col("qvec"), col("cent")) / (col("qnorm") * col("centnorm")))
+      .withColumn("cent_rank", row_number().over(probeW))
+      .filter(col("cent_rank") <= nprobe)
+      .select(col("query_id"), col("qvec"), col("qnorm"), col("cell"))
+    // exact scoring within probed cells only
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(cellCol).as("cell"),
+        toDoubleArray(col(vecCol)).as("cvec"))
+      .withColumn("cnorm", l2Norm(col("cvec")))
+    val scored = probes.join(c, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim", dot(col("qvec"), col("cvec")) / (col("qnorm") * col("cnorm")))
+    topKScored(scored, k)
+  }
 }

@@ -67,6 +67,26 @@ class OperatorsSuite extends AnyFunSuite {
     assert(lsh.size === brute.size) // still k per query
   }
 
+  test("IVF top-k achieves reasonable recall vs brute force and prunes cells") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val brute = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", "label", 5, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // synthetic labels are UNcorrelated with cosine (measured: avg cos ~0
+    // within and across labels), so nprobe=3 of 10 cells ~ chance recall
+    // ~0.3 — the floor checks the machinery, not codebook quality; the
+    // full-probe equality below is the real correctness gate
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.15, s"IVF recall below structural floor: $recall")
+    assert(ivf.size === brute.size) // still k per query
+    // with nprobe = nlist (all cells probed), IVF must equal brute force
+    val nlist = emb.select("label").distinct().count().toInt
+    val full = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", "label", 5, nprobe = nlist)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full === brute, "probing every cell must recover exact top-k")
+  }
+
   test("approx_count_distinct within 10% of exact") {
     val li = Tables.lineitem(spark, sf)
     val row = li.agg(
