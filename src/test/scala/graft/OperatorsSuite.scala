@@ -87,6 +87,27 @@ class OperatorsSuite extends AnyFunSuite {
     assert(full === brute, "probing every cell must recover exact top-k")
   }
 
+  test("SQL functions registered via SparkSessionExtensions match the Column API") {
+    graft.functions.GraftExtensions.register(spark)
+    val row = spark.sql(
+      """SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
+        |       graft_shingles(array('a', 'b', 'c'), 2) AS sh,
+        |       graft_minhash(array('a b', 'b c'), 4) AS mh,
+        |       graft_simhash(array('a b', 'b c')) AS sim
+        |""".stripMargin).collect()(0)
+    assert(row.getDouble(0) === 11.0)
+    assert(row.getSeq[String](1) === Seq("a b", "b c"))
+    // SQL results must equal the Column-API results on the same input
+    import org.apache.spark.sql.functions._
+    val viaApi = spark.range(1)
+      .select(
+        graft.functions.TextHashes.minhashSig(typedlit(Seq("a b", "b c")), 4).as("mh"),
+        graft.functions.TextHashes.simhash64(typedlit(Seq("a b", "b c"))).as("sim"))
+      .collect()(0)
+    assert(row.getSeq[Long](2) === viaApi.getSeq[Long](0))
+    assert(row.getLong(3) === viaApi.getLong(1))
+  }
+
   test("approx_count_distinct within 10% of exact") {
     val li = Tables.lineitem(spark, sf)
     val row = li.agg(

@@ -361,6 +361,14 @@ class StreamingSuite extends AnyFunSuite {
     assert(out === Set((1L, 0L), (9L, 500L)), s"got $out")
   }
 
+  test("draining an empty stream emits nothing and does not fail") {
+    val mb = Minibatch(spark, freshRoot())
+    mb.stream("empty") // created, never appended to
+    val (sink, fn) = collector()
+    mb.streaming("empty").size(2).emit(fn).run()
+    assert(sink.isEmpty)
+  }
+
   test("clear() empties the buffer (stream.clear port)") {
     val mb = Minibatch(spark, freshRoot())
     val st = mb.stream("cleared")
