@@ -387,6 +387,16 @@ object SparkEntry {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // Same semantics via PPJoin-style prefix filtering — the heavy-hitter-
+    // safe scale path; shares the exact-Jaccard oracle above.
+    "dedup_ngram_jaccard_prefix" -> ((s, dir) => {
+      val docs = documents(s, dir)
+        .withColumn("len_bucket", floor(col("n_chars") / 100))
+      Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text",
+          Seq(col("len_bucket")), shingleSize = 3, threshold = 0.5)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // MinHash+LSH near-dup (no SQL oracle: hash-family-specific; exactness
     // of reported Jaccard + recall vs exact pairs asserted in ScalaTest).
     "dedup_minhash" -> ((s, dir) => {
@@ -859,6 +869,26 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
 
     "dedup_ngram_jaccard" ->
+      """WITH s AS (
+        |  SELECT doc_id, n_chars // 100 AS len_bucket,
+        |         list_distinct([array_to_string(toks[i:i+2], ' ')
+        |                        for i in range(1, len(toks) - 1)]) AS sh
+        |  FROM (SELECT doc_id, n_chars, string_split_regex(text, ' +') AS toks
+        |        FROM documents)
+        |)
+        |SELECT doc_a, doc_b, jaccard FROM (
+        |  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+        |         round(len(list_intersect(l.sh, r.sh))::DOUBLE
+        |               / len(list_distinct(l.sh || r.sh)), 4) AS jaccard,
+        |         len(list_intersect(l.sh, r.sh))::DOUBLE
+        |               / len(list_distinct(l.sh || r.sh)) AS raw_j
+        |  FROM s l JOIN s r
+        |    ON l.len_bucket = r.len_bucket AND l.doc_id < r.doc_id)
+        |WHERE raw_j >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // identical oracle: prefix filtering must not change the result set
+    "dedup_ngram_jaccard_prefix" ->
       """WITH s AS (
         |  SELECT doc_id, n_chars // 100 AS len_bucket,
         |         list_distinct([array_to_string(toks[i:i+2], ' ')

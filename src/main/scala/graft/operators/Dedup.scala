@@ -163,6 +163,58 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Prefix-filtered exact Jaccard (PPJoin-style) — same results as
+    * [[ngramJaccardPairs]], built for corpora with heavy-hitter shingles.
+    *
+    * The plain inverted index degrades when a shingle appears in f docs
+    * (f² candidate rows); prefix filtering indexes only each document's
+    * PREFIX — its first `n - ceil(t·n) + 1` shingles in a global canonical
+    * (hash) order. Theorem: if J(A,B) ≥ t, the smallest common shingle must
+    * lie in both prefixes (else the overlap fits in one doc's suffix,
+    * capping |A∩B| below ceil(t·|doc|) — contradiction), so candidate
+    * recall is exact, while each doc contributes ~(1-t/(1+t)) of its
+    * shingles to the index. Candidates then verify on the full shingle
+    * sets.
+    */
+  def ngramJaccardPairsPrefix(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockingKeys: Seq[Column],
+      shingleSize: Int = 3,
+      threshold: Double = 0.2): DataFrame = {
+    require(threshold > 0.0, "prefix filtering needs threshold > 0")
+    val keyNames = blockingKeys.map(_.toString)
+    val base = df
+      .select(
+        col(idCol).as("doc_id") +:
+          TextAnalysis.shingles(col(textCol), shingleSize).as("sh") +:
+          blockingKeys: _*)
+      .withColumn("n_sh", size(col("sh")))
+      .withColumn("hs", sort_array(transform(col("sh"), s => xxhash64(s))))
+      .withColumn("plen",
+        (col("n_sh") - ceil(col("n_sh") * lit(threshold)) + 1).cast("int"))
+    val prefixes = base.select(
+      col("doc_id") +: explode(slice(col("hs"), lit(1), col("plen"))).as("h") +:
+        keyNames.map(col): _*)
+    val candidates = prefixes.as("l")
+      .join(prefixes.as("r"),
+        keyNames.map(k => col(s"l.$k") === col(s"r.$k"))
+          .foldLeft(col("l.h") === col("r.h"))(_ && _) &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .distinct()
+    val sets = base.select(col("doc_id"), col("sh"), col("n_sh"))
+    candidates
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("n_sh").as("n_a")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"), col("n_sh").as("n_b")), Seq("doc_b"))
+      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("n_a") + col("n_b") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
   /** Exact all-pairs embedding near-dup (cosine ≥ threshold). Quadratic —
     * correctness reference and oracle target only; the scale path is
     * [[embeddingNearDupLSH]].

@@ -67,6 +67,18 @@ class OperatorsSuite extends AnyFunSuite {
     assert(lsh.size === brute.size) // still k per query
   }
 
+  test("prefix-filtered jaccard equals the inverted-index formulation exactly") {
+    val blocked = docs.withColumn("len_bucket", floor(col("n_chars") / 100))
+    def normalize(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val inv = normalize(Dedup.ngramJaccardPairs(
+      blocked, "doc_id", "text", Seq(col("len_bucket")), 3, 0.5))
+    val pre = normalize(Dedup.ngramJaccardPairsPrefix(
+      blocked, "doc_id", "text", Seq(col("len_bucket")), 3, 0.5))
+    assert(inv.nonEmpty, "fixture should contain near-dups")
+    assert(pre === inv, s"prefix filtering must be exact; diff=${pre.diff(inv) ++ inv.diff(pre)}")
+  }
+
   test("IVF top-k achieves reasonable recall vs brute force and prunes cells") {
     val queries = emb.filter(col("vec_id") < 10)
     val brute = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.operators.{Dedup, TextAnalysis, WindowAssign}
+
+/** Property-based invariants for window assignment and dedup hashing
+  * (SURVEY.md §5): these must hold for ANY input, not just the fixtures.
+  * Generators are driven with fixed seeds (no scalatest-scalacheck bridge
+  * in the offline dependency set) — deterministic, reproducible cases.
+  */
+class PropertySuite extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val params = Gen.Parameters.default
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (1 to n).flatMap(i => g.apply(params, Seed(i.toLong)))
+
+  test("count-window: every row in exactly one window; all full except the last") {
+    val gen = for {
+      n <- Gen.chooseNum(1, 120)
+      ids <- Gen.pick(n, 1L to 200L)
+      size <- Gen.chooseNum(1, 10)
+    } yield (ids.toList, size)
+    samples(gen, 12).foreach { case (ids, size) =>
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(ids.map(Row(_)), 2),
+        StructType(Seq(StructField("id", LongType))))
+      val counts = WindowAssign.countWindow(df, size, Seq(col("id")))
+        .groupBy("window_id").count()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      assert(counts.map(_._1).toSeq === counts.indices.map(_.toLong),
+        s"window ids contiguous from 0 (ids=${ids.size}, size=$size)")
+      counts.dropRight(1).foreach { case (_, c) => assert(c === size.toLong) }
+      assert(counts.last._2 <= size.toLong)
+      assert(counts.map(_._2).sum === ids.size.toLong)
+    }
+  }
+
+  test("session-window: intra-session gaps <= gap; sessions split by > gap") {
+    val gen = for {
+      n <- Gen.chooseNum(1, 40)
+      ts <- Gen.listOfN(n, Gen.chooseNum(0L, 5000L))
+      gap <- Gen.chooseNum(10L, 500L)
+    } yield (ts.distinct.sorted, gap)
+    samples(gen, 12).foreach { case (ts, gap) =>
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(ts.map(t => Row(1L, t)), 2),
+        StructType(Seq(StructField("k", LongType), StructField("ts_s", LongType))))
+      val out = WindowAssign.sessionWindow(df, col("k"), col("ts_s"), col("ts_s"), gap)
+        .select("ts_s", "session_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      out.sliding(2).foreach {
+        case Array((t1, s1), (t2, s2)) =>
+          if (t2 - t1 > gap) assert(s2 === s1 + 1, s"gap ${t2 - t1} > $gap must split")
+          else assert(s2 === s1, s"gap ${t2 - t1} <= $gap must not split")
+        case _ =>
+      }
+      assert(out.head._2 === 1L)
+    }
+  }
+
+  test("minhash signature: length K, deterministic, equal for duplicate docs") {
+    val gen = Gen.chooseNum(3, 30).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("alpha", "beta", "gamma", "delta", "eps", "zeta"))
+        .map(_.mkString(" ")))
+    samples(gen, 10).foreach { text =>
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(Row(text)), 1),
+        StructType(Seq(StructField("t", StringType))))
+      def sig() = df.select(
+          Dedup.minhashSignature(TextAnalysis.shingles(col("t"), 3), 16).as("sig"))
+        .collect()(0).getSeq[Long](0)
+      val s1 = sig()
+      assert(s1.length === 16)
+      assert(s1 === sig(), "signature must be deterministic across evaluations")
+    }
+  }
+
+  test("jaccard identity: a document is a perfect duplicate of itself") {
+    val gen = Gen.chooseNum(5, 20).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("w1", "w2", "w3", "w4")).map(_.mkString(" ")))
+    samples(gen, 8).foreach { text =>
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(Row(1L, text, 0L), Row(2L, text, 0L)), 1),
+        StructType(Seq(StructField("doc_id", LongType),
+          StructField("text", StringType), StructField("blk", LongType))))
+      val pairs = Dedup.ngramJaccardPairs(df, "doc_id", "text", Seq(col("blk")),
+          shingleSize = 3, threshold = 0.99)
+        .collect()
+      assert(pairs.length === 1, s"self-duplicate must pair (text=$text)")
+      assert(pairs(0).getDouble(2) === 1.0)
+    }
+  }
+}
