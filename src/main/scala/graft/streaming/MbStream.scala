@@ -60,6 +60,15 @@ final class MbStream(val spark: SparkSession, val name: String, val dir: String)
   /** Read of the emitted-window history (reference `stream.window()`). */
   def windows(): DataFrame = readOrEmpty(windowsDir, WindowSchema)
 
+  /** Typed projection of the schemaless JSON payload (SURVEY.md §1.3: raw
+    * payload stays a JSON string; consumers project it to a StructType on
+    * read — unknown fields are preserved in `data`, never dropped).
+    */
+  def bufferTyped(payloadSchema: StructType): DataFrame =
+    buffer()
+      .withColumn("payload", from_json(col("data"), payloadSchema))
+      .select(col("stream"), col("created"), col("data"), col("payload.*"))
+
   /** Delete all buffered messages (reference `stream.clear()`, models.py:216-217). */
   def clear(): Unit = {
     deleteChildren(bufferDir)

@@ -369,6 +369,22 @@ class StreamingSuite extends AnyFunSuite {
     assert(sink.isEmpty)
   }
 
+  test("bufferTyped projects JSON payloads to typed columns, keeps raw data") {
+    import org.apache.spark.sql.types._
+    val mb = Minibatch(spark, freshRoot())
+    val st = mb.stream("typed")
+    st.appendAll(Seq(
+      """{"sensor":"s1","v":1.5,"extra":"kept-in-raw"}""",
+      """{"sensor":"s2","v":2.5}"""))
+    val typed = st.bufferTyped(StructType(Seq(
+      StructField("sensor", StringType), StructField("v", DoubleType))))
+    val rows = typed.select("sensor", "v", "data").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getString(2))).sortBy(_._1)
+    assert(rows.map(t => (t._1, t._2)).toSeq === Seq(("s1", 1.5), ("s2", 2.5)))
+    // unknown fields survive in the raw payload
+    assert(rows(0)._3.contains("kept-in-raw"))
+  }
+
   test("clear() empties the buffer (stream.clear port)") {
     val mb = Minibatch(spark, freshRoot())
     val st = mb.stream("cleared")
