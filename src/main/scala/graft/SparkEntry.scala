@@ -410,6 +410,20 @@ object SparkEntry {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // Consistent (hash-ordered) stratified sampling: the same 10 docs per
+    // language are chosen on every engine/run — the reproducible-sampling
+    // primitive for training-data pipelines (md5 is the cross-engine
+    // deterministic order; per-stratum rank shards by lang).
+    "sample_consistent" -> ((s, dir) => {
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      documents(s, dir)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 10)
+        .select(col("lang"), col("rk"), col("doc_id"))
+        .orderBy(col("lang"), col("rk"))
+    }),
+
     // Per-language token statistics.
     "text_stats" -> ((s, dir) => {
       val d = documents(s, dir)
@@ -906,6 +920,15 @@ object SparkEntry {
         |    ON l.len_bucket = r.len_bucket AND l.doc_id < r.doc_id)
         |WHERE raw_j >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "sample_consistent" ->
+      """SELECT lang, rk, doc_id
+        |FROM (SELECT lang, doc_id,
+        |             row_number() OVER (PARTITION BY lang
+        |                                ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk
+        |      FROM documents)
+        |WHERE rk <= 10
+        |ORDER BY lang, rk""".stripMargin,
 
     "text_stats" ->
       """SELECT lang, count(*) AS n_docs,
