@@ -44,12 +44,16 @@ object EmitterRunner {
 
   /** Open the buffer as a stream (the reference's polling `query()` over
     * unprocessed docs — offsets instead of `processed` flags).
+    * `maxFilesPerTrigger` caps each micro-batch (the reference's
+    * producer-side Batcher size / poll-batch tuning, SURVEY §1.3: Spark's
+    * micro-batch sizing knob subsumes it).
     */
-  def readBuffer(stream: MbStream): Dataset[Message] =
-    stream.spark.readStream
+  def readBuffer(stream: MbStream, maxFilesPerTrigger: Option[Int] = None): Dataset[Message] = {
+    val reader = stream.spark.readStream
       .schema(MbStream.MessageSchema)
-      .parquet(stream.bufferDir)
-      .as[Message]
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.parquet(stream.bufferDir).as[Message]
+  }
 
   /** Assign window ids per strategy. Count windows keep exact-N semantics
     * across micro-batches via per-stream `flatMapGroupsWithState`: the
@@ -99,8 +103,9 @@ object EmitterRunner {
       keep: Boolean = false,
       trigger: Trigger = Trigger.AvailableNow(),
       queryName: Option[String] = None,
-      maxWorkers: Int = 1): StreamingQuery = {
-    val assigned = assign(readBuffer(stream), strategy)
+      maxWorkers: Int = 1,
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    val assigned = assign(readBuffer(stream, maxFilesPerTrigger), strategy)
     val writer = assigned.writeStream
       .trigger(trigger)
       .option("checkpointLocation", stream.checkpointsDir)

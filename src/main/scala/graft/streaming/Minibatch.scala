@@ -32,12 +32,16 @@ final case class EmitterBuilder(
     trigger: Trigger = Trigger.AvailableNow(),
     emitFn: Option[(Long, DataFrame) => Unit] = None,
     sinkFn: Option[DataFrame => Unit] = None,
-    workers: Int = 1) {
+    workers: Int = 1,
+    filesPerTrigger: Option[Int] = None) {
 
   /** max_workers= → parallel window emit within a micro-batch (reference
     * ProcessPoolExecutor, window.py:84).
     */
   def maxWorkers(n: Int): EmitterBuilder = copy(workers = n)
+
+  /** Micro-batch size cap (reference Batcher/poll-batch size, A4/S3). */
+  def maxFilesPerTrigger(n: Int): EmitterBuilder = copy(filesPerTrigger = Some(n))
 
   /** size= → CountWindow (reference __init__.py:107-115). */
   def size(n: Int): EmitterBuilder = copy(strategy = Some(EmitterRunner.CountWindow(n)))
@@ -72,7 +76,8 @@ final case class EmitterBuilder(
       emitter(id, df)
       sinkFn.foreach(_(df))
     }
-    EmitterRunner.start(stream, strat, combined, keepWindows, trigger, maxWorkers = workers)
+    EmitterRunner.start(stream, strat, combined, keepWindows, trigger,
+      maxWorkers = workers, maxFilesPerTrigger = filesPerTrigger)
   }
 
   /** Blocking drain (the reference's run(blocking=True) against a finite

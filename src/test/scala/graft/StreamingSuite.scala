@@ -385,6 +385,20 @@ class StreamingSuite extends AnyFunSuite {
     assert(rows(0)._3.contains("kept-in-raw"))
   }
 
+  test("maxFilesPerTrigger caps micro-batch size (Batcher sizing port)") {
+    val mb = Minibatch(spark, freshRoot())
+    val st = mb.stream("capped")
+    // three separate appends -> three buffer files
+    (0 until 3).foreach(i => st.appendAll(Seq(s"""{"i":$i}""")))
+    val (sink, fn) = collector()
+    // relaxed windows = one window per micro-batch; capping at 1 file per
+    // trigger must therefore yield 3 windows instead of 1
+    mb.streaming("capped").emitter(EmitterRunner.RelaxedTimeWindow)
+      .maxFilesPerTrigger(1).emit(fn).run()
+    assert(sink.size === 3, s"one window per capped micro-batch, got $sink")
+    assert(sink.flatMap(_._2).size === 3)
+  }
+
   test("clear() empties the buffer (stream.clear port)") {
     val mb = Minibatch(spark, freshRoot())
     val st = mb.stream("cleared")
