@@ -204,11 +204,15 @@ object Dedup {
           col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
       .distinct()
-    val sets = base.select(col("doc_id"), col("sh"), col("n_sh"))
+    // verify on the hashed (long) shingle arrays — far cheaper through the
+    // shuffle and intersect than the string arrays; xxhash64 collisions
+    // between distinct shingles are ~2⁻⁶⁴ (and the equality-with-inverted-
+    // index spec would catch any)
+    val sets = base.select(col("doc_id"), col("hs"), col("n_sh"))
     candidates
-      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("n_sh").as("n_a")), Seq("doc_a"))
-      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"), col("n_sh").as("n_b")), Seq("doc_b"))
-      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"), col("n_sh").as("n_a")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"), col("n_sh").as("n_b")), Seq("doc_b"))
+      .withColumn("common", size(array_intersect(col("hs_a"), col("hs_b"))))
       .withColumn("jaccard",
         col("common").cast("double") / (col("n_a") + col("n_b") - col("common")))
       .filter(col("jaccard") >= threshold)
