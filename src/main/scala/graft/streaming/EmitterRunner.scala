@@ -104,7 +104,8 @@ object EmitterRunner {
       trigger: Trigger = Trigger.AvailableNow(),
       queryName: Option[String] = None,
       maxWorkers: Int = 1,
-      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+      maxFilesPerTrigger: Option[Int] = None,
+      batchSink: Option[(DataFrame, Long) => Unit] = None): StreamingQuery = {
     val assigned = assign(readBuffer(stream, maxFilesPerTrigger), strategy)
     val writer = assigned.writeStream
       .trigger(trigger)
@@ -126,6 +127,9 @@ object EmitterRunner {
               .select("stream", "created", "data", "window_id", "batch_id")
               .write.mode("append").parquet(stream.windowsDir)
           }
+          // batch-level sink (gets the batch id → enables idempotent,
+          // replay-safe writes, e.g. IdempotentTableSink)
+          if (ids.nonEmpty) batchSink.foreach(_(cached, batchId))
         } finally cached.unpersist()
       }
     queryName.fold(writer)(writer.queryName).start()

@@ -33,7 +33,8 @@ final case class EmitterBuilder(
     emitFn: Option[(Long, DataFrame) => Unit] = None,
     sinkFn: Option[DataFrame => Unit] = None,
     workers: Int = 1,
-    filesPerTrigger: Option[Int] = None) {
+    filesPerTrigger: Option[Int] = None,
+    batchSinkFn: Option[(DataFrame, Long) => Unit] = None) {
 
   /** max_workers= → parallel window emit within a micro-batch (reference
     * ProcessPoolExecutor, window.py:84).
@@ -68,6 +69,11 @@ final case class EmitterBuilder(
     */
   def sink(fn: DataFrame => Unit): EmitterBuilder = copy(sinkFn = Some(fn))
 
+  /** Batch-level sink receiving the micro-batch id — use with
+    * [[graft.sources.IdempotentTableSink]] for replay-safe output.
+    */
+  def batchSink(fn: (DataFrame, Long) => Unit): EmitterBuilder = copy(batchSinkFn = Some(fn))
+
   def start(): StreamingQuery = {
     // neither size nor interval given → size=1 (reference __init__.py:94)
     val strat = strategy.getOrElse(EmitterRunner.CountWindow(1))
@@ -77,7 +83,8 @@ final case class EmitterBuilder(
       sinkFn.foreach(_(df))
     }
     EmitterRunner.start(stream, strat, combined, keepWindows, trigger,
-      maxWorkers = workers, maxFilesPerTrigger = filesPerTrigger)
+      maxWorkers = workers, maxFilesPerTrigger = filesPerTrigger,
+      batchSink = batchSinkFn)
   }
 
   /** Blocking drain (the reference's run(blocking=True) against a finite
