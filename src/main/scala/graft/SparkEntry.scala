@@ -540,6 +540,22 @@ object SparkEntry {
         .orderBy(col("returnflag"), col("linestatus"))
     }),
 
+    // Explicit GROUPING SETS (asymmetric: not a cube/rollup): totals by
+    // (status, priority), by status alone, and grand total.
+    "q_grouping_sets" -> ((s, dir) => {
+      orders(s, dir)
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+            Seq(col("o_orderstatus")), Seq()),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("revenue"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n_orders"), col("revenue"))
+        .orderBy(col("status"), col("priority"))
+    }),
+
     // Exact interpolated percentiles (sort-based agg) per order priority.
     "q_percentiles" -> ((s, dir) => {
       orders(s, dir)
@@ -1016,6 +1032,15 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY returnflag, linestatus""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |       coalesce(o_orderpriority, 'ALL') AS priority,
+        |       count(*) AS n_orders,
+        |       round(sum(o_totalprice), 2) AS revenue
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        |ORDER BY status, priority""".stripMargin,
 
     "q_percentiles" ->
       """SELECT o_orderpriority,
