@@ -74,8 +74,23 @@ def main():
             print(f"✗ {name}: row count {len(a)} vs {len(b)}")
             failures += 1
             continue
+        # Mirror the driver's hash compare: an int on one side and a float on
+        # the other (e.g. DuckDB sum(INTEGER) -> HUGEINT -> float) prints
+        # differently (56017 vs 56017.0) and flips the driver's hash even
+        # when values are numerically equal — so dtype KINDS must match, and
+        # values compare exactly (floats are pre-rounded on both sides).
+        kind_mismatch = [
+            c for c in a.columns
+            if (a[c].dtype.kind in "iu") != (b[c].dtype.kind in "iu")
+            or (a[c].dtype.kind == "f") != (b[c].dtype.kind == "f")
+        ]
+        if kind_mismatch:
+            print(f"✗ {name}: dtype-kind mismatch (driver hash would differ): "
+                  + ", ".join(f"{c} spark={a[c].dtype} duck={b[c].dtype}" for c in kind_mismatch))
+            failures += 1
+            continue
         try:
-            pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=False, rtol=1e-9, atol=1e-9)
+            pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
             print(f"✓ {name} ({len(a)} rows)")
         except AssertionError as e:
             print(f"✗ {name}: value mismatch\n{str(e)[:1500]}")

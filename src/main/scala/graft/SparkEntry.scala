@@ -817,7 +817,7 @@ object SparkEntry {
     "q_json_extract" ->
       """SELECT (json_extract_string(props, '$.k')::INTEGER) % 10 AS k_mod,
         |       count(*) AS n,
-        |       sum(json_extract_string(props, '$.k')::INTEGER) AS sum_k,
+        |       sum(json_extract_string(props, '$.k')::INTEGER)::BIGINT AS sum_k,
         |       round(avg(value), 4) AS avg_value
         |FROM events
         |GROUP BY k_mod
@@ -1004,8 +1004,8 @@ object SparkEntry {
         |                            OR ts_s - lag(ts_s) OVER w > 21600
         |                          THEN 1 ELSE 0 END AS new_sess
         |           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)),
-        |     g AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
-        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |     g AS (SELECT *, (sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS session_id
         |           FROM f)
         |SELECT user_id, session_id, count(*) AS n_events,
         |       min(ts_s) AS session_start_s,

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnBridge
@@ -17,10 +17,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * re-tokenizes the document ~3× per shingle; this expression walks the
   * token array once. Fewer than `n` tokens yields an empty array.
   */
-case class Shingles(child: Expression, n: Int) extends UnaryExpression {
+case class Shingles(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
   require(n >= 1)
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def inputTypes = Seq(ArrayType(StringType))
 
   private val sep = UTF8String.fromString(" ")
 

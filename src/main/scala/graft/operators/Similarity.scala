@@ -90,9 +90,14 @@ object Similarity {
       k: Int,
       numPlanes: Int = 6,
       numTables: Int = 4,
-      seed: Long = 42L): DataFrame = {
-    val dim = 64
-    val tables = (0 until numTables).map(t => (t, randomPlanes(numPlanes, dim, seed + t)))
+      seed: Long = 42L,
+      dim: Int = -1): DataFrame = {
+    // dim <= 0 → sample the dimensionality from the (small) query side at
+    // plan time; hyperplanes of the wrong length would throw in DotProduct.
+    val planeDim =
+      if (dim > 0) dim
+      else queries.select(size(toDoubleArray(col(vecCol)))).head().getInt(0)
+    val tables = (0 until numTables).map(t => (t, randomPlanes(numPlanes, planeDim, seed + t)))
     val c = corpus.select(col(idCol).as("neighbor_id"), toDoubleArray(col(vecCol)).as("cvec"))
       .withColumn("cnorm", l2Norm(col("cvec")))
       .select(col("neighbor_id"), col("cvec"), col("cnorm"),

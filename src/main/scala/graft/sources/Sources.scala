@@ -57,13 +57,18 @@ final class TableTailSource(
 
   def poll(target: MbStream): Int = {
     if (cancelled) return 0
-    val newRows = spark.read.parquet(tablePath)
+    // Single scan per poll: collect (key, payload) together and advance the
+    // cursor from the batch we actually forwarded. A second scan to compute
+    // max(key) would race concurrent appends — rows landing between the two
+    // scans would move lastSeen past keys never forwarded, dropping them.
+    val collected = spark.read.parquet(tablePath)
       .filter(col(keyCol) > lastSeen)
       .orderBy(col(keyCol))
-    val collected = newRows.toJSON.collect()
+      .select(col(keyCol).cast("long").as("__key"), to_json(struct(col("*"))).as("__payload"))
+      .collect()
     if (collected.nonEmpty) {
-      lastSeen = newRows.agg(max(col(keyCol).cast("long"))).collect()(0).getLong(0)
-      target.appendAll(collected.toIndexedSeq)
+      lastSeen = collected.iterator.map(_.getLong(0)).max
+      target.appendAll(collected.toIndexedSeq.map(_.getString(1)))
     }
     collected.length
   }
