@@ -62,10 +62,17 @@ object Dedup {
       bands: Int = 32,
       threshold: Double = 0.5): DataFrame = {
     val rowsPerBand = numHashes / bands
+    // hs = sorted xxhash64 of each distinct shingle: the exact-verify runs on
+    // these LONG arrays, not the string shingles — far cheaper through the
+    // candidate-verify shuffle and intersect (same trick as
+    // [[ngramJaccardPairsPrefix]]; hash collisions between distinct shingles
+    // are ~2⁻⁶⁴ and the recall spec pins the result).
     val sig = df
       .select(col(idCol).as("doc_id"),
         TextAnalysis.shingles(col(textCol), shingleSize).as("sh"))
-      .select(col("doc_id"), col("sh"), minhashSignature(col("sh"), numHashes).as("sig"))
+      .select(col("doc_id"),
+        sort_array(transform(col("sh"), s => xxhash64(s))).as("hs"),
+        minhashSignature(col("sh"), numHashes).as("sig"))
     val buckets = sig
       .select(col("doc_id"), explode(bandHashes(col("sig"), bands, rowsPerBand)).as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.bucket").as("bucket"))
@@ -75,13 +82,13 @@ object Dedup {
           col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
       .distinct()
-    val withSets = candidates
-      .join(sig.select(col("doc_id"), col("sh").as("sh_a")), col("doc_a") === col("doc_id")).drop("doc_id")
-      .join(sig.select(col("doc_id"), col("sh").as("sh_b")), col("doc_b") === col("doc_id")).drop("doc_id")
-    withSets
+    val sets = sig.select(col("doc_id"), col("hs"), size(col("hs")).as("n_sh"))
+    candidates
+      .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"), col("n_sh").as("n_a")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"), col("n_sh").as("n_b")), Seq("doc_b"))
+      .withColumn("common", size(array_intersect(col("hs_a"), col("hs_b"))))
       .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))))
+        col("common").cast("double") / (col("n_a") + col("n_b") - col("common")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
   }
@@ -114,8 +121,12 @@ object Dedup {
           col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
         bit_count(col("l.sh64").bitwiseXOR(col("r.sh64"))).as("hamming"))
-      .distinct()
+      // filter BEFORE the dedup aggregate: pairs failing the Hamming bound
+      // never enter the distinct's shuffle (a pair bucketed by k blocks is
+      // emitted k times — dropping failures first shrinks that by the miss
+      // rate, which dominates in a non-duplicated corpus)
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Exact n-gram Jaccard within blocking groups (same lang/source/size

@@ -96,7 +96,13 @@ object Similarity {
     // plan time; hyperplanes of the wrong length would throw in DotProduct.
     val planeDim =
       if (dim > 0) dim
-      else queries.select(size(toDoubleArray(col(vecCol)))).head().getInt(0)
+      else {
+        val sampled = queries
+          .select(size(toDoubleArray(col(vecCol))).as("d")).na.drop().head(1)
+        require(sampled.nonEmpty,
+          "lshTopK: cannot infer dim from an empty (or all-null) query set; pass dim explicitly")
+        sampled(0).getInt(0)
+      }
     val tables = (0 until numTables).map(t => (t, randomPlanes(numPlanes, planeDim, seed + t)))
     val c = corpus.select(col(idCol).as("neighbor_id"), toDoubleArray(col(vecCol)).as("cvec"))
       .withColumn("cnorm", l2Norm(col("cvec")))

@@ -62,11 +62,13 @@ final class TableTailSource(
     // max(key) would race concurrent appends — rows landing between the two
     // scans would move lastSeen past keys never forwarded, dropping them.
     val collected = spark.read.parquet(tablePath)
-      .filter(col(keyCol) > lastSeen)
+      .filter(col(keyCol) > lastSeen && col(keyCol).cast("long").isNotNull)
       .orderBy(col(keyCol))
       .select(col(keyCol).cast("long").as("__key"), to_json(struct(col("*"))).as("__payload"))
       .collect()
     if (collected.nonEmpty) {
+      // isNotNull filter above guarantees every __key is a concrete long
+      // (a non-numeric string key casting to null would otherwise NPE here)
       lastSeen = collected.iterator.map(_.getLong(0)).max
       target.appendAll(collected.toIndexedSeq.map(_.getString(1)))
     }
