@@ -20,20 +20,35 @@ import graft.streaming.MbStream
   *    ships in-engine.
   */
 object KafkaIO {
-  /** `spark.readStream.format("kafka")` wiring (built-in; S1). */
+  /** Project Kafka's raw record schema (key/value binary + metadata — the
+    * schema `format("kafka")` always yields) to the string envelope the
+    * emitters consume. Pure plan transform: testable offline against a
+    * kafka-shaped DataFrame, no broker or connector jar needed.
+    */
+  def project(raw: DataFrame): DataFrame =
+    raw.select(col("key").cast("string"), col("value").cast("string"),
+      col("topic"), col("partition"), col("offset"), col("timestamp"))
+
+  /** Sink-side serialization: all columns → one JSON `value` column (the
+    * shape the kafka writer requires). Pure plan transform, testable offline.
+    */
+  def serialize(df: DataFrame): DataFrame =
+    df.selectExpr("to_json(struct(*)) AS value")
+
+  /** `spark.readStream.format("kafka")` wiring (built-in; S1). Requires the
+    * spark-sql-kafka connector on the classpath at runtime.
+    */
   def source(spark: SparkSession, servers: String, topic: String, startingOffsets: String = "earliest"): DataFrame =
-    spark.readStream
+    project(spark.readStream
       .format("kafka")
       .option("kafka.bootstrap.servers", servers)
       .option("subscribe", topic)
       .option("startingOffsets", startingOffsets)
-      .load()
-      .select(col("key").cast("string"), col("value").cast("string"),
-        col("topic"), col("partition"), col("offset"), col("timestamp"))
+      .load())
 
   /** Kafka sink wiring (K1): JSON-serialize all columns into `value`. */
   def sink(df: DataFrame, servers: String, topic: String, checkpointDir: String) =
-    df.selectExpr("to_json(struct(*)) AS value")
+    serialize(df)
       .writeStream
       .format("kafka")
       .option("kafka.bootstrap.servers", servers)

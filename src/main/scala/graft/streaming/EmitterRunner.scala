@@ -51,6 +51,9 @@ object EmitterRunner {
   def readBuffer(stream: MbStream, maxFilesPerTrigger: Option[Int] = None): Dataset[Message] = {
     val reader = stream.spark.readStream
       .schema(MbStream.MessageSchema)
+      // tolerate the retention loop deleting aged files under a running
+      // emitter (same concurrency the reference's autoclear thread has)
+      .option("ignoreMissingFiles", "true")
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
     reader.parquet(stream.bufferDir).as[Message]
   }

@@ -81,8 +81,8 @@ final class MbStream(val spark: SparkSession, val name: String, val dir: String)
     * documents (models.py:327-338). At cluster scale this is a partition
     * drop on a date-partitioned buffer, never a row rewrite.
     */
-  def runRetention(maxAgeSeconds: Long, nowMs: Long = System.currentTimeMillis()): Int = {
-    val cutoff = nowMs - maxAgeSeconds * 1000L
+  def runRetention(maxAgeSeconds: Double, nowMs: Long = System.currentTimeMillis()): Int = {
+    val cutoff = nowMs - (maxAgeSeconds * 1000L).toLong
     var dropped = 0
     listParquet(bufferDir).foreach { f =>
       val maxCreated = spark.read.schema(MessageSchema).parquet(f)
@@ -93,6 +93,41 @@ final class MbStream(val spark: SparkSession, val name: String, val dir: String)
       }
     }
     dropped
+  }
+
+  @volatile private var retentionHandle: Option[AttachedSource] = None
+
+  /** Auto-scheduled retention (reference: a `max_age` stream starts an
+    * autoclear thread on creation, models.py:364-370, keeping at most ~2×
+    * max_age of data, models.py:309-348). Runs [[runRetention]] on a
+    * background daemon thread every `intervalMs` (default: half of maxAge,
+    * floored at 50 ms so tests with sub-second ages still cycle). Idempotent:
+    * a second call with a retention loop already running returns the
+    * existing handle. `stopRetention()`/`detach()` stops the loop.
+    */
+  def startRetention(maxAgeSeconds: Double, intervalMs: Long = -1L): AttachedSource = synchronized {
+    retentionHandle.filter(_.isRunning).getOrElse {
+      val every = if (intervalMs > 0) intervalMs
+        else math.max(50L, (maxAgeSeconds * 1000L / 2).toLong)
+      val running = new java.util.concurrent.atomic.AtomicBoolean(true)
+      val t = new Thread(() => {
+        while (running.get()) {
+          try runRetention(maxAgeSeconds)
+          catch { case _: InterruptedException => running.set(false) }
+          Thread.sleep(every)
+        }
+      }, s"graft-retention-$name")
+      t.setDaemon(true)
+      t.start()
+      val h = new AttachedSource(running, t)
+      retentionHandle = Some(h)
+      h
+    }
+  }
+
+  def stopRetention(): Unit = synchronized {
+    retentionHandle.foreach(_.detach())
+    retentionHandle = None
   }
 
   /** Attach a polling source on a background daemon thread (reference
@@ -129,7 +164,10 @@ final class MbStream(val spark: SparkSession, val name: String, val dir: String)
   private def readOrEmpty(d: String, schema: StructType): DataFrame =
     if (listParquet(d).isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-    else spark.read.schema(schema).parquet(d)
+    // ignoreMissingFiles: the retention loop deletes whole files at any
+    // time between a reader's file-listing and its execution — a
+    // retention-enabled buffer must tolerate that, not fail the scan
+    else spark.read.schema(schema).option("ignoreMissingFiles", "true").parquet(d)
 
   private def deleteChildren(d: String): Unit = {
     val p = Paths.get(d)

@@ -22,8 +22,52 @@ final case class Minibatch(spark: SparkSession, root: String) {
 
   def stream(name: String): MbStream = registry.getOrCreate(name)
 
+  /** `Stream(..., max_age=N)` (reference models.py:251,364-370): a stream
+    * with retention — creation auto-starts the background autoclear loop,
+    * keeping ≤ ~2× maxAge of buffered data with no manual `runRetention`
+    * call. Stop via `stream.stopRetention()`.
+    */
+  def stream(name: String, maxAgeSeconds: Double): MbStream = {
+    val s = stream(name)
+    s.startRetention(maxAgeSeconds)
+    s
+  }
+
   def streaming(name: String): EmitterBuilder = EmitterBuilder(stream(name))
+
+  /** Emitter status by stream name — the engine-level analogue of the
+    * reference's StreamingApp `/status` watcher (contrib/apps/omegaml.py:
+    * 8-136), backed by `StreamingQuery.status`/`lastProgress` instead of a
+    * Flask endpoint. Emitters started through [[EmitterBuilder.start]] are
+    * named `graft-emitter-<stream>` so they are discoverable here.
+    */
+  def status(name: String): EmitterStatus = {
+    spark.streams.active.find(_.name == Minibatch.queryNameFor(name)) match {
+      case Some(q) =>
+        val lp = Option(q.lastProgress)
+        EmitterStatus(name, running = q.isActive, queryId = Some(q.id.toString),
+          lastBatchId = lp.map(_.batchId), numInputRows = lp.map(_.numInputRows),
+          message = q.status.message)
+      case None =>
+        EmitterStatus(name, running = false, None, None, None, "no active emitter")
+    }
+  }
 }
+
+object Minibatch {
+  def queryNameFor(stream: String): String = s"graft-emitter-$stream"
+}
+
+/** Snapshot of one named emitter's run state (reference status payload:
+  * running flag + progress counters, contrib/apps/omegaml.py:101-118).
+  */
+final case class EmitterStatus(
+    stream: String,
+    running: Boolean,
+    queryId: Option[String],
+    lastBatchId: Option[Long],
+    numInputRows: Option[Long],
+    message: String)
 
 final case class EmitterBuilder(
     stream: MbStream,
@@ -83,6 +127,7 @@ final case class EmitterBuilder(
       sinkFn.foreach(_(df))
     }
     EmitterRunner.start(stream, strat, combined, keepWindows, trigger,
+      queryName = Some(Minibatch.queryNameFor(stream.name)),
       maxWorkers = workers, maxFilesPerTrigger = filesPerTrigger,
       batchSink = batchSinkFn)
   }

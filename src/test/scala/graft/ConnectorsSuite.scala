@@ -1,0 +1,203 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources._
+import graft.streaming._
+
+/** Connector-envelope and housekeeping ports of the reference's contrib
+  * tests (test_mqtt.py, test_kafka.py, test_celery.py,
+  * test_minibatch.py::test_buffer_housekeeping) — injectable fake clients
+  * in place of the reference's MagicMock broker clients.
+  */
+class ConnectorsSuite extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("graft-connectors").toString
+
+  /** Fake MQTT client (reference test_mqtt.py:21-43 injects a MagicMock). */
+  private final class FakeMqttClient {
+    val published = mutable.ArrayBuffer.empty[(String, String)]
+    val subscribed = mutable.ArrayBuffer.empty[String]
+    var connected = 0
+    var disconnected = 0
+    var handler: Option[(String, String, Int, Boolean) => Unit] = None
+    val client: MqttClientLike = new MqttClientLike {
+      def connect(): Unit = connected += 1
+      def subscribe(topic: String): Unit = subscribed += topic
+      def onMessage(h: (String, String, Int, Boolean) => Unit): Unit = handler = Some(h)
+      def publish(topic: String, payloadJson: String): Unit =
+        published += ((topic, payloadJson))
+      def disconnect(): Unit = disconnected += 1
+    }
+    /** Simulate a broker delivery. */
+    def deliver(topic: String, payloadJson: String, qos: Int, retain: Boolean): Unit =
+      handler.get.apply(topic, payloadJson, qos, retain)
+  }
+
+  test("auto retention: max_age stream empties itself (test_buffer_housekeeping port)") {
+    val mb = Minibatch(spark, freshRoot())
+    // reference: Stream.get_or_create('test', max_age=.5) auto-starts the
+    // housekeeping thread (models.py:364-370)
+    val st = mb.stream("housekept", maxAgeSeconds = 0.5)
+    try {
+      st.append("""{"foo":"bar1"}""")
+      st.append("""{"foo":"bar1"}""")
+      st.append("""{"foo":"bar1"}""")
+      assert(st.buffer().count() === 3)
+      // reference sleeps 1s (2x max_age); give the file-scan loop headroom
+      val deadline = System.currentTimeMillis() + 20000
+      var n = st.buffer().count()
+      while (n > 0 && System.currentTimeMillis() < deadline) {
+        Thread.sleep(200)
+        n = st.buffer().count()
+      }
+      assert(n === 0, "retention loop did not clear the aged buffer")
+    } finally st.stopRetention()
+  }
+
+  test("mqtt source: inbound message appends the {topic,payload,qos,retain} envelope (test_mqtt.py:21-34 port)") {
+    val mb = Minibatch(spark, freshRoot())
+    val st = mb.stream("mqtt_in")
+    val fake = new FakeMqttClient
+    val source = new MqttSource(fake.client, "TEST/#")
+    source.stream(st)
+    assert(fake.connected === 1 && fake.subscribed.toSeq === Seq("TEST/#"))
+    fake.deliver("TEST/1", """{"foo":"bar"}""", 1, retain = true)
+    st.flush()
+    val env = StructType(Seq(
+      StructField("topic", StringType), StructField("qos", IntegerType),
+      StructField("retain", BooleanType)))
+    val rows = st.buffer()
+      .withColumn("e", from_json(col("data"), env))
+      .withColumn("foo", get_json_object(col("data"), "$.payload.foo"))
+      .select("e.topic", "e.qos", "e.retain", "foo").collect()
+    assert(rows.toSeq === Seq(Row("TEST/1", 1, true, "bar")))
+    source.cancel()
+    assert(fake.disconnected === 1)
+  }
+
+  test("mqtt sink: forwarded window publishes each row as JSON (test_mqtt.py:36-43 port)") {
+    val fake = new FakeMqttClient
+    val sink = new MqttSink(fake.client, "TEST/#")
+    val df = spark.range(1).selectExpr("'bar' AS foo")
+    sink.put(df)
+    assert(fake.published.toSeq === Seq(("TEST/#", """{"foo":"bar"}""")))
+  }
+
+  test("mqtt end-to-end: source -> stream -> emitter -> mqtt sink") {
+    val mb = Minibatch(spark, freshRoot())
+    val st = mb.stream("mqtt_e2e")
+    val inFake = new FakeMqttClient
+    val outFake = new FakeMqttClient
+    new MqttSource(inFake.client, "IN/#").stream(st)
+    inFake.deliver("IN/a", """{"v":1}""", 0, retain = false)
+    inFake.deliver("IN/b", """{"v":2}""", 0, retain = false)
+    st.flush()
+    val sink = new MqttSink(outFake.client, "OUT")
+    mb.streaming("mqtt_e2e").size(2)
+      .sink(df => sink.put(
+        df.select(get_json_object(col("data"), "$.topic").as("topic"),
+          get_json_object(col("data"), "$.payload.v").cast("int").as("v"))))
+      .run()
+    assert(outFake.published.size === 2)
+    assert(outFake.published.forall(_._1 === "OUT"))
+    val payloads = outFake.published.map(_._2).sorted
+    assert(payloads === Seq("""{"topic":"IN/a","v":1}""", """{"topic":"IN/b","v":2}"""))
+  }
+
+  test("celery source: task event appends the task-info envelope (test_celery semantics)") {
+    val mb = Minibatch(spark, freshRoot())
+    val st = mb.stream("celery_in")
+    val source = new CeleryEventSource
+    source.stream(st)
+    source.taskEvent(event = "task-succeeded", name = "tasks.add",
+      uuid = "abc-123", infoJson = """{"args":"(1, 2)"}""",
+      state = "SUCCESS", runtimeSeconds = 0.25)
+    source.rawEvent("""{"type":"worker-heartbeat","hostname":"w1"}""")
+    source.cancel()
+    // post-cancel events are dropped (receiver.should_stop semantics)
+    source.taskEvent("task-failed", "tasks.add", "zzz", "{}", "FAILURE", 0.1)
+    st.flush()
+    val env = StructType(Seq(
+      StructField("task_event", StringType), StructField("task_name", StringType),
+      StructField("task_id", StringType), StructField("task_state", StringType),
+      StructField("task_runtime", DoubleType), StructField("type", StringType)))
+    val rows = st.buffer().withColumn("e", from_json(col("data"), env))
+      .select("e.task_event", "e.task_name", "e.task_id", "e.task_state", "e.task_runtime", "e.type")
+      .collect().toSeq
+    assert(rows.size === 2)
+    assert(rows.contains(Row("task-succeeded", "tasks.add", "abc-123", "SUCCESS", 0.25, null)))
+    assert(rows.contains(Row(null, null, null, null, null, "worker-heartbeat")))
+  }
+
+  /** Kafka's raw record shape, as `format("kafka")` yields it. */
+  private def kafkaShaped() = {
+    val schema = StructType(Seq(
+      StructField("key", BinaryType), StructField("value", BinaryType),
+      StructField("topic", StringType), StructField("partition", IntegerType),
+      StructField("offset", LongType), StructField("timestamp", TimestampType),
+      StructField("timestampType", IntegerType)))
+    val rows = Seq(
+      Row("k1".getBytes("UTF-8"), """{"foo":"bar"}""".getBytes("UTF-8"),
+        "t", 0, 42L, Timestamp.valueOf("2026-01-01 00:00:00"), 0),
+      Row(null, """{"foo":"baz"}""".getBytes("UTF-8"),
+        "t", 1, 7L, Timestamp.valueOf("2026-01-01 00:00:01"), 0))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
+  test("kafka source projection: raw record schema -> string envelope (test_kafka.py:19-46 shape)") {
+    val out = KafkaIO.project(kafkaShaped())
+    assert(out.schema.fields.map(f => (f.name, f.dataType)).toSeq === Seq(
+      ("key", StringType), ("value", StringType), ("topic", StringType),
+      ("partition", IntegerType), ("offset", LongType), ("timestamp", TimestampType)))
+    val got = out.orderBy("offset").select("key", "value", "topic", "partition", "offset").collect().toSeq
+    assert(got === Seq(
+      Row(null, """{"foo":"baz"}""", "t", 1, 7L),
+      Row("k1", """{"foo":"bar"}""", "t", 0, 42L)))
+  }
+
+  test("kafka sink serialization: row -> single JSON value column, round-trips (test_kafka.py:50-63 shape)") {
+    val df = spark.range(1).selectExpr("'baz' AS foo", "7 AS n")
+    val out = KafkaIO.serialize(df)
+    assert(out.schema.fields.map(_.name).toSeq === Seq("value"))
+    val back = out.select(
+      get_json_object(col("value"), "$.foo").as("foo"),
+      get_json_object(col("value"), "$.n").cast("long").as("n")).collect()
+    assert(back.toSeq === Seq(Row("baz", 7L)))
+  }
+
+  test("status surface: running and stopped emitters are observable (StreamingApp /status port)") {
+    val mb = Minibatch(spark, freshRoot())
+    val st = mb.stream("watched")
+    assert(!mb.status("watched").running)
+    assert(mb.status("watched").message === "no active emitter")
+    st.appendAll((0 until 4).map(i => s"""{"i":$i}"""))
+    val q = mb.streaming("watched").size(2)
+      .withTrigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(250))
+      .emit((_, _) => ()).start()
+    try {
+      val deadline = System.currentTimeMillis() + 30000
+      var s = mb.status("watched")
+      while ((!s.running || s.lastBatchId.isEmpty) && System.currentTimeMillis() < deadline) {
+        Thread.sleep(200)
+        s = mb.status("watched")
+      }
+      assert(s.running, "emitter never reported running with progress")
+      assert(s.queryId.nonEmpty)
+      assert(s.lastBatchId.nonEmpty)
+    } finally q.stop()
+    q.awaitTermination()
+    val after = mb.status("watched")
+    assert(!after.running)
+  }
+}
