@@ -22,8 +22,27 @@ object Explain {
     val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
     names.foreach { name =>
       println(s"\n========== $name ==========")
+      scaleNotes.get(name).foreach(n => println(s"[scale] $n"))
       SparkEntry.queries(name)(spark, sfDir).explain("formatted")
     }
     spark.stop()
   }
+
+  /** Queries kept deliberately in a small-data "oracle shape" — printed so a
+    * plan audit never mistakes them for the recommended scale path.
+    */
+  val scaleNotes: Map[String, String] = Map(
+    "count_window_agg" ->
+      ("ORACLE SHAPE: total arrival order = single-partition global sort. " +
+        "Scale paths: count_window_per_key (WindowAssign.countWindowPerKey, sort shards by key) " +
+        "or the streaming CountWindow (EmitterBuilder.size — per-stream state, no global sort)."),
+    "sorted_window" ->
+      ("ORACLE SHAPE: the README example's total sort order = single-partition global sort. " +
+        "Scale deployments key the sort (Window.partitionBy)."),
+    "embedding_neardup" ->
+      ("ORACLE SHAPE: deliberate O(n^2) cross join, kept as the correctness reference. " +
+        "Scale path: embedding_neardup_lsh (hyperplane bucket join)."),
+    "q_percentiles" ->
+      ("exact percentile = per-group sort agg. " +
+        "Scale path: q_approx_percentiles (percentile_approx t-digest, partial+final hash agg)."))
 }

@@ -44,7 +44,11 @@ object SparkEntry {
 
     // ── minibatch emitter strategies, batch-expressible forms ─────────────
 
-    // A6 CountWindow: every 100 events in arrival order form a window.
+    // A6 CountWindow — ORACLE SHAPE: total arrival order forces a global
+    // single-partition sort. The front doors at scale are
+    // count_window_per_key (sort shards by key) and the streaming
+    // CountWindow (EmitterBuilder.size — per-stream state, never sorts
+    // globally); this query exists to oracle-check their semantics.
     "count_window_agg" -> ((s, dir) => {
       val ev = events(s, dir).select(col("event_id"), col("value"))
       WindowAssign.countWindow(ev, 100, Seq(col("event_id")))
@@ -106,6 +110,8 @@ object SparkEntry {
     }),
 
     // A9 custom emitter (README SortedWindow): evens, sorted, batches of 50.
+    // ORACLE SHAPE: the example's total sort order forces a global sort,
+    // like count_window_agg; a scale deployment keys the sort.
     "sorted_window" -> ((s, dir) => {
       WindowAssign.sortedWindow(
           events(s, dir).select(col("event_id"), col("value")),
@@ -557,6 +563,7 @@ object SparkEntry {
     }),
 
     // Exact interpolated percentiles (sort-based agg) per order priority.
+    // ORACLE SHAPE: at 100 TB run q_approx_percentiles (t-digest) instead.
     "q_percentiles" -> ((s, dir) => {
       orders(s, dir)
         .groupBy(col("o_orderpriority"))
@@ -564,6 +571,21 @@ object SparkEntry {
           round(percentile(col("o_totalprice"), lit(0.25)), 2).as("p25"),
           round(percentile(col("o_totalprice"), lit(0.5)), 2).as("p50"),
           round(percentile(col("o_totalprice"), lit(0.75)), 2).as("p75"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // Scale companion to q_percentiles: t-digest percentile_approx is one
+    // partial+final hash agg (no per-group sort) — the form a 100 TB
+    // pipeline runs. No oracle (sketch-dependent); the spec pins deviation
+    // vs the exact query to <=1%.
+    "q_approx_percentiles" -> ((s, dir) => {
+      orders(s, dir)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          round(percentile_approx(col("o_totalprice"), lit(0.25), lit(10000)), 2).as("p25"),
+          round(percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)), 2).as("p50"),
+          round(percentile_approx(col("o_totalprice"), lit(0.75), lit(10000)), 2).as("p75"),
           count(lit(1)).as("n_orders"))
         .orderBy(col("o_orderpriority"))
     }),

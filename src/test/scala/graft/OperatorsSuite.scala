@@ -166,6 +166,25 @@ class OperatorsSuite extends AnyFunSuite {
     assert(fps(0) === fps(1))
   }
 
+  test("approx percentiles track exact within 1% (q_approx_percentiles gate)") {
+    // sf0.01: ~3k orders/priority. percentile_approx returns a real element
+    // (no interpolation), so the bound needs groups dense enough that
+    // adjacent values sit within 1% — true here, not at sf0.001 (~300/group).
+    val dir = "/root/testdata/sf0.01"
+    val exact = SparkEntry.queries("q_percentiles")(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val approx = SparkEntry.queries("q_approx_percentiles")(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(exact.keySet === approx.keySet)
+    exact.foreach { case (k, (e25, e50, e75)) =>
+      val (a25, a50, a75) = approx(k)
+      Seq((e25, a25), (e50, a50), (e75, a75)).foreach { case (e, a) =>
+        assert(math.abs(a - e) <= 0.01 * math.abs(e),
+          s"priority $k: approx $a deviates >1% from exact $e")
+      }
+    }
+  }
+
   test("multimodal: synthetic media, feature extraction stub, frame sampling, resize") {
     val media = Multimodal.syntheticMedia(docs.limit(30), "doc_id", "text").cache()
     assert(media.schema.fieldNames.toSeq ===
