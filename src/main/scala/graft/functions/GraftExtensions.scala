@@ -44,7 +44,10 @@ object GraftExtensions {
       (args: Seq[Expression]) => MinHashSig(args(0), intLit(args(1), "numHashes"))),
     ("graft_simhash",
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
-      (args: Seq[Expression]) => SimHash64(args(0))))
+      (args: Seq[Expression]) => SimHash64(args(0))),
+    ("graft_intersect_count",
+      new ExpressionInfo(classOf[IntersectCountSorted].getName, "graft_intersect_count"),
+      (args: Seq[Expression]) => IntersectCountSorted(args(0), args(1))))
 
   /** Register the functions on an already-built session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -86,7 +86,8 @@ object Dedup {
     candidates
       .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"), col("n_sh").as("n_a")), Seq("doc_a"))
       .join(sets.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"), col("n_sh").as("n_b")), Seq("doc_b"))
-      .withColumn("common", size(array_intersect(col("hs_a"), col("hs_b"))))
+      .withColumn("common",
+        graft.functions.IntersectCountSorted.intersectCountSorted(col("hs_a"), col("hs_b")))
       .withColumn("jaccard",
         col("common").cast("double") / (col("n_a") + col("n_b") - col("common")))
       .filter(col("jaccard") >= threshold)
@@ -223,7 +224,8 @@ object Dedup {
     candidates
       .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"), col("n_sh").as("n_a")), Seq("doc_a"))
       .join(sets.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"), col("n_sh").as("n_b")), Seq("doc_b"))
-      .withColumn("common", size(array_intersect(col("hs_a"), col("hs_b"))))
+      .withColumn("common",
+        graft.functions.IntersectCountSorted.intersectCountSorted(col("hs_a"), col("hs_b")))
       .withColumn("jaccard",
         col("common").cast("double") / (col("n_a") + col("n_b") - col("common")))
       .filter(col("jaccard") >= threshold)

@@ -22,6 +22,30 @@ class PropertySuite extends AnyFunSuite {
   private def samples[A](g: Gen[A], n: Int): Seq[A] =
     (1 to n).flatMap(i => g.apply(params, Seed(i.toLong)))
 
+  test("intersect-count-sorted == size(array_intersect) for any sorted distinct arrays") {
+    val gen = for {
+      na <- Gen.chooseNum(0, 40)
+      nb <- Gen.chooseNum(0, 40)
+      a <- Gen.listOfN(na, Gen.chooseNum(-50L, 50L))
+      b <- Gen.listOfN(nb, Gen.chooseNum(-50L, 50L))
+    } yield (a.distinct.sorted, b.distinct.sorted)
+    val cases = samples(gen, 40)
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(cases.map { case (a, b) => Row(a, b) }, 2),
+      StructType(Seq(
+        StructField("a", ArrayType(LongType)), StructField("b", ArrayType(LongType)))))
+    val got = df.select(
+        graft.functions.IntersectCountSorted.intersectCountSorted(col("a"), col("b")).as("fast"),
+        size(array_intersect(col("a"), col("b"))).as("ref"))
+      .collect()
+    got.foreach(r => assert(r.getInt(0) === r.getInt(1)))
+    // and via the SQL registration
+    graft.functions.GraftExtensions.register(spark)
+    df.createOrReplaceTempView("ics_cases")
+    spark.sql("SELECT graft_intersect_count(a, b) AS fast, size(array_intersect(a, b)) AS ref FROM ics_cases")
+      .collect().foreach(r => assert(r.getInt(0) === r.getInt(1)))
+  }
+
   test("count-window: every row in exactly one window; all full except the last") {
     val gen = for {
       n <- Gen.chooseNum(1, 120)
