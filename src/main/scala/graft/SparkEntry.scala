@@ -403,6 +403,19 @@ object SparkEntry {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // Near-dup clusters over the exact-Jaccard pairs: connected components
+    // (iterative min-label propagation) + keep-one-per-cluster selection —
+    // the dedup decision a training pipeline actually applies. Oracle:
+    // DuckDB recursive-CTE transitive closure over the same pairs.
+    "dedup_clusters" -> ((s, dir) => {
+      val docs = documents(s, dir)
+        .withColumn("len_bucket", floor(col("n_chars") / 100))
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        Seq(col("len_bucket")), shingleSize = 3, threshold = 0.5)
+      Dedup.dupClusters(pairs, "doc_a", "doc_b")
+        .orderBy(col("doc_id"))
+    }),
+
     // MinHash+LSH near-dup (no SQL oracle: hash-family-specific; exactness
     // of reported Jaccard + recall vs exact pairs asserted in ScalaTest).
     "dedup_minhash" -> ((s, dir) => {
@@ -958,6 +971,37 @@ object SparkEntry {
         |    ON l.len_bucket = r.len_bucket AND l.doc_id < r.doc_id)
         |WHERE raw_j >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_clusters" ->
+      """WITH RECURSIVE s AS (
+        |  SELECT doc_id, n_chars // 100 AS len_bucket,
+        |         list_distinct([array_to_string(toks[i:i+2], ' ')
+        |                        for i in range(1, len(toks) - 1)]) AS sh
+        |  FROM (SELECT doc_id, n_chars, string_split_regex(text, ' +') AS toks
+        |        FROM documents)
+        |),
+        |pairs AS (
+        |  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b
+        |  FROM s l JOIN s r
+        |    ON l.len_bucket = r.len_bucket AND l.doc_id < r.doc_id
+        |  WHERE len(list_intersect(l.sh, r.sh))::DOUBLE
+        |          / len(list_distinct(l.sh || r.sh)) >= 0.5
+        |),
+        |edges AS (
+        |  SELECT doc_a AS u, doc_b AS v FROM pairs
+        |  UNION
+        |  SELECT doc_b AS u, doc_a AS v FROM pairs
+        |),
+        |reach AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+        |  WHERE e.v <> r.u
+        |)
+        |SELECT doc_id, cluster_id, doc_id = cluster_id AS keep FROM (
+        |  SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
+        |  FROM reach GROUP BY u)
+        |ORDER BY doc_id""".stripMargin,
 
     "sample_consistent" ->
       """SELECT lang, rk, doc_id

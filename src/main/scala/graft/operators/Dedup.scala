@@ -232,6 +232,58 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Near-dup CLUSTERS from a pair list: connected components by iterative
+    * min-label propagation, then `keep = (doc_id == cluster_id)` — the
+    * "keep one document per duplicate cluster" selection every training
+    * pipeline runs after pair generation. Cluster id = the minimum doc id
+    * in the component (deterministic winner).
+    *
+    * Scale design: each iteration is two hash-partitioned joins on doc id
+    * (no broadcast of the graph, no driver-side union-find), and lineage is
+    * truncated per round with `localCheckpoint` so the plan does not grow
+    * with the iteration count. Converges in O(component diameter)
+    * iterations — near-dup clusters are shallow (diameter ≤ a few), so the
+    * driver-side loop runs a handful of cheap rounds; `maxIter` bounds the
+    * pathological chain case and fails loudly rather than returning a
+    * half-merged clustering.
+    *
+    * Input: one row per undirected dup pair (`aCol`, `bCol`).
+    * Output: one row per document that appears in ANY pair:
+    * (doc_id, cluster_id, keep).
+    */
+  def dupClusters(pairs: DataFrame, aCol: String, bCol: String, maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .union(pairs.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("label").as("dst_label")), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("dst_label")).as("nbr_label"))
+      val updated = labels
+        .join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .localCheckpoint()
+      converged = updated
+        .join(labels.select(col("id"), col("label").as("old_label")), Seq("id"))
+        .filter(col("label") =!= col("old_label"))
+        .isEmpty
+      labels = updated
+      i += 1
+    }
+    require(converged, s"dupClusters: did not converge in $maxIter iterations " +
+      "(component diameter exceeds the bound; raise maxIter)")
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"),
+      (col("id") === col("label")).as("keep"))
+  }
+
   /** Exact all-pairs embedding near-dup (cosine ≥ threshold). Quadratic —
     * correctness reference and oracle target only; the scale path is
     * [[embeddingNearDupLSH]].

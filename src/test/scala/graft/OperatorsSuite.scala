@@ -166,6 +166,21 @@ class OperatorsSuite extends AnyFunSuite {
     assert(fps(0) === fps(1))
   }
 
+  test("dup clusters: transitive closure, min-id winner, one keeper per cluster") {
+    import spark.implicits._
+    // a 4-chain (transitivity beyond direct pairs), a 2-cluster, a 3-star
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L), (21L, 22L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.dupClusters(pairs, "doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1)
+    assert(got.map(t => t._1 -> t._2).toMap === Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L))
+    // keeper iff doc_id == cluster_id, exactly one per cluster
+    assert(got.filter(_._3).map(_._1).toSeq === Seq(1L, 10L, 20L))
+  }
+
   test("approx percentiles track exact within 1% (q_approx_percentiles gate)") {
     // sf0.01: ~3k orders/priority. percentile_approx returns a real element
     // (no interpolation), so the bound needs groups dense enough that
