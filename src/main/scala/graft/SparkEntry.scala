@@ -329,6 +329,46 @@ object SparkEntry {
         .orderBy(col("tier"))
     }),
 
+    // Skew-safe salted join: event_type has only 5 values — the canonical
+    // hot-key shape. Salting spreads each key over 16 sub-keys; the result
+    // is oracle-identical to the plain join (the whole point).
+    "q_skew_join_salted" -> ((s, dir) => {
+      import s.implicits._
+      val weights = Seq(
+        ("click", 1.0), ("view", 0.5), ("purchase", 3.0),
+        ("error", 2.0), ("signup", 1.5))
+        .toDF("event_type", "weight")
+      Relational.saltedEquiJoin(
+          events(s, dir).select(col("event_id"), col("event_type"), col("value")),
+          weights, "event_type", col("event_id"), nSalts = 16)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value") * col("weight")), 2).as("weighted_value"))
+        .orderBy(col("event_type"))
+    }),
+
+    // TF-IDF top-3 terms per document: tf and df are hash aggs, the corpus
+    // size joins in as a broadcast 1-row agg (never a driver-side count),
+    // ranking is a per-doc window. Rank on the ROUNDED score + token
+    // tie-break so ordering is identical across engines.
+    "text_tfidf" -> ((s, dir) => {
+      val toks = documents(s, dir)
+        .select(col("doc_id"), explode(TextAnalysis.wordTokens(col("text"))).as("token"))
+      val tf = toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      val dfc = toks.groupBy(col("token")).agg(countDistinct(col("doc_id")).as("df"))
+      val n = toks.agg(countDistinct(col("doc_id")).as("n_total"))
+      val scored = tf.join(dfc, "token")
+        .crossJoin(broadcast(n))
+        .withColumn("tfidf",
+          round(col("tf") * log(col("n_total").cast("double") / col("df")), 4))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tfidf").desc, col("token"))
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("token"), col("tfidf"))
+        .orderBy(col("doc_id"), col("tfidf").desc, col("token"))
+    }),
+
     // TPC-H Q5 shape: 6-way join across the full star schema. Fact-fact
     // joins (orders⋈lineitem, ⋈customer) shuffle on their keys; nation/
     // region/supplier are dims — Catalyst/AQE picks broadcast at any scale
@@ -898,6 +938,35 @@ object SparkEntry {
         |GROUP BY token
         |ORDER BY n DESC, token
         |LIMIT 20""".stripMargin,
+
+    // the salted join must be result-identical to the PLAIN join
+    "q_skew_join_salted" ->
+      """SELECT e.event_type, count(*) AS n_events,
+        |       round(sum(e.value * w.weight), 2) AS weighted_value
+        |FROM events e
+        |JOIN (VALUES ('click', 1.0), ('view', 0.5), ('purchase', 3.0),
+        |             ('error', 2.0), ('signup', 1.5)) AS w(event_type, weight)
+        |  ON e.event_type = w.event_type
+        |GROUP BY e.event_type
+        |ORDER BY e.event_type""".stripMargin,
+
+    "text_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS token
+        |  FROM documents
+        |),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token),
+        |df AS (SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY token),
+        |n AS (SELECT count(DISTINCT doc_id) AS n_total FROM toks)
+        |SELECT doc_id, token, tfidf FROM (
+        |  SELECT tf.doc_id, tf.token,
+        |         round(tf.tf * ln(n.n_total::DOUBLE / df.df), 4) AS tfidf,
+        |         row_number() OVER (
+        |           PARTITION BY tf.doc_id
+        |           ORDER BY round(tf.tf * ln(n.n_total::DOUBLE / df.df), 4) DESC, tf.token) AS rk
+        |  FROM tf JOIN df USING (token) CROSS JOIN n)
+        |WHERE rk <= 3
+        |ORDER BY doc_id, tfidf DESC, token""".stripMargin,
 
     "q_asof_join" ->
       """SELECT event_id AS purchase_id, user_id, coalesce(last_click_id, -1) AS last_click_id

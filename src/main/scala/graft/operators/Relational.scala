@@ -31,4 +31,34 @@ object Relational {
     */
   def rangeJoin(facts: DataFrame, ranges: DataFrame, value: Column, lo: Column, hi: Column): DataFrame =
     facts.join(broadcast(ranges), value >= lo && value < hi)
+
+  /** Skew-safe equi-join: a hot join key concentrates its rows on one
+    * reducer in a plain shuffle join; salting scatters each key over
+    * `nSalts` sub-keys. The big (`left`) side derives a deterministic salt
+    * from `saltFrom` (any high-cardinality column — an id, not the join
+    * key), the `right` side replicates each row `nSalts` ways, and the join
+    * runs on (key, salt) — result identical to the plain join, but the
+    * hottest key now spreads over `nSalts` tasks.
+    *
+    * Use when BOTH sides are too big to broadcast and the key histogram is
+    * skewed (AQE's skew-join split handles sort-merge spills; salting also
+    * fixes the single-task hash-build/probe hotspot). The shuffle-hash hint
+    * keeps Catalyst from re-planning the replicated side as a broadcast —
+    * which would silently defeat the point.
+    */
+  def saltedEquiJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      saltFrom: Column,
+      nSalts: Int): DataFrame = {
+    require(nSalts > 0, "nSalts must be positive")
+    val l = left.withColumn("__salt",
+      pmod(xxhash64(saltFrom), lit(nSalts.toLong)).cast("int"))
+    val r = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(nSalts - 1))))
+    // hint the replicated side: build the hash table from it (BuildRight)
+    // and keep Catalyst from re-planning it as a broadcast
+    l.join(r.hint("shuffle_hash"), Seq(key, "__salt")).drop("__salt")
+  }
 }
