@@ -329,6 +329,37 @@ object SparkEntry {
         .orderBy(col("tier"))
     }),
 
+    // Funnel analysis: per-user ordered stage completion (view -> click ->
+    // purchase by event time). One hash agg computes each user's first
+    // time per stage; the stage comparison is a map-side projection.
+    "q_funnel" -> ((s, dir) => {
+      val firsts = events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(
+          min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+          min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("t_purchase"))
+      firsts.agg(
+          count(lit(1)).as("n_users"),
+          sum(when(col("t_view").isNotNull, 1).otherwise(0)).as("n_view"),
+          sum(when(col("t_view").isNotNull && col("t_click") > col("t_view"), 1)
+            .otherwise(0)).as("n_view_click"),
+          sum(when(col("t_view").isNotNull && col("t_click") > col("t_view") &&
+              col("t_purchase") > col("t_click"), 1)
+            .otherwise(0)).as("n_view_click_purchase"))
+    }),
+
+    // Data profiling: fixed-width value histogram — the pre-training
+    // distribution check. Bin id is integer math (map-side); one hash agg.
+    "q_histogram" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(floor(col("value") / 25).cast("long").as("bin"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("value")), 2).as("lo"),
+          round(max(col("value")), 2).as("hi"))
+        .orderBy(col("bin"))
+    }),
+
     // Skew-safe salted join: event_type has only 5 values — the canonical
     // hot-key shape. Salting spreads each key over 16 sub-keys; the result
     // is oracle-identical to the plain join (the whole point).
@@ -938,6 +969,28 @@ object SparkEntry {
         |GROUP BY token
         |ORDER BY n DESC, token
         |LIMIT 20""".stripMargin,
+
+    "q_funnel" ->
+      """SELECT count(*) AS n_users,
+        |       sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_view,
+        |       sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+        |                THEN 1 ELSE 0 END)::BIGINT AS n_view_click,
+        |       sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+        |                 AND t_purchase > t_click
+        |                THEN 1 ELSE 0 END)::BIGINT AS n_view_click_purchase
+        |FROM (
+        |  SELECT user_id,
+        |         min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t_view,
+        |         min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS t_click,
+        |         min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t_purchase
+        |  FROM events GROUP BY user_id)""".stripMargin,
+
+    "q_histogram" ->
+      """SELECT floor(value / 25)::BIGINT AS bin, count(*) AS n,
+        |       round(min(value), 2) AS lo, round(max(value), 2) AS hi
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY bin""".stripMargin,
 
     // the salted join must be result-identical to the PLAIN join
     "q_skew_join_salted" ->
