@@ -386,9 +386,15 @@ object SparkEntry {
       val toks = documents(s, dir)
         .select(col("doc_id"), explode(TextAnalysis.wordTokens(col("text"))).as("token"))
       val tf = toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-      val dfc = toks.groupBy(col("token")).agg(countDistinct(col("doc_id")).as("df"))
-      val n = toks.agg(countDistinct(col("doc_id")).as("n_total"))
-      val scored = tf.join(dfc, "token")
+      // df = rows per token IN tf, as a window — one shuffle of the compact
+      // (doc, token, tf) agg by token, no second corpus explode and no join
+      // back. N comes from the base table without exploding (docs with at
+      // least one token, matching the toks-derived count).
+      val n = documents(s, dir).agg(
+        countDistinct(when(size(TextAnalysis.wordTokens(col("text"))) > 0,
+          col("doc_id"))).as("n_total"))
+      val scored = tf
+        .withColumn("df", count(lit(1)).over(Window.partitionBy(col("token"))))
         .crossJoin(broadcast(n))
         .withColumn("tfidf",
           round(col("tf") * log(col("n_total").cast("double") / col("df")), 4))

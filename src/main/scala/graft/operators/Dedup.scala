@@ -259,6 +259,12 @@ object Dedup {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint()
+    // labels only ever DECREASE, so sum(label) is strictly monotone while
+    // anything changes — convergence is one cheap agg per round, not a
+    // join-and-compare against the previous labels
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum(col("label")), lit(0L))).head().getLong(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -271,10 +277,9 @@ object Dedup {
         .select(col("id"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
         .localCheckpoint()
-      converged = updated
-        .join(labels.select(col("id"), col("label").as("old_label")), Seq("id"))
-        .filter(col("label") =!= col("old_label"))
-        .isEmpty
+      val s = labelSum(updated)
+      converged = s == prevSum
+      prevSum = s
       labels = updated
       i += 1
     }
