@@ -94,6 +94,16 @@ def main():
             print(f"✓ {name} ({len(a)} rows)")
         except AssertionError as e:
             print(f"✗ {name}: value mismatch\n{str(e)[:1500]}")
+            # print the first differing rows with full precision: a 1-ulp
+            # boundary flip under round() looks identical at print precision,
+            # so the raw values are what identify it (fix by query design —
+            # tie-breaks/casts — never by loosening this compare)
+            diff_mask = (a != b) & ~(a.isna() & b.isna())
+            bad_rows = diff_mask.any(axis=1)
+            for idx in list(a.index[bad_rows])[:5]:
+                cols = [c for c in a.columns if diff_mask.at[idx, c]]
+                for c in cols:
+                    print(f"    row {idx} col {c}: spark={a.at[idx, c]!r} duck={b.at[idx, c]!r}")
             failures += 1
     missing = set(oracle) - set(names)
     if missing:

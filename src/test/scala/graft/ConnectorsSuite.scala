@@ -65,6 +65,37 @@ class ConnectorsSuite extends AnyFunSuite {
     } finally st.stopRetention()
   }
 
+  test("retention loop racing a RUNNING emitter: aged files vanish mid-stream without failing the query") {
+    val mb = Minibatch(spark, freshRoot())
+    val st = mb.stream("race")
+    st.appendAll((0 until 6).map(i => s"""{"i":$i}"""))
+    val emitted = new java.util.concurrent.atomic.AtomicInteger(0)
+    // aggressive retention, but above micro-batch latency: files older than
+    // 2s are deleted every 200ms while the emitter consumes. (Messages that
+    // outlive max_age unprocessed ARE dropped — same as the reference's
+    // autoclear; the contract under test is that concurrent deletion never
+    // fails the streaming query or a buffer read.)
+    st.startRetention(maxAgeSeconds = 2.0, intervalMs = 200)
+    try {
+      val q = mb.streaming("race").size(3)
+        .withTrigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(200))
+        .emit((_, df) => { emitted.addAndGet(df.count().toInt); () })
+        .start()
+      try {
+        val deadline = System.currentTimeMillis() + 30000
+        while (emitted.get() < 6 && System.currentTimeMillis() < deadline) {
+          Thread.sleep(200)
+          // keep feeding while old files are being deleted underneath
+          if (emitted.get() < 6) st.appendAll(Seq(s"""{"late":${emitted.get()}}"""))
+        }
+        assert(emitted.get() >= 6, "emitter failed to make progress under concurrent retention")
+        assert(q.exception.isEmpty, s"query died: ${q.exception}")
+      } finally { q.stop(); q.awaitTermination() }
+      // buffer reads stay alive even as files disappear
+      st.buffer().count()
+    } finally st.stopRetention()
+  }
+
   test("mqtt source: inbound message appends the {topic,payload,qos,retain} envelope (test_mqtt.py:21-34 port)") {
     val mb = Minibatch(spark, freshRoot())
     val st = mb.stream("mqtt_in")
