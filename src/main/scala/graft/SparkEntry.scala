@@ -24,9 +24,12 @@ import graft.functions.VectorFunctions
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The multi-way star join — a scale-representative plan (broadcast dims,
+    * hash-partitioned fact joins), not one of the oracle-shape queries.
+    */
   def entry(spark: SparkSession): DataFrame =
-    queries("count_window_agg")(spark, "/root/testdata/sf0.001")
+    queries("q_multi_join")(spark, "/root/testdata/sf0.001")
 
   private def lineitem(s: SparkSession, d: String)   = Tables.lineitem(s, d)
   private def orders(s: SparkSession, d: String)     = Tables.orders(s, d)

@@ -56,6 +56,47 @@ final case class Minibatch(spark: SparkSession, root: String) {
 
 object Minibatch {
   def queryNameFor(stream: String): String = s"graft-emitter-$stream"
+
+  /** Register a progress watcher on the session (the push analogue of
+    * [[Minibatch.status]] — reference StreamingApp's watcher thread,
+    * contrib/apps/omegaml.py:29-44): records the latest progress event per
+    * graft emitter. Remove with `spark.streams.removeListener(l)`.
+    */
+  def watch(spark: SparkSession): GraftStatusListener = {
+    val l = new GraftStatusListener
+    spark.streams.addListener(l)
+    l
+  }
+}
+
+/** Retains the most recent `StreamingQueryProgress` JSON per graft-named
+  * emitter, keyed by stream name.
+  */
+final class GraftStatusListener
+    extends org.apache.spark.sql.streaming.StreamingQueryListener {
+  import org.apache.spark.sql.streaming.StreamingQueryListener._
+
+  private val prefix = "graft-emitter-"
+  private val latest = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+  override def onQueryProgress(e: QueryProgressEvent): Unit = {
+    val n = e.progress.name
+    if (n != null && n.startsWith(prefix))
+      latest.put(n.stripPrefix(prefix), e.progress.json)
+  }
+  override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+
+  /** Latest progress JSON for a stream's emitter, if any arrived yet. */
+  def progressJson(stream: String): Option[String] = Option(latest.get(stream))
+
+  /** Streams with at least one recorded progress event. */
+  def watched(): Set[String] = {
+    val it = latest.keySet().iterator()
+    val b = Set.newBuilder[String]
+    while (it.hasNext) b += it.next()
+    b.result()
+  }
 }
 
 /** Snapshot of one named emitter's run state (reference status payload:

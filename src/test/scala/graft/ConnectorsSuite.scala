@@ -212,6 +212,7 @@ class ConnectorsSuite extends AnyFunSuite {
     val st = mb.stream("watched")
     assert(!mb.status("watched").running)
     assert(mb.status("watched").message === "no active emitter")
+    val listener = Minibatch.watch(spark)
     st.appendAll((0 until 4).map(i => s"""{"i":$i}"""))
     val q = mb.streaming("watched").size(2)
       .withTrigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(250))
@@ -226,8 +227,15 @@ class ConnectorsSuite extends AnyFunSuite {
       assert(s.running, "emitter never reported running with progress")
       assert(s.queryId.nonEmpty)
       assert(s.lastBatchId.nonEmpty)
+      // the push-side watcher captured progress for this emitter, by stream name
+      val wDeadline = System.currentTimeMillis() + 15000
+      while (listener.progressJson("watched").isEmpty && System.currentTimeMillis() < wDeadline)
+        Thread.sleep(200)
+      assert(listener.watched().contains("watched"))
+      assert(listener.progressJson("watched").get.contains("\"batchId\""))
     } finally q.stop()
     q.awaitTermination()
+    spark.streams.removeListener(listener)
     val after = mb.status("watched")
     assert(!after.running)
   }
