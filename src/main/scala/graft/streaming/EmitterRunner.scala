@@ -126,9 +126,17 @@ object EmitterRunner {
           emitAll(ids, id => emitFn(id, cached.filter(col("window_id") === id).drop("window_id")),
             maxWorkers)
           if (keep && ids.nonEmpty) {
+            // replay-safe history: partition by batch_id and overwrite ONLY
+            // this batch's partition (dynamic mode), so a failed-then-
+            // replayed micro-batch rewrites its own slice instead of
+            // appending duplicates — the same effectively-once trick as
+            // IdempotentTableSink, built into the keep path
             cached.withColumn("batch_id", lit(batchId))
               .select("stream", "created", "data", "window_id", "batch_id")
-              .write.mode("append").parquet(stream.windowsDir)
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("batch_id")
+              .parquet(stream.windowsDir)
           }
           // batch-level sink (gets the batch id → enables idempotent,
           // replay-safe writes, e.g. IdempotentTableSink)

@@ -57,8 +57,27 @@ final class MbStream(val spark: SparkSession, val name: String, val dir: String)
   /** Filtered read of the buffer (reference `stream.buffer()`, models.py:282-284). */
   def buffer(): DataFrame = readOrEmpty(bufferDir, MessageSchema)
 
-  /** Read of the emitted-window history (reference `stream.window()`). */
-  def windows(): DataFrame = readOrEmpty(windowsDir, WindowSchema)
+  /** Read of the emitted-window history (reference `stream.window()`).
+    * The history is partitioned by batch_id (replay-safe dynamic
+    * overwrite, see EmitterRunner), so the read discovers partitions
+    * rather than listing top-level files.
+    */
+  def windows(): DataFrame = {
+    val hasData = {
+      val p = Paths.get(windowsDir)
+      Files.exists(p) && {
+        val s = Files.walk(p)
+        try s.anyMatch(f => f.toString.endsWith(".parquet"))
+        finally s.close()
+      }
+    }
+    if (!hasData)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], WindowSchema)
+    else
+      spark.read.option("ignoreMissingFiles", "true").parquet(windowsDir)
+        .select(col("stream"), col("created"), col("data"),
+          col("window_id"), col("batch_id").cast("long").as("batch_id"))
+  }
 
   /** Typed projection of the schemaless JSON payload (SURVEY.md §1.3: raw
     * payload stays a JSON string; consumers project it to a StructType on

@@ -207,6 +207,26 @@ class ConnectorsSuite extends AnyFunSuite {
     assert(back.toSeq === Seq(Row("baz", 7L)))
   }
 
+  test("windows history is replay-safe: rewriting a batch partition does not duplicate") {
+    val mb = Minibatch(spark, freshRoot())
+    val st = mb.stream("kept")
+    st.appendAll((0 until 10).map(i => s"""{"i":$i}"""))
+    mb.streaming("kept").size(2).keep(true).emit((_, _) => ()).run()
+    assert(st.windows().count() === 10)
+    val batchIds = st.windows().select("batch_id").distinct().collect().map(_.getLong(0))
+    // simulate a replayed micro-batch: push the same batch's rows through
+    // the same writer configuration — dynamic overwrite must replace the
+    // partition, not append to it
+    val replay = st.windows().filter(col("batch_id") === batchIds.head)
+    replay.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(st.windowsDir)
+    assert(st.windows().count() === 10)
+    // and other batches' partitions were untouched by the dynamic overwrite
+    assert(st.windows().select("batch_id").distinct().count() === batchIds.length.toLong)
+  }
+
   test("status surface: running and stopped emitters are observable (StreamingApp /status port)") {
     val mb = Minibatch(spark, freshRoot())
     val st = mb.stream("watched")
