@@ -108,7 +108,14 @@ object EmitterRunner {
       queryName: Option[String] = None,
       maxWorkers: Int = 1,
       maxFilesPerTrigger: Option[Int] = None,
-      batchSink: Option[(DataFrame, Long) => Unit] = None): StreamingQuery = {
+      batchSink: Option[(DataFrame, Long) => Unit] = None,
+      emitEmpty: Boolean = false): StreamingQuery = {
+    // emit_empty (reference FixedTimeWindow default, window.py:251): gap
+    // intervals between observed windows emit a zero-row window. Spark's
+    // micro-batch loop only wakes on data, so gap windows are synthesized
+    // when the NEXT data batch arrives (documented delta: during total
+    // silence nothing fires — the reference's wall-clock loop would).
+    val lastMaxWindow = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
     val assigned = assign(readBuffer(stream, maxFilesPerTrigger), strategy)
     val writer = assigned.writeStream
       .trigger(trigger)
@@ -123,8 +130,24 @@ object EmitterRunner {
         try {
           val ids = cached.select("window_id").distinct()
             .collect().map(_.getLong(0)).sorted
-          emitAll(ids, id => emitFn(id, cached.filter(col("window_id") === id).drop("window_id")),
+          val fillIds: Seq[Long] = strategy match {
+            case FixedTimeWindow(_) if emitEmpty && ids.nonEmpty =>
+              val from =
+                if (lastMaxWindow.get() == Long.MinValue) ids.head
+                else lastMaxWindow.get() + 1
+              val present = ids.toSet
+              (from to ids.last).filterNot(present)
+            case _ => Seq.empty
+          }
+          val emptyWindow = cached.filter(lit(false)).drop("window_id")
+          val presentIds = ids.toSet
+          emitAll((ids ++ fillIds).sorted,
+            id =>
+              if (presentIds(id))
+                emitFn(id, cached.filter(col("window_id") === id).drop("window_id"))
+              else emitFn(id, emptyWindow),
             maxWorkers)
+          if (ids.nonEmpty) lastMaxWindow.set(ids.last)
           if (keep && ids.nonEmpty) {
             // replay-safe history: partition by batch_id and overwrite ONLY
             // this batch's partition (dynamic mode), so a failed-then-

@@ -119,7 +119,8 @@ final case class EmitterBuilder(
     sinkFn: Option[DataFrame => Unit] = None,
     workers: Int = 1,
     filesPerTrigger: Option[Int] = None,
-    batchSinkFn: Option[(DataFrame, Long) => Unit] = None) {
+    batchSinkFn: Option[(DataFrame, Long) => Unit] = None,
+    emitEmptyWindows: Boolean = false) {
 
   /** max_workers= → parallel window emit within a micro-batch (reference
     * ProcessPoolExecutor, window.py:84).
@@ -144,6 +145,12 @@ final case class EmitterBuilder(
 
   /** persist(keep=True) → window history table (reference __init__.py:116). */
   def keep(k: Boolean): EmitterBuilder = copy(keepWindows = k)
+
+  /** emit_empty=True (reference FixedTimeWindow default, window.py:251):
+    * gap intervals emit zero-row windows, synthesized when the next data
+    * batch arrives. Only meaningful with `interval(..., relaxed=false)`.
+    */
+  def emitEmpty(e: Boolean): EmitterBuilder = copy(emitEmptyWindows = e)
 
   def withTrigger(t: Trigger): EmitterBuilder = copy(trigger = t)
 
@@ -170,7 +177,7 @@ final case class EmitterBuilder(
     EmitterRunner.start(stream, strat, combined, keepWindows, trigger,
       queryName = Some(Minibatch.queryNameFor(stream.name)),
       maxWorkers = workers, maxFilesPerTrigger = filesPerTrigger,
-      batchSink = batchSinkFn)
+      batchSink = batchSinkFn, emitEmpty = emitEmptyWindows)
   }
 
   /** Blocking drain (the reference's run(blocking=True) against a finite

@@ -207,6 +207,25 @@ class ConnectorsSuite extends AnyFunSuite {
     assert(back.toSeq === Seq(Row("baz", 7L)))
   }
 
+  test("fixed windows with emit_empty: gap intervals emit zero-row windows (window.py:251 port)") {
+    val mb = Minibatch(spark, freshRoot())
+    val st = mb.stream("spine")
+    st.appendAll(Seq("""{"phase":"early"}"""))
+    Thread.sleep(2500) // silence spanning >=2 one-second windows
+    st.appendAll(Seq("""{"phase":"late"}"""))
+    val seen = mutable.ArrayBuffer.empty[(Long, Long)]
+    mb.streaming("spine").interval(1, relaxed = false).emitEmpty(true)
+      .emit((id, df) => seen.synchronized { seen += ((id, df.count())); () })
+      .run()
+    val sorted = seen.sortBy(_._1)
+    assert(sorted.map(_._2).sum === 2, s"both messages emitted: $sorted")
+    // window ids are contiguous from first to last — the gap was filled
+    val ids = sorted.map(_._1)
+    assert(ids === (ids.head to ids.last),
+      s"expected contiguous window ids, got $ids")
+    assert(sorted.exists(_._2 === 0), s"expected at least one empty gap window: $sorted")
+  }
+
   test("windows history is replay-safe: rewriting a batch partition does not duplicate") {
     val mb = Minibatch(spark, freshRoot())
     val st = mb.stream("kept")
