@@ -130,11 +130,18 @@ final class MbStream(val spark: SparkSession, val name: String, val dir: String)
         else math.max(50L, (maxAgeSeconds * 1000L / 2).toLong)
       val running = new java.util.concurrent.atomic.AtomicBoolean(true)
       val t = new Thread(() => {
-        while (running.get()) {
-          try runRetention(maxAgeSeconds)
-          catch { case _: InterruptedException => running.set(false) }
-          Thread.sleep(every)
-        }
+        try {
+          while (running.get()) {
+            try runRetention(maxAgeSeconds)
+            catch {
+              case _: InterruptedException => running.set(false)
+              // a transient scan failure (concurrent writer, busy cluster)
+              // must not kill the housekeeping loop — retry next sweep
+              case scala.util.control.NonFatal(_) => ()
+            }
+            Thread.sleep(every)
+          }
+        } catch { case _: InterruptedException => running.set(false) }
       }, s"graft-retention-$name")
       t.setDaemon(true)
       t.start()

@@ -46,23 +46,27 @@ class ConnectorsSuite extends AnyFunSuite {
 
   test("auto retention: max_age stream empties itself (test_buffer_housekeeping port)") {
     val mb = Minibatch(spark, freshRoot())
+    val st = mb.stream("housekept")
+    st.append("""{"foo":"bar1"}""")
+    st.append("""{"foo":"bar1"}""")
+    st.append("""{"foo":"bar1"}""")
+    // count BEFORE retention exists: on a loaded JVM the sweep can fire
+    // faster than this thread reaches the count, so asserting 3 after
+    // starting the loop races by design
+    assert(st.buffer().count() === 3)
     // reference: Stream.get_or_create('test', max_age=.5) auto-starts the
     // housekeeping thread (models.py:364-370)
-    val st = mb.stream("housekept", maxAgeSeconds = 0.5)
+    val kept = mb.stream("housekept", maxAgeSeconds = 0.5)
     try {
-      st.append("""{"foo":"bar1"}""")
-      st.append("""{"foo":"bar1"}""")
-      st.append("""{"foo":"bar1"}""")
-      assert(st.buffer().count() === 3)
       // reference sleeps 1s (2x max_age); give the file-scan loop headroom
-      val deadline = System.currentTimeMillis() + 20000
-      var n = st.buffer().count()
+      val deadline = System.currentTimeMillis() + 60000
+      var n = kept.buffer().count()
       while (n > 0 && System.currentTimeMillis() < deadline) {
         Thread.sleep(200)
-        n = st.buffer().count()
+        n = kept.buffer().count()
       }
       assert(n === 0, "retention loop did not clear the aged buffer")
-    } finally st.stopRetention()
+    } finally kept.stopRetention()
   }
 
   test("retention loop racing a RUNNING emitter: aged files vanish mid-stream without failing the query") {
@@ -82,7 +86,7 @@ class ConnectorsSuite extends AnyFunSuite {
         .emit((_, df) => { emitted.addAndGet(df.count().toInt); () })
         .start()
       try {
-        val deadline = System.currentTimeMillis() + 30000
+        val deadline = System.currentTimeMillis() + 60000
         while (emitted.get() < 6 && System.currentTimeMillis() < deadline) {
           Thread.sleep(200)
           // keep feeding while old files are being deleted underneath
@@ -257,7 +261,7 @@ class ConnectorsSuite extends AnyFunSuite {
       .withTrigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(250))
       .emit((_, _) => ()).start()
     try {
-      val deadline = System.currentTimeMillis() + 30000
+      val deadline = System.currentTimeMillis() + 60000
       var s = mb.status("watched")
       while ((!s.running || s.lastBatchId.isEmpty) && System.currentTimeMillis() < deadline) {
         Thread.sleep(200)
