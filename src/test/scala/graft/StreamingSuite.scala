@@ -167,6 +167,30 @@ class StreamingSuite extends AnyFunSuite {
     assert(spark.read.parquet(target).count() === 4)
   }
 
+  test("dataset source -> stream -> emitter -> dataset sink end-to-end (test_omegaml port)") {
+    val mb = Minibatch(spark, freshRoot())
+    val st = mb.stream("omds")
+    // om.datasets.put({'foo':'bar'}, 'stream-test') — a cataloged table the
+    // source tails by monotonic key
+    val srcDir = Files.createTempDirectory("graft-omsrc").toString + "/ds"
+    spark.range(1).selectExpr("id AS k", "'bar' AS foo")
+      .write.mode("append").parquet(srcDir)
+    val src = new TableTailSource(spark, srcDir, "k")
+    val attached = st.attach(s => src.poll(s), pollMs = 100)
+    try {
+      val deadline = System.currentTimeMillis() + 30000
+      while (st.buffer().count() < 1 && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(st.buffer().count() === 1, "attached source never forwarded the dataset row")
+    } finally { src.cancel(); attached.detach() }
+    val outDir = Files.createTempDirectory("graft-omsink").toString + "/out"
+    val sink = new TableSink(outDir)
+    mb.streaming("omds").size(1).sink(df => sink.put(df)).run()
+    val out = spark.read.parquet(outDir)
+    assert(out.count() === 1)
+    assert(out.select("data").head.getString(0).contains(""""foo":"bar""""))
+  }
+
   test("parallel emit keeps up with a slow emitfn (test_slow_emitfn port)") {
     val mb = Minibatch(spark, freshRoot())
     val st = mb.stream("slow")
