@@ -84,4 +84,21 @@ object TextAnalysis {
     */
   def winnowFingerprint(text: Column, n: Int = 3): Column =
     array_min(transform(shingles(text, n), s => xxhash64(s)))
+
+  /** Count-min sketch of term frequencies — the bounded-memory scale path
+    * for term stats. An exact `groupBy(term)` holds every distinct term
+    * through the shuffle (fine for words, hostile for URLs/n-grams at
+    * 100 TB); the sketch is a fixed `O(1/eps · ln 1/confidence)` bytes per
+    * partition, merged associatively, never overcounting by more than
+    * eps·total (one-sided: estimate ≥ true count always). Fixed seed keeps
+    * estimates deterministic across runs.
+    */
+  def termFreqSketch(
+      df: DataFrame,
+      textCol: Column,
+      eps: Double = 0.0001,
+      confidence: Double = 0.99,
+      seed: Int = 42): org.apache.spark.util.sketch.CountMinSketch =
+    df.select(explode(wordTokens(textCol)).as("token"))
+      .stat.countMinSketch(col("token"), eps, confidence, seed)
 }

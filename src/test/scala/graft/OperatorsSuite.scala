@@ -166,6 +166,42 @@ class OperatorsSuite extends AnyFunSuite {
     assert(fps(0) === fps(1))
   }
 
+  test("count-min term sketch: one-sided error within eps*total of exact counts") {
+    val eps = 0.001
+    val sketch = TextAnalysis.termFreqSketch(docs, col("text"), eps = eps)
+    val exact = docs
+      .select(explode(TextAnalysis.wordTokens(col("text"))).as("token"))
+      .groupBy("token").count()
+      .orderBy(col("count").desc, col("token")).limit(20)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val total = sketch.totalCount()
+    exact.foreach { case (term, n) =>
+      val est = sketch.estimateCount(term)
+      assert(est >= n, s"CMS must never undercount: $term est=$est exact=$n")
+      assert(est <= n + (eps * total).toLong + 1,
+        s"CMS overcount beyond eps*total: $term est=$est exact=$n total=$total")
+    }
+  }
+
+  test("int8 quantization: reconstruction error bounded, cosine ranking preserved") {
+    import graft.functions.VectorFunctions._
+    val v = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+      .limit(50)
+      .select(col("vec_id"), toDoubleArray(col("embedding")).as("vec"))
+      .withColumn("deq", dequantizeInt8(quantizeInt8(col("vec"))))
+    // per-dimension error <= scale/2 = max|x|/254
+    val bad = v.select(
+        aggregate(zip_with(col("vec"), col("deq"), (a, b) => abs(a - b)),
+          lit(0.0), (acc, x) => greatest(acc, x)).as("max_err"),
+        (array_max(transform(col("vec"), x => abs(x))) / 254.0 + 1e-12).as("bound"))
+      .filter(col("max_err") > col("bound")).count()
+    assert(bad === 0)
+    // cosine between original and dequantized ~ 1
+    val minCos = v.select(cosine(col("vec"), col("deq")).as("c"))
+      .agg(min(col("c"))).head().getDouble(0)
+    assert(minCos > 0.9995, s"quantization distorted direction: min cosine $minCos")
+  }
+
   test("dup clusters: transitive closure, min-id winner, one keeper per cluster") {
     import spark.implicits._
     // a 4-chain (transitivity beyond direct pairs), a 2-cluster, a 3-star
