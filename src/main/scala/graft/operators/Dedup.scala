@@ -256,8 +256,12 @@ object Dedup {
       .union(pairs.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
       .distinct()
       .localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
+    // init = min(self, min direct neighbor): the first propagation hop is
+    // folded into initialization, saving one full checkpoint+agg round
+    var labels = edges
+      .groupBy(col("src"))
+      .agg(min(col("dst")).as("mn"))
+      .select(col("src").as("id"), least(col("mn"), col("src")).as("label"))
       .localCheckpoint()
     // labels only ever DECREASE, so sum(label) is strictly monotone while
     // anything changes — convergence is one cheap agg per round, not a
