@@ -32,21 +32,35 @@ object GraftExtensions {
     case other => throw new IllegalArgumentException(s"$what must be an integer literal, got $other")
   }
 
+  // usage strings surface via DESCRIBE FUNCTION — preconditions SQL callers
+  // can't read from scaladoc (notably graft_intersect_count's sorted input)
+  // must be stated here
+  private def info(clazz: Class[_], name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(clazz.getName, null, name, usage, "")
+
   private[functions] val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("graft_dot",
-      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      info(classOf[DotProduct], "graft_dot",
+        "_FUNC_(a, b) - Dot product of two equal-length DOUBLE arrays."),
       (args: Seq[Expression]) => DotProduct(args(0), args(1))),
     ("graft_shingles",
-      new ExpressionInfo(classOf[Shingles].getName, "graft_shingles"),
+      info(classOf[Shingles], "graft_shingles",
+        "_FUNC_(tokens, n) - Distinct n-grams (space-joined) of a STRING array; n must be an integer literal."),
       (args: Seq[Expression]) => Shingles(args(0), intLit(args(1), "shingle size"))),
     ("graft_minhash",
-      new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash"),
+      info(classOf[MinHashSig], "graft_minhash",
+        "_FUNC_(shingles, k) - MinHash signature (k BIGINT minima) of a STRING array; k must be an integer literal."),
       (args: Seq[Expression]) => MinHashSig(args(0), intLit(args(1), "numHashes"))),
     ("graft_simhash",
-      new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
+      info(classOf[SimHash64], "graft_simhash",
+        "_FUNC_(shingles) - 64-bit SimHash of a STRING array."),
       (args: Seq[Expression]) => SimHash64(args(0))),
     ("graft_intersect_count",
-      new ExpressionInfo(classOf[IntersectCountSorted].getName, "graft_intersect_count"),
+      info(classOf[IntersectCountSorted], "graft_intersect_count",
+        "_FUNC_(a, b) - Count of common elements of two BIGINT arrays. " +
+          "PRECONDITION: both arrays must be sorted ascending with no duplicates " +
+          "(e.g. sort_array over distinct hashes); unsorted or duplicated input " +
+          "yields undefined counts, not an error."),
       (args: Seq[Expression]) => IntersectCountSorted(args(0), args(1))))
 
   /** Register the functions on an already-built session. */

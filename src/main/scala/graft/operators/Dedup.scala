@@ -252,8 +252,19 @@ object Dedup {
     * (doc_id, cluster_id, keep).
     */
   def dupClusters(pairs: DataFrame, aCol: String, bCol: String, maxIter: Int = 25): DataFrame = {
-    val edges = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
-      .union(pairs.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
+    // fail loudly on ids the long cast cannot represent (null, UUID-style
+    // strings, ...): a silent null here would produce null-keyed edges and
+    // a garbage clustering — same fail-loud posture as the maxIter check.
+    // String ids should be pre-hashed (e.g. xxhash64) by the caller.
+    def checkedId(c: Column, side: String): Column = {
+      val casted = c.cast("long")
+      when(casted.isNull,
+        raise_error(concat(lit(s"dupClusters: $side id is null or non-numeric: "),
+          coalesce(c.cast("string"), lit("NULL")))))
+        .otherwise(casted)
+    }
+    val edges = pairs.select(checkedId(col(aCol), aCol).as("src"), checkedId(col(bCol), bCol).as("dst"))
+      .union(pairs.select(checkedId(col(bCol), bCol).as("src"), checkedId(col(aCol), aCol).as("dst")))
       .distinct()
       .localCheckpoint()
     // init = min(self, min direct neighbor): the first propagation hop is

@@ -18,6 +18,8 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EmitterRunner {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   case class Message(stream: String, created: Timestamp, data: String)
   case class WindowedMessage(stream: String, created: Timestamp, data: String, window_id: Long)
   case class CountState(pending: Seq[Message], nextWindowId: Long, emittedInBatch: Long)
@@ -109,13 +111,29 @@ object EmitterRunner {
       maxWorkers: Int = 1,
       maxFilesPerTrigger: Option[Int] = None,
       batchSink: Option[(DataFrame, Long) => Unit] = None,
-      emitEmpty: Boolean = false): StreamingQuery = {
+      emitEmpty: Boolean = false,
+      maxGapWindows: Int = 1000): StreamingQuery = {
     // emit_empty (reference FixedTimeWindow default, window.py:251): gap
     // intervals between observed windows emit a zero-row window. Spark's
     // micro-batch loop only wakes on data, so gap windows are synthesized
-    // when the NEXT data batch arrives (documented delta: during total
-    // silence nothing fires — the reference's wall-clock loop would).
+    // when the NEXT data batch arrives (documented deltas vs the
+    // reference's wall-clock loop: (1) during total silence nothing fires;
+    // (2) the high-water mark is in-memory — after a restart from
+    // checkpoint it is recovered from the kept windows history when
+    // keep=true, but with keep=false gap windows spanning the restart are
+    // not synthesized; (3) a gap burst is capped at `maxGapWindows` per
+    // micro-batch — after a long outage only the most recent gaps emit,
+    // older ones are logged and collapsed, so a weekend of silence cannot
+    // wedge the query with one emitFn call per missed interval).
     val lastMaxWindow = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
+    if (emitEmpty && keep) {
+      // recover the high-water mark from the kept history so gap windows
+      // spanning a restart are synthesized instead of silently dropped
+      scala.util.Try {
+        val row = stream.windows().agg(max(col("window_id"))).head()
+        if (!row.isNullAt(0)) lastMaxWindow.set(row.getLong(0))
+      }
+    }
     val assigned = assign(readBuffer(stream, maxFilesPerTrigger), strategy)
     val writer = assigned.writeStream
       .trigger(trigger)
@@ -136,7 +154,20 @@ object EmitterRunner {
                 if (lastMaxWindow.get() == Long.MinValue) ids.head
                 else lastMaxWindow.get() + 1
               val present = ids.toSet
-              (from to ids.last).filterNot(present)
+              // cap the synthesized burst: a long outage can leave millions
+              // of missed intervals; emitting one window (≈ one Spark job)
+              // per interval in a single micro-batch would wedge the query.
+              // Clamp the range BEFORE materializing it, then trim exactly.
+              val span = ids.last - from + 1
+              val clampedFrom =
+                if (span > maxGapWindows.toLong + ids.size) {
+                  val cf = ids.last - (maxGapWindows.toLong + ids.size) + 1
+                  log.warn(s"emitEmpty: gap of ${span - ids.size} missed windows " +
+                    s"exceeds maxGapWindows=$maxGapWindows; emitting only the most " +
+                    s"recent $maxGapWindows empty windows (ids < $cf collapsed)")
+                  cf
+                } else from
+              (clampedFrom to ids.last).filterNot(present).takeRight(maxGapWindows)
             case _ => Seq.empty
           }
           val emptyWindow = cached.filter(lit(false)).drop("window_id")

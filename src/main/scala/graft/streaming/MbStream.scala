@@ -21,6 +21,8 @@ import org.apache.spark.sql.types._
 final class MbStream(val spark: SparkSession, val name: String, val dir: String) {
   import MbStream._
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(classOf[MbStream])
+
   val bufferDir: String = s"$dir/buffer"
   val windowsDir: String = s"$dir/windows"
   val checkpointsDir: String = s"$dir/checkpoints"
@@ -136,8 +138,12 @@ final class MbStream(val spark: SparkSession, val name: String, val dir: String)
             catch {
               case _: InterruptedException => running.set(false)
               // a transient scan failure (concurrent writer, busy cluster)
-              // must not kill the housekeeping loop — retry next sweep
-              case scala.util.control.NonFatal(_) => ()
+              // must not kill the housekeeping loop — warn and retry next
+              // sweep (reference hk_logger.warning, models.py:322-324); a
+              // PERSISTENT failure stays visible in the logs instead of
+              // silently growing the buffer forever
+              case scala.util.control.NonFatal(e) =>
+                log.warn(s"graft-retention-$name: sweep failed, retrying in ${every}ms", e)
             }
             Thread.sleep(every)
           }

@@ -120,7 +120,8 @@ final case class EmitterBuilder(
     workers: Int = 1,
     filesPerTrigger: Option[Int] = None,
     batchSinkFn: Option[(DataFrame, Long) => Unit] = None,
-    emitEmptyWindows: Boolean = false) {
+    emitEmptyWindows: Boolean = false,
+    gapCap: Int = 1000) {
 
   /** max_workers= → parallel window emit within a micro-batch (reference
     * ProcessPoolExecutor, window.py:84).
@@ -152,6 +153,12 @@ final case class EmitterBuilder(
     */
   def emitEmpty(e: Boolean): EmitterBuilder = copy(emitEmptyWindows = e)
 
+  /** Cap on empty gap windows synthesized per micro-batch (after a long
+    * outage only the most recent N gaps emit; older ones are logged and
+    * collapsed so a burst cannot wedge the query).
+    */
+  def maxGapWindows(n: Int): EmitterBuilder = copy(gapCap = n)
+
   def withTrigger(t: Trigger): EmitterBuilder = copy(trigger = t)
 
   def emit(fn: (Long, DataFrame) => Unit): EmitterBuilder = copy(emitFn = Some(fn))
@@ -177,7 +184,8 @@ final case class EmitterBuilder(
     EmitterRunner.start(stream, strat, combined, keepWindows, trigger,
       queryName = Some(Minibatch.queryNameFor(stream.name)),
       maxWorkers = workers, maxFilesPerTrigger = filesPerTrigger,
-      batchSink = batchSinkFn, emitEmpty = emitEmptyWindows)
+      batchSink = batchSinkFn, emitEmpty = emitEmptyWindows,
+      maxGapWindows = gapCap)
   }
 
   /** Blocking drain (the reference's run(blocking=True) against a finite

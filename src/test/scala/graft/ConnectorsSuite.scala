@@ -250,6 +250,57 @@ class ConnectorsSuite extends AnyFunSuite {
     assert(st.windows().select("batch_id").distinct().count() === batchIds.length.toLong)
   }
 
+  /** Write messages with crafted created timestamps straight into the
+    * buffer (appendAll stamps wall-clock now; gap tests need control).
+    */
+  private def writeBuffer(st: MbStream, rows: Seq[(String, Long)]): Unit = {
+    val rws = rows.map { case (data, tsMs) => Row(st.name, new Timestamp(tsMs), data) }
+    spark.createDataFrame(spark.sparkContext.parallelize(rws, 1), MbStream.MessageSchema)
+      .write.mode("append").parquet(st.bufferDir)
+  }
+
+  test("emit_empty gap burst is capped at maxGapWindows (an outage cannot wedge the query)") {
+    val mb = Minibatch(spark, freshRoot())
+    val st = mb.stream("gapped")
+    val t0 = 1700000000L * 1000L
+    // ~10000 missed one-second windows between the two messages
+    writeBuffer(st, Seq(("""{"phase":"early"}""", t0), ("""{"phase":"late"}""", t0 + 10000L * 1000L)))
+    val seen = mutable.ArrayBuffer.empty[(Long, Long)]
+    mb.streaming("gapped").interval(1, relaxed = false).emitEmpty(true).maxGapWindows(5)
+      .emit((id, df) => seen.synchronized { seen += ((id, df.count())); () })
+      .run()
+    val sorted = seen.sortBy(_._1)
+    assert(sorted.map(_._2).sum === 2, s"both data windows emitted: $sorted")
+    val empties = sorted.filter(_._2 == 0L).map(_._1)
+    assert(empties.size === 5, s"gap capped at 5 empty windows, got: $sorted")
+    // the synthesized gaps are the MOST RECENT ones, contiguous below the late window
+    val lateId = t0 / 1000L + 10000L
+    assert(empties === (lateId - 5 until lateId), s"expected newest gaps, got: $empties")
+  }
+
+  test("emit_empty high-water mark is recovered from kept history across a restart") {
+    val mb = Minibatch(spark, freshRoot())
+    val st = mb.stream("restarted")
+    val t0 = 1700000000L * 1000L
+    writeBuffer(st, Seq(("""{"run":1}""", t0)))
+    val seen1 = mutable.ArrayBuffer.empty[(Long, Long)]
+    mb.streaming("restarted").interval(1, relaxed = false).emitEmpty(true).keep(true)
+      .emit((id, df) => seen1.synchronized { seen1 += ((id, df.count())); () }).run()
+    assert(seen1.map(_._2).sum === 1)
+    // "restart": a brand-new runner loses the in-memory high-water mark;
+    // with keep=true it must recover it from the windows history, so the
+    // 3 gap windows spanning the restart are synthesized, not dropped
+    writeBuffer(st, Seq(("""{"run":2}""", t0 + 4000L)))
+    val seen2 = mutable.ArrayBuffer.empty[(Long, Long)]
+    mb.streaming("restarted").interval(1, relaxed = false).emitEmpty(true).keep(true)
+      .emit((id, df) => seen2.synchronized { seen2 += ((id, df.count())); () }).run()
+    val sorted2 = seen2.sortBy(_._1)
+    val w0 = t0 / 1000L
+    assert(sorted2.map(_._1) === (w0 + 1 to w0 + 4),
+      s"gap windows spanning the restart synthesized: $sorted2")
+    assert(sorted2.map(_._2) === Seq(0L, 0L, 0L, 1L))
+  }
+
   test("status surface: running and stopped emitters are observable (StreamingApp /status port)") {
     val mb = Minibatch(spark, freshRoot())
     val st = mb.stream("watched")

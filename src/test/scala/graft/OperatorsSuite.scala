@@ -217,6 +217,26 @@ class OperatorsSuite extends AnyFunSuite {
     assert(got.filter(_._3).map(_._1).toSeq === Seq(1L, 10L, 20L))
   }
 
+  test("dup clusters: null or non-castable ids fail loudly, never null-keyed garbage") {
+    import spark.implicits._
+    // null id: our raise_error fires in any cast mode
+    val nullPairs = Seq((Some(1L), None: Option[Long])).toDF("doc_a", "doc_b")
+    val e1 = intercept[Exception] {
+      Dedup.dupClusters(nullPairs, "doc_a", "doc_b").collect()
+    }
+    def messages(t: Throwable): List[String] =
+      if (t == null) Nil else Option(t.getMessage).toList ++ messages(t.getCause)
+    assert(messages(e1).exists(_.contains("dupClusters")), s"got: ${messages(e1)}")
+    // UUID-style string id: loud in both cast modes (ANSI cast error, or
+    // our raise_error when ANSI is off) — never a silent null key
+    val uuidPairs = Seq(("3f2a-11ee", "9b1c-4a00")).toDF("doc_a", "doc_b")
+    val e2 = intercept[Exception] {
+      Dedup.dupClusters(uuidPairs, "doc_a", "doc_b").collect()
+    }
+    assert(messages(e2).exists(m => m.contains("dupClusters") || m.toLowerCase.contains("cast")),
+      s"got: ${messages(e2)}")
+  }
+
   test("approx percentiles track exact within 1% (q_approx_percentiles gate)") {
     // sf0.01: ~3k orders/priority. percentile_approx returns a real element
     // (no interpolation), so the bound needs groups dense enough that

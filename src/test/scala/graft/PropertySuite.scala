@@ -44,6 +44,11 @@ class PropertySuite extends AnyFunSuite {
     df.createOrReplaceTempView("ics_cases")
     spark.sql("SELECT graft_intersect_count(a, b) AS fast, size(array_intersect(a, b)) AS ref FROM ics_cases")
       .collect().foreach(r => assert(r.getInt(0) === r.getInt(1)))
+    // the sorted/distinct precondition is visible to SQL callers, not
+    // buried in scaladoc: DESCRIBE FUNCTION must state it
+    val described = spark.sql("DESCRIBE FUNCTION graft_intersect_count")
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(described.contains("sorted ascending"), s"usage missing precondition:\n$described")
   }
 
   test("count-window: every row in exactly one window; all full except the last") {
