@@ -752,6 +752,78 @@ object SparkEntry {
         .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_docs"))
         .select(col("doc_id"), col("n_docs"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ── training-pipeline analytics [EXT] ─────────────────────────────────
+
+    // Time-range window frame (RANGE BETWEEN an interval): per-user rolling
+    // 1-hour sum/count over events — the event-time analytic that ROWS
+    // frames cannot express. Epoch-microsecond order keys keep the frame
+    // bounds engine-exact; one shuffle on user_id, per-partition sort.
+    "q_window_range_frame" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+        .rangeBetween(-3600L * 1000000L, Window.currentRow)
+      events(s, dir)
+        .withColumn("ts_us", unix_micros(col("ts")))
+        .withColumn("rolling_sum", round(sum(col("value")).over(w), 2))
+        .withColumn("rolling_n", count(lit(1)).over(w))
+        .select(col("event_id"), col("user_id"), col("rolling_sum"), col("rolling_n"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Sequence packing: assign docs to fixed token-budget bins per language
+    // (bin = tokens-before-this-doc / budget, doc_id order) — the
+    // pretraining "pack documents into ~1k-token sequences" step as one
+    // per-language window cumsum; no driver loop, scales with languages ×
+    // docs. A doc straddling a boundary belongs to the bin where it starts.
+    "pack_sequences" -> ((s, dir) => {
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      documents(s, dir)
+        .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+        .withColumn("cum", sum(col("n_tok")).over(w))
+        .withColumn("seq_id", floor((col("cum") - col("n_tok")) / lit(1000)).cast("long"))
+        .select(col("doc_id"), col("lang"), col("n_tok"), col("seq_id"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Repetition-based quality signals (the Gopher-style filters: duplicate-
+    // token fraction and top-bigram mass — Rae et al. 2021, §A1.1, public
+    // heuristic): per-row array ops + one (doc, bigram) hash agg; no
+    // cross-document work, embarrassingly parallel at any scale.
+    "text_repetition" -> ((s, dir) => {
+      documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .withColumn("n_tok", size(col("toks")).cast("long"))
+        .withColumn("dup_frac",
+          round(lit(1.0) - size(array_distinct(col("toks"))).cast("double") / col("n_tok"), 4))
+        .select(col("doc_id"), col("n_tok"), col("dup_frac"),
+          explode(zip_with(
+            slice(col("toks"), lit(1), size(col("toks")) - 1),
+            slice(col("toks"), lit(2), size(col("toks")) - 1),
+            (a, b) => concat_ws(" ", a, b))).as("bigram"))
+        .groupBy(col("doc_id"), col("n_tok"), col("dup_frac"), col("bigram"))
+        .agg(count(lit(1)).as("bg_n"))
+        .groupBy(col("doc_id"), col("n_tok"), col("dup_frac"))
+        .agg(max(col("bg_n")).as("top_bg"))
+        .withColumn("top_bigram_frac", round(col("top_bg") * lit(2.0) / col("n_tok"), 4))
+        .select(col("doc_id"), col("dup_frac"), col("top_bigram_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Deterministic train/valid/test split (80/10/10 by md5 bucket of the
+    // doc id): the same doc lands in the same split on every engine, run,
+    // and cluster size — no RNG at execution time (md5 is the cross-engine
+    // hash, as in sample_consistent). Census per (lang, split).
+    "sample_split" -> ((s, dir) => {
+      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 100
+      documents(s, dir)
+        .withColumn("split",
+          when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test"))
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("lang"), col("split"))
     })
   )
 
@@ -1286,6 +1358,51 @@ object SparkEntry {
         |             / greatest((doc_id % 64) * 16 + 16, (doc_id % 48) * 16 + 16))::INTEGER AS out_height
         |FROM documents
         |WHERE doc_id % 3 = 0
-        |ORDER BY media_id""".stripMargin
+        |ORDER BY media_id""".stripMargin,
+
+    "q_window_range_frame" ->
+      """SELECT event_id, user_id,
+        |       round(sum(value) OVER w, 2) AS rolling_sum,
+        |       count(*) OVER w AS rolling_n
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+
+    "pack_sequences" ->
+      """SELECT doc_id, lang, n_tok, floor((cum - n_tok) / 1000)::BIGINT AS seq_id
+        |FROM (SELECT doc_id, lang, len(string_split(text, ' '))::BIGINT AS n_tok,
+        |             sum(len(string_split(text, ' '))) OVER (PARTITION BY lang ORDER BY doc_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "text_repetition" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |base AS (
+        |  SELECT doc_id, len(t)::BIGINT AS n_tok,
+        |         round(1.0 - len(list_distinct(t))::DOUBLE / len(t), 4) AS dup_frac,
+        |         [t[x] || ' ' || t[x+1] for x in range(1, len(t))] AS bgs
+        |  FROM toks),
+        |counts AS (
+        |  SELECT doc_id, n_tok, dup_frac, bg, count(*) AS bg_n
+        |  FROM (SELECT doc_id, n_tok, dup_frac, unnest(bgs) AS bg FROM base)
+        |  GROUP BY doc_id, n_tok, dup_frac, bg)
+        |SELECT doc_id, dup_frac, round(max(bg_n) * 2.0 / n_tok, 4) AS top_bigram_frac
+        |FROM counts
+        |GROUP BY doc_id, dup_frac, n_tok
+        |ORDER BY doc_id""".stripMargin,
+
+    "sample_split" ->
+      """SELECT lang, split, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars
+        |FROM (SELECT lang, n_chars,
+        |        CASE WHEN b < 80 THEN 'train'
+        |             WHEN b < 90 THEN 'valid'
+        |             ELSE 'test' END AS split
+        |      FROM (SELECT lang, n_chars,
+        |              ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 100 AS b
+        |            FROM documents))
+        |GROUP BY lang, split
+        |ORDER BY lang, split""".stripMargin
   )
 }
