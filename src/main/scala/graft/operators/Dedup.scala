@@ -263,8 +263,15 @@ object Dedup {
           coalesce(c.cast("string"), lit("NULL")))))
         .otherwise(casted)
     }
-    val edges = pairs.select(checkedId(col(aCol), aCol).as("src"), checkedId(col(bCol), bCol).as("dst"))
-      .union(pairs.select(checkedId(col(bCol), bCol).as("src"), checkedId(col(aCol), aCol).as("dst")))
+    // both edge directions from ONE pass over the (possibly expensive)
+    // pairs plan — a union of two selects would run it twice unless
+    // exchange reuse happens to kick in; explode makes single-execution
+    // structural
+    val edges = pairs
+      .select(explode(array(
+        struct(checkedId(col(aCol), aCol).as("src"), checkedId(col(bCol), bCol).as("dst")),
+        struct(checkedId(col(bCol), bCol).as("src"), checkedId(col(aCol), aCol).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
       .localCheckpoint()
     // init = min(self, min direct neighbor): the first propagation hop is
@@ -283,14 +290,16 @@ object Dedup {
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val nbrMin = edges
+      // min(own label, min neighbor label) as ONE join + union + agg —
+      // the propagated labels and the node's own label meet in the same
+      // hash aggregate, saving the join-back-to-labels a two-step
+      // (neighbor-agg then left-join) formulation pays every round
+      val updated = edges
         .join(labels.select(col("id").as("dst"), col("label").as("dst_label")), Seq("dst"))
-        .groupBy(col("src").as("id"))
-        .agg(min(col("dst_label")).as("nbr_label"))
-      val updated = labels
-        .join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .select(col("src").as("id"), col("dst_label").as("label"))
+        .union(labels)
+        .groupBy(col("id"))
+        .agg(min(col("label")).as("label"))
         .localCheckpoint()
       val s = labelSum(updated)
       converged = s == prevSum
