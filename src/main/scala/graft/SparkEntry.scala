@@ -811,6 +811,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Incremental exact dedup: a new ingest batch (doc_id >= 400) anti-
+    // joined against the kept corpus's fingerprint set (doc_id < 400) —
+    // the daily-ingest dedup shape; the corpus side reduces to distinct
+    // fingerprints before the join (see Dedup.incrementalExact).
+    "dedup_incremental" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      Dedup.incrementalExact(
+          docs.filter(col("doc_id") >= 400),
+          docs.filter(col("doc_id") < 400),
+          TextAnalysis.md5Fingerprint(col("text")))
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Deterministic train/valid/test split (80/10/10 by md5 bucket of the
     // doc id): the same doc lands in the same split on every engine, run,
     // and cluster size — no RNG at execution time (md5 is the cross-engine
@@ -1392,6 +1406,15 @@ object SparkEntry {
         |FROM counts
         |GROUP BY doc_id, dup_frac, n_tok
         |ORDER BY doc_id""".stripMargin,
+
+    "dedup_incremental" ->
+      """SELECT d.doc_id, d.lang
+        |FROM documents d
+        |WHERE d.doc_id >= 400
+        |  AND NOT EXISTS (SELECT 1 FROM documents c
+        |                  WHERE c.doc_id < 400
+        |                    AND md5(lower(trim(c.text))) = md5(lower(trim(d.text))))
+        |ORDER BY d.doc_id""".stripMargin,
 
     "sample_split" ->
       """SELECT lang, split, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars

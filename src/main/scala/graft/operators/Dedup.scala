@@ -313,6 +313,26 @@ object Dedup {
       (col("id") === col("label")).as("keep"))
   }
 
+  /** Incremental exact dedup: drop rows of a NEW ingest batch whose
+    * fingerprint already exists in the CORPUS — the daily-ingest shape
+    * (dedup today's crawl against everything kept so far) that a full
+    * re-clustering would waste a corpus-wide shuffle on.
+    *
+    * Plan shape: the corpus side reduces to its DISTINCT fingerprint set
+    * before the anti join, so the join input is |unique fingerprints|, not
+    * |corpus rows|; the anti join hash-partitions both sides on the
+    * fingerprint (and AQE broadcasts the set when a filtered corpus slice
+    * is small). At 100 TB the fingerprint set is the only state to keep
+    * between runs — persist it as a bucketed table and the daily join is
+    * co-located with zero corpus rescans.
+    */
+  def incrementalExact(newBatch: DataFrame, corpus: DataFrame, fp: Column): DataFrame = {
+    val seen = corpus.select(fp.as("fp")).distinct()
+    newBatch.withColumn("fp", fp)
+      .join(seen, Seq("fp"), "left_anti")
+      .drop("fp")
+  }
+
   /** Exact all-pairs embedding near-dup (cosine ≥ threshold). Quadratic —
     * correctness reference and oracle target only; the scale path is
     * [[embeddingNearDupLSH]].

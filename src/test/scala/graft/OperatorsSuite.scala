@@ -217,6 +217,18 @@ class OperatorsSuite extends AnyFunSuite {
     assert(got.filter(_._3).map(_._1).toSeq === Seq(1L, 10L, 20L))
   }
 
+  test("incremental dedup: new-batch rows with a corpus fingerprint are dropped") {
+    import spark.implicits._
+    val corpus = Seq((1L, "Hello World"), (2L, "foo bar")).toDF("doc_id", "text")
+    val fresh = Seq((10L, "  hello world "), (11L, "brand new doc"), (12L, "FOO BAR"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.incrementalExact(fresh, corpus, TextAnalysis.md5Fingerprint(col("text")))
+    // 10 and 12 match corpus docs after trim/lower normalization; 11 is new
+    assert(kept.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq === Seq(11L))
+    // schema passes through unchanged (no helper columns leak)
+    assert(kept.columns.toSeq === fresh.columns.toSeq)
+  }
+
   test("dup clusters: null or non-castable ids fail loudly, never null-keyed garbage") {
     import spark.implicits._
     // null id: our raise_error fires in any cast mode
