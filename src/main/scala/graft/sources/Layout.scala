@@ -1,0 +1,46 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+/** Write-side data layout: the half of scan pruning that happens before any
+  * query runs. A 100 TB corpus laid out as `lang=.../date=...` partitions with
+  * sorted row groups lets every downstream query in this engine skip
+  * irrelevant files at the DIRECTORY level (partition pruning) and
+  * irrelevant row groups at the FOOTER level (min/max statistics on the
+  * sort column) — the difference between scanning 100 TB and scanning the
+  * slice a filter actually needs.
+  *
+  * Recipe (the standard scalable layout):
+  *   1. `repartition(partitionCols)` — each partition value lands wholly in
+  *      one task, so a directory gets ONE file per write instead of one
+  *      file per (task × value) — the small-files explosion that kills
+  *      object-store listings.
+  *   2. `sortWithinPartitions(sortCols)` — clusters each file's row groups
+  *      by the sort key, making parquet min/max stats selective.
+  *   3. `partitionBy(partitionCols)` on the writer — hive-style directory
+  *      layout, discoverable by any engine.
+  *
+  * `maxRecordsPerFile` bounds file size for very hot partition values
+  * (0 = no bound).
+  */
+object Layout {
+
+  def writePartitioned(
+      df: DataFrame,
+      path: String,
+      partitionCols: Seq[String],
+      sortCols: Seq[String] = Nil,
+      maxRecordsPerFile: Long = 0L): Unit = {
+    require(partitionCols.nonEmpty, "writePartitioned needs at least one partition column")
+    val clustered = df.repartition(partitionCols.map(col): _*)
+    val sorted =
+      if (sortCols.nonEmpty) clustered.sortWithinPartitions(sortCols.map(col): _*)
+      else clustered
+    val writer = sorted.write.mode("overwrite").partitionBy(partitionCols: _*)
+    val bounded =
+      if (maxRecordsPerFile > 0) writer.option("maxRecordsPerFile", maxRecordsPerFile)
+      else writer
+    bounded.parquet(path)
+  }
+}

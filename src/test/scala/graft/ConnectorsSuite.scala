@@ -301,6 +301,34 @@ class ConnectorsSuite extends AnyFunSuite {
     assert(sorted2.map(_._2) === Seq(0L, 0L, 0L, 1L))
   }
 
+  test("partitioned layout: one file per partition value; filtered reads prune to the partition") {
+    val docs = TestSpark.spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val out = freshRoot() + "/docs_by_lang"
+    Layout.writePartitioned(docs, out, partitionCols = Seq("lang"), sortCols = Seq("doc_id"))
+    // hive-style dirs, one parquet file per partition value (repartition by
+    // the partition key prevents the per-task small-files explosion)
+    val langDirs = java.nio.file.Files.list(java.nio.file.Paths.get(out)).toArray.toSeq
+      .map(_.toString).filter(_.contains("lang="))
+    assert(langDirs.nonEmpty)
+    langDirs.foreach { d =>
+      val files = java.nio.file.Files.list(java.nio.file.Paths.get(d)).toArray.toSeq
+        .map(_.toString).filter(_.endsWith(".parquet"))
+      assert(files.size === 1, s"expected one file in $d, got ${files.size}")
+    }
+    // partition pruning: the physical scan of a lang-filtered read must
+    // select ONLY that partition directory (inputFiles can't show this —
+    // it lists the relation before pushdown)
+    val en = spark.read.parquet(out).filter(col("lang") === "en")
+    val scan = en.queryExecution.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("no file scan in plan"))
+    assert(scan.selectedPartitions.partitionCount === 1,
+      s"expected only lang=en to survive pruning, scanned ${scan.selectedPartitions.partitionCount} partitions")
+    // and the layout is lossless
+    assert(spark.read.parquet(out).count() === docs.count())
+    assert(en.count() === docs.filter(col("lang") === "en").count())
+  }
+
   test("status surface: running and stopped emitters are observable (StreamingApp /status port)") {
     val mb = Minibatch(spark, freshRoot())
     val st = mb.stream("watched")
