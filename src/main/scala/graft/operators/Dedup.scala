@@ -160,11 +160,18 @@ object Dedup {
       .withColumn("n_sh", size(col("sh")))
       .select(col("doc_id") +: col("n_sh") +: explode(col("sh")).as("shingle") +:
         keyNames.map(col): _*)
+    // length filter (AllPairs/PPJoin): J >= t forces min(|A|,|B|) >= t·max —
+    // length-incompatible pairs are dropped INSIDE the join, before they
+    // reach the per-pair count aggregate's shuffle; result set unchanged
+    // (the threshold filter below would reject them anyway)
+    val lengthCompatible =
+      least(col("l.n_sh"), col("r.n_sh")) >=
+        lit(threshold) * greatest(col("l.n_sh"), col("r.n_sh"))
     inv.as("l")
       .join(inv.as("r"),
         keyNames.map(k => col(s"l.$k") === col(s"r.$k"))
           .foldLeft(col("l.shingle") === col("r.shingle"))(_ && _) &&
-          col("l.doc_id") < col("r.doc_id"))
+          col("l.doc_id") < col("r.doc_id") && lengthCompatible)
       .groupBy(
         col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
         col("l.n_sh").as("n_a"), col("r.n_sh").as("n_b"))
@@ -207,13 +214,19 @@ object Dedup {
       .withColumn("plen",
         (col("n_sh") - ceil(col("n_sh") * lit(threshold)) + 1).cast("int"))
     val prefixes = base.select(
-      col("doc_id") +: explode(slice(col("hs"), lit(1), col("plen"))).as("h") +:
+      col("doc_id") +: col("n_sh") +:
+        explode(slice(col("hs"), lit(1), col("plen"))).as("h") +:
         keyNames.map(col): _*)
+    // length filter (AllPairs/PPJoin): prune length-incompatible pairs
+    // inside the candidate join, before the distinct's shuffle
+    val lengthCompatible =
+      least(col("l.n_sh"), col("r.n_sh")) >=
+        lit(threshold) * greatest(col("l.n_sh"), col("r.n_sh"))
     val candidates = prefixes.as("l")
       .join(prefixes.as("r"),
         keyNames.map(k => col(s"l.$k") === col(s"r.$k"))
           .foldLeft(col("l.h") === col("r.h"))(_ && _) &&
-          col("l.doc_id") < col("r.doc_id"))
+          col("l.doc_id") < col("r.doc_id") && lengthCompatible)
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
       .distinct()
     // verify on the hashed (long) shingle arrays — far cheaper through the
