@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.operators.{Dedup, Multimodal, Relational, Similarity, TextAnalysis, WindowAssign}
+import graft.operators.{Dedup, Multimodal, Pipeline, Relational, Similarity, TextAnalysis, WindowAssign}
 import graft.functions.VectorFunctions
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -777,12 +777,9 @@ object SparkEntry {
     // per-language window cumsum; no driver loop, scales with languages ×
     // docs. A doc straddling a boundary belongs to the bin where it starts.
     "pack_sequences" -> ((s, dir) => {
-      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      documents(s, dir)
-        .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
-        .withColumn("cum", sum(col("n_tok")).over(w))
-        .withColumn("seq_id", floor((col("cum") - col("n_tok")) / lit(1000)).cast("long"))
+      Pipeline.packSequences(documents(s, dir),
+          strata = col("lang"), order = col("doc_id"),
+          tokens = size(split(col("text"), " ")), budget = 1000L)
         .select(col("doc_id"), col("lang"), col("n_tok"), col("seq_id"))
         .orderBy(col("doc_id"))
     }),
@@ -792,22 +789,7 @@ object SparkEntry {
     // heuristic): per-row array ops + one (doc, bigram) hash agg; no
     // cross-document work, embarrassingly parallel at any scale.
     "text_repetition" -> ((s, dir) => {
-      documents(s, dir)
-        .select(col("doc_id"), split(col("text"), " ").as("toks"))
-        .withColumn("n_tok", size(col("toks")).cast("long"))
-        .withColumn("dup_frac",
-          round(lit(1.0) - size(array_distinct(col("toks"))).cast("double") / col("n_tok"), 4))
-        .select(col("doc_id"), col("n_tok"), col("dup_frac"),
-          explode(zip_with(
-            slice(col("toks"), lit(1), size(col("toks")) - 1),
-            slice(col("toks"), lit(2), size(col("toks")) - 1),
-            (a, b) => concat_ws(" ", a, b))).as("bigram"))
-        .groupBy(col("doc_id"), col("n_tok"), col("dup_frac"), col("bigram"))
-        .agg(count(lit(1)).as("bg_n"))
-        .groupBy(col("doc_id"), col("n_tok"), col("dup_frac"))
-        .agg(max(col("bg_n")).as("top_bg"))
-        .withColumn("top_bigram_frac", round(col("top_bg") * lit(2.0) / col("n_tok"), 4))
-        .select(col("doc_id"), col("dup_frac"), col("top_bigram_frac"))
+      TextAnalysis.repetitionScores(documents(s, dir), "doc_id", "text")
         .orderBy(col("doc_id"))
     }),
 
@@ -830,11 +812,7 @@ object SparkEntry {
     // and cluster size — no RNG at execution time (md5 is the cross-engine
     // hash, as in sample_consistent). Census per (lang, split).
     "sample_split" -> ((s, dir) => {
-      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
-        .cast("long") % 100
-      documents(s, dir)
-        .withColumn("split",
-          when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test"))
+      Pipeline.deterministicSplit(documents(s, dir), col("doc_id"))
         .groupBy(col("lang"), col("split"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
         .orderBy(col("lang"), col("split"))

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dataset-preparation operators a pretraining pipeline runs after
+  * filtering/dedup: packing documents into fixed token budgets and
+  * deterministic split assignment. Both are pure map/window shapes — no
+  * driver-side loops, no execution-time randomness.
+  */
+object Pipeline {
+
+  /** Token-budget sequence packing: assign each row to a fixed-budget bin
+    * (`seq_id`) within its stratum, in `order` — the pretraining "pack
+    * documents into ~N-token sequences" step. A row straddling a boundary
+    * belongs to the bin where it starts; `seq_id` is derived from the
+    * running token count BEFORE the row, so the assignment is a single
+    * window cumsum per stratum (the only sequential dependency is the
+    * within-stratum order, so strata scale out independently).
+    *
+    * Adds `n_tok` (the evaluated token count) and `seq_id`.
+    */
+  def packSequences(
+      df: DataFrame,
+      strata: Column,
+      order: Column,
+      tokens: Column,
+      budget: Long): DataFrame = {
+    require(budget > 0, "packSequences: budget must be positive")
+    val w = Window.partitionBy(strata).orderBy(order)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("n_tok", tokens.cast("long"))
+      .withColumn("seq_id",
+        floor((sum(col("n_tok")).over(w) - col("n_tok")) / lit(budget)).cast("long"))
+  }
+
+  /** Deterministic train/valid/test split by hash bucket of a stable key:
+    * the same row lands in the same split on every engine, run, partition
+    * layout, and cluster size — no RNG at execution time, so eval sets
+    * stay disjoint from training data across re-runs. md5 is the
+    * cross-engine hash (any SQL engine reproduces the assignment).
+    *
+    * Adds a `split` column ∈ {train, valid, test} with approximately
+    * `trainPct`/`validPct`/rest proportions.
+    */
+  def deterministicSplit(
+      df: DataFrame,
+      key: Column,
+      trainPct: Int = 80,
+      validPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && validPct >= 0 && trainPct + validPct <= 100,
+      s"deterministicSplit: bad percentages train=$trainPct valid=$validPct")
+    val bucket = conv(substring(md5(key.cast("string")), 1, 4), 16, 10)
+      .cast("long") % 100
+    df.withColumn("split",
+      when(bucket < trainPct, "train")
+        .when(bucket < trainPct + validPct, "valid")
+        .otherwise("test"))
+  }
+}

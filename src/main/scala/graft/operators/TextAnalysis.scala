@@ -85,6 +85,33 @@ object TextAnalysis {
   def winnowFingerprint(text: Column, n: Int = 3): Column =
     array_min(transform(shingles(text, n), s => xxhash64(s)))
 
+  /** Repetition-based quality signals (the Gopher-style filters: Rae et
+    * al. 2021, §A1.1 — public heuristic): duplicate-token fraction
+    * (1 − distinct/total) and top-bigram mass (2·max bigram count / token
+    * count). Per-row array ops plus one (doc, bigram) hash agg partitioned
+    * on the doc id — no cross-document shuffle, linear at any scale.
+    *
+    * Returns one row per document: (idCol, dup_frac, top_bigram_frac),
+    * both rounded to 4 decimals (engine-stable: int/int divisions).
+    * Single-token documents produce no bigrams and are dropped.
+    */
+  def repetitionScores(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), split(col(textCol), " ").as("toks"))
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+      .withColumn("dup_frac",
+        round(lit(1.0) - size(array_distinct(col("toks"))).cast("double") / col("n_tok"), 4))
+      .select(col(idCol), col("n_tok"), col("dup_frac"),
+        explode(zip_with(
+          slice(col("toks"), lit(1), size(col("toks")) - 1),
+          slice(col("toks"), lit(2), size(col("toks")) - 1),
+          (a, b) => concat_ws(" ", a, b))).as("bigram"))
+      .groupBy(col(idCol), col("n_tok"), col("dup_frac"), col("bigram"))
+      .agg(count(lit(1)).as("bg_n"))
+      .groupBy(col(idCol), col("n_tok"), col("dup_frac"))
+      .agg(max(col("bg_n")).as("top_bg"))
+      .withColumn("top_bigram_frac", round(col("top_bg") * lit(2.0) / col("n_tok"), 4))
+      .select(col(idCol), col("dup_frac"), col("top_bigram_frac"))
+
   /** Count-min sketch of term frequencies — the bounded-memory scale path
     * for term stats. An exact `groupBy(term)` holds every distinct term
     * through the shuffle (fine for words, hostile for URLs/n-grams at

@@ -217,6 +217,46 @@ class OperatorsSuite extends AnyFunSuite {
     assert(got.filter(_._3).map(_._1).toSeq === Seq(1L, 10L, 20L))
   }
 
+  test("sequence packing: no bin exceeds the budget before its last doc; bins contiguous") {
+    import org.apache.spark.sql.expressions.Window
+    val packed = Pipeline.packSequences(docs,
+      strata = col("lang"), order = col("doc_id"),
+      tokens = size(split(col("text"), " ")), budget = 200L)
+    // within a bin, tokens before the LAST doc must be < budget (the last
+    // doc is the one allowed to overshoot the boundary)
+    val w = Window.partitionBy(col("lang"), col("seq_id")).orderBy(col("doc_id").desc)
+    val overfull = packed.withColumn("rn", row_number().over(w))
+      .groupBy(col("lang"), col("seq_id"))
+      .agg((sum(col("n_tok")) - max(when(col("rn") === 1, col("n_tok")))).as("before_last"))
+      .filter(col("before_last") >= 200)
+    assert(overfull.count() === 0)
+    // bins are contiguous 0..max per language
+    Pipeline.packSequences(docs, col("lang"), col("doc_id"),
+        size(split(col("text"), " ")), 200L)
+      .groupBy(col("lang"))
+      .agg(min(col("seq_id")).as("mn"), countDistinct(col("seq_id")).as("nd"),
+        max(col("seq_id")).as("mx"))
+      .collect().foreach { r =>
+        assert(r.getLong(1) === 0L, s"bins must start at 0: $r")
+        assert(r.getLong(2) === r.getLong(3) + 1, s"bins must be contiguous: $r")
+      }
+  }
+
+  test("deterministic split: stable under repartitioning, roughly 80/10/10") {
+    val s1 = Pipeline.deterministicSplit(docs, col("doc_id"))
+      .select(col("doc_id"), col("split"))
+    val s2 = Pipeline.deterministicSplit(docs.repartition(7), col("doc_id"))
+      .select(col("doc_id"), col("split"))
+    assert(s1.except(s2).count() === 0)
+    assert(s2.except(s1).count() === 0)
+    val counts = s1.groupBy(col("split")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = counts.values.sum.toDouble
+    assert(counts("train") / n > 0.7 && counts("train") / n < 0.9, s"split skewed: $counts")
+    assert(counts.getOrElse("valid", 0L) / n < 0.2, s"split skewed: $counts")
+    assert(counts.getOrElse("test", 0L) / n < 0.2, s"split skewed: $counts")
+  }
+
   test("incremental dedup: new-batch rows with a corpus fingerprint are dropped") {
     import spark.implicits._
     val corpus = Seq((1L, "Hello World"), (2L, "foo bar")).toDF("doc_id", "text")
