@@ -301,6 +301,46 @@ class ConnectorsSuite extends AnyFunSuite {
     assert(sorted2.map(_._2) === Seq(0L, 0L, 0L, 1L))
   }
 
+  test("streaming ingest dedup: each window drops docs already in the kept corpus") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.{Dedup, TextAnalysis}
+    val mb = Minibatch(spark, freshRoot())
+    val st = mb.stream("ingest")
+    val keptDir = freshRoot() + "/kept"
+    def drainInto(): Unit =
+      mb.streaming("ingest").size(100).emit((_, df) => {
+        val batch = df.select(
+          get_json_object(col("data"), "$.id").cast("long").as("doc_id"),
+          get_json_object(col("data"), "$.t").as("text"))
+        val corpus =
+          if (java.nio.file.Files.exists(java.nio.file.Paths.get(keptDir)))
+            spark.read.parquet(keptDir)
+          else batch.limit(0)
+        // drop cross-batch dups against the kept corpus, then within-batch
+        // dups (lowest id wins), then grow the corpus
+        val fresh = Dedup.incrementalExact(batch, corpus,
+          TextAnalysis.md5Fingerprint(col("text")))
+        val w = Window.partitionBy(TextAnalysis.md5Fingerprint(col("text")))
+          .orderBy(col("doc_id"))
+        fresh.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+          .write.mode("append").parquet(keptDir)
+      }).run()
+    // batch 1: doc 3 duplicates doc 1 (same normalized text)
+    st.appendAll(Seq(
+      """{"id":1,"t":"alpha beta"}""",
+      """{"id":2,"t":"gamma delta"}""",
+      """{"id":3,"t":"Alpha  Beta".toLowerCase}""".replace("\"Alpha  Beta\".toLowerCase", "\"alpha beta\"")))
+    drainInto()
+    // batch 2: doc 4 duplicates the corpus, doc 5 is new
+    st.appendAll(Seq(
+      """{"id":4,"t":"gamma delta"}""",
+      """{"id":5,"t":"epsilon zeta"}"""))
+    drainInto()
+    val kept = spark.read.parquet(keptDir)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept === Seq(1L, 2L, 5L), s"kept corpus wrong: $kept")
+  }
+
   test("partitioned layout: one file per partition value; filtered reads prune to the partition") {
     val docs = TestSpark.spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
     val out = freshRoot() + "/docs_by_lang"
