@@ -160,13 +160,18 @@ object Dedup {
       .withColumn("n_sh", size(col("sh")))
       .select(col("doc_id") +: col("n_sh") +: explode(col("sh")).as("shingle") +:
         keyNames.map(col): _*)
-    // length filter (AllPairs/PPJoin): J >= t forces min(|A|,|B|) >= t·max —
+    // length filter (AllPairs/PPJoin): J >= t forces min(|A|,|B|)/max >= t —
     // length-incompatible pairs are dropped INSIDE the join, before they
     // reach the per-pair count aggregate's shuffle; result set unchanged
-    // (the threshold filter below would reject them anyway)
+    // (the threshold filter below would reject them anyway). Compared via
+    // division, not `min >= t*max`: correctly-rounded division is monotone,
+    // so the pruned set is a guaranteed superset of the final J >= t set,
+    // whereas the product form's double rounding can exceed an integer min
+    // at the boundary (t=0.2, sizes 1 and 5: 0.2*5 -> 1.0000000000000002)
+    // and wrongly prune a pair whose exact Jaccard equals the threshold.
     val lengthCompatible =
-      least(col("l.n_sh"), col("r.n_sh")) >=
-        lit(threshold) * greatest(col("l.n_sh"), col("r.n_sh"))
+      least(col("l.n_sh"), col("r.n_sh")).cast("double") /
+        greatest(col("l.n_sh"), col("r.n_sh")) >= lit(threshold)
     inv.as("l")
       .join(inv.as("r"),
         keyNames.map(k => col(s"l.$k") === col(s"r.$k"))
@@ -218,10 +223,11 @@ object Dedup {
         explode(slice(col("hs"), lit(1), col("plen"))).as("h") +:
         keyNames.map(col): _*)
     // length filter (AllPairs/PPJoin): prune length-incompatible pairs
-    // inside the candidate join, before the distinct's shuffle
+    // inside the candidate join, before the distinct's shuffle. Division
+    // form for the same boundary-rounding reason as [[ngramJaccardPairs]].
     val lengthCompatible =
-      least(col("l.n_sh"), col("r.n_sh")) >=
-        lit(threshold) * greatest(col("l.n_sh"), col("r.n_sh"))
+      least(col("l.n_sh"), col("r.n_sh")).cast("double") /
+        greatest(col("l.n_sh"), col("r.n_sh")) >= lit(threshold)
     val candidates = prefixes.as("l")
       .join(prefixes.as("r"),
         keyNames.map(k => col(s"l.$k") === col(s"r.$k"))
@@ -344,6 +350,30 @@ object Dedup {
     newBatch.withColumn("fp", fp)
       .join(seen, Seq("fp"), "left_anti")
       .drop("fp")
+  }
+
+  /** [[incrementalExact]] against a corpus stored as a parquet table at
+    * `corpusPath`, tolerating a corpus that does not exist yet — the first
+    * run of a daily-ingest loop, before anything was kept.
+    *
+    * The missing/empty corpus is detected by ATTEMPTING the read and
+    * catching the analyzer's missing-path / no-schema failure, not by an
+    * exists-then-read check: `Files.exists` + read is a TOCTOU under
+    * parallel emit workers ([[graft.streaming.EmitterRunner]] `maxWorkers`)
+    * and unreliable on object stores where listing lags writes. Any other
+    * read failure (corrupt files, permissions) propagates — silently
+    * treating a broken corpus as empty would re-admit every duplicate.
+    */
+  def incrementalExactAgainstTable(newBatch: DataFrame, corpusPath: String, fp: Column): DataFrame = {
+    val corpus =
+      try newBatch.sparkSession.read.parquet(corpusPath)
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.contains("PATH_NOT_FOUND") ||
+              e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") =>
+          newBatch.limit(0)
+      }
+    incrementalExact(newBatch, corpus, fp)
   }
 
   /** Exact all-pairs embedding near-dup (cosine ≥ threshold). Quadratic —

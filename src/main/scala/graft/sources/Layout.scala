@@ -23,21 +23,30 @@ import org.apache.spark.sql.functions.col
   *
   * `maxRecordsPerFile` bounds file size for very hot partition values
   * (0 = no bound).
+  *
+  * `mode` defaults to [[SaveMode.Overwrite]] — the full-rebuild layout job
+  * this recipe describes. **That default is destructive**: pointing it at
+  * an existing dataset root replaces ALL prior data. For incremental loads
+  * into an existing layout pass `SaveMode.Append` (and dedup upstream), or
+  * `SaveMode.ErrorIfExists` to refuse to touch a non-empty root.
   */
 object Layout {
+
+  import org.apache.spark.sql.SaveMode
 
   def writePartitioned(
       df: DataFrame,
       path: String,
       partitionCols: Seq[String],
       sortCols: Seq[String] = Nil,
-      maxRecordsPerFile: Long = 0L): Unit = {
+      maxRecordsPerFile: Long = 0L,
+      mode: SaveMode = SaveMode.Overwrite): Unit = {
     require(partitionCols.nonEmpty, "writePartitioned needs at least one partition column")
     val clustered = df.repartition(partitionCols.map(col): _*)
     val sorted =
       if (sortCols.nonEmpty) clustered.sortWithinPartitions(sortCols.map(col): _*)
       else clustered
-    val writer = sorted.write.mode("overwrite").partitionBy(partitionCols: _*)
+    val writer = sorted.write.mode(mode).partitionBy(partitionCols: _*)
     val bounded =
       if (maxRecordsPerFile > 0) writer.option("maxRecordsPerFile", maxRecordsPerFile)
       else writer

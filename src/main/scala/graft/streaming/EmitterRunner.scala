@@ -128,10 +128,20 @@ object EmitterRunner {
     val lastMaxWindow = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
     if (emitEmpty && keep) {
       // recover the high-water mark from the kept history so gap windows
-      // spanning a restart are synthesized instead of silently dropped
-      scala.util.Try {
+      // spanning a restart are synthesized instead of silently dropped.
+      // An absent/empty history is the normal first start (windows() returns
+      // an empty relation, row is null — no recovery needed); any actual
+      // read failure (corrupt history, permissions) must be surfaced, not
+      // swallowed, because its silent effect is "gap windows spanning the
+      // restart are dropped" with no signal.
+      try {
         val row = stream.windows().agg(max(col("window_id"))).head()
         if (!row.isNullAt(0)) lastMaxWindow.set(row.getLong(0))
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          log.warn("emitEmpty: failed to recover the window high-water mark " +
+            s"from the kept history at ${stream.windowsDir}; gap windows " +
+            "spanning this restart will not be synthesized", e)
       }
     }
     val assigned = assign(readBuffer(stream, maxFilesPerTrigger), strategy)

@@ -302,34 +302,31 @@ class ConnectorsSuite extends AnyFunSuite {
   }
 
   test("streaming ingest dedup: each window drops docs already in the kept corpus") {
-    import org.apache.spark.sql.expressions.Window
     import graft.operators.{Dedup, TextAnalysis}
     val mb = Minibatch(spark, freshRoot())
     val st = mb.stream("ingest")
     val keptDir = freshRoot() + "/kept"
+    // size(1): every message is its own window, emitted in window-id order
+    // (sequential with the default single emit worker), so each doc is
+    // deduped against a corpus that already holds every earlier keeper —
+    // including earlier windows of the SAME drain. Count state checkpoints
+    // across drains, so window ids keep advancing over both batches.
     def drainInto(): Unit =
-      mb.streaming("ingest").size(100).emit((_, df) => {
+      mb.streaming("ingest").size(1).emit((_, df) => {
         val batch = df.select(
           get_json_object(col("data"), "$.id").cast("long").as("doc_id"),
           get_json_object(col("data"), "$.t").as("text"))
-        val corpus =
-          if (java.nio.file.Files.exists(java.nio.file.Paths.get(keptDir)))
-            spark.read.parquet(keptDir)
-          else batch.limit(0)
-        // drop cross-batch dups against the kept corpus, then within-batch
-        // dups (lowest id wins), then grow the corpus
-        val fresh = Dedup.incrementalExact(batch, corpus,
-          TextAnalysis.md5Fingerprint(col("text")))
-        val w = Window.partitionBy(TextAnalysis.md5Fingerprint(col("text")))
-          .orderBy(col("doc_id"))
-        fresh.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+        // corpus-if-exists lives in the library (first window of the first
+        // drain finds no keptDir yet and passes the batch through)
+        Dedup.incrementalExactAgainstTable(batch, keptDir,
+            TextAnalysis.md5Fingerprint(col("text")))
           .write.mode("append").parquet(keptDir)
       }).run()
-    // batch 1: doc 3 duplicates doc 1 (same normalized text)
+    // batch 1: doc 3 duplicates doc 1 (same text)
     st.appendAll(Seq(
       """{"id":1,"t":"alpha beta"}""",
       """{"id":2,"t":"gamma delta"}""",
-      """{"id":3,"t":"Alpha  Beta".toLowerCase}""".replace("\"Alpha  Beta\".toLowerCase", "\"alpha beta\"")))
+      """{"id":3,"t":"alpha beta"}"""))
     drainInto()
     // batch 2: doc 4 duplicates the corpus, doc 5 is new
     st.appendAll(Seq(
