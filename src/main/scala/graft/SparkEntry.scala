@@ -730,9 +730,11 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
-    // Feature extraction through the partition-local batched decoder stub
-    // (mapPartitions — not SQL-expressible, so no oracle; determinism and
-    // batch shape asserted in ScalaTest).
+    // Feature extraction through the partition-local batched decoder
+    // (javax.imageio for real image bytes; deterministic byte-stride
+    // fallback for the synthetic text payloads here; mapPartitions — not
+    // SQL-expressible, so no oracle; determinism, batch shape, and real
+    // PNG decode asserted in ScalaTest).
     "multimodal_features" -> ((s, dir) => {
       val media = Multimodal.syntheticMedia(documents(s, dir), "doc_id", "text")
       Multimodal.extractFeatures(media)
@@ -744,14 +746,19 @@ object SparkEntry {
         .orderBy(col("media_type"))
     }),
 
-    // Winnowing-style rolling-hash fingerprint dedup groups (xxhash64-based
-    // — no DuckDB equivalent, rows-only; edit-stability asserted in tests).
+    // True winnowing (Schleimer et al. 2003) fingerprint sets: explode each
+    // document's selected window-min hashes, group by fingerprint → shared-
+    // fingerprint candidate groups, the plagiarism/near-dup candidate index
+    // (xxhash64-based — no DuckDB equivalent, rows-only; the locality
+    // guarantee is asserted in ScalaTest).
     "text_winnow" -> ((s, dir) => {
       documents(s, dir)
-        .groupBy(TextAnalysis.winnowFingerprint(col("text")).as("fp"))
+        .select(col("doc_id"),
+          explode(TextAnalysis.winnowFingerprints(col("text"))).as("fp"))
+        .groupBy(col("fp"))
         .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_docs"))
-        .select(col("doc_id"), col("n_docs"))
-        .orderBy(col("doc_id"))
+        .select(col("fp"), col("doc_id"), col("n_docs"))
+        .orderBy(col("fp"))
     }),
 
     // ── training-pipeline analytics [EXT] ─────────────────────────────────

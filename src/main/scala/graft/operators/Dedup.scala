@@ -358,19 +358,29 @@ object Dedup {
     *
     * The missing/empty corpus is detected by ATTEMPTING the read and
     * catching the analyzer's missing-path / no-schema failure, not by an
-    * exists-then-read check: `Files.exists` + read is a TOCTOU under
-    * parallel emit workers ([[graft.streaming.EmitterRunner]] `maxWorkers`)
-    * and unreliable on object stores where listing lags writes. Any other
-    * read failure (corrupt files, permissions) propagates — silently
-    * treating a broken corpus as empty would re-admit every duplicate.
+    * exists-then-read check: `Files.exists` + read is a TOCTOU against a
+    * concurrent corpus writer and unreliable on object stores where listing
+    * lags writes. Any other read failure (corrupt files, permissions)
+    * propagates — silently treating a broken corpus as empty would re-admit
+    * every duplicate.
+    *
+    * Concurrency: a read-dedup-append cycle built on this helper is only
+    * exactly-deduplicating when cycles run sequentially (e.g. emit with
+    * `maxWorkers = 1`) — two concurrent cycles can each read a corpus
+    * missing the other's keepers and both admit the same duplicate.
     */
   def incrementalExactAgainstTable(newBatch: DataFrame, corpusPath: String, fp: Column): DataFrame = {
     val corpus =
       try newBatch.sparkSession.read.parquet(corpusPath)
       catch {
+        // match the stable error class (Spark 4 getCondition), with a
+        // message fallback for paths where no condition is attached
         case e: org.apache.spark.sql.AnalysisException
-            if e.getMessage.contains("PATH_NOT_FOUND") ||
-              e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") =>
+            if e.getCondition == "PATH_NOT_FOUND" ||
+              e.getCondition == "UNABLE_TO_INFER_SCHEMA" ||
+              (e.getCondition == null &&
+                (e.getMessage.contains("PATH_NOT_FOUND") ||
+                  e.getMessage.contains("UNABLE_TO_INFER_SCHEMA"))) =>
           newBatch.limit(0)
       }
     incrementalExact(newBatch, corpus, fp)

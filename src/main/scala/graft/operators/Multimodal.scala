@@ -7,11 +7,13 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, processed in partition-local batches.
   *
-  * The actual media decoding is STUBBED (no image/audio libraries in this
-  * environment): `decodeFeaturesStub` produces a deterministic fake feature
-  * vector from the bytes. Everything AROUND the stub — schema, batch shape,
-  * partition-local processing, metadata propagation — is real and tested,
-  * so swapping the stub for a JNI/ONNX decoder changes one function.
+  * IMAGE decoding is REAL: PNG/JPEG/GIF/BMP bytes are decoded with the
+  * JDK's `javax.imageio` into true width/height and a 4×4 grid-luminance
+  * feature vector. Bytes no in-JDK decoder understands (audio/video
+  * payloads, corrupt images) fall back to `byteStrideFeatures`, a
+  * deterministic byte-level fingerprint, with null decoded dimensions —
+  * so the pipeline never fails on an undecodable row and a real
+  * audio/video decoder (JNI/ONNX) swaps in by replacing one function.
   *
   * Scale notes: media rows are large → `binary` payloads should ride in
   * their own column so column pruning skips them unless needed; feature
@@ -46,13 +48,11 @@ object Multimodal {
       (pmod(col(idCol).cast("long"), lit(48)) * 16 + 16).cast("int").as("height"),
       (length(col(textCol)) * 10).cast("long").as("duration_ms"))
 
-  /** STUB decoder: deterministic fake features from content bytes.
-    * Real implementation would decode pixels/samples here; the signature,
-    * batching, and output schema are the real contract.
+  /** Fallback fingerprint for bytes no decoder understands: feature j =
+    * scaled byte-sum of the j-th stride of the payload. Deterministic, in
+    * [0, 1) — keeps undecodable rows flowing instead of failing the batch.
     */
-  private def decodeFeaturesStub(content: Array[Byte]): Array[Float] = {
-    // ??? — real decode unavailable in this container; deterministic fake:
-    // feature j = scaled byte-sum of the j-th stride of the payload.
+  private[operators] def byteStrideFeatures(content: Array[Byte]): Array[Float] = {
     val out = new Array[Float](FeatureDim)
     var j = 0
     while (j < FeatureDim) {
@@ -65,23 +65,79 @@ object Multimodal {
     out
   }
 
+  /** Real image decode via the JDK's ImageIO: None when the bytes are not
+    * a recognizable image (ImageIO returns null) or the decode throws.
+    */
+  private def tryDecodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  /** 4×4 grid mean luminance (Rec. 601 weights), row-major, each in [0, 1]
+    * — the classic cheap perceptual thumbnail feature. FeatureDim = 16.
+    */
+  private def gridLuminance(img: java.awt.image.BufferedImage): Array[Float] = {
+    val g = 4
+    val w = img.getWidth
+    val h = img.getHeight
+    val out = new Array[Float](FeatureDim)
+    var gy = 0
+    while (gy < g) {
+      var gx = 0
+      while (gx < g) {
+        val x0 = gx * w / g; val x1 = math.max(x0 + 1, (gx + 1) * w / g)
+        val y0 = gy * h / g; val y1 = math.max(y0 + 1, (gy + 1) * h / g)
+        var acc = 0.0
+        var n = 0
+        var y = y0
+        while (y < y1 && y < h) {
+          var x = x0
+          while (x < x1 && x < w) {
+            val rgb = img.getRGB(x, y)
+            acc += (0.299 * ((rgb >> 16) & 0xFF) +
+              0.587 * ((rgb >> 8) & 0xFF) +
+              0.114 * (rgb & 0xFF)) / 255.0
+            n += 1
+            x += 1
+          }
+          y += 1
+        }
+        out(gy * g + gx) = if (n == 0) 0.0f else (acc / n).toFloat
+        gx += 1
+      }
+      gy += 1
+    }
+    out
+  }
+
   /** Feature extraction over media rows: partition-local, batched — one
     * decoder context per partition, rows streamed through in groups of
-    * `batchSize` (the mapInPandas batch shape).
+    * `batchSize` (the mapInPandas batch shape). Output adds the DECODED
+    * width/height (null when the bytes didn't decode as an image — the
+    * envelope metadata may lie; the pixels don't).
     */
   def extractFeatures(media: DataFrame, batchSize: Int = 64): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
       StructField("media_type", StringType, nullable = false),
+      StructField("decoded_width", IntegerType, nullable = true),
+      StructField("decoded_height", IntegerType, nullable = true),
       StructField("features", ArrayType(FloatType, containsNull = false), nullable = false)))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
     media.select(col("media_id"), col("media_type"), col("content"))
       .mapPartitions { rows =>
-        // decoder init would happen HERE, once per partition
+        // decoder init happens HERE, once per partition (ImageIO's reader
+        // registry is JVM-static; a JNI/ONNX context would be allocated here)
         rows.grouped(batchSize).flatMap { batch =>
           batch.map { r =>
-            val feats = decodeFeaturesStub(r.getAs[Array[Byte]]("content"))
-            Row(r.getLong(0), r.getString(1), feats.toSeq)
+            val bytes = r.getAs[Array[Byte]]("content")
+            tryDecodeImage(bytes) match {
+              case Some(img) =>
+                Row(r.getLong(0), r.getString(1), img.getWidth, img.getHeight,
+                  gridLuminance(img).toSeq)
+              case None =>
+                Row(r.getLong(0), r.getString(1), null, null,
+                  byteStrideFeatures(bytes).toSeq)
+            }
           }
         }
       }(enc)

@@ -79,11 +79,23 @@ object TextAnalysis {
     */
   def md5Fingerprint(text: Column): Column = md5(lower(trim(text)))
 
-  /** Rolling-hash (winnowing-style) fingerprint: min xxhash64 over the
-    * document's shingles. Robust to small edits away from the minimum.
+  /** Single rolling-hash fingerprint: min xxhash64 over the document's
+    * shingles — one hash per document, robust to small edits away from the
+    * minimum. For true locality (an edit changes only nearby fingerprints)
+    * use [[winnowFingerprints]].
     */
   def winnowFingerprint(text: Column, n: Int = 3): Column =
     array_min(transform(shingles(text, n), s => xxhash64(s)))
+
+  /** True winnowing fingerprint SET (Schleimer-Wilkerson-Aiken 2003,
+    * [[graft.functions.WinnowFingerprints]]): the rightmost-min shingle
+    * hash of every sliding window of `w` sequential shingles, distinct.
+    * Any shared run of ≥ w+n−1 tokens between two documents guarantees a
+    * shared fingerprint; an edit perturbs only the ≤ w windows overlapping
+    * it. Per-row, shuffle-free, codegen'd.
+    */
+  def winnowFingerprints(text: Column, n: Int = 3, w: Int = 4): Column =
+    graft.functions.Winnow.winnow(wsTokens(text), n, w)
 
   /** Repetition-based quality signals (the Gopher-style filters: Rae et
     * al. 2021, §A1.1 — public heuristic): duplicate-token fraction

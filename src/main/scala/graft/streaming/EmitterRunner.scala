@@ -29,6 +29,13 @@ object EmitterRunner {
   implicit val stateEnc: Encoder[CountState] = Encoders.product[CountState]
   implicit val strEnc: Encoder[String] = Encoders.STRING
 
+  /** Reserved control message: a CountWindow state function that sees this
+    * payload emits its sub-N remainder as a final partial window (see
+    * [[EmitterBuilder.flushPartialOnDrain]]). Never surfaces as data — all
+    * strategies filter it out of the message flow.
+    */
+  val FlushSentinel: String = """{"__graft_flush__":true}"""
+
   sealed trait Strategy
   /** Emit a window for every N messages, exact, across micro-batches
     * (reference CountWindow, window.py:305-327). */
@@ -74,24 +81,38 @@ object EmitterRunner {
             OutputMode.Append, GroupStateTimeout.NoTimeout) {
             (key: String, it: Iterator[Message], state: GroupState[CountState]) =>
               val prev = state.getOption.getOrElse(CountState(Seq.empty, 0L, 0L))
-              // arrival order within the batch: by created, then payload
-              val incoming = it.toSeq.sortBy(m => (m.created.getTime, m.data))
+              // arrival order within the batch: by created, then payload;
+              // the flush sentinel is a control signal, not data
+              val (sentinels, incoming) = it.toSeq
+                .sortBy(m => (m.created.getTime, m.data))
+                .partition(_.data == FlushSentinel)
               val all = prev.pending ++ incoming
               val nFull = all.size / n
               val (full, rest) = all.splitAt(nFull * n)
               val out = full.zipWithIndex.map { case (m, i) =>
                 WindowedMessage(m.stream, m.created, m.data, prev.nextWindowId + i / n)
               }
-              state.update(CountState(rest, prev.nextWindowId + nFull, nFull))
-              out.iterator
+              if (sentinels.nonEmpty && rest.nonEmpty) {
+                // flush requested: the sub-N tail becomes one final partial
+                // window instead of carrying to the next micro-batch
+                val tailId = prev.nextWindowId + nFull
+                val tail = rest.map(m => WindowedMessage(m.stream, m.created, m.data, tailId))
+                state.update(CountState(Seq.empty, tailId + 1, nFull + 1))
+                (out ++ tail).iterator
+              } else {
+                state.update(CountState(rest, prev.nextWindowId + nFull, nFull))
+                out.iterator
+              }
           }
       case FixedTimeWindow(secs) =>
-        ds.withColumn("window_id",
+        ds.filter(_.data != FlushSentinel)
+          .withColumn("window_id",
             floor(unix_timestamp(col("created")) / secs))
           .as[WindowedMessage]
       case RelaxedTimeWindow =>
         // window id assigned per micro-batch in the runner (batchId)
-        ds.withColumn("window_id", lit(-1L)).as[WindowedMessage]
+        ds.filter(_.data != FlushSentinel)
+          .withColumn("window_id", lit(-1L)).as[WindowedMessage]
     }
 
   /** Start the emitter: strategy-assign, then per micro-batch hand each
@@ -130,10 +151,13 @@ object EmitterRunner {
       // recover the high-water mark from the kept history so gap windows
       // spanning a restart are synthesized instead of silently dropped.
       // An absent/empty history is the normal first start (windows() returns
-      // an empty relation, row is null — no recovery needed); any actual
-      // read failure (corrupt history, permissions) must be surfaced, not
-      // swallowed, because its silent effect is "gap windows spanning the
-      // restart are dropped" with no signal.
+      // an empty relation, row is null — no recovery needed). A failed read
+      // (corrupt history, permissions) is warn-logged and the query starts
+      // anyway: gap-window synthesis is best-effort decoration of the data
+      // path, and refusing to start the emitter over it would turn a
+      // recoverable history problem into an ingest outage. The cost is that
+      // gap windows spanning THIS restart are not synthesized — the WARN
+      // below is the signal.
       try {
         val row = stream.windows().agg(max(col("window_id"))).head()
         if (!row.isNullAt(0)) lastMaxWindow.set(row.getLong(0))

@@ -26,8 +26,10 @@ final class MbStream(val spark: SparkSession, val name: String, val dir: String)
   val bufferDir: String = s"$dir/buffer"
   val windowsDir: String = s"$dir/windows"
   val checkpointsDir: String = s"$dir/checkpoints"
+  val metaPath: java.nio.file.Path = Paths.get(dir, "meta.json")
 
   private val pending = new ArrayBuffer[(String, Timestamp)]()
+  private val attached = new ArrayBuffer[AttachedSource]()
 
   /** Producer ingest (reference `Stream.append`, models.py:209-211): stamp
     * arrival time, accumulate in the producer-side batcher (models.py:25-81),
@@ -36,13 +38,24 @@ final class MbStream(val spark: SparkSession, val name: String, val dir: String)
     * fast-insert path (models.py:84-113).
     */
   def append(dataJson: String, batchSize: Int = 1): Unit = synchronized {
+    refuseIfClosed()
     pending += ((dataJson, new Timestamp(System.currentTimeMillis())))
     if (pending.size >= batchSize) flush()
   }
 
   def appendAll(rows: Seq[String]): Unit = synchronized {
+    refuseIfClosed()
     val now = new Timestamp(System.currentTimeMillis())
     pending ++= rows.map(r => (r, now))
+    flush()
+  }
+
+  /** Engine-internal append for control messages (e.g. the CountWindow
+    * flush sentinel): skips the closed-stream check — flush-draining the
+    * tail of a stream you just closed is the expected shutdown sequence.
+    */
+  private[streaming] def appendControl(dataJson: String): Unit = synchronized {
+    pending += ((dataJson, new Timestamp(System.currentTimeMillis())))
     flush()
   }
 
@@ -94,6 +107,49 @@ final class MbStream(val spark: SparkSession, val name: String, val dir: String)
   def clear(): Unit = {
     deleteChildren(bufferDir)
   }
+
+  // ── lifecycle (reference Stream.status INIT→OPEN→CLOSED, models.py:164,
+  //    228-237: stop() halts source + housekeeping; the `closed` timestamp
+  //    field records when) ────────────────────────────────────────────────
+
+  /** Current lifecycle status, read from the durable meta.json so every
+    * process sharing the stream directory sees the same answer. A stream
+    * without a meta file (constructed directly, not via the registry) is
+    * "open" — the registry writes status:"open" at creation, the analogue
+    * of the reference's ensure_initialized INIT→OPEN flip (models.py:192-195).
+    */
+  def status: String = MbStream.readMetaStatus(metaPath).getOrElse("open")
+
+  def isClosed: Boolean = status == "closed"
+
+  /** Close the stream (reference `Stream.stop()`, models.py:228-237, plus
+    * the `closed` timestamp and CLOSED status, models.py:164-166): flush the
+    * producer batcher, detach background sources, stop the retention loop,
+    * and durably flip meta.json status open→closed. After close, `append`/
+    * `appendAll` throw; buffered data and window history remain readable.
+    * Idempotent. Reopen explicitly with [[reopen]] — `getOrCreate` never
+    * silently reopens (see [[StreamRegistry.getOrCreate]]).
+    */
+  def close(): Unit = synchronized {
+    flush()
+    attached.foreach(_.detach())
+    attached.clear()
+    stopRetention()
+    MbStream.writeMetaStatus(metaPath, name, "closed",
+      closedMs = Some(System.currentTimeMillis()))
+  }
+
+  /** Explicitly reopen a closed stream — the deliberate inverse of [[close]];
+    * nothing reopens implicitly.
+    */
+  def reopen(): Unit = synchronized {
+    MbStream.writeMetaStatus(metaPath, name, "open", closedMs = None)
+  }
+
+  private def refuseIfClosed(): Unit =
+    if (isClosed)
+      throw new IllegalStateException(
+        s"stream '$name' is closed — reopen() it before appending")
 
   /** Retention / housekeeping (reference `max_age` autoclear,
     * models.py:309-348): drop buffer files whose NEWEST row is older than
@@ -177,7 +233,9 @@ final class MbStream(val spark: SparkSession, val name: String, val dir: String)
     }, s"graft-source-$name")
     t.setDaemon(true)
     t.start()
-    new AttachedSource(running, t)
+    val h = new AttachedSource(running, t)
+    synchronized { attached += h }
+    h
   }
 
   private def listParquet(d: String): Seq[String] = {
@@ -225,6 +283,43 @@ final class AttachedSource(
 }
 
 object MbStream {
+
+  private val StatusRe = """"status"\s*:\s*"([a-z]+)"""".r
+  private val CreatedRe = """"created_ms"\s*:\s*(\d+)""".r
+
+  /** Parse the status field out of a meta.json written by [[StreamRegistry]]
+    * / [[writeMetaStatus]] (we own the format — a two-field regex beats a
+    * JSON library dependency). None when the file doesn't exist.
+    */
+  def readMetaStatus(meta: java.nio.file.Path): Option[String] =
+    if (!Files.exists(meta)) None
+    else StatusRe.findFirstMatchIn(
+      new String(Files.readAllBytes(meta), "UTF-8")).map(_.group(1))
+
+  /** Rewrite meta.json with the new status, preserving created_ms and adding
+    * closed_ms (reference `closed` DateTimeField, models.py:166) when set.
+    * Atomic replace (temp + ATOMIC_MOVE) so a concurrent reader never sees a
+    * torn file.
+    */
+  def writeMetaStatus(
+      meta: java.nio.file.Path,
+      name: String,
+      status: String,
+      closedMs: Option[Long]): Unit = {
+    val createdMs = (if (Files.exists(meta))
+      CreatedRe.findFirstMatchIn(new String(Files.readAllBytes(meta), "UTF-8"))
+        .map(_.group(1).toLong)
+    else None).getOrElse(System.currentTimeMillis())
+    val closedField = closedMs.map(ms => s""","closed_ms":$ms""").getOrElse("")
+    val json =
+      s"""{"name":"$name","status":"$status","created_ms":$createdMs$closedField}"""
+    val tmp = meta.resolveSibling(meta.getFileName.toString + ".tmp")
+    Files.write(tmp, json.getBytes("UTF-8"))
+    Files.move(tmp, meta,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
   /** Mirrors Buffer `{stream, created, data}` (models.py:139-154); the
     * `processed` flag is replaced by checkpoint offsets.
     */

@@ -42,14 +42,20 @@ final case class Minibatch(spark: SparkSession, root: String) {
     * named `graft-emitter-<stream>` so they are discoverable here.
     */
   def status(name: String): EmitterStatus = {
+    // lifecycle status from the durable meta.json (reference Stream.status
+    // field, models.py:164): "open"/"closed", or "unknown" for a name never
+    // registered — independent of whether an emitter is running right now
+    val lifecycle = registry.statusOf(name).getOrElse("unknown")
     spark.streams.active.find(_.name == Minibatch.queryNameFor(name)) match {
       case Some(q) =>
         val lp = Option(q.lastProgress)
         EmitterStatus(name, running = q.isActive, queryId = Some(q.id.toString),
           lastBatchId = lp.map(_.batchId), numInputRows = lp.map(_.numInputRows),
-          message = q.status.message)
+          message = q.status.message, streamStatus = lifecycle)
       case None =>
-        EmitterStatus(name, running = false, None, None, None, "no active emitter")
+        EmitterStatus(name, running = false, None, None, None,
+          message = if (lifecycle == "closed") "closed" else "no active emitter",
+          streamStatus = lifecycle)
     }
   }
 }
@@ -108,7 +114,8 @@ final case class EmitterStatus(
     queryId: Option[String],
     lastBatchId: Option[Long],
     numInputRows: Option[Long],
-    message: String)
+    message: String,
+    streamStatus: String = "unknown")
 
 final case class EmitterBuilder(
     stream: MbStream,
@@ -121,7 +128,8 @@ final case class EmitterBuilder(
     filesPerTrigger: Option[Int] = None,
     batchSinkFn: Option[(DataFrame, Long) => Unit] = None,
     emitEmptyWindows: Boolean = false,
-    gapCap: Int = 1000) {
+    gapCap: Int = 1000,
+    flushPartial: Boolean = false) {
 
   /** max_workers= → parallel window emit within a micro-batch (reference
     * ProcessPoolExecutor, window.py:84).
@@ -159,6 +167,14 @@ final case class EmitterBuilder(
     */
   def maxGapWindows(n: Int): EmitterBuilder = copy(gapCap = n)
 
+  /** On a [[run]] drain, emit the sub-N CountWindow tail as one final
+    * PARTIAL window instead of carrying it — so a batch job consuming a
+    * finite corpus sees every message. Default off (reference parity:
+    * CountWindow only ever emits complete windows, window.py:305-327).
+    * Only meaningful with [[size]]; time-window strategies ignore it.
+    */
+  def flushPartialOnDrain(f: Boolean): EmitterBuilder = copy(flushPartial = f)
+
   def withTrigger(t: Trigger): EmitterBuilder = copy(trigger = t)
 
   def emit(fn: (Long, DataFrame) => Unit): EmitterBuilder = copy(emitFn = Some(fn))
@@ -189,9 +205,13 @@ final case class EmitterBuilder(
   }
 
   /** Blocking drain (the reference's run(blocking=True) against a finite
-    * buffer; deterministic in tests).
+    * buffer; deterministic in tests). With [[flushPartialOnDrain]], a flush
+    * sentinel is appended ahead of the drain so the CountWindow state emits
+    * its sub-N tail as a final partial window.
     */
   def run(): Unit = {
+    if (flushPartial && strategy.forall(_.isInstanceOf[EmitterRunner.CountWindow]))
+      stream.appendControl(EmitterRunner.FlushSentinel)
     val q = withTrigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
   }

@@ -30,6 +30,12 @@ import org.apache.spark.sql.SparkSession
   */
 final class StreamRegistry(val spark: SparkSession, val root: String) {
 
+  /** Get or create the named stream. On a CLOSED stream this returns the
+    * handle with its closed status intact — it does NOT silently reopen
+    * (reference parity: ensure_initialized only flips INIT→OPEN, never
+    * CLOSED→OPEN, models.py:192-195). Appends on the returned handle throw
+    * until an explicit [[MbStream.reopen]]; reads keep working.
+    */
   def getOrCreate(name: String): MbStream = {
     require(name.nonEmpty && !name.contains('/'), s"bad stream name: $name")
     val dir = Paths.get(root, name)
@@ -49,6 +55,12 @@ final class StreamRegistry(val spark: SparkSession, val root: String) {
   }
 
   def exists(name: String): Boolean = Files.exists(Paths.get(root, name, "meta.json"))
+
+  /** Lifecycle status from meta.json without creating the stream:
+    * Some("open"|"closed") for a registered stream, None when unknown.
+    */
+  def statusOf(name: String): Option[String] =
+    MbStream.readMetaStatus(Paths.get(root, name, "meta.json"))
 
   def list(): Seq[String] = {
     val r = Paths.get(root)

@@ -166,6 +166,37 @@ class OperatorsSuite extends AnyFunSuite {
     assert(fps(0) === fps(1))
   }
 
+  test("true winnowing: an edit changes only nearby fingerprints; long shared runs always overlap") {
+    import spark.implicits._
+    // 40 distinct tokens; doc B edits exactly one token in the middle
+    val toks = (0 until 40).map(i => s"tok$i")
+    val a = toks.mkString(" ")
+    val b = toks.updated(20, "EDITED").mkString(" ")
+    val c = (100 until 140).map(i => s"other$i").mkString(" ") // disjoint vocab
+    val df = Seq((1L, a), (2L, b), (3L, c)).toDF("id", "t")
+    val rows = df.select(col("id"), TextAnalysis.winnowFingerprints(col("t"), n = 3, w = 4))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+
+    // guarantee: every w-run is covered, so each doc has >= nh/w fingerprints
+    assert(rows(1L).size >= (40 - 3 + 1) / 4)
+    // a one-token edit perturbs only the <= n+w-1 shingle-windows that
+    // overlap it: the prefix [0,17] and suffix [23,39] regions are intact,
+    // so most fingerprints survive...
+    val shared = rows(1L) intersect rows(2L)
+    assert(shared.nonEmpty, "distant regions must keep their fingerprints")
+    assert(shared.size * 2 > rows(1L).size,
+      s"a local edit must preserve most fingerprints: kept ${shared.size} of ${rows(1L).size}")
+    // ...but the edited region must change the set
+    assert(rows(1L) !== rows(2L), "a local edit must change some fingerprint")
+    // disjoint-vocabulary documents share nothing
+    assert((rows(1L) intersect rows(3L)).isEmpty)
+
+    // deterministic across evaluations
+    val again = df.filter(col("id") === 1L)
+      .select(TextAnalysis.winnowFingerprints(col("t"), 3, 4)).head().getSeq[Long](0)
+    assert(again.toSet === rows(1L))
+  }
+
   test("count-min term sketch: one-sided error within eps*total of exact counts") {
     val eps = 0.001
     val sketch = TextAnalysis.termFreqSketch(docs, col("text"), eps = eps)
@@ -308,7 +339,7 @@ class OperatorsSuite extends AnyFunSuite {
     }
   }
 
-  test("multimodal: synthetic media, feature extraction stub, frame sampling, resize") {
+  test("multimodal: synthetic media, fallback feature extraction, frame sampling, resize") {
     val media = Multimodal.syntheticMedia(docs.limit(30), "doc_id", "text").cache()
     assert(media.schema.fieldNames.toSeq ===
       Seq("media_id", "media_type", "content", "width", "height", "duration_ms"))
@@ -318,7 +349,9 @@ class OperatorsSuite extends AnyFunSuite {
     rows.foreach { r =>
       val f = r.getAs[scala.collection.Seq[Float]]("features")
       assert(f.length === Multimodal.FeatureDim)
-      f.foreach(v => assert(v >= 0.0f && v < 1.0f))
+      f.foreach(v => assert(v >= 0.0f && v <= 1.0f))
+      // synthetic payloads are UTF-8 text, not decodable images
+      assert(r.isNullAt(r.fieldIndex("decoded_width")))
     }
     // deterministic: same input -> same features
     val again = Multimodal.extractFeatures(media, batchSize = 8).collect()
@@ -329,5 +362,42 @@ class OperatorsSuite extends AnyFunSuite {
     resized.collect().foreach { r =>
       assert(math.max(r.getAs[Int]("out_width"), r.getAs[Int]("out_height")) <= 64)
     }
+  }
+
+  test("multimodal: real PNG bytes decode via javax.imageio to true dims + grid luminance") {
+    // 8×6 PNG, left half black / right half white, generated in-test
+    val img = new java.awt.image.BufferedImage(8, 6, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 6; x <- 0 until 8)
+      img.setRGB(x, y, if (x < 4) 0x000000 else 0xFFFFFF)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val png = baos.toByteArray
+    val rows = Seq(
+      // envelope metadata deliberately lies (width=999): pixels must win
+      org.apache.spark.sql.Row(1L, "image", png, 999, 999, null),
+      org.apache.spark.sql.Row(2L, "image", "definitely not an image".getBytes("UTF-8"),
+        null, null, null))
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), Multimodal.MediaSchema)
+    val out = Multimodal.extractFeatures(media, batchSize = 2)
+      .orderBy("media_id").collect()
+
+    val decoded = out(0)
+    assert(decoded.getAs[Int]("decoded_width") === 8)
+    assert(decoded.getAs[Int]("decoded_height") === 6)
+    val f = decoded.getAs[scala.collection.Seq[Float]]("features")
+    assert(f.length === Multimodal.FeatureDim)
+    // row-major 4×4 grid: columns 0-1 cover the black half, 2-3 the white
+    for (gy <- 0 until 4) {
+      assert(f(gy * 4 + 0) < 0.05f && f(gy * 4 + 1) < 0.05f,
+        s"left cells must be dark: ${f.toList}")
+      assert(f(gy * 4 + 2) > 0.95f && f(gy * 4 + 3) > 0.95f,
+        s"right cells must be bright: ${f.toList}")
+    }
+
+    // undecodable bytes: null dims, deterministic byte-stride fallback
+    val fallback = out(1)
+    assert(fallback.isNullAt(fallback.fieldIndex("decoded_width")))
+    assert(fallback.getAs[scala.collection.Seq[Float]]("features").length === Multimodal.FeatureDim)
   }
 }

@@ -454,4 +454,68 @@ class StreamingSuite extends AnyFunSuite {
     st.clear()
     assert(st.buffer().count() === 0)
   }
+
+  test("flushPartialOnDrain emits the sub-N tail as a final partial window; default carries it") {
+    val mb = Minibatch(spark, freshRoot())
+    val st = mb.stream("flushy")
+    st.appendAll((0 until 7).map(i => s"""{"i":$i}"""))
+    // default (reference parity): only complete windows emit, remainder carries
+    val (sink1, fn1) = collector()
+    mb.streaming("flushy").size(3).emit(fn1).run()
+    assert(sink1.size === 2, s"expected 2 complete windows, got $sink1")
+    assert(sink1.map(_._2.size).sum === 6)
+    // flush drain: the 1-message remainder emits as window id 2
+    val (sink2, fn2) = collector()
+    mb.streaming("flushy").size(3).flushPartialOnDrain(true).emit(fn2).run()
+    assert(sink2.size === 1, s"expected the partial tail window, got $sink2")
+    assert(sink2.head._1 === 2L)
+    assert(sink2.head._2 === Seq("""{"i":6}"""))
+    // window ids continue past the flushed window; no message re-emits
+    st.appendAll((10 until 13).map(i => s"""{"i":$i}"""))
+    val (sink3, fn3) = collector()
+    mb.streaming("flushy").size(3).emit(fn3).run()
+    assert(sink3.size === 1)
+    assert(sink3.head._1 === 3L)
+    assert(sink3.head._2.size === 3)
+  }
+
+  test("close() flips status open->closed, refuses appends; reopen() restores (Stream.stop port)") {
+    val mb = Minibatch(spark, freshRoot())
+    val st = mb.stream("life")
+    assert(st.status === "open")
+    st.append("""{"i":1}""")
+    st.close()
+    assert(st.isClosed && st.status === "closed")
+    // durable: a fresh handle from the registry sees closed and does NOT
+    // silently reopen (documented getOrCreate behavior)
+    val again = mb.stream("life")
+    assert(again.isClosed, "getOrCreate must not silently reopen a closed stream")
+    intercept[IllegalStateException] { st.append("""{"i":2}""") }
+    intercept[IllegalStateException] { again.appendAll(Seq("""{"i":2}""")) }
+    // reads keep working on a closed stream (close flushed the pending batch)
+    assert(st.buffer().count() === 1)
+    // status facade surfaces the lifecycle
+    val s = mb.status("life")
+    assert(!s.running && s.streamStatus === "closed" && s.message === "closed")
+    // idempotent
+    st.close()
+    // explicit reopen restores appends, on every handle
+    again.reopen()
+    assert(!st.isClosed)
+    st.append("""{"i":3}""")
+    st.flush()
+    assert(st.buffer().count() === 2)
+    assert(mb.status("life").streamStatus === "open")
+  }
+
+  test("close() detaches background sources and stops the retention loop") {
+    val mb = Minibatch(spark, freshRoot())
+    val st = mb.stream("bg")
+    val src = st.attach(_ => 0, pollMs = 20L)
+    val ret = st.startRetention(3600.0, intervalMs = 50L)
+    assert(src.isRunning && ret.isRunning)
+    st.close()
+    assert(!src.isRunning, "attached source must stop on close")
+    assert(!ret.isRunning, "retention loop must stop on close")
+  }
 }
