@@ -40,10 +40,14 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // 3-decimal (ms) precision keeps the line short: the driver scrapes a
+    // bounded stdout tail, and full-precision doubles for 60+ queries
+    // overflow that window, truncating the line mid-JSON.
+    def fmt(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // also persist to a file: sbt's stdout interleaves logging with the JSON
     // line, so a scraper that misses it can read the artifact instead

@@ -65,11 +65,28 @@ object Multimodal {
     out
   }
 
+  /** Magic-byte sniff for the formats the in-JDK decoders handle (PNG,
+    * JPEG, GIF, BMP). Attempting `ImageIO.read` on arbitrary bytes is
+    * expensive — it probes the whole reader registry and, with the default
+    * disk cache, creates a temp file per call — so non-image payloads are
+    * rejected here with a 3-byte comparison instead.
+    */
+  private[operators] def looksLikeImage(bytes: Array[Byte]): Boolean =
+    bytes.length >= 3 && {
+      val b0 = bytes(0) & 0xFF; val b1 = bytes(1) & 0xFF; val b2 = bytes(2) & 0xFF
+      (b0 == 0x89 && b1 == 0x50 && b2 == 0x4E) || // PNG
+      (b0 == 0xFF && b1 == 0xD8 && b2 == 0xFF) || // JPEG
+      (b0 == 0x47 && b1 == 0x49 && b2 == 0x46) || // GIF
+      (b0 == 0x42 && b1 == 0x4D)                  // BMP
+    }
+
   /** Real image decode via the JDK's ImageIO: None when the bytes are not
-    * a recognizable image (ImageIO returns null) or the decode throws.
+    * a recognizable image (magic-byte mismatch, ImageIO returns null) or
+    * the decode throws.
     */
   private def tryDecodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
-    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+    if (!looksLikeImage(bytes)) None
+    else try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
     catch { case scala.util.control.NonFatal(_) => None }
 
   /** 4×4 grid mean luminance (Rec. 601 weights), row-major, each in [0, 1]
@@ -126,7 +143,10 @@ object Multimodal {
     media.select(col("media_id"), col("media_type"), col("content"))
       .mapPartitions { rows =>
         // decoder init happens HERE, once per partition (ImageIO's reader
-        // registry is JVM-static; a JNI/ONNX context would be allocated here)
+        // registry is JVM-static; a JNI/ONNX context would be allocated here).
+        // In-memory ImageInputStreams only — the default disk cache writes a
+        // temp file per decode, a syscall tax with no benefit for byte[] input.
+        javax.imageio.ImageIO.setUseCache(false)
         rows.grouped(batchSize).flatMap { batch =>
           batch.map { r =>
             val bytes = r.getAs[Array[Byte]]("content")
