@@ -400,4 +400,73 @@ class OperatorsSuite extends AnyFunSuite {
     assert(fallback.isNullAt(fallback.fieldIndex("decoded_width")))
     assert(fallback.getAs[scala.collection.Seq[Float]]("features").length === Multimodal.FeatureDim)
   }
+
+  test("PII redaction: every pattern family tagged, clean text untouched") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "mail bob.smith+spam@sub.example.co.uk now phone 555-867-5309 ssn 123-45-6789 ip 10.0.255.1 end"),
+      (2L, "plain text with no pii at all")).toDF("id", "text")
+    val out = rows.withColumn("clean", TextAnalysis.redact(col("text")))
+      .orderBy("id").collect()
+    val dirty = out(0).getString(2)
+    assert(dirty === "mail <EMAIL> now phone <PHONE> ssn <SSN> ip <IP> end", dirty)
+    // no-PII text must pass through byte-identical
+    assert(out(1).getString(2) === out(1).getString(1))
+  }
+
+  test("decontamination: shared n-token span flags the train doc; disjoint text does not") {
+    import spark.implicits._
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val train = Seq(
+      // contains the 5-token span "quick brown fox jumps over" → flagged
+      (1L, "intro words then quick brown fox jumps over and outro"),
+      // shares words but no 5-gram → clean
+      (2L, "fox dog quick lazy brown the over jumps"),
+      (3L, "completely unrelated content here")).toDF("doc_id", "text")
+    val got = Pipeline.contaminatedDocs(train, bench, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet === Set(1L), s"flagged: $got")
+    assert(got(1L) === 1L) // exactly the one shared 5-gram
+  }
+
+  test("salted join: hot key spreads across reducers; plan keeps the shuffled hash join") {
+    // 95% of the left rows share key 1 — the single-reducer hotspot shape.
+    val n = 20000L
+    val nSalts = 8
+    val left = spark.range(n).select(
+      when(col("id") % 20 =!= 0, lit(1L)).otherwise(col("id")).as("k"),
+      col("id").as("row_id"))
+    val right = spark.range(50).select(col("id").as("k"), (col("id") * 10).as("v"))
+
+    val salted = Relational.saltedEquiJoin(left, right, "k", col("row_id"), nSalts)
+    // result identical to the plain join (oracle q_skew_join_salted proves
+    // this on real tables; here just the count on the synthetic fixture)
+    assert(salted.count() === left.join(right, Seq("k")).count())
+
+    // (a) the executed plan joins on (k, __salt) via shuffled hash join —
+    // Catalyst must not have re-planned the replicated side as a broadcast,
+    // which would silently rebuild the hotspot
+    val plan = salted.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"), s"expected shuffled hash join:\n$plan")
+    assert(plan.contains("__salt"), s"salt column missing from plan:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"), s"replicated side got broadcast:\n$plan")
+
+    // (b) reducer load: HashPartitioning places a row in reducer
+    // pmod(murmur3(keys), P) — exactly pmod(hash(...), P) — so the max
+    // rows-per-reducer of the join shuffle is directly measurable.
+    def maxReducerLoad(df: org.apache.spark.sql.DataFrame, keys: Seq[org.apache.spark.sql.Column]): Long =
+      df.groupBy(pmod(hash(keys: _*), lit(32)).as("part")).count()
+        .agg(max("count")).head().getLong(0)
+    val saltedLeft = left.withColumn("__salt",
+      pmod(xxhash64(col("row_id")), lit(nSalts.toLong)).cast("int"))
+    val loadPlain = maxReducerLoad(left, Seq(col("k")))
+    val loadSalted = maxReducerLoad(saltedLeft, Seq(col("k"), col("__salt")))
+    // hot key holds ~19000 rows: unsalted all on one reducer; salted splits
+    // it over nSalts sub-keys. Sub-keys themselves hash into the 32 reducers,
+    // so a bucket can receive 2-3 colliding sub-keys — assert a 3× headroom
+    // over the ideal 1/nSalts split rather than the collision-free bound.
+    assert(loadPlain >= n * 9 / 10, s"fixture not skewed enough: $loadPlain")
+    assert(loadSalted <= loadPlain * 3 / nSalts,
+      s"salting did not spread the hot key: $loadSalted vs $loadPlain")
+  }
 }
