@@ -823,6 +823,42 @@ object SparkEntry {
         .groupBy(col("lang"), col("split"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
         .orderBy(col("lang"), col("split"))
+    }),
+
+    // Benchmark decontamination: every 50th doc plays the eval set; train
+    // docs sharing any 5-gram with it are flagged with the shared count
+    // (n=5 because the fixture vocabulary is tiny — real pipelines use
+    // 8-13; the one hit here is a genuine near-dup sharing a long span).
+    "text_decontaminate" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      Pipeline.contaminatedDocs(
+          docs.filter(pmod(col("doc_id"), lit(50)) =!= 0),
+          docs.filter(pmod(col("doc_id"), lit(50)) === 0),
+          "doc_id", "text", n = 5)
+        .orderBy(col("doc_id"))
+    }),
+
+    // PII scrubbing: deterministic synthetic PII appended per doc (the
+    // corpus itself is clean), then the portable-regex redaction chain;
+    // per-source audit of matches found and bytes removed.
+    "text_pii_redact" -> ((s, dir) => {
+      val emailPat = TextAnalysis.PiiPatterns.head._1
+      val phonePat = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+      val withPii = documents(s, dir).select(
+        col("doc_id"), col("source"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or 555-123-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")).as("text"))
+      withPii
+        .withColumn("clean", TextAnalysis.redact(col("text")))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(regexp_count(col("text"), lit(emailPat))).as("n_emails"),
+          sum(regexp_count(col("text"), lit(phonePat))).as("n_phones"),
+          sum(length(col("text")) - length(col("clean"))).as("chars_removed"))
+        .orderBy(col("source"))
     })
   )
 
@@ -1411,6 +1447,42 @@ object SparkEntry {
         |              ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 100 AS b
         |            FROM documents))
         |GROUP BY lang, split
-        |ORDER BY lang, split""".stripMargin
+        |ORDER BY lang, split""".stripMargin,
+
+    "text_decontaminate" ->
+      """WITH s AS (
+        |  SELECT doc_id, list_distinct([array_to_string(toks[i:i+4], ' ')
+        |                                for i in range(1, len(toks) - 3)]) AS sh
+        |  FROM (SELECT doc_id, string_split_regex(text, ' +') AS toks FROM documents)
+        |), g AS (SELECT doc_id, unnest(sh) AS gram FROM s),
+        |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0)
+        |SELECT g.doc_id, count(*)::BIGINT AS n_shared_ngrams
+        |FROM g JOIN bench USING (gram)
+        |WHERE g.doc_id % 50 <> 0
+        |GROUP BY g.doc_id
+        |ORDER BY g.doc_id""".stripMargin,
+
+    "text_pii_redact" ->
+      """WITH p AS (
+        |  SELECT doc_id, source,
+        |         text || ' contact user' || doc_id::VARCHAR || '@example.com or 555-123-'
+        |              || lpad((doc_id % 10000)::VARCHAR, 4, '0') AS text
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, source, text,
+        |         regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+        |           '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+        |           '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<SSN>', 'g'),
+        |           '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+        |           '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g') AS clean
+        |  FROM p)
+        |SELECT source, count(*)::BIGINT AS n_docs,
+        |       sum(len(regexp_extract_all(text,
+        |         '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')))::BIGINT AS n_emails,
+        |       sum(len(regexp_extract_all(text, '[0-9]{3}-[0-9]{3}-[0-9]{4}')))::BIGINT AS n_phones,
+        |       sum(length(text) - length(clean))::BIGINT AS chars_removed
+        |FROM r
+        |GROUP BY source
+        |ORDER BY source""".stripMargin
   )
 }

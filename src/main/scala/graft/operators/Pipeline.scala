@@ -58,4 +58,38 @@ object Pipeline {
         .when(bucket < trainPct + validPct, "valid")
         .otherwise("test"))
   }
+
+  /** Benchmark decontamination: training documents sharing at least one
+    * token n-gram with any document of a benchmark/eval set, with the count
+    * of shared distinct n-grams — the pre-training hygiene step that keeps
+    * eval answers out of the training corpus. Real contamination is a
+    * copied SPAN, so n is conventionally 8-13 tokens; short n over a small
+    * vocabulary flags coincidental collisions.
+    *
+    * Scale shape: both sides reduce to per-document DISTINCT n-grams
+    * (codegen'd [[TextAnalysis.shingles]]) before anything shuffles; the
+    * benchmark side collapses to a global DISTINCT gram set, which is tiny
+    * next to a 100 TB corpus (benchmarks are MBs), so AQE broadcasts it and
+    * the corpus side is a single scan + broadcast probe + one hash agg on
+    * the id — the corpus' exploded grams never shuffle on the gram. With a
+    * benchmark too big to broadcast it degrades to one hash-partitioned
+    * equi-join on the gram, still linear.
+    */
+  def contaminatedDocs(
+      train: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8): DataFrame = {
+    require(n > 0, "contaminatedDocs: n must be positive")
+    def grams(df: DataFrame) = df.select(col(idCol),
+      explode(TextAnalysis.shingles(col(textCol), n)).as("__gram"))
+    val benchGrams = grams(bench).select(col("__gram")).distinct()
+    // shingles() is per-document distinct, so after the inner join each
+    // (id, gram) pair is unique — a plain count IS the distinct-gram count,
+    // no countDistinct expansion needed
+    grams(train).join(benchGrams, "__gram")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared_ngrams"))
+  }
 }

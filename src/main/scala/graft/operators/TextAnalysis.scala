@@ -79,6 +79,29 @@ object TextAnalysis {
     */
   def md5Fingerprint(text: Column): Column = md5(lower(trim(text)))
 
+  /** PII patterns in the portable regex subset (character classes, counted
+    * repetition — no backrefs, no lookaround) that means the same thing
+    * under Java regex (Spark) and RE2 (DuckDB, Go tooling): email, SSN-
+    * shaped, US-phone-shaped, IPv4. Order matters — email is matched before
+    * the number shapes so its local part can't be partially consumed.
+    */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}" -> "<EMAIL>",
+    "[0-9]{3}-[0-9]{2}-[0-9]{4}" -> "<SSN>",
+    "[0-9]{3}-[0-9]{3}-[0-9]{4}" -> "<PHONE>",
+    "([0-9]{1,3}\\.){3}[0-9]{1,3}" -> "<IP>")
+
+  /** Redact every match of each (pattern → tag) in order: the scrubbing
+    * pass a training pipeline runs before packing. Per-row, shuffle-free,
+    * whole-stage-codegen'd (`regexp_replace` chain); the compiled regex is
+    * reused across rows by the expression, so cost is linear in bytes
+    * scanned.
+    */
+  def redact(text: Column, patterns: Seq[(String, String)] = PiiPatterns): Column =
+    patterns.foldLeft(text) { case (acc, (pat, tag)) =>
+      regexp_replace(acc, pat, tag)
+    }
+
   /** Single rolling-hash fingerprint: min xxhash64 over the document's
     * shingles — one hash per document, robust to small edits away from the
     * minimum. For true locality (an edit changes only nearby fingerprints)
