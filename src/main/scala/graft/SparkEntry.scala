@@ -825,6 +825,17 @@ object SparkEntry {
         .orderBy(col("lang"), col("split"))
     }),
 
+    // Domain-mixture sampling: per-language keep rates (the pretraining
+    // source-weighting step), deterministic md5 bucket — census per lang
+    // proves the realized mixture.
+    "sample_mixture" -> ((s, dir) => {
+      Pipeline.weightedSample(documents(s, dir), col("doc_id"), col("lang"),
+          Map("en" -> 100, "de" -> 50, "fr" -> 50, "es" -> 25, "zh" -> 10))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("lang"))
+    }),
+
     // Benchmark decontamination: every 50th doc plays the eval set; train
     // docs sharing any 5-gram with it are flagged with the shared count
     // (n=5 because the fixture vocabulary is tiny — real pipelines use
@@ -1448,6 +1459,16 @@ object SparkEntry {
         |            FROM documents))
         |GROUP BY lang, split
         |ORDER BY lang, split""".stripMargin,
+
+    "sample_mixture" ->
+      """SELECT lang, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars
+        |FROM (SELECT lang, n_chars,
+        |        ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 100 AS b
+        |      FROM documents)
+        |WHERE b < CASE lang WHEN 'en' THEN 100 WHEN 'de' THEN 50 WHEN 'fr' THEN 50
+        |                    WHEN 'es' THEN 25 WHEN 'zh' THEN 10 ELSE 100 END
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin,
 
     "text_decontaminate" ->
       """WITH s AS (

@@ -51,12 +51,42 @@ object Pipeline {
       validPct: Int = 10): DataFrame = {
     require(trainPct > 0 && validPct >= 0 && trainPct + validPct <= 100,
       s"deterministicSplit: bad percentages train=$trainPct valid=$validPct")
-    val bucket = conv(substring(md5(key.cast("string")), 1, 4), 16, 10)
-      .cast("long") % 100
     df.withColumn("split",
-      when(bucket < trainPct, "train")
-        .when(bucket < trainPct + validPct, "valid")
+      when(md5Bucket(key) < trainPct, "train")
+        .when(md5Bucket(key) < trainPct + validPct, "valid")
         .otherwise("test"))
+  }
+
+  /** Deterministic 0-99 bucket from a stable key: first 16 bits of md5 mod
+    * 100 — reproducible on any engine with md5 (the cross-engine hash).
+    */
+  private def md5Bucket(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 4), 16, 10).cast("long") % 100
+
+  /** Domain-mixture sampling: keep each row with its group's percentage —
+    * the "data mixing" step that up/down-weights sources (web 30%, code
+    * 100%, wiki 100%, ...) before training. Deterministic md5 bucket of a
+    * stable key, NOT rand(): the same mixture reproduces across runs,
+    * engines, and partition layouts, and composes with
+    * [[deterministicSplit]] without correlation (different key → use a
+    * distinct salt/key per decision if both are applied).
+    *
+    * Per-row filter, shuffle-free, codegen'd CASE — at 100 TB this is a
+    * scan that prunes at the source. Groups absent from `weights` keep
+    * `defaultPct`.
+    */
+  def weightedSample(
+      df: DataFrame,
+      key: Column,
+      group: Column,
+      weights: Map[String, Int],
+      defaultPct: Int = 100): DataFrame = {
+    require((defaultPct +: weights.values.toSeq).forall(p => p >= 0 && p <= 100),
+      s"weightedSample: percentages must be in [0, 100]")
+    val pct = weights.toSeq.sortBy(_._1).foldLeft(lit(defaultPct)) {
+      case (acc, (g, p)) => when(group === g, lit(p)).otherwise(acc)
+    }
+    df.filter(md5Bucket(key) < pct)
   }
 
   /** Benchmark decontamination: training documents sharing at least one

@@ -429,6 +429,28 @@ class OperatorsSuite extends AnyFunSuite {
     assert(got(1L) === 1L) // exactly the one shared 5-gram
   }
 
+  test("mixture sampling: deterministic, rate-honoring, 100% keeps everything") {
+    val sampled = Pipeline.weightedSample(docs, col("doc_id"), col("lang"),
+      Map("en" -> 100, "zh" -> 0), defaultPct = 50)
+    val counts = sampled.groupBy(col("lang")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy(col("lang")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 100% keeps every row; 0% keeps none; default applies to the rest
+    assert(counts("en") === totals("en"))
+    assert(!counts.contains("zh"))
+    val restKept = counts.filterKeys(l => l != "en" && l != "zh").values.sum.toDouble
+    val restTotal = totals.filterKeys(l => l != "en" && l != "zh").values.sum.toDouble
+    assert(restKept / restTotal > 0.3 && restKept / restTotal < 0.7,
+      s"default 50% rate off: $restKept/$restTotal")
+    // deterministic: the same call yields the same id set
+    val ids1 = sampled.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val ids2 = Pipeline.weightedSample(docs, col("doc_id"), col("lang"),
+      Map("en" -> 100, "zh" -> 0), defaultPct = 50)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(ids1 === ids2)
+  }
+
   test("salted join: hot key spreads across reducers; plan keeps the shuffled hash join") {
     // 95% of the left rows share key 1 — the single-reducer hotspot shape.
     val n = 20000L
