@@ -137,6 +137,67 @@ object Similarity {
     topKScored(scored, k)
   }
 
+  /** Distributed Lloyd k-means cell trainer for the IVF codebook:
+    * returns (id, cell) assignments with cell ∈ [0, nlist).
+    *
+    * Deterministic end to end — seeds are the `nlist` corpus vectors with
+    * the smallest md5(id) (hash-spread across the space, no RNG, engine-
+    * reproducible), and ties in the argmin break on the cell id.
+    *
+    * Scale shape per iteration: the codebook (nlist tiny rows) is
+    * broadcast against the corpus, the argmin collapses map-side (every
+    * replicated row of an id sits in the same partition, so the partial
+    * min_by finishes before the exchange and only one row per id
+    * shuffles), and centroid recomputation is the posexplode → hash agg
+    * used by [[ivfTopK]]. The codebook is localCheckpointed between
+    * iterations so the plan doesn't accumulate one corpus scan per round.
+    * Seed selection is sort+limit = distributed TakeOrdered, not a global
+    * sort.
+    */
+  def kmeansCells(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nlist: Int,
+      iters: Int = 3): DataFrame = {
+    require(nlist > 0 && iters >= 0, "kmeansCells: nlist and iters must be positive")
+    val base = corpus
+      .select(col(idCol).as("__id"), toDoubleArray(col(vecCol)).as("__vec"))
+      .withColumn("__vnorm2", dot(col("__vec"), col("__vec")))
+    val seedW = Window.orderBy(col("__id")) // nlist rows only — not a scale sort
+    var cents = base
+      .orderBy(md5(col("__id").cast("string")), col("__id")).limit(nlist)
+      .withColumn("cell", row_number().over(seedW).cast("long") - 1)
+      .select(col("cell"), col("__vec").as("cent"))
+      .withColumn("__cnorm2", dot(col("cent"), col("cent")))
+      .localCheckpoint()
+    var i = 0
+    while (i < iters) {
+      // assign: argmin squared euclidean = vnorm² − 2·dot + cnorm² (vnorm²
+      // is constant per row, dropped); recompute: mean per (cell, pos)
+      val assigned = base.crossJoin(broadcast(cents))
+        .withColumn("__d", col("__cnorm2") - lit(2.0) * dot(col("__vec"), col("cent")))
+        .groupBy(col("__id"))
+        .agg(min_by(col("cell"), struct(col("__d"), col("cell"))).as("cell"),
+          first(col("__vec")).as("__vec"))
+      cents = assigned
+        .select(col("cell"), posexplode(col("__vec")).as(Seq("pos", "v")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(avg(col("v")).as("cv"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("cv")))).as("pcs"))
+        .select(col("cell"), transform(col("pcs"), p => p.getField("cv")).as("cent"))
+        .withColumn("__cnorm2", dot(col("cent"), col("cent")))
+        .localCheckpoint()
+      i += 1
+    }
+    base.crossJoin(broadcast(cents))
+      .withColumn("__d", col("__cnorm2") - lit(2.0) * dot(col("__vec"), col("cent")))
+      .groupBy(col("__id"))
+      .agg(min_by(col("cell"), struct(col("__d"), col("cell"))).as("cell"))
+      .select(col("__id").as(idCol), col("cell"))
+  }
+
   /** IVF (inverted-file) ANN top-k: a coarse codebook of cell centroids
     * partitions the corpus; each query is scored only against the cells
     * whose centroids are its `nprobe` nearest — a `nprobe/nlist` fraction

@@ -429,6 +429,37 @@ class OperatorsSuite extends AnyFunSuite {
     assert(got(1L) === 1L) // exactly the one shared 5-gram
   }
 
+  test("kmeans cells: total assignment, deterministic, Lloyd iterations reduce inertia") {
+    val n = emb.count()
+    def assignments(iters: Int): Map[Long, Long] =
+      Similarity.kmeansCells(emb, "vec_id", "embedding", nlist = 8, iters = iters)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val a0 = assignments(0)
+    val a3 = assignments(3)
+    // every vector assigned exactly once, cells in range
+    assert(a3.size === n)
+    assert(a3.values.forall(c => c >= 0 && c < 8))
+    // deterministic: identical run → identical assignment
+    assert(assignments(3) === a3)
+
+    // k-means objective with per-assignment optimal centroids is monotone
+    // non-increasing under Lloyd steps
+    val vecs = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def inertia(assign: Map[Long, Long]): Double =
+      assign.groupBy(_._2).values.map { members =>
+        val vs = members.keys.map(vecs).toSeq
+        val dim = vs.head.length
+        val cent = Array.tabulate(dim)(d => vs.map(_(d)).sum / vs.size)
+        vs.map(v => v.zip(cent).map { case (a, b) => (a - b) * (a - b) }.sum).sum
+      }.sum
+    val j0 = inertia(a0)
+    val j3 = inertia(a3)
+    assert(j3 <= j0 + 1e-9, s"Lloyd increased inertia: $j0 -> $j3")
+    assert(j3 < j0, s"3 Lloyd rounds should strictly improve on seed assignment: $j0 -> $j3")
+  }
+
   test("mixture sampling: deterministic, rate-honoring, 100% keeps everything") {
     val sampled = Pipeline.weightedSample(docs, col("doc_id"), col("lang"),
       Map("en" -> 100, "zh" -> 0), defaultPct = 50)
