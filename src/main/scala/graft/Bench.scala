@@ -40,10 +40,11 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    // 3-decimal (ms) precision keeps the line short: the driver scrapes a
-    // bounded stdout tail, and full-precision doubles for 60+ queries
-    // overflow that window, truncating the line mid-JSON.
-    def fmt(v: Double): String = f"$v%.3f"
+    // 2-decimal (10 ms) precision keeps the line short: the driver scrapes
+    // a bounded ~2000-char stdout tail, and full-precision doubles for 60+
+    // queries overflow that window, truncating the line mid-JSON. At ~70
+    // queries even 3 decimals leaves too little headroom.
+    def fmt(v: Double): String = f"$v%.2f"
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

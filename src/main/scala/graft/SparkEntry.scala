@@ -875,6 +875,53 @@ object SparkEntry {
           sum(regexp_count(col("text"), lit(phonePat))).as("n_phones"),
           sum(length(col("text")) - length(col("clean"))).as("chars_removed"))
         .orderBy(col("source"))
+    }),
+
+    // Big-big range join scale path: 40 overlapping value tiers joined to
+    // events WITHOUT broadcasting — band-quantized equi-join (the plan
+    // q_range_join's broadcast tier can't use when the ranges side is
+    // also huge). Result identical to the theta join by construction.
+    "q_range_join_banded" -> ((s, dir) => {
+      val ranges = s.range(40).select(
+        col("id").as("range_id"),
+        (col("id") * 5.0).as("lo"),
+        (col("id") * 5.0 + 25.0).as("hi"))
+      Relational.bandedRangeJoin(events(s, dir), ranges,
+          col("value"), col("lo"), col("hi"), bandWidth = 10.0)
+        .groupBy(col("range_id"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+        .orderBy(col("range_id"))
+    }),
+
+    // Substring-span dedup: docs sharing any 8-token run with an earlier
+    // doc — catches partial duplication whole-doc fingerprints miss.
+    "dedup_exact_substr" -> ((s, dir) => {
+      Dedup.exactSubstringDups(documents(s, dir), "doc_id", "text", k = 8)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Gopher rule filter: per-rule booleans + verdict per document, so the
+    // pipeline can audit WHY a doc was dropped. minWords=50 and
+    // minStopHits=1 are the rules that split the fixture corpus (docs are
+    // 10-99 tokens, all-alpha, containing at most 'the'/'a' as stopwords).
+    "text_gopher_filter" -> ((s, dir) => {
+      TextAnalysis.gopherRules(documents(s, dir), col("text"),
+          minWords = 50, maxWords = 100000, minMeanLen = 3.0, maxMeanLen = 10.0,
+          minAlphaFrac = 0.8, minStopHits = 1)
+        .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+          col("alpha_frac"), col("n_stop"), col("pass"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Context-window chunking: 64-token windows every 48 tokens (16-token
+    // overlap); the chunk itself is projected away — its md5 is the
+    // engine-stable witness (and the chunk-dedup key downstream).
+    "text_chunk" -> ((s, dir) => {
+      Pipeline.chunkTokens(documents(s, dir), col("doc_id"), col("text"),
+          window = 64, stride = 48)
+        .select(col("id").as("doc_id"), col("chunk_idx"),
+          col("chunk_tokens"), col("chunk_hash"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
     })
   )
 
@@ -1509,6 +1556,57 @@ object SparkEntry {
         |       sum(length(text) - length(clean))::BIGINT AS chars_removed
         |FROM r
         |GROUP BY source
-        |ORDER BY source""".stripMargin
+        |ORDER BY source""".stripMargin,
+
+    "q_range_join_banded" ->
+      """SELECT t.range_id, count(*) AS n_events, round(sum(e.value), 2) AS sum_value
+        |FROM events e
+        |JOIN (SELECT range AS range_id, range * 5.0 AS lo, range * 5.0 + 25.0 AS hi
+        |      FROM range(0, 40)) t
+        |  ON e.value >= t.lo AND e.value < t.hi
+        |GROUP BY t.range_id
+        |ORDER BY t.range_id""".stripMargin,
+
+    "dedup_exact_substr" ->
+      """WITH g AS (
+        |  SELECT doc_id, unnest(list_distinct([array_to_string(toks[i:i+7], ' ')
+        |                                       for i in range(1, len(toks) - 6)])) AS gram
+        |  FROM (SELECT doc_id, string_split_regex(text, ' +') AS toks FROM documents)
+        |), o AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram)
+        |SELECT g.doc_id, count(*)::BIGINT AS n_shared_spans, min(o.first_doc) AS first_src
+        |FROM g JOIN o USING (gram)
+        |WHERE g.doc_id > o.first_doc
+        |GROUP BY g.doc_id
+        |ORDER BY g.doc_id""".stripMargin,
+
+    "text_gopher_filter" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(text, ' +') AS toks FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |         len(toks)::BIGINT AS n_words,
+        |         round(coalesce(list_sum([length(x) for x in toks]), 0)::DOUBLE
+        |               / greatest(len(toks), 1), 4) AS mean_word_len,
+        |         round(len([x for x in toks if regexp_matches(x, '[a-z]')])::DOUBLE
+        |               / greatest(len(toks), 1), 4) AS alpha_frac,
+        |         (CASE WHEN list_contains(toks, 'the') THEN 1 ELSE 0 END +
+        |          CASE WHEN list_contains(toks, 'a')   THEN 1 ELSE 0 END +
+        |          CASE WHEN list_contains(toks, 'and') THEN 1 ELSE 0 END +
+        |          CASE WHEN list_contains(toks, 'of')  THEN 1 ELSE 0 END +
+        |          CASE WHEN list_contains(toks, 'to')  THEN 1 ELSE 0 END)::BIGINT AS n_stop
+        |  FROM t)
+        |SELECT doc_id, n_words, mean_word_len, alpha_frac, n_stop,
+        |       (n_words BETWEEN 50 AND 100000
+        |        AND mean_word_len BETWEEN 3.0 AND 10.0
+        |        AND alpha_frac >= 0.8 AND n_stop >= 1) AS pass
+        |FROM m
+        |ORDER BY doc_id""".stripMargin,
+
+    "text_chunk" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(text, ' +') AS toks FROM documents)
+        |SELECT doc_id, s // 48 AS chunk_idx,
+        |       len(toks[s + 1:s + 64])::BIGINT AS chunk_tokens,
+        |       md5(array_to_string(toks[s + 1:s + 64], ' ')) AS chunk_hash
+        |FROM d, unnest(range(0, len(toks), 48)) u(s)
+        |ORDER BY doc_id, chunk_idx""".stripMargin
   )
 }

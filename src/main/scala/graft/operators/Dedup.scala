@@ -386,6 +386,40 @@ object Dedup {
     incrementalExact(newBatch, corpus, fp)
   }
 
+  /** Exact substring-span dedup (Lee et al. 2021, "Deduplicating Training
+    * Data Makes Language Models Better" — public algorithm family): flag
+    * every document sharing at least one contiguous run of `k` tokens with
+    * an EARLIER document (smaller id), with the count of distinct shared
+    * k-token spans and the earliest such source. Catches partial/substring
+    * duplication — boilerplate headers, quoted paragraphs, licence blocks —
+    * that whole-document fingerprints ([[exactByKey]]) miss entirely.
+    *
+    * Scale shape: per-document DISTINCT k-grams via the codegen'd
+    * [[graft.functions.Shingles]] expression, hashed to 8-byte longs so the
+    * wide gram strings never enter a shuffle. ONE hash agg on the gram hash
+    * computes each gram's minimum owner — a gram shared by m documents
+    * costs m rows, never m² pairs, so a hot boilerplate gram cannot blow up
+    * a reducer. The join back to per-doc grams is hash-partitioned on the
+    * same key (Catalyst reuses the exchange), and the final per-doc count
+    * is a second map-side-combined hash agg. All linear in corpus grams.
+    *
+    * `k` is conventionally 8-13 tokens (reference pipelines use 50 BPE
+    * tokens ≈ 8-13 words): short k over small vocabularies flags
+    * coincidental collisions, long k misses reworded spans.
+    */
+  def exactSubstringDups(docs: DataFrame, idCol: String, textCol: String, k: Int = 8): DataFrame = {
+    require(k > 0, "exactSubstringDups: k must be positive")
+    val grams = docs.select(col(idCol).as("__doc"),
+        explode(TextAnalysis.shingles(col(textCol), k)).as("__gs"))
+      .select(col("__doc"), xxhash64(col("__gs")).as("__g"))
+    val owner = grams.groupBy(col("__g")).agg(min(col("__doc")).as("__first"))
+    grams.join(owner, "__g")
+      .filter(col("__doc") > col("__first"))
+      .groupBy(col("__doc"))
+      .agg(count(lit(1)).as("n_shared_spans"), min(col("__first")).as("first_src"))
+      .select(col("__doc").as(idCol), col("n_shared_spans"), col("first_src"))
+  }
+
   /** Exact all-pairs embedding near-dup (cosine ≥ threshold). Quadratic —
     * correctness reference and oracle target only; the scale path is
     * [[embeddingNearDupLSH]].

@@ -89,6 +89,44 @@ object Pipeline {
     df.filter(md5Bucket(key) < pct)
   }
 
+  /** Fixed-size token-window chunking with overlap — the context-window
+    * prep step that splits long documents into model-sized pieces (window
+    * tokens, a new chunk every `stride` tokens, so consecutive chunks
+    * overlap by window − stride). The final chunks of a document may be
+    * shorter than `window`; documents with zero tokens emit nothing.
+    *
+    * Emits (id, chunk_idx, chunk_tokens, chunk, chunk_hash): the hash is a
+    * cross-engine md5 of the space-joined chunk so downstream exact-dedup
+    * of CHUNKS ([[Dedup.exactByKey]] on chunk_hash) composes directly.
+    *
+    * Scale shape: tokenize once per row, `posexplode` over an integer
+    * stride sequence, `slice` per chunk — per-row compute, shuffle-free,
+    * output rows ≈ input tokens / stride. At 100 TB this is a scan whose
+    * output is written straight back out; no state, no shuffle.
+    */
+  def chunkTokens(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      window: Int,
+      stride: Int): DataFrame = {
+    require(window > 0, "chunkTokens: window must be positive")
+    require(stride > 0 && stride <= window,
+      "chunkTokens: stride must be in [1, window] (stride > window drops tokens)")
+    df.select(id.as("id"), TextAnalysis.wsTokens(text).as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      .select(col("id"), col("__toks"), col("__n"),
+        posexplode(sequence(lit(0), greatest(col("__n") - 1, lit(0)), lit(stride))))
+      .where(col("col") < col("__n")) // drops the n=0 placeholder start
+      .withColumn("chunk", slice(col("__toks"), col("col") + 1, lit(window)))
+      .select(
+        col("id"),
+        col("pos").cast("long").as("chunk_idx"),
+        size(col("chunk")).cast("long").as("chunk_tokens"),
+        col("chunk"),
+        md5(concat_ws(" ", col("chunk"))).as("chunk_hash"))
+  }
+
   /** Benchmark decontamination: training documents sharing at least one
     * token n-gram with any document of a benchmark/eval set, with the count
     * of shared distinct n-grams — the pre-training hygiene step that keeps

@@ -32,6 +32,40 @@ object Relational {
   def rangeJoin(facts: DataFrame, ranges: DataFrame, value: Column, lo: Column, hi: Column): DataFrame =
     facts.join(broadcast(ranges), value >= lo && value < hi)
 
+  /** Range (interval) join where BOTH sides are too big to broadcast — the
+    * scale path [[rangeJoin]]'s broadcast tier can't take. The value domain
+    * is quantized into fixed-width bands: each range replicates to every
+    * band it overlaps, each fact maps to exactly ONE band, and the join
+    * becomes a hash-partitioned equi-join on the band id with the theta
+    * predicate evaluated only within band-matched pairs. No
+    * BroadcastNestedLoopJoin, no cartesian: shuffle volume is |facts| +
+    * |ranges|·(avg range width / bandWidth), both hash-partitioned.
+    *
+    * Result is exactly the theta join: a (fact, range) pair can only meet
+    * in the fact's single band, so no duplicates; the residual predicate
+    * keeps only true overlaps. Pick `bandWidth` near the median range
+    * width — too wide re-creates hot bands, too narrow over-replicates the
+    * ranges side. The shuffle-hash hint keeps Catalyst from re-planning the
+    * replicated ranges side as a broadcast when it is small (which would be
+    * fine for correctness but silently un-tests the scale plan).
+    */
+  def bandedRangeJoin(
+      facts: DataFrame,
+      ranges: DataFrame,
+      value: Column,
+      lo: Column,
+      hi: Column,
+      bandWidth: Double): DataFrame = {
+    require(bandWidth > 0, "bandWidth must be positive")
+    val w = lit(bandWidth)
+    val f = facts.withColumn("__band", floor(value / w).cast("long"))
+    val r = ranges.withColumn("__band",
+      explode(sequence(floor(lo / w).cast("long"), floor(hi / w).cast("long"))))
+    f.join(r.hint("shuffle_hash"), Seq("__band"))
+      .where(value >= lo && value < hi)
+      .drop("__band")
+  }
+
   /** Skew-safe equi-join: a hot join key concentrates its rows on one
     * reducer in a plain shuffle join; salting scatters each key over
     * `nSalts` sub-keys. The big (`left`) side derives a deterministic salt

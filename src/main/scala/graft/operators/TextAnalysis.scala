@@ -147,6 +147,45 @@ object TextAnalysis {
       .withColumn("top_bigram_frac", round(col("top_bg") * lit(2.0) / col("n_tok"), 4))
       .select(col(idCol), col("dup_frac"), col("top_bigram_frac"))
 
+  /** Gopher-style hard rule filter (Rae et al. 2021, §A1.1 — public
+    * heuristics), as per-rule booleans plus the overall verdict so a
+    * pipeline can audit WHY a document was dropped, not just that it was:
+    *   - word count within [minWords, maxWords];
+    *   - mean word length within [minMeanLen, maxMeanLen];
+    *   - at least `minAlphaFrac` of words contain an alphabetic character;
+    *   - at least `minStopHits` distinct required stopwords present.
+    * Adds n_words, mean_word_len, alpha_frac (rounded, engine-stable
+    * divisions), n_stop, and `pass`. Per-row array expressions — shuffle-
+    * free, whole-stage-codegen'd, linear at any corpus size.
+    */
+  def gopherRules(
+      df: DataFrame,
+      textCol: Column,
+      minWords: Int = 50,
+      maxWords: Int = 100000,
+      minMeanLen: Double = 3.0,
+      maxMeanLen: Double = 10.0,
+      minAlphaFrac: Double = 0.8,
+      minStopHits: Int = 2,
+      requiredStops: Seq[String] = Seq("the", "a", "and", "of", "to")): DataFrame = {
+    val t = wsTokens(textCol)
+    df.withColumn("n_words", size(t).cast("long"))
+      .withColumn("mean_word_len",
+        round(aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double") /
+          greatest(col("n_words"), lit(1L)), 4))
+      .withColumn("alpha_frac",
+        round(size(filter(t, x => x.rlike("[a-z]"))).cast("double") /
+          greatest(col("n_words"), lit(1L)), 4))
+      .withColumn("n_stop",
+        requiredStops.map(sw => when(array_contains(t, sw), 1L).otherwise(0L))
+          .reduce(_ + _))
+      .withColumn("pass",
+        col("n_words").between(minWords, maxWords) &&
+          col("mean_word_len").between(minMeanLen, maxMeanLen) &&
+          col("alpha_frac") >= minAlphaFrac &&
+          col("n_stop") >= minStopHits)
+  }
+
   /** Count-min sketch of term frequencies — the bounded-memory scale path
     * for term stats. An exact `groupBy(term)` holds every distinct term
     * through the shuffle (fine for words, hostile for URLs/n-grams at

@@ -522,4 +522,112 @@ class OperatorsSuite extends AnyFunSuite {
     assert(loadSalted <= loadPlain * 3 / nSalts,
       s"salting did not spread the hot key: $loadSalted vs $loadPlain")
   }
+
+  test("banded range join: identical to the theta join, no nested-loop in the plan") {
+    import spark.implicits._
+    val facts = Tables.events(spark, sf).select(col("event_id"), col("value"))
+    val ranges = Seq(
+      (0L, 0.0, 25.0), (1L, 10.0, 60.0), (2L, 55.0, 55.5),   // overlapping + narrow
+      (3L, 100.0, 400.0), (4L, -50.0, 5.0))                  // wide + negative lo
+      .toDF("range_id", "lo", "hi")
+    val banded = Relational.bandedRangeJoin(facts, ranges,
+      col("value"), col("lo"), col("hi"), bandWidth = 10.0)
+    val naive = facts.join(ranges, col("value") >= col("lo") && col("value") < col("hi"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("event_id"), col("range_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(banded) === pairs(naive))
+    // the scale claim: an equi-join on the band, never a nested loop /
+    // cartesian, and the hint must keep it off the broadcast path
+    val plan = banded.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"banded join fell back to a nested loop:\n$plan")
+    assert(plan.contains("ShuffledHashJoin"), s"expected shuffled hash join on band:\n$plan")
+  }
+
+  test("substring-span dedup: shared k-token run flags the later doc; span count exact") {
+    import spark.implicits._
+    val span = "one two three four five six seven eight" // exactly 8 tokens
+    val d = Seq(
+      (1L, s"header a b $span trailer c"),
+      (2L, s"different prefix then $span and more words after"), // shares the 8-run with 1
+      (3L, "totally disjoint content with no overlap at all whatsoever here"),
+      (4L, s"header a b $span trailer c")) // exact copy of 1 → every span shared
+      .toDF("doc_id", "text")
+    val got = Dedup.exactSubstringDups(d, "doc_id", "text", k = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.keySet === Set(2L, 4L), s"flagged: $got")
+    assert(got(2L) === ((1L, 1L)), s"doc 2 shares exactly the one 8-gram with doc 1: $got")
+    // doc 4 is a verbatim copy of doc 1: 13 tokens → 6 distinct 8-grams
+    assert(got(4L) === ((6L, 1L)), s"exact copy must share all its spans: $got")
+    // corpus invariant: every later exact-duplicate (same md5 fingerprint,
+    // >= k tokens) must be flagged by the span pass too
+    val fpDups = docs
+      .select(col("doc_id"), TextAnalysis.md5Fingerprint(col("text")).as("fp"),
+        size(TextAnalysis.wsTokens(col("text"))).as("n"))
+      .withColumn("first", min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
+      .filter(col("doc_id") > col("first") && col("n") >= 8)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val flagged = Dedup.exactSubstringDups(docs, "doc_id", "text", k = 8)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(fpDups.subsetOf(flagged),
+      s"exact dups missed by span dedup: ${fpDups -- flagged}")
+  }
+
+  test("gopher rules: metrics bounded, verdict consistent with its components") {
+    val out = TextAnalysis.gopherRules(docs, col("text"),
+        minWords = 50, maxWords = 100000, minMeanLen = 3.0, maxMeanLen = 10.0,
+        minAlphaFrac = 0.8, minStopHits = 1)
+      .select(col("n_words"), col("mean_word_len"), col("alpha_frac"),
+        col("n_stop"), col("pass"))
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (n, mean, alpha, stops, pass) =
+        (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getLong(3), r.getBoolean(4))
+      assert(n > 0 && alpha >= 0.0 && alpha <= 1.0 && stops >= 0 && stops <= 5)
+      val expect = n >= 50 && n <= 100000 && mean >= 3.0 && mean <= 10.0 &&
+        alpha >= 0.8 && stops >= 1
+      assert(pass === expect, s"verdict mismatch at ($n, $mean, $alpha, $stops)")
+    }
+    // the fixture corpus must exercise both outcomes or the oracle is vacuous
+    assert(out.exists(_.getBoolean(4)) && out.exists(!_.getBoolean(4)),
+      "gopher thresholds do not split the fixture corpus")
+  }
+
+  test("chunking: full token coverage, stride spacing, bounded sizes, empty docs drop") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, ""),                                    // split("") = [""]: 1 empty token
+      (1L, "a"),                                   // single token
+      (2L, (1 to 64).map("t" + _).mkString(" ")),  // exactly one window
+      (3L, (1 to 65).map("t" + _).mkString(" ")),  // one token past the window
+      (4L, (1 to 200).map("t" + _).mkString(" "))) // many chunks
+      .toDF("doc_id", "text")
+    val got = Pipeline.chunkTokens(d, col("doc_id"), col("text"), window = 64, stride = 48)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getSeq[String](3)))
+    val byDoc = got.groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    // chunk count = ceil(n / stride); every doc with >= 1 token emits
+    def expectChunks(n: Int) = (n + 47) / 48
+    assert(byDoc(0L).size === 1, "empty text is one whitespace token (wsTokens semantics)")
+    assert(byDoc(1L).size === 1 && byDoc(2L).size === expectChunks(64) &&
+      byDoc(3L).size === expectChunks(65) && byDoc(4L).size === expectChunks(200))
+    byDoc.values.flatten.foreach { case (_, idx, nTok, chunk) =>
+      assert(nTok === chunk.size && nTok >= 1 && nTok <= 64, s"bad chunk size $nTok")
+      assert(idx >= 0)
+    }
+    // coverage: concatenating each doc's chunks at stride offsets rebuilds
+    // exactly the token sequence (overlap regions must agree)
+    val toks4 = (1 to 200).map("t" + _)
+    val rebuilt = Array.fill[String](200)(null)
+    byDoc(4L).foreach { case (_, idx, _, chunk) =>
+      chunk.zipWithIndex.foreach { case (t, i) =>
+        val p = idx.toInt * 48 + i
+        assert(rebuilt(p) == null || rebuilt(p) == t)
+        rebuilt(p) = t
+      }
+    }
+    assert(rebuilt.toSeq === toks4, "chunks do not cover/rebuild the document")
+  }
 }
