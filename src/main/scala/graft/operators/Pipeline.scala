@@ -127,6 +127,65 @@ object Pipeline {
         md5(concat_ws(" ", col("chunk"))).as("chunk_hash"))
   }
 
+  /** DSIR-style importance scores (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling" — public method): score
+    * each raw document by the mean log-ratio of target-vs-raw n-gram
+    * frequencies, so documents that "look like" the high-quality target
+    * domain score high and can be kept by thresholding/ranking — the
+    * domain-targeted data-selection step between raw crawl and training.
+    *
+    * score(d) = avg over gram OCCURRENCES g in d of
+    *            ln(count_target(g) + alpha) − ln(count_raw(g) + alpha)
+    * (the additive-smoothed unnormalized log-ratio; the probability
+    * normalizers are a per-gram constant that shifts every document
+    * equally, so ranking is identical to the normalized form).
+    * Returns one row per raw document: (idCol, n_grams, score), score
+    * rounded to 4 decimals (engine-stable). Documents with fewer than n
+    * tokens have no grams and are dropped.
+    *
+    * Scale shape: two hash aggs build the gram→count tables (raw and
+    * target), one left join merges them into a weight table, then the raw
+    * corpus' exploded grams join the weights and aggregate per doc. With
+    * `hashBuckets` set, grams collapse to xxhash64 buckets FIRST: the
+    * weight table is bounded at `buckets` rows (MBs — always broadcast,
+    * the corpus grams never shuffle on the gram), at the cost of hash-
+    * collision noise — exactly the hashed-ngram variant the paper runs at
+    * web scale. Identity grams (None) keep the oracle-checkable exact
+    * form; the weight table is vocabulary-sized and the join degrades
+    * gracefully to hash-partitioned. The target side is typically tiny
+    * (a curated corpus) — its agg is cheap; the raw corpus is scanned
+    * twice (count pass + score pass), both embarrassingly parallel.
+    */
+  def importanceScores(
+      raw: DataFrame,
+      target: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 1,
+      alpha: Double = 1.0,
+      hashBuckets: Option[Int] = None): DataFrame = {
+    require(n > 0, "importanceScores: n must be positive")
+    require(alpha > 0, "importanceScores: alpha must be positive (smoothing)")
+    hashBuckets.foreach(b => require(b > 0, "importanceScores: hashBuckets must be positive"))
+    def gram(c: Column): Column = hashBuckets match {
+      case Some(b) => pmod(xxhash64(c), lit(b.toLong))
+      case None    => c
+    }
+    def grams(df: DataFrame, cols: Column*) = df.select(
+      cols :+ gram(explode(TextAnalysis.ngramsAll(col(textCol), n))).as("__g"): _*)
+    val rawGrams = grams(raw, col(idCol))
+    val tgtCnt = grams(target).groupBy(col("__g")).agg(count(lit(1)).as("__tc"))
+    val weights = rawGrams.groupBy(col("__g")).agg(count(lit(1)).as("__rc"))
+      .join(tgtCnt, Seq("__g"), "left")
+      .select(col("__g"),
+        (log(coalesce(col("__tc"), lit(0L)) + alpha) -
+          log(col("__rc") + alpha)).as("__w"))
+    // every raw gram is in the weight table by construction → inner join
+    rawGrams.join(weights, "__g")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"), round(avg(col("__w")), 4).as("score"))
+  }
+
   /** Benchmark decontamination: training documents sharing at least one
     * token n-gram with any document of a benchmark/eval set, with the count
     * of shared distinct n-grams — the pre-training hygiene step that keeps

@@ -28,6 +28,22 @@ object TextAnalysis {
   def shingles(text: Column, n: Int): Column =
     graft.functions.Shingles.shingles(wsTokens(text), n)
 
+  /** ALL n-grams over whitespace tokens — the occurrence MULTISET, in
+    * document order, unlike [[shingles]] which deduplicates. Frequency-
+    * weighted operators (importance weights, LM statistics) need counts,
+    * not presence. Per-row `transform`+`slice` HOFs; documents shorter
+    * than n tokens yield an empty array.
+    */
+  def ngramsAll(text: Column, n: Int): Column = {
+    require(n > 0, "ngramsAll: n must be positive")
+    val t = wsTokens(text)
+    if (n == 1) t
+    else when(size(t) >= n,
+        transform(sequence(lit(1), size(t) - (n - 1)),
+          i => concat_ws(" ", slice(t, i, n))))
+      .otherwise(array())
+  }
+
   /** Stopword ratio: fraction of tokens in `stopwords`. */
   def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
     val t = wsTokens(text)
