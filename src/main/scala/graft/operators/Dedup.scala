@@ -396,7 +396,14 @@ object Dedup {
     *
     * Scale shape: per-document DISTINCT k-grams via the codegen'd
     * [[graft.functions.Shingles]] expression, hashed to 8-byte longs so the
-    * wide gram strings never enter a shuffle. ONE hash agg on the gram hash
+    * wide gram strings never enter a shuffle. DELIBERATE scale tradeoff:
+    * the 64-bit hash makes "exact" probabilistic — by the birthday bound,
+    * G distinct grams yield ~G²/2⁶⁵ colliding pairs (≈ 0.05 expected false
+    * shared grams at G = 2³⁰; only at web-scale G ≳ 2³² do collisions
+    * appear in practice), each inflating one doc's span count by 1. The
+    * string-exact form (join on `__gs` itself) is what the DuckDB oracle
+    * computes; keep grams as strings if certifiable exactness matters more
+    * than shuffle width. ONE hash agg on the gram hash
     * computes each gram's minimum owner — a gram shared by m documents
     * costs m rows, never m² pairs, so a hot boilerplate gram cannot blow up
     * a reducer. The join back to per-doc grams is hash-partitioned on the

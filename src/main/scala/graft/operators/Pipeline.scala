@@ -93,7 +93,11 @@ object Pipeline {
     * prep step that splits long documents into model-sized pieces (window
     * tokens, a new chunk every `stride` tokens, so consecutive chunks
     * overlap by window − stride). The final chunks of a document may be
-    * shorter than `window`; documents with zero tokens emit nothing.
+    * shorter than `window`. Whitespace-token semantics mean there is no
+    * zero-token document: `split("", " +")` is `[""]`, so an empty text is
+    * ONE empty token and emits one 1-token chunk (pinned by the chunking
+    * spec) — pre-filter `trim(text) != ''` upstream if empty docs must
+    * vanish.
     *
     * Emits (id, chunk_idx, chunk_tokens, chunk, chunk_hash): the hash is a
     * cross-engine md5 of the space-joined chunk so downstream exact-dedup

@@ -40,7 +40,7 @@ object TextAnalysis {
     if (n == 1) t
     else when(size(t) >= n,
         transform(sequence(lit(1), size(t) - (n - 1)),
-          i => concat_ws(" ", slice(t, i, n))))
+          i => concat_ws(" ", slice(t, i, lit(n)))))
       .otherwise(array())
   }
 
