@@ -922,6 +922,75 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("chunk_idx"),
           col("chunk_tokens"), col("chunk_hash"))
         .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
+    // DSIR importance scores (Xie et al. 2023): rank raw docs by how much
+    // they "look like" a curated target domain (every 20th doc plays the
+    // target). Identity bigrams keep the exact, oracle-checkable form; the
+    // hashBuckets variant (spec-checked) is the bounded-weight-table scale
+    // path a 100 TB corpus runs.
+    "text_importance" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      Pipeline.importanceScores(
+          docs.filter(pmod(col("doc_id"), lit(20)) =!= 0),
+          docs.filter(pmod(col("doc_id"), lit(20)) === 0),
+          "doc_id", "text", n = 2)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Chunk-level dedup composition: chunkTokens' chunk_hash feeding
+    // Dedup.exactByKey — dedup CHUNKS across documents (boilerplate spans
+    // repeat even when whole docs differ), reporting per-doc chunk counts
+    // and how many survive as the canonical copy. The keeper of each
+    // distinct chunk is the lowest (doc_id, chunk_idx) — deterministic.
+    "dedup_chunks" -> ((s, dir) => {
+      val chunks = Pipeline.chunkTokens(documents(s, dir), col("doc_id"),
+          col("text"), window = 64, stride = 48)
+        .withColumn("chunk_uid", col("id") * lit(1000000L) + col("chunk_idx"))
+      val keep = Dedup.exactByKey(
+        chunks.select(col("chunk_hash"), col("chunk_uid")),
+        col("chunk_hash"), col("chunk_uid"))
+      chunks
+        .join(keep.select(col("chunk_uid"), lit(1L).as("__kept")),
+          Seq("chunk_uid"), "left")
+        .groupBy(col("id").as("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(coalesce(col("__kept"), lit(0L))).as("n_kept"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // The full training-data pipeline as ONE composed query — the thing a
+    // real user builds first from these operators: bench holdout → Gopher
+    // quality gate → PII redaction → whole-doc exact dedup → benchmark
+    // decontamination → domain-mixture sampling → deterministic split →
+    // census. Proves the operators compose without column/name collisions;
+    // every stage is a shrink (spec asserts monotonicity). Each stage keeps
+    // its scale shape: per-row filters, hash aggs, one broadcast-able gram
+    // join — the composition adds no new shuffle beyond its stages.
+    "pipeline_e2e" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      val train = docs.filter(pmod(col("doc_id"), lit(50)) =!= 0)
+      val bench = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
+      val quality = TextAnalysis.gopherRules(train, col("text"),
+          minWords = 50, maxWords = 100000, minMeanLen = 3.0, maxMeanLen = 10.0,
+          minAlphaFrac = 0.8, minStopHits = 1)
+        .filter(col("pass"))
+        .select(col("doc_id"), col("lang"), col("text"))
+      val clean = quality.withColumn("text", TextAnalysis.redact(col("text")))
+      val keepIds = Dedup.exactByKey(
+        clean.select(TextAnalysis.md5Fingerprint(col("text")).as("fp"), col("doc_id")),
+        col("fp"), col("doc_id"))
+      val deduped = clean.join(keepIds.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      val contaminated = Pipeline.contaminatedDocs(deduped, bench, "doc_id", "text", n = 5)
+        .select(col("doc_id"))
+      val decon = deduped.join(contaminated, Seq("doc_id"), "left_anti")
+      val mixed = Pipeline.weightedSample(decon, col("doc_id"), col("lang"),
+        Map("en" -> 100, "de" -> 50, "fr" -> 50, "es" -> 25, "zh" -> 10))
+      Pipeline.deterministicSplit(mixed, col("doc_id"))
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(TextAnalysis.wsTokens(col("text")))).as("sum_tokens"))
+        .orderBy(col("lang"), col("split"))
     })
   )
 
@@ -1586,7 +1655,7 @@ object SparkEntry {
         |         len(toks)::BIGINT AS n_words,
         |         round(coalesce(list_sum([length(x) for x in toks]), 0)::DOUBLE
         |               / greatest(len(toks), 1), 4) AS mean_word_len,
-        |         round(len([x for x in toks if regexp_matches(x, '[a-z]')])::DOUBLE
+        |         round(len([x for x in toks if regexp_matches(x, '\p{L}')])::DOUBLE
         |               / greatest(len(toks), 1), 4) AS alpha_frac,
         |         (CASE WHEN list_contains(toks, 'the') THEN 1 ELSE 0 END +
         |          CASE WHEN list_contains(toks, 'a')   THEN 1 ELSE 0 END +
@@ -1607,6 +1676,90 @@ object SparkEntry {
         |       len(toks[s + 1:s + 64])::BIGINT AS chunk_tokens,
         |       md5(array_to_string(toks[s + 1:s + 64], ' ')) AS chunk_hash
         |FROM d, unnest(range(0, len(toks), 48)) u(s)
-        |ORDER BY doc_id, chunk_idx""".stripMargin
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "text_importance" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(text, ' +') AS toks FROM documents),
+        |rg AS (SELECT doc_id,
+        |              unnest([array_to_string(toks[i:i+1], ' ') for i in range(1, len(toks))]) AS g
+        |       FROM d WHERE doc_id % 20 <> 0),
+        |tg AS (SELECT unnest([array_to_string(toks[i:i+1], ' ') for i in range(1, len(toks))]) AS g
+        |       FROM d WHERE doc_id % 20 = 0),
+        |tc AS (SELECT g, count(*) AS tc FROM tg GROUP BY g),
+        |rc AS (SELECT g, count(*) AS rc FROM rg GROUP BY g),
+        |w AS (SELECT rc.g, ln(coalesce(tc.tc, 0) + 1.0) - ln(rc.rc + 1.0) AS w
+        |      FROM rc LEFT JOIN tc USING (g))
+        |SELECT rg.doc_id, count(*)::BIGINT AS n_grams, round(avg(w.w), 4) AS score
+        |FROM rg JOIN w ON rg.g = w.g
+        |GROUP BY rg.doc_id
+        |ORDER BY rg.doc_id""".stripMargin,
+
+    "dedup_chunks" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(text, ' +') AS toks FROM documents),
+        |c AS (SELECT doc_id,
+        |             doc_id * 1000000 + s // 48 AS chunk_uid,
+        |             md5(array_to_string(toks[s + 1:s + 64], ' ')) AS chunk_hash
+        |      FROM d, unnest(range(0, len(toks), 48)) u(s)),
+        |k AS (SELECT chunk_hash, min(chunk_uid) AS chunk_uid FROM c GROUP BY chunk_hash)
+        |SELECT c.doc_id, count(*)::BIGINT AS n_chunks,
+        |       sum(CASE WHEN k.chunk_uid IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_kept
+        |FROM c LEFT JOIN k ON c.chunk_uid = k.chunk_uid
+        |GROUP BY c.doc_id
+        |ORDER BY c.doc_id""".stripMargin,
+
+    "pipeline_e2e" ->
+      """WITH train AS (
+        |  SELECT doc_id, lang, text, string_split_regex(text, ' +') AS toks
+        |  FROM documents WHERE doc_id % 50 <> 0),
+        |q AS (
+        |  SELECT doc_id, lang, text FROM train
+        |  WHERE len(toks) BETWEEN 50 AND 100000
+        |    AND round(coalesce(list_sum([length(x) for x in toks]), 0)::DOUBLE
+        |              / greatest(len(toks), 1), 4) BETWEEN 3.0 AND 10.0
+        |    AND round(len([x for x in toks if regexp_matches(x, '\p{L}')])::DOUBLE
+        |              / greatest(len(toks), 1), 4) >= 0.8
+        |    AND (CASE WHEN list_contains(toks, 'the') THEN 1 ELSE 0 END +
+        |         CASE WHEN list_contains(toks, 'a')   THEN 1 ELSE 0 END +
+        |         CASE WHEN list_contains(toks, 'and') THEN 1 ELSE 0 END +
+        |         CASE WHEN list_contains(toks, 'of')  THEN 1 ELSE 0 END +
+        |         CASE WHEN list_contains(toks, 'to')  THEN 1 ELSE 0 END) >= 1),
+        |r AS (
+        |  SELECT doc_id, lang,
+        |         regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+        |           '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+        |           '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<SSN>', 'g'),
+        |           '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+        |           '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g') AS text
+        |  FROM q),
+        |k AS (SELECT min(doc_id) AS doc_id FROM r GROUP BY md5(lower(trim(text)))),
+        |dd AS (SELECT r.* FROM r JOIN k USING (doc_id)),
+        |bg AS (
+        |  SELECT DISTINCT unnest(list_distinct(
+        |           [array_to_string(toks[i:i+4], ' ') for i in range(1, len(toks) - 3)])) AS gram
+        |  FROM (SELECT string_split_regex(text, ' +') AS toks
+        |        FROM documents WHERE doc_id % 50 = 0)),
+        |tg AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |           [array_to_string(toks[i:i+4], ' ') for i in range(1, len(toks) - 3)])) AS gram
+        |  FROM (SELECT doc_id, string_split_regex(text, ' +') AS toks FROM dd)),
+        |contam AS (SELECT DISTINCT tg.doc_id FROM tg JOIN bg USING (gram)),
+        |decon AS (SELECT * FROM dd WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+        |mixed AS (
+        |  SELECT * FROM decon
+        |  WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 100 <
+        |        CASE lang WHEN 'en' THEN 100 WHEN 'de' THEN 50 WHEN 'fr' THEN 50
+        |                  WHEN 'es' THEN 25 WHEN 'zh' THEN 10 ELSE 100 END),
+        |final AS (
+        |  SELECT lang, text,
+        |         CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid'
+        |              ELSE 'test' END AS split
+        |  FROM (SELECT lang, text,
+        |          ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 100 AS b
+        |        FROM mixed))
+        |SELECT lang, split, count(*)::BIGINT AS n_docs,
+        |       sum(len(string_split_regex(text, ' +')))::BIGINT AS sum_tokens
+        |FROM final
+        |GROUP BY lang, split
+        |ORDER BY lang, split""".stripMargin
   )
 }

@@ -175,8 +175,12 @@ object Pipeline {
       case Some(b) => pmod(xxhash64(c), lit(b.toLong))
       case None    => c
     }
-    def grams(df: DataFrame, cols: Column*) = df.select(
-      cols :+ gram(explode(TextAnalysis.ngramsAll(col(textCol), n))).as("__g"): _*)
+    // explode FIRST, bucket-hash in a separate projection: a generator
+    // nested inside an expression (pmod(xxhash64(explode(...)))) is
+    // rejected by the analyzer (UNSUPPORTED_GENERATOR.NESTED_IN_EXPRESSIONS)
+    def grams(df: DataFrame, cols: Column*) = df
+      .select(cols :+ explode(TextAnalysis.ngramsAll(col(textCol), n)).as("__g0"): _*)
+      .select(cols :+ gram(col("__g0")).as("__g"): _*)
     val rawGrams = grams(raw, col(idCol))
     val tgtCnt = grams(target).groupBy(col("__g")).agg(count(lit(1)).as("__tc"))
     val weights = rawGrams.groupBy(col("__g")).agg(count(lit(1)).as("__rc"))

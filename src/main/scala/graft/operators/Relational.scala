@@ -59,8 +59,13 @@ object Relational {
     require(bandWidth > 0, "bandWidth must be positive")
     val w = lit(bandWidth)
     val f = facts.withColumn("__band", floor(value / w).cast("long"))
+    // explicit +1 step: without it a malformed range (lo > hi) makes
+    // sequence() default to step -1 and silently replicate the row to every
+    // band from floor(lo/w) DOWN to floor(hi/w) — no wrong output (the
+    // residual predicate drops them) but a shuffle-volume bomb. With the
+    // step pinned, a descending range fails fast instead.
     val r = ranges.withColumn("__band",
-      explode(sequence(floor(lo / w).cast("long"), floor(hi / w).cast("long"))))
+      explode(sequence(floor(lo / w).cast("long"), floor(hi / w).cast("long"), lit(1L))))
     f.join(r.hint("shuffle_hash"), Seq("__band"))
       .where(value >= lo && value < hi)
       .drop("__band")

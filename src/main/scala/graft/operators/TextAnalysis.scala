@@ -168,7 +168,9 @@ object TextAnalysis {
     * pipeline can audit WHY a document was dropped, not just that it was:
     *   - word count within [minWords, maxWords];
     *   - mean word length within [minMeanLen, maxMeanLen];
-    *   - at least `minAlphaFrac` of words contain an alphabetic character;
+    *   - at least `minAlphaFrac` of words contain an alphabetic character
+    *     (any Unicode letter — `\p{L}`, the same class under Java regex and
+    *     RE2, so the oracle engine agrees on every codepoint);
     *   - at least `minStopHits` distinct required stopwords present.
     * Adds n_words, mean_word_len, alpha_frac (rounded, engine-stable
     * divisions), n_stop, and `pass`. Per-row array expressions — shuffle-
@@ -190,7 +192,7 @@ object TextAnalysis {
         round(aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double") /
           greatest(col("n_words"), lit(1L)), 4))
       .withColumn("alpha_frac",
-        round(size(filter(t, x => x.rlike("[a-z]"))).cast("double") /
+        round(size(filter(t, x => x.rlike("\\p{L}"))).cast("double") /
           greatest(col("n_words"), lit(1L)), 4))
       .withColumn("n_stop",
         requiredStops.map(sw => when(array_contains(t, sw), 1L).otherwise(0L))

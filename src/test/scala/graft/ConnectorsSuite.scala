@@ -338,6 +338,42 @@ class ConnectorsSuite extends AnyFunSuite {
     assert(kept === Seq(1L, 2L, 5L), s"kept corpus wrong: $kept")
   }
 
+  test("streaming ingest chunks docs and dedups chunks against the kept corpus") {
+    import graft.operators.{Dedup, Pipeline}
+    // the LLM-pipeline ops inside the emitter loop, not just as batch
+    // queries: each window chunks its docs (4-token windows) and keeps only
+    // chunks whose content hash is not already in the kept-chunk corpus —
+    // partial overlap between documents is deduped at chunk granularity.
+    val mb = Minibatch(spark, freshRoot())
+    val st = mb.stream("chunk_ingest")
+    val keptDir = freshRoot() + "/kept_chunks"
+    def drainInto(): Unit =
+      mb.streaming("chunk_ingest").size(1).emit((_, df) => {
+        val batch = df.select(
+          get_json_object(col("data"), "$.id").cast("long").as("doc_id"),
+          get_json_object(col("data"), "$.t").as("text"))
+        val chunks = Pipeline.chunkTokens(batch, col("doc_id"), col("text"),
+          window = 4, stride = 4)
+        Dedup.incrementalExactAgainstTable(chunks, keptDir, col("chunk_hash"))
+          .write.mode("append").parquet(keptDir)
+      }).run()
+    // doc 1 → chunks ["a b c d", "e f g h"]; doc 2's first chunk repeats
+    // doc 1's first — only its second chunk survives
+    st.appendAll(Seq(
+      """{"id":1,"t":"a b c d e f g h"}""",
+      """{"id":2,"t":"a b c d x y z w"}"""))
+    drainInto()
+    // a later drain: every chunk of doc 3 is already in the corpus (one
+    // from doc 1, one from doc 2) — nothing is admitted
+    st.appendAll(Seq("""{"id":3,"t":"e f g h x y z w"}"""))
+    drainInto()
+    val kept = spark.read.parquet(keptDir)
+      .select("id", "chunk_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(kept === Set((1L, 0L), (1L, 1L), (2L, 1L)),
+      s"chunk-level incremental dedup kept the wrong set: $kept")
+  }
+
   test("partitioned layout: one file per partition value; filtered reads prune to the partition") {
     val docs = TestSpark.spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
     val out = freshRoot() + "/docs_by_lang"

@@ -630,4 +630,107 @@ class OperatorsSuite extends AnyFunSuite {
     }
     assert(rebuilt.toSeq === toks4, "chunks do not cover/rebuild the document")
   }
+
+  test("importance scores: target-like docs rank higher; hashed buckets preserve scores") {
+    import spark.implicits._
+    val target = Seq(
+      (100L, "alpha beta gamma delta alpha beta"),
+      (101L, "alpha beta epsilon zeta alpha beta")).toDF("doc_id", "text")
+    val raw = Seq(
+      (1L, "alpha beta gamma delta"),  // shares target bigrams
+      (2L, "alpha beta alpha beta"),   // heavy on the top target bigram
+      (3L, "xray yankee zulu quebec"), // disjoint from the target
+      (4L, "m"))                       // one token: no bigram, must drop
+      .toDF("doc_id", "text")
+    val exact = Pipeline.importanceScores(raw, target, "doc_id", "text", n = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(exact.keySet === Set(1L, 2L, 3L), s"sub-n-token doc not dropped: $exact")
+    assert(exact(1L)._1 === 3L, s"bigram occurrence count wrong: $exact") // 4 tokens → 3 bigrams
+    // docs sharing target grams must outrank the disjoint doc
+    assert(exact(1L)._2 > exact(3L)._2 && exact(2L)._2 > exact(3L)._2, s"$exact")
+    // disjoint doc: every weight is ln(0+1) − ln(rc+1) < 0
+    assert(exact(3L)._2 < 0, s"$exact")
+
+    // hashBuckets is the scale path: per-doc gram counts are invariant under
+    // bucketing, and with 2^30 buckets over a handful of grams there are no
+    // collisions, so scores are bit-stable vs the exact form (deterministic
+    // xxhash64 — this cannot flake)
+    val hashed = Pipeline.importanceScores(raw, target, "doc_id", "text", n = 2,
+        hashBuckets = Some(1 << 30))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(hashed.keySet === exact.keySet)
+    exact.foreach { case (id, (ng, sc)) =>
+      assert(hashed(id)._1 === ng, s"bucketing changed gram count for doc $id")
+      assert(math.abs(hashed(id)._2 - sc) < 1e-9, s"collision-free bucketing changed score: $id")
+    }
+
+    // empty target: every weight is −ln(rc+alpha) — scores all negative,
+    // and the operator must not blow up on a zero-row side
+    val noTarget = Pipeline.importanceScores(raw, target.filter(col("doc_id") < 0),
+        "doc_id", "text", n = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(noTarget.keySet === Set(1L, 2L, 3L))
+    assert(noTarget.values.forall(_ < 0), s"empty target must give negative scores: $noTarget")
+
+    // on the real corpus: a lossy bucket count must still preserve ranking
+    // (rank correlation vs exact) — the paper's hashed-ngram regime
+    val rawC = docs.filter(pmod(col("doc_id"), lit(20)) =!= 0)
+    val tgtC = docs.filter(pmod(col("doc_id"), lit(20)) === 0)
+    def scores(b: Option[Int]) =
+      Pipeline.importanceScores(rawC, tgtC, "doc_id", "text", n = 2, hashBuckets = b)
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val e = scores(None)
+    val h = scores(Some(1 << 20))
+    assert(h.keySet === e.keySet)
+    def ranks(m: Map[Long, Double]): Map[Long, Int] =
+      m.toSeq.sortBy { case (id, s) => (-s, id) }.zipWithIndex
+        .map { case ((id, _), r) => id -> r }.toMap
+    val (re, rh) = (ranks(e), ranks(h))
+    val n = e.size.toDouble
+    val d2 = e.keys.map(id => { val d = re(id) - rh(id); d.toDouble * d }).sum
+    val spearman = 1.0 - 6.0 * d2 / (n * (n * n - 1.0))
+    assert(spearman >= 0.95, s"hashed-bucket ranking diverged: spearman=$spearman")
+  }
+
+  test("chunk dedup: kept <= total per doc; total kept = distinct chunk contents") {
+    val out = SparkEntry.queries("dedup_chunks")(spark, sf).cache()
+    try {
+      assert(out.filter(col("n_kept") > col("n_chunks")).count() === 0)
+      val totalKept = out.agg(sum(col("n_kept"))).head().getLong(0)
+      val distinctHashes = Pipeline.chunkTokens(docs, col("doc_id"), col("text"), 64, 48)
+        .select(col("chunk_hash")).distinct().count()
+      assert(totalKept === distinctHashes,
+        s"every distinct chunk must have exactly one keeper: $totalKept vs $distinctHashes")
+      val totalChunks = out.agg(sum(col("n_chunks"))).head().getLong(0)
+      assert(totalChunks >= totalKept && totalKept > 0)
+    } finally out.unpersist()
+  }
+
+  test("pipeline e2e: every stage shrinks the corpus; census matches the final stage") {
+    val docsAll = Tables.documents(spark, sf)
+    val train = docsAll.filter(pmod(col("doc_id"), lit(50)) =!= 0)
+    val bench = docsAll.filter(pmod(col("doc_id"), lit(50)) === 0)
+    val quality = TextAnalysis.gopherRules(train, col("text"),
+        minWords = 50, maxWords = 100000, minMeanLen = 3.0, maxMeanLen = 10.0,
+        minAlphaFrac = 0.8, minStopHits = 1)
+      .filter(col("pass")).select(col("doc_id"), col("lang"), col("text"))
+    val clean = quality.withColumn("text", TextAnalysis.redact(col("text")))
+    val keepIds = Dedup.exactByKey(
+      clean.select(TextAnalysis.md5Fingerprint(col("text")).as("fp"), col("doc_id")),
+      col("fp"), col("doc_id"))
+    val deduped = clean.join(keepIds.select(col("doc_id")), Seq("doc_id"), "left_semi")
+    val decon = deduped.join(
+      Pipeline.contaminatedDocs(deduped, bench, "doc_id", "text", n = 5).select(col("doc_id")),
+      Seq("doc_id"), "left_anti")
+    val mixed = Pipeline.weightedSample(decon, col("doc_id"), col("lang"),
+      Map("en" -> 100, "de" -> 50, "fr" -> 50, "es" -> 25, "zh" -> 10))
+    val counts = Seq(docsAll.count(), train.count(), quality.count(),
+      deduped.count(), decon.count(), mixed.count())
+    assert(counts.zip(counts.tail).forall { case (a, b) => b <= a },
+      s"a pipeline stage grew the corpus: $counts")
+    assert(counts.last > 0, "pipeline filtered everything out — stages are vacuous")
+    // the shipped query's census must sum to exactly the final stage
+    val census = SparkEntry.queries("pipeline_e2e")(spark, sf)
+    assert(census.agg(sum(col("n_docs"))).head().getLong(0) === counts.last)
+  }
 }
