@@ -938,6 +938,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // DSIR selection: scoring composed with quantile thresholding — keep
+    // the top 25% of raw docs by importance score. The threshold is one
+    // broadcast 1-row agg; the keep decision is a per-row filter (no sort
+    // or shuffle of the corpus). Closes the score → SELECT loop.
+    "text_importance_select" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      val scored = Pipeline.importanceScores(
+        docs.filter(pmod(col("doc_id"), lit(20)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(20)) === 0),
+        "doc_id", "text", n = 2)
+      Pipeline.selectTopByScore(scored, col("score"), keepFrac = 0.25)
+        .orderBy(col("doc_id"))
+    }),
+
     // Chunk-level dedup composition: chunkTokens' chunk_hash feeding
     // Dedup.exactByKey — dedup CHUNKS across documents (boilerplate spans
     // repeat even when whole docs differ), reporting per-doc chunk counts
@@ -1693,6 +1707,27 @@ object SparkEntry {
         |FROM rg JOIN w ON rg.g = w.g
         |GROUP BY rg.doc_id
         |ORDER BY rg.doc_id""".stripMargin,
+
+    "text_importance_select" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(text, ' +') AS toks FROM documents),
+        |rg AS (SELECT doc_id,
+        |              unnest([array_to_string(toks[i:i+1], ' ') for i in range(1, len(toks))]) AS g
+        |       FROM d WHERE doc_id % 20 <> 0),
+        |tg AS (SELECT unnest([array_to_string(toks[i:i+1], ' ') for i in range(1, len(toks))]) AS g
+        |       FROM d WHERE doc_id % 20 = 0),
+        |tc AS (SELECT g, count(*) AS tc FROM tg GROUP BY g),
+        |rc AS (SELECT g, count(*) AS rc FROM rg GROUP BY g),
+        |w AS (SELECT rc.g, ln(coalesce(tc.tc, 0) + 1.0) - ln(rc.rc + 1.0) AS w
+        |      FROM rc LEFT JOIN tc USING (g)),
+        |scored AS (
+        |  SELECT rg.doc_id, count(*)::BIGINT AS n_grams, round(avg(w.w), 4) AS score
+        |  FROM rg JOIN w ON rg.g = w.g
+        |  GROUP BY rg.doc_id),
+        |thr AS (SELECT round(quantile_cont(score, 0.75), 4) AS t FROM scored)
+        |SELECT doc_id, n_grams, score
+        |FROM scored, thr
+        |WHERE score >= t
+        |ORDER BY doc_id""".stripMargin,
 
     "dedup_chunks" ->
       """WITH d AS (SELECT doc_id, string_split_regex(text, ' +') AS toks FROM documents),

@@ -194,6 +194,32 @@ object Pipeline {
       .agg(count(lit(1)).as("n_grams"), round(avg(col("__w")), 4).as("score"))
   }
 
+  /** Data selection by score quantile: keep rows whose `score` is at or
+    * above the corpus' `1 − keepFrac` quantile — the thresholding step that
+    * turns [[importanceScores]] (or any quality/perplexity score) into an
+    * actual selected subset. The threshold is DATA-dependent, not a
+    * constant, so "keep the best 25%" holds whatever the score
+    * distribution looks like.
+    *
+    * Scale shape: one aggregation computes the quantile, the 1-row result
+    * broadcasts, and the keep decision is a per-row filter on the scan —
+    * no sort, no shuffle of the corpus. The exact interpolated
+    * `percentile` agg is the oracle-checkable form (single sort-based agg
+    * per group — fine up to huge-but-not-100TB score columns); at full
+    * scale swap `percentile` for `percentile_approx` (t-digest, partial+
+    * final hash agg) exactly as `q_percentiles`/`q_approx_percentiles`
+    * pair. The threshold is rounded to 4 decimals on both engines so the
+    * boundary comparison is engine-stable.
+    */
+  def selectTopByScore(df: DataFrame, score: Column, keepFrac: Double): DataFrame = {
+    require(keepFrac > 0.0 && keepFrac <= 1.0,
+      s"selectTopByScore: keepFrac must be in (0, 1], got $keepFrac")
+    val thr = df.agg(round(percentile(score, lit(1.0 - keepFrac)), 4).as("__thr"))
+    df.crossJoin(broadcast(thr))
+      .filter(score >= col("__thr"))
+      .drop("__thr")
+  }
+
   /** Benchmark decontamination: training documents sharing at least one
     * token n-gram with any document of a benchmark/eval set, with the count
     * of shared distinct n-grams — the pre-training hygiene step that keeps

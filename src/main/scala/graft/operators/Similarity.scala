@@ -153,6 +153,13 @@ object Similarity {
     * iterations so the plan doesn't accumulate one corpus scan per round.
     * Seed selection is sort+limit = distributed TakeOrdered, not a global
     * sort.
+    *
+    * The projected vector table is materialized ONCE (localCheckpoint):
+    * Lloyd is inherently multi-pass (seeds + one assign per round + final
+    * assign), and without it every pass re-reads the source and re-converts
+    * vectors. The working set is (id, vec, norm) only — the standard
+    * persisted feature table of any distributed k-means — and spills to
+    * executor disk when it exceeds memory.
     */
   def kmeansCells(
       corpus: DataFrame,
@@ -164,6 +171,7 @@ object Similarity {
     val base = corpus
       .select(col(idCol).as("__id"), toDoubleArray(col(vecCol)).as("__vec"))
       .withColumn("__vnorm2", dot(col("__vec"), col("__vec")))
+      .localCheckpoint()
     val seedW = Window.orderBy(col("__id")) // nlist rows only — not a scale sort
     var cents = base
       .orderBy(md5(col("__id").cast("string")), col("__id")).limit(nlist)

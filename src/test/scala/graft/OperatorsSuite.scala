@@ -692,6 +692,20 @@ class OperatorsSuite extends AnyFunSuite {
     assert(spearman >= 0.95, s"hashed-bucket ranking diverged: spearman=$spearman")
   }
 
+  test("select top by score: quantile threshold keeps the right fraction; boundary ties stay") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => (i.toLong, i.toDouble)).toDF("id", "score")
+    val kept = Pipeline.selectTopByScore(df, col("score"), keepFrac = 0.25)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    // 75th percentile of 1..100 interpolates to 75.25 → exactly 76..100 stay
+    assert(kept === (76L to 100L).toSet, s"kept: $kept")
+    // keepFrac = 1: threshold is the minimum — nothing is dropped
+    assert(Pipeline.selectTopByScore(df, col("score"), keepFrac = 1.0).count() === 100)
+    // an all-tied score column: every row sits AT the threshold and is kept
+    val flat = (1 to 10).map(i => (i.toLong, 5.0)).toDF("id", "score")
+    assert(Pipeline.selectTopByScore(flat, col("score"), keepFrac = 0.25).count() === 10)
+  }
+
   test("chunk dedup: kept <= total per doc; total kept = distinct chunk contents") {
     val out = SparkEntry.queries("dedup_chunks")(spark, sf).cache()
     try {
