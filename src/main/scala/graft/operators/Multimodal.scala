@@ -9,11 +9,14 @@ import org.apache.spark.sql.types._
   *
   * IMAGE decoding is REAL: PNG/JPEG/GIF/BMP bytes are decoded with the
   * JDK's `javax.imageio` into true width/height and a 4×4 grid-luminance
-  * feature vector. Bytes no in-JDK decoder understands (audio/video
-  * payloads, corrupt images) fall back to `byteStrideFeatures`, a
-  * deterministic byte-level fingerprint, with null decoded dimensions —
-  * so the pipeline never fails on an undecodable row and a real
-  * audio/video decoder (JNI/ONNX) swaps in by replacing one function.
+  * feature vector. AUDIO decoding is REAL for WAV/PCM: RIFF bytes are
+  * decoded with the JDK's `javax.sound.sampled` into per-segment RMS
+  * amplitude features. Bytes no in-JDK decoder understands (video
+  * payloads, compressed audio, corrupt media) fall back to
+  * `byteStrideFeatures`, a deterministic byte-level fingerprint, with
+  * null decoded dimensions — so the pipeline never fails on an
+  * undecodable row and a richer decoder (JNI/ONNX) swaps in by replacing
+  * one function.
   *
   * Scale notes: media rows are large → `binary` payloads should ride in
   * their own column so column pruning skips them unless needed; feature
@@ -89,6 +92,60 @@ object Multimodal {
     else try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
     catch { case scala.util.control.NonFatal(_) => None }
 
+  /** RIFF/WAVE magic-byte sniff — same rationale as [[looksLikeImage]]:
+    * reject non-audio payloads with a byte comparison instead of letting
+    * AudioSystem probe its provider registry on arbitrary bytes.
+    */
+  private[operators] def looksLikeWav(bytes: Array[Byte]): Boolean =
+    bytes.length >= 12 &&
+      bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
+      bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E'
+
+  /** Real audio decode via the JDK's javax.sound.sampled: 16-bit PCM WAV →
+    * RMS amplitude (in [0, 1]) of each of `FeatureDim` equal time
+    * segments — the cheap audio envelope feature. None for anything the
+    * in-JDK codec can't produce as signed 16-bit PCM (compressed audio,
+    * corrupt headers, zero samples), which then takes the byte-stride
+    * fallback.
+    */
+  private[operators] def tryDecodeAudio(bytes: Array[Byte]): Option[Array[Float]] =
+    if (!looksLikeWav(bytes)) None
+    else try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = ais.getFormat
+        if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+          fmt.getSampleSizeInBits != 16) None
+        else {
+          val data = ais.readAllBytes()
+          val n = data.length / 2
+          if (n == 0) None
+          else {
+            val out = new Array[Float](FeatureDim)
+            var s = 0
+            while (s < FeatureDim) {
+              val i0 = s * n / FeatureDim
+              val i1 = math.max(i0 + 1, (s + 1) * n / FeatureDim)
+              var acc = 0.0
+              var i = i0
+              while (i < i1 && i < n) {
+                val (lo, hi) =
+                  if (fmt.isBigEndian) (data(2 * i + 1) & 0xFF, data(2 * i).toInt)
+                  else (data(2 * i) & 0xFF, data(2 * i + 1).toInt)
+                val v = ((hi << 8) | lo) / 32768.0
+                acc += v * v
+                i += 1
+              }
+              out(s) = math.sqrt(acc / math.max(1, math.min(i1, n) - i0)).toFloat
+              s += 1
+            }
+            Some(out)
+          }
+        }
+      } finally ais.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** 4×4 grid mean luminance (Rec. 601 weights), row-major, each in [0, 1]
     * — the classic cheap perceptual thumbnail feature. FeatureDim = 16.
     */
@@ -155,8 +212,8 @@ object Multimodal {
                 Row(r.getLong(0), r.getString(1), img.getWidth, img.getHeight,
                   gridLuminance(img).toSeq)
               case None =>
-                Row(r.getLong(0), r.getString(1), null, null,
-                  byteStrideFeatures(bytes).toSeq)
+                val feat = tryDecodeAudio(bytes).getOrElse(byteStrideFeatures(bytes))
+                Row(r.getLong(0), r.getString(1), null, null, feat.toSeq)
             }
           }
         }

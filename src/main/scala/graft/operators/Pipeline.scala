@@ -147,18 +147,22 @@ object Pipeline {
     * rounded to 4 decimals (engine-stable). Documents with fewer than n
     * tokens have no grams and are dropped.
     *
-    * Scale shape: two hash aggs build the gram→count tables (raw and
-    * target), one left join merges them into a weight table, then the raw
-    * corpus' exploded grams join the weights and aggregate per doc. With
-    * `hashBuckets` set, grams collapse to xxhash64 buckets FIRST: the
-    * weight table is bounded at `buckets` rows (MBs — always broadcast,
-    * the corpus grams never shuffle on the gram), at the cost of hash-
-    * collision noise — exactly the hashed-ngram variant the paper runs at
-    * web scale. Identity grams (None) keep the oracle-checkable exact
-    * form; the weight table is vocabulary-sized and the join degrades
-    * gracefully to hash-partitioned. The target side is typically tiny
-    * (a curated corpus) — its agg is cheap; the raw corpus is scanned
-    * twice (count pass + score pass), both embarrassingly parallel.
+    * Scale shape: the raw corpus' exploded grams collapse to per-document
+    * (doc, gram, count) rows in ONE hash agg whose partial (map-side)
+    * phase absorbs the occurrence multiset before anything shuffles — a
+    * document repeating one gram a million times contributes one row to
+    * the exchange. That compact table feeds BOTH the raw gram-count agg
+    * (sum of counts per gram) and the scoring join (score = Σc·w / Σc —
+    * identical to the per-occurrence average), so the raw corpus is
+    * scanned once and Catalyst reuses the (doc, gram) exchange across the
+    * two consumers. The target side aggregates separately (typically a
+    * tiny curated corpus). With `hashBuckets` set, grams collapse to
+    * xxhash64 buckets FIRST: the weight table is bounded at `buckets`
+    * rows (MBs) and is broadcast EXPLICITLY — the corpus side never
+    * shuffles on the gram at all — at the cost of hash-collision noise;
+    * exactly the hashed-ngram variant the paper runs at web scale.
+    * Identity grams (None) keep the oracle-checkable exact form; its
+    * vocabulary-sized weight table joins hash-partitioned.
     */
   def importanceScores(
       raw: DataFrame,
@@ -181,17 +185,23 @@ object Pipeline {
     def grams(df: DataFrame, cols: Column*) = df
       .select(cols :+ explode(TextAnalysis.ngramsAll(col(textCol), n)).as("__g0"): _*)
       .select(cols :+ gram(col("__g0")).as("__g"): _*)
-    val rawGrams = grams(raw, col(idCol))
+    val docGrams = grams(raw, col(idCol))
+      .groupBy(col(idCol), col("__g")).agg(count(lit(1)).as("__c"))
     val tgtCnt = grams(target).groupBy(col("__g")).agg(count(lit(1)).as("__tc"))
-    val weights = rawGrams.groupBy(col("__g")).agg(count(lit(1)).as("__rc"))
+    val weights = docGrams.groupBy(col("__g")).agg(sum(col("__c")).as("__rc"))
       .join(tgtCnt, Seq("__g"), "left")
       .select(col("__g"),
         (log(coalesce(col("__tc"), lit(0L)) + alpha) -
           log(col("__rc") + alpha)).as("__w"))
-    // every raw gram is in the weight table by construction → inner join
-    rawGrams.join(weights, "__g")
+    // bounded-bucket weight table → force the broadcast the size estimator
+    // can't prove; identity grams → vocabulary-sized, hash-partitioned
+    val w = if (hashBuckets.isDefined) broadcast(weights) else weights
+    // every raw gram is in the weight table by construction → inner join;
+    // Σc·w / Σc ≡ the average over gram occurrences
+    docGrams.join(w, "__g")
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_grams"), round(avg(col("__w")), 4).as("score"))
+      .agg(sum(col("__c")).as("n_grams"),
+        round(sum(col("__c") * col("__w")) / sum(col("__c")), 4).as("score"))
   }
 
   /** Data selection by score quantile: keep rows whose `score` is at or

@@ -401,6 +401,50 @@ class OperatorsSuite extends AnyFunSuite {
     assert(fallback.getAs[scala.collection.Seq[Float]]("features").length === Multimodal.FeatureDim)
   }
 
+  test("multimodal: real WAV bytes decode via javax.sound.sampled to RMS envelope") {
+    // 16-bit PCM mono WAV built in-test: 1600 samples at 8 kHz — first
+    // half silence, second half constant half-scale amplitude
+    val nSamples = 1600
+    val dataSize = nSamples * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1)            // PCM, mono
+      .putInt(8000).putInt(16000)          // sample rate, byte rate
+      .putShort(2).putShort(16)            // block align, bits
+      .put("data".getBytes("US-ASCII")).putInt(dataSize)
+    for (i <- 0 until nSamples)
+      bb.putShort(if (i < nSamples / 2) 0 else 16384) // 0.5 full scale
+    val wav = bb.array()
+
+    val rows = Seq(
+      org.apache.spark.sql.Row(1L, "audio", wav, null, null, 200L),
+      org.apache.spark.sql.Row(2L, "audio", "not riff data here".getBytes("UTF-8"),
+        null, null, 10L))
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), Multimodal.MediaSchema)
+    val out = Multimodal.extractFeatures(media, batchSize = 2)
+      .orderBy("media_id").collect()
+
+    val decoded = out(0)
+    assert(decoded.isNullAt(decoded.fieldIndex("decoded_width"))) // audio has no dims
+    val f = decoded.getAs[scala.collection.Seq[Float]]("features")
+    assert(f.length === Multimodal.FeatureDim)
+    // 16 segments of 100 samples: 0-7 silent, 8-15 at RMS 0.5
+    for (s <- 0 until 8)
+      assert(f(s) < 0.001f, s"silent segment $s must be ~0: ${f.toList}")
+    for (s <- 8 until 16)
+      assert(math.abs(f(s) - 0.5f) < 0.01f, s"loud segment $s must be ~0.5: ${f.toList}")
+    // determinism across re-runs
+    val again = Multimodal.extractFeatures(media, batchSize = 2)
+      .orderBy("media_id").collect()
+    assert(out.map(_.toString).toSeq === again.map(_.toString).toSeq)
+    // non-RIFF audio bytes keep the byte-stride fallback path
+    assert(out(1).getAs[scala.collection.Seq[Float]]("features").length === Multimodal.FeatureDim)
+  }
+
   test("PII redaction: every pattern family tagged, clean text untouched") {
     import spark.implicits._
     val rows = Seq(
@@ -690,6 +734,14 @@ class OperatorsSuite extends AnyFunSuite {
     val d2 = e.keys.map(id => { val d = re(id) - rh(id); d.toDouble * d }).sum
     val spearman = 1.0 - 6.0 * d2 / (n * (n * n - 1.0))
     assert(spearman >= 0.95, s"hashed-bucket ranking diverged: spearman=$spearman")
+
+    // the scale claim, asserted: in the hashed form the bounded weight
+    // table is broadcast — the corpus side never shuffles on the gram
+    val hashedDf = Pipeline.importanceScores(rawC, tgtC, "doc_id", "text", n = 2,
+      hashBuckets = Some(1 << 20))
+    hashedDf.collect()
+    val plan = hashedDf.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"hashed weight table not broadcast:\n$plan")
   }
 
   test("select top by score: quantile threshold keeps the right fraction; boundary ties stay") {
