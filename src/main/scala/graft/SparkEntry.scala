@@ -583,6 +583,21 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // PQ/ADC ANN top-5: the corpus compressed to m byte codes per vector,
+    // queries scored through per-query lookup tables — the memory-bounded
+    // scale path where even the float vectors are too big to scan (no SQL
+    // oracle: k-means-dependent; recall vs brute force in ScalaTest).
+    "similarity_pq_topk" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      // m=16/ksub=32 (finer than the m=8 default): the fixture vectors are
+      // near-random, so quantization noise needs the extra resolution for
+      // the recall the spec pins; real embedding corpora cluster and do
+      // fine at m=8/ksub=16
+      Similarity.pqTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          dim = 64, k = 5, m = 16, ksub = 32)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Exact embedding near-dup pairs (cosine ≥ 0.3).
     "embedding_neardup" -> ((s, dir) => {
       Dedup.embeddingNearDupExact(embeddings(s, dir), "vec_id", "embedding", 0.3)

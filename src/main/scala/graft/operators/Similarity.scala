@@ -255,4 +255,147 @@ object Similarity {
       .withColumn("cos_sim", dot(col("qvec"), col("cvec")) / (col("qnorm") * col("cnorm")))
     topKScored(scored, k)
   }
+
+  /** L2-normalize to unit length (zero vectors pass through unchanged):
+    * PQ prep — inner products of unit vectors ARE the cosines of the
+    * originals, so ADC can score with per-subspace dot products alone.
+    */
+  private def unitize(vec: Column): Column = {
+    val n = sqrt(aggregate(vec, lit(0.0), (acc, x) => acc + x * x))
+    when(n > 0, transform(vec, x => x / n)).otherwise(vec)
+  }
+
+  /** (id, sub, subvec) rows: the vector split into `m` contiguous
+    * subvectors of dim/m — the PQ decomposition, unit-normalized first.
+    */
+  private def subvectors(
+      df: DataFrame, idCol: String, vecCol: String, idAs: String,
+      dim: Int, m: Int): DataFrame = {
+    val ds = dim / m
+    df.select(col(idCol).as(idAs), unitize(toDoubleArray(col(vecCol))).as("__vec"))
+      .select(col(idAs), posexplode(
+        transform(sequence(lit(0), lit(m - 1)),
+          j => slice(col("__vec"), j * ds + 1, lit(ds)))).as(Seq("sub", "subvec")))
+  }
+
+  /** Product-quantization codebook trainer: per-SUBSPACE k-means, all `m`
+    * subspaces trained in one grouped Lloyd loop — centroids keyed by
+    * (sub, cell), the assign step is a broadcast join on `sub` + argmin
+    * over that subspace's `ksub` cells, centroid recomputation one hash
+    * agg on (sub, cell, pos). Deterministic seeds (per-sub smallest
+    * md5(id)), ties break on cell id; empty cells drop out of later
+    * rounds. Returns (sub, cell, cent).
+    *
+    * Multi-pass working set: the (id, sub, subvec) table is
+    * localCheckpointed once, exactly like [[kmeansCells]]. The codebook is
+    * m·ksub tiny rows — always broadcast-able.
+    */
+  def pqTrain(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      m: Int = 8,
+      ksub: Int = 16,
+      iters: Int = 2): DataFrame = {
+    require(m > 0 && dim > 0 && dim % m == 0,
+      s"pqTrain: dim ($dim) must be divisible by m ($m)")
+    require(ksub > 1 && ksub <= 256 && iters >= 0,
+      s"pqTrain: ksub must be in (1, 256] (codes are byte-sized), iters >= 0")
+    val base = subvectors(corpus, idCol, vecCol, "__id", dim, m).localCheckpoint()
+    val seedW = Window.partitionBy(col("sub"))
+      .orderBy(md5(col("__id").cast("string")), col("__id"))
+    var cents = base
+      .withColumn("__rk", row_number().over(seedW))
+      .filter(col("__rk") <= ksub)
+      .select(col("sub"), (col("__rk") - 1).cast("long").as("cell"),
+        col("subvec").as("cent"))
+      .withColumn("__cnorm2", dot(col("cent"), col("cent")))
+      .localCheckpoint()
+    var i = 0
+    while (i < iters) {
+      val assigned = base.join(broadcast(cents), Seq("sub"))
+        .withColumn("__d", col("__cnorm2") - lit(2.0) * dot(col("subvec"), col("cent")))
+        .groupBy(col("__id"), col("sub"))
+        .agg(min_by(col("cell"), struct(col("__d"), col("cell"))).as("cell"),
+          first(col("subvec")).as("subvec"))
+      cents = assigned
+        .select(col("sub"), col("cell"), posexplode(col("subvec")).as(Seq("pos", "v")))
+        .groupBy(col("sub"), col("cell"), col("pos"))
+        .agg(avg(col("v")).as("cv"))
+        .groupBy(col("sub"), col("cell"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("cv")))).as("pcs"))
+        .select(col("sub"), col("cell"),
+          transform(col("pcs"), p => p.getField("cv")).as("cent"))
+        .withColumn("__cnorm2", dot(col("cent"), col("cent")))
+        .localCheckpoint()
+      i += 1
+    }
+    cents.select(col("sub"), col("cell"), col("cent"))
+  }
+
+  /** PQ encoding: each vector compresses to `m` byte-sized codes —
+    * (id, codes array, sub-ordered), the stored form a 100 TB vector
+    * corpus keeps in place of float arrays (m bytes vs dim·4). One
+    * broadcast codebook join + per-subspace argmin + one pivot agg.
+    */
+  def pqEncode(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      codebook: DataFrame,
+      dim: Int,
+      m: Int = 8): DataFrame = {
+    val cb = broadcast(codebook
+      .withColumn("__cnorm2", dot(col("cent"), col("cent"))))
+    subvectors(corpus, idCol, vecCol, "__id", dim, m)
+      .join(cb, Seq("sub"))
+      .withColumn("__d", col("__cnorm2") - lit(2.0) * dot(col("subvec"), col("cent")))
+      .groupBy(col("__id"), col("sub"))
+      .agg(min_by(col("cell"), struct(col("__d"), col("cell"))).as("code"))
+      .groupBy(col("__id"))
+      .agg(array_sort(collect_list(struct(col("sub"), col("code")))).as("sc"))
+      .select(col("__id").as(idCol),
+        transform(col("sc"), s => s.getField("code")).as("codes"))
+  }
+
+  /** PQ/ADC approximate top-k: train codebook → encode corpus to byte
+    * codes → score queries by Asymmetric Distance Computation. Per query
+    * the lookup table dot(q_sub, cent) has m·ksub entries (with the query
+    * set: tiny, broadcast); the corpus side explodes its code arrays and
+    * probes the LUT map-side, partial sums collapsing to one row per
+    * (query, vector) before the exchange. Unit-normalized vectors make
+    * the summed subspace dot products the (quantized) cosine, so ranking
+    * is comparable to [[bruteForceTopK]] and recall is measurable.
+    *
+    * The scale story vs [[ivfTopK]]: IVF prunes WHICH vectors are scored;
+    * PQ shrinks WHAT is stored and scanned (m bytes/vector + one shared
+    * codebook). Real systems compose them (IVF-PQ) — here each is its own
+    * operator and the composition is a join away.
+    */
+  def pqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      k: Int,
+      m: Int = 8,
+      ksub: Int = 16,
+      iters: Int = 2): DataFrame = {
+    val codebook = pqTrain(corpus, idCol, vecCol, dim, m, ksub, iters)
+    val codes = pqEncode(corpus, idCol, vecCol, codebook, dim, m)
+    val lut = subvectors(queries, idCol, vecCol, "query_id", dim, m)
+      .join(broadcast(codebook), Seq("sub"))
+      .select(col("query_id"), col("sub"), col("cell"),
+        dot(col("subvec"), col("cent")).as("__partial"))
+    val scored = codes
+      .select(col(idCol).as("neighbor_id"),
+        posexplode(col("codes")).as(Seq("sub", "cell")))
+      .join(broadcast(lut), Seq("sub", "cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("__partial")).as("cos_sim"))
+    topKScored(scored, k)
+  }
 }

@@ -67,6 +67,34 @@ class OperatorsSuite extends AnyFunSuite {
     assert(lsh.size === brute.size) // still k per query
   }
 
+  test("PQ/ADC top-k: byte-bounded codes, deterministic, reasonable recall vs brute force") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val cb = Similarity.pqTrain(emb, "vec_id", "embedding", dim = 64, m = 16, ksub = 32, iters = 2)
+    val cbRows = cb.collect()
+    assert(cbRows.nonEmpty && cbRows.length <= 16 * 32, s"codebook size ${cbRows.length}")
+    assert(cbRows.forall(_.getAs[scala.collection.Seq[Double]]("cent").length == 4),
+      "every centroid must live in the 4-dim subspace")
+    val codes = Similarity.pqEncode(emb, "vec_id", "embedding", cb, dim = 64, m = 16)
+    val codeRows = codes.collect()
+    assert(codeRows.length === emb.count())
+    codeRows.foreach { r =>
+      val cs = r.getAs[scala.collection.Seq[Long]]("codes")
+      assert(cs.length == 16 && cs.forall(c => c >= 0 && c < 32),
+        s"codes must be m byte-bounded cells: $cs")
+    }
+    val brute = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Similarity.pqTopK(emb, queries, "vec_id", "embedding", dim = 64, k = 5, m = 16, ksub = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.size === brute.size) // still k per query
+    val recall = (brute & got).size.toDouble / brute.size
+    assert(recall >= 0.4, s"PQ recall too low: $recall")
+    // deterministic end to end (seeded k-means, tie-broken argmins)
+    val again = Similarity.pqTopK(emb, queries, "vec_id", "embedding", dim = 64, k = 5, m = 16, ksub = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again === got)
+  }
+
   test("prefix-filtered jaccard equals the inverted-index formulation exactly") {
     val blocked = docs.withColumn("len_bucket", floor(col("n_chars") / 100))
     def normalize(df: org.apache.spark.sql.DataFrame) =
