@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.operators.{Dedup, Multimodal, Pipeline, Relational, Similarity, TextAnalysis, WindowAssign}
+import graft.operators.{Dedup, Multimodal, Pipeline, Relational, Similarity, TextAnalysis, Timeseries, WindowAssign}
 import graft.functions.VectorFunctions
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -363,6 +363,45 @@ object SparkEntry {
         .orderBy(col("bin"))
     }),
 
+    // Equi-DEPTH histogram (equal row counts per bucket) — ORACLE SHAPE:
+    // exact ntile needs one global sort with a total tie-break order. The
+    // scale path computes bucket boundaries with approx_percentile (one
+    // pass, mergeable sketch — see q_approx_percentiles) and range-buckets
+    // rows against the broadcast boundaries, never sorting globally.
+    "q_histogram_equidepth" -> ((s, dir) => {
+      val w = Window.orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+      lineitem(s, dir)
+        .select(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+        .withColumn("bucket", ntile(8).over(w))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          round(min(col("l_extendedprice")), 2).as("lo"),
+          round(max(col("l_extendedprice")), 2).as("hi"),
+          round(avg(col("l_extendedprice")), 2).as("avg_price"))
+        .orderBy(col("bucket"))
+    }),
+
+    // Robust per-group outlier census: median + MAD (median absolute
+    // deviation), flag rows beyond 3 scaled MADs. Exact `percentile` is
+    // the oracle tier (two grouped passes + one counting pass, the median
+    // join broadcast); approx_percentile collapses it to one pass at scale.
+    "q_outliers_mad" -> ((s, dir) => {
+      val li = lineitem(s, dir)
+        .select(col("l_returnflag").as("flag"), col("l_extendedprice").as("x"))
+      val med = li.groupBy(col("flag")).agg(expr("percentile(x, 0.5d)").as("med"))
+      val mad = li.join(broadcast(med), "flag")
+        .groupBy(col("flag"))
+        .agg(expr("percentile(abs(x - med), 0.5d)").as("mad"), first(col("med")).as("med"))
+      li.join(broadcast(mad), "flag")
+        .groupBy(col("flag"))
+        .agg(count(lit(1)).as("n_rows"),
+          round(first(col("med")), 2).as("med"),
+          round(first(col("mad")), 2).as("mad"),
+          sum(when(abs(col("x") - col("med")) > col("mad") * 3 * 1.4826, 1L)
+            .otherwise(0L)).as("n_outliers"))
+        .orderBy(col("flag"))
+    }),
+
     // Skew-safe salted join: event_type has only 5 values — the canonical
     // hot-key shape. Salting spreads each key over 16 sub-keys; the result
     // is oracle-identical to the plain join (the whole point).
@@ -496,6 +535,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // The same clusters-and-keep-one decision fed by MinHash+LSH candidate
+    // pairs instead of the blocked exact-Jaccard index — the composition a
+    // web-scale corpus actually runs (no SQL oracle: LSH-recall-dependent;
+    // ScalaTest proves set-equality with the exact-pair clustering at
+    // J >= 0.5 on unblocked fixtures).
+    "dedup_minhash_clusters" -> ((s, dir) => {
+      val pairs = Dedup.minhashPairs(documents(s, dir), "doc_id", "text",
+        shingleSize = 3, threshold = 0.5)
+      Dedup.dupClusters(pairs, "doc_a", "doc_b")
+        .orderBy(col("doc_id"))
+    }),
+
     // MinHash+LSH near-dup (no SQL oracle: hash-family-specific; exactness
     // of reported Jaccard + recall vs exact pairs asserted in ScalaTest).
     "dedup_minhash" -> ((s, dir) => {
@@ -598,6 +649,27 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // k-NN JOIN: every vector against the whole corpus (not just 5 query
+    // rows) — the semdedup / kNN-graph shape. Exact brute force is the
+    // oracle tier; it broadcasts the query side, so corpus-as-queries only
+    // works while the id+vec table fits an executor (~2.5 MB here). The
+    // scale path is the LSH variant below.
+    "similarity_knn_join" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", 3)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // LSH-bucketed k-NN join — both sides shuffle-partition on (table,
+    // bucket), nothing is broadcast, so corpus×corpus scales horizontally
+    // (no SQL oracle: hyperplane-family-specific; recall vs the exact join
+    // asserted in ScalaTest).
+    "similarity_knn_join_lsh" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      Similarity.lshTopK(emb, emb, "vec_id", "embedding", 3)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Exact embedding near-dup pairs (cosine ≥ 0.3).
     "embedding_neardup" -> ((s, dir) => {
       Dedup.embeddingNearDupExact(embeddings(s, dir), "vec_id", "embedding", 0.3)
@@ -636,6 +708,19 @@ object SparkEntry {
           (max(col("ts_s")) - min(col("ts_s"))).as("duration_s"),
           round(sum(col("value")), 2).as("sum_value"))
         .orderBy(col("user_id"), col("session_id"))
+    }),
+
+    // Gap-fill + linear interpolation: each user's irregular event values
+    // densified to an hourly grid with forward-fill and between-neighbor
+    // interpolation (user_id < 30 bounds the verify artifact; the operator
+    // is per-key-parallel at any user count).
+    "events_gapfill" -> ((s, dir) => {
+      val ev = events(s, dir).filter(col("user_id") < 30)
+      Timeseries.gapFillInterpolate(ev, col("user_id"),
+          unix_timestamp(col("ts")), col("value"), 3600L)
+        .select(col("key").as("user_id"), col("bucket_s"), col("is_observed"),
+          col("v_ffill"), col("v_interp"))
+        .orderBy(col("user_id"), col("bucket_s"))
     }),
 
     // Sliding (hopping) windows: 1h size, 15min slide — every event in 4.
@@ -834,6 +919,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Incremental dedup with the Bloom prefilter — identical rows to
+    // dedup_incremental (same oracle SQL): the bloom only routes rows
+    // map-side, the exact anti join decides. At corpus scale the routed
+    // batch shrinks the join probe side to ~fpp·|batch| + |dups|.
+    "dedup_incremental_bloom" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      Dedup.incrementalBloom(
+          docs.filter(col("doc_id") >= 400),
+          docs.filter(col("doc_id") < 400),
+          TextAnalysis.md5Fingerprint(col("text")))
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Deterministic train/valid/test split (80/10/10 by md5 bucket of the
     // doc id): the same doc lands in the same split on every engine, run,
     // and cluster size — no RNG at execution time (md5 is the cross-engine
@@ -854,6 +953,22 @@ object SparkEntry {
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
         .orderBy(col("lang"))
+    }),
+
+    // Deterministic training-order shuffle: epoch-seeded md5 of the doc id
+    // is the sort key, so every engine/run/cluster size derives the SAME
+    // permutation, and a new epoch string is a fresh permutation with zero
+    // state. The materialized `position` (global row_number) is the ORACLE
+    // SHAPE — at scale the md5 key itself IS the order (range-partitioned
+    // sort on write), no global rank ever materializes.
+    "sample_shuffle" -> ((s, dir) => {
+      val keyed = documents(s, dir)
+        .withColumn("shuffle_key", md5(concat(lit("epoch1:"), col("doc_id").cast("string"))))
+      keyed
+        .withColumn("position",
+          row_number().over(Window.orderBy(col("shuffle_key"), col("doc_id"))))
+        .select(col("position"), col("doc_id"), col("shuffle_key"))
+        .orderBy(col("position"))
     }),
 
     // Benchmark decontamination: every 50th doc plays the eval set; train
@@ -1269,6 +1384,33 @@ object SparkEntry {
         |GROUP BY 1
         |ORDER BY bin""".stripMargin,
 
+    "q_histogram_equidepth" ->
+      """WITH t AS (
+        |  SELECT l_extendedprice,
+        |         ntile(8) OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS bucket
+        |  FROM lineitem)
+        |SELECT bucket, count(*)::BIGINT AS n_rows,
+        |       round(min(l_extendedprice), 2) AS lo,
+        |       round(max(l_extendedprice), 2) AS hi,
+        |       round(avg(l_extendedprice), 2) AS avg_price
+        |FROM t
+        |GROUP BY bucket
+        |ORDER BY bucket""".stripMargin,
+
+    "q_outliers_mad" ->
+      """WITH li AS (SELECT l_returnflag AS flag, l_extendedprice AS x FROM lineitem),
+        |med AS (SELECT flag, median(x) AS med FROM li GROUP BY flag),
+        |mad AS (SELECT li.flag, median(abs(x - med)) AS mad, any_value(med) AS med
+        |        FROM li JOIN med USING (flag) GROUP BY li.flag)
+        |SELECT li.flag, count(*)::BIGINT AS n_rows,
+        |       round(any_value(mad.med), 2) AS med,
+        |       round(any_value(mad.mad), 2) AS mad,
+        |       sum(CASE WHEN abs(x - mad.med) > mad.mad * 3 * 1.4826
+        |                THEN 1 ELSE 0 END)::BIGINT AS n_outliers
+        |FROM li JOIN mad USING (flag)
+        |GROUP BY li.flag
+        |ORDER BY li.flag""".stripMargin,
+
     // the salted join must be result-identical to the PLAIN join
     "q_skew_join_salted" ->
       """SELECT e.event_type, count(*) AS n_events,
@@ -1480,6 +1622,39 @@ object SparkEntry {
         |GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
 
+    "events_gapfill" ->
+      """WITH b AS (
+        |  SELECT user_id, (epoch_ns(ts) // 1000000000 // 3600) * 3600 AS bucket_s,
+        |         round(avg(value), 4) AS v_obs
+        |  FROM events WHERE user_id < 30 GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT user_id, unnest(range(min(bucket_s), max(bucket_s) + 3600, 3600)) AS bucket_s
+        |  FROM b GROUP BY user_id),
+        |j AS (
+        |  SELECT s.user_id, s.bucket_s, b.v_obs
+        |  FROM spine s LEFT JOIN b USING (user_id, bucket_s)),
+        |w AS (
+        |  SELECT user_id, bucket_s, v_obs,
+        |    last_value(v_obs IGNORE NULLS) OVER
+        |      (PARTITION BY user_id ORDER BY bucket_s) AS prev_v,
+        |    last_value(CASE WHEN v_obs IS NOT NULL THEN bucket_s END IGNORE NULLS) OVER
+        |      (PARTITION BY user_id ORDER BY bucket_s) AS prev_t,
+        |    first_value(v_obs IGNORE NULLS) OVER
+        |      (PARTITION BY user_id ORDER BY bucket_s
+        |       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+        |    first_value(CASE WHEN v_obs IS NOT NULL THEN bucket_s END IGNORE NULLS) OVER
+        |      (PARTITION BY user_id ORDER BY bucket_s
+        |       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_t
+        |  FROM j)
+        |SELECT user_id, bucket_s, (v_obs IS NOT NULL) AS is_observed,
+        |       round(prev_v, 4) AS v_ffill,
+        |       round(CASE WHEN v_obs IS NOT NULL THEN v_obs
+        |             WHEN prev_t IS NOT NULL AND next_t IS NOT NULL THEN
+        |               prev_v + (next_v - prev_v) * (bucket_s - prev_t)::DOUBLE / (next_t - prev_t)
+        |             ELSE coalesce(prev_v, next_v) END, 4) AS v_interp
+        |FROM w
+        |ORDER BY user_id, bucket_s""".stripMargin,
+
     "sliding_window" ->
       """SELECT ws AS window_start_s, count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM (SELECT value,
@@ -1598,6 +1773,17 @@ object SparkEntry {
         |                    AND md5(lower(trim(c.text))) = md5(lower(trim(d.text))))
         |ORDER BY d.doc_id""".stripMargin,
 
+    // identical to dedup_incremental by design: the bloom prefilter only
+    // routes rows, the exact anti join decides
+    "dedup_incremental_bloom" ->
+      """SELECT d.doc_id, d.lang
+        |FROM documents d
+        |WHERE d.doc_id >= 400
+        |  AND NOT EXISTS (SELECT 1 FROM documents c
+        |                  WHERE c.doc_id < 400
+        |                    AND md5(lower(trim(c.text))) = md5(lower(trim(d.text))))
+        |ORDER BY d.doc_id""".stripMargin,
+
     "sample_split" ->
       """SELECT lang, split, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars
         |FROM (SELECT lang, n_chars,
@@ -1609,6 +1795,13 @@ object SparkEntry {
         |            FROM documents))
         |GROUP BY lang, split
         |ORDER BY lang, split""".stripMargin,
+
+    "sample_shuffle" ->
+      """SELECT row_number() OVER (ORDER BY shuffle_key, doc_id)::INTEGER AS position,
+        |       doc_id, shuffle_key
+        |FROM (SELECT doc_id, md5('epoch1:' || doc_id::VARCHAR) AS shuffle_key
+        |      FROM documents)
+        |ORDER BY position""".stripMargin,
 
     "sample_mixture" ->
       """SELECT lang, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars
