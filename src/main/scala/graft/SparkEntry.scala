@@ -1625,7 +1625,7 @@ object SparkEntry {
     "events_gapfill" ->
       """WITH b AS (
         |  SELECT user_id, (epoch_ns(ts) // 1000000000 // 3600) * 3600 AS bucket_s,
-        |         round(avg(value), 4) AS v_obs
+        |         avg(value) AS v_obs
         |  FROM events WHERE user_id < 30 GROUP BY 1, 2),
         |spine AS (
         |  SELECT user_id, unnest(range(min(bucket_s), max(bucket_s) + 3600, 3600)) AS bucket_s

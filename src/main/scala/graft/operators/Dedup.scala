@@ -409,8 +409,12 @@ object Dedup {
     * (now tiny) probe side under AQE.
     *
     * `expectedItems` sizes the filter; left at -1 it is taken from a
-    * `count()` of the distinct corpus fingerprints (one extra corpus scan —
-    * pass the known corpus cardinality at scale to skip it).
+    * `count()` of the distinct corpus fingerprints. The distinct set is
+    * persisted for the duration of the call, so the corpus is scanned once
+    * (plus cached reads for the bloom build and residual anti join); the
+    * result is materialized (localCheckpoint) before returning so the
+    * broadcast sketch and the cache can be released eagerly instead of
+    * leaking across the daily-ingest loop this operator targets.
     */
   def incrementalBloom(
       newBatch: DataFrame,
@@ -419,19 +423,24 @@ object Dedup {
       fpp: Double = 0.01,
       expectedItems: Long = -1L): DataFrame = {
     require(fpp > 0 && fpp < 1, "incrementalBloom: fpp must be in (0, 1)")
-    val seen = corpus.select(fp.cast("string").as("fp")).distinct()
-    val n = if (expectedItems > 0) expectedItems else math.max(seen.count(), 1L)
-    val bloom = seen.stat.bloomFilter("fp", n, fpp)
-    val bc = newBatch.sparkSession.sparkContext.broadcast(bloom)
-    // a Scala UDF (not codegen'd) is acceptable here: one sketch probe per
-    // row, and the alternative — shipping the sketch into a custom
-    // Expression — buys nothing since the probe itself dominates
-    val mightContain = udf((s: String) => s != null && bc.value.mightContainString(s))
-    val tagged = newBatch.withColumn("__fp", fp.cast("string"))
-    val definiteNew = tagged.filter(!mightContain(col("__fp")))
-    val suspects = tagged.filter(mightContain(col("__fp")))
-      .join(seen.withColumnRenamed("fp", "__fp"), Seq("__fp"), "left_anti")
-    definiteNew.unionByName(suspects).drop("__fp")
+    val seen = corpus.select(fp.cast("string").as("fp")).distinct().persist()
+    try {
+      val n = if (expectedItems > 0) expectedItems else math.max(seen.count(), 1L)
+      val bloom = seen.stat.bloomFilter("fp", n, fpp)
+      val bc = newBatch.sparkSession.sparkContext.broadcast(bloom)
+      try {
+        // a Scala UDF (not codegen'd) is acceptable here: one sketch probe
+        // per row, and the alternative — shipping the sketch into a custom
+        // Expression — buys nothing since the probe itself dominates
+        val mightContain = udf((s: String) => s != null && bc.value.mightContainString(s))
+        val tagged = newBatch.withColumn("__fp", fp.cast("string"))
+        val definiteNew = tagged.filter(!mightContain(col("__fp")))
+        val suspects = tagged.filter(mightContain(col("__fp")))
+          .join(seen.withColumnRenamed("fp", "__fp"), Seq("__fp"), "left_anti")
+        // eager: cut the lineage so bc/seen can be freed before return
+        definiteNew.unionByName(suspects).drop("__fp").localCheckpoint()
+      } finally bc.destroy()
+    } finally seen.unpersist()
   }
 
   /** Exact substring-span dedup (Lee et al. 2021, "Deduplicating Training

@@ -104,23 +104,32 @@ object Similarity {
         sampled(0).getInt(0)
       }
     val tables = (0 until numTables).map(t => (t, randomPlanes(numPlanes, planeDim, seed + t)))
-    val c = corpus.select(col(idCol).as("neighbor_id"), toDoubleArray(col(vecCol)).as("cvec"))
-      .withColumn("cnorm", l2Norm(col("cvec")))
+    // signatures are computed ONCE per table into a column, and the probe
+    // structs reference that column — inlining the signature subtree (6
+    // dots × 64-double literals) into each of the (1+numPlanes)·numTables
+    // probe structs once made a ~10k-literal expression tree whose
+    // optimize+codegen time dwarfed the actual scan
+    def withSigs(df: DataFrame, vec: String): DataFrame =
+      df.select(df.columns.map(col) ++ tables.map { case (t, planes) =>
+        hyperplaneSignature(col(vec), planes).as(s"__b$t")
+      }: _*)
+    val c = withSigs(
+      corpus.select(col(idCol).as("neighbor_id"), toDoubleArray(col(vecCol)).as("cvec"))
+        .withColumn("cnorm", l2Norm(col("cvec"))), "cvec")
       .select(col("neighbor_id"), col("cvec"), col("cnorm"),
-        explode(array(tables.map { case (t, planes) =>
-          struct(lit(t).as("tbl"), hyperplaneSignature(col("cvec"), planes).as("bucket"))
+        explode(array(tables.map { case (t, _) =>
+          struct(lit(t).as("tbl"), col(s"__b$t").as("bucket"))
         }: _*)).as("tb"))
       .select(col("neighbor_id"), col("cvec"), col("cnorm"),
         col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
-    val probes = queries
-      .select(col(idCol).as("query_id"), toDoubleArray(col(vecCol)).as("qvec"))
-      .withColumn("qnorm", l2Norm(col("qvec")))
+    val probes = withSigs(
+      queries.select(col(idCol).as("query_id"), toDoubleArray(col(vecCol)).as("qvec"))
+        .withColumn("qnorm", l2Norm(col("qvec"))), "qvec")
       .select(col("query_id"), col("qvec"), col("qnorm"),
-        explode(array(tables.flatMap { case (t, planes) =>
-          val b0 = hyperplaneSignature(col("qvec"), planes)
-          struct(lit(t).as("tbl"), b0.as("bucket")) +:
+        explode(array(tables.flatMap { case (t, _) =>
+          struct(lit(t).as("tbl"), col(s"__b$t").as("bucket")) +:
             (0 until numPlanes).map(i =>
-              struct(lit(t).as("tbl"), b0.bitwiseXOR(lit(1L << i)).as("bucket")))
+              struct(lit(t).as("tbl"), col(s"__b$t").bitwiseXOR(lit(1L << i)).as("bucket")))
         }: _*)).as("tb"))
       .select(col("query_id"), col("qvec"), col("qnorm"),
         col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))

@@ -21,9 +21,12 @@ object Timeseries {
     *
     * Contract (mirrored exactly by the DuckDB oracle):
     *   1. bucket = floor(ts / step) * step; per (key, bucket) the observed
-    *      value is round(avg(value), 4) — averaging makes the bucket value
-    *      order-insensitive, so the result is deterministic under any
-    *      partitioning;
+    *      value is avg(value) — UNROUNDED. Rounding here once made
+    *      interpolation midpoints land on exact decimal ties (x.xxxx5),
+    *      where Spark's round (BigDecimal HALF_UP on the shortest decimal
+    *      repr) and DuckDB's (scaled std::round on the binary double)
+    *      break differently; on full-precision averages decimal ties have
+    *      measure zero, so the single final round agrees across engines;
     *   2. the spine per key is every step from its min to its max observed
     *      bucket (`sequence` + `explode` — generated distributed, never on
     *      the driver);
@@ -56,7 +59,7 @@ object Timeseries {
     val b = df
       .select(key.as("key"), ((floor(tsSeconds / w)).cast("long") * w).as("bucket_s"), value.as("v"))
       .groupBy(col("key"), col("bucket_s"))
-      .agg(round(avg(col("v")), 4).as("v_obs"))
+      .agg(avg(col("v")).as("v_obs"))
     val spine = b.groupBy(col("key"))
       .agg(min(col("bucket_s")).as("mn"), max(col("bucket_s")).as("mx"))
       .select(col("key"), explode(sequence(col("mn"), col("mx"), w)).as("bucket_s"))
@@ -74,8 +77,8 @@ object Timeseries {
       .select(col("key"), col("bucket_s"),
         col("v_obs").isNotNull.as("is_observed"),
         round(col("prev_v"), 4).as("v_ffill"),
-        // association mirrors the oracle SQL token-for-token so both
-        // engines run the identical IEEE op sequence before the round
+        // association mirrors the oracle SQL token-for-token; inputs stay
+        // full-precision so the final round never sees a constructed tie
         round(when(col("v_obs").isNotNull, col("v_obs"))
           .when(col("prev_t").isNotNull && col("next_t").isNotNull,
             col("prev_v") + (col("next_v") - col("prev_v")) *

@@ -67,6 +67,34 @@ class OperatorsSuite extends AnyFunSuite {
     assert(lsh.size === brute.size) // still k per query
   }
 
+  test("minhash clusters equal the exact-pair clustering (set equality)") {
+    // the claim behind the dedup_minhash_clusters query: LSH pair recall on
+    // this fixture is high enough that connected components over minhash
+    // pairs equal components over the blocking-free exact pairs
+    import spark.implicits._
+    val exactDf = exactPairs.toSeq.toDF("doc_a", "doc_b")
+    def clusters(pairs: org.apache.spark.sql.DataFrame): Set[(Long, Long, Boolean)] =
+      Dedup.dupClusters(pairs, "doc_a", "doc_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val fromExact = clusters(exactDf)
+    val fromMinhash = clusters(
+      Dedup.minhashPairs(docs, "doc_id", "text", shingleSize = 3, threshold = 0.5))
+    assert(fromExact.nonEmpty, "fixture should contain near-dup clusters")
+    assert(fromMinhash === fromExact,
+      s"missing=${fromExact -- fromMinhash} extra=${fromMinhash -- fromExact}")
+  }
+
+  test("LSH k-NN join (corpus as queries) reaches recall floor vs exact join") {
+    // the similarity_knn_join_lsh shape: every vector queries the corpus
+    val brute = Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshTopK(emb, emb, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.size === brute.size, "k rows per query on both sides")
+    val recall = (brute & lsh).size.toDouble / brute.size
+    assert(recall >= 0.4, s"kNN-join LSH recall too low: $recall")
+  }
+
   test("PQ/ADC top-k: byte-bounded codes, deterministic, reasonable recall vs brute force") {
     val queries = emb.filter(col("vec_id") < 10)
     val cb = Similarity.pqTrain(emb, "vec_id", "embedding", dim = 64, m = 16, ksub = 32, iters = 2)
