@@ -670,6 +670,17 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // SemDeDup (Abbas et al. 2023): k-means cells, in-cell cosine near-dup
+    // groups, keep-one-per-group — the semantic dedup pass that catches
+    // paraphrases text fingerprints miss (no SQL oracle: k-means-dependent;
+    // totality, keeper invariants, in-cell recall = 1, and determinism
+    // asserted in ScalaTest).
+    "dedup_semantic" -> ((s, dir) => {
+      Dedup.semanticDedup(embeddings(s, dir), "vec_id", "embedding",
+          nlist = 8, threshold = 0.3)
+        .orderBy(col("vec_id"))
+    }),
+
     // Exact embedding near-dup pairs (cosine ≥ 0.3).
     "embedding_neardup" -> ((s, dir) => {
       Dedup.embeddingNearDupExact(embeddings(s, dir), "vec_id", "embedding", 0.3)
@@ -1100,6 +1111,20 @@ object SparkEntry {
         .groupBy(col("id").as("doc_id"))
         .agg(count(lit(1)).as("n_chunks"),
           sum(coalesce(col("__kept"), lit(0L))).as("n_kept"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Line-level boilerplate dedup (C4/RefinedWeb-style): lines repeated
+    // across the corpus are stripped, documents rebuilt from what's left.
+    // The fixture's documents are single-line, so the query frames each in
+    // the boilerplate a crawled page carries (header/footer repeated on
+    // every doc) — the frame must vanish, unique content must survive, and
+    // whole-doc duplicate content lines (which repeat corpus-wide) go too.
+    "dedup_lines" -> ((s, dir) => {
+      val framed = documents(s, dir).select(col("doc_id"),
+        concat(lit("subscribe to our newsletter\n"), col("text"),
+          lit("\ncopyright example corp all rights reserved")).as("page"))
+      Dedup.lineLevelDedup(framed, "doc_id", "page", maxOcc = 1)
         .orderBy(col("doc_id"))
     }),
 
@@ -1625,33 +1650,34 @@ object SparkEntry {
     "events_gapfill" ->
       """WITH b AS (
         |  SELECT user_id, (epoch_ns(ts) // 1000000000 // 3600) * 3600 AS bucket_s,
-        |         avg(value) AS v_obs
+        |         CAST(round(avg(value) * 10000, 0) AS BIGINT) AS v_u
         |  FROM events WHERE user_id < 30 GROUP BY 1, 2),
         |spine AS (
         |  SELECT user_id, unnest(range(min(bucket_s), max(bucket_s) + 3600, 3600)) AS bucket_s
         |  FROM b GROUP BY user_id),
         |j AS (
-        |  SELECT s.user_id, s.bucket_s, b.v_obs
+        |  SELECT s.user_id, s.bucket_s, b.v_u
         |  FROM spine s LEFT JOIN b USING (user_id, bucket_s)),
         |w AS (
-        |  SELECT user_id, bucket_s, v_obs,
-        |    last_value(v_obs IGNORE NULLS) OVER
-        |      (PARTITION BY user_id ORDER BY bucket_s) AS prev_v,
-        |    last_value(CASE WHEN v_obs IS NOT NULL THEN bucket_s END IGNORE NULLS) OVER
+        |  SELECT user_id, bucket_s, v_u,
+        |    last_value(v_u IGNORE NULLS) OVER
+        |      (PARTITION BY user_id ORDER BY bucket_s) AS prev_u,
+        |    last_value(CASE WHEN v_u IS NOT NULL THEN bucket_s END IGNORE NULLS) OVER
         |      (PARTITION BY user_id ORDER BY bucket_s) AS prev_t,
-        |    first_value(v_obs IGNORE NULLS) OVER
+        |    first_value(v_u IGNORE NULLS) OVER
         |      (PARTITION BY user_id ORDER BY bucket_s
-        |       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
-        |    first_value(CASE WHEN v_obs IS NOT NULL THEN bucket_s END IGNORE NULLS) OVER
+        |       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_u,
+        |    first_value(CASE WHEN v_u IS NOT NULL THEN bucket_s END IGNORE NULLS) OVER
         |      (PARTITION BY user_id ORDER BY bucket_s
         |       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_t
         |  FROM j)
-        |SELECT user_id, bucket_s, (v_obs IS NOT NULL) AS is_observed,
-        |       round(prev_v, 4) AS v_ffill,
-        |       round(CASE WHEN v_obs IS NOT NULL THEN v_obs
+        |SELECT user_id, bucket_s, (v_u IS NOT NULL) AS is_observed,
+        |       prev_u / 10000.0 AS v_ffill,
+        |       (CASE WHEN v_u IS NOT NULL THEN v_u
         |             WHEN prev_t IS NOT NULL AND next_t IS NOT NULL THEN
-        |               prev_v + (next_v - prev_v) * (bucket_s - prev_t)::DOUBLE / (next_t - prev_t)
-        |             ELSE coalesce(prev_v, next_v) END, 4) AS v_interp
+        |               (prev_u * (next_t - bucket_s) + next_u * (bucket_s - prev_t))
+        |                 // (next_t - prev_t)
+        |             ELSE coalesce(prev_u, next_u) END) / 10000.0 AS v_interp
         |FROM w
         |ORDER BY user_id, bucket_s""".stripMargin,
 
@@ -1949,6 +1975,27 @@ object SparkEntry {
         |FROM c LEFT JOIN k ON c.chunk_uid = k.chunk_uid
         |GROUP BY c.doc_id
         |ORDER BY c.doc_id""".stripMargin,
+
+    "dedup_lines" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         'subscribe to our newsletter' || chr(10) || text || chr(10) ||
+        |         'copyright example corp all rights reserved' AS page
+        |  FROM documents),
+        |s AS (SELECT doc_id, string_split(page, chr(10)) AS ls FROM d),
+        |l AS (SELECT doc_id, i + 1 AS line_no, ls[i + 1] AS line
+        |      FROM s, unnest(range(0, len(ls))) u(i)),
+        |hot AS (SELECT trim(line) AS k, count(*) AS c
+        |        FROM l WHERE trim(line) <> '' GROUP BY 1 HAVING count(*) > 1),
+        |m AS (SELECT l.doc_id, l.line_no, l.line, hot.k IS NULL AS keep
+        |      FROM l LEFT JOIN hot ON trim(l.line) = hot.k)
+        |SELECT doc_id, count(*)::BIGINT AS n_lines,
+        |       coalesce(sum(CASE WHEN keep THEN 0 ELSE 1 END), 0)::BIGINT AS n_removed,
+        |       coalesce(string_agg(line, chr(10) ORDER BY line_no)
+        |                  FILTER (WHERE keep), '') AS text_clean
+        |FROM m
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     "pipeline_e2e" ->
       """WITH train AS (

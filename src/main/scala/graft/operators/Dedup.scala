@@ -498,6 +498,110 @@ object Dedup {
         round(col("cos_sim"), 4).as("cos_sim"))
   }
 
+  /** Semantic dedup over an embedding column (SemDeDup — Abbas et al.
+    * 2023, "SemDeDup: Data-efficient learning at web-scale through
+    * semantic deduplication"; public method): k-means-cluster the
+    * embeddings, flag pairs above a cosine threshold WITHIN each cluster,
+    * keep one representative per connected near-dup group. Catches
+    * paraphrases and re-rendered pages whose text-level fingerprints all
+    * differ.
+    *
+    * Returns one row per corpus vector: (idCol, cell, cluster_id, keep) —
+    * vectors with no in-cell near-neighbor are their own singleton cluster
+    * (keep = true); within a group the keeper is the minimum id
+    * (deterministic, like [[exactByKey]]).
+    *
+    * Scale shape: the quadratic pair comparison is confined within cells —
+    * cost Σ|cell|² instead of n² — and `nlist` sizes that tradeoff (the
+    * paper runs 50k clusters at web scale; cells are then ~corpus/50k).
+    * Cells come from the deterministic distributed Lloyd trainer
+    * ([[Similarity.kmeansCells]]: broadcast codebook, map-side argmin);
+    * the in-cell pair join is hash-partitioned on the cell id; group
+    * labels reuse [[dupClusters]]' hash-join label propagation. Like the
+    * paper, near-duplicate RECALL is bounded by the clustering — a pair
+    * split across two cells is never compared (measured against the exact
+    * all-pairs ground truth in ScalaTest).
+    */
+  def semanticDedup(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nlist: Int,
+      threshold: Double,
+      iters: Int = 2): DataFrame = {
+    require(nlist > 0, "semanticDedup: nlist must be positive")
+    val cells = Similarity.kmeansCells(emb, idCol, vecCol, nlist, iters)
+    val v = emb.select(col(idCol).as("__id"), toDoubleArray(col(vecCol)).as("__vec"))
+      .withColumn("__nrm", l2Norm(col("__vec")))
+      .join(cells.select(col(idCol).as("__id"), col("cell")), Seq("__id"))
+    val pairs = v.as("l").join(v.as("r"),
+        col("l.cell") === col("r.cell") && col("l.__id") < col("r.__id"))
+      .filter(dot(col("l.__vec"), col("r.__vec")) / (col("l.__nrm") * col("r.__nrm"))
+        >= threshold)
+      .select(col("l.__id").as("vec_a"), col("r.__id").as("vec_b"))
+    val grouped = dupClusters(pairs, "vec_a", "vec_b")
+      .select(col("doc_id").as("__id"), col("cluster_id"), col("keep"))
+    v.select(col("__id"), col("cell"))
+      .join(grouped, Seq("__id"), "left")
+      .select(col("__id").as(idCol), col("cell"),
+        coalesce(col("cluster_id"), col("__id")).as("cluster_id"),
+        coalesce(col("keep"), lit(true)).as("keep"))
+  }
+
+  /** Line-level boilerplate dedup (the cleaning pass C4 runs on
+    * three-sentence spans and RefinedWeb on lines — Raffel et al. 2020
+    * §2.2, Penedo et al. 2023; public heuristics): remove every occurrence
+    * of a non-blank line whose corpus-wide occurrence count exceeds
+    * `maxOcc` (navigation chrome, cookie banners, licence footers — the
+    * text that repeats across pages even when documents differ), then
+    * rebuild each document from its kept lines in original order.
+    *
+    * Line identity is the space-trimmed line text; blank lines are never
+    * counted or removed (they are layout, not content). Occurrences are
+    * counted corpus-wide, so a line repeated within one document counts
+    * each time. Returns one row per input document:
+    * (idCol, n_lines, n_removed, text_clean), text_clean = '' when every
+    * line was boilerplate.
+    *
+    * Scale shape: one map-side-combined hash agg counts lines; only the
+    * lines ABOVE `maxOcc` (the hot set — boilerplate is by definition a
+    * tiny, high-frequency vocabulary) survive into the join's build side,
+    * so the probe is a broadcast-able semi-join against MBs, not a shuffle
+    * of the corpus on line text; the rebuild is one per-doc hash agg. At
+    * 100 TB hash the trimmed line (xxhash64) for the count/join key so the
+    * exchange carries 8-byte keys — kept as strings here for the
+    * string-exact oracle.
+    */
+  def lineLevelDedup(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxOcc: Long = 1L): DataFrame = {
+    require(maxOcc >= 1, "lineLevelDedup: maxOcc must be >= 1")
+    val lines = docs
+      .select(col(idCol).as("__doc"),
+        posexplode(split(col(textCol), "\n", -1)).as(Seq("__ln", "__line")))
+      .withColumn("__key", trim(col("__line")))
+    val hot = lines.filter(col("__key") =!= "")
+      .groupBy(col("__key")).agg(count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") > maxOcc)
+    lines.join(hot, Seq("__key"), "left")
+      .withColumn("__keep", col("__cnt").isNull)
+      .groupBy(col("__doc"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("__keep"), 0L).otherwise(1L)).as("n_removed"),
+        coalesce(
+          array_join(
+            transform(
+              array_sort(collect_list(
+                when(col("__keep"), struct(col("__ln"), col("__line"))))),
+              x => x.getField("__line")),
+            "\n"),
+          lit("")).as("text_clean"))
+      .select(col("__doc").as(idCol), col("n_lines"), col("n_removed"), col("text_clean"))
+  }
+
   /** Random-hyperplane LSH near-dup: bucket by sign-pattern of `planes`
     * projections, verify exact cosine within buckets. Linear + bucket joins.
     */

@@ -31,17 +31,15 @@ object TextAnalysis {
   /** ALL n-grams over whitespace tokens — the occurrence MULTISET, in
     * document order, unlike [[shingles]] which deduplicates. Frequency-
     * weighted operators (importance weights, LM statistics) need counts,
-    * not presence. Per-row `transform`+`slice` HOFs; documents shorter
+    * not presence. Native codegen'd single pass over the token array
+    * ([[graft.functions.Shingles]] with distinct=false); the earlier
+    * `transform`+`slice` HOF formulation re-tokenized the document once
+    * per gram position — O(tokens²) regex work per row. Documents shorter
     * than n tokens yield an empty array.
     */
   def ngramsAll(text: Column, n: Int): Column = {
     require(n > 0, "ngramsAll: n must be positive")
-    val t = wsTokens(text)
-    if (n == 1) t
-    else when(size(t) >= n,
-        transform(sequence(lit(1), size(t) - (n - 1)),
-          i => concat_ws(" ", slice(t, i, lit(n)))))
-      .otherwise(array())
+    graft.functions.Shingles.ngramsAll(wsTokens(text), n)
   }
 
   /** Stopword ratio: fraction of tokens in `stopwords`. */

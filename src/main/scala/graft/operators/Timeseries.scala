@@ -1,8 +1,10 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.IntegralDivide
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
 
 /** Time-series repair over irregular event streams: bucketize, densify,
   * forward-fill, linearly interpolate.
@@ -16,24 +18,38 @@ import org.apache.spark.sql.functions._
   */
 object Timeseries {
 
+  /** `DIV` (integral division, truncating toward zero — the same operator
+    * DuckDB spells `//` on BIGINT), surfaced for exact integer plans.
+    */
+  private def intDiv(a: Column, b: Column): Column =
+    ColumnBridge.column(new IntegralDivide(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
   /** Dense per-key grid at `stepSeconds` resolution with forward-fill and
     * linear interpolation.
     *
     * Contract (mirrored exactly by the DuckDB oracle):
     *   1. bucket = floor(ts / step) * step; per (key, bucket) the observed
-    *      value is avg(value) — UNROUNDED. Rounding here once made
-    *      interpolation midpoints land on exact decimal ties (x.xxxx5),
-    *      where Spark's round (BigDecimal HALF_UP on the shortest decimal
-    *      repr) and DuckDB's (scaled std::round on the binary double)
-    *      break differently; on full-precision averages decimal ties have
-    *      measure zero, so the single final round agrees across engines;
+    *      value is quantized ONCE to integer micro-units:
+    *      v_u = round(avg(value) · 10⁴)::BIGINT;
     *   2. the spine per key is every step from its min to its max observed
     *      bucket (`sequence` + `explode` — generated distributed, never on
     *      the driver);
-    *   3. `v_ffill` = last observed bucket value at or before this bucket;
-    *   4. `v_interp` = the observation itself where present, else the
-    *      linear interpolation between the surrounding observed buckets,
-    *      else the forward/backward fill at the series edges.
+    *   3. `v_ffill` = (last observed v_u at or before this bucket) / 10⁴;
+    *   4. `v_interp` = v_u/10⁴ where observed, else the linear
+    *      interpolation computed in EXACT integer arithmetic —
+    *      (prev_u·(next_t−t) + next_u·(t−prev_t)) DIV (next_t−prev_t),
+    *      then / 10⁴ — else the forward/backward fill at the series edges.
+    *
+    * Why integer micro-units: interpolating DOUBLE bucket averages lands on
+    * exact decimal ties (midpoints of low-precision inputs), where Spark's
+    * round (BigDecimal HALF_UP on the shortest decimal repr of the double)
+    * and DuckDB's (scaled std::round on the binary value) disagree — and
+    * the tie side even varies run-to-run with aggregation order. After the
+    * single stable quantization, every op here is exact 64-bit integer
+    * arithmetic with truncating division (Spark `DIV` ≡ DuckDB `//`), and
+    * the final /10⁴ double division of identical integers is bit-identical
+    * on both engines — nothing left to round, nothing to disagree on.
     *
     * Output: (key, bucket_s, is_observed, v_ffill, v_interp).
     *
@@ -46,7 +62,9 @@ object Timeseries {
     * 10⁷-row partition — split such series by a coarse epoch (day/month)
     * column first, exactly like any skewed-window workload. `sequence()`
     * would refuse outright far earlier (it caps elements per call), so a
-    * mis-sized step fails loudly instead of OOMing an executor.
+    * mis-sized step fails loudly instead of OOMing an executor. Micro-unit
+    * magnitudes: |v_u| ≤ 2⁶³/(gap seconds) is safe for any physical series
+    * (a week-long gap still leaves 15 digits of value headroom).
     */
   def gapFillInterpolate(
       df: DataFrame,
@@ -59,7 +77,7 @@ object Timeseries {
     val b = df
       .select(key.as("key"), ((floor(tsSeconds / w)).cast("long") * w).as("bucket_s"), value.as("v"))
       .groupBy(col("key"), col("bucket_s"))
-      .agg(avg(col("v")).as("v_obs"))
+      .agg(round(avg(col("v")) * 10000, 0).cast("long").as("v_u"))
     val spine = b.groupBy(col("key"))
       .agg(min(col("bucket_s")).as("mn"), max(col("bucket_s")).as("mx"))
       .select(col("key"), explode(sequence(col("mn"), col("mx"), w)).as("bucket_s"))
@@ -68,22 +86,22 @@ object Timeseries {
     val fwd = Window.partitionBy(col("key")).orderBy(col("bucket_s"))
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     spine.join(b, Seq("key", "bucket_s"), "left")
-      .withColumn("prev_v", last(col("v_obs"), ignoreNulls = true).over(back))
+      .withColumn("prev_u", last(col("v_u"), ignoreNulls = true).over(back))
       .withColumn("prev_t",
-        last(when(col("v_obs").isNotNull, col("bucket_s")), ignoreNulls = true).over(back))
-      .withColumn("next_v", first(col("v_obs"), ignoreNulls = true).over(fwd))
+        last(when(col("v_u").isNotNull, col("bucket_s")), ignoreNulls = true).over(back))
+      .withColumn("next_u", first(col("v_u"), ignoreNulls = true).over(fwd))
       .withColumn("next_t",
-        first(when(col("v_obs").isNotNull, col("bucket_s")), ignoreNulls = true).over(fwd))
+        first(when(col("v_u").isNotNull, col("bucket_s")), ignoreNulls = true).over(fwd))
       .select(col("key"), col("bucket_s"),
-        col("v_obs").isNotNull.as("is_observed"),
-        round(col("prev_v"), 4).as("v_ffill"),
-        // association mirrors the oracle SQL token-for-token; inputs stay
-        // full-precision so the final round never sees a constructed tie
-        round(when(col("v_obs").isNotNull, col("v_obs"))
+        col("v_u").isNotNull.as("is_observed"),
+        (col("prev_u").cast("double") / 10000.0).as("v_ffill"),
+        (when(col("v_u").isNotNull, col("v_u"))
           .when(col("prev_t").isNotNull && col("next_t").isNotNull,
-            col("prev_v") + (col("next_v") - col("prev_v")) *
-              (col("bucket_s") - col("prev_t")).cast("double") /
-              (col("next_t") - col("prev_t")))
-          .otherwise(coalesce(col("prev_v"), col("next_v"))), 4).as("v_interp"))
+            intDiv(
+              col("prev_u") * (col("next_t") - col("bucket_s")) +
+                col("next_u") * (col("bucket_s") - col("prev_t")),
+              col("next_t") - col("prev_t")))
+          .otherwise(coalesce(col("prev_u"), col("next_u")))
+          .cast("double") / 10000.0).as("v_interp"))
   }
 }

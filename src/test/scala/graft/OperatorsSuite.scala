@@ -123,6 +123,54 @@ class OperatorsSuite extends AnyFunSuite {
     assert(again === got)
   }
 
+  test("semantic dedup: total, deterministic, groups exactly the in-cell near-dup pairs") {
+    def run() = Dedup.semanticDedup(emb, "vec_id", "embedding", nlist = 4, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val rows = run()
+    assert(rows.length === emb.count(), "one row per corpus vector")
+    // one keeper per cluster; the keeper and the label are the min id
+    rows.groupBy(_._3).foreach { case (cid, rs) =>
+      assert(rs.count(_._4) === 1, s"cluster $cid must have exactly one keeper")
+      assert(rs.filter(_._4).head._1 === rs.map(_._1).min)
+      assert(cid === rs.map(_._1).min)
+    }
+    // recall within cells is 1: every exact near-dup pair whose two sides
+    // landed in the same cell must be co-clustered (pairs split across
+    // cells are the documented recall loss of the method)
+    val cellOf = rows.map(r => r._1 -> r._2).toMap
+    val clusterOf = rows.map(r => r._1 -> r._3).toMap
+    val exact = Dedup.embeddingNearDupExact(emb, "vec_id", "embedding", 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val inCell = exact.filter { case (a, b) => cellOf(a) == cellOf(b) }
+    assert(inCell.nonEmpty, "fixture should produce in-cell near-dup pairs")
+    inCell.foreach { case (a, b) =>
+      assert(clusterOf(a) === clusterOf(b), s"in-cell pair ($a,$b) not co-clustered")
+    }
+    assert(run().toSeq === rows.toSeq, "deterministic end to end")
+  }
+
+  test("line-level dedup strips corpus-repeated lines and rebuilds documents") {
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, "HEADER\nunique alpha\nFOOTER"),
+      (2L, "HEADER\nunique beta\nshared line\nFOOTER"),
+      (3L, "HEADER\nshared line\n\nunique gamma\nFOOTER"),
+      (4L, "HEADER\nFOOTER")).toDF("doc_id", "text")
+    val got = Dedup.lineLevelDedup(fixture, "doc_id", "text", maxOcc = 1)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) === ((3L, 2L, "unique alpha")))
+    assert(got(2L) === ((4L, 3L, "unique beta")))
+    // blank lines are layout, never counted as boilerplate: survives
+    assert(got(3L) === ((5L, 3L, "\nunique gamma")))
+    // a document that is ALL boilerplate collapses to the empty string
+    assert(got(4L) === ((2L, 2L, "")))
+    // maxOcc=2 tolerates the twice-shared content line but not the frame
+    val lax = Dedup.lineLevelDedup(fixture, "doc_id", "text", maxOcc = 2)
+      .collect().map(r => (r.getLong(0), r.getString(3))).toMap
+    assert(lax(2L) === "unique beta\nshared line")
+    assert(lax(3L) === "shared line\n\nunique gamma")
+  }
+
   test("prefix-filtered jaccard equals the inverted-index formulation exactly") {
     val blocked = docs.withColumn("len_bucket", floor(col("n_chars") / 100))
     def normalize(df: org.apache.spark.sql.DataFrame) =
