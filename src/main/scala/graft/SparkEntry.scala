@@ -944,6 +944,33 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Incremental NEAR-dup gate (exact): the new batch (doc_id >= 400) is
+    // kept only where no corpus (< 400) document reaches Jaccard 0.5 in
+    // its length block — the daily-ingest gate for lightly-EDITED re-posts
+    // that dedup_incremental's exact fingerprints sail past.
+    "dedup_incremental_jaccard" -> ((s, dir) => {
+      val d = documents(s, dir)
+        .withColumn("len_bucket", floor(col("n_chars") / 100))
+      Dedup.incrementalJaccardNew(
+          d.filter(col("doc_id") >= 400), d.filter(col("doc_id") < 400),
+          "doc_id", "text", Seq(col("len_bucket")), shingleSize = 3, threshold = 0.5)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // The LSH scale path for the same gate — banding replaces blocking, so
+    // the corpus side joins on (band, bucket) only (no SQL oracle:
+    // banding-dependent; no-false-flags + recall vs the unblocked exact
+    // gate asserted in ScalaTest).
+    "dedup_incremental_minhash" -> ((s, dir) => {
+      val d = documents(s, dir)
+      Dedup.incrementalMinhashNew(
+          d.filter(col("doc_id") >= 400), d.filter(col("doc_id") < 400),
+          "doc_id", "text", threshold = 0.5)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Deterministic train/valid/test split (80/10/10 by md5 bucket of the
     // doc id): the same doc lands in the same split on every engine, run,
     // and cluster size — no RNG at execution time (md5 is the cross-engine
@@ -1808,6 +1835,24 @@ object SparkEntry {
         |  AND NOT EXISTS (SELECT 1 FROM documents c
         |                  WHERE c.doc_id < 400
         |                    AND md5(lower(trim(c.text))) = md5(lower(trim(d.text))))
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "dedup_incremental_jaccard" ->
+      """WITH s AS (
+        |  SELECT doc_id, n_chars // 100 AS len_bucket,
+        |         list_distinct([array_to_string(toks[i:i+2], ' ')
+        |                        for i in range(1, len(toks) - 1)]) AS sh
+        |  FROM (SELECT doc_id, n_chars, string_split_regex(text, ' +') AS toks
+        |        FROM documents))
+        |SELECT d.doc_id, d.lang
+        |FROM documents d
+        |WHERE d.doc_id >= 400
+        |  AND NOT EXISTS (
+        |    SELECT 1
+        |    FROM s b JOIN s c ON b.len_bucket = c.len_bucket
+        |    WHERE b.doc_id = d.doc_id AND c.doc_id < 400
+        |      AND len(list_intersect(b.sh, c.sh))::DOUBLE
+        |            / len(list_distinct(b.sh || c.sh)) >= 0.5)
         |ORDER BY d.doc_id""".stripMargin,
 
     "sample_split" ->

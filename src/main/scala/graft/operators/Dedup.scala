@@ -62,17 +62,7 @@ object Dedup {
       bands: Int = 32,
       threshold: Double = 0.5): DataFrame = {
     val rowsPerBand = numHashes / bands
-    // hs = sorted xxhash64 of each distinct shingle: the exact-verify runs on
-    // these LONG arrays, not the string shingles — far cheaper through the
-    // candidate-verify shuffle and intersect (same trick as
-    // [[ngramJaccardPairsPrefix]]; hash collisions between distinct shingles
-    // are ~2⁻⁶⁴ and the recall spec pins the result).
-    val sig = df
-      .select(col(idCol).as("doc_id"),
-        TextAnalysis.shingles(col(textCol), shingleSize).as("sh"))
-      .select(col("doc_id"),
-        sort_array(transform(col("sh"), s => xxhash64(s))).as("hs"),
-        minhashSignature(col("sh"), numHashes).as("sig"))
+    val sig = minhashSigTable(df, idCol, textCol, shingleSize, numHashes)
     val buckets = sig
       .select(col("doc_id"), explode(bandHashes(col("sig"), bands, rowsPerBand)).as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.bucket").as("bucket"))
@@ -93,6 +83,25 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
   }
+
+  /** (doc_id, hs, sig) signature table: hs = sorted xxhash64 of each
+    * distinct shingle — the exact-verify runs on these LONG arrays, not
+    * the string shingles — far cheaper through the candidate-verify
+    * shuffle and intersect (same trick as [[ngramJaccardPairsPrefix]];
+    * hash collisions between distinct shingles are ~2⁻⁶⁴ and the recall
+    * specs pin the results); sig = the MinHash signature.
+    */
+  private def minhashSigTable(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int,
+      numHashes: Int): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        TextAnalysis.shingles(col(textCol), shingleSize).as("sh"))
+      .select(col("doc_id"),
+        sort_array(transform(col("sh"), s => xxhash64(s))).as("hs"),
+        minhashSignature(col("sh"), numHashes).as("sig"))
 
   /** 64-bit SimHash over shingles: bit j is set iff the sum over shingles of
     * ±1 (sign of hash bit j) is non-negative. Native codegen'd expression —
@@ -441,6 +450,98 @@ object Dedup {
         definiteNew.unionByName(suspects).drop("__fp").localCheckpoint()
       } finally bc.destroy()
     } finally seen.unpersist()
+  }
+
+  /** Exact incremental NEAR-dup — the daily-ingest near-dup gate: keep
+    * only the new-batch documents whose n-gram Jaccard stays below
+    * `threshold` against EVERY corpus document (within blocking groups).
+    * The near-dup analogue of [[incrementalExact]]: exact fingerprints
+    * catch re-posts, this catches lightly-edited re-posts of documents the
+    * corpus already has.
+    *
+    * Same inverted-index shape as [[ngramJaccardPairs]], but CROSS-SIDED:
+    * batch grams join corpus grams on (shingle, blocking keys) with the
+    * AllPairs length filter inside the join, common counts aggregate per
+    * (batch, corpus) pair, and the flagged batch-id set anti-joins the
+    * batch. Cost Σ_shingle freq_batch·freq_corpus — every exchange's probe
+    * side is the daily batch, never the corpus, and the corpus inverted
+    * index is the reusable artifact a production loop keeps materialized.
+    * String shingles keep the oracle string-exact; hash them to longs at
+    * web scale exactly as [[ngramJaccardPairsPrefix]] does.
+    */
+  def incrementalJaccardNew(
+      newBatch: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockingKeys: Seq[Column],
+      shingleSize: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    require(threshold > 0.0, "incrementalJaccardNew: threshold must be > 0")
+    val keyNames = blockingKeys.map(_.toString)
+    def inv(df: DataFrame) = df
+      .select(col(idCol).as("doc_id") +:
+        TextAnalysis.shingles(col(textCol), shingleSize).as("sh") +: blockingKeys: _*)
+      .withColumn("n_sh", size(col("sh")))
+      .select(col("doc_id") +: col("n_sh") +: explode(col("sh")).as("shingle") +:
+        keyNames.map(col): _*)
+    // division-form length filter — see ngramJaccardPairs for why not t·max
+    val lengthCompatible =
+      least(col("l.n_sh"), col("r.n_sh")).cast("double") /
+        greatest(col("l.n_sh"), col("r.n_sh")) >= lit(threshold)
+    val flagged = inv(newBatch).as("l")
+      .join(inv(corpus).as("r"),
+        keyNames.map(k => col(s"l.$k") === col(s"r.$k"))
+          .foldLeft(col("l.shingle") === col("r.shingle"))(_ && _) && lengthCompatible)
+      .groupBy(
+        col("l.doc_id").as("doc_id"), col("r.doc_id").as("corpus_id"),
+        col("l.n_sh").as("n_a"), col("r.n_sh").as("n_b"))
+      .agg(count(lit(1)).as("common"))
+      .filter(col("common").cast("double") / (col("n_a") + col("n_b") - col("common"))
+        >= threshold)
+      .select(col("doc_id")).distinct()
+    newBatch.join(flagged, newBatch(idCol) === flagged("doc_id"), "left_anti")
+  }
+
+  /** [[incrementalJaccardNew]]'s LSH scale path: MinHash band buckets on
+    * both sides, cross bucket join for candidates, exact Jaccard verify on
+    * the hashed shingle sets — recall < 1 by LSH construction (measured vs
+    * the exact variant in ScalaTest), cost O(batch · bucket) instead of
+    * Σ freq². The corpus side's signatures/buckets are ingest-loop
+    * artifacts to precompute and store; no blocking keys needed — the
+    * banding IS the blocking.
+    */
+  def incrementalMinhashNew(
+      newBatch: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 128,
+      bands: Int = 32,
+      threshold: Double = 0.5): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    def buckets(sig: DataFrame) = sig
+      .select(col("doc_id"), explode(bandHashes(col("sig"), bands, rowsPerBand)).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.bucket").as("bucket"))
+    val bSig = minhashSigTable(newBatch, idCol, textCol, shingleSize, numHashes)
+    val cSig = minhashSigTable(corpus, idCol, textCol, shingleSize, numHashes)
+    val candidates = buckets(bSig).as("l")
+      .join(buckets(cSig).as("r"),
+        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket"))
+      .select(col("l.doc_id").as("batch_id"), col("r.doc_id").as("corpus_id"))
+      .distinct()
+    val flagged = candidates
+      .join(bSig.select(col("doc_id").as("batch_id"), col("hs").as("hs_a"),
+        size(col("hs")).as("n_a")), Seq("batch_id"))
+      .join(cSig.select(col("doc_id").as("corpus_id"), col("hs").as("hs_b"),
+        size(col("hs")).as("n_b")), Seq("corpus_id"))
+      .withColumn("common",
+        graft.functions.IntersectCountSorted.intersectCountSorted(col("hs_a"), col("hs_b")))
+      .filter(col("common").cast("double") / (col("n_a") + col("n_b") - col("common"))
+        >= threshold)
+      .select(col("batch_id")).distinct()
+    newBatch.join(flagged, newBatch(idCol) === flagged("batch_id"), "left_anti")
   }
 
   /** Exact substring-span dedup (Lee et al. 2021, "Deduplicating Training

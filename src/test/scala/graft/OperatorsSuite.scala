@@ -123,6 +123,41 @@ class OperatorsSuite extends AnyFunSuite {
     assert(again === got)
   }
 
+  test("incremental near-dup gate: exact matches ground truth; LSH path never false-flags, recall floor") {
+    // ground truth from the blocking-free exact pairs: a batch doc (>= 400)
+    // is a near-dup iff it pairs with any corpus doc (< 400) at J >= 0.5
+    val crossFlagged = exactPairs.collect {
+      case (a, b) if a < 400 && b >= 400 => b
+      case (a, b) if b < 400 && a >= 400 => a
+    }
+    val batchIds = docs.filter(col("doc_id") >= 400)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(crossFlagged.nonEmpty, "fixture should contain cross near-dups")
+    // exact gate with blocking: blocked flags are a subset of the unblocked
+    // truth (blocking can only lose pairs), and every kept doc is justified
+    val blocked = docs.withColumn("len_bucket", floor(col("n_chars") / 100))
+    val keptExact = Dedup.incrementalJaccardNew(
+        blocked.filter(col("doc_id") >= 400), blocked.filter(col("doc_id") < 400),
+        "doc_id", "text", Seq(col("len_bucket")), shingleSize = 3, threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val flaggedExact = batchIds -- keptExact
+    assert(flaggedExact.subsetOf(crossFlagged), "blocking must not invent dups")
+    // the near-dups in this fixture are same-length-bucket pairs, so the
+    // blocked gate recovers the full truth here
+    assert(flaggedExact === crossFlagged,
+      s"missed=${crossFlagged -- flaggedExact}")
+    // LSH path: exact verification means no false flags vs the unblocked
+    // truth; banding recall is high on this fixture
+    val keptLsh = Dedup.incrementalMinhashNew(
+        docs.filter(col("doc_id") >= 400), docs.filter(col("doc_id") < 400),
+        "doc_id", "text", threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val flaggedLsh = batchIds -- keptLsh
+    assert(flaggedLsh.subsetOf(crossFlagged), "LSH gate must not false-flag")
+    assert(flaggedLsh.size >= math.ceil(0.9 * crossFlagged.size).toInt,
+      s"LSH recall too low: ${flaggedLsh.size} of ${crossFlagged.size}")
+  }
+
   test("semantic dedup: total, deterministic, groups exactly the in-cell near-dup pairs") {
     def run() = Dedup.semanticDedup(emb, "vec_id", "embedding", nlist = 4, threshold = 0.3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
