@@ -1120,6 +1120,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Bigram-LM fluency scores (CCNet-style perplexity filter — Wenzek et
+    // al. 2020 — with an add-alpha bigram LM standing in for KenLM): the
+    // corpus scored under its own bigram distribution; rank by avg_logp
+    // descending to keep fluent text, compose with selectTopByScore for
+    // the actual filter.
+    "text_bigram_ppl" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      Pipeline.bigramLogLikelihood(docs, docs, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // Chunk-level dedup composition: chunkTokens' chunk_hash feeding
     // Dedup.exactByKey — dedup CHUNKS across documents (boilerplate spans
     // repeat even when whole docs differ), reporting per-doc chunk counts
@@ -2007,6 +2018,22 @@ object SparkEntry {
         |FROM scored, thr
         |WHERE score >= t
         |ORDER BY doc_id""".stripMargin,
+
+    "text_bigram_ppl" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(text, ' +') AS t FROM documents),
+        |uni AS (SELECT unnest(t) AS w FROM toks),
+        |ucnt AS (SELECT w, count(*) AS uc FROM uni GROUP BY w),
+        |v AS (SELECT count(*) AS v FROM ucnt),
+        |bg AS (SELECT doc_id, array_to_string(t[i:i+1], ' ') AS b, t[i] AS w1
+        |       FROM toks, unnest(range(1, len(t))) u(i)),
+        |bcnt AS (SELECT b, count(*) AS bc FROM bg GROUP BY b),
+        |db AS (SELECT doc_id, b, w1, count(*) AS c FROM bg GROUP BY doc_id, b, w1)
+        |SELECT db.doc_id, sum(db.c)::BIGINT AS n_bigrams,
+        |       round(sum(db.c * (ln(bcnt.bc + 1.0) - ln(ucnt.uc + 1.0 * v.v)))
+        |             / sum(db.c), 4) AS avg_logp
+        |FROM db JOIN bcnt USING (b) JOIN ucnt ON db.w1 = ucnt.w CROSS JOIN v
+        |GROUP BY db.doc_id
+        |ORDER BY db.doc_id""".stripMargin,
 
     "dedup_chunks" ->
       """WITH d AS (SELECT doc_id, string_split_regex(text, ' +') AS toks FROM documents),

@@ -204,6 +204,62 @@ object Pipeline {
         round(sum(col("__c") * col("__w")) / sum(col("__c")), 4).as("score"))
   }
 
+  /** Bigram language-model fluency scores — the perplexity-filter step of
+    * CCNet-style pipelines (Wenzek et al. 2020 train a KenLM 5-gram on
+    * Wikipedia and drop high-perplexity crawl text; public method), with
+    * an add-alpha-smoothed bigram LM standing in for KenLM:
+    *
+    *   score(d) = avg over bigram occurrences (w1 w2) in d of
+    *              ln(c_ref(w1 w2) + alpha) − ln(c_ref(w1) + alpha·V)
+    *
+    * i.e. the mean conditional log-likelihood under the reference corpus'
+    * bigram distribution (V = reference unigram vocabulary size); negated
+    * and exponentiated this IS the document's bigram perplexity, so
+    * ranking by `avg_logp` descending = ranking by fluency. Returns one
+    * row per raw document with ≥ 1 bigram: (idCol, n_bigrams, avg_logp),
+    * rounded to 4 decimals; sub-2-token documents are dropped (no
+    * bigrams), same contract as [[importanceScores]].
+    *
+    * Scale shape: three hash aggs (reference unigrams, reference bigrams,
+    * per-doc bigram counts — each map-side combined so a repeated bigram
+    * reaches the exchange once), V as a broadcast 1-row agg, and two
+    * hash-partitioned joins keyed on the bigram / the prefix token. The
+    * count tables are vocabulary-sized; composing with
+    * [[selectTopByScore]] turns the score into an actual perplexity
+    * filter, exactly like `text_importance_select`.
+    */
+  def bigramLogLikelihood(
+      raw: DataFrame,
+      reference: DataFrame,
+      idCol: String,
+      textCol: String,
+      alpha: Double = 1.0): DataFrame = {
+    require(alpha > 0, "bigramLogLikelihood: alpha must be positive (smoothing)")
+    val refToks = reference.select(
+      explode(TextAnalysis.ngramsAll(col(textCol), 1)).as("__w"))
+    val ucnt = refToks.groupBy(col("__w")).agg(count(lit(1)).as("__uc"))
+    val vocab = ucnt.agg(count(lit(1)).as("__v"))
+    val bcnt = reference
+      .select(explode(TextAnalysis.ngramsAll(col(textCol), 2)).as("__b"))
+      .groupBy(col("__b")).agg(count(lit(1)).as("__bc"))
+    val docBg = raw
+      .select(col(idCol), explode(TextAnalysis.ngramsAll(col(textCol), 2)).as("__b"))
+      .groupBy(col(idCol), col("__b")).agg(count(lit(1)).as("__c"))
+      .withColumn("__w", element_at(split(col("__b"), " "), 1))
+    docBg
+      .join(bcnt, Seq("__b"), "left")
+      .join(ucnt, Seq("__w"), "left")
+      .crossJoin(broadcast(vocab))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("__c")).as("n_bigrams"),
+        round(
+          sum(col("__c") *
+            (log(coalesce(col("__bc"), lit(0L)) + alpha) -
+              log(coalesce(col("__uc"), lit(0L)) + lit(alpha) * col("__v")))) /
+            sum(col("__c")), 4).as("avg_logp"))
+  }
+
   /** Data selection by score quantile: keep rows whose `score` is at or
     * above the corpus' `1 − keepFrac` quantile — the thresholding step that
     * turns [[importanceScores]] (or any quality/perplexity score) into an

@@ -123,6 +123,30 @@ class OperatorsSuite extends AnyFunSuite {
     assert(again === got)
   }
 
+  test("bigram LM scores: fluent text outranks shuffled and unseen vocab; closed-form unseen score") {
+    import spark.implicits._
+    val ref = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat on the rug"),
+      (3L, "the dog sat on the mat")).toDF("doc_id", "text")
+    val raw = Seq(
+      (10L, "the cat sat on the mat"), // reference-fluent
+      (11L, "zz qq ww rr"),            // fully unseen vocabulary
+      (12L, "cat the on sat mat the")  // seen words, shuffled order
+    ).toDF("doc_id", "text")
+    val got = Pipeline.bigramLogLikelihood(raw, ref, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    assert(got(10L)._1 === 5L)
+    assert(got.values.forall(_._2 <= 0.0), "smoothed log-likelihoods are never positive")
+    // fluency ordering: in-distribution order beats bag-of-same-words
+    assert(got(10L)._2 > got(12L)._2)
+    assert(got(10L)._2 > got(11L)._2)
+    // closed form for a fully-unseen doc: every term is ln(alpha) -
+    // ln(0 + alpha*V) = -ln(V); reference vocabulary V = 7
+    assert(got(11L)._2 === BigDecimal(-math.log(7))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   test("incremental near-dup gate: exact matches ground truth; LSH path never false-flags, recall floor") {
     // ground truth from the blocking-free exact pairs: a batch doc (>= 400)
     // is a near-dup iff it pairs with any corpus doc (< 400) at J >= 0.5
