@@ -1120,6 +1120,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Canonical text normalization (NFC + lower + whitespace collapse +
+    // trim) with the normalized fingerprint — the pass that runs before
+    // any dedup key is computed. The fixture is ASCII so NFC is identity
+    // here; the unicode behavior (composed ≡ decomposed, NFKC folding) is
+    // pinned in ScalaTest.
+    "text_normalize" -> ((s, dir) => {
+      documents(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.normalizeText(col("text")).as("norm_text"))
+        .withColumn("n_chars_norm", length(col("norm_text")))
+        .withColumn("norm_fp", md5(col("norm_text")))
+        .orderBy(col("doc_id"))
+    }),
+
     // Bigram-LM fluency scores (CCNet-style perplexity filter — Wenzek et
     // al. 2020 — with an add-alpha bigram LM standing in for KenLM): the
     // corpus scored under its own bigram distribution; rank by avg_logp
@@ -2017,6 +2031,17 @@ object SparkEntry {
         |SELECT doc_id, n_grams, score
         |FROM scored, thr
         |WHERE score >= t
+        |ORDER BY doc_id""".stripMargin,
+
+    "text_normalize" ->
+      """SELECT doc_id,
+        |       trim(regexp_replace(lower(nfc_normalize(text)),
+        |                           '[ \t\r\n]+', ' ', 'g')) AS norm_text,
+        |       length(trim(regexp_replace(lower(nfc_normalize(text)),
+        |                                  '[ \t\r\n]+', ' ', 'g')))::BIGINT AS n_chars_norm,
+        |       md5(trim(regexp_replace(lower(nfc_normalize(text)),
+        |                               '[ \t\r\n]+', ' ', 'g'))) AS norm_fp
+        |FROM documents
         |ORDER BY doc_id""".stripMargin,
 
     "text_bigram_ppl" ->

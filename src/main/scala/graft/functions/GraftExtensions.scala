@@ -61,7 +61,18 @@ object GraftExtensions {
           "PRECONDITION: both arrays must be sorted ascending with no duplicates " +
           "(e.g. sort_array over distinct hashes); unsorted or duplicated input " +
           "yields undefined counts, not an error."),
-      (args: Seq[Expression]) => IntersectCountSorted(args(0), args(1))))
+      (args: Seq[Expression]) => IntersectCountSorted(args(0), args(1))),
+    ("graft_normalize",
+      info(classOf[UnicodeNormalize], "graft_normalize",
+        "_FUNC_(text, form) - Unicode-normalize a string; form must be a string " +
+          "literal, one of 'NFC', 'NFD', 'NFKC', 'NFKD'."),
+      (args: Seq[Expression]) => UnicodeNormalize(args(0), strLit(args(1), "normal form"))))
+
+  private def strLit(e: Expression, what: String): String = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: org.apache.spark.unsafe.types.UTF8String, _) =>
+      v.toString
+    case other => throw new IllegalArgumentException(s"$what must be a string literal, got $other")
+  }
 
   /** Register the functions on an already-built session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -93,6 +93,21 @@ object TextAnalysis {
     */
   def md5Fingerprint(text: Column): Column = md5(lower(trim(text)))
 
+  /** Canonical text normalization — the first pass of a crawl-cleaning
+    * pipeline, BEFORE any fingerprint/shingle/dedup key is computed (the
+    * same visible text arrives precomposed on one page and decomposed on
+    * another; un-normalized, every downstream equality silently misses):
+    * Unicode NFC ([[graft.functions.UnicodeNormalize]], codegen'd — Spark
+    * has no built-in), lowercase, collapse runs of ASCII whitespace to one
+    * space, trim. The whitespace class is written `[ \t\r\n]` explicitly:
+    * Java's `\s` includes vertical tab, RE2's does not, and this pipeline
+    * pins portable semantics (same posture as [[PiiPatterns]]).
+    */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      lower(graft.functions.UnicodeNormalize.normalize(text, "NFC")),
+      "[ \\t\\r\\n]+", " "))
+
   /** PII patterns in the portable regex subset (character classes, counted
     * repetition — no backrefs, no lookaround) that means the same thing
     * under Java regex (Spark) and RE2 (DuckDB, Go tooling): email, SSN-

@@ -123,6 +123,32 @@ class OperatorsSuite extends AnyFunSuite {
     assert(again === got)
   }
 
+  test("unicode normalization: composed == decomposed after NFC; NFKC folds compatibility forms") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "Café  du   Parc"),      // precomposed é + multiple spaces
+      (2L, "Café du Parc"),        // decomposed e + combining acute
+      (3L, "  CAFÉ DU PARC\t\n "),  // case + edge whitespace
+      (4L, "ﬁle")                   // fi ligature (compatibility form)
+    ).toDF("doc_id", "text")
+    val norm = rows.select(col("doc_id"),
+      TextAnalysis.normalizeText(col("text")).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(norm(1L) === "café du parc")
+    assert(norm(2L) === norm(1L), "NFC must unify composed and decomposed forms")
+    assert(norm(3L) === norm(1L), "case and edge/duplicate whitespace must not matter")
+    // NFC preserves compatibility characters; NFKC folds them
+    assert(norm(4L) === "ﬁle")
+    val nfkc = rows.filter(col("doc_id") === 4L)
+      .select(graft.functions.UnicodeNormalize.normalize(col("text"), "NFKC"))
+      .head().getString(0)
+    assert(nfkc === "file")
+    // SQL surface agrees with the Column API
+    graft.functions.GraftExtensions.register(spark)
+    assert(spark.sql("SELECT graft_normalize('Café', 'NFC')").head().getString(0)
+      === "Café")
+  }
+
   test("bigram LM scores: fluent text outranks shuffled and unseen vocab; closed-form unseen score") {
     import spark.implicits._
     val ref = Seq(
