@@ -649,6 +649,18 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // IVF-PQ composed ANN: trained coarse cells prune WHICH vectors are
+    // scored, PQ byte codes + per-query LUTs compress WHAT is scanned —
+    // the compressed inverted file a production vector store deploys (no
+    // SQL oracle: k-means-dependent; ≡ PQ at full probe + recall floor
+    // asserted in ScalaTest).
+    "similarity_ivfpq_topk" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          dim = 64, k = 5, nlist = 8, nprobe = 3, m = 16, ksub = 32)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // k-NN JOIN: every vector against the whole corpus (not just 5 query
     // rows) — the semdedup / kNN-graph shape. Exact brute force is the
     // oracle tier; it broadcasts the query side, so corpus-as-queries only

@@ -378,22 +378,44 @@ object Dedup {
     * `maxWorkers = 1`) — two concurrent cycles can each read a corpus
     * missing the other's keepers and both admit the same duplicate.
     */
-  def incrementalExactAgainstTable(newBatch: DataFrame, corpusPath: String, fp: Column): DataFrame = {
-    val corpus =
-      try newBatch.sparkSession.read.parquet(corpusPath)
-      catch {
-        // match the stable error class (Spark 4 getCondition), with a
-        // message fallback for paths where no condition is attached
-        case e: org.apache.spark.sql.AnalysisException
-            if e.getCondition == "PATH_NOT_FOUND" ||
-              e.getCondition == "UNABLE_TO_INFER_SCHEMA" ||
-              (e.getCondition == null &&
-                (e.getMessage.contains("PATH_NOT_FOUND") ||
-                  e.getMessage.contains("UNABLE_TO_INFER_SCHEMA"))) =>
-          newBatch.limit(0)
-      }
-    incrementalExact(newBatch, corpus, fp)
-  }
+  def incrementalExactAgainstTable(newBatch: DataFrame, corpusPath: String, fp: Column): DataFrame =
+    incrementalExact(newBatch, tableOrEmpty(newBatch, corpusPath), fp)
+
+  /** Read the corpus table, or an empty batch-shaped relation when the
+    * path does not exist yet (first run of an ingest loop). See
+    * [[incrementalExactAgainstTable]] for why attempt-and-catch beats an
+    * exists-then-read check.
+    */
+  private def tableOrEmpty(newBatch: DataFrame, corpusPath: String): DataFrame =
+    try newBatch.sparkSession.read.parquet(corpusPath)
+    catch {
+      // match the stable error class (Spark 4 getCondition), with a
+      // message fallback for paths where no condition is attached
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getCondition == "PATH_NOT_FOUND" ||
+            e.getCondition == "UNABLE_TO_INFER_SCHEMA" ||
+            (e.getCondition == null &&
+              (e.getMessage.contains("PATH_NOT_FOUND") ||
+                e.getMessage.contains("UNABLE_TO_INFER_SCHEMA"))) =>
+        newBatch.limit(0)
+    }
+
+  /** [[incrementalMinhashNew]] against a corpus stored as a parquet table,
+    * tolerating a not-yet-existing corpus — the streaming/daily ingest
+    * near-dup gate (same contract and concurrency caveat as
+    * [[incrementalExactAgainstTable]]).
+    */
+  def incrementalMinhashNewAgainstTable(
+      newBatch: DataFrame,
+      corpusPath: String,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 128,
+      bands: Int = 32,
+      threshold: Double = 0.5): DataFrame =
+    incrementalMinhashNew(newBatch, tableOrEmpty(newBatch, corpusPath),
+      idCol, textCol, shingleSize, numHashes, bands, threshold)
 
   /** [[incrementalExact]] with a Bloom prefilter — the daily-ingest shape
     * at corpus scale.

@@ -407,4 +407,72 @@ object Similarity {
       .agg(sum(col("__partial")).as("cos_sim"))
     topKScored(scored, k)
   }
+
+  /** IVF-PQ: the composition real ANN systems deploy — IVF prunes WHICH
+    * vectors are scored (nprobe/nlist of the corpus), PQ shrinks WHAT is
+    * stored and scanned (m bytes per vector + one shared codebook), and
+    * scoring is ADC through per-query lookup tables, restricted to the
+    * probed cells by one hash-partitioned join on the IVF cell id.
+    *
+    * Plan shape: both codebooks broadcast (nlist rows / m·ksub rows); the
+    * corpus appears as (id, ivf_cell, pq codes) — the compressed inverted
+    * file a 100 TB vector store actually persists; the only corpus-sized
+    * exchanges are hash-partitioned on the cell id and the (sub, code)
+    * LUT key. Recall compounds both approximations (cell pruning ×
+    * quantization) — measured against brute force in ScalaTest.
+    */
+  def ivfPqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      m: Int = 8,
+      ksub: Int = 16,
+      iters: Int = 2): DataFrame = {
+    // IVF side: trained cells + their centroids (posexplode → hash agg)
+    val cells = kmeansCells(corpus, idCol, vecCol, nlist, iters)
+    val assigned = corpus.join(cells, idCol)
+    val centroids = assigned
+      .select(col("cell").as("ivf_cell"),
+        posexplode(toDoubleArray(col(vecCol))).as(Seq("pos", "v")))
+      .groupBy(col("ivf_cell"), col("pos"))
+      .agg(avg(col("v")).as("cv"))
+      .groupBy(col("ivf_cell"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("cv")))).as("pcs"))
+      .select(col("ivf_cell"), transform(col("pcs"), p => p.getField("cv")).as("cent"))
+      .withColumn("centnorm", l2Norm(col("cent")))
+    // PQ side: codebook + byte codes, tagged with each vector's IVF cell
+    val codebook = pqTrain(corpus, idCol, vecCol, dim, m, ksub, iters)
+    val codes = pqEncode(corpus, idCol, vecCol, codebook, dim, m)
+      .join(cells.withColumnRenamed("cell", "ivf_cell"), idCol)
+    // probe list: nprobe closest centroids per query (broadcast codebook)
+    val q = queries.select(col(idCol).as("query_id"), toDoubleArray(col(vecCol)).as("qvec"))
+      .withColumn("qnorm", l2Norm(col("qvec")))
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("cent_sim").desc, col("ivf_cell"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("cent_sim", dot(col("qvec"), col("cent")) / (col("qnorm") * col("centnorm")))
+      .withColumn("cent_rank", row_number().over(probeW))
+      .filter(col("cent_rank") <= nprobe)
+      .select(col("query_id"), col("ivf_cell"))
+    // ADC scoring, restricted to probed cells by the (query, cell) join
+    val lut = subvectors(queries, idCol, vecCol, "query_id", dim, m)
+      .join(broadcast(codebook), Seq("sub"))
+      .select(col("query_id"), col("sub"), col("cell"),
+        dot(col("subvec"), col("cent")).as("__partial"))
+    val scored = codes
+      .join(probes, Seq("ivf_cell"))
+      .select(col("query_id"), col(idCol).as("neighbor_id"), col("codes"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        posexplode(col("codes")).as(Seq("sub", "cell")))
+      .join(broadcast(lut), Seq("query_id", "sub", "cell"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("__partial")).as("cos_sim"))
+    topKScored(scored, k)
+  }
 }

@@ -338,6 +338,40 @@ class ConnectorsSuite extends AnyFunSuite {
     assert(kept === Seq(1L, 2L, 5L), s"kept corpus wrong: $kept")
   }
 
+  test("streaming ingest near-dup gate: edited re-posts are dropped against the kept corpus") {
+    import graft.operators.Dedup
+    // the incremental MinHash gate inside the emitter loop: each window is
+    // screened against everything kept so far, so a lightly-EDITED re-post
+    // of an earlier keeper (same text, one word changed — exact fingerprints
+    // differ) is still dropped
+    val mb = Minibatch(spark, freshRoot())
+    val st = mb.stream("neardup_ingest")
+    val keptDir = freshRoot() + "/kept_docs"
+    def drainInto(): Unit =
+      mb.streaming("neardup_ingest").size(1).emit((_, df) => {
+        val batch = df.select(
+          get_json_object(col("data"), "$.id").cast("long").as("doc_id"),
+          get_json_object(col("data"), "$.t").as("text"))
+        Dedup.incrementalMinhashNewAgainstTable(batch, keptDir, "doc_id", "text",
+            shingleSize = 2, threshold = 0.5)
+          .write.mode("append").parquet(keptDir)
+      }).run()
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    st.appendAll(Seq(
+      s"""{"id":1,"t":"$base"}""",
+      """{"id":2,"t":"one two three four five six seven eight nine ten"}"""))
+    drainInto()
+    // doc 3 edits one word of doc 1 (high Jaccard, different fingerprint);
+    // doc 4 is genuinely new
+    st.appendAll(Seq(
+      s"""{"id":3,"t":"${base.replace("epsilon", "EDITED")}"}""",
+      """{"id":4,"t":"red orange yellow green blue indigo violet black white gray"}"""))
+    drainInto()
+    val kept = spark.read.parquet(keptDir)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept === Seq(1L, 2L, 4L), s"kept corpus wrong: $kept")
+  }
+
   test("streaming ingest chunks docs and dedups chunks against the kept corpus") {
     import graft.operators.{Dedup, Pipeline}
     // the LLM-pipeline ops inside the emitter loop, not just as batch

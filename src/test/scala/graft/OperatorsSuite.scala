@@ -256,6 +256,29 @@ class OperatorsSuite extends AnyFunSuite {
     assert(lax(3L) === "shared line\n\nunique gamma")
   }
 
+  test("IVF-PQ composition: equals plain PQ at full probe; pruned probe keeps a recall floor") {
+    val queries = emb.filter(col("vec_id") < 10)
+    // with every cell probed the IVF layer prunes nothing, so IVF-PQ must
+    // reproduce plain PQ/ADC exactly (same deterministic codebooks)
+    val pq = Similarity.pqTopK(emb, queries, "vec_id", "embedding",
+        dim = 64, k = 5, m = 16, ksub = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fullProbe = Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding",
+        dim = 64, k = 5, nlist = 4, nprobe = 4, m = 16, ksub = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fullProbe === pq, "full probe must reduce IVF-PQ to plain PQ")
+    // pruned probe: recall compounds cell pruning × quantization — floor
+    // only checks the machinery (fixture vectors are near-random)
+    val brute = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pruned = Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding",
+        dim = 64, k = 5, nlist = 4, nprobe = 2, m = 16, ksub = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & pruned).size.toDouble / brute.size
+    assert(recall >= 0.15, s"IVF-PQ recall below structural floor: $recall")
+    assert(pruned.size === brute.size, "still k rows per query")
+  }
+
   test("prefix-filtered jaccard equals the inverted-index formulation exactly") {
     val blocked = docs.withColumn("len_bucket", floor(col("n_chars") / 100))
     def normalize(df: org.apache.spark.sql.DataFrame) =
