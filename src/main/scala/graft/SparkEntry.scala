@@ -385,19 +385,32 @@ object SparkEntry {
     // deviation), flag rows beyond 3 scaled MADs. Exact `percentile` is
     // the oracle tier (two grouped passes + one counting pass, the median
     // join broadcast); approx_percentile collapses it to one pass at scale.
+    // Robust outlier census (median absolute deviation). Exact integer
+    // arithmetic end to end, same posture as events_gapfill: prices
+    // quantize to BIGINT cents, the group median of an even count is a
+    // half-cent integer (percentile·2), the deviation median a
+    // quarter-cent integer — the emitted doubles come from dividing
+    // identical integers, so no decimal rounding ever runs. Rounding the
+    // medians instead made sf-dependent x.xx5 ties that Spark and DuckDB
+    // break in opposite directions.
     "q_outliers_mad" -> ((s, dir) => {
       val li = lineitem(s, dir)
-        .select(col("l_returnflag").as("flag"), col("l_extendedprice").as("x"))
-      val med = li.groupBy(col("flag")).agg(expr("percentile(x, 0.5d)").as("med"))
+        .select(col("l_returnflag").as("flag"),
+          round(col("l_extendedprice") * 100, 0).cast("long").as("xc"))
+      val med = li.groupBy(col("flag"))
+        .agg(round(expr("percentile(xc, 0.5d)") * 2, 0).cast("long").as("med_hc"))
       val mad = li.join(broadcast(med), "flag")
+        .withColumn("d_hc", abs(col("xc") * 2 - col("med_hc")))
         .groupBy(col("flag"))
-        .agg(expr("percentile(abs(x - med), 0.5d)").as("mad"), first(col("med")).as("med"))
+        .agg(round(expr("percentile(d_hc, 0.5d)") * 2, 0).cast("long").as("mad_qc"),
+          first(col("med_hc")).as("med_hc"))
       li.join(broadcast(mad), "flag")
+        .withColumn("d_hc", abs(col("xc") * 2 - col("med_hc")))
         .groupBy(col("flag"))
         .agg(count(lit(1)).as("n_rows"),
-          round(first(col("med")), 2).as("med"),
-          round(first(col("mad")), 2).as("mad"),
-          sum(when(abs(col("x") - col("med")) > col("mad") * 3 * 1.4826, 1L)
+          (first(col("med_hc")).cast("double") / 200.0).as("med"),
+          (first(col("mad_qc")).cast("double") / 400.0).as("mad"),
+          sum(when(col("d_hc").cast("double") > col("mad_qc") * 3 * 1.4826 / 2, 1L)
             .otherwise(0L)).as("n_outliers"))
         .orderBy(col("flag"))
     }),
@@ -656,8 +669,11 @@ object SparkEntry {
     // asserted in ScalaTest).
     "similarity_ivfpq_topk" -> ((s, dir) => {
       val emb = embeddings(s, dir)
+      // iters=1: both codebooks converge in one Lloyd round on the fixture
+      // (deterministic seeds); the spec's full-probe ≡ PQ identity and
+      // recall floor run with the production default
       Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
-          dim = 64, k = 5, nlist = 8, nprobe = 3, m = 16, ksub = 32)
+          dim = 64, k = 5, nlist = 8, nprobe = 3, m = 16, ksub = 32, iters = 1)
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -1487,14 +1503,21 @@ object SparkEntry {
         |ORDER BY bucket""".stripMargin,
 
     "q_outliers_mad" ->
-      """WITH li AS (SELECT l_returnflag AS flag, l_extendedprice AS x FROM lineitem),
-        |med AS (SELECT flag, median(x) AS med FROM li GROUP BY flag),
-        |mad AS (SELECT li.flag, median(abs(x - med)) AS mad, any_value(med) AS med
+      """WITH li AS (SELECT l_returnflag AS flag,
+        |                   CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS xc
+        |            FROM lineitem),
+        |med AS (SELECT flag,
+        |               CAST(round(quantile_cont(xc, 0.5) * 2, 0) AS BIGINT) AS med_hc
+        |        FROM li GROUP BY flag),
+        |mad AS (SELECT li.flag,
+        |               CAST(round(quantile_cont(abs(2 * xc - med_hc), 0.5) * 2, 0)
+        |                    AS BIGINT) AS mad_qc,
+        |               any_value(med_hc) AS med_hc
         |        FROM li JOIN med USING (flag) GROUP BY li.flag)
         |SELECT li.flag, count(*)::BIGINT AS n_rows,
-        |       round(any_value(mad.med), 2) AS med,
-        |       round(any_value(mad.mad), 2) AS mad,
-        |       sum(CASE WHEN abs(x - mad.med) > mad.mad * 3 * 1.4826
+        |       any_value(mad.med_hc) / 200.0 AS med,
+        |       any_value(mad.mad_qc) / 400.0 AS mad,
+        |       sum(CASE WHEN abs(2 * xc - mad.med_hc) > mad.mad_qc * 3 * 1.4826 / 2
         |                THEN 1 ELSE 0 END)::BIGINT AS n_outliers
         |FROM li JOIN mad USING (flag)
         |GROUP BY li.flag
