@@ -801,13 +801,21 @@ object SparkEntry {
 
     // Exact interpolated percentiles (sort-based agg) per order priority.
     // ORACLE SHAPE: at 100 TB run q_approx_percentiles (t-digest) instead.
+    // Exact interpolated quartiles, integer-exact across engines: prices
+    // quantize to BIGINT cents; a quantile at f ∈ {¼, ½, ¾} of integers is
+    // an exact multiple of a quarter-cent (a + f·(b−a), f a power-of-two
+    // fraction), so ×4 is an integer and the emitted double divides
+    // identical integers — rounding an interpolated money quantile to 2
+    // decimals is the constructed-tie class q_outliers_mad hit.
     "q_percentiles" -> ((s, dir) => {
+      def q(f: Double, as: String) =
+        (round(expr(s"percentile(xc, ${f}d)") * 4, 0).cast("long")
+          .cast("double") / 400.0).as(as)
       orders(s, dir)
+        .select(col("o_orderpriority"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("xc"))
         .groupBy(col("o_orderpriority"))
-        .agg(
-          round(percentile(col("o_totalprice"), lit(0.25)), 2).as("p25"),
-          round(percentile(col("o_totalprice"), lit(0.5)), 2).as("p50"),
-          round(percentile(col("o_totalprice"), lit(0.75)), 2).as("p75"),
+        .agg(q(0.25, "p25"), q(0.5, "p50"), q(0.75, "p75"),
           count(lit(1)).as("n_orders"))
         .orderBy(col("o_orderpriority"))
     }),
@@ -1796,12 +1804,15 @@ object SparkEntry {
         |ORDER BY status, priority""".stripMargin,
 
     "q_percentiles" ->
-      """SELECT o_orderpriority,
-        |       round(quantile_cont(o_totalprice, 0.25), 2) AS p25,
-        |       round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
-        |       round(quantile_cont(o_totalprice, 0.75), 2) AS p75,
+      """WITH o AS (SELECT o_orderpriority,
+        |                  CAST(round(o_totalprice * 100, 0) AS BIGINT) AS xc
+        |           FROM orders)
+        |SELECT o_orderpriority,
+        |       CAST(round(quantile_cont(xc, 0.25) * 4, 0) AS BIGINT) / 400.0 AS p25,
+        |       CAST(round(quantile_cont(xc, 0.5) * 4, 0) AS BIGINT) / 400.0 AS p50,
+        |       CAST(round(quantile_cont(xc, 0.75) * 4, 0) AS BIGINT) / 400.0 AS p75,
         |       count(*) AS n_orders
-        |FROM orders
+        |FROM o
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
 
