@@ -2073,10 +2073,14 @@ object SparkEntry {
         |  SELECT rg.doc_id, count(*)::BIGINT AS n_grams, round(avg(w.w), 4) AS score
         |  FROM rg JOIN w ON rg.g = w.g
         |  GROUP BY rg.doc_id),
-        |thr AS (SELECT round(quantile_cont(score, 0.75), 4) AS t FROM scored)
+        |sq AS (SELECT doc_id, n_grams, score,
+        |              CAST(round(score * 10000, 0) AS BIGINT) AS scq
+        |       FROM scored),
+        |thr AS (SELECT CAST(round(quantile_cont(scq, 0.75) * 4, 0) AS BIGINT) AS tq
+        |        FROM sq)
         |SELECT doc_id, n_grams, score
-        |FROM scored, thr
-        |WHERE score >= t
+        |FROM sq, thr
+        |WHERE scq * 4 >= tq
         |ORDER BY doc_id""".stripMargin,
 
     "text_normalize" ->

@@ -274,16 +274,25 @@ object Pipeline {
     * per group — fine up to huge-but-not-100TB score columns); at full
     * scale swap `percentile` for `percentile_approx` (t-digest, partial+
     * final hash agg) exactly as `q_percentiles`/`q_approx_percentiles`
-    * pair. The threshold is rounded to 4 decimals on both engines so the
-    * boundary comparison is engine-stable.
+    * pair.
+    *
+    * Engine stability: scores quantize to 10⁻⁴ integer units and the
+    * boundary test runs in exact integers (threshold ×4 covers the
+    * quarter-unit interpolation grid) — ROUNDING the interpolated
+    * threshold instead constructs x.xxxx5 decimal ties that Spark and
+    * DuckDB round in opposite directions (the q_outliers_mad failure
+    * class). Scores are therefore compared at 10⁻⁴ resolution — exactly
+    * the resolution the scoring operators already emit.
     */
   def selectTopByScore(df: DataFrame, score: Column, keepFrac: Double): DataFrame = {
     require(keepFrac > 0.0 && keepFrac <= 1.0,
       s"selectTopByScore: keepFrac must be in (0, 1], got $keepFrac")
-    val thr = df.agg(round(percentile(score, lit(1.0 - keepFrac)), 4).as("__thr"))
+    val scq = round(score * 10000, 0).cast("long")
+    val thr = df.agg(
+      round(percentile(scq, lit(1.0 - keepFrac)) * 4, 0).cast("long").as("__thrq"))
     df.crossJoin(broadcast(thr))
-      .filter(score >= col("__thr"))
-      .drop("__thr")
+      .filter(scq * 4 >= col("__thrq"))
+      .drop("__thrq")
   }
 
   /** Benchmark decontamination: training documents sharing at least one
