@@ -44,5 +44,9 @@ object Explain {
         "Scale path: embedding_neardup_lsh (hyperplane bucket join)."),
     "q_percentiles" ->
       ("exact percentile = per-group sort agg. " +
-        "Scale path: q_approx_percentiles (percentile_approx t-digest, partial+final hash agg)."))
+        "Scale path: q_approx_percentiles (percentile_approx t-digest, partial+final hash agg)."),
+    "q_histogram_equidepth" ->
+      ("ORACLE SHAPE: exact ntile = one global single-partition sort. " +
+        "Scale path: q_histogram_equidepth_scale (approx_percentile boundaries broadcast, " +
+        "rows range-bucketed map-side, no global sort)."))
 }

@@ -381,6 +381,25 @@ object SparkEntry {
         .orderBy(col("bucket"))
     }),
 
+    // The scale path for the equi-depth histogram: bucket BOUNDARIES from
+    // one approx_percentile pass (mergeable sketch, partial+final agg),
+    // broadcast as a single row, and every row range-bucketed against
+    // them map-side — no global sort anywhere; the only shuffle is the
+    // 8-group count agg (no SQL oracle: sketch-boundary-dependent;
+    // balance/partition invariants in ScalaTest).
+    "q_histogram_equidepth_scale" -> ((s, dir) => {
+      val li = lineitem(s, dir).select(col("l_extendedprice").as("x"))
+      val bounds = li.agg(percentile_approx(col("x"),
+        typedlit((1 to 7).map(_ / 8.0)), lit(10000)).as("bs"))
+      li.crossJoin(broadcast(bounds))
+        .withColumn("bucket", (size(filter(col("bs"), b => col("x") >= b)) + 1).cast("long"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          round(min(col("x")), 2).as("lo"),
+          round(max(col("x")), 2).as("hi"))
+        .orderBy(col("bucket"))
+    }),
+
     // Robust per-group outlier census: median + MAD (median absolute
     // deviation), flag rows beyond 3 scaled MADs. Exact `percentile` is
     // the oracle tier (two grouped passes + one counting pass, the median

@@ -970,6 +970,23 @@ class OperatorsSuite extends AnyFunSuite {
     assert(Pipeline.selectTopByScore(flat, col("score"), keepFrac = 0.25).count() === 10)
   }
 
+  test("approx equi-depth histogram: buckets partition all rows and stay balanced") {
+    val dir = TestSpark.sf0001
+    val total = graft.core.Tables.lineitem(spark, dir).count()
+    val rows = SparkEntry.queries("q_histogram_equidepth_scale")(spark, dir).collect()
+    assert(rows.map(_.getLong(1)).sum === total, "buckets must partition every row")
+    assert(rows.length === 8, s"expected 8 buckets, got ${rows.length}")
+    val ideal = total / 8.0
+    rows.foreach { r =>
+      val n = r.getLong(1)
+      assert(n > 0.5 * ideal && n < 1.5 * ideal,
+        s"bucket ${r.getLong(0)} badly unbalanced: $n vs ideal $ideal")
+    }
+    // bucket ranges are ordered: each bucket's lo >= the previous bucket's lo
+    val los = rows.sortBy(_.getLong(0)).map(_.getDouble(2))
+    assert(los.zip(los.tail).forall { case (a, b) => a <= b }, s"bucket lows not monotone: ${los.toSeq}")
+  }
+
   test("chunk dedup: kept <= total per doc; total kept = distinct chunk contents") {
     val out = SparkEntry.queries("dedup_chunks")(spark, sf).cache()
     try {
