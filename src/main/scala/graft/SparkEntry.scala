@@ -1200,6 +1200,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // The CCNet loop closed: fluency scoring composed with the quantile
+    // threshold — keep the most reference-like half of the corpus. Same
+    // composition shape as text_importance_select, over the LM score.
+    "text_fluency_select" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      val scored = Pipeline.bigramLogLikelihood(docs, docs, "doc_id", "text")
+      Pipeline.selectTopByScore(scored, col("avg_logp"), keepFrac = 0.5)
+        .orderBy(col("doc_id"))
+    }),
+
     // Chunk-level dedup composition: chunkTokens' chunk_hash feeding
     // Dedup.exactByKey — dedup CHUNKS across documents (boilerplate spans
     // repeat even when whole docs differ), reporting per-doc chunk counts
@@ -2128,6 +2138,31 @@ object SparkEntry {
         |FROM db JOIN bcnt USING (b) JOIN ucnt ON db.w1 = ucnt.w CROSS JOIN v
         |GROUP BY db.doc_id
         |ORDER BY db.doc_id""".stripMargin,
+
+    "text_fluency_select" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(text, ' +') AS t FROM documents),
+        |uni AS (SELECT unnest(t) AS w FROM toks),
+        |ucnt AS (SELECT w, count(*) AS uc FROM uni GROUP BY w),
+        |v AS (SELECT count(*) AS v FROM ucnt),
+        |bg AS (SELECT doc_id, array_to_string(t[i:i+1], ' ') AS b, t[i] AS w1
+        |       FROM toks, unnest(range(1, len(t))) u(i)),
+        |bcnt AS (SELECT b, count(*) AS bc FROM bg GROUP BY b),
+        |db AS (SELECT doc_id, b, w1, count(*) AS c FROM bg GROUP BY doc_id, b, w1),
+        |scored AS (
+        |  SELECT db.doc_id, sum(db.c)::BIGINT AS n_bigrams,
+        |         round(sum(db.c * (ln(bcnt.bc + 1.0) - ln(ucnt.uc + 1.0 * v.v)))
+        |               / sum(db.c), 4) AS avg_logp
+        |  FROM db JOIN bcnt USING (b) JOIN ucnt ON db.w1 = ucnt.w CROSS JOIN v
+        |  GROUP BY db.doc_id),
+        |sq AS (SELECT doc_id, n_bigrams, avg_logp,
+        |              CAST(round(avg_logp * 10000, 0) AS BIGINT) AS scq
+        |       FROM scored),
+        |thr AS (SELECT CAST(round(quantile_cont(scq, 0.5) * 4, 0) AS BIGINT) AS tq
+        |        FROM sq)
+        |SELECT doc_id, n_bigrams, avg_logp
+        |FROM sq, thr
+        |WHERE scq * 4 >= tq
+        |ORDER BY doc_id""".stripMargin,
 
     "dedup_chunks" ->
       """WITH d AS (SELECT doc_id, string_split_regex(text, ' +') AS toks FROM documents),
