@@ -62,6 +62,11 @@ object GraftExtensions {
           "(e.g. sort_array over distinct hashes); unsorted or duplicated input " +
           "yields undefined counts, not an error."),
       (args: Seq[Expression]) => IntersectCountSorted(args(0), args(1))),
+    ("graft_ngrams",
+      info(classOf[Shingles], "graft_ngrams",
+        "_FUNC_(tokens, n) - ALL n-grams (occurrence multiset, document order, " +
+          "space-joined) of a STRING array; n must be an integer literal."),
+      (args: Seq[Expression]) => Shingles(args(0), intLit(args(1), "ngram size"), distinct = false)),
     ("graft_normalize",
       info(classOf[UnicodeNormalize], "graft_normalize",
         "_FUNC_(text, form) - Unicode-normalize a string; form must be a string " +

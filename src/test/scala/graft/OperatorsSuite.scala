@@ -315,12 +315,15 @@ class OperatorsSuite extends AnyFunSuite {
     graft.functions.GraftExtensions.register(spark)
     val row = spark.sql(
       """SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
-        |       graft_shingles(array('a', 'b', 'c'), 2) AS sh,
+        |       graft_shingles(array('a', 'b', 'a', 'b'), 2) AS sh,
         |       graft_minhash(array('a b', 'b c'), 4) AS mh,
-        |       graft_simhash(array('a b', 'b c')) AS sim
+        |       graft_simhash(array('a b', 'b c')) AS sim,
+        |       graft_ngrams(array('a', 'b', 'a', 'b'), 2) AS ng
         |""".stripMargin).collect()(0)
     assert(row.getDouble(0) === 11.0)
-    assert(row.getSeq[String](1) === Seq("a b", "b c"))
+    // shingles dedup ("a b" repeats); ngrams keep the occurrence multiset
+    assert(row.getSeq[String](1) === Seq("a b", "b a"))
+    assert(row.getSeq[String](4) === Seq("a b", "b a", "a b"))
     // SQL results must equal the Column-API results on the same input
     import org.apache.spark.sql.functions._
     val viaApi = spark.range(1)
