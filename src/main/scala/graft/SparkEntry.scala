@@ -630,7 +630,9 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
-    // Language-ID heuristic (marker hit-rate argmax; deterministic).
+    // Language-ID heuristic (marker hit-rate argmax; deterministic — the
+    // struct-max tie-break is the same field-order comparison on both
+    // engines, so this is fully oracle-checked).
     "text_langid" -> ((s, dir) => {
       documents(s, dir)
         .withColumn("lang_pred", TextAnalysis.langId(col("text")))
@@ -1570,6 +1572,21 @@ object SparkEntry {
         |  ON e.event_type = w.event_type
         |GROUP BY e.event_type
         |ORDER BY e.event_type""".stripMargin,
+
+    "text_langid" ->
+      """WITH d AS (SELECT doc_id, lang, string_split_regex(text, ' +') AS toks FROM documents),
+        |p AS (SELECT lang,
+        |             (list_max([
+        |               {'score': len(list_filter(toks, x -> x IN ('der','die','und','das','ist'))), 'lang': 'de'},
+        |               {'score': len(list_filter(toks, x -> x IN ('the','a','and','of','is'))), 'lang': 'en'},
+        |               {'score': len(list_filter(toks, x -> x IN ('el','la','de','que','y'))), 'lang': 'es'},
+        |               {'score': len(list_filter(toks, x -> x IN ('le','la','et','les','des'))), 'lang': 'fr'},
+        |               {'score': len(list_filter(toks, x -> x IN ('de5','shi4','le5','zai4','he2'))), 'lang': 'zh'}
+        |             ])).lang AS lang_pred
+        |      FROM d)
+        |SELECT lang, lang_pred, count(*)::BIGINT AS n_docs
+        |FROM p GROUP BY lang, lang_pred
+        |ORDER BY lang, lang_pred""".stripMargin,
 
     "text_tfidf" ->
       """WITH toks AS (
