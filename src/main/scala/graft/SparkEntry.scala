@@ -381,6 +381,21 @@ object SparkEntry {
         .orderBy(col("bucket"))
     }),
 
+    // Rolling z-score anomaly census: every event judged against its own
+    // user's trailing 24 h — the streaming-shaped outlier screen next to
+    // the global MAD census. One shuffle on the user key, per-key RANGE
+    // frame; census output so measure-zero boundary flips can't move the
+    // hash.
+    "events_anomaly" -> ((s, dir) => {
+      val ev = events(s, dir)
+      Timeseries.rollingAnomalies(ev, col("user_id"),
+          unix_timestamp(col("ts")), col("value"), windowSeconds = 86400L, z = 3.0)
+        .groupBy(col("key").as("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("is_anomaly"), 1L).otherwise(0L)).as("n_anomalies"))
+        .orderBy(col("user_id"))
+    }),
+
     // The scale path for the equi-depth histogram: bucket BOUNDARIES from
     // one approx_percentile pass (mergeable sketch, partial+final agg),
     // broadcast as a single row, and every row range-bucketed against
@@ -1787,6 +1802,23 @@ object SparkEntry {
         |FROM g
         |GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+
+    "events_anomaly" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS ts_s, value FROM events),
+        |w AS (SELECT user_id, value,
+        |             count(value) OVER fr AS n_window,
+        |             avg(value) OVER fr AS mean_w,
+        |             stddev_samp(value) OVER fr AS std_w
+        |      FROM e
+        |      WINDOW fr AS (PARTITION BY user_id ORDER BY ts_s
+        |                    RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, count(*)::BIGINT AS n_events,
+        |       sum(CASE WHEN n_window >= 10 AND std_w > 0
+        |                 AND abs(value - mean_w) > std_w * 3.0
+        |            THEN 1 ELSE 0 END)::BIGINT AS n_anomalies
+        |FROM w
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
 
     "events_gapfill" ->
       """WITH b AS (

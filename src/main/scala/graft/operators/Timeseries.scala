@@ -66,6 +66,50 @@ object Timeseries {
     * magnitudes: |v_u| ≤ 2⁶³/(gap seconds) is safe for any physical series
     * (a week-long gap still leaves 15 digits of value headroom).
     */
+  /** Rolling z-score anomaly flags over an irregular event stream: each
+    * row is judged against the trailing `windowSeconds` event-time RANGE
+    * frame of its own key (inclusive of ts-peers, SQL peer semantics on
+    * both engines). A row is anomalous when the frame holds at least
+    * `minN` observations AND the value deviates more than `z` sample
+    * standard deviations from the frame mean — the streaming-shaped
+    * outlier screen that complements the global [[graft.SparkEntry]]
+    * `q_outliers_mad` census.
+    *
+    * Adds (n_window, mean_w, std_w, is_anomaly) to the input's (key,
+    * ts_s, value) projection. Thresholding compares continuous
+    * quantities with strict `>`, so cross-engine ulp noise in the window
+    * stddev cannot flip a flag except on a measure-zero boundary (the
+    * summation-noise class, accepted engine-wide — see SCALE.md).
+    *
+    * Scale shape: ONE shuffle on the key, per-key sort, streaming frame
+    * evaluation — identical cost profile to any event-time RANGE frame
+    * (`q_window_range_frame`); no self-join, no global sort. Watermarked
+    * streaming variant = the same expression over
+    * `withWatermark + window`, state bounded by `windowSeconds`.
+    */
+  def rollingAnomalies(
+      df: DataFrame,
+      key: Column,
+      tsSeconds: Column,
+      value: Column,
+      windowSeconds: Long,
+      z: Double,
+      minN: Int = 10): DataFrame = {
+    require(windowSeconds > 0, "rollingAnomalies: windowSeconds must be positive")
+    require(z > 0, "rollingAnomalies: z must be positive")
+    val w = Window.partitionBy(col("key")).orderBy(col("ts_s"))
+      .rangeBetween(-windowSeconds, 0)
+    df.select(key.as("key"), tsSeconds.cast("long").as("ts_s"), value.as("v"))
+      .withColumn("n_window", count(col("v")).over(w))
+      .withColumn("mean_w", avg(col("v")).over(w))
+      .withColumn("std_w", stddev_samp(col("v")).over(w))
+      .withColumn("is_anomaly",
+        coalesce(
+          col("n_window") >= minN && col("std_w") > 0 &&
+            abs(col("v") - col("mean_w")) > col("std_w") * z,
+          lit(false)))
+  }
+
   def gapFillInterpolate(
       df: DataFrame,
       key: Column,

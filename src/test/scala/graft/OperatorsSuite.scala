@@ -973,6 +973,28 @@ class OperatorsSuite extends AnyFunSuite {
     assert(Pipeline.selectTopByScore(flat, col("score"), keepFrac = 0.25).count() === 10)
   }
 
+  test("rolling anomalies: spike flagged after warmup, steady series never flags") {
+    import spark.implicits._
+    // key A: 20 steady readings then one spike; key B: perfectly steady
+    val rows =
+      (1 to 20).map(i => ("a", i.toLong * 60, 10.0 + (i % 2) * 0.2)) ++   // ±0.1-ish wiggle
+        Seq(("a", 21L * 60, 500.0)) ++
+        (1 to 20).map(i => ("b", i.toLong * 60, 7.0 + (i % 3) * 0.1))
+    val df = rows.toDF("k", "ts", "v")
+    val got = Timeseries.rollingAnomalies(df, col("k"), col("ts"), col("v"),
+        windowSeconds = 3600, z = 3.0, minN = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(6)))
+    val aFlags = got.filter(_._1 == "a").filter(_._3).map(_._2)
+    assert(aFlags === Array(21L * 60), s"only the spike should flag: ${aFlags.toSeq}")
+    assert(!got.filter(_._1 == "b").exists(_._3), "steady series must never flag")
+    // warmup: rows before minN observations never flag even when deviant
+    val early = Timeseries.rollingAnomalies(
+        Seq(("c", 60L, 1.0), ("c", 120L, 100.0)).toDF("k", "ts", "v"),
+        col("k"), col("ts"), col("v"), windowSeconds = 3600, z = 1.0, minN = 10)
+      .collect()
+    assert(!early.exists(_.getBoolean(6)), "sub-minN frames must not flag")
+  }
+
   test("approx equi-depth histogram: buckets partition all rows and stay balanced") {
     val dir = TestSpark.sf0001
     val total = graft.core.Tables.lineitem(spark, dir).count()
