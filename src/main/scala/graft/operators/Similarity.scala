@@ -157,7 +157,10 @@ object Similarity {
     * broadcast against the corpus, the argmin collapses map-side (every
     * replicated row of an id sits in the same partition, so the partial
     * min_by finishes before the exchange and only one row per id
-    * shuffles), and centroid recomputation is the posexplode → hash agg
+    * shuffles), and centroid recomputation is the one-pass native
+    * vector-avg agg ([[graft.functions.VectorAvg]] — partial-sum arrays
+    * map-side, one row per cell per partition through the exchange,
+    * instead of the posexplode formulation's dim× row multiplication)
     * used by [[ivfTopK]]. The codebook is localCheckpointed between
     * iterations so the plan doesn't accumulate one corpus scan per round.
     * Seed selection is sort+limit = distributed TakeOrdered, not a global
@@ -198,12 +201,8 @@ object Similarity {
         .agg(min_by(col("cell"), struct(col("__d"), col("cell"))).as("cell"),
           first(col("__vec")).as("__vec"))
       cents = assigned
-        .select(col("cell"), posexplode(col("__vec")).as(Seq("pos", "v")))
-        .groupBy(col("cell"), col("pos"))
-        .agg(avg(col("v")).as("cv"))
         .groupBy(col("cell"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("cv")))).as("pcs"))
-        .select(col("cell"), transform(col("pcs"), p => p.getField("cv")).as("cent"))
+        .agg(graft.functions.VectorAvg.vectorAvg(col("__vec")).as("cent"))
         .withColumn("__cnorm2", dot(col("cent"), col("cent")))
         .localCheckpoint()
       i += 1
@@ -221,7 +220,7 @@ object Similarity {
     * of the corpus instead of all of it.
     *
     * The codebook here is the per-`cellCol` centroid (computed
-    * distributed: posexplode → hash agg → array reassembly; only `nlist`
+    * distributed: one-pass [[graft.functions.VectorAvg]] agg; only `nlist`
     * tiny rows ever reach the driver-free broadcast). In production the
     * cell assignment comes from offline k-means; the query-side plan is
     * identical. All joins: centroids are broadcast (nlist rows), the
@@ -235,15 +234,11 @@ object Similarity {
       cellCol: String,
       k: Int,
       nprobe: Int = 3): DataFrame = {
-    // codebook: cell -> centroid vector (array reassembled in pos order)
+    // codebook: cell -> centroid vector (one-pass native vector-avg agg)
     val centroids = corpus
-      .select(col(cellCol).as("cell"),
-        posexplode(toDoubleArray(col(vecCol))).as(Seq("pos", "v")))
-      .groupBy(col("cell"), col("pos"))
-      .agg(avg(col("v")).as("cv"))
+      .select(col(cellCol).as("cell"), toDoubleArray(col(vecCol)).as("__cv"))
       .groupBy(col("cell"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("cv")))).as("pcs"))
-      .select(col("cell"), transform(col("pcs"), p => p.getField("cv")).as("cent"))
+      .agg(graft.functions.VectorAvg.vectorAvg(col("__cv")).as("cent"))
       .withColumn("centnorm", l2Norm(col("cent")))
     val q = queries.select(col(idCol).as("query_id"), toDoubleArray(col(vecCol)).as("qvec"))
       .withColumn("qnorm", l2Norm(col("qvec")))
@@ -290,8 +285,9 @@ object Similarity {
   /** Product-quantization codebook trainer: per-SUBSPACE k-means, all `m`
     * subspaces trained in one grouped Lloyd loop — centroids keyed by
     * (sub, cell), the assign step is a broadcast join on `sub` + argmin
-    * over that subspace's `ksub` cells, centroid recomputation one hash
-    * agg on (sub, cell, pos). Deterministic seeds (per-sub smallest
+    * over that subspace's `ksub` cells, centroid recomputation one native
+    * [[graft.functions.VectorAvg]] agg on (sub, cell). Deterministic
+    * seeds (per-sub smallest
     * md5(id)), ties break on cell id; empty cells drop out of later
     * rounds. Returns (sub, cell, cent).
     *
@@ -329,13 +325,8 @@ object Similarity {
         .agg(min_by(col("cell"), struct(col("__d"), col("cell"))).as("cell"),
           first(col("subvec")).as("subvec"))
       cents = assigned
-        .select(col("sub"), col("cell"), posexplode(col("subvec")).as(Seq("pos", "v")))
-        .groupBy(col("sub"), col("cell"), col("pos"))
-        .agg(avg(col("v")).as("cv"))
         .groupBy(col("sub"), col("cell"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("cv")))).as("pcs"))
-        .select(col("sub"), col("cell"),
-          transform(col("pcs"), p => p.getField("cv")).as("cent"))
+        .agg(graft.functions.VectorAvg.vectorAvg(col("subvec")).as("cent"))
         .withColumn("__cnorm2", dot(col("cent"), col("cent")))
         .localCheckpoint()
       i += 1
@@ -433,17 +424,13 @@ object Similarity {
       m: Int = 8,
       ksub: Int = 16,
       iters: Int = 2): DataFrame = {
-    // IVF side: trained cells + their centroids (posexplode → hash agg)
+    // IVF side: trained cells + their centroids (one-pass vector-avg agg)
     val cells = kmeansCells(corpus, idCol, vecCol, nlist, iters)
     val assigned = corpus.join(cells, idCol)
     val centroids = assigned
-      .select(col("cell").as("ivf_cell"),
-        posexplode(toDoubleArray(col(vecCol))).as(Seq("pos", "v")))
-      .groupBy(col("ivf_cell"), col("pos"))
-      .agg(avg(col("v")).as("cv"))
+      .select(col("cell").as("ivf_cell"), toDoubleArray(col(vecCol)).as("__cv"))
       .groupBy(col("ivf_cell"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("cv")))).as("pcs"))
-      .select(col("ivf_cell"), transform(col("pcs"), p => p.getField("cv")).as("cent"))
+      .agg(graft.functions.VectorAvg.vectorAvg(col("__cv")).as("cent"))
       .withColumn("centnorm", l2Norm(col("cent")))
     // PQ side: codebook + byte codes, tagged with each vector's IVF cell
     val codebook = pqTrain(corpus, idCol, vecCol, dim, m, ksub, iters)

@@ -256,6 +256,43 @@ class OperatorsSuite extends AnyFunSuite {
     assert(lax(3L) === "shared line\n\nunique gamma")
   }
 
+  test("vector-avg aggregate matches the posexplode formulation; nulls ignored, mismatch fails") {
+    import graft.functions.VectorAvg.vectorAvg
+    val v = emb.select(col("label"),
+      graft.functions.VectorFunctions.toDoubleArray(col("embedding")).as("vec"))
+    val native = vectorAvgRows(v.groupBy(col("label")).agg(vectorAvg(col("vec")).as("cent")))
+    val declarative = vectorAvgRows(v
+      .select(col("label"), posexplode(col("vec")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos")).agg(avg(col("x")).as("cv"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("cv")))).as("pcs"))
+      .select(col("label"), transform(col("pcs"), p => p.getField("cv")).as("cent")))
+    assert(native.keySet === declarative.keySet)
+    native.foreach { case (label, cent) =>
+      val d = declarative(label)
+      assert(cent.length === d.length)
+      cent.zip(d).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9, s"label $label") }
+    }
+    // null vectors are ignored like avg; an all-null group is null
+    import spark.implicits._
+    val withNulls = Seq((1L, Some(Seq(2.0, 4.0))), (1L, None), (2L, None))
+      .toDF("g", "vec")
+    val r = withNulls.groupBy(col("g")).agg(vectorAvg(col("vec")).as("c"))
+      .collect().map(x => x.getLong(0) -> Option(x.get(1))).toMap
+    assert(r(1L).map(_.asInstanceOf[scala.collection.Seq[Double]].toSeq) === Some(Seq(2.0, 4.0)))
+    assert(r(2L) === None)
+    // dimensionality mismatch fails loudly, never silently truncates
+    val bad = Seq((1L, Seq(1.0, 2.0)), (1L, Seq(1.0))).toDF("g", "vec")
+    val e = intercept[Exception] {
+      bad.groupBy(col("g")).agg(vectorAvg(col("vec"))).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
+  private def vectorAvgRows(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Double]] =
+    df.collect().map(r => (r.get(0).asInstanceOf[Number].longValue,
+      r.getSeq[Double](1).toSeq)).toMap
+
   test("IVF-PQ composition: equals plain PQ at full probe; pruned probe keeps a recall floor") {
     val queries = emb.filter(col("vec_id") < 10)
     // with every cell probed the IVF layer prunes nothing, so IVF-PQ must
