@@ -67,6 +67,11 @@ object GraftExtensions {
         "_FUNC_(tokens, n) - ALL n-grams (occurrence multiset, document order, " +
           "space-joined) of a STRING array; n must be an integer literal."),
       (args: Seq[Expression]) => Shingles(args(0), intLit(args(1), "ngram size"), distinct = false)),
+    ("graft_vector_avg",
+      info(classOf[VectorAvg], "graft_vector_avg",
+        "_FUNC_(vec) - Aggregate: element-wise mean of DOUBLE arrays " +
+          "(null vectors ignored; mismatched lengths raise)."),
+      (args: Seq[Expression]) => VectorAvg(args(0))),
     ("graft_normalize",
       info(classOf[UnicodeNormalize], "graft_normalize",
         "_FUNC_(text, form) - Unicode-normalize a string; form must be a string " +

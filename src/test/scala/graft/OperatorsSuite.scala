@@ -370,6 +370,12 @@ class OperatorsSuite extends AnyFunSuite {
       .collect()(0)
     assert(row.getSeq[Long](2) === viaApi.getSeq[Long](0))
     assert(row.getLong(3) === viaApi.getLong(1))
+    // the aggregate surface: SQL GROUP BY with graft_vector_avg
+    val agg = spark.sql(
+      """SELECT graft_vector_avg(v) AS c
+        |FROM VALUES (array(1.0d, 3.0d)), (array(3.0d, 5.0d)) AS t(v)""".stripMargin)
+      .head().getSeq[Double](0)
+    assert(agg === Seq(2.0, 4.0))
   }
 
   test("approx_count_distinct within 10% of exact") {
