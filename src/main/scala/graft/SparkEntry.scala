@@ -2235,10 +2235,11 @@ object SparkEntry {
         |s AS (SELECT doc_id, string_split(page, chr(10)) AS ls FROM d),
         |l AS (SELECT doc_id, i + 1 AS line_no, ls[i + 1] AS line
         |      FROM s, unnest(range(0, len(ls))) u(i)),
-        |hot AS (SELECT trim(line) AS k, count(*) AS c
-        |        FROM l WHERE trim(line) <> '' GROUP BY 1 HAVING count(*) > 1),
+        |hot AS (SELECT trim(line, ' ' || chr(13)) AS k, count(*) AS c
+        |        FROM l WHERE trim(line, ' ' || chr(13)) <> ''
+        |        GROUP BY 1 HAVING count(*) > 1),
         |m AS (SELECT l.doc_id, l.line_no, l.line, hot.k IS NULL AS keep
-        |      FROM l LEFT JOIN hot ON trim(l.line) = hot.k)
+        |      FROM l LEFT JOIN hot ON trim(l.line, ' ' || chr(13)) = hot.k)
         |SELECT doc_id, count(*)::BIGINT AS n_lines,
         |       coalesce(sum(CASE WHEN keep THEN 0 ELSE 1 END), 0)::BIGINT AS n_removed,
         |       coalesce(string_agg(line, chr(10) ORDER BY line_no)

@@ -679,7 +679,10 @@ object Dedup {
     * text that repeats across pages even when documents differ), then
     * rebuild each document from its kept lines in original order.
     *
-    * Line identity is the space-trimmed line text; blank lines are never
+    * Line identity is the line text trimmed of spaces AND carriage
+    * returns — crawled corpora mix LF and CRLF endings, and without the
+    * `\r` trim the same boilerplate line under the two conventions counts
+    * as two different keys on both engines. Blank lines are never
     * counted or removed (they are layout, not content). Occurrences are
     * counted corpus-wide, so a line repeated within one document counts
     * each time. Returns one row per input document:
@@ -704,7 +707,7 @@ object Dedup {
     val lines = docs
       .select(col(idCol).as("__doc"),
         posexplode(split(col(textCol), "\n", -1)).as(Seq("__ln", "__line")))
-      .withColumn("__key", trim(col("__line")))
+      .withColumn("__key", trim(col("__line"), " \r"))
     val hot = lines.filter(col("__key") =!= "")
       .groupBy(col("__key")).agg(count(lit(1)).as("__cnt"))
       .filter(col("__cnt") > maxOcc)

@@ -254,6 +254,16 @@ class OperatorsSuite extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getString(3))).toMap
     assert(lax(2L) === "unique beta\nshared line")
     assert(lax(3L) === "shared line\n\nunique gamma")
+    // CRLF and LF renderings of the same boilerplate share one key
+    val mixed = Seq(
+      (1L, "FOOT\r\nkeep one"),
+      (2L, "FOOT\nkeep two"),
+      (3L, "FOOT \nkeep three")).toDF("doc_id", "text")
+    val crlf = Dedup.lineLevelDedup(mixed, "doc_id", "text", maxOcc = 1)
+      .collect().map(r => (r.getLong(0), (r.getLong(2), r.getString(3)))).toMap
+    assert(crlf(1L) === ((1L, "keep one")))
+    assert(crlf(2L) === ((1L, "keep two")))
+    assert(crlf(3L) === ((1L, "keep three")))
   }
 
   test("vector-avg aggregate matches the posexplode formulation; nulls ignored, mismatch fails") {
