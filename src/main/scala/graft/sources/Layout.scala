@@ -52,4 +52,36 @@ object Layout {
       else writer
     bounded.parquet(path)
   }
+
+  /** Bucketed-table layout: the CO-LOCATION half of write-side planning.
+    * Partitioning (above) prunes scans; bucketing pre-shuffles — two
+    * tables bucketed on the same key with the same bucket count satisfy a
+    * join's distribution requirement AT WRITE TIME, so the recurring join
+    * (fact ⋈ fact, daily batch ⋈ corpus signatures, doc grams ⋈ doc
+    * grams) runs with NO exchange on either side, every day, forever. At
+    * 100 TB the one-time bucketed write replaces a per-run shuffle of the
+    * whole corpus — the single biggest recurring cost a scheduled
+    * pipeline pays. `sortBy` additionally pre-sorts buckets so sort-merge
+    * joins skip their sort.
+    *
+    * Bucketing requires the table catalog (`saveAsTable`); pass `path` to
+    * keep the data at an external location. Asserted in ScalaTest: the
+    * bucketed self-join plan contains no Exchange.
+    */
+  def writeBucketed(
+      df: DataFrame,
+      tableName: String,
+      bucketCols: Seq[String],
+      numBuckets: Int,
+      sortCols: Seq[String] = Nil,
+      path: Option[String] = None,
+      mode: SaveMode = SaveMode.Overwrite): Unit = {
+    require(bucketCols.nonEmpty, "writeBucketed needs at least one bucket column")
+    require(numBuckets > 0, "writeBucketed: numBuckets must be positive")
+    var w = df.write.mode(mode).format("parquet")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+    if (sortCols.nonEmpty) w = w.sortBy(sortCols.head, sortCols.tail: _*)
+    path.foreach(p => w = w.option("path", p))
+    w.saveAsTable(tableName)
+  }
 }

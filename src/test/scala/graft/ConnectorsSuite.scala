@@ -436,6 +436,35 @@ class ConnectorsSuite extends AnyFunSuite {
     assert(en.count() === docs.filter(col("lang") === "en").count())
   }
 
+  test("bucketed layout: same-key same-count tables join with no exchange") {
+    val ev = graft.core.Tables.events(TestSpark.spark, TestSpark.sf0001)
+      .select(col("event_id"), col("user_id"), col("value"))
+    val root = freshRoot()
+    Layout.writeBucketed(ev, "graft_bkt_a", Seq("user_id"), numBuckets = 8,
+      sortCols = Seq("user_id"), path = Some(root + "/bkt_a"))
+    Layout.writeBucketed(ev, "graft_bkt_b", Seq("user_id"), numBuckets = 8,
+      sortCols = Seq("user_id"), path = Some(root + "/bkt_b"))
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force a non-broadcast join so the distribution requirement is real
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table("graft_bkt_a").as("a")
+        .join(spark.table("graft_bkt_b").as("b"), "user_id")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      val n = j.count()
+      assert(n > 0)
+      val plan = j.queryExecution.executedPlan.toString
+      // both the join AND the aggregation are satisfied by the write-time
+      // bucketing: no shuffle anywhere in the plan
+      assert(!plan.contains("Exchange"),
+        s"bucketed join/agg must not shuffle:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_a")
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_b")
+    }
+  }
+
   test("status surface: running and stopped emitters are observable (StreamingApp /status port)") {
     val mb = Minibatch(spark, freshRoot())
     val st = mb.stream("watched")
