@@ -110,7 +110,7 @@ object Similarity {
     // probe structs once made a ~10k-literal expression tree whose
     // optimize+codegen time dwarfed the actual scan
     def withSigs(df: DataFrame, vec: String): DataFrame =
-      df.select(df.columns.map(col) ++ tables.map { case (t, planes) =>
+      df.select(scala.collection.immutable.ArraySeq.unsafeWrapArray(df.columns.map(col)) ++ tables.map { case (t, planes) =>
         hyperplaneSignature(col(vec), planes).as(s"__b$t")
       }: _*)
     val c = withSigs(

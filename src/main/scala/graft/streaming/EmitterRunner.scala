@@ -175,8 +175,8 @@ object EmitterRunner {
       .foreachBatch { (batch: Dataset[WindowedMessage], batchId: Long) =>
         val df = strategy match {
           case RelaxedTimeWindow =>
-            batch.toDF.withColumn("window_id", lit(batchId))
-          case _ => batch.toDF
+            batch.toDF().withColumn("window_id", lit(batchId))
+          case _ => batch.toDF()
         }
         val cached = df.cache()
         try {
@@ -206,7 +206,7 @@ object EmitterRunner {
           }
           val emptyWindow = cached.filter(lit(false)).drop("window_id")
           val presentIds = ids.toSet
-          emitAll((ids ++ fillIds).sorted,
+          emitAll((ids ++ fillIds).sorted.toIndexedSeq,
             id =>
               if (presentIds(id))
                 emitFn(id, cached.filter(col("window_id") === id).drop("window_id"))
