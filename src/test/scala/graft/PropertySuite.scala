@@ -112,6 +112,52 @@ class PropertySuite extends AnyFunSuite {
     }
   }
 
+  test("line-level dedup is idempotent: cleaning cleaned text removes nothing") {
+    // kept lines had corpus count <= maxOcc; removal only lowers counts, so
+    // a second pass must be a no-op — for ANY corpus and maxOcc
+    val lineGen = Gen.listOfN(3, Gen.oneOf("aa", "bb", "cc", "dd", "ee", ""))
+      .map(_.mkString(" "))
+    val docGen = Gen.chooseNum(1, 6).flatMap(n =>
+      Gen.listOfN(n, lineGen).map(_.mkString("\n")))
+    val corpusGen = for {
+      n <- Gen.chooseNum(2, 8)
+      docs <- Gen.listOfN(n, docGen)
+      maxOcc <- Gen.chooseNum(1, 3)
+    } yield (docs, maxOcc)
+    samples(corpusGen, 8).foreach { case (docs, maxOcc) =>
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          docs.zipWithIndex.map { case (t, i) => Row(i.toLong, t) }, 2),
+        StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))))
+      val once = Dedup.lineLevelDedup(df, "doc_id", "text", maxOcc)
+        .select(col("doc_id"), col("text_clean"))
+      val twice = Dedup.lineLevelDedup(
+          once.withColumnRenamed("text_clean", "text"), "doc_id", "text", maxOcc)
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+      twice.foreach { case (id, removed, _) =>
+        assert(removed === 0L, s"second pass removed lines (doc $id, maxOcc $maxOcc)")
+      }
+      val onceMap = once.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      twice.foreach { case (id, _, text) => assert(text === onceMap(id)) }
+    }
+  }
+
+  test("text normalization is idempotent for any input") {
+    val gen = Gen.listOfN(8, Gen.oneOf(
+      "Café", "Café", "  spaced  ", "TAB\there", "ﬁ", "ok", "\r\n", "ümlaut"))
+      .map(_.mkString(" "))
+    samples(gen, 12).foreach { text =>
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(Row(text)), 1),
+        StructType(Seq(StructField("t", StringType))))
+      val Array(once, twice) = df.select(
+          TextAnalysis.normalizeText(col("t")).as("n1"))
+        .select(col("n1"), TextAnalysis.normalizeText(col("n1")).as("n2"))
+        .collect()(0).toSeq.map(_.asInstanceOf[String]).toArray
+      assert(twice === once, s"normalize must be idempotent on: $text")
+    }
+  }
+
   test("jaccard identity: a document is a perfect duplicate of itself") {
     val gen = Gen.chooseNum(5, 20).flatMap(n =>
       Gen.listOfN(n, Gen.oneOf("w1", "w2", "w3", "w4")).map(_.mkString(" ")))
