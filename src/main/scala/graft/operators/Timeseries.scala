@@ -83,9 +83,11 @@ object Timeseries {
     *
     * Scale shape: ONE shuffle on the key, per-key sort, streaming frame
     * evaluation — identical cost profile to any event-time RANGE frame
-    * (`q_window_range_frame`); no self-join, no global sort. Watermarked
-    * streaming variant = the same expression over
-    * `withWatermark + window`, state bounded by `windowSeconds`.
+    * (`q_window_range_frame`); no self-join, no global sort. The
+    * streaming variant is [[graft.streaming.StreamingAnomaly]] — window
+    * functions don't exist in Structured Streaming, so the frame becomes
+    * per-key `flatMapGroupsWithState` state (parity with this operator
+    * for in-order arrival is asserted in StreamingSuite).
     */
   def rollingAnomalies(
       df: DataFrame,

@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming analogue of [[graft.operators.Timeseries.rollingAnomalies]]:
+  * per-key z-score flags over a trailing event-time window, maintained as
+  * `flatMapGroupsWithState` state — window FUNCTIONS (the batch RANGE
+  * frame) do not exist in Structured Streaming, so the frame becomes
+  * explicit per-key state, exactly like the exact-N CountWindow in
+  * [[EmitterRunner.assign]].
+  *
+  * Semantics: events are processed in (ts, value) order within each
+  * micro-batch; each event is judged against the observations in
+  * [ts − windowSeconds, ts] HELD IN STATE at arrival, itself included —
+  * identical to the batch operator for in-order arrival with distinct
+  * timestamps. The deltas, documented like every emitter's: a LATE event
+  * is judged at arrival (its frame may already contain newer
+  * observations, which the batch frame would exclude), and ts-PEERS that
+  * arrive in later batches are not retroactively included. State is
+  * bounded by windowSeconds × per-key event rate (the ring only keeps the
+  * trailing window).
+  *
+  * The in-state ring is a simple list scanned per event — right for
+  * windows of 10²-10⁴ observations (the z-score use case); a
+  * per-key deque + running moments is the constant-time swap-in if a key
+  * sustains higher rates.
+  */
+object StreamingAnomaly {
+
+  case class Obs(key: String, ts_s: Long, v: Double)
+  case class Flag(key: String, ts_s: Long, v: Double, n_window: Long, is_anomaly: Boolean)
+  case class Ring(obs: List[(Long, Double)])
+
+  def flags(
+      ds: Dataset[Obs],
+      windowSeconds: Long,
+      z: Double,
+      minN: Int = 10): Dataset[Flag] = {
+    require(windowSeconds > 0 && z > 0, "streaming anomalies: windowSeconds and z must be positive")
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[Ring, Flag](OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[Obs], state: GroupState[Ring]) =>
+          var ring = state.getOption.map(_.obs).getOrElse(Nil)
+          val out = Seq.newBuilder[Flag]
+          it.toSeq.sortBy(o => (o.ts_s, o.v)).foreach { o =>
+            ring = ((o.ts_s, o.v) :: ring).filter(_._1 >= o.ts_s - windowSeconds)
+            val n = ring.size
+            val anomaly = n >= minN && {
+              // two-pass mean/centered variance over the small ring: the
+              // numerically stable formulation, matching stddev_samp
+              val mean = ring.iterator.map(_._2).sum / n
+              val variance =
+                ring.iterator.map(t => (t._2 - mean) * (t._2 - mean)).sum / (n - 1)
+              val std = math.sqrt(variance)
+              std > 0 && math.abs(o.v - mean) > std * z
+            }
+            out += Flag(key, o.ts_s, o.v, n.toLong, anomaly)
+          }
+          state.update(Ring(ring))
+          out.result().iterator
+      }
+  }
+}

@@ -508,6 +508,42 @@ class StreamingSuite extends AnyFunSuite {
     assert(mb.status("life").streamStatus === "open")
   }
 
+  test("streaming rolling anomalies match the batch operator for in-order arrival") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.streaming.StreamingAnomaly
+    implicit val sqlCtx = spark.sqlContext
+    // same shape as the batch spec: steady series + one spike, two keys
+    val rows =
+      (1 to 20).map(i => StreamingAnomaly.Obs("a", i.toLong * 60, 10.0 + (i % 2) * 0.2)) ++
+        Seq(StreamingAnomaly.Obs("a", 21L * 60, 500.0)) ++
+        (1 to 20).map(i => StreamingAnomaly.Obs("b", i.toLong * 60, 7.0 + (i % 3) * 0.1))
+    val input = MemoryStream[StreamingAnomaly.Obs]
+    val q = StreamingAnomaly.flags(input.toDS(), windowSeconds = 3600, z = 3.0, minN = 10)
+      .writeStream.format("memory").queryName("graft_anomaly")
+      .outputMode("append").start()
+    try {
+      // two micro-batches split mid-series: state must carry the ring across
+      val (first, second) = rows.splitAt(25)
+      input.addData(first)
+      q.processAllAvailable()
+      input.addData(second)
+      q.processAllAvailable()
+      val streamed = spark.table("graft_anomaly")
+        .collect().map(r => ((r.getString(0), r.getLong(1)), r.getBoolean(4))).toMap
+      val batch = graft.operators.Timeseries.rollingAnomalies(
+          rows.toDF("key", "ts", "v"), col("key"), col("ts"), col("v"),
+          windowSeconds = 3600, z = 3.0, minN = 10)
+        .collect().map(r => ((r.getString(0), r.getLong(1)), r.getBoolean(6))).toMap
+      assert(streamed.keySet === batch.keySet)
+      streamed.foreach { case (k, flag) =>
+        assert(flag === batch(k), s"flag mismatch at $k")
+      }
+      assert(streamed.count(_._2) === 1, "exactly the spike flags")
+    } finally q.stop()
+  }
+
   test("close() detaches background sources and stops the retention loop") {
     val mb = Minibatch(spark, freshRoot())
     val st = mb.stream("bg")
