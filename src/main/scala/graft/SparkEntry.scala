@@ -1192,6 +1192,22 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Per-source quality census: the monitoring view a corpus pipeline
+    // keeps per domain — doc counts, Gopher pass rate, and the quality
+    // metric means, grouped by provenance. One hash agg over the per-row
+    // gopher expressions; the dashboard query that decides which source
+    // to investigate when pass rates drift.
+    "source_quality_census" -> ((s, dir) => {
+      TextAnalysis.gopherRules(documents(s, dir), col("text"), minStopHits = 1)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("pass"), 1L).otherwise(0L)).as("n_pass"),
+          round(avg(col("n_words")), 4).as("avg_words"),
+          round(avg(col("alpha_frac")), 4).as("avg_alpha_frac"),
+          round(avg(col("mean_word_len")), 4).as("avg_word_len"))
+        .orderBy(col("source"))
+    }),
+
     // Canonical text normalization (NFC + lower + whitespace collapse +
     // trim) with the normalized fingerprint — the pass that runs before
     // any dedup key is computed. The fixture is ASCII so NFC is identity
@@ -2160,6 +2176,32 @@ object SparkEntry {
         |FROM sq, thr
         |WHERE scq * 4 >= tq
         |ORDER BY doc_id""".stripMargin,
+
+    "source_quality_census" ->
+      """WITH d AS (SELECT source, string_split_regex(text, ' +') AS toks FROM documents),
+        |m AS (SELECT source,
+        |             len(toks)::BIGINT AS n_words,
+        |             round(coalesce(list_sum([length(x) for x in toks]), 0)::DOUBLE
+        |                   / greatest(len(toks), 1), 4) AS mean_word_len,
+        |             round(len([x for x in toks if regexp_matches(x, '\p{L}')])::DOUBLE
+        |                   / greatest(len(toks), 1), 4) AS alpha_frac,
+        |             (CASE WHEN list_contains(toks, 'the') THEN 1 ELSE 0 END +
+        |              CASE WHEN list_contains(toks, 'a')   THEN 1 ELSE 0 END +
+        |              CASE WHEN list_contains(toks, 'and') THEN 1 ELSE 0 END +
+        |              CASE WHEN list_contains(toks, 'of')  THEN 1 ELSE 0 END +
+        |              CASE WHEN list_contains(toks, 'to')  THEN 1 ELSE 0 END) AS n_stop
+        |      FROM d)
+        |SELECT source, count(*)::BIGINT AS n_docs,
+        |       sum(CASE WHEN n_words BETWEEN 50 AND 100000
+        |                 AND mean_word_len BETWEEN 3.0 AND 10.0
+        |                 AND alpha_frac >= 0.8
+        |                 AND n_stop >= 1 THEN 1 ELSE 0 END)::BIGINT AS n_pass,
+        |       round(avg(n_words), 4) AS avg_words,
+        |       round(avg(alpha_frac), 4) AS avg_alpha_frac,
+        |       round(avg(mean_word_len), 4) AS avg_word_len
+        |FROM m
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
 
     "text_normalize" ->
       """SELECT doc_id,
