@@ -639,9 +639,10 @@ object SparkEntry {
         .select(
           col("doc_id"),
           col("n_tokens"),
-          round(col("mean_token_len"), 4).as("mean_token_len"),
-          round(col("alpha_ratio"), 4).as("alpha_ratio"),
-          round(col("stopword_ratio"), 4).as("stopword_ratio"))
+          // already exact 4-decimal via ratio4 — no re-round
+          col("mean_token_len"),
+          col("alpha_ratio"),
+          col("stopword_ratio"))
         .orderBy(col("doc_id"))
     }),
 
@@ -1762,13 +1763,16 @@ object SparkEntry {
     "text_quality" ->
       """SELECT doc_id,
         |       len(toks) AS n_tokens,
-        |       round(list_sum(list_transform(toks, t -> length(t)))::DOUBLE
-        |             / greatest(len(toks), 1), 4) AS mean_token_len,
-        |       round(length(regexp_replace(text, '[^a-z]', '', 'g'))::DOUBLE
-        |             / greatest(length(text), 1), 4) AS alpha_ratio,
-        |       round(len(list_filter(toks,
-        |               t -> t IN ('the','a','and','of','to','in','is','it')))::DOUBLE
-        |             / greatest(len(toks), 1), 4) AS stopword_ratio
+        |       (20000 * coalesce(list_sum(list_transform(toks, t -> length(t))), 0)
+        |          + greatest(len(toks), 1)) // (2 * greatest(len(toks), 1))
+        |         / 10000.0 AS mean_token_len,
+        |       (20000 * length(regexp_replace(text, '[^a-z]', '', 'g'))
+        |          + greatest(length(text), 1)) // (2 * greatest(length(text), 1))
+        |         / 10000.0 AS alpha_ratio,
+        |       (20000 * len(list_filter(toks,
+        |                 t -> t IN ('the','a','and','of','to','in','is','it')))
+        |          + greatest(len(toks), 1)) // (2 * greatest(len(toks), 1))
+        |         / 10000.0 AS stopword_ratio
         |FROM (SELECT doc_id, text, string_split_regex(text, ' +') AS toks FROM documents)
         |ORDER BY doc_id""".stripMargin,
 
@@ -1970,14 +1974,17 @@ object SparkEntry {
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |base AS (
         |  SELECT doc_id, len(t)::BIGINT AS n_tok,
-        |         round(1.0 - len(list_distinct(t))::DOUBLE / len(t), 4) AS dup_frac,
+        |         (20000 * (len(t) - len(list_distinct(t))) + len(t))
+        |           // (2 * len(t)) / 10000.0 AS dup_frac,
         |         [t[x] || ' ' || t[x+1] for x in range(1, len(t))] AS bgs
         |  FROM toks),
         |counts AS (
         |  SELECT doc_id, n_tok, dup_frac, bg, count(*) AS bg_n
         |  FROM (SELECT doc_id, n_tok, dup_frac, unnest(bgs) AS bg FROM base)
         |  GROUP BY doc_id, n_tok, dup_frac, bg)
-        |SELECT doc_id, dup_frac, round(max(bg_n) * 2.0 / n_tok, 4) AS top_bigram_frac
+        |SELECT doc_id, dup_frac,
+        |       (20000 * (max(bg_n) * 2) + n_tok) // (2 * n_tok) / 10000.0
+        |         AS top_bigram_frac
         |FROM counts
         |GROUP BY doc_id, dup_frac, n_tok
         |ORDER BY doc_id""".stripMargin,
@@ -2111,10 +2118,12 @@ object SparkEntry {
         |m AS (
         |  SELECT doc_id,
         |         len(toks)::BIGINT AS n_words,
-        |         round(coalesce(list_sum([length(x) for x in toks]), 0)::DOUBLE
-        |               / greatest(len(toks), 1), 4) AS mean_word_len,
-        |         round(len([x for x in toks if regexp_matches(x, '\p{L}')])::DOUBLE
-        |               / greatest(len(toks), 1), 4) AS alpha_frac,
+        |         (20000 * coalesce(list_sum([length(x) for x in toks]), 0)
+        |            + greatest(len(toks), 1)) // (2 * greatest(len(toks), 1))
+        |           / 10000.0 AS mean_word_len,
+        |         (20000 * len([x for x in toks if regexp_matches(x, '\p{L}')])
+        |            + greatest(len(toks), 1)) // (2 * greatest(len(toks), 1))
+        |           / 10000.0 AS alpha_frac,
         |         (CASE WHEN list_contains(toks, 'the') THEN 1 ELSE 0 END +
         |          CASE WHEN list_contains(toks, 'a')   THEN 1 ELSE 0 END +
         |          CASE WHEN list_contains(toks, 'and') THEN 1 ELSE 0 END +
@@ -2181,10 +2190,12 @@ object SparkEntry {
       """WITH d AS (SELECT source, string_split_regex(text, ' +') AS toks FROM documents),
         |m AS (SELECT source,
         |             len(toks)::BIGINT AS n_words,
-        |             round(coalesce(list_sum([length(x) for x in toks]), 0)::DOUBLE
-        |                   / greatest(len(toks), 1), 4) AS mean_word_len,
-        |             round(len([x for x in toks if regexp_matches(x, '\p{L}')])::DOUBLE
-        |                   / greatest(len(toks), 1), 4) AS alpha_frac,
+        |             (20000 * coalesce(list_sum([length(x) for x in toks]), 0)
+        |                + greatest(len(toks), 1)) // (2 * greatest(len(toks), 1))
+        |               / 10000.0 AS mean_word_len,
+        |             (20000 * len([x for x in toks if regexp_matches(x, '\p{L}')])
+        |                + greatest(len(toks), 1)) // (2 * greatest(len(toks), 1))
+        |               / 10000.0 AS alpha_frac,
         |             (CASE WHEN list_contains(toks, 'the') THEN 1 ELSE 0 END +
         |              CASE WHEN list_contains(toks, 'a')   THEN 1 ELSE 0 END +
         |              CASE WHEN list_contains(toks, 'and') THEN 1 ELSE 0 END +
@@ -2297,10 +2308,12 @@ object SparkEntry {
         |q AS (
         |  SELECT doc_id, lang, text FROM train
         |  WHERE len(toks) BETWEEN 50 AND 100000
-        |    AND round(coalesce(list_sum([length(x) for x in toks]), 0)::DOUBLE
-        |              / greatest(len(toks), 1), 4) BETWEEN 3.0 AND 10.0
-        |    AND round(len([x for x in toks if regexp_matches(x, '\p{L}')])::DOUBLE
-        |              / greatest(len(toks), 1), 4) >= 0.8
+        |    AND (20000 * coalesce(list_sum([length(x) for x in toks]), 0)
+        |           + greatest(len(toks), 1)) // (2 * greatest(len(toks), 1))
+        |          / 10000.0 BETWEEN 3.0 AND 10.0
+        |    AND (20000 * len([x for x in toks if regexp_matches(x, '\p{L}')])
+        |           + greatest(len(toks), 1)) // (2 * greatest(len(toks), 1))
+        |          / 10000.0 >= 0.8
         |    AND (CASE WHEN list_contains(toks, 'the') THEN 1 ELSE 0 END +
         |         CASE WHEN list_contains(toks, 'a')   THEN 1 ELSE 0 END +
         |         CASE WHEN list_contains(toks, 'and') THEN 1 ELSE 0 END +

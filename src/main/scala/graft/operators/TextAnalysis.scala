@@ -1,7 +1,9 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.IntegralDivide
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
 
 /** Text-analysis operators for large-scale training-data pipelines:
   * tokenization, token counting, quality scoring, language ID, document
@@ -48,19 +50,43 @@ object TextAnalysis {
     size(filter(t, tok => tok.isInCollection(stopwords))) / greatest(size(t), lit(1)).cast("double")
   }
 
+  /** Exact 4-decimal round-half-up of the integer ratio num/den, computed
+    * entirely in 64-bit integer arithmetic:
+    * `(2·10⁴·num + den) DIV (2·den) / 10⁴` (Spark `DIV` ≡ DuckDB `//`).
+    * `round(num/den, 4)` on the DOUBLE quotient is an engine coin flip
+    * whenever the exact ratio lands on a .00005 boundary with a
+    * non-binary denominator (e.g. 1/160) — Spark rounds the shortest
+    * decimal repr, DuckDB the binary value. This form has no double
+    * anywhere until the final division of identical integers, so both
+    * engines agree on EVERY input (see SCALE.md, constructed ties).
+    * Requires num ≥ 0, den ≥ 1 (the metric-ratio case).
+    */
+  def ratio4(num: Column, den: Column): Column = {
+    val n = num.cast("long")
+    val d = den.cast("long")
+    ColumnBridge.column(new IntegralDivide(
+      ColumnBridge.expression(lit(20000L) * n + d),
+      ColumnBridge.expression(lit(2L) * d)))
+      .cast("double") / 10000.0
+  }
+
   /** Quality score heuristics: length, mean token length, alpha ratio,
     * stopword ratio — the standard cheap pre-filters for web corpora.
+    * The ratio metrics are emitted at 4-decimal resolution via [[ratio4]]
+    * (exact integer rounding — engine-identical on every input).
     */
   def withQuality(df: DataFrame, textCol: Column): DataFrame = {
     val t = wsTokens(textCol)
     df.withColumn("n_tokens", size(t))
       .withColumn("mean_token_len",
-        aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double") /
-          greatest(size(t), lit(1)))
+        ratio4(aggregate(t, lit(0L), (acc, x) => acc + length(x)),
+          greatest(size(t), lit(1))))
       .withColumn("alpha_ratio",
-        length(regexp_replace(textCol, "[^a-z]", "")).cast("double") /
-          greatest(length(textCol), lit(1)))
-      .withColumn("stopword_ratio", stopwordRatio(textCol, QualityStopwords))
+        ratio4(length(regexp_replace(textCol, "[^a-z]", "")),
+          greatest(length(textCol), lit(1))))
+      .withColumn("stopword_ratio",
+        ratio4(size(filter(t, tok => tok.isInCollection(QualityStopwords))),
+          greatest(size(t), lit(1))))
   }
 
   val QualityStopwords: Seq[String] =
@@ -162,8 +188,10 @@ object TextAnalysis {
   def repetitionScores(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), split(col(textCol), " ").as("toks"))
       .withColumn("n_tok", size(col("toks")).cast("long"))
+      // 1 - d/t computed as the single exact ratio (t-d)/t — identical
+      // rationals, engine-identical rounding via ratio4
       .withColumn("dup_frac",
-        round(lit(1.0) - size(array_distinct(col("toks"))).cast("double") / col("n_tok"), 4))
+        ratio4(col("n_tok") - size(array_distinct(col("toks"))), col("n_tok")))
       .select(col(idCol), col("n_tok"), col("dup_frac"),
         explode(zip_with(
           slice(col("toks"), lit(1), size(col("toks")) - 1),
@@ -173,7 +201,7 @@ object TextAnalysis {
       .agg(count(lit(1)).as("bg_n"))
       .groupBy(col(idCol), col("n_tok"), col("dup_frac"))
       .agg(max(col("bg_n")).as("top_bg"))
-      .withColumn("top_bigram_frac", round(col("top_bg") * lit(2.0) / col("n_tok"), 4))
+      .withColumn("top_bigram_frac", ratio4(col("top_bg") * 2, col("n_tok")))
       .select(col(idCol), col("dup_frac"), col("top_bigram_frac"))
 
   /** Gopher-style hard rule filter (Rae et al. 2021, §A1.1 — public
@@ -202,11 +230,11 @@ object TextAnalysis {
     val t = wsTokens(textCol)
     df.withColumn("n_words", size(t).cast("long"))
       .withColumn("mean_word_len",
-        round(aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double") /
-          greatest(col("n_words"), lit(1L)), 4))
+        ratio4(aggregate(t, lit(0L), (acc, x) => acc + length(x)),
+          greatest(col("n_words"), lit(1L))))
       .withColumn("alpha_frac",
-        round(size(filter(t, x => x.rlike("\\p{L}"))).cast("double") /
-          greatest(col("n_words"), lit(1L)), 4))
+        ratio4(size(filter(t, x => x.rlike("\\p{L}"))),
+          greatest(col("n_words"), lit(1L))))
       .withColumn("n_stop",
         requiredStops.map(sw => when(array_contains(t, sw), 1L).otherwise(0L))
           .reduce(_ + _))
