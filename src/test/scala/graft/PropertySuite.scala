@@ -142,6 +142,26 @@ class PropertySuite extends AnyFunSuite {
     }
   }
 
+  test("ratio4 equals exact decimal HALF_UP for any integer ratio (incl. tie denominators)") {
+    val gen = for {
+      num <- Gen.chooseNum(0L, 5000L)
+      den <- Gen.chooseNum(1L, 2000L)
+    } yield (num, den)
+    // force the known-treacherous tie denominators into the sample
+    val cases = samples(gen, 60) ++ Seq((1L, 160L), (3L, 160L), (1L, 32L), (7L, 800L), (1L, 3L))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(cases.map { case (n, d) => Row(n, d) }, 2),
+      StructType(Seq(StructField("n", LongType), StructField("d", LongType))))
+    val got = df.select(col("n"), col("d"),
+        TextAnalysis.ratio4(col("n"), col("d")).as("r"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    cases.foreach { case (n, d) =>
+      val expected = (BigDecimal(n) / BigDecimal(d))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got((n, d)) === expected, s"ratio4($n, $d)")
+    }
+  }
+
   test("text normalization is idempotent for any input") {
     val gen = Gen.listOfN(8, Gen.oneOf(
       "Café", "Café", "  spaced  ", "TAB\there", "ﬁ", "ok", "\r\n", "ümlaut"))
