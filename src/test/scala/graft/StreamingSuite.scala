@@ -544,6 +544,43 @@ class StreamingSuite extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming anomalies judge late events at arrival (documented delta)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    import graft.streaming.StreamingAnomaly
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamingAnomaly.Obs]
+    val q = StreamingAnomaly.flags(input.toDS(), windowSeconds = 3600, z = 3.0, minN = 10)
+      .writeStream.format("memory").queryName("graft_anomaly_late")
+      .outputMode("append").start()
+    try {
+      // batch 1: 12 steady in-order observations
+      input.addData((1 to 12).map(i => StreamingAnomaly.Obs("k", i.toLong * 60, 10.0 + (i % 2) * 0.2)))
+      q.processAllAvailable()
+      // batch 2: a LATE spike (event time before everything already seen):
+      // judged against the state AT ARRIVAL — the full ring is within
+      // [ts-window, ts+...]? no: ring keeps obs >= ts-3600; ts=30 keeps all
+      input.addData(Seq(StreamingAnomaly.Obs("k", 30L, 500.0)))
+      q.processAllAvailable()
+      val rows = spark.table("graft_anomaly_late")
+        .collect().map(r => (r.getLong(1), (r.getLong(3), r.getBoolean(4)))).toMap
+      // the late spike saw the 12 earlier observations plus itself
+      assert(rows(30L)._1 === 13L, s"late event frame size: ${rows(30L)}")
+      assert(rows(30L)._2 === true, "late spike must still flag at arrival")
+      // in the BATCH operator the same late row would see only itself
+      // (nothing earlier in event time) — the documented delta
+      val batch = graft.operators.Timeseries.rollingAnomalies(
+          ((1 to 12).map(i => ("k", i.toLong * 60, 10.0 + (i % 2) * 0.2)) :+ (("k", 30L, 500.0)))
+            .toDF("key", "ts", "v"),
+          org.apache.spark.sql.functions.col("key"),
+          org.apache.spark.sql.functions.col("ts"),
+          org.apache.spark.sql.functions.col("v"),
+          windowSeconds = 3600, z = 3.0, minN = 10)
+        .collect().map(r => (r.getLong(1), r.getBoolean(6))).toMap
+      assert(batch(30L) === false, "batch event-time frame sees nothing before ts=30")
+    } finally q.stop()
+  }
+
   test("close() detaches background sources and stops the retention loop") {
     val mb = Minibatch(spark, freshRoot())
     val st = mb.stream("bg")
