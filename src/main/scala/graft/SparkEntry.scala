@@ -1234,6 +1234,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // The same LM scoring at order 3 (KenLM-grade pipelines run n=5; the
+    // plan shape is identical at any n) — sharper fluency signal, count
+    // tables one order bigger.
+    "text_trigram_ppl" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      Pipeline.ngramLogLikelihood(docs, docs, "doc_id", "text", n = 3)
+        .withColumnRenamed("n_bigrams", "n_grams")
+        .orderBy(col("doc_id"))
+    }),
+
     // The CCNet loop closed: fluency scoring composed with the quantile
     // threshold — keep the most reference-like half of the corpus. Same
     // composition shape as text_importance_select, over the LM score.
@@ -2238,6 +2248,25 @@ object SparkEntry {
         |       round(sum(db.c * (ln(bcnt.bc + 1.0) - ln(ucnt.uc + 1.0 * v.v)))
         |             / sum(db.c), 4) AS avg_logp
         |FROM db JOIN bcnt USING (b) JOIN ucnt ON db.w1 = ucnt.w CROSS JOIN v
+        |GROUP BY db.doc_id
+        |ORDER BY db.doc_id""".stripMargin,
+
+    "text_trigram_ppl" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(text, ' +') AS t FROM documents),
+        |uni AS (SELECT unnest(t) AS w FROM toks),
+        |v AS (SELECT count(DISTINCT w) AS v FROM uni),
+        |ctx AS (SELECT array_to_string(t[i:i+1], ' ') AS c
+        |        FROM toks, unnest(range(1, len(t))) u(i)),
+        |ccnt AS (SELECT c, count(*) AS cc FROM ctx GROUP BY c),
+        |tg AS (SELECT doc_id, array_to_string(t[i:i+2], ' ') AS g,
+        |              array_to_string(t[i:i+1], ' ') AS c
+        |       FROM toks, unnest(range(1, len(t) - 1)) u(i)),
+        |gcnt AS (SELECT g, count(*) AS gc FROM tg GROUP BY g),
+        |db AS (SELECT doc_id, g, c, count(*) AS cnt FROM tg GROUP BY doc_id, g, c)
+        |SELECT db.doc_id, sum(db.cnt)::BIGINT AS n_grams,
+        |       round(sum(db.cnt * (ln(gcnt.gc + 1.0) - ln(ccnt.cc + 1.0 * v.v)))
+        |             / sum(db.cnt), 4) AS avg_logp
+        |FROM db JOIN gcnt USING (g) JOIN ccnt ON db.c = ccnt.c CROSS JOIN v
         |GROUP BY db.doc_id
         |ORDER BY db.doc_id""".stripMargin,
 

@@ -233,30 +233,56 @@ object Pipeline {
       reference: DataFrame,
       idCol: String,
       textCol: String,
+      alpha: Double = 1.0): DataFrame =
+    ngramLogLikelihood(raw, reference, idCol, textCol, n = 2, alpha)
+
+  /** [[bigramLogLikelihood]] generalized to order-`n` (KenLM-grade
+    * pipelines run n = 5): score(d) = avg over n-gram occurrences of
+    * ln(c_ref(ngram) + alpha) − ln(c_ref(context) + alpha·V), the
+    * context being the gram's first n−1 tokens and V the reference
+    * UNIGRAM vocabulary (standard add-alpha conditional). Same plan
+    * shape at any n — two reference count aggs (n-grams and contexts),
+    * the per-doc gram agg, joins keyed on gram/context strings, V as a
+    * broadcast 1-row agg. Higher n sharpens the fluency signal and
+    * grows the count tables toward corpus-positions rows — at web scale
+    * hash the gram strings to 8-byte keys exactly like the dedup
+    * operators. Documents shorter than n tokens are dropped.
+    */
+  def ngramLogLikelihood(
+      raw: DataFrame,
+      reference: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
       alpha: Double = 1.0): DataFrame = {
-    require(alpha > 0, "bigramLogLikelihood: alpha must be positive (smoothing)")
-    val refToks = reference.select(
-      explode(TextAnalysis.ngramsAll(col(textCol), 1)).as("__w"))
-    val ucnt = refToks.groupBy(col("__w")).agg(count(lit(1)).as("__uc"))
-    val vocab = ucnt.agg(count(lit(1)).as("__v"))
-    val bcnt = reference
-      .select(explode(TextAnalysis.ngramsAll(col(textCol), 2)).as("__b"))
-      .groupBy(col("__b")).agg(count(lit(1)).as("__bc"))
-    val docBg = raw
-      .select(col(idCol), explode(TextAnalysis.ngramsAll(col(textCol), 2)).as("__b"))
-      .groupBy(col(idCol), col("__b")).agg(count(lit(1)).as("__c"))
-      .withColumn("__w", element_at(split(col("__b"), " "), 1))
-    docBg
-      .join(bcnt, Seq("__b"), "left")
-      .join(ucnt, Seq("__w"), "left")
+    require(n >= 2, "ngramLogLikelihood: n must be >= 2 (conditional LM)")
+    require(alpha > 0, "ngramLogLikelihood: alpha must be positive (smoothing)")
+    val ctxCnt = reference
+      .select(explode(TextAnalysis.ngramsAll(col(textCol), n - 1)).as("__ctx"))
+      .groupBy(col("__ctx")).agg(count(lit(1)).as("__cc"))
+    val vocab = reference
+      .select(explode(TextAnalysis.ngramsAll(col(textCol), 1)).as("__w"))
+      .agg(countDistinct(col("__w")).as("__v"))
+    val ngCnt = reference
+      .select(explode(TextAnalysis.ngramsAll(col(textCol), n)).as("__g"))
+      .groupBy(col("__g")).agg(count(lit(1)).as("__gc"))
+    val docNg = raw
+      .select(col(idCol), explode(TextAnalysis.ngramsAll(col(textCol), n)).as("__g"))
+      .groupBy(col(idCol), col("__g")).agg(count(lit(1)).as("__c"))
+      // the conditioning context = the gram's first n-1 tokens
+      .withColumn("__ctx",
+        array_join(slice(split(col("__g"), " "), 1, n - 1), " "))
+    docNg
+      .join(ngCnt, Seq("__g"), "left")
+      .join(ctxCnt, Seq("__ctx"), "left")
       .crossJoin(broadcast(vocab))
       .groupBy(col(idCol))
       .agg(
         sum(col("__c")).as("n_bigrams"),
         round(
           sum(col("__c") *
-            (log(coalesce(col("__bc"), lit(0L)) + alpha) -
-              log(coalesce(col("__uc"), lit(0L)) + lit(alpha) * col("__v")))) /
+            (log(coalesce(col("__gc"), lit(0L)) + alpha) -
+              log(coalesce(col("__cc"), lit(0L)) + lit(alpha) * col("__v")))) /
             sum(col("__c")), 4).as("avg_logp"))
   }
 

@@ -169,8 +169,15 @@ class OperatorsSuite extends AnyFunSuite {
     assert(got(10L)._2 > got(11L)._2)
     // closed form for a fully-unseen doc: every term is ln(alpha) -
     // ln(0 + alpha*V) = -ln(V); reference vocabulary V = 7
-    assert(got(11L)._2 === BigDecimal(-math.log(7))
-      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val unseenScore = BigDecimal(-math.log(7))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(11L)._2 === unseenScore)
+    // order-3: same invariants — the generalized conditional holds
+    val tri = Pipeline.ngramLogLikelihood(raw, ref, "doc_id", "text", n = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(tri(10L) > tri(12L) && tri(10L) > tri(11L))
+    assert(tri(11L) === unseenScore, "unseen closed form holds at any order")
+    assert(tri.values.forall(_ <= 0.0))
   }
 
   test("incremental near-dup gate: exact matches ground truth; LSH path never false-flags, recall floor") {
