@@ -9,9 +9,16 @@ import graft.functions.VectorFunctions._
 /** Approximate-nearest-neighbor search over an embedding column.
   *
   * Baseline: brute-force cosine top-k (exact; the oracle target). Scale
-  * path: random-hyperplane LSH bucketing with multiprobe — candidates come
-  * from a hash-partitioned bucket join, so the cross product never
-  * materializes. Hyperplanes are generated from a seeded RNG at PLAN time
+  * paths, in increasing sophistication: random-hyperplane LSH with
+  * multiprobe (candidates from a hash-partitioned bucket join — the cross
+  * product never materializes), IVF (a trained coarse codebook routes
+  * queries to nprobe cells), PQ/ADC (the corpus compressed to m byte
+  * codes, scored through per-query lookup tables), and their IVF-PQ
+  * composition — the compressed inverted file production vector stores
+  * deploy. Both codebook trainers ([[kmeansCells]], [[pqTrain]]) are
+  * deterministic distributed Lloyd loops (md5-seeded, broadcast
+  * codebooks, native [[graft.functions.VectorAvg]] centroid recompute).
+  * Hyperplanes are generated from a seeded RNG at PLAN time
   * (deterministic literals in the plan; nothing random at execution).
   */
 object Similarity {
