@@ -735,6 +735,15 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // The rewrite half of substring dedup (Lee et al. 2021 CUT the
+    // duplicated spans): tokens covered by an earlier-owned 8-token run
+    // are removed and the document rebuilt — dedup_exact_substr is the
+    // audit view, this is the cleaned corpus.
+    "dedup_substr_rewrite" -> ((s, dir) => {
+      Dedup.removeSharedSpans(documents(s, dir), "doc_id", "text", k = 8)
+        .orderBy(col("doc_id"))
+    }),
+
     // SemDeDup (Abbas et al. 2023): k-means cells, in-cell cosine near-dup
     // groups, keep-one-per-group — the semantic dedup pass that catches
     // paraphrases text fingerprints miss (no SQL oracle: k-means-dependent;
@@ -2307,6 +2316,29 @@ object SparkEntry {
         |FROM c LEFT JOIN k ON c.chunk_uid = k.chunk_uid
         |GROUP BY c.doc_id
         |ORDER BY c.doc_id""".stripMargin,
+
+    "dedup_substr_rewrite" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(text, ' +') AS toks FROM documents),
+        |g AS (SELECT doc_id, i AS pos, array_to_string(toks[i:i+7], ' ') AS gram
+        |      FROM t, unnest(range(1, len(toks) - 6)) u(i)),
+        |o AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram),
+        |cov AS (SELECT DISTINCT g.doc_id, v.p AS pos
+        |        FROM g JOIN o USING (gram), unnest(range(g.pos, g.pos + 8)) v(p)
+        |        WHERE g.doc_id > o.first_doc),
+        |tok AS (SELECT doc_id, i AS pos, toks[i] AS tok
+        |        FROM t, unnest(range(1, len(toks) + 1)) u(i)),
+        |kept AS (SELECT tok.doc_id, count(*) AS n,
+        |                string_agg(tok.tok, ' ' ORDER BY tok.pos) AS txt
+        |         FROM tok LEFT JOIN cov
+        |           ON tok.doc_id = cov.doc_id AND tok.pos = cov.pos
+        |         WHERE cov.pos IS NULL
+        |         GROUP BY tok.doc_id)
+        |SELECT t.doc_id,
+        |       len(t.toks)::BIGINT AS n_tokens,
+        |       (len(t.toks) - coalesce(kept.n, 0))::BIGINT AS n_removed_tokens,
+        |       coalesce(kept.txt, '') AS text_clean
+        |FROM t LEFT JOIN kept USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
 
     "dedup_lines" ->
       """WITH d AS (

@@ -607,6 +607,61 @@ object Dedup {
       .select(col("__doc").as(idCol), col("n_shared_spans"), col("first_src"))
   }
 
+  /** The REWRITE half of substring-span dedup (Lee et al. 2021 cut the
+    * duplicated text, not the document): remove every token covered by a
+    * k-token run that an EARLIER document (smaller id) also contains, and
+    * rebuild each document from its surviving tokens in order.
+    * [[exactSubstringDups]] is the audit view (which docs share spans,
+    * how many); this produces the cleaned corpus.
+    *
+    * Returns one row per input document:
+    * (idCol, n_tokens, n_removed_tokens, text_clean) — text_clean = ''
+    * when the whole document was earlier-owned spans.
+    *
+    * Scale shape: positional k-grams (the occurrence multiset WITH
+    * positions — native single-pass [[graft.functions.Shingles]]), one
+    * min-owner hash agg on the gram, the covered-position explode fans
+    * out k rows per FLAGGED gram only (cover is sparse in a mostly-clean
+    * corpus), and the rebuild is one per-doc agg — all linear in corpus
+    * tokens, hash-partitioned; no pairwise anything. Gram strings keep
+    * the oracle string-exact; hash them to longs at web scale exactly as
+    * [[exactSubstringDups]] documents. NOT idempotent by design: removal
+    * splices previously-distant tokens together, which can form new
+    * k-runs — re-run to a fixpoint if the corpus demands it (the paper's
+    * single pass is the standard treatment).
+    */
+  def removeSharedSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8): DataFrame = {
+    require(k > 0, "removeSharedSpans: k must be positive")
+    val toks = docs.select(col(idCol).as("__doc"),
+      TextAnalysis.wsTokens(col(textCol)).as("__t"))
+    val grams = toks.select(col("__doc"),
+      posexplode(graft.functions.Shingles.ngramsAll(col("__t"), k)).as(Seq("__i", "__g")))
+    val owner = grams.groupBy(col("__g")).agg(min(col("__doc")).as("__first"))
+    val covered = grams.join(owner, "__g")
+      .filter(col("__doc") > col("__first"))
+      .select(col("__doc"), explode(sequence(col("__i"), col("__i") + (k - 1))).as("__pos"))
+      .distinct()
+    val kept = toks
+      .select(col("__doc"), posexplode(col("__t")).as(Seq("__pos", "__tok")))
+      .join(covered, Seq("__doc", "__pos"), "left_anti")
+      .groupBy(col("__doc"))
+      .agg(count(lit(1)).as("__n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("__pos"), col("__tok")))),
+            x => x.getField("__tok")),
+          " ").as("__txt"))
+    toks.select(col("__doc"), size(col("__t")).cast("long").as("n_tokens"))
+      .join(kept, Seq("__doc"), "left")
+      .select(col("__doc").as(idCol), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("__n_kept"), lit(0L))).as("n_removed_tokens"),
+        coalesce(col("__txt"), lit("")).as("text_clean"))
+  }
+
   /** Exact all-pairs embedding near-dup (cosine ≥ threshold). Quadratic —
     * correctness reference and oracle target only; the scale path is
     * [[embeddingNearDupLSH]].

@@ -215,6 +215,31 @@ class OperatorsSuite extends AnyFunSuite {
       s"LSH recall too low: ${flaggedLsh.size} of ${crossFlagged.size}")
   }
 
+  test("substring-span rewrite: earlier-owned runs removed, owners and clean docs untouched") {
+    import spark.implicits._
+    val shared = "s1 s2 s3 s4"  // a shared 4-run (k = 4)
+    val fixture = Seq(
+      (1L, s"$shared tail1 tail2"),          // owner: keeps everything
+      (2L, s"head1 head2 $shared tail3"),    // later doc: the run goes
+      (3L, shared),                          // nothing but the run: emptied
+      (4L, "clean doc with no shared runs at all")).toDF("doc_id", "text")
+    val got = Dedup.removeSharedSpans(fixture, "doc_id", "text", k = 4)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) === ((6L, 0L, s"$shared tail1 tail2")), "the owner keeps its text")
+    assert(got(2L) === ((7L, 4L, "head1 head2 tail3")))
+    assert(got(3L) === ((4L, 4L, "")), "a fully-covered doc collapses to empty")
+    assert(got(4L) === ((8L, 0L, "clean doc with no shared runs at all")))
+    // overlapping shared runs cover their union, not double-remove:
+    // doc 6 shares a 5-token run with doc 5 → two overlapping 4-grams,
+    // union of cover = 5 tokens
+    val overlap = Seq(
+      (5L, "o1 o2 o3 o4 o5 x"),
+      (6L, "y o1 o2 o3 o4 o5 z")).toDF("doc_id", "text")
+    val o = Dedup.removeSharedSpans(overlap, "doc_id", "text", k = 4)
+      .collect().map(r => (r.getLong(0), (r.getLong(2), r.getString(3)))).toMap
+    assert(o(6L) === ((5L, "y z")))
+  }
+
   test("semantic dedup: total, deterministic, groups exactly the in-cell near-dup pairs") {
     def run() = Dedup.semanticDedup(emb, "vec_id", "embedding", nlist = 4, threshold = 0.3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
