@@ -178,6 +178,27 @@ class PropertySuite extends AnyFunSuite {
     }
   }
 
+  test("substring audit and rewrite agree on which docs carry shared spans") {
+    // exactSubstringDups flags doc D  <=>  removeSharedSpans cuts tokens
+    // from D — the two views of the same ownership, for ANY corpus
+    val docGen = Gen.chooseNum(4, 14).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("w1", "w2", "w3", "w4", "w5")).map(_.mkString(" ")))
+    val corpusGen = Gen.chooseNum(3, 8).flatMap(n => Gen.listOfN(n, docGen))
+    samples(corpusGen, 6).foreach { docs =>
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          docs.zipWithIndex.map { case (t, i) => Row(i.toLong, t) }, 2),
+        StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))))
+      val flagged = Dedup.exactSubstringDups(df, "doc_id", "text", k = 3)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val cut = Dedup.removeSharedSpans(df, "doc_id", "text", k = 3)
+        .filter(col("n_removed_tokens") > 0)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(cut === flagged,
+        s"audit flags $flagged but rewrite cuts $cut (docs=$docs)")
+    }
+  }
+
   test("jaccard identity: a document is a perfect duplicate of itself") {
     val gen = Gen.chooseNum(5, 20).flatMap(n =>
       Gen.listOfN(n, Gen.oneOf("w1", "w2", "w3", "w4")).map(_.mkString(" ")))
