@@ -449,6 +449,33 @@ object SparkEntry {
         .orderBy(col("flag"))
     }),
 
+    // Scale companion to q_outliers_mad: both median passes run on
+    // percentile_approx (t-digest — one partial+final hash agg, mergeable
+    // across 1000 executors, no per-group sort), mirroring the
+    // q_percentiles → q_approx_percentiles pattern. Same census columns.
+    // No oracle (sketch-dependent); the spec pins it against the exact
+    // census within tolerance.
+    "q_outliers_mad_scale" -> ((s, dir) => {
+      val li = lineitem(s, dir)
+        .select(col("l_returnflag").as("flag"), col("l_extendedprice").as("x"))
+      val med = li.groupBy(col("flag"))
+        .agg(percentile_approx(col("x"), lit(0.5), lit(10000)).as("med"))
+      val mad = li.join(broadcast(med), "flag")
+        .withColumn("d", abs(col("x") - col("med")))
+        .groupBy(col("flag"))
+        .agg(percentile_approx(col("d"), lit(0.5), lit(10000)).as("mad"),
+          first(col("med")).as("med"))
+      li.join(broadcast(mad), "flag")
+        .withColumn("d", abs(col("x") - col("med")))
+        .groupBy(col("flag"))
+        .agg(count(lit(1)).as("n_rows"),
+          round(first(col("med")), 2).as("med"),
+          round(first(col("mad")), 2).as("mad"),
+          sum(when(col("d") > col("mad") * 3 * 1.4826, 1L).otherwise(0L))
+            .as("n_outliers"))
+        .orderBy(col("flag"))
+    }),
+
     // Skew-safe salted join: event_type has only 5 values — the canonical
     // hot-key shape. Salting spreads each key over 16 sub-keys; the result
     // is oracle-identical to the plain join (the whole point).
@@ -684,6 +711,21 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // IVF at FULL probe (nprobe = nlist): provably ≡ brute force — every
+    // cell is probed, so every vector is exact-cosine scored and the cell
+    // layer prunes nothing. That identity holds for ANY partition function
+    // (k-means quality only matters when pruning), so the cells here are a
+    // free hash split and the whole query is oracle-checked against the
+    // same DuckDB SQL as similarity_topk — a hard correctness gate on the
+    // ivfTopK probe/score/rank machinery itself.
+    "similarity_ivf_full_topk" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      val assigned = emb.withColumn("cell", pmod(col("vec_id"), lit(8)).cast("long"))
+      Similarity.ivfTopK(assigned, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", "cell", 5, nprobe = 8)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // PQ/ADC ANN top-5: the corpus compressed to m byte codes per vector,
     // queries scored through per-query lookup tables — the memory-bounded
     // scale path where even the float vectors are too big to scan (no SQL
@@ -694,8 +736,12 @@ object SparkEntry {
       // near-random, so quantization noise needs the extra resolution for
       // the recall the spec pins; real embedding corpora cluster and do
       // fine at m=8/ksub=16
+      // trainSample: the Lloyd loop sees a deterministic 1024-vector
+      // sample (production-quantizer practice — the codebook needs a
+      // representative sample, not the corpus); ENCODING still covers
+      // every vector
       Similarity.pqTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
-          dim = 64, k = 5, m = 16, ksub = 32)
+          dim = 64, k = 5, m = 16, ksub = 32, trainSample = 1024)
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -710,7 +756,8 @@ object SparkEntry {
       // (deterministic seeds); the spec's full-probe ≡ PQ identity and
       // recall floor run with the production default
       Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
-          dim = 64, k = 5, nlist = 8, nprobe = 3, m = 16, ksub = 32, iters = 1)
+          dim = 64, k = 5, nlist = 8, nprobe = 3, m = 16, ksub = 32, iters = 1,
+          trainSample = 1024)
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -1035,7 +1082,7 @@ object SparkEntry {
         .withColumn("len_bucket", floor(col("n_chars") / 100))
       Dedup.incrementalJaccardNew(
           d.filter(col("doc_id") >= 400), d.filter(col("doc_id") < 400),
-          "doc_id", "text", Seq(col("len_bucket")), shingleSize = 3, threshold = 0.5)
+          "doc_id", "text", Seq("len_bucket"), shingleSize = 3, threshold = 0.5)
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))
     }),
@@ -1808,6 +1855,39 @@ object SparkEntry {
         |       FROM scored)
         |SELECT query_id, neighbor_id, round(s, 4) AS cos_sim, rank
         |FROM ranked WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // full probe ≡ brute force (see the queries entry) — the oracle is the
+    // same exact-cosine top-5 SQL as similarity_topk
+    "similarity_ivf_full_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |           FROM embeddings WHERE vec_id < 5),
+        |     c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+        |     scored AS (
+        |       SELECT query_id, neighbor_id, list_cosine_similarity(qv, cv) AS s
+        |       FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
+        |     ranked AS (
+        |       SELECT query_id, neighbor_id, s,
+        |              row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rank
+        |       FROM scored)
+        |SELECT query_id, neighbor_id, round(s, 4) AS cos_sim, rank
+        |FROM ranked WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // the exact k-NN JOIN is brute force with corpus-as-queries — fully
+    // SQL-expressible, so it graduates from rows+spec to a hard oracle
+    "similarity_knn_join" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+        |     scored AS (
+        |       SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |              list_cosine_similarity(a.vec, b.vec) AS s
+        |       FROM v a CROSS JOIN v b WHERE a.vec_id <> b.vec_id),
+        |     ranked AS (
+        |       SELECT query_id, neighbor_id, s,
+        |              row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rank
+        |       FROM scored)
+        |SELECT query_id, neighbor_id, round(s, 4) AS cos_sim, rank
+        |FROM ranked WHERE rank <= 3
         |ORDER BY query_id, rank""".stripMargin,
 
     "embedding_neardup" ->

@@ -442,36 +442,52 @@ object Dedup {
     * `expectedItems` sizes the filter; left at -1 it is taken from a
     * `count()` of the distinct corpus fingerprints. The distinct set is
     * persisted for the duration of the call, so the corpus is scanned once
-    * (plus cached reads for the bloom build and residual anti join); the
-    * result is materialized (localCheckpoint) before returning so the
-    * broadcast sketch and the cache can be released eagerly instead of
-    * leaking across the daily-ingest loop this operator targets.
+    * (plus cached reads for the bloom build and residual anti join).
+    *
+    * EXECUTION-SEMANTICS CAVEAT — `eager` (default true): the result is
+    * materialized via `localCheckpoint()` BEFORE returning, so the call
+    * runs a Spark job at call time (not lazily at the caller's first
+    * action) and the broadcast sketch + cache are released instead of
+    * leaking across the daily-ingest loop this operator targets. Local
+    * checkpoints are NOT reliable storage: the materialized blocks live on
+    * executor local disk/memory without replication, so losing an executor
+    * after the call makes the result unrecoverable (acceptable in the
+    * single-JVM and short-lived-batch cases this targets; rerun the gate on
+    * failure). Pass `eager = false` to keep the classic lazy plan — the
+    * caller then owns the lifetime of the sketch broadcast and the corpus
+    * cache until its own first action, and the bloom filter is rebuilt on
+    * every downstream action that recomputes the plan.
     */
   def incrementalBloom(
       newBatch: DataFrame,
       corpus: DataFrame,
       fp: Column,
       fpp: Double = 0.01,
-      expectedItems: Long = -1L): DataFrame = {
+      expectedItems: Long = -1L,
+      eager: Boolean = true): DataFrame = {
     require(fpp > 0 && fpp < 1, "incrementalBloom: fpp must be in (0, 1)")
     val seen = corpus.select(fp.cast("string").as("fp")).distinct().persist()
     try {
+      // the sketch build below is a Spark job either way — "lazy" mode only
+      // defers the RESULT's materialization, never the bloom construction
       val n = if (expectedItems > 0) expectedItems else math.max(seen.count(), 1L)
       val bloom = seen.stat.bloomFilter("fp", n, fpp)
       val bc = newBatch.sparkSession.sparkContext.broadcast(bloom)
-      try {
-        // a Scala UDF (not codegen'd) is acceptable here: one sketch probe
-        // per row, and the alternative — shipping the sketch into a custom
-        // Expression — buys nothing since the probe itself dominates
-        val mightContain = udf((s: String) => s != null && bc.value.mightContainString(s))
-        val tagged = newBatch.withColumn("__fp", fp.cast("string"))
-        val definiteNew = tagged.filter(!mightContain(col("__fp")))
-        val suspects = tagged.filter(mightContain(col("__fp")))
-          .join(seen.withColumnRenamed("fp", "__fp"), Seq("__fp"), "left_anti")
-        // eager: cut the lineage so bc/seen can be freed before return
-        definiteNew.unionByName(suspects).drop("__fp").localCheckpoint()
-      } finally bc.destroy()
-    } finally seen.unpersist()
+      // a Scala UDF (not codegen'd) is acceptable here: one sketch probe
+      // per row, and the alternative — shipping the sketch into a custom
+      // Expression — buys nothing since the probe itself dominates
+      val mightContain = udf((s: String) => s != null && bc.value.mightContainString(s))
+      val tagged = newBatch.withColumn("__fp", fp.cast("string"))
+      val definiteNew = tagged.filter(!mightContain(col("__fp")))
+      val suspects = tagged.filter(mightContain(col("__fp")))
+        .join(seen.withColumnRenamed("fp", "__fp"), Seq("__fp"), "left_anti")
+      val out = definiteNew.unionByName(suspects).drop("__fp")
+      if (eager) {
+        // cut the lineage so bc/seen can be freed before return
+        try out.localCheckpoint()
+        finally bc.destroy()
+      } else out
+    } finally if (eager) seen.unpersist()
   }
 
   /** Exact incremental NEAR-dup — the daily-ingest near-dup gate: keep
@@ -490,20 +506,27 @@ object Dedup {
     * index is the reusable artifact a production loop keeps materialized.
     * String shingles keep the oracle string-exact; hash them to longs at
     * web scale exactly as [[ngramJaccardPairsPrefix]] does.
+    *
+    * `blockingKeys` are COLUMN NAMES (same contract as
+    * [[ngramJaccardPairs]]): the keys are re-resolved against both sides
+    * of the join, so a computed expression must be materialized as a
+    * column first (`df.withColumn("len_bucket", ...)`) — a Column
+    * parameter silently could not support that (its string form doesn't
+    * re-resolve), which is why the API takes names.
     */
   def incrementalJaccardNew(
       newBatch: DataFrame,
       corpus: DataFrame,
       idCol: String,
       textCol: String,
-      blockingKeys: Seq[Column],
+      blockingKeys: Seq[String],
       shingleSize: Int = 3,
       threshold: Double = 0.5): DataFrame = {
     require(threshold > 0.0, "incrementalJaccardNew: threshold must be > 0")
-    val keyNames = blockingKeys.map(_.toString)
+    val keyNames = blockingKeys
     def inv(df: DataFrame) = df
       .select(col(idCol).as("doc_id") +:
-        TextAnalysis.shingles(col(textCol), shingleSize).as("sh") +: blockingKeys: _*)
+        TextAnalysis.shingles(col(textCol), shingleSize).as("sh") +: keyNames.map(col): _*)
       .withColumn("n_sh", size(col("sh")))
       .select(col("doc_id") +: col("n_sh") +: explode(col("sh")).as("shingle") +:
         keyNames.map(col): _*)

@@ -309,6 +309,15 @@ object Pipeline {
     * DuckDB round in opposite directions (the q_outliers_mad failure
     * class). Scores are therefore compared at 10⁻⁴ resolution — exactly
     * the resolution the scoring operators already emit.
+    *
+    * The ×4 grid is EXACT only when (n−1)·(1−keepFrac) has a fractional
+    * part on the quarter grid (0, ¼, ½, ¾) — true for the keepFrac ∈
+    * {0.25, 0.5, 0.75} usages this library registers. For an arbitrary
+    * keepFrac (say 0.3) the interpolated quantile is not a quarter-unit
+    * multiple and `round(·*4)` re-introduces a rounded threshold — still
+    * deterministic WITHIN Spark, but the cross-engine tie guarantee above
+    * no longer applies; snap keepFrac to the quarter grid when oracle
+    * exactness matters.
     */
   def selectTopByScore(df: DataFrame, score: Column, keepFrac: Double): DataFrame = {
     require(keepFrac > 0.0 && keepFrac <= 1.0,

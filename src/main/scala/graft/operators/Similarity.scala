@@ -301,6 +301,13 @@ object Similarity {
     * Multi-pass working set: the (id, sub, subvec) table is
     * localCheckpointed once, exactly like [[kmeansCells]]. The codebook is
     * m·ksub tiny rows — always broadcast-able.
+    *
+    * `trainSample > 0` bounds the Lloyd working set to that many vectors —
+    * the deterministic md5-smallest rows (hash-spread, engine-reproducible;
+    * a TakeOrdered, not a global sort). This is how production quantizers
+    * train at scale: the codebook needs a representative sample, not the
+    * corpus — at 100 TB a full-corpus Lloyd loop is pure waste, while
+    * ENCODING (pqEncode) still covers every vector. 0 = train on all.
     */
   def pqTrain(
       corpus: DataFrame,
@@ -309,12 +316,17 @@ object Similarity {
       dim: Int,
       m: Int = 8,
       ksub: Int = 16,
-      iters: Int = 2): DataFrame = {
+      iters: Int = 2,
+      trainSample: Int = 0): DataFrame = {
     require(m > 0 && dim > 0 && dim % m == 0,
       s"pqTrain: dim ($dim) must be divisible by m ($m)")
     require(ksub > 1 && ksub <= 256 && iters >= 0,
       s"pqTrain: ksub must be in (1, 256] (codes are byte-sized), iters >= 0")
-    val base = subvectors(corpus, idCol, vecCol, "__id", dim, m).localCheckpoint()
+    val trainRows =
+      if (trainSample > 0)
+        corpus.orderBy(md5(col(idCol).cast("string")), col(idCol)).limit(trainSample)
+      else corpus
+    val base = subvectors(trainRows, idCol, vecCol, "__id", dim, m).localCheckpoint()
     val seedW = Window.partitionBy(col("sub"))
       .orderBy(md5(col("__id").cast("string")), col("__id"))
     var cents = base
@@ -366,14 +378,39 @@ object Similarity {
         transform(col("sc"), s => s.getField("code")).as("codes"))
   }
 
+  /** Per-query DENSE ADC lookup table: one row per query with an
+    * array<double> of length m·ksub, laid out row-major by subspace —
+    * `lut[sub·ksub + cell] = dot(q_sub, cent(sub, cell))`. Cells that
+    * dropped out of Lloyd training as empty are zero-filled; no code ever
+    * references them (encoding argmins over surviving cells only). The
+    * build is query-side work (tiny, broadcast); the map + sequence HOFs
+    * here run once per QUERY, never per corpus row.
+    */
+  private def denseLut(
+      queries: DataFrame, idCol: String, vecCol: String,
+      codebook: DataFrame, dim: Int, m: Int, ksub: Int): DataFrame =
+    subvectors(queries, idCol, vecCol, "query_id", dim, m)
+      .join(broadcast(codebook), Seq("sub"))
+      .select(col("query_id"),
+        (col("sub") * ksub + col("cell")).cast("int").as("__idx"),
+        dot(col("subvec"), col("cent")).as("__partial"))
+      .groupBy(col("query_id"))
+      .agg(map_from_entries(collect_list(struct(col("__idx"), col("__partial")))).as("__map"))
+      .select(col("query_id"),
+        transform(sequence(lit(0), lit(m * ksub - 1)),
+          i => coalesce(element_at(col("__map"), i), lit(0.0))).as("__lut"))
+
   /** PQ/ADC approximate top-k: train codebook → encode corpus to byte
     * codes → score queries by Asymmetric Distance Computation. Per query
-    * the lookup table dot(q_sub, cent) has m·ksub entries (with the query
-    * set: tiny, broadcast); the corpus side explodes its code arrays and
-    * probes the LUT map-side, partial sums collapsing to one row per
-    * (query, vector) before the exchange. Unit-normalized vectors make
-    * the summed subspace dot products the (quantized) cosine, so ranking
-    * is comparable to [[bruteForceTopK]] and recall is measurable.
+    * the dense lookup table dot(q_sub, cent) has m·ksub entries (tiny,
+    * broadcast — see [[denseLut]]); scoring is the native
+    * [[graft.functions.AdcScore]] kernel — one fused m-step flat-array
+    * loop per (query, vector) pair inside whole-stage codegen. The corpus
+    * is never exploded, joined on (sub, cell), or aggregated: one corpus
+    * scan against the broadcast LUTs, then the two-phase top-k. Unit-
+    * normalized vectors make the summed subspace dot products the
+    * (quantized) cosine, so ranking is comparable to [[bruteForceTopK]]
+    * and recall is measurable.
     *
     * The scale story vs [[ivfTopK]]: IVF prunes WHICH vectors are scored;
     * PQ shrinks WHAT is stored and scanned (m bytes/vector + one shared
@@ -389,20 +426,17 @@ object Similarity {
       k: Int,
       m: Int = 8,
       ksub: Int = 16,
-      iters: Int = 2): DataFrame = {
-    val codebook = pqTrain(corpus, idCol, vecCol, dim, m, ksub, iters)
+      iters: Int = 2,
+      trainSample: Int = 0): DataFrame = {
+    val codebook = pqTrain(corpus, idCol, vecCol, dim, m, ksub, iters, trainSample)
     val codes = pqEncode(corpus, idCol, vecCol, codebook, dim, m)
-    val lut = subvectors(queries, idCol, vecCol, "query_id", dim, m)
-      .join(broadcast(codebook), Seq("sub"))
-      .select(col("query_id"), col("sub"), col("cell"),
-        dot(col("subvec"), col("cent")).as("__partial"))
+    val lut = denseLut(queries, idCol, vecCol, codebook, dim, m, ksub)
     val scored = codes
-      .select(col(idCol).as("neighbor_id"),
-        posexplode(col("codes")).as(Seq("sub", "cell")))
-      .join(broadcast(lut), Seq("sub", "cell"))
+      .select(col(idCol).as("neighbor_id"), col("codes"))
+      .crossJoin(broadcast(lut))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .groupBy(col("query_id"), col("neighbor_id"))
-      .agg(sum(col("__partial")).as("cos_sim"))
+      .select(col("query_id"), col("neighbor_id"),
+        graft.functions.AdcScore.adc(col("codes"), col("__lut"), ksub).as("cos_sim"))
     topKScored(scored, k)
   }
 
@@ -430,7 +464,8 @@ object Similarity {
       nprobe: Int = 4,
       m: Int = 8,
       ksub: Int = 16,
-      iters: Int = 2): DataFrame = {
+      iters: Int = 2,
+      trainSample: Int = 0): DataFrame = {
     // IVF side: trained cells + their centroids (one-pass vector-avg agg)
     val cells = kmeansCells(corpus, idCol, vecCol, nlist, iters)
     val assigned = corpus.join(cells, idCol)
@@ -440,7 +475,7 @@ object Similarity {
       .agg(graft.functions.VectorAvg.vectorAvg(col("__cv")).as("cent"))
       .withColumn("centnorm", l2Norm(col("cent")))
     // PQ side: codebook + byte codes, tagged with each vector's IVF cell
-    val codebook = pqTrain(corpus, idCol, vecCol, dim, m, ksub, iters)
+    val codebook = pqTrain(corpus, idCol, vecCol, dim, m, ksub, iters, trainSample)
     val codes = pqEncode(corpus, idCol, vecCol, codebook, dim, m)
       .join(cells.withColumnRenamed("cell", "ivf_cell"), idCol)
     // probe list: nprobe closest centroids per query (broadcast codebook)
@@ -453,20 +488,16 @@ object Similarity {
       .withColumn("cent_rank", row_number().over(probeW))
       .filter(col("cent_rank") <= nprobe)
       .select(col("query_id"), col("ivf_cell"))
-    // ADC scoring, restricted to probed cells by the (query, cell) join
-    val lut = subvectors(queries, idCol, vecCol, "query_id", dim, m)
-      .join(broadcast(codebook), Seq("sub"))
-      .select(col("query_id"), col("sub"), col("cell"),
-        dot(col("subvec"), col("cent")).as("__partial"))
+    // ADC scoring via the native kernel, restricted to probed cells by the
+    // ivf_cell join; the dense per-query LUT rides in on a broadcast join
+    val lut = denseLut(queries, idCol, vecCol, codebook, dim, m, ksub)
     val scored = codes
       .join(probes, Seq("ivf_cell"))
       .select(col("query_id"), col(idCol).as("neighbor_id"), col("codes"))
       .filter(col("query_id") =!= col("neighbor_id"))
+      .join(broadcast(lut), Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        posexplode(col("codes")).as(Seq("sub", "cell")))
-      .join(broadcast(lut), Seq("query_id", "sub", "cell"))
-      .groupBy(col("query_id"), col("neighbor_id"))
-      .agg(sum(col("__partial")).as("cos_sim"))
+        graft.functions.AdcScore.adc(col("codes"), col("__lut"), ksub).as("cos_sim"))
     topKScored(scored, k)
   }
 }

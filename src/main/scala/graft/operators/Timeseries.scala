@@ -66,6 +66,45 @@ object Timeseries {
     * magnitudes: |v_u| ≤ 2⁶³/(gap seconds) is safe for any physical series
     * (a week-long gap still leaves 15 digits of value headroom).
     */
+  def gapFillInterpolate(
+      df: DataFrame,
+      key: Column,
+      tsSeconds: Column,
+      value: Column,
+      stepSeconds: Long): DataFrame = {
+    require(stepSeconds > 0, "gapFillInterpolate: stepSeconds must be positive")
+    val w = lit(stepSeconds)
+    val b = df
+      .select(key.as("key"), ((floor(tsSeconds / w)).cast("long") * w).as("bucket_s"), value.as("v"))
+      .groupBy(col("key"), col("bucket_s"))
+      .agg(round(avg(col("v")) * 10000, 0).cast("long").as("v_u"))
+    val spine = b.groupBy(col("key"))
+      .agg(min(col("bucket_s")).as("mn"), max(col("bucket_s")).as("mx"))
+      .select(col("key"), explode(sequence(col("mn"), col("mx"), w)).as("bucket_s"))
+    val back = Window.partitionBy(col("key")).orderBy(col("bucket_s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy(col("key")).orderBy(col("bucket_s"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    spine.join(b, Seq("key", "bucket_s"), "left")
+      .withColumn("prev_u", last(col("v_u"), ignoreNulls = true).over(back))
+      .withColumn("prev_t",
+        last(when(col("v_u").isNotNull, col("bucket_s")), ignoreNulls = true).over(back))
+      .withColumn("next_u", first(col("v_u"), ignoreNulls = true).over(fwd))
+      .withColumn("next_t",
+        first(when(col("v_u").isNotNull, col("bucket_s")), ignoreNulls = true).over(fwd))
+      .select(col("key"), col("bucket_s"),
+        col("v_u").isNotNull.as("is_observed"),
+        (col("prev_u").cast("double") / 10000.0).as("v_ffill"),
+        (when(col("v_u").isNotNull, col("v_u"))
+          .when(col("prev_t").isNotNull && col("next_t").isNotNull,
+            intDiv(
+              col("prev_u") * (col("next_t") - col("bucket_s")) +
+                col("next_u") * (col("bucket_s") - col("prev_t")),
+              col("next_t") - col("prev_t")))
+          .otherwise(coalesce(col("prev_u"), col("next_u")))
+          .cast("double") / 10000.0).as("v_interp"))
+  }
+
   /** Rolling z-score anomaly flags over an irregular event stream: each
     * row is judged against the trailing `windowSeconds` event-time RANGE
     * frame of its own key (inclusive of ts-peers, SQL peer semantics on
@@ -112,42 +151,4 @@ object Timeseries {
           lit(false)))
   }
 
-  def gapFillInterpolate(
-      df: DataFrame,
-      key: Column,
-      tsSeconds: Column,
-      value: Column,
-      stepSeconds: Long): DataFrame = {
-    require(stepSeconds > 0, "gapFillInterpolate: stepSeconds must be positive")
-    val w = lit(stepSeconds)
-    val b = df
-      .select(key.as("key"), ((floor(tsSeconds / w)).cast("long") * w).as("bucket_s"), value.as("v"))
-      .groupBy(col("key"), col("bucket_s"))
-      .agg(round(avg(col("v")) * 10000, 0).cast("long").as("v_u"))
-    val spine = b.groupBy(col("key"))
-      .agg(min(col("bucket_s")).as("mn"), max(col("bucket_s")).as("mx"))
-      .select(col("key"), explode(sequence(col("mn"), col("mx"), w)).as("bucket_s"))
-    val back = Window.partitionBy(col("key")).orderBy(col("bucket_s"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val fwd = Window.partitionBy(col("key")).orderBy(col("bucket_s"))
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    spine.join(b, Seq("key", "bucket_s"), "left")
-      .withColumn("prev_u", last(col("v_u"), ignoreNulls = true).over(back))
-      .withColumn("prev_t",
-        last(when(col("v_u").isNotNull, col("bucket_s")), ignoreNulls = true).over(back))
-      .withColumn("next_u", first(col("v_u"), ignoreNulls = true).over(fwd))
-      .withColumn("next_t",
-        first(when(col("v_u").isNotNull, col("bucket_s")), ignoreNulls = true).over(fwd))
-      .select(col("key"), col("bucket_s"),
-        col("v_u").isNotNull.as("is_observed"),
-        (col("prev_u").cast("double") / 10000.0).as("v_ffill"),
-        (when(col("v_u").isNotNull, col("v_u"))
-          .when(col("prev_t").isNotNull && col("next_t").isNotNull,
-            intDiv(
-              col("prev_u") * (col("next_t") - col("bucket_s")) +
-                col("next_u") * (col("bucket_s") - col("prev_t")),
-              col("next_t") - col("prev_t")))
-          .otherwise(coalesce(col("prev_u"), col("next_u")))
-          .cast("double") / 10000.0).as("v_interp"))
-  }
 }

@@ -82,14 +82,28 @@ final class MqttSource(client: MqttClientLike, topic: String) {
 }
 
 /** Window → MQTT sink (reference MQTTSink, contrib/mqtt.py:80-84): each
-  * row of the forwarded window publishes as one JSON message. Driver-side
-  * by design — windows are emit-sized, same as the reference's per-message
-  * `put`; a firehose topic would use the Kafka path instead.
+  * row of the forwarded window publishes as one JSON message — on the
+  * EXECUTORS. `clientFactory` must be a serializable thunk (capture broker
+  * config, not a live client); each non-empty partition builds its own
+  * client, connects, publishes its rows, and disconnects, so the window
+  * never funnels through the driver and a large forwarded batch publishes
+  * in parallel. Cross-partition publish order is unordered — MQTT topics
+  * carry no order guarantee across connections anyway. Empty partitions
+  * open no connection.
   */
-final class MqttSink(client: MqttClientLike, topic: String) {
+final class MqttSink(clientFactory: () => MqttClientLike, topic: String)
+    extends Serializable {
   def put(df: org.apache.spark.sql.DataFrame): Unit = {
-    client.connect()
-    df.toJSON.collect().foreach(m => client.publish(topic, m))
+    val t = topic
+    val mk = clientFactory
+    df.toJSON.foreachPartition { (rows: Iterator[String]) =>
+      if (rows.hasNext) {
+        val client = mk()
+        client.connect()
+        try rows.foreach(m => client.publish(t, m))
+        finally client.disconnect()
+      }
+    }
   }
 }
 

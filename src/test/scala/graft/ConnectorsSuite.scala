@@ -18,6 +18,34 @@ import graft.streaming._
   * test_minibatch.py::test_buffer_housekeeping) — injectable fake clients
   * in place of the reference's MagicMock broker clients.
   */
+/** Executor-side capture for the MQTT sink: the sink publishes inside
+  * foreachPartition, so the capturing state must live in a STATIC (top-
+  * level object) registry the executor-side clients can reach in local
+  * mode — an instance-held buffer would be mutated on a deserialized
+  * closure copy and the assertions would read the untouched original.
+  */
+private[graft] object MqttSinkCapture {
+  val published = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+  val connects = new java.util.concurrent.atomic.AtomicInteger(0)
+  val disconnects = new java.util.concurrent.atomic.AtomicInteger(0)
+  def reset(): Unit = { published.clear(); connects.set(0); disconnects.set(0) }
+  def newClient(): MqttClientLike = new MqttClientLike {
+    def connect(): Unit = { connects.incrementAndGet(); () }
+    def subscribe(topic: String): Unit = ()
+    def onMessage(h: (String, String, Int, Boolean) => Unit): Unit = ()
+    def publish(topic: String, payloadJson: String): Unit = {
+      published.add((topic, payloadJson)); ()
+    }
+    def disconnect(): Unit = { disconnects.incrementAndGet(); () }
+  }
+  def publishedSeq: Seq[(String, String)] = {
+    val it = published.iterator()
+    val b = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    while (it.hasNext) b += it.next()
+    b.toSeq
+  }
+}
+
 class ConnectorsSuite extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
@@ -121,32 +149,37 @@ class ConnectorsSuite extends AnyFunSuite {
     assert(fake.disconnected === 1)
   }
 
-  test("mqtt sink: forwarded window publishes each row as JSON (test_mqtt.py:36-43 port)") {
-    val fake = new FakeMqttClient
-    val sink = new MqttSink(fake.client, "TEST/#")
+  test("mqtt sink: forwarded window publishes each row as JSON, on executors (test_mqtt.py:36-43 port)") {
+    MqttSinkCapture.reset()
+    val sink = new MqttSink(() => MqttSinkCapture.newClient(), "TEST/#")
     val df = spark.range(1).selectExpr("'bar' AS foo")
     sink.put(df)
-    assert(fake.published.toSeq === Seq(("TEST/#", """{"foo":"bar"}""")))
+    assert(MqttSinkCapture.publishedSeq === Seq(("TEST/#", """{"foo":"bar"}""")))
+    // one connect/disconnect pair per NON-EMPTY partition — empty
+    // partitions of the range must not have opened broker connections
+    assert(MqttSinkCapture.connects.get() === 1)
+    assert(MqttSinkCapture.disconnects.get() === 1)
   }
 
   test("mqtt end-to-end: source -> stream -> emitter -> mqtt sink") {
     val mb = Minibatch(spark, freshRoot())
     val st = mb.stream("mqtt_e2e")
     val inFake = new FakeMqttClient
-    val outFake = new FakeMqttClient
     new MqttSource(inFake.client, "IN/#").stream(st)
     inFake.deliver("IN/a", """{"v":1}""", 0, retain = false)
     inFake.deliver("IN/b", """{"v":2}""", 0, retain = false)
     st.flush()
-    val sink = new MqttSink(outFake.client, "OUT")
+    MqttSinkCapture.reset()
+    val sink = new MqttSink(() => MqttSinkCapture.newClient(), "OUT")
     mb.streaming("mqtt_e2e").size(2)
       .sink(df => sink.put(
         df.select(get_json_object(col("data"), "$.topic").as("topic"),
           get_json_object(col("data"), "$.payload.v").cast("int").as("v"))))
       .run()
-    assert(outFake.published.size === 2)
-    assert(outFake.published.forall(_._1 === "OUT"))
-    val payloads = outFake.published.map(_._2).sorted
+    val published = MqttSinkCapture.publishedSeq
+    assert(published.size === 2)
+    assert(published.forall(_._1 === "OUT"))
+    val payloads = published.map(_._2).sorted
     assert(payloads === Seq("""{"topic":"IN/a","v":1}""", """{"topic":"IN/b","v":2}"""))
   }
 

@@ -195,7 +195,7 @@ class OperatorsSuite extends AnyFunSuite {
     val blocked = docs.withColumn("len_bucket", floor(col("n_chars") / 100))
     val keptExact = Dedup.incrementalJaccardNew(
         blocked.filter(col("doc_id") >= 400), blocked.filter(col("doc_id") < 400),
-        "doc_id", "text", Seq(col("len_bucket")), shingleSize = 3, threshold = 0.5)
+        "doc_id", "text", Seq("len_bucket"), shingleSize = 3, threshold = 0.5)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     val flaggedExact = batchIds -- keptExact
     assert(flaggedExact.subsetOf(crossFlagged), "blocking must not invent dups")
@@ -637,6 +637,70 @@ class OperatorsSuite extends AnyFunSuite {
           s"priority $k: approx $a deviates >1% from exact $e")
       }
     }
+  }
+
+  test("MAD outlier census: approx scale companion tracks exact (q_outliers_mad_scale gate)") {
+    // same sf0.01 rationale as the approx-percentiles gate: groups dense
+    // enough that t-digest's returned elements sit within tolerance
+    val dir = "/root/testdata/sf0.01"
+    def census(name: String) = SparkEntry.queries(name)(spark, dir)
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))
+      .toMap
+    val exact = census("q_outliers_mad")
+    val approx = census("q_outliers_mad_scale")
+    assert(exact.keySet === approx.keySet)
+    exact.foreach { case (k, (en, emed, emad, eout)) =>
+      val (an, amed, amad, aout) = approx(k)
+      assert(an === en, s"flag $k: row counts must agree")
+      assert(math.abs(amed - emed) <= 0.01 * math.abs(emed),
+        s"flag $k: approx median $amed deviates >1% from exact $emed")
+      assert(math.abs(amad - emad) <= 0.02 * math.abs(emad),
+        s"flag $k: approx MAD $amad deviates >2% from exact $emad")
+      // the tail census moves with the threshold — a sketch-shifted cutoff
+      // may reclassify boundary rows, so pin count drift, not equality
+      assert(math.abs(aout - eout) <= math.max(5.0, 0.05 * eout),
+        s"flag $k: approx outlier count $aout drifts >5% from exact $eout")
+    }
+  }
+
+  test("native ADC kernel: flat-array probe matches the explicit sum; out-of-range codes fail loudly") {
+    import spark.implicits._
+    val ksub = 4
+    // lut for m=3, ksub=4: entry (sub, cell) = 10·sub + cell
+    val lut = (0 until 12).map(i => (i / 4) * 10.0 + (i % 4))
+    val df = Seq(
+      (Seq(0L, 1L, 2L), lut),
+      (Seq(3L, 3L, 3L), lut)).toDF("codes", "lut")
+    val got = df
+      .select(graft.functions.AdcScore.adc(col("codes"), col("lut"), ksub).as("s"))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(got === Seq(0.0 + 11.0 + 22.0, 3.0 + 13.0 + 23.0))
+    // code ≥ ksub is a codebook/encoding mismatch — loud, never a wrong score
+    val bad = Seq((Seq(4L), Seq(1.0, 2.0, 3.0, 4.0))).toDF("codes", "lut")
+    val e = intercept[Exception] {
+      bad.select(graft.functions.AdcScore.adc(col("codes"), col("lut"), ksub)).collect()
+    }
+    def messages(t: Throwable): List[String] =
+      if (t == null) Nil else Option(t.getMessage).toList ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("graft_adc")), s"got: ${messages(e)}")
+  }
+
+  test("PQ sampled training: bounded deterministic Lloyd sample, still k per query with a recall floor") {
+    val queries = emb.filter(col("vec_id") < 10)
+    def run() = Similarity.pqTopK(emb, queries, "vec_id", "embedding",
+        dim = 64, k = 5, m = 16, ksub = 32, trainSample = 256)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = run()
+    assert(run() === got, "sampled training must stay deterministic")
+    val brute = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.size === brute.size, "still k rows per query")
+    val recall = (brute & got).size.toDouble / brute.size
+    // structural floor only: the fixture vectors are near-random and the
+    // codebook saw half the corpus — real clustered embeddings do better
+    assert(recall >= 0.25, s"sampled-training PQ recall too low: $recall")
   }
 
   test("multimodal: synthetic media, fallback feature extraction, frame sampling, resize") {
