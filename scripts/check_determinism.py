@@ -18,8 +18,10 @@ B = Path(sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_runB")
 
 
 def load(d: Path) -> pd.DataFrame:
-    df = pd.concat([pd.read_parquet(f) for f in d.glob("*.parquet")],
-                   ignore_index=True)
+    files = sorted(d.glob("*.parquet"))
+    if not files:
+        raise ValueError(f"{d}: no parquet files (empty or partial Verify output)")
+    df = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
         if df[c].dtype == object:
@@ -29,13 +31,27 @@ def load(d: Path) -> pd.DataFrame:
 
 def main() -> None:
     failures = 0
-    names = sorted(p.name for p in A.iterdir() if p.is_dir())
+    # union of both runs' query dirs: a query present only in run B is just
+    # as much a determinism failure as one present only in run A
+    names = sorted({p.name for d in (A, B) if d.is_dir()
+                    for p in d.iterdir() if p.is_dir()})
+    if not names:
+        sys.exit(f"no query directories under {A} or {B}")
     for name in names:
+        if not (A / name).is_dir():
+            print(f"✗ {name}: missing in first run")
+            failures += 1
+            continue
         if not (B / name).is_dir():
             print(f"✗ {name}: missing in second run")
             failures += 1
             continue
-        a, b = load(A / name), load(B / name)
+        try:
+            a, b = load(A / name), load(B / name)
+        except ValueError as e:
+            print(f"✗ {name}: {e}")
+            failures += 1
+            continue
         try:
             pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
             print(f"✓ {name} ({len(a)} rows)")

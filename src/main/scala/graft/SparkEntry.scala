@@ -1346,11 +1346,16 @@ object SparkEntry {
     }),
 
     // The full training-data pipeline as ONE composed query — the thing a
-    // real user builds first from these operators: bench holdout → Gopher
-    // quality gate → PII redaction → whole-doc exact dedup → benchmark
-    // decontamination → domain-mixture sampling → deterministic split →
-    // census. Proves the operators compose without column/name collisions;
-    // every stage is a shrink (spec asserts monotonicity). Each stage keeps
+    // real user builds first from these operators. Round-10 widening:
+    // normalization runs before the dedup key, the CCNet fluency gate runs
+    // after decontamination, and the corpus ships as DEDUPED CHUNKS, so
+    // the census is per-(lang, split) doc/chunk counts. Stages:
+    // bench holdout → Gopher quality gate → PII redaction → canonical
+    // NORMALIZATION → whole-doc exact dedup → benchmark decontamination →
+    // CCNet FLUENCY gate → domain-mixture sampling → deterministic split →
+    // token CHUNKING → chunk-level exact dedup → census. Proves the
+    // operators compose without column/name collisions; every doc stage is
+    // a shrink (spec asserts monotonicity). Each stage keeps
     // its scale shape: per-row filters, hash aggs, one broadcast-able gram
     // join — the composition adds no new shuffle beyond its stages.
     "pipeline_e2e" -> ((s, dir) => {
@@ -1363,19 +1368,41 @@ object SparkEntry {
         .filter(col("pass"))
         .select(col("doc_id"), col("lang"), col("text"))
       val clean = quality.withColumn("text", TextAnalysis.redact(col("text")))
+      // canonical normalization BEFORE any dedup key is computed
+      val normed = clean.withColumn("text", TextAnalysis.normalizeText(col("text")))
       val keepIds = Dedup.exactByKey(
-        clean.select(TextAnalysis.md5Fingerprint(col("text")).as("fp"), col("doc_id")),
+        normed.select(TextAnalysis.md5Fingerprint(col("text")).as("fp"), col("doc_id")),
         col("fp"), col("doc_id"))
-      val deduped = clean.join(keepIds.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      val deduped = normed.join(keepIds.select(col("doc_id")), Seq("doc_id"), "left_semi")
       val contaminated = Pipeline.contaminatedDocs(deduped, bench, "doc_id", "text", n = 5)
         .select(col("doc_id"))
       val decon = deduped.join(contaminated, Seq("doc_id"), "left_anti")
-      val mixed = Pipeline.weightedSample(decon, col("doc_id"), col("lang"),
+      // CCNet gate: the surviving corpus scored under its own bigram LM,
+      // keep the most fluent half (quantile threshold, no corpus sort)
+      val fluentIds = Pipeline.selectTopByScore(
+          Pipeline.bigramLogLikelihood(decon, decon, "doc_id", "text"),
+          col("avg_logp"), keepFrac = 0.5)
+        .select(col("doc_id"))
+      val fluent = decon.join(fluentIds, Seq("doc_id"), "left_semi")
+      val mixed = Pipeline.weightedSample(fluent, col("doc_id"), col("lang"),
         Map("en" -> 100, "de" -> 50, "fr" -> 50, "es" -> 25, "zh" -> 10))
-      Pipeline.deterministicSplit(mixed, col("doc_id"))
+      val split = Pipeline.deterministicSplit(mixed, col("doc_id"))
+      // ship as deduped CHUNKS: token windows, exact chunk dedup (lowest
+      // (doc, idx) keeps the canonical copy), census per (lang, split)
+      val chunks = Pipeline.chunkTokens(split, col("doc_id"), col("text"),
+          window = 64, stride = 48)
+        .withColumn("chunk_uid", col("id") * lit(1000000L) + col("chunk_idx"))
+      val keepChunks = Dedup.exactByKey(
+        chunks.select(col("chunk_hash"), col("chunk_uid")),
+        col("chunk_hash"), col("chunk_uid"))
+      chunks
+        .join(keepChunks.select(col("chunk_uid"), lit(1L).as("__kept")),
+          Seq("chunk_uid"), "left")
+        .join(split.select(col("doc_id").as("id"), col("lang"), col("split")), Seq("id"))
         .groupBy(col("lang"), col("split"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(size(TextAnalysis.wsTokens(col("text")))).as("sum_tokens"))
+        .agg(countDistinct(col("id")).as("n_docs"),
+          count(lit(1)).as("n_chunks"),
+          sum(coalesce(col("__kept"), lit(0L))).as("n_chunks_kept"))
         .orderBy(col("lang"), col("split"))
     })
   )
@@ -2468,8 +2495,13 @@ object SparkEntry {
         |           '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
         |           '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g') AS text
         |  FROM q),
-        |k AS (SELECT min(doc_id) AS doc_id FROM r GROUP BY md5(lower(trim(text)))),
-        |dd AS (SELECT r.* FROM r JOIN k USING (doc_id)),
+        |nrm AS (
+        |  SELECT doc_id, lang,
+        |         trim(regexp_replace(lower(nfc_normalize(text)),
+        |                             '[ \t\r\n]+', ' ', 'g')) AS text
+        |  FROM r),
+        |k AS (SELECT min(doc_id) AS doc_id FROM nrm GROUP BY md5(lower(trim(text)))),
+        |dd AS (SELECT nrm.* FROM nrm JOIN k USING (doc_id)),
         |bg AS (
         |  SELECT DISTINCT unnest(list_distinct(
         |           [array_to_string(toks[i:i+4], ' ') for i in range(1, len(toks) - 3)])) AS gram
@@ -2481,21 +2513,50 @@ object SparkEntry {
         |  FROM (SELECT doc_id, string_split_regex(text, ' +') AS toks FROM dd)),
         |contam AS (SELECT DISTINCT tg.doc_id FROM tg JOIN bg USING (gram)),
         |decon AS (SELECT * FROM dd WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+        |ftoks AS (SELECT doc_id, string_split_regex(text, ' +') AS t FROM decon),
+        |funi AS (SELECT unnest(t) AS w FROM ftoks),
+        |fucnt AS (SELECT w, count(*) AS uc FROM funi GROUP BY w),
+        |fv AS (SELECT count(*) AS v FROM fucnt),
+        |fbg AS (SELECT doc_id, array_to_string(t[i:i+1], ' ') AS b, t[i] AS w1
+        |        FROM ftoks, unnest(range(1, len(t))) u(i)),
+        |fbcnt AS (SELECT b, count(*) AS bc FROM fbg GROUP BY b),
+        |fdb AS (SELECT doc_id, b, w1, count(*) AS c FROM fbg GROUP BY doc_id, b, w1),
+        |fscore AS (
+        |  SELECT fdb.doc_id,
+        |         round(sum(fdb.c * (ln(fbcnt.bc + 1.0) - ln(fucnt.uc + 1.0 * fv.v)))
+        |               / sum(fdb.c), 4) AS avg_logp
+        |  FROM fdb JOIN fbcnt USING (b) JOIN fucnt ON fdb.w1 = fucnt.w CROSS JOIN fv
+        |  GROUP BY fdb.doc_id),
+        |fsq AS (SELECT doc_id, CAST(round(avg_logp * 10000, 0) AS BIGINT) AS scq
+        |        FROM fscore),
+        |fthr AS (SELECT CAST(round(quantile_cont(scq, 0.5) * 4, 0) AS BIGINT) AS tq
+        |         FROM fsq),
+        |fluent AS (SELECT decon.* FROM decon JOIN fsq USING (doc_id), fthr
+        |           WHERE fsq.scq * 4 >= fthr.tq),
         |mixed AS (
-        |  SELECT * FROM decon
+        |  SELECT * FROM fluent
         |  WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 100 <
         |        CASE lang WHEN 'en' THEN 100 WHEN 'de' THEN 50 WHEN 'fr' THEN 50
         |                  WHEN 'es' THEN 25 WHEN 'zh' THEN 10 ELSE 100 END),
         |final AS (
-        |  SELECT lang, text,
+        |  SELECT doc_id, lang, text,
         |         CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid'
         |              ELSE 'test' END AS split
-        |  FROM (SELECT lang, text,
+        |  FROM (SELECT doc_id, lang, text,
         |          ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 100 AS b
-        |        FROM mixed))
-        |SELECT lang, split, count(*)::BIGINT AS n_docs,
-        |       sum(len(string_split_regex(text, ' +')))::BIGINT AS sum_tokens
-        |FROM final
+        |        FROM mixed)),
+        |fc AS (SELECT doc_id, lang, split, string_split_regex(text, ' +') AS toks
+        |       FROM final),
+        |c AS (SELECT doc_id, lang, split,
+        |             doc_id * 1000000 + s // 48 AS chunk_uid,
+        |             md5(array_to_string(toks[s + 1:s + 64], ' ')) AS chunk_hash
+        |      FROM fc, unnest(range(0, len(toks), 48)) u(s)),
+        |kc AS (SELECT chunk_hash, min(chunk_uid) AS chunk_uid FROM c GROUP BY chunk_hash)
+        |SELECT lang, split, count(DISTINCT c.doc_id)::BIGINT AS n_docs,
+        |       count(*)::BIGINT AS n_chunks,
+        |       sum(CASE WHEN kc.chunk_uid IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+        |         AS n_chunks_kept
+        |FROM c LEFT JOIN kc ON c.chunk_uid = kc.chunk_uid
         |GROUP BY lang, split
         |ORDER BY lang, split""".stripMargin
   )

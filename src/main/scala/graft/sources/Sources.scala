@@ -10,6 +10,13 @@ import graft.streaming.MbStream
   *
   *  - Kafka (reference contrib/kafka.py:6-58) → Spark's built-in kafka
   *    format: [[KafkaIO.source]]. Untestable offline; thin wiring only.
+  *    An embedded-broker round-trip spec was evaluated and is NOT
+  *    feasible in this build environment: neither kafka-clients, nor
+  *    kafka server jars, nor spark-sql-kafka exist in /opt/spark/jars or
+  *    the offline dependency cache (zero-egress sandbox), so the
+  *    plan-transform specs ([[KafkaIO.project]]/[[KafkaIO.serialize]]
+  *    against kafka-shaped frames, mirroring reference
+  *    test_kafka.py:19-63) remain the deepest offline-verifiable layer.
   *  - Mongo poll-by-monotonic-key (contrib/mongodb.py:7-87) → generalized
   *    [[TableTailSource]]: incremental reads of any table with a
   *    monotonically increasing key.

@@ -765,6 +765,44 @@ class OperatorsSuite extends AnyFunSuite {
     assert(fallback.getAs[scala.collection.Seq[Float]]("features").length === Multimodal.FeatureDim)
   }
 
+  test("multimodal: real JPEG bytes decode via javax.imageio — no fallback; GIF/BMP decode too") {
+    // 32×24 (left half black / right half white): big enough that JPEG's
+    // lossy 8×8 blocks leave the halves clearly separated after decode
+    val img = new java.awt.image.BufferedImage(32, 24, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 24; x <- 0 until 32)
+      img.setRGB(x, y, if (x < 16) 0x000000 else 0xFFFFFF)
+    def encodeAs(fmt: String): Array[Byte] = {
+      val baos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, baos), s"JDK must encode $fmt")
+      baos.toByteArray
+    }
+    val jpeg = encodeAs("jpg")
+    // the fixture really is a JPEG (FF D8 FF) — the sniff path under test
+    assert((jpeg(0) & 0xFF) === 0xFF && (jpeg(1) & 0xFF) === 0xD8 && (jpeg(2) & 0xFF) === 0xFF)
+    val rows = Seq(
+      org.apache.spark.sql.Row(1L, "image", jpeg, null, null, null),
+      org.apache.spark.sql.Row(2L, "image", encodeAs("gif"), null, null, null),
+      org.apache.spark.sql.Row(3L, "image", encodeAs("bmp"), null, null, null))
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), Multimodal.MediaSchema)
+    val out = Multimodal.extractFeatures(media, batchSize = 2)
+      .orderBy("media_id").collect()
+    // every format decodes for real: true pixel dims, never the fallback's
+    // null dims
+    out.foreach { r =>
+      assert(r.getAs[Int]("decoded_width") === 32, s"row ${r.getLong(0)}")
+      assert(r.getAs[Int]("decoded_height") === 24, s"row ${r.getLong(0)}")
+    }
+    // JPEG is lossy — luminance thresholds looser than the PNG spec's
+    val f = out(0).getAs[scala.collection.Seq[Float]]("features")
+    for (gy <- 0 until 4) {
+      assert(f(gy * 4 + 0) < 0.2f && f(gy * 4 + 1) < 0.2f,
+        s"left cells must stay dark after JPEG roundtrip: ${f.toList}")
+      assert(f(gy * 4 + 2) > 0.8f && f(gy * 4 + 3) > 0.8f,
+        s"right cells must stay bright after JPEG roundtrip: ${f.toList}")
+    }
+  }
+
   test("multimodal: real WAV bytes decode via javax.sound.sampled to RMS envelope") {
     // 16-bit PCM mono WAV built in-test: 1600 samples at 8 kHz — first
     // half silence, second half constant half-scale amplitude
@@ -1184,22 +1222,80 @@ class OperatorsSuite extends AnyFunSuite {
         minAlphaFrac = 0.8, minStopHits = 1)
       .filter(col("pass")).select(col("doc_id"), col("lang"), col("text"))
     val clean = quality.withColumn("text", TextAnalysis.redact(col("text")))
+    val normed = clean.withColumn("text", TextAnalysis.normalizeText(col("text")))
     val keepIds = Dedup.exactByKey(
-      clean.select(TextAnalysis.md5Fingerprint(col("text")).as("fp"), col("doc_id")),
+      normed.select(TextAnalysis.md5Fingerprint(col("text")).as("fp"), col("doc_id")),
       col("fp"), col("doc_id"))
-    val deduped = clean.join(keepIds.select(col("doc_id")), Seq("doc_id"), "left_semi")
+    val deduped = normed.join(keepIds.select(col("doc_id")), Seq("doc_id"), "left_semi")
     val decon = deduped.join(
       Pipeline.contaminatedDocs(deduped, bench, "doc_id", "text", n = 5).select(col("doc_id")),
       Seq("doc_id"), "left_anti")
-    val mixed = Pipeline.weightedSample(decon, col("doc_id"), col("lang"),
+    val fluent = decon.join(
+      Pipeline.selectTopByScore(
+          Pipeline.bigramLogLikelihood(decon, decon, "doc_id", "text"),
+          col("avg_logp"), keepFrac = 0.5)
+        .select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val mixed = Pipeline.weightedSample(fluent, col("doc_id"), col("lang"),
       Map("en" -> 100, "de" -> 50, "fr" -> 50, "es" -> 25, "zh" -> 10))
     val counts = Seq(docsAll.count(), train.count(), quality.count(),
-      deduped.count(), decon.count(), mixed.count())
+      deduped.count(), decon.count(), fluent.count(), mixed.count())
     assert(counts.zip(counts.tail).forall { case (a, b) => b <= a },
       s"a pipeline stage grew the corpus: $counts")
     assert(counts.last > 0, "pipeline filtered everything out — stages are vacuous")
-    // the shipped query's census must sum to exactly the final stage
+    // the shipped query's census must cover exactly the final doc stage
+    // (chunking multiplies rows but never drops a doc: gopher guarantees
+    // >= 50 tokens, so every surviving doc yields >= 1 chunk)
     val census = SparkEntry.queries("pipeline_e2e")(spark, sf)
     assert(census.agg(sum(col("n_docs"))).head().getLong(0) === counts.last)
+    // chunk-level dedup can only shrink the chunk set, never empty it
+    val chunkAgg = census.agg(sum(col("n_chunks")), sum(col("n_chunks_kept"))).head()
+    assert(chunkAgg.getLong(1) <= chunkAgg.getLong(0) && chunkAgg.getLong(1) > 0)
+  }
+
+  test("scale-posture plan assertions: the top-cost queries never cartesian, never sort a single partition, broadcast what they claim") {
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+    import org.apache.spark.sql.execution.{SortExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+
+    // AQE wraps the tree in AdaptiveSparkPlanExec (opaque to collect), so
+    // the shape assertions run on the statically-planned tree
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      // name -> must the plan contain a broadcast? (the LSH kNN join's whole
+      // point is that NOTHING is broadcast — both sides hash-partition on
+      // (table, bucket))
+      val cases = Seq(
+        "similarity_pq_topk" -> true,    // per-query LUT rides a broadcast
+        "similarity_ivfpq_topk" -> true, // both codebooks + LUT broadcast
+        "text_tfidf" -> true,            // corpus size N as broadcast 1-row agg
+        "q_outliers_mad" -> true,        // med/MAD tables broadcast to the census
+        "similarity_knn_join_lsh" -> false)
+      cases.foreach { case (name, expectBroadcast) =>
+        val plan: SparkPlan =
+          SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan
+        val cartesians = plan.collect { case c: CartesianProductExec => c }
+        assert(cartesians.isEmpty,
+          s"$name: CartesianProduct in plan — a broadcast side was lost:\n$plan")
+        // a Sort whose input is an Exchange to ONE partition is the global-
+        // single-partition-sort shape (global window/row_number); none of
+        // these queries may have one (their output orderBy is a RANGE
+        // partitioned sort, which is fine)
+        val singlePartSorts = plan.collect {
+          case s: SortExec if (s.child match {
+            case e: ShuffleExchangeExec => e.outputPartitioning == SinglePartition
+            case _ => false
+          }) => s
+        }
+        assert(singlePartSorts.isEmpty,
+          s"$name: sort over a single-partition exchange — global sort crept in:\n$plan")
+        val broadcasts = plan.collect { case b: BroadcastExchangeExec => b }
+        if (expectBroadcast)
+          assert(broadcasts.nonEmpty,
+            s"$name: expected a broadcast side, found none — a shuffle join replaced it:\n$plan")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 }
