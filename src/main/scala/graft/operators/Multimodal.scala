@@ -9,10 +9,12 @@ import org.apache.spark.sql.types._
   *
   * IMAGE decoding is REAL: PNG/JPEG/GIF/BMP bytes are decoded with the
   * JDK's `javax.imageio` into true width/height and a 4×4 grid-luminance
-  * feature vector. AUDIO decoding is REAL for WAV/PCM: RIFF bytes are
+  * feature vector. MULTI-FRAME decoding is REAL for animated GIF
+  * ([[decodeFrames]]: one row per actual frame with per-frame features).
+  * AUDIO decoding is REAL for WAV/PCM: RIFF bytes are
   * decoded with the JDK's `javax.sound.sampled` into per-segment RMS
-  * amplitude features. Bytes no in-JDK decoder understands (video
-  * payloads, compressed audio, corrupt media) fall back to
+  * amplitude features. Bytes no in-JDK decoder understands (mp4/webm
+  * video, compressed audio, corrupt media) fall back to
   * `byteStrideFeatures`, a deterministic byte-level fingerprint, with
   * null decoded dimensions — so the pipeline never fails on an
   * undecodable row and a richer decoder (JNI/ONNX) swaps in by replacing
@@ -214,6 +216,61 @@ object Multimodal {
               case None =>
                 val feat = tryDecodeAudio(bytes).getOrElse(byteStrideFeatures(bytes))
                 Row(r.getLong(0), r.getString(1), null, null, feat.toSeq)
+            }
+          }
+        }
+      }(enc)
+  }
+
+  /** REAL frame decode for multi-frame media the JDK can read (animated
+    * GIF — the one multi-frame "video" container with an in-JDK codec):
+    * one output row per actually-decoded frame, with the frame's true
+    * dimensions and per-frame grid-luminance features. Single-frame
+    * stills (PNG/JPEG/BMP, or a one-frame GIF) yield exactly one row;
+    * bytes no reader understands yield ZERO rows (audit those through
+    * [[extractFeatures]]'s fallback or [[frameSample]]'s metadata plan —
+    * this operator's contract is decoded truth only). `maxFrames` caps
+    * runaway animations so one hostile payload can't monopolize a task.
+    *
+    * Same scale shape as [[extractFeatures]]: mapPartitions, one reader
+    * registry per partition, frames materialized per row before the
+    * reader is disposed. A production video path (mp4/webm) swaps the
+    * reader for a JNI/ffmpeg context behind the same row contract.
+    */
+  def decodeFrames(media: DataFrame, maxFrames: Int = 32): DataFrame = {
+    require(maxFrames > 0, "decodeFrames: maxFrames must be positive")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("decoded_width", IntegerType, nullable = false),
+      StructField("decoded_height", IntegerType, nullable = false),
+      StructField("features", ArrayType(FloatType, containsNull = false), nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    media.select(col("media_id"), col("content"))
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]]("content")
+          if (!looksLikeImage(bytes)) Iterator.empty
+          else {
+            val iis = javax.imageio.ImageIO.createImageInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            val readers = javax.imageio.ImageIO.getImageReaders(iis)
+            if (!readers.hasNext) { iis.close(); Iterator.empty }
+            else {
+              val reader = readers.next()
+              try {
+                reader.setInput(iis)
+                val n = math.min(reader.getNumImages(true), maxFrames)
+                // materialize before dispose: the rows outlive the reader
+                (0 until n).map { i =>
+                  val img = reader.read(i)
+                  Row(id, i, img.getWidth, img.getHeight, gridLuminance(img).toSeq)
+                }.iterator
+              } catch {
+                case scala.util.control.NonFatal(_) => Iterator.empty
+              } finally { reader.dispose(); iis.close() }
             }
           }
         }

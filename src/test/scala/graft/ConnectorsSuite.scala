@@ -183,6 +183,45 @@ class ConnectorsSuite extends AnyFunSuite {
     assert(payloads === Seq("""{"topic":"IN/a","v":1}""", """{"topic":"IN/b","v":2}"""))
   }
 
+  test("http status surface: /status lists streams, /status/<name> serves one, unknown is 404 (StreamingApp /status parity)") {
+    val mb = Minibatch(spark, freshRoot())
+    val st = mb.stream("http_a")
+    st.append("""{"v":1}""")
+    st.append("""{"v":2}""")
+    st.flush()
+    mb.stream("http_b")
+    // drain an emitter so http_a has real progress behind its status
+    val emitted = new java.util.concurrent.atomic.AtomicInteger(0)
+    mb.streaming("http_a").size(1).emit((_, df) => { emitted.addAndGet(df.count().toInt); () }).run()
+    assert(emitted.get() === 2)
+
+    val srv = new StatusServer(mb, port = 0)
+    try {
+      def get(path: String): (Int, String) = {
+        val conn = java.net.URI.create(s"http://127.0.0.1:${srv.boundPort}$path")
+          .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+        val code = conn.getResponseCode
+        val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+        val body = new String(is.readAllBytes(), "UTF-8")
+        is.close()
+        (code, body)
+      }
+      val (lc, listBody) = get("/status")
+      assert(lc === 200)
+      assert(listBody.startsWith("[") &&
+        listBody.contains("\"stream\":\"http_a\"") &&
+        listBody.contains("\"stream\":\"http_b\""))
+      val (oc, one) = get("/status/http_a")
+      assert(oc === 200)
+      // drained emitter: registered + open, not currently running
+      assert(one.contains("\"stream\":\"http_a\"") &&
+        one.contains("\"running\":false") &&
+        one.contains("\"stream_status\":\"open\""))
+      val (nc, err) = get("/status/nope")
+      assert(nc === 404 && err.contains("unknown stream"))
+    } finally srv.close()
+  }
+
   test("celery source: task event appends the task-info envelope (test_celery semantics)") {
     val mb = Minibatch(spark, freshRoot())
     val st = mb.stream("celery_in")

@@ -803,6 +803,57 @@ class OperatorsSuite extends AnyFunSuite {
     }
   }
 
+  test("multimodal: animated GIF decodes to one row per REAL frame; stills one row; garbage zero rows") {
+    // 3-frame 10×8 animated GIF built with ImageIO's sequence writer:
+    // frame i is a flat gray level i/2 (0, 0.5, ~1) so per-frame features
+    // identify which frame was decoded
+    def flat(level: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(10, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rgb = (level << 16) | (level << 8) | level
+      for (y <- 0 until 8; x <- 0 until 10) img.setRGB(x, y, rgb)
+      img
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    Seq(0, 128, 255).foreach { lvl =>
+      writer.writeToSequence(
+        new javax.imageio.IIOImage(flat(lvl), null, null), writer.getDefaultWriteParam)
+    }
+    writer.endWriteSequence()
+    writer.dispose()
+    ios.close()
+    val gif = baos.toByteArray
+    assert(gif(0) === 'G'.toByte && gif(1) === 'I'.toByte && gif(2) === 'F'.toByte)
+
+    val pngBaos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(flat(255), "png", pngBaos)
+    val rows = Seq(
+      org.apache.spark.sql.Row(1L, "video", gif, null, null, 300L),
+      org.apache.spark.sql.Row(2L, "image", pngBaos.toByteArray, null, null, null),
+      org.apache.spark.sql.Row(3L, "video", "not media at all".getBytes("UTF-8"),
+        null, null, 10L))
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), Multimodal.MediaSchema)
+    val out = Multimodal.decodeFrames(media).orderBy("media_id", "frame_idx").collect()
+
+    // 3 real GIF frames + 1 PNG still; the garbage row contributes nothing
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L, 1L, 1L, 2L))
+    assert(out.filter(_.getLong(0) == 1L).map(_.getInt(1)).toSeq === Seq(0, 1, 2))
+    out.foreach { r =>
+      assert(r.getInt(2) === 10 && r.getInt(3) === 8, s"true frame dims: $r")
+    }
+    // frame identity via luminance: dark, mid, bright
+    val lum = out.take(3).map(_.getAs[scala.collection.Seq[Float]]("features").head)
+    assert(lum(0) < 0.1f && lum(1) > 0.3f && lum(1) < 0.7f && lum(2) > 0.9f,
+      s"per-frame luminance must track the frame painted: ${lum.toList}")
+    // maxFrames caps a runaway animation
+    assert(Multimodal.decodeFrames(media, maxFrames = 2)
+      .filter(col("media_id") === 1L).count() === 2)
+  }
+
   test("multimodal: real WAV bytes decode via javax.sound.sampled to RMS envelope") {
     // 16-bit PCM mono WAV built in-test: 1600 samples at 8 kHz — first
     // half silence, second half constant half-scale amplitude
