@@ -98,28 +98,45 @@ object Multimodal {
     * reject non-audio payloads with a byte comparison instead of letting
     * AudioSystem probe its provider registry on arbitrary bytes.
     */
-  private[operators] def looksLikeWav(bytes: Array[Byte]): Boolean =
+  private[graft] def looksLikeWav(bytes: Array[Byte]): Boolean =
     bytes.length >= 12 &&
       bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
       bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E'
 
-  /** Real audio decode via the JDK's javax.sound.sampled: 16-bit PCM WAV →
+  /** Real audio decode via the JDK's javax.sound.sampled: WAV/RIFF →
     * RMS amplitude (in [0, 1]) of each of `FeatureDim` equal time
-    * segments — the cheap audio envelope feature. None for anything the
-    * in-JDK codec can't produce as signed 16-bit PCM (compressed audio,
-    * corrupt headers, zero samples), which then takes the byte-stride
-    * fallback.
+    * segments — the cheap audio envelope feature. Non-16-bit-PCM payloads
+    * the JDK can TRANSCODE (μ-law, a-law, 8-bit and unsigned PCM — the
+    * telephony formats real crawled audio actually carries) are converted
+    * to signed 16-bit PCM first via `AudioSystem`'s conversion chain.
+    * None for anything the in-JDK codecs can neither read nor convert
+    * (mp3/ogg, corrupt headers, zero samples), which then takes the
+    * byte-stride fallback.
     */
-  private[operators] def tryDecodeAudio(bytes: Array[Byte]): Option[Array[Float]] =
+  private[graft] def tryDecodeAudio(bytes: Array[Byte]): Option[Array[Float]] =
     if (!looksLikeWav(bytes)) None
     else try {
-      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      val ais0 = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(bytes))
+      val f0 = ais0.getFormat
+      val isPcm16 =
+        f0.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+          f0.getSampleSizeInBits == 16
+      val ais =
+        if (isPcm16) ais0
+        else {
+          val target = new javax.sound.sampled.AudioFormat(
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+            f0.getSampleRate, 16, f0.getChannels,
+            f0.getChannels * 2, f0.getSampleRate, false)
+          if (!javax.sound.sampled.AudioSystem.isConversionSupported(target, f0)) {
+            ais0.close(); return None
+          }
+          javax.sound.sampled.AudioSystem.getAudioInputStream(target, ais0)
+        }
       try {
         val fmt = ais.getFormat
-        if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
-          fmt.getSampleSizeInBits != 16) None
-        else {
+        locally {
           val data = ais.readAllBytes()
           val n = data.length / 2
           if (n == 0) None

@@ -898,6 +898,36 @@ class OperatorsSuite extends AnyFunSuite {
     assert(out(1).getAs[scala.collection.Seq[Float]]("features").length === Multimodal.FeatureDim)
   }
 
+  test("multimodal: u-law WAV transcodes through AudioSystem to the same RMS envelope") {
+    import javax.sound.sampled._
+    // same silence-then-half-scale signal as the PCM spec, but encoded
+    // u-law (the telephony compression real crawled audio carries)
+    val nSamples = 1600
+    val pcm = java.nio.ByteBuffer.allocate(nSamples * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    for (i <- 0 until nSamples)
+      pcm.putShort(if (i < nSamples / 2) 0 else 16384)
+    val pcmFmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, 8000f, 16, 1, 2, 8000f, false)
+    val src = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm.array()), pcmFmt, nSamples.toLong)
+    val ulawFmt = new AudioFormat(AudioFormat.Encoding.ULAW, 8000f, 8, 1, 1, 8000f, false)
+    assert(AudioSystem.isConversionSupported(ulawFmt, pcmFmt), "JDK must encode u-law")
+    val baos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(AudioSystem.getAudioInputStream(ulawFmt, src),
+      AudioFileFormat.Type.WAVE, baos)
+    val ulawWav = baos.toByteArray
+    assert(Multimodal.looksLikeWav(ulawWav), "fixture must still be a RIFF/WAVE container")
+
+    val f = Multimodal.tryDecodeAudio(ulawWav)
+      .getOrElse(fail("u-law WAV must decode through the transcoding path, not fall back"))
+    assert(f.length === Multimodal.FeatureDim)
+    // u-law is lossy (~2% amplitude error at half scale) — looser bounds
+    for (s <- 0 until 8)
+      assert(f(s) < 0.01f, s"silent segment $s must stay ~0: ${f.toList}")
+    for (s <- 8 until 16)
+      assert(math.abs(f(s) - 0.5f) < 0.05f, s"loud segment $s must be ~0.5: ${f.toList}")
+  }
+
   test("PII redaction: every pattern family tagged, clean text untouched") {
     import spark.implicits._
     val rows = Seq(
