@@ -1358,6 +1358,17 @@ object SparkEntry {
     // a shrink (spec asserts monotonicity). Each stage keeps
     // its scale shape: per-row filters, hash aggs, one broadcast-able gram
     // join — the composition adds no new shuffle beyond its stages.
+    //
+    // STAGE MATERIALIZATION: the decontaminated corpus feeds the fluency
+    // LM four ways (n-gram counts, context counts, vocab, per-doc score)
+    // and the quantile gate scans its input twice, so without a barrier
+    // the full upstream chain re-executes ~9×. A production pipeline
+    // writes each stage to parquet and reads it back; inside one
+    // composed query the equivalent barrier is persist() on the reused
+    // stage outputs (decon, split) — same correctness, one execution of
+    // each stage, and the cached footprint is the post-filter corpus
+    // (already a fraction of the input), which spills to disk rather
+    // than OOMing when it outgrows storage memory.
     "pipeline_e2e" -> ((s, dir) => {
       val docs = documents(s, dir)
       val train = docs.filter(pmod(col("doc_id"), lit(50)) =!= 0)
@@ -1377,6 +1388,7 @@ object SparkEntry {
       val contaminated = Pipeline.contaminatedDocs(deduped, bench, "doc_id", "text", n = 5)
         .select(col("doc_id"))
       val decon = deduped.join(contaminated, Seq("doc_id"), "left_anti")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // CCNet gate: the surviving corpus scored under its own bigram LM,
       // keep the most fluent half (quantile threshold, no corpus sort)
       val fluentIds = Pipeline.selectTopByScore(
@@ -1387,6 +1399,7 @@ object SparkEntry {
       val mixed = Pipeline.weightedSample(fluent, col("doc_id"), col("lang"),
         Map("en" -> 100, "de" -> 50, "fr" -> 50, "es" -> 25, "zh" -> 10))
       val split = Pipeline.deterministicSplit(mixed, col("doc_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // ship as deduped CHUNKS: token windows, exact chunk dedup (lowest
       // (doc, idx) keeps the canonical copy), census per (lang, split)
       val chunks = Pipeline.chunkTokens(split, col("doc_id"), col("text"),
