@@ -72,6 +72,12 @@ object GraftExtensions {
         "_FUNC_(vec) - Aggregate: element-wise mean of DOUBLE arrays " +
           "(null vectors ignored; mismatched lengths raise)."),
       (args: Seq[Expression]) => VectorAvg(args(0))),
+    ("graft_topk",
+      info(classOf[TopKPairs], "graft_topk",
+        "_FUNC_(score, id, k) - Aggregate: the k best (id BIGINT, score DOUBLE) " +
+          "pairs per group as array<struct<id,score>>, ordered (score DESC, id ASC); " +
+          "k must be an integer literal. Null scores/ids are ignored."),
+      (args: Seq[Expression]) => TopKPairs(args(0), args(1), intLit(args(2), "k"))),
     ("graft_normalize",
       info(classOf[UnicodeNormalize], "graft_normalize",
         "_FUNC_(text, form) - Unicode-normalize a string; form must be a string " +

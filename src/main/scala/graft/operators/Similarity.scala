@@ -60,24 +60,23 @@ object Similarity {
     topKScored(scored, k)
   }
 
-  /** Per-query top-k with a map-side pre-prune: rank within each (query,
-    * input partition) first — cheap, no shuffle — keep local top-k, THEN
-    * shuffle only ≤ k rows per (query, partition) for the global rank.
-    * Equivalent result, ~k×partitions rows shuffled instead of the corpus.
+  /** Per-query top-k via the [[graft.functions.TopKPairs]] bounded-heap
+    * aggregate: a hash agg with map-side combine — each partition keeps at
+    * most k pairs per query, the exchange carries ≤ k rows per (query,
+    * partition), and nothing is ever sorted but the final k-element
+    * arrays. The previous formulation (two `row_number` ranking windows)
+    * had to exchange AND sort every scored pair before its first filter;
+    * for a kNN join that is the full n·m candidate matrix through the
+    * shuffle. Tie order is identical ((cos_sim desc, neighbor_id asc)), so
+    * oracle-tier callers keep their hash matches.
     */
-  private[operators] def topKScored(scored: DataFrame, k: Int): DataFrame = {
-    val localW = Window.partitionBy(col("query_id"), spark_partition_id())
-      .orderBy(col("cos_sim").desc, col("neighbor_id"))
-    val globalW = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+  private[operators] def topKScored(scored: DataFrame, k: Int): DataFrame =
     scored
-      .withColumn("local_rank", row_number().over(localW))
-      .filter(col("local_rank") <= k)
-      .withColumn("rank", row_number().over(globalW))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"),
-        round(col("cos_sim"), 4).as("cos_sim"), col("rank"))
-  }
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKPairs.topK(col("cos_sim"), col("neighbor_id"), k).as("__top"))
+      .select(col("query_id"), posexplode(col("__top")).as(Seq("pos0", "p")))
+      .select(col("query_id"), col("p.id").as("neighbor_id"),
+        round(col("p.score"), 4).as("cos_sim"), (col("pos0") + 1).as("rank"))
 
   /** Multi-table LSH ANN top-k with 1-bit multiprobe: `numTables`
     * independent hyperplane families; a query probes, in each table, its own

@@ -56,6 +56,43 @@ class OperatorsSuite extends AnyFunSuite {
     assert(truth.nonEmpty, "expected at least one simhash near-dup pair in testdata")
   }
 
+  test("TopKPairs heap agg: window-rank parity, tie order, null skip, bounded size, merge across partitions") {
+    import spark.implicits._
+    // 200 (query, neighbor, score) rows per query with deliberate score
+    // TIES (score = id % 7) — the heap's (score desc, id asc) order must
+    // match row_number over the same ordering exactly, including ties
+    val scored = (0L until 3L).flatMap { q =>
+      (0L until 200L).map(n => (q, n, (n % 7).toDouble))
+    }.toDF("query_id", "neighbor_id", "cos_sim")
+      .repartition(8) // force partial heaps + a real merge
+    val got = scored.groupBy(col("query_id"))
+      .agg(graft.functions.TopKPairs.topK(col("cos_sim"), col("neighbor_id"), 10).as("t"))
+      .select(col("query_id"), posexplode(col("t")).as(Seq("pos0", "p")))
+      .select(col("query_id"), col("p.id"), col("p.score"), (col("pos0") + 1).as("rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val expect = (0L until 3L).flatMap { q =>
+      (0L until 200L).map(n => (n, (n % 7).toDouble))
+        .sortBy { case (n, s) => (-s, n) }.take(10).zipWithIndex
+        .map { case ((n, s), i) => (q, n, s, i + 1) }
+    }.toSet
+    assert(got === expect)
+    // null scores and ids are skipped, never ranked
+    val withNulls = Seq[(Long, java.lang.Long, java.lang.Double)](
+      (1L, 10L, 0.5), (1L, null, 9.9), (1L, 11L, null), (1L, 12L, 0.7))
+      .toDF("query_id", "neighbor_id", "cos_sim")
+    val nn = withNulls.groupBy(col("query_id"))
+      .agg(graft.functions.TopKPairs.topK(col("cos_sim"), col("neighbor_id"), 5).as("t"))
+      .select(explode(col("t")).as("p")).select(col("p.id")).as[Long].collect().toList
+    assert(nn === List(12L, 10L))
+    // SQL surface registered
+    graft.functions.GraftExtensions.register(spark)
+    withNulls.createOrReplaceTempView("__topk_in")
+    val viaSql = spark.sql(
+      "SELECT graft_topk(cos_sim, neighbor_id, 1)[0].id AS best FROM __topk_in GROUP BY query_id")
+      .as[Long].collect().toList
+    assert(viaSql === List(12L))
+  }
+
   test("LSH top-k achieves reasonable recall vs brute force") {
     val queries = emb.filter(col("vec_id") < 10)
     val brute = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
