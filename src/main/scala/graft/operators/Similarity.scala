@@ -352,10 +352,55 @@ object Similarity {
     cents.select(col("sub"), col("cell"), col("cent"))
   }
 
+  /** Collect a trained (sub, cell, cent) codebook into the flat
+    * driver-side layout the native PQ kernels compile against. A
+    * codebook is a bounded MODEL ARTIFACT (≤ 256·256 rows of dim/m
+    * doubles at any corpus size — pqTrain caps ksub at 256), so this is
+    * the one place in the ANN family where a collect is the correct
+    * scale shape: the alternative keeps corpus-sized exchanges in the
+    * encode pass just to avoid materializing kilobytes. Lloyd-emptied
+    * cells stay `cn2 = +∞` (never win an argmin, 0.0 in LUTs).
+    */
+  private def collectCodebook(
+      codebook: DataFrame, m: Int, dsub: Int, ksubHint: Int = -1): graft.functions.PqKernels.DenseCodebook = {
+    val rows = codebook
+      .select(col("sub").cast("int"), col("cell").cast("int"), col("cent")).collect()
+    require(rows.nonEmpty, "collectCodebook: empty codebook")
+    val ksub =
+      if (ksubHint > 0) ksubHint else rows.iterator.map(_.getInt(1)).max + 1
+    val cb = new Array[Double](m * ksub * dsub)
+    val cn2 = Array.fill(m * ksub)(Double.PositiveInfinity)
+    rows.foreach { r =>
+      val sub = r.getInt(0)
+      val cell = r.getInt(1)
+      val cent = r.getSeq[Double](2)
+      require(sub >= 0 && sub < m && cell >= 0 && cell < ksub,
+        s"collectCodebook: (sub=$sub, cell=$cell) outside m=$m, ksub=$ksub")
+      require(cent.length == dsub,
+        s"collectCodebook: centroid length ${cent.length} != dsub $dsub")
+      val off = (sub * ksub + cell) * dsub
+      var n2 = 0.0
+      var d = 0
+      while (d < dsub) {
+        val c = cent(d)
+        cb(off + d) = c
+        n2 += c * c
+        d += 1
+      }
+      cn2(sub * ksub + cell) = n2
+    }
+    graft.functions.PqKernels.DenseCodebook(cb, cn2, m, ksub, dsub)
+  }
+
   /** PQ encoding: each vector compresses to `m` byte-sized codes —
     * (id, codes array, sub-ordered), the stored form a 100 TB vector
-    * corpus keeps in place of float arrays (m bytes vs dim·4). One
-    * broadcast codebook join + per-subspace argmin + one pivot agg.
+    * corpus keeps in place of float arrays (m bytes vs dim·4). The
+    * codebook compiles into the native [[graft.functions.PqKernels]]
+    * argmin kernel (see [[collectCodebook]]), so encoding is ONE
+    * projection over the corpus inside whole-stage codegen — no explode,
+    * no join, zero exchanges. The earlier declarative form (posexplode →
+    * per-(id, sub) argmin agg → pivot) pushed the corpus through two
+    * shuffles to compute what is a per-row map.
     */
   def pqEncode(
       corpus: DataFrame,
@@ -364,40 +409,22 @@ object Similarity {
       codebook: DataFrame,
       dim: Int,
       m: Int = 8): DataFrame = {
-    val cb = broadcast(codebook
-      .withColumn("__cnorm2", dot(col("cent"), col("cent"))))
-    subvectors(corpus, idCol, vecCol, "__id", dim, m)
-      .join(cb, Seq("sub"))
-      .withColumn("__d", col("__cnorm2") - lit(2.0) * dot(col("subvec"), col("cent")))
-      .groupBy(col("__id"), col("sub"))
-      .agg(min_by(col("cell"), struct(col("__d"), col("cell"))).as("code"))
-      .groupBy(col("__id"))
-      .agg(array_sort(collect_list(struct(col("sub"), col("code")))).as("sc"))
-      .select(col("__id").as(idCol),
-        transform(col("sc"), s => s.getField("code")).as("codes"))
+    val book = collectCodebook(codebook, m, dim / m)
+    corpus.select(col(idCol),
+      graft.functions.PqKernels.pqCodes(toDoubleArray(col(vecCol)), book).as("codes"))
   }
 
   /** Per-query DENSE ADC lookup table: one row per query with an
     * array<double> of length m·ksub, laid out row-major by subspace —
-    * `lut[sub·ksub + cell] = dot(q_sub, cent(sub, cell))`. Cells that
-    * dropped out of Lloyd training as empty are zero-filled; no code ever
-    * references them (encoding argmins over surviving cells only). The
-    * build is query-side work (tiny, broadcast); the map + sequence HOFs
-    * here run once per QUERY, never per corpus row.
+    * `lut[sub·ksub + cell] = dot(q_sub, cent(sub, cell))`, zero-filled
+    * for Lloyd-emptied cells (no code references them). One native-
+    * kernel projection over the (small) query side.
     */
   private def denseLut(
       queries: DataFrame, idCol: String, vecCol: String,
-      codebook: DataFrame, dim: Int, m: Int, ksub: Int): DataFrame =
-    subvectors(queries, idCol, vecCol, "query_id", dim, m)
-      .join(broadcast(codebook), Seq("sub"))
-      .select(col("query_id"),
-        (col("sub") * ksub + col("cell")).cast("int").as("__idx"),
-        dot(col("subvec"), col("cent")).as("__partial"))
-      .groupBy(col("query_id"))
-      .agg(map_from_entries(collect_list(struct(col("__idx"), col("__partial")))).as("__map"))
-      .select(col("query_id"),
-        transform(sequence(lit(0), lit(m * ksub - 1)),
-          i => coalesce(element_at(col("__map"), i), lit(0.0))).as("__lut"))
+      book: graft.functions.PqKernels.DenseCodebook): DataFrame =
+    queries.select(col(idCol).as("query_id"),
+      graft.functions.PqKernels.pqLut(toDoubleArray(col(vecCol)), book).as("__lut"))
 
   /** PQ/ADC approximate top-k: train codebook → encode corpus to byte
     * codes → score queries by Asymmetric Distance Computation. Per query
@@ -428,10 +455,11 @@ object Similarity {
       iters: Int = 2,
       trainSample: Int = 0): DataFrame = {
     val codebook = pqTrain(corpus, idCol, vecCol, dim, m, ksub, iters, trainSample)
-    val codes = pqEncode(corpus, idCol, vecCol, codebook, dim, m)
-    val lut = denseLut(queries, idCol, vecCol, codebook, dim, m, ksub)
+    val book = collectCodebook(codebook, m, dim / m, ksubHint = ksub)
+    val codes = corpus.select(col(idCol).as("neighbor_id"),
+      graft.functions.PqKernels.pqCodes(toDoubleArray(col(vecCol)), book).as("codes"))
+    val lut = denseLut(queries, idCol, vecCol, book)
     val scored = codes
-      .select(col(idCol).as("neighbor_id"), col("codes"))
       .crossJoin(broadcast(lut))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
@@ -475,7 +503,9 @@ object Similarity {
       .withColumn("centnorm", l2Norm(col("cent")))
     // PQ side: codebook + byte codes, tagged with each vector's IVF cell
     val codebook = pqTrain(corpus, idCol, vecCol, dim, m, ksub, iters, trainSample)
-    val codes = pqEncode(corpus, idCol, vecCol, codebook, dim, m)
+    val book = collectCodebook(codebook, m, dim / m, ksubHint = ksub)
+    val codes = corpus.select(col(idCol),
+        graft.functions.PqKernels.pqCodes(toDoubleArray(col(vecCol)), book).as("codes"))
       .join(cells.withColumnRenamed("cell", "ivf_cell"), idCol)
     // probe list: nprobe closest centroids per query (broadcast codebook)
     val q = queries.select(col(idCol).as("query_id"), toDoubleArray(col(vecCol)).as("qvec"))
@@ -489,7 +519,7 @@ object Similarity {
       .select(col("query_id"), col("ivf_cell"))
     // ADC scoring via the native kernel, restricted to probed cells by the
     // ivf_cell join; the dense per-query LUT rides in on a broadcast join
-    val lut = denseLut(queries, idCol, vecCol, codebook, dim, m, ksub)
+    val lut = denseLut(queries, idCol, vecCol, book)
     val scored = codes
       .join(probes, Seq("ivf_cell"))
       .select(col("query_id"), col(idCol).as("neighbor_id"), col("codes"))
