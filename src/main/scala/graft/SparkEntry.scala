@@ -205,6 +205,23 @@ object SparkEntry {
         .orderBy(col("p_brand"), col("rnk"))
     }),
 
+    // Scale companion to q_topk_per_group: the SAME result through the
+    // graft.functions.TopKPairs bounded-heap aggregate — a hash agg with
+    // map-side combine instead of a partition-wide ranking-window sort.
+    // At scale the exchange carries <= k rows per (group, input
+    // partition) instead of every row of the table; identical tie order
+    // (score desc, id asc), so the oracle SQL is the window form's.
+    "q_topk_per_group_agg" -> ((s, dir) => {
+      part(s, dir)
+        .groupBy(col("p_brand"))
+        .agg(graft.functions.TopKPairs.topK(
+          col("p_retailprice"), col("p_partkey"), 3).as("t"))
+        .select(col("p_brand"), posexplode(col("t")).as(Seq("pos0", "p")))
+        .select(col("p_brand"), (col("pos0") + 1).as("rnk"),
+          col("p.id").as("p_partkey"), col("p.score").as("p_retailprice"))
+        .orderBy(col("p_brand"), col("rnk"))
+    }),
+
     // Analytic window functions with explicit ROWS frame.
     "q_window_running" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -1534,6 +1551,15 @@ object SparkEntry {
         |ORDER BY n_name""".stripMargin,
 
     "q_topk_per_group" ->
+      """SELECT p_brand, rnk, p_partkey, p_retailprice
+        |FROM (SELECT p_brand, p_partkey, p_retailprice,
+        |             row_number() OVER (PARTITION BY p_brand
+        |                                ORDER BY p_retailprice DESC, p_partkey) AS rnk
+        |      FROM part)
+        |WHERE rnk <= 3
+        |ORDER BY p_brand, rnk""".stripMargin,
+
+    "q_topk_per_group_agg" ->
       """SELECT p_brand, rnk, p_partkey, p_retailprice
         |FROM (SELECT p_brand, p_partkey, p_retailprice,
         |             row_number() OVER (PARTITION BY p_brand
