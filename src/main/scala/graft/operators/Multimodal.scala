@@ -9,12 +9,14 @@ import org.apache.spark.sql.types._
   *
   * IMAGE decoding is REAL: PNG/JPEG/GIF/BMP bytes are decoded with the
   * JDK's `javax.imageio` into true width/height and a 4×4 grid-luminance
-  * feature vector. MULTI-FRAME decoding is REAL for animated GIF
-  * ([[decodeFrames]]: one row per actual frame with per-frame features).
-  * AUDIO decoding is REAL for WAV/PCM: RIFF bytes are
-  * decoded with the JDK's `javax.sound.sampled` into per-segment RMS
-  * amplitude features. Bytes no in-JDK decoder understands (mp4/webm
-  * video, compressed audio, corrupt media) fall back to
+  * feature vector. MULTI-FRAME decoding is REAL for animated GIF and for
+  * MJPEG-in-AVI video ([[decodeFrames]]: one row per actual frame with
+  * per-frame features; [[aviJpegFrames]] walks the RIFF chunk tree and
+  * decodes each frame's JPEG bytes). AUDIO decoding is REAL for WAV/PCM
+  * including the μ-law/a-law/8-bit telephony encodings the JDK can
+  * transcode: RIFF bytes are decoded with the JDK's `javax.sound.sampled`
+  * into per-segment RMS amplitude features. Bytes no in-JDK decoder
+  * understands (mp4/webm video, compressed audio, corrupt media) fall back to
   * `byteStrideFeatures`, a deterministic byte-level fingerprint, with
   * null decoded dimensions — so the pipeline never fails on an
   * undecodable row and a richer decoder (JNI/ONNX) swaps in by replacing
@@ -93,6 +95,65 @@ object Multimodal {
     if (!looksLikeImage(bytes)) None
     else try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
     catch { case scala.util.control.NonFatal(_) => None }
+
+  /** RIFF/AVI magic-byte sniff (RIFF....AVI ). */
+  private[graft] def looksLikeAvi(bytes: Array[Byte]): Boolean =
+    bytes.length >= 12 &&
+      bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
+      bytes(8) == 'A' && bytes(9) == 'V' && bytes(10) == 'I' && bytes(11) == ' '
+
+  private def u32le(b: Array[Byte], off: Int): Long =
+    (b(off) & 0xFFL) | ((b(off + 1) & 0xFFL) << 8) |
+      ((b(off + 2) & 0xFFL) << 16) | ((b(off + 3) & 0xFFL) << 24)
+
+  /** REAL video-frame extraction for MJPEG-in-AVI — the one video
+    * container decodable with nothing but the JDK, because its frames ARE
+    * JPEGs: walk the RIFF chunk tree (word-aligned chunks, `LIST movi` /
+    * `rec ` recursion, `idx1` and header lists skipped), collect the
+    * `##dc`/`##db` stream chunks whose payload starts with the JPEG SOI
+    * marker, cap at `maxFrames`. Returns raw per-frame JPEG bytes;
+    * malformed sizes/truncated chunks end the walk cleanly (decoded truth
+    * only, never an exception on hostile bytes). mp4/webm stay with the
+    * byte-stride fallback — their codecs (H.264/VP9) have no JDK decoder
+    * and a real deployment swaps in JNI/ffmpeg behind this same contract.
+    */
+  private[graft] def aviJpegFrames(bytes: Array[Byte], maxFrames: Int): Vector[Array[Byte]] = {
+    if (!looksLikeAvi(bytes)) return Vector.empty
+    val out = Vector.newBuilder[Array[Byte]]
+    var count = 0
+    def walk(start: Int, end: Int): Unit = {
+      var off = start
+      var ok = true
+      while (ok && off + 8 <= end && count < maxFrames) {
+        val size = u32le(bytes, off + 4)
+        val dataOff = off + 8
+        if (size < 0 || size > Int.MaxValue - 8 || dataOff + size > end) ok = false
+        else {
+          val dataEnd = dataOff + size.toInt
+          val isList = bytes(off) == 'L' && bytes(off + 1) == 'I' &&
+            bytes(off + 2) == 'S' && bytes(off + 3) == 'T'
+          if (isList && size >= 4) {
+            val t = new String(bytes, dataOff, 4, "US-ASCII")
+            if (t == "movi" || t == "rec ") walk(dataOff + 4, dataEnd)
+          } else {
+            // stream-data chunk ids are '##dc' (compressed video) / '##db'
+            // (uncompressed); only JPEG-payload chunks are MJPEG frames
+            val c2 = bytes(off + 2); val c3 = bytes(off + 3)
+            val isFrame = (c2 == 'd' && (c3 == 'c' || c3 == 'b')) &&
+              size >= 3 && (bytes(dataOff) & 0xFF) == 0xFF && (bytes(dataOff + 1) & 0xFF) == 0xD8
+            if (isFrame) {
+              out += java.util.Arrays.copyOfRange(bytes, dataOff, dataEnd)
+              count += 1
+            }
+          }
+          off = dataEnd + (size.toInt & 1) // RIFF chunks are word-aligned
+        }
+      }
+    }
+    val riffEnd = math.min(bytes.length.toLong, 8L + u32le(bytes, 4)).toInt
+    walk(12, riffEnd)
+    out.result()
+  }
 
   /** RIFF/WAVE magic-byte sniff — same rationale as [[looksLikeImage]]:
     * reject non-audio payloads with a byte comparison instead of letting
@@ -226,7 +287,11 @@ object Multimodal {
         rows.grouped(batchSize).flatMap { batch =>
           batch.map { r =>
             val bytes = r.getAs[Array[Byte]]("content")
-            tryDecodeImage(bytes) match {
+            // decode preference: still image → MJPEG-AVI first frame →
+            // WAV audio → byte-stride fallback; the magic-byte sniffs make
+            // the chain one comparison per non-matching format
+            tryDecodeImage(bytes)
+              .orElse(aviJpegFrames(bytes, 1).headOption.flatMap(tryDecodeImage)) match {
               case Some(img) =>
                 Row(r.getLong(0), r.getString(1), img.getWidth, img.getHeight,
                   gridLuminance(img).toSeq)
@@ -240,11 +305,12 @@ object Multimodal {
   }
 
   /** REAL frame decode for multi-frame media the JDK can read (animated
-    * GIF — the one multi-frame "video" container with an in-JDK codec):
-    * one output row per actually-decoded frame, with the frame's true
-    * dimensions and per-frame grid-luminance features. Single-frame
-    * stills (PNG/JPEG/BMP, or a one-frame GIF) yield exactly one row;
-    * bytes no reader understands yield ZERO rows (audit those through
+    * GIF via the ImageIO multi-image reader; MJPEG-in-AVI video via
+    * [[aviJpegFrames]] + per-frame JPEG decode): one output row per
+    * actually-decoded frame, with the frame's true dimensions and
+    * per-frame grid-luminance features. Single-frame stills (PNG/JPEG/
+    * BMP, or a one-frame GIF) yield exactly one row; bytes no reader
+    * understands yield ZERO rows (audit those through
     * [[extractFeatures]]'s fallback or [[frameSample]]'s metadata plan —
     * this operator's contract is decoded truth only). `maxFrames` caps
     * runaway animations so one hostile payload can't monopolize a task.
@@ -269,7 +335,16 @@ object Multimodal {
         rows.flatMap { r =>
           val id = r.getLong(0)
           val bytes = r.getAs[Array[Byte]]("content")
-          if (!looksLikeImage(bytes)) Iterator.empty
+          if (looksLikeAvi(bytes)) {
+            // MJPEG-AVI: one row per JPEG stream chunk that decodes;
+            // frame_idx numbers the decoded sequence
+            aviJpegFrames(bytes, maxFrames).iterator
+              .flatMap(tryDecodeImage)
+              .zipWithIndex
+              .map { case (img, i) =>
+                Row(id, i, img.getWidth, img.getHeight, gridLuminance(img).toSeq)
+              }
+          } else if (!looksLikeImage(bytes)) Iterator.empty
           else {
             val iis = javax.imageio.ImageIO.createImageInputStream(
               new java.io.ByteArrayInputStream(bytes))

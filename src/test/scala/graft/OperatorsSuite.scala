@@ -891,6 +891,74 @@ class OperatorsSuite extends AnyFunSuite {
       .filter(col("media_id") === 1L).count() === 2)
   }
 
+  test("multimodal: MJPEG AVI decodes one row per real video frame; WAV/garbage zero; features pick first frame") {
+    // hand-built MJPEG AVI: RIFF('AVI ' LIST('movi' '00dc' <jpeg>...)) —
+    // the minimal container the RIFF walk must handle, including the
+    // word-alignment padding of odd-sized chunks
+    def flat(level: Int, w: Int = 16, h: Int = 12): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rgb = (level << 16) | (level << 8) | level
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val b = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", b)
+      b.toByteArray
+    }
+    def chunk(id: String, payload: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(8 + payload.length + (payload.length & 1))
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put(id.getBytes("US-ASCII")).putInt(payload.length).put(payload)
+      b.array() // trailing pad byte (if any) stays zero
+    }
+    def list(listType: String, children: Array[Byte]): Array[Byte] =
+      chunk("LIST", listType.getBytes("US-ASCII") ++ children)
+    def riffAvi(children: Array[Byte]): Array[Byte] =
+      chunk("RIFF", "AVI ".getBytes("US-ASCII") ++ children)
+
+    val levels = Seq(20, 120, 230)
+    val frames = levels.map(flat(_))
+    val avi = riffAvi(list("movi", frames.flatMap(chunk("00dc", _)).toArray))
+    assert(Multimodal.looksLikeAvi(avi))
+
+    // WAV fixture: RIFF but not AVI — must not enter the frame walk
+    val pcm = java.nio.ByteBuffer.allocate(3200).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    (0 until 1600).foreach(_ => pcm.putShort(1000))
+    val wavBaos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm.array()),
+        new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false), 1600L),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, wavBaos)
+
+    val rows = Seq(
+      org.apache.spark.sql.Row(1L, "video", avi, null, null, 100L),
+      org.apache.spark.sql.Row(2L, "audio", wavBaos.toByteArray, null, null, 200L),
+      org.apache.spark.sql.Row(3L, "video", "definitely not media".getBytes("UTF-8"),
+        null, null, 10L))
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), Multimodal.MediaSchema)
+
+    val out = Multimodal.decodeFrames(media).orderBy("media_id", "frame_idx").collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L, 1L, 1L), "only the AVI contributes frames")
+    assert(out.map(_.getInt(1)).toSeq === Seq(0, 1, 2))
+    out.foreach(r => assert(r.getInt(2) === 16 && r.getInt(3) === 12, s"true frame dims: $r"))
+    // each frame's mean luminance tracks its gray level (JPEG is lossy)
+    out.zip(levels).foreach { case (r, lvl) =>
+      val f = r.getAs[scala.collection.Seq[Float]](4)
+      val mean = f.sum / f.length
+      assert(math.abs(mean - lvl / 255.0) < 0.05, s"frame level $lvl decoded mean $mean")
+    }
+    // maxFrames caps the walk
+    assert(Multimodal.decodeFrames(media, maxFrames = 2).count() === 2L)
+
+    // extractFeatures routes the AVI through its FIRST decoded frame:
+    // real decoded dims, first-frame luminance — not the byte-stride fallback
+    val feat = Multimodal.extractFeatures(media).orderBy("media_id").collect()
+    val v = feat(0)
+    assert(v.getInt(2) === 16 && v.getInt(3) === 12)
+    val vf = v.getAs[scala.collection.Seq[Float]](4)
+    assert(math.abs(vf.sum / vf.length - levels.head / 255.0) < 0.05)
+  }
+
   test("multimodal: real WAV bytes decode via javax.sound.sampled to RMS envelope") {
     // 16-bit PCM mono WAV built in-test: 1600 samples at 8 kHz — first
     // half silence, second half constant half-scale amplitude
