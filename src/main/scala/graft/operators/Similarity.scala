@@ -361,7 +361,7 @@ object Similarity {
     * encode pass just to avoid materializing kilobytes. Lloyd-emptied
     * cells stay `cn2 = +∞` (never win an argmin, 0.0 in LUTs).
     */
-  private def collectCodebook(
+  private[graft] def collectCodebook(
       codebook: DataFrame, m: Int, dsub: Int, ksubHint: Int = -1): graft.functions.PqKernels.DenseCodebook = {
     val rows = codebook
       .select(col("sub").cast("int"), col("cell").cast("int"), col("cent")).collect()
@@ -507,6 +507,24 @@ object Similarity {
     val codes = corpus.select(col(idCol),
         graft.functions.PqKernels.pqCodes(toDoubleArray(col(vecCol)), book).as("codes"))
       .join(cells.withColumnRenamed("cell", "ivf_cell"), idCol)
+    ivfPqSearch(centroids, book, codes, queries, idCol, vecCol, k, nprobe)
+  }
+
+  /** The QUERY side of IVF-PQ, over prebuilt index artifacts — shared by
+    * [[ivfPqTopK]] (build + search in one plan) and
+    * [[graft.sources.IndexStore]] (search over artifacts persisted by an
+    * offline training job, the production split). `centroids` is
+    * (ivf_cell, cent, centnorm); `codes` is (idCol, codes, ivf_cell).
+    */
+  private[graft] def ivfPqSearch(
+      centroids: DataFrame,
+      book: graft.functions.PqKernels.DenseCodebook,
+      codes: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nprobe: Int): DataFrame = {
     // probe list: nprobe closest centroids per query (broadcast codebook)
     val q = queries.select(col(idCol).as("query_id"), toDoubleArray(col(vecCol)).as("qvec"))
       .withColumn("qnorm", l2Norm(col("qvec")))
@@ -526,7 +544,7 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .join(broadcast(lut), Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        graft.functions.AdcScore.adc(col("codes"), col("__lut"), ksub).as("cos_sim"))
+        graft.functions.AdcScore.adc(col("codes"), col("__lut"), book.ksub).as("cos_sim"))
     topKScored(scored, k)
   }
 }

@@ -1,0 +1,108 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/** Persisted ANN index artifacts: the offline/online split a production
+  * vector store actually runs. Training (coarse k-means + PQ Lloyd) is a
+  * scheduled offline job over the corpus; what query batches need is only
+  * its OUTPUT — centroids, codebook, byte codes — so those persist as
+  * parquet under one index root and every subsequent search reuses them
+  * without touching a trainer. (The in-plan `Similarity.ivfPqTopK`
+  * retrains per call — correct for a one-shot query, pure waste for the
+  * "nightly embed, all-day search" loop this store serves.)
+  *
+  * Layout under `path`:
+  *   - `centroids/` — nlist rows (ivf_cell, cent, centnorm): broadcast at
+  *     query time, never scanned at scale.
+  *   - `codebook/`  — ≤ m·ksub rows (sub, cell, cent): the PQ model
+  *     artifact, collected into the native kernels at load.
+  *   - `codes/`     — one row per corpus vector (id, codes), hive-
+  *     partitioned BY `ivf_cell`: the only corpus-sized artifact, m bytes
+  *     of code per vector instead of dim·4 of floats. Partitioning by
+  *     cell means a search touching nprobe cells PRUNES the scan to
+  *     nprobe/nlist of the files — with the probe list joined in, Spark's
+  *     dynamic partition pruning applies; a static cell filter prunes at
+  *     plan time. At web scale (nlist ~50k) this is still a sane
+  *     directory count, and each cell's codes are one task's write
+  *     (repartitioned by cell before the writer).
+  *   - `meta/`      — 1 row (dim, m, ksub, nlist): the layout contract a
+  *     loader validates against instead of trusting the caller to repeat
+  *     the training parameters.
+  *
+  * Determinism: both trainers are md5-seeded, so rebuild → identical
+  * artifacts, and `searchIvfPq` over saved artifacts ≡ `ivfPqTopK` on
+  * the same corpus/params (spec-asserted).
+  */
+object IndexStore {
+
+  /** Train an IVF-PQ index on `corpus` and persist its artifacts under
+    * `path` (overwrite). Same parameters and trainers as
+    * [[Similarity.ivfPqTopK]].
+    */
+  def saveIvfPq(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      dim: Int,
+      nlist: Int = 16,
+      m: Int = 8,
+      ksub: Int = 16,
+      iters: Int = 2,
+      trainSample: Int = 0): Unit = {
+    import graft.functions.VectorFunctions._
+    val cells = Similarity.kmeansCells(corpus, idCol, vecCol, nlist, iters)
+    val assigned = corpus.join(cells, idCol)
+    val centroids = assigned
+      .select(col("cell").as("ivf_cell"), toDoubleArray(col(vecCol)).as("__cv"))
+      .groupBy(col("ivf_cell"))
+      .agg(graft.functions.VectorAvg.vectorAvg(col("__cv")).as("cent"))
+      .withColumn("centnorm", l2Norm(col("cent")))
+    val codebook = Similarity.pqTrain(corpus, idCol, vecCol, dim, m, ksub, iters, trainSample)
+    val book = Similarity.collectCodebook(codebook, m, dim / m, ksubHint = ksub)
+    val codes = corpus.select(col(idCol),
+        graft.functions.PqKernels.pqCodes(toDoubleArray(col(vecCol)), book).as("codes"))
+      .join(cells.withColumnRenamed("cell", "ivf_cell"), idCol)
+    centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    codebook.write.mode("overwrite").parquet(s"$path/codebook")
+    // one file per cell directory: repartition on the partition column
+    // before the partitioned write (the Layout.writePartitioned recipe)
+    codes.repartition(col("ivf_cell"))
+      .write.mode("overwrite").partitionBy("ivf_cell").parquet(s"$path/codes")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    Seq((dim, m, ksub, nlist)).toDF("dim", "m", "ksub", "nlist")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Search a persisted IVF-PQ index: top-k per query through the probed
+    * cells' byte codes — no trainer anywhere in the plan. Query-side
+    * machinery (probe ranking, dense LUTs, native ADC scoring, heap
+    * top-k) is [[Similarity.ivfPqSearch]], identical to the in-plan
+    * operator's.
+    */
+  def searchIvfPq(
+      spark: SparkSession,
+      path: String,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nprobe: Int = 4): DataFrame = {
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val dim = meta.getAs[Int]("dim")
+    val m = meta.getAs[Int]("m")
+    val ksub = meta.getAs[Int]("ksub")
+    val centroids = spark.read.parquet(s"$path/centroids")
+    val book = Similarity.collectCodebook(
+      spark.read.parquet(s"$path/codebook"), m, dim / m, ksubHint = ksub)
+    // hive partition-column type inference reads the cell id back as int;
+    // restore the trainers' long so the probe join keys match exactly
+    val codes = spark.read.parquet(s"$path/codes")
+      .withColumn("ivf_cell", col("ivf_cell").cast("long"))
+    Similarity.ivfPqSearch(centroids, book, codes, queries, idCol, vecCol, k, nprobe)
+  }
+}

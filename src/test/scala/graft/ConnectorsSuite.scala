@@ -537,6 +537,43 @@ class ConnectorsSuite extends AnyFunSuite {
     }
   }
 
+  test("IndexStore: persisted IVF-PQ artifacts search identically to the in-plan operator; codes prune by cell") {
+    val emb = graft.core.Tables.embeddings(spark, TestSpark.sf0001)
+    val queries = emb.filter(col("vec_id") < 5)
+    val root = freshRoot() + "/ivfpq"
+    IndexStore.saveIvfPq(emb, "vec_id", "embedding", root,
+      dim = 64, nlist = 8, m = 16, ksub = 32, iters = 1, trainSample = 1024)
+
+    // artifact shapes: nlist centroid rows; codes hive-partitioned by cell
+    assert(spark.read.parquet(root + "/centroids").count() === 8L)
+    val cellDirs = new java.io.File(root + "/codes").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("ivf_cell="))
+    assert(cellDirs.nonEmpty && cellDirs.length <= 8,
+      s"codes must be hive-partitioned by cell, got ${cellDirs.map(_.getName).toList}")
+    assert(spark.read.parquet(root + "/codes").count() === emb.count())
+
+    // the deterministic trainers make artifact search ≡ the in-plan
+    // operator bit-for-bit, row-for-row
+    val direct = graft.operators.Similarity.ivfPqTopK(
+        emb, queries, "vec_id", "embedding",
+        dim = 64, k = 5, nlist = 8, nprobe = 3, m = 16, ksub = 32, iters = 1,
+        trainSample = 1024)
+      .orderBy(col("query_id"), col("rank"))
+      .collect().toSeq
+    val viaStore = IndexStore.searchIvfPq(spark, root, queries, "vec_id", "embedding",
+        k = 5, nprobe = 3)
+      .orderBy(col("query_id"), col("rank"))
+      .collect().toSeq
+    assert(viaStore === direct)
+    assert(viaStore.size === 25)
+
+    // a static cell filter prunes the partitioned codes scan at plan time
+    val pruned = spark.read.parquet(root + "/codes").filter(col("ivf_cell") === 0)
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("ivf_cell"),
+      s"expected partition filter on the codes scan:\n$scan")
+  }
+
   test("status surface: running and stopped emitters are observable (StreamingApp /status port)") {
     val mb = Minibatch(spark, freshRoot())
     val st = mb.stream("watched")
