@@ -199,6 +199,47 @@ class PropertySuite extends AnyFunSuite {
     }
   }
 
+  test("AVI frame walk never throws on hostile bytes; truncation yields a prefix of the frames") {
+    import graft.operators.Multimodal
+    // pure-fuzz: arbitrary byte blobs, including ones that start with the
+    // RIFF/AVI magic and then lie about everything after it
+    val junk = for {
+      n <- Gen.chooseNum(0, 512)
+      bs <- Gen.listOfN(n, Gen.chooseNum(-128, 127).map(_.toByte))
+      prefix <- Gen.oneOf(Array.emptyByteArray, "RIFF".getBytes("US-ASCII"),
+        ("RIFF" + "    " + "AVI ").getBytes("ISO-8859-1"))
+    } yield prefix ++ bs
+    samples(junk, 60).foreach { bytes =>
+      val frames = Multimodal.aviJpegFrames(bytes, maxFrames = 8) // must not throw
+      assert(frames.forall(f => (f(0) & 0xFF) == 0xFF && (f(1) & 0xFF) == 0xD8))
+    }
+    // a well-formed 3-frame MJPEG AVI truncated at any byte boundary must
+    // never throw and only ever yields a prefix of the full frame list
+    def jpeg(level: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 8) img.setRGB(x, y, (level << 16) | (level << 8) | level)
+      val b = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", b)
+      b.toByteArray
+    }
+    def chunk(id: String, payload: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(8 + payload.length + (payload.length & 1))
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put(id.getBytes("US-ASCII")).putInt(payload.length).put(payload)
+      b.array()
+    }
+    val frames = Seq(40, 130, 220).map(jpeg)
+    val avi = chunk("RIFF", "AVI ".getBytes("US-ASCII") ++
+      chunk("LIST", "movi".getBytes("US-ASCII") ++ frames.flatMap(chunk("00dc", _))))
+    val full = Multimodal.aviJpegFrames(avi, 8)
+    assert(full.size === 3)
+    (0 to avi.length by 7).foreach { cut =>
+      val got = Multimodal.aviJpegFrames(avi.take(cut), 8)
+      assert(got.size <= full.size)
+      got.zip(full).foreach { case (g, f) => assert(java.util.Arrays.equals(g, f)) }
+    }
+  }
+
   test("jaccard identity: a document is a perfect duplicate of itself") {
     val gen = Gen.chooseNum(5, 20).flatMap(n =>
       Gen.listOfN(n, Gen.oneOf("w1", "w2", "w3", "w4")).map(_.mkString(" ")))
