@@ -572,6 +572,20 @@ class ConnectorsSuite extends AnyFunSuite {
     val scan = pruned.queryExecution.executedPlan.toString
     assert(scan.contains("PartitionFilters") && scan.contains("ivf_cell"),
       s"expected partition filter on the codes scan:\n$scan")
+
+    // kNN GRAPH through the artifacts — corpus as queries, no trainer in
+    // the plan, nothing corpus-sized broadcast (the SemDeDup-at-scale
+    // backbone): k rows for every vector, recall floor vs the exact join
+    val n = emb.count()
+    val graph = IndexStore.searchIvfPq(spark, root, emb, "vec_id", "embedding",
+        k = 3, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(graph.size === 3 * n, "k neighbors for every corpus vector")
+    val exact = graft.operators.Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & graph.toSet).size.toDouble / exact.size
+    assert(recall >= 0.2,
+      s"kNN-graph recall below structural floor (3/8 cells + PQ noise on random fixtures): $recall")
   }
 
   test("status surface: running and stopped emitters are observable (StreamingApp /status port)") {
