@@ -48,5 +48,17 @@ object Explain {
     "q_histogram_equidepth" ->
       ("ORACLE SHAPE: exact ntile = one global single-partition sort. " +
         "Scale path: q_histogram_equidepth_scale (approx_percentile boundaries broadcast, " +
-        "rows range-bucketed map-side, no global sort)."))
+        "rows range-bucketed map-side, no global sort)."),
+    "q_outliers_mad" ->
+      ("exact global median/MAD = full-column percentile sort aggs. " +
+        "Scale path: q_outliers_mad_scale (percentile_approx med/MAD, partial+final hash agg)."),
+    "q_topk_per_group" ->
+      ("ranking window = exchange + sort of every row before the rank filter. " +
+        "Scale path: q_topk_per_group_agg (TopKPairs bounded-heap agg, map-side combine, " +
+        "<= k rows per (group, partition) through the exchange)."),
+    "similarity_knn_join" ->
+      ("ORACLE SHAPE: exact corpus-as-queries broadcast join, kept as the correctness " +
+        "reference while the id+vec table fits an executor. Scale paths: " +
+        "similarity_knn_join_lsh ((table, bucket) shuffle join, nothing broadcast) or " +
+        "IndexStore.searchIvfPq over persisted artifacts (cell-pruned ADC scan)."))
 }
