@@ -78,6 +78,56 @@ object IndexStore {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
+  /** Incremental index maintenance — the daily-ingest half of the
+    * offline/online split: encode a NEW batch with the index's EXISTING
+    * centroids and codebook (no trainer anywhere) and append its codes to
+    * the cell-partitioned store. Cell assignment replicates the trainer's
+    * rule exactly (argmin squared euclidean on raw vectors, ties to the
+    * smaller cell), so an appended duplicate of an indexed vector lands
+    * in the same cell with the same codes.
+    *
+    * Plan shape: centroids broadcast (nlist rows), one projection over
+    * the batch for codes + one broadcast-join argmin for cells, append
+    * write — the probe side is always the daily batch, never the corpus,
+    * exactly like the incremental dedup family.
+    *
+    * Caveats a production loop owns: the codebook is FROZEN here — as the
+    * corpus drifts from the training sample, quantization error grows;
+    * rebuild the index on a schedule (deterministic trainers make
+    * rebuilds reproducible). Append is not idempotent — dedup the batch
+    * against the index first (`Dedup.incremental*`) or rerun the whole
+    * day's append after a failure.
+    */
+  def appendIvfPq(
+      newBatch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String): Unit = {
+    import graft.functions.VectorFunctions._
+    val spark = newBatch.sparkSession
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val dim = meta.getAs[Int]("dim")
+    val m = meta.getAs[Int]("m")
+    val ksub = meta.getAs[Int]("ksub")
+    val book = Similarity.collectCodebook(
+      spark.read.parquet(s"$path/codebook"), m, dim / m, ksubHint = ksub)
+    val cents = broadcast(spark.read.parquet(s"$path/centroids")
+      .select(col("ivf_cell"), col("cent"))
+      .withColumn("__cnorm2", dot(col("cent"), col("cent"))))
+    val assigned = newBatch
+      .select(col(idCol), toDoubleArray(col(vecCol)).as("__vec"))
+      .crossJoin(cents)
+      .withColumn("__d", col("__cnorm2") - lit(2.0) * dot(col("__vec"), col("cent")))
+      .groupBy(col(idCol))
+      .agg(min_by(col("ivf_cell"), struct(col("__d"), col("ivf_cell"))).as("ivf_cell"),
+        first(col("__vec")).as("__vec"))
+      .select(col(idCol),
+        graft.functions.PqKernels.pqCodes(col("__vec"), book).as("codes"),
+        col("ivf_cell"))
+    assigned.repartition(col("ivf_cell"))
+      .write.mode("append").partitionBy("ivf_cell").parquet(s"$path/codes")
+  }
+
   /** Search a persisted IVF-PQ index: top-k per query through the probed
     * cells' byte codes — no trainer anywhere in the plan. Query-side
     * machinery (probe ranking, dense LUTs, native ADC scoring, heap

@@ -588,6 +588,43 @@ class ConnectorsSuite extends AnyFunSuite {
       s"kNN-graph recall below structural floor (3/8 cells + PQ noise on random fixtures): $recall")
   }
 
+  test("IndexStore append: new batch encoded with frozen artifacts; duplicate lands in same cell, found at search") {
+    val emb = graft.core.Tables.embeddings(spark, TestSpark.sf0001)
+    val base = emb.filter(col("vec_id") < 400)
+    val root = freshRoot() + "/ivfpq_inc"
+    IndexStore.saveIvfPq(base, "vec_id", "embedding", root,
+      dim = 64, nlist = 8, m = 16, ksub = 32, iters = 1, trainSample = 1024)
+
+    // daily batch: the held-out tail + an exact duplicate of vector 0
+    // under a new id (the re-post the incremental dedup family hunts)
+    val dup = emb.filter(col("vec_id") === 0)
+      .select(lit(9000L).as("vec_id"), col("embedding"), col("label"))
+    val batch = emb.filter(col("vec_id") >= 400)
+      .select(col("vec_id"), col("embedding"), col("label"))
+      .unionByName(dup)
+    IndexStore.appendIvfPq(batch, "vec_id", "embedding", root)
+
+    val codes = spark.read.parquet(root + "/codes")
+    assert(codes.count() === 501L, "400 base + 100 appended + 1 duplicate")
+    // identical embedding => identical cell AND identical codes
+    val zero = codes.filter(col("vec_id") === 0L).head()
+    val nine = codes.filter(col("vec_id") === 9000L).head()
+    assert(nine.getAs[Any]("ivf_cell") === zero.getAs[Any]("ivf_cell"))
+    assert(nine.getAs[scala.collection.Seq[Long]]("codes") ===
+      zero.getAs[scala.collection.Seq[Long]]("codes"))
+
+    // searching with vector 0 as the query must surface its appended
+    // duplicate: same cell (always probed — it is the query's nearest
+    // centroid), same codes => the maximum ADC score in the index
+    val hits = IndexStore.searchIvfPq(spark, root,
+        emb.filter(col("vec_id") === 0), "vec_id", "embedding", k = 3, nprobe = 3)
+      .collect()
+    assert(hits.map(_.getLong(1)).contains(9000L),
+      s"duplicate not in top-3: ${hits.map(r => (r.getLong(1), r.getDouble(2))).toList}")
+    assert(hits.find(_.getLong(1) == 9000L).get.getInt(3) === 1,
+      "an identical vector must rank first")
+  }
+
   test("status surface: running and stopped emitters are observable (StreamingApp /status port)") {
     val mb = Minibatch(spark, freshRoot())
     val st = mb.stream("watched")
