@@ -480,6 +480,44 @@ class ConnectorsSuite extends AnyFunSuite {
       s"chunk-level incremental dedup kept the wrong set: $kept")
   }
 
+  test("streaming ANN ingest: emitter windows append to the persisted index; search sees streamed vectors") {
+    // the ANN analogue of the chunk-ingest spec: vectors arrive on a
+    // stream, each window is encoded with the FROZEN index artifacts and
+    // appended (IndexStore.appendIvfPq inside the emitter loop — no
+    // trainer anywhere), and a search immediately after the drain finds
+    // the streamed vectors
+    val emb = graft.core.Tables.embeddings(spark, TestSpark.sf0001)
+    val root = freshRoot() + "/ivfpq_stream"
+    IndexStore.saveIvfPq(emb.filter(col("vec_id") < 400), "vec_id", "embedding", root,
+      dim = 64, nlist = 8, m = 16, ksub = 32, iters = 1, trainSample = 1024)
+
+    // streamed payloads: exact duplicates of vectors 0 and 1 under new ids
+    // (identical embedding => same cell + codes => must rank first)
+    val dups = emb.filter(col("vec_id") < 2)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (9100L + r.getLong(0),
+        r.getAs[scala.collection.Seq[Float]]("embedding").mkString("[", ",", "]")))
+    val mb = Minibatch(spark, freshRoot())
+    val st = mb.stream("vec_ingest")
+    st.appendAll(dups.toSeq.map { case (id, e) => s"""{"id":$id,"e":$e}""" })
+    mb.streaming("vec_ingest").size(2).emit((_, df) => {
+      val batch = df.select(
+        get_json_object(col("data"), "$.id").cast("long").as("vec_id"),
+        from_json(get_json_object(col("data"), "$.e"),
+          ArrayType(FloatType)).as("embedding"))
+      IndexStore.appendIvfPq(batch, "vec_id", "embedding", root)
+    }).run()
+
+    assert(spark.read.parquet(root + "/codes").count() === 402L)
+    val hits = IndexStore.searchIvfPq(spark, root,
+        emb.filter(col("vec_id") < 2), "vec_id", "embedding", k = 3, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    Seq(0L, 1L).foreach { q =>
+      assert(hits.contains((q, 9100L + q, 1)),
+        s"streamed duplicate of $q must rank first: ${hits.filter(_._1 == q).toList}")
+    }
+  }
+
   test("partitioned layout: one file per partition value; filtered reads prune to the partition") {
     val docs = TestSpark.spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
     val out = freshRoot() + "/docs_by_lang"
