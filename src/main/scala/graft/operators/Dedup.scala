@@ -732,9 +732,17 @@ object Dedup {
       iters: Int = 2): DataFrame = {
     require(nlist > 0, "semanticDedup: nlist must be positive")
     val cells = Similarity.kmeansCells(emb, idCol, vecCol, nlist, iters)
+    // MATERIALIZED stage boundary: the (vec, norm, cell) assignment feeds
+    // BOTH sides of the in-cell pair join and the final cluster join — 3
+    // consumers, each of which would otherwise re-run the k-means
+    // assignment agg. A production SemDeDup writes the assignment table
+    // out before pairing (it is the artifact the method is named after);
+    // in-plan, persist() is the single-job equivalent and spills to
+    // executor disk when the corpus outgrows storage memory.
     val v = emb.select(col(idCol).as("__id"), toDoubleArray(col(vecCol)).as("__vec"))
       .withColumn("__nrm", l2Norm(col("__vec")))
       .join(cells.select(col(idCol).as("__id"), col("cell")), Seq("__id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = v.as("l").join(v.as("r"),
         col("l.cell") === col("r.cell") && col("l.__id") < col("r.__id"))
       .filter(dot(col("l.__vec"), col("r.__vec")) / (col("l.__nrm") * col("r.__nrm"))
