@@ -1458,6 +1458,14 @@ class OperatorsSuite extends AnyFunSuite {
         "similarity_ivfpq_topk" -> true, // both codebooks + LUT broadcast
         "text_tfidf" -> true,            // corpus size N as broadcast 1-row agg
         "q_outliers_mad" -> true,        // med/MAD tables broadcast to the census
+        "similarity_knn_join" -> true,   // corpus-as-queries broadcast (oracle anchor)
+        "q_topk_per_group_agg" -> false, // pure hash agg — no join anywhere
+        // k-means codebook broadcasts live INSIDE the materialized cell-
+        // assignment (InMemoryRelation — opaque to collect); the OUTER
+        // plan's in-cell pair join is a shuffle join on cell, nothing
+        // broadcast-sized in it
+        "dedup_semantic" -> false,
+        "pipeline_e2e" -> true,          // decon eval side + quantile thresholds broadcast
         "similarity_knn_join_lsh" -> false)
       cases.foreach { case (name, expectBroadcast) =>
         val plan: SparkPlan =
