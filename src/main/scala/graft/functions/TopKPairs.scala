@@ -27,8 +27,10 @@ import org.apache.spark.sql.types._
   * order is (score desc, id asc), `row_number`'s order — so oracle-tier
   * callers keep their hash matches.
   *
-  * Null scores/ids are ignored (a null cosine never outranks a real
-  * one); an empty group yields an empty array, not null — callers
+  * Null AND NaN scores are ignored (a broken cosine is not a best
+  * match — deliberately unlike a raw ranking window, where Spark's
+  * NaN-largest sort order would rank a NaN score FIRST); null ids are
+  * ignored. An empty group yields an empty array, not null — callers
   * explode the result, so "no candidates" must vanish, not nullify.
   */
 case class TopKPairs(
@@ -61,7 +63,12 @@ case class TopKPairs(
   override def update(h: TopKPairs.Heap, input: InternalRow): TopKPairs.Heap = {
     val s = score.eval(input)
     val i = id.eval(input)
-    if (s != null && i != null) h.insert(s.asInstanceOf[Double], i.asInstanceOf[Long])
+    if (s != null && i != null) {
+      val d = s.asInstanceOf[Double]
+      // NaN never compares "better" under worse(), but it would slip into
+      // a non-full heap and pollute the result — drop it like null
+      if (!java.lang.Double.isNaN(d)) h.insert(d, i.asInstanceOf[Long])
+    }
     h
   }
 
@@ -114,12 +121,22 @@ object TopKPairs {
   /** k-bounded binary min-heap whose ROOT is the WORST kept pair under
     * (score desc, id asc) — a new pair either beats the root (replace +
     * sift-down) or is dropped in O(1). Parallel primitive arrays, no
-    * boxing.
+    * boxing; capacity GROWS geometrically toward k rather than
+    * allocating k slots per group upfront (a large k over many mostly-
+    * small groups would otherwise pin k·16 bytes per group before a
+    * single row arrives).
     */
   final class Heap(k: Int) {
-    val scores = new Array[Double](k)
-    val ids = new Array[Long](k)
+    var scores = new Array[Double](math.min(k, 16))
+    var ids = new Array[Long](math.min(k, 16))
     var size: Int = 0
+
+    @inline private def ensureCapacity(): Unit =
+      if (size == scores.length && size < k) {
+        val cap = math.min(k, math.max(scores.length * 2, 16))
+        scores = java.util.Arrays.copyOf(scores, cap)
+        ids = java.util.Arrays.copyOf(ids, cap)
+      }
 
     /** a strictly worse than b under (score desc, id asc)? */
     @inline private def worse(sa: Double, ia: Long, sb: Double, ib: Long): Boolean =
@@ -127,6 +144,7 @@ object TopKPairs {
 
     def insert(s: Double, i: Long): Unit =
       if (size < k) {
+        ensureCapacity()
         var c = size
         scores(c) = s; ids(c) = i; size += 1
         // sift up: parent must be worse-or-equal than child

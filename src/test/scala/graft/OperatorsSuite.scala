@@ -76,9 +76,17 @@ class OperatorsSuite extends AnyFunSuite {
         .map { case ((n, s), i) => (q, n, s, i + 1) }
     }.toSet
     assert(got === expect)
-    // null scores and ids are skipped, never ranked
+    // a huge k over a small group must not rank phantom slots (the heap
+    // grows toward k geometrically instead of allocating k upfront)
+    val bigK = scored.filter(col("query_id") === 0L).limit(5)
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKPairs.topK(col("cos_sim"), col("neighbor_id"), 100000).as("t"))
+      .select(size(col("t"))).as[Int].head()
+    assert(bigK === 5)
+    // null AND NaN scores and null ids are skipped, never ranked
     val withNulls = Seq[(Long, java.lang.Long, java.lang.Double)](
-      (1L, 10L, 0.5), (1L, null, 9.9), (1L, 11L, null), (1L, 12L, 0.7))
+      (1L, 10L, 0.5), (1L, null, 9.9), (1L, 11L, null), (1L, 13L, Double.NaN),
+      (1L, 12L, 0.7))
       .toDF("query_id", "neighbor_id", "cos_sim")
     val nn = withNulls.groupBy(col("query_id"))
       .agg(graft.functions.TopKPairs.topK(col("cos_sim"), col("neighbor_id"), 5).as("t"))
