@@ -518,6 +518,35 @@ class ConnectorsSuite extends AnyFunSuite {
     }
   }
 
+  test("scan posture: column pruning and filter pushdown reach the parquet scans") {
+    // a 2-column projection must produce a 2-column ReadSchema — reading
+    // all of documents (notably a future binary payload column) for a
+    // (doc_id, lang) census would drag the whole corpus through the scan
+    val docs = TestSpark.spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val proj = docs.filter(col("lang") === "en").select(col("doc_id"), col("lang"))
+    val scan = proj.queryExecution.executedPlan.toString
+    val readSchema = scan.linesIterator.find(_.contains("ReadSchema")).getOrElse(
+      fail(s"no ReadSchema in plan:\n$scan"))
+    assert(readSchema.contains("doc_id") && readSchema.contains("lang") &&
+      !readSchema.contains("text"),
+      s"projection must prune to the selected columns: $readSchema")
+    assert(scan.contains("PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]"),
+      s"the lang filter must reach the scan: $scan")
+
+    // same through an operator: a media table written with its binary
+    // payload keeps the payload OUT of a metadata-only plan
+    val media = graft.operators.Multimodal.syntheticMedia(docs, "doc_id", "text")
+    val root = freshRoot() + "/media"
+    media.write.parquet(root)
+    val meta = TestSpark.spark.read.parquet(root)
+      .filter(col("media_type") === "video")
+      .select(col("media_id"), col("duration_ms"))
+    val metaScan = meta.queryExecution.executedPlan.toString
+    val metaSchema = metaScan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!metaSchema.contains("content"),
+      s"binary payload must be pruned from a metadata-only read: $metaSchema")
+  }
+
   test("partitioned layout: one file per partition value; filtered reads prune to the partition") {
     val docs = TestSpark.spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
     val out = freshRoot() + "/docs_by_lang"
