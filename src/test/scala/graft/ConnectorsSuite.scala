@@ -521,8 +521,15 @@ class ConnectorsSuite extends AnyFunSuite {
   test("scan posture: column pruning and filter pushdown reach the parquet scans") {
     // a 2-column projection must produce a 2-column ReadSchema — reading
     // all of documents (notably a future binary payload column) for a
-    // (doc_id, lang) census would drag the whole corpus through the scan
-    val docs = TestSpark.spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    // (doc_id, lang) census would drag the whole corpus through the scan.
+    // Read a PRIVATE copy of the table: suites run in parallel on a shared
+    // session, and OperatorsSuite caches the canonical documents relation —
+    // the CacheManager would substitute that cache into this plan and the
+    // scan under an InMemoryRelation legitimately reads every column.
+    val docsRoot = freshRoot() + "/docs_private"
+    TestSpark.spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+      .write.parquet(docsRoot)
+    val docs = TestSpark.spark.read.parquet(docsRoot)
     val proj = docs.filter(col("lang") === "en").select(col("doc_id"), col("lang"))
     val scan = proj.queryExecution.executedPlan.toString
     val readSchema = scan.linesIterator.find(_.contains("ReadSchema")).getOrElse(
