@@ -1327,6 +1327,50 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // CCNet's other half: the head/middle/tail split. Per-language ntile
+    // over the bigram-LM score (desc, doc_id tiebreak) — equal-thirds by
+    // construction, and the ntile deal is SQL-standard on both engines so
+    // the per-doc bucket is oracle-exact. Docs shorter than the LM order
+    // drop (no score), same as text_bigram_ppl.
+    "text_ccnet_buckets" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      val scored = Pipeline.bigramLogLikelihood(docs, docs, "doc_id", "text")
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      Pipeline.perplexityBuckets(scored, Seq(col("lang")), col("avg_logp"), col("doc_id"))
+        .withColumn("ppl_bucket",
+          when(col("bucket") === 1, "head")
+            .when(col("bucket") === 2, "middle").otherwise("tail"))
+        .select(col("doc_id"), col("lang"), col("avg_logp"), col("ppl_bucket"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Token-budget selection: per-language, keep the highest-alpha-ratio
+    // docs until 10k chars of budget fill — the budget-constrained
+    // cousin of text_importance_select (a token budget, not a keep
+    // fraction). alpha_ratio is ratio4-quantized (exact integers / 10⁴),
+    // n_chars and the cumsum are BIGINTs — integer-exact end to end.
+    "select_token_budget" -> ((s, dir) => {
+      val scored = TextAnalysis.withQuality(documents(s, dir), col("text"))
+      Pipeline.selectByTokenBudget(scored, Seq(col("lang")), col("alpha_ratio"),
+          col("n_chars"), col("doc_id"), budget = 10000L)
+        .select(col("doc_id"), col("lang"), col("alpha_ratio"),
+          col("n_chars"), col("cum_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Temperature-scaled mixture (T = 2): per-source keep rates from
+    // token mass, applied as a deterministic md5 sample — census per
+    // source proves the realized mixture. T = 2 keeps the whole rate
+    // derivation in correctly-rounded IEEE ops (sqrt, not pow), so the
+    // basis-point rates are bit-identical cross-engine.
+    "sample_temperature" -> ((s, dir) => {
+      Pipeline.temperatureSample(documents(s, dir), col("doc_id"),
+          col("source"), col("n_chars"), temperature = 2.0)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("source"))
+    }),
+
     // Chunk-level dedup composition: chunkTokens' chunk_hash feeding
     // Dedup.exactByKey — dedup CHUNKS across documents (boilerplate spans
     // repeat even when whole docs differ), reporting per-doc chunk counts
@@ -2449,6 +2493,59 @@ object SparkEntry {
         |FROM sq, thr
         |WHERE scq * 4 >= tq
         |ORDER BY doc_id""".stripMargin,
+
+    "text_ccnet_buckets" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(text, ' +') AS t FROM documents),
+        |uni AS (SELECT unnest(t) AS w FROM toks),
+        |ucnt AS (SELECT w, count(*) AS uc FROM uni GROUP BY w),
+        |v AS (SELECT count(*) AS v FROM ucnt),
+        |bg AS (SELECT doc_id, array_to_string(t[i:i+1], ' ') AS b, t[i] AS w1
+        |       FROM toks, unnest(range(1, len(t))) u(i)),
+        |bcnt AS (SELECT b, count(*) AS bc FROM bg GROUP BY b),
+        |db AS (SELECT doc_id, b, w1, count(*) AS c FROM bg GROUP BY doc_id, b, w1),
+        |scored AS (
+        |  SELECT db.doc_id,
+        |         round(sum(db.c * (ln(bcnt.bc + 1.0) - ln(ucnt.uc + 1.0 * v.v)))
+        |               / sum(db.c), 4) AS avg_logp
+        |  FROM db JOIN bcnt USING (b) JOIN ucnt ON db.w1 = ucnt.w CROSS JOIN v
+        |  GROUP BY db.doc_id),
+        |nt AS (SELECT s.doc_id, d.lang, s.avg_logp,
+        |              ntile(3) OVER (PARTITION BY d.lang
+        |                             ORDER BY s.avg_logp DESC, s.doc_id) AS b
+        |       FROM scored s JOIN documents d USING (doc_id))
+        |SELECT doc_id, lang, avg_logp,
+        |       CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS ppl_bucket
+        |FROM nt
+        |ORDER BY doc_id""".stripMargin,
+
+    "select_token_budget" ->
+      """WITH q AS (SELECT doc_id, lang, n_chars,
+        |                  (20000 * length(regexp_replace(text, '[^a-z]', '', 'g'))
+        |                     + greatest(length(text), 1)) // (2 * greatest(length(text), 1))
+        |                    / 10000.0 AS alpha_ratio
+        |           FROM documents),
+        |c AS (SELECT doc_id, lang, alpha_ratio, n_chars,
+        |             CAST(sum(n_chars) OVER (PARTITION BY lang
+        |                                     ORDER BY alpha_ratio DESC, doc_id
+        |                                     ROWS BETWEEN UNBOUNDED PRECEDING
+        |                                     AND CURRENT ROW) AS BIGINT)
+        |               AS cum_tokens
+        |      FROM q)
+        |SELECT doc_id, lang, alpha_ratio, n_chars, cum_tokens
+        |FROM c WHERE cum_tokens <= 10000
+        |ORDER BY doc_id""".stripMargin,
+
+    "sample_temperature" ->
+      """WITH n AS (SELECT source, sum(n_chars) AS nt FROM documents GROUP BY source),
+        |r AS (SELECT source,
+        |             CAST(floor(sqrt((SELECT min(nt) FROM n)::DOUBLE / nt::DOUBLE)
+        |                        * 10000) AS BIGINT) AS rate_bp
+        |      FROM n)
+        |SELECT d.source, count(*)::BIGINT AS n_docs, sum(d.n_chars)::BIGINT AS sum_chars
+        |FROM documents d JOIN r USING (source)
+        |WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT % 10000 < r.rate_bp
+        |GROUP BY d.source
+        |ORDER BY d.source""".stripMargin,
 
     "dedup_chunks" ->
       """WITH d AS (SELECT doc_id, string_split_regex(text, ' +') AS toks FROM documents),

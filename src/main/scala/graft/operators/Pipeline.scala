@@ -363,4 +363,182 @@ object Pipeline {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_shared_ngrams"))
   }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.4 — public
+    * method): within each partition key (CCNet partitions by language),
+    * rank rows by `score` descending and deal them into `nBuckets`
+    * equal-size buckets — bucket 1 is the most reference-like "head"
+    * (highest LM score = lowest perplexity), the last bucket the "tail".
+    * Downstream, CCNet keeps head+middle or weights the buckets; that is a
+    * plain filter on `bucket`.
+    *
+    * Rank-based (`ntile`), not threshold-based, so bucket SIZES are exact
+    * (±1 row) whatever the score distribution looks like — the property
+    * CCNet's equal-thirds split is defined by — and `tieBreak` makes the
+    * deal a total order, hence deterministic and engine-reproducible
+    * (ntile's remainder rule — first `count % n` buckets get the extra
+    * row — is SQL-standard on both Spark and DuckDB).
+    *
+    * Scale: one shuffle on the partition keys + a per-key sort — the cost
+    * profile of any per-key window. A single language spanning most of a
+    * 100 TB corpus is a skewed partition; CCNet itself buckets per
+    * (lang, shard) — add the shard column to `partitionKeys` and sizes
+    * stay exact within each shard. When approximate membership suffices,
+    * [[perplexityBucketsApprox]] assigns by broadcast quantile boundaries
+    * with no sort at all.
+    */
+  def perplexityBuckets(
+      df: DataFrame,
+      partitionKeys: Seq[Column],
+      score: Column,
+      tieBreak: Column,
+      nBuckets: Int = 3): DataFrame = {
+    require(nBuckets >= 2, s"perplexityBuckets: nBuckets must be >= 2, got $nBuckets")
+    val base = Window.orderBy(score.desc, tieBreak.asc)
+    val w = if (partitionKeys.isEmpty) base
+            else Window.partitionBy(partitionKeys: _*).orderBy(score.desc, tieBreak.asc)
+    df.withColumn("bucket", ntile(nBuckets).over(w))
+  }
+
+  /** [[perplexityBuckets]]' no-sort scale companion: per-key approx
+    * score boundaries at quantiles 1/n … (n−1)/n (t-digest, partial+final
+    * hash agg), broadcast, then bucket = 1 + how many boundaries the row's
+    * score falls below — a per-row filter over an (nBuckets−1)-element
+    * array. Buckets are approximately equal-size (t-digest error), which
+    * is what a selection gate needs; use the exact form when the
+    * equal-thirds contract must hold to the row.
+    */
+  def perplexityBucketsApprox(
+      df: DataFrame,
+      partitionKeys: Seq[String],
+      score: Column,
+      nBuckets: Int = 3): DataFrame = {
+    require(nBuckets >= 2, s"perplexityBucketsApprox: nBuckets must be >= 2, got $nBuckets")
+    require(partitionKeys.nonEmpty, "perplexityBucketsApprox: partitionKeys must be non-empty")
+    val probs = array((1 until nBuckets).map(i => lit(i.toDouble / nBuckets)): _*)
+    val bounds = df.groupBy(partitionKeys.map(col): _*)
+      .agg(percentile_approx(score, probs, lit(10000)).as("__bnds"))
+    // boundaries ascend with the quantile, so a score below j of them sits
+    // j buckets away from the head: >= all boundaries -> bucket 1 (head),
+    // below all -> bucket nBuckets (tail)
+    df.join(broadcast(bounds), partitionKeys)
+      .withColumn("bucket", (lit(1) + size(filter(col("__bnds"), b => score < b))).cast("int"))
+      .drop("__bnds")
+  }
+
+  /** Greedy token-budget selection: order rows by `score` descending
+    * (ties broken by `tieBreak`) and keep the maximal prefix whose token
+    * sum stays within `budget` — "take the best documents until the
+    * training budget is full", the selection rule data-constrained
+    * pretraining actually runs (a budget of tokens, not a fraction of
+    * rows — [[selectTopByScore]]'s contract). Emits `cum_tokens` (the
+    * running total through each kept row) so the caller can see how full
+    * the budget ran.
+    *
+    * With `partitionKeys` the budget applies PER KEY — the production
+    * shape, since budgets are set per domain/language by the mixture
+    * (compose with [[temperatureRates]] to derive them), and each key's
+    * cumsum window sorts only its own stratum. An empty `partitionKeys`
+    * is the single-global-ordering oracle anchor — same posture as
+    * `sample_shuffle`'s global rank: correct, but one ordered spine at
+    * 100 TB; shard first, or use the threshold form below.
+    *
+    * No-sort alternative at extreme scale: binary-search a score
+    * threshold t such that sum(tokens | score ≥ t) ≤ budget — each probe
+    * is one agg over the scan ([[selectTopByScore]]'s broadcast-threshold
+    * shape); the prefix is then approximate at the threshold boundary
+    * rather than exact.
+    */
+  def selectByTokenBudget(
+      df: DataFrame,
+      partitionKeys: Seq[Column],
+      score: Column,
+      tokens: Column,
+      tieBreak: Column,
+      budget: Long): DataFrame = {
+    require(budget > 0, s"selectByTokenBudget: budget must be positive, got $budget")
+    val w = (if (partitionKeys.isEmpty) Window.orderBy(score.desc, tieBreak.asc)
+             else Window.partitionBy(partitionKeys: _*).orderBy(score.desc, tieBreak.asc))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("cum_tokens", sum(tokens).over(w))
+      .filter(col("cum_tokens") <= budget)
+  }
+
+  /** Temperature-scaled mixture rates (the multilingual/domain rebalancing
+    * rule of mT5/XLM-R — sample source g with p_g ∝ n_g^(1/T) — given
+    * UniMax-style downsampling-only normalization): per-source keep rate
+    *
+    *   rate_g = (n_min / n_g)^(1 − 1/T)
+    *
+    * where n_g is the source's token mass and n_min the smallest source's.
+    * T = 1 keeps the natural mixture (all rates 1); T → ∞ approaches equal
+    * token counts per source (rate ∝ 1/n_g); the largest sources are
+    * always downsampled hardest and the smallest source is never
+    * downsampled — no upsampling, so rates are valid keep probabilities.
+    *
+    * Emits one row per source: (group, n_tokens, rate_bp, rate), with
+    * `rate_bp` the rate in integer basis points (floor(rate·10⁴)) — the
+    * form [[temperatureSample]] compares against the md5 bucket, and the
+    * cross-engine-exact one: for T = 2 the whole chain (int→double cast,
+    * division, sqrt, ×10⁴, floor) is correctly-rounded IEEE arithmetic,
+    * bit-identical on any engine. Other T go through `pow` (libm,
+    * last-ulp differences possible across engines — deterministic within
+    * Spark, just not an oracle-exact contract).
+    *
+    * Scale: one map-side-combined hash agg (|sources| rows — a bounded
+    * model artifact, like a codebook) + a 1-row min agg. In a production
+    * loop the rate table is computed once from corpus stats and reused
+    * across runs.
+    */
+  def temperatureRates(
+      df: DataFrame,
+      group: Column,
+      tokens: Column,
+      temperature: Double): DataFrame = {
+    require(temperature >= 1.0,
+      s"temperatureRates: temperature must be >= 1 (downsampling-only), got $temperature")
+    val n = df.groupBy(group.as("group")).agg(sum(tokens).as("n_tokens"))
+    val mn = n.agg(min(col("n_tokens")).as("__mn"))
+    val ratio = col("__mn").cast("double") / col("n_tokens").cast("double")
+    val raw = if (temperature == 2.0) sqrt(ratio)
+              else pow(ratio, 1.0 - 1.0 / temperature)
+    n.crossJoin(broadcast(mn))
+      .withColumn("rate_bp", floor(raw * 10000).cast("long"))
+      .select(col("group"), col("n_tokens"), col("rate_bp"),
+        (col("rate_bp") / 10000.0).as("rate"))
+  }
+
+  /** Apply [[temperatureRates]] as a deterministic per-row sample: keep a
+    * row when its md5 bucket (0–9999, 32 md5 bits mod 10⁴ — negligible
+    * modulo bias) falls under its source's `rate_bp`. Same
+    * deterministic-not-rand() rationale as [[weightedSample]], at 10⁻⁴
+    * rate resolution. Expected kept token mass per source ∝ n_g^(1/T) —
+    * the temperature mixture realized.
+    *
+    * Plan: the tiny rate table broadcast-joins on the group key and the
+    * keep decision is a per-row codegen'd filter — the corpus is scanned
+    * once for stats (precomputable artifact) and once for the probe, and
+    * never shuffles.
+    */
+  def temperatureSample(
+      df: DataFrame,
+      key: Column,
+      group: Column,
+      tokens: Column,
+      temperature: Double): DataFrame = {
+    val rates = temperatureRates(df, group, tokens, temperature)
+      .select(col("group").as("__grp"), col("rate_bp").as("__rate_bp"))
+    df.join(broadcast(rates), group === col("__grp"))
+      .filter(md5Bucket10k(key) < col("__rate_bp"))
+      .drop("__grp", "__rate_bp")
+  }
+
+  /** Deterministic 0–9999 bucket from a stable key: first 32 bits of md5
+    * mod 10⁴ (the 2³² range makes the modulo bias ~1/429k — immaterial;
+    * the 16-bit variant `md5Bucket` uses mod 100 where the bias is equally
+    * negligible). Cross-engine: DuckDB spells it
+    * `('0x' || substr(md5(k),1,8))::BIGINT % 10000`.
+    */
+  private def md5Bucket10k(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long") % 10000
 }

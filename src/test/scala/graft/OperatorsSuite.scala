@@ -1500,4 +1500,96 @@ class OperatorsSuite extends AnyFunSuite {
       }
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
+
+  test("perplexity buckets: equal-size deal per key, score-monotone, approx variant agrees") {
+    val exact = Pipeline.perplexityBuckets(docs, Seq(col("lang")),
+      col("n_chars"), col("doc_id"))
+    val rows = exact.select(col("lang"), col("bucket"), col("n_chars"), col("doc_id"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == docs.count())
+    assert(rows.forall { case (_, b, _, _) => b >= 1 && b <= 3 })
+    rows.groupBy(_._1).foreach { case (lang, rs) =>
+      // ntile contract: sizes differ by at most 1 within a key
+      val sizes = rs.groupBy(_._2).view.mapValues(_.length).toMap
+      assert(sizes.size == 3, s"$lang: expected 3 buckets, got $sizes")
+      assert(sizes.values.max - sizes.values.min <= 1, s"$lang: uneven deal $sizes")
+      // monotone: everything in bucket i scores >= everything in bucket i+1
+      // (ties split across the boundary only via the doc_id tiebreak)
+      for (b <- 1 to 2) {
+        val hi = rs.filter(_._2 == b).map(_._3).min
+        val lo = rs.filter(_._2 == b + 1).map(_._3).max
+        assert(hi >= lo, s"$lang: bucket $b min $hi < bucket ${b + 1} max $lo")
+      }
+    }
+    // threshold (no-sort) variant: total, and monotone EXACTLY — the
+    // bucket is a function of the score alone, so same score same bucket
+    val approx = Pipeline.perplexityBucketsApprox(docs, Seq("lang"), col("n_chars"))
+      .select(col("lang"), col("bucket"), col("n_chars"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    assert(approx.length == rows.length)
+    approx.groupBy(_._1).foreach { case (lang, rs) =>
+      val byB = rs.groupBy(_._2).view.mapValues(_.map(_._3)).toMap
+      assert(byB.keySet.subsetOf(Set(1, 2, 3)))
+      for (b <- 1 to 2; hiS <- byB.get(b); loS <- byB.get(b + 1))
+        assert(hiS.min >= loS.max, s"$lang: approx bucket order violated at $b")
+      // t-digest boundaries at this accuracy keep the thirds roughly even
+      byB.values.foreach(v =>
+        assert(v.length >= rs.length / 6, s"$lang: approx bucket collapsed"))
+    }
+  }
+
+  test("token-budget selection: maximal prefix per key, straddling row blocks the tail") {
+    import spark.implicits._
+    val d = Seq(
+      // (id, key, score, tokens)
+      (1L, "a", 9.0, 40L), (2L, "a", 8.0, 40L), (3L, "a", 7.0, 100L), (4L, "a", 6.0, 10L),
+      (5L, "b", 5.0, 500L), (6L, "b", 4.0, 1L)
+    ).toDF("id", "key", "score", "tok")
+    val out = Pipeline.selectByTokenBudget(d, Seq(col("key")), col("score"),
+      col("tok"), col("id"), budget = 100L)
+      .select(col("id"), col("cum_tokens")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // key a: 40, 80, then id=3 straddles (180 > 100) and BLOCKS id=4 too
+    // (prefix semantics, not knapsack) even though 90 + 10 would fit
+    assert(out == Map(1L -> 40L, 2L -> 80L))
+    // key b: the first row alone exceeds the budget -> nothing kept for b
+    assert(!out.contains(5L) && !out.contains(6L))
+    // global (no keys): one budget across everything, best-score-first
+    val g = Pipeline.selectByTokenBudget(d, Seq.empty, col("score"),
+      col("tok"), col("id"), budget = 90L)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(g == Set(1L, 2L))
+  }
+
+  test("temperature mixture: T=1 natural, rates fall with source mass and with T; sample realizes them") {
+    val r1 = Pipeline.temperatureRates(docs, col("source"), col("n_chars"), 1.0)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(r1.values.forall(_ == 10000L), s"T=1 must keep the natural mixture: $r1")
+    val r2rows = Pipeline.temperatureRates(docs, col("source"), col("n_chars"), 2.0)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val r2 = r2rows.map(r => r._1 -> r._3).toMap
+    // monotone: more tokens, lower rate; the smallest source is never cut
+    val sorted = r2rows.sortBy(_._2)
+    assert(sorted.head._3 == 10000L)
+    sorted.sliding(2).foreach { case Array((_, na, ra), (sb, nb, rb)) =>
+      assert(!(nb > na) || rb <= ra, s"rate must fall with mass at $sb")
+    }
+    // hotter T pushes every rate further toward equal-token allocation
+    val r4 = Pipeline.temperatureRates(docs, col("source"), col("n_chars"), 4.0)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    r2.foreach { case (s, rate2) => assert(r4(s) <= rate2, s"T=4 must downsample $s at least as hard") }
+    // the sample is deterministic and exactly the md5-bucket < rate set
+    val kept = Pipeline.temperatureSample(docs, col("doc_id"), col("source"),
+      col("n_chars"), 2.0).select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val kept2 = Pipeline.temperatureSample(docs, col("doc_id"), col("source"),
+      col("n_chars"), 2.0).select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(kept == kept2)
+    val expected = docs.select(col("doc_id"), col("source"))
+      .withColumn("b", conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 10000)
+      .collect().filter(r => r.getLong(2) < r2(r.getString(1)))
+      .map(_.getLong(0)).toSet
+    assert(kept == expected)
+    assert(kept.nonEmpty && kept.size < docs.count())
+  }
 }
