@@ -593,6 +593,25 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Keep-BEST dedup: the keeper of each duplicate cluster is the
+    // highest-quality member, not the lowest id. The fixture has no
+    // duplicates, so the query constructs the realistic pair (same page
+    // crawled once clean, once SHOUTING): an uppercased copy under a
+    // NEGATIVE id (-id-1: distinct even for doc 0) clusters with its
+    // original on md5(lower(text)). The
+    // copy's alpha_ratio is 0 ([a-z] only), so quality keeps the original
+    // — while a min-id rule would keep the negative-id copy, proving the
+    // rule is quality, not id. Ties (all-digit docs) fall to min id.
+    "dedup_keep_best" -> ((s, dir) => {
+      val docs = documents(s, dir).select(col("doc_id"), col("text"))
+      val all = docs.unionByName(
+        docs.select((-col("doc_id") - 1).as("doc_id"), upper(col("text")).as("text")))
+      Dedup.keepBestInCluster(TextAnalysis.withQuality(all, col("text")),
+          md5(lower(col("text"))), col("doc_id"), col("alpha_ratio"))
+        .select(col("doc_id"), col("alpha_ratio"), col("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Exact 3-gram Jaccard near-dup pairs within length-bucket blocks
     // (near-dups have near-equal length; the bucket bounds the quadratic).
     "dedup_ngram_jaccard" -> ((s, dir) => {
@@ -1846,6 +1865,23 @@ object SparkEntry {
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM documents
         |GROUP BY md5(lower(trim(text)))
+        |ORDER BY doc_id""".stripMargin,
+
+    "dedup_keep_best" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT -doc_id - 1, upper(text) FROM documents),
+        |q AS (SELECT doc_id, text,
+        |        (20000 * length(regexp_replace(text, '[^a-z]', '', 'g'))
+        |           + greatest(length(text), 1)) // (2 * greatest(length(text), 1))
+        |          / 10000.0 AS alpha_ratio
+        |      FROM all_docs),
+        |r AS (SELECT doc_id, alpha_ratio,
+        |             row_number() OVER (PARTITION BY md5(lower(text))
+        |                                ORDER BY alpha_ratio DESC, doc_id) AS rn
+        |      FROM q)
+        |SELECT doc_id, alpha_ratio, rn = 1 AS keep FROM r
         |ORDER BY doc_id""".stripMargin,
 
     "dedup_ngram_jaccard" ->

@@ -25,6 +25,37 @@ object Dedup {
     df.groupBy(key.as("dedup_key"))
       .agg(min(idCol).as(idCol.toString))
 
+  /** Keep the BEST member of each duplicate cluster: production dedup
+    * keeps the highest-quality copy (cleanest, longest, best-sourced), not
+    * the smallest id — [[exactByKey]]'s min-id rule is the right keeper
+    * only when members are byte-identical. Returns the input with a `keep`
+    * flag; ties on `score` fall back to the smallest id, so with a
+    * constant score this IS exactByKey.
+    *
+    * One hash aggregate finds each cluster's winner as
+    * max(struct(score, −id)) — partial+final with map-side combine, one
+    * winner struct per (cluster, partition) through the exchange and NO
+    * per-cluster sort. The ranking-window formulation (`row_number() over
+    * (partition by cluster order by score desc)`) must exchange and sort
+    * every member row first — the same argmax-vs-window argument as
+    * [[graft.functions.TopKPairs]] at k = 1, here in pure built-ins.
+    * Numeric ids only (same contract as [[dupClusters]]), and ids must be
+    * UNIQUE across rows — the keep flag is an id-equality test against the
+    * cluster winner, so duplicate ids would all inherit the winner's flag.
+    */
+  def keepBestInCluster(df: DataFrame, clusterKey: Column, id: Column, score: Column): DataFrame = {
+    val best = df
+      .select(clusterKey.as("__ck"),
+        struct(score.as("s"), (-id.cast("long")).as("nid")).as("__cand"))
+      .groupBy(col("__ck"))
+      .agg(max(col("__cand")).as("__best"))
+      .select(col("__ck"), (-col("__best.nid")).as("__keep_id"))
+    df.withColumn("__ck", clusterKey)
+      .join(best, Seq("__ck"))
+      .withColumn("keep", id.cast("long") === col("__keep_id"))
+      .drop("__ck", "__keep_id")
+  }
+
   /** MinHash signature: array of `numHashes` minima of per-shingle hashes
     * (2-hash Kirsch-Mitzenmacher family). Native codegen'd expression —
     * see [[graft.functions.MinHashSig]].

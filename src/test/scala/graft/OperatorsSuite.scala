@@ -1561,6 +1561,26 @@ class OperatorsSuite extends AnyFunSuite {
     assert(g == Set(1L, 2L))
   }
 
+  test("keep-best dedup: quality picks the keeper, not the id; ties fall to min id") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a", 0.9), (10L, "a", 0.95), // higher score wins despite larger id
+      (2L, "b", 0.5), (20L, "b", 0.5),  // tie -> smallest id
+      (3L, "c", 0.1)                    // singleton keeps itself
+    ).toDF("id", "ck", "s")
+    val out = Dedup.keepBestInCluster(d, col("ck"), col("id"), col("s"))
+      .select(col("id"), col("keep")).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(out == Map(1L -> false, 10L -> true, 2L -> true, 20L -> false, 3L -> true))
+    // constant score degrades to exactByKey's min-id keeper on real data
+    val const = Dedup.keepBestInCluster(docs, col("lang"), col("doc_id"), lit(0))
+      .filter(col("keep")).select(col("lang"), col("doc_id")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val minIds = docs.groupBy(col("lang")).agg(min(col("doc_id")).as("m")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(const == minIds)
+  }
+
   test("temperature mixture: T=1 natural, rates fall with source mass and with T; sample realizes them") {
     val r1 = Pipeline.temperatureRates(docs, col("source"), col("n_chars"), 1.0)
       .collect().map(r => r.getString(0) -> r.getLong(2)).toMap

@@ -7,7 +7,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 
-import graft.operators.{Dedup, TextAnalysis, WindowAssign}
+import graft.operators.{Dedup, Pipeline, TextAnalysis, WindowAssign}
 
 /** Property-based invariants for window assignment and dedup hashing
   * (SURVEY.md §5): these must hold for ANY input, not just the fixtures.
@@ -237,6 +237,78 @@ class PropertySuite extends AnyFunSuite {
       val got = Multimodal.aviJpegFrames(avi.take(cut), 8)
       assert(got.size <= full.size)
       got.zip(full).foreach { case (g, f) => assert(java.util.Arrays.equals(g, f)) }
+    }
+  }
+
+  test("token-budget selection is the maximal in-budget prefix for any data") {
+    val rowGen = for {
+      id <- Gen.chooseNum(1L, 500L)
+      key <- Gen.oneOf("k1", "k2", "k3")
+      score <- Gen.chooseNum(0, 100)
+      tok <- Gen.chooseNum(1L, 50L)
+    } yield (id, key, score, tok)
+    (1 to 6).foreach { seedBase =>
+      val rows = samples(rowGen, 60).distinctBy(_._1)
+      val budget = 40L + 17L * seedBase
+      val df = spark.createDataFrame(rows).toDF("id", "key", "score", "tok")
+      val kept = Pipeline.selectByTokenBudget(df, Seq(col("key")), col("score"),
+          col("tok"), col("id"), budget)
+        .select(col("id"), col("cum_tokens")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // expected: per key, walk (score desc, id asc) accumulating until the
+      // budget would be exceeded; everything after the straddler is out
+      val expected = rows.groupBy(_._2).flatMap { case (_, rs) =>
+        val ordered = rs.sortBy(t => (-t._3, t._1))
+        val cums = ordered.scanLeft(0L)(_ + _._4).tail
+        ordered.zip(cums).takeWhile(_._2 <= budget).map { case (t, c) => t._1 -> c }
+      }
+      assert(kept == expected, s"budget=$budget")
+    }
+  }
+
+  test("temperature rates: bounded, min-mass source uncut, monotone in mass and temperature") {
+    val massGen = Gen.chooseNum(1L, 1000000L)
+    (1 to 5).foreach { trial =>
+      val masses = samples(massGen, 8).distinct.zipWithIndex
+        .map { case (m, i) => (s"s$i", m) }
+      val df = spark.createDataFrame(masses).toDF("src", "tok")
+      val rates = Seq(2.0, 4.0).map { t =>
+        t -> Pipeline.temperatureRates(df, col("src"), col("tok"), t)
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      }.toMap
+      rates.foreach { case (_, rs) =>
+        assert(rs.forall { case (_, _, bp) => bp >= 0L && bp <= 10000L })
+        assert(rs.minBy(_._2)._3 == 10000L)
+        val sorted = rs.sortBy(_._2)
+        sorted.sliding(2).foreach {
+          case Seq((_, na, ra), (_, nb, rb)) => if (nb > na) assert(rb <= ra)
+          case _ => ()
+        }
+      }
+      val r2 = rates(2.0).map(r => r._1 -> r._3).toMap
+      rates(4.0).foreach { case (s, _, bp4) => assert(bp4 <= r2(s)) }
+    }
+  }
+
+  test("keep-best: exactly one keeper per cluster, keeper maximizes (score, -id)") {
+    val rowGen = for {
+      id <- Gen.chooseNum(1L, 300L)
+      ck <- Gen.chooseNum(0, 9)
+      score <- Gen.chooseNum(0, 5) // small range forces score ties
+    } yield (id, ck, score)
+    (1 to 6).foreach { _ =>
+      val rows = samples(rowGen, 50).distinctBy(_._1)
+      val df = spark.createDataFrame(rows).toDF("id", "ck", "s")
+      val out = Dedup.keepBestInCluster(df, col("ck"), col("id"), col("s"))
+        .select(col("id"), col("ck"), col("keep")).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
+      assert(out.length == rows.length)
+      out.groupBy(_._2).foreach { case (ck, members) =>
+        val keepers = members.filter(_._3).map(_._1)
+        assert(keepers.length == 1, s"cluster $ck: $keepers")
+        val want = rows.filter(_._2 == ck).maxBy(t => (t._3, -t._1))._1
+        assert(keepers.head == want, s"cluster $ck")
+      }
     }
   }
 
