@@ -1474,7 +1474,11 @@ class OperatorsSuite extends AnyFunSuite {
         // broadcast-sized in it
         "dedup_semantic" -> false,
         "pipeline_e2e" -> true,          // decon eval side + quantile thresholds broadcast
-        "similarity_knn_join_lsh" -> false)
+        "similarity_knn_join_lsh" -> false,
+        "sample_temperature" -> true,    // |sources|-row rate table broadcast to the probe
+        "text_ccnet_buckets" -> true,    // LM vocab V as broadcast 1-row agg
+        "select_token_budget" -> false,  // pure per-lang window, no join at all
+        "dedup_keep_best" -> false)      // winner agg + equi-join; nothing broadcast-required
       cases.foreach { case (name, expectBroadcast) =>
         val plan: SparkPlan =
           SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan
@@ -1497,6 +1501,15 @@ class OperatorsSuite extends AnyFunSuite {
         if (expectBroadcast)
           assert(broadcasts.nonEmpty,
             s"$name: expected a broadcast side, found none — a shuffle join replaced it:\n$plan")
+      }
+      // the argmax-not-window designs must stay window-free: a WindowExec
+      // appearing in these plans means a ranking-window formulation crept
+      // back in (sorting every member/row where one hash agg suffices)
+      Seq("dedup_keep_best", "sample_temperature").foreach { name =>
+        val plan = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan
+        val windows = plan.collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec => w }
+        assert(windows.isEmpty, s"$name: ranking window crept into an agg design:\n$plan")
       }
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
