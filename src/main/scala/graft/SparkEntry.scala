@@ -369,6 +369,24 @@ object SparkEntry {
             .otherwise(0)).as("n_view_click_purchase"))
     }),
 
+    // Cohort retention: users cohorted by FIRST event day, distinct users
+    // counted per (cohort, day offset) — the standard product-analytics
+    // retention matrix. Day ids are integer epoch days end to end (dates
+    // as date32 round-trip differently through the two engines' pandas
+    // paths). Shape: the first-touch table derives from the same user_id
+    // shuffle the join consumes (exchange reuse), then one hash agg on
+    // (cohort, offset) — n_users at offset 0 IS the cohort size, every
+    // other offset counts a subset of it.
+    "q_cohort_retention" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .select(col("user_id"), datediff(to_date(col("ts")), lit("1970-01-01")).as("d"))
+      val first = ev.groupBy(col("user_id")).agg(min(col("d")).as("cohort_day"))
+      ev.join(first, Seq("user_id"))
+        .groupBy(col("cohort_day"), (col("d") - col("cohort_day")).as("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort_day"), col("day_offset"))
+    }),
+
     // Data profiling: fixed-width value histogram — the pre-training
     // distribution check. Bin id is integer math (map-side); one hash agg.
     "q_histogram" -> ((s, dir) => {
@@ -1747,6 +1765,17 @@ object SparkEntry {
         |         min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS t_click,
         |         min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t_purchase
         |  FROM events GROUP BY user_id)""".stripMargin,
+
+    "q_cohort_retention" ->
+      """WITH e AS (SELECT user_id,
+        |                  date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+        |           FROM events),
+        |f AS (SELECT user_id, min(d) AS cohort_day FROM e GROUP BY user_id)
+        |SELECT f.cohort_day, e.d - f.cohort_day AS day_offset,
+        |       count(DISTINCT e.user_id)::BIGINT AS n_users
+        |FROM e JOIN f USING (user_id)
+        |GROUP BY 1, 2
+        |ORDER BY cohort_day, day_offset""".stripMargin,
 
     "q_histogram" ->
       """SELECT floor(value / 25)::BIGINT AS bin, count(*) AS n,

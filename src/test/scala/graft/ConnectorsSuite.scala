@@ -480,6 +480,55 @@ class ConnectorsSuite extends AnyFunSuite {
       s"chunk-level incremental dedup kept the wrong set: $kept")
   }
 
+  test("streaming fluency gate: windows scored against frozen reference LM counts; disfluent docs dropped") {
+    import graft.operators.Pipeline
+    // the CCNet gate inside the emitter loop: the reference corpus is a
+    // FROZEN artifact (written once, nightly-job style), every window is
+    // LM-scored against it, and the keep threshold comes from the
+    // reference's own score distribution — keep what reads like the
+    // reference. Probe side is always the window batch, like the
+    // incremental dedup gates.
+    val mb = Minibatch(spark, freshRoot())
+    val st = mb.stream("fluency_ingest")
+    val keptDir = freshRoot() + "/kept_fluent"
+    val refDir = freshRoot() + "/ref_corpus"
+    spark.createDataFrame(Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog sat on the rug"),
+      (3L, "a cat sat on a rug"),
+      (4L, "the dog ran to the mat"))).toDF("doc_id", "text")
+      .write.parquet(refDir)
+    val refDf = spark.read.parquet(refDir)
+    // threshold = the reference's own floor: anything at least as fluent
+    // as the least-fluent reference doc passes
+    val thr = Pipeline.bigramLogLikelihood(refDf, refDf, "doc_id", "text")
+      .agg(min(col("avg_logp"))).head().getDouble(0)
+    def drainInto(): Unit =
+      mb.streaming("fluency_ingest").size(1).emit((_, df) => {
+        val batch = df.select(
+          get_json_object(col("data"), "$.id").cast("long").as("doc_id"),
+          get_json_object(col("data"), "$.t").as("text"))
+        val passing = Pipeline.bigramLogLikelihood(batch, spark.read.parquet(refDir),
+            "doc_id", "text")
+          .filter(col("avg_logp") >= thr).select("doc_id")
+        batch.join(passing, Seq("doc_id"), "left_semi")
+          .write.mode("append").parquet(keptDir)
+      }).run()
+    // doc 10 recombines SEEN bigrams (fluent); doc 11 is unseen vocabulary
+    // (every gram scores the -ln(ctx + V) floor)
+    st.appendAll(Seq(
+      """{"id":10,"t":"the cat sat on the rug"}""",
+      """{"id":11,"t":"zebra quark flux nonce blip"}"""))
+    drainInto()
+    // a second window: fluent again, must also pass against the same
+    // frozen artifact
+    st.appendAll(Seq("""{"id":12,"t":"the dog sat on the mat"}"""))
+    drainInto()
+    val kept = spark.read.parquet(keptDir)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept === Seq(10L, 12L), s"fluency gate kept the wrong docs: $kept")
+  }
+
   test("streaming ANN ingest: emitter windows append to the persisted index; search sees streamed vectors") {
     // the ANN analogue of the chunk-ingest spec: vectors arrive on a
     // stream, each window is encoded with the FROZEN index artifacts and

@@ -1574,6 +1574,20 @@ class OperatorsSuite extends AnyFunSuite {
     assert(g == Set(1L, 2L))
   }
 
+  test("cohort retention: offset 0 counts the whole cohort, every later offset a subset") {
+    val rows = SparkEntry.queries("q_cohort_retention")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (cohort, rs) =>
+      val size0 = rs.find(_._2 == 0)
+        .getOrElse(fail(s"cohort $cohort has no offset-0 row"))._3
+      rs.foreach { case (_, off, n) =>
+        assert(off >= 0, s"cohort $cohort: negative offset $off")
+        assert(n <= size0, s"cohort $cohort: offset $off counts $n > cohort size $size0")
+      }
+    }
+  }
+
   test("keep-best dedup: quality picks the keeper, not the id; ties fall to min id") {
     import spark.implicits._
     val d = Seq(
