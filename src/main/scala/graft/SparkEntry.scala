@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.operators.{Dedup, Multimodal, Pipeline, Relational, Similarity, TextAnalysis, Timeseries, WindowAssign}
+import graft.operators.{Dedup, Multimodal, Pipeline, QualityModel, Relational, Similarity, TextAnalysis, Timeseries, WindowAssign}
 import graft.functions.VectorFunctions
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -712,6 +712,29 @@ object SparkEntry {
           round(avg(size(TextAnalysis.wsTokens(col("text")))), 4).as("avg_ws_tokens"),
           round(avg(size(TextAnalysis.wordTokens(col("text")))), 4).as("avg_word_tokens"))
         .orderBy(col("lang"))
+    }),
+
+    // Model-based quality filter (the GPT-3 §A.2 / CCNet classifier
+    // step): a hashed-BOW logistic classifier trained (spark.ml L-BFGS —
+    // one treeAggregate per iteration, distributed) to tell the corpus'
+    // real text from a synthetic-noise negative class, then applied as a
+    // NATIVE scan — weights ride one broadcast row, the logit is a
+    // codegen'd aggregate over hash() buckets, no UDF near the corpus.
+    // (No SQL oracle: learned model. Native ≡ trained arithmetic,
+    // held-out separation, and the filter composition are ScalaTest-
+    // asserted; the model artifact is bounded — 2^15 doubles.)
+    "text_quality_model" -> ((s, dir) => {
+      val clean = documents(s, dir).select(col("doc_id"), col("text"))
+      val noise = clean.select((col("doc_id") + 1000000L).as("doc_id"),
+        array_join(transform(TextAnalysis.wsTokens(col("text")),
+          t => concat(lit("x"), substring(md5(t), 1, 6))), " ").as("text"))
+      val model = QualityModel.trainQualityClassifier(
+        clean.filter(col("doc_id") % 4 === 0),
+        noise.filter(col("doc_id") % 4 === 0),
+        "text", numFeatures = 1 << 15, maxIter = 5)
+      QualityModel.scoreQuality(clean.unionByName(noise), "text", model)
+        .select(col("doc_id"), col("quality_prob"))
+        .orderBy(col("doc_id"))
     }),
 
     // Per-document quality scores.

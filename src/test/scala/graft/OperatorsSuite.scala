@@ -1574,6 +1574,49 @@ class OperatorsSuite extends AnyFunSuite {
     assert(g == Set(1L, 2L))
   }
 
+  test("quality classifier: native scoring == spark.ml arithmetic; held-out separation; filter keeps clean side") {
+    val clean = docs.filter(col("lang") === "en").select(col("doc_id"), col("text"))
+    // deterministic gibberish with a disjoint vocabulary (stands in for the
+    // raw-crawl negative class): every token maps to an x-prefixed hex word
+    val noise = clean.select((col("doc_id") + 100000L).as("doc_id"),
+      array_join(transform(TextAnalysis.wsTokens(col("text")),
+        t => concat(lit("x"), substring(md5(t), 1, 6))), " ").as("text"))
+    val trainPos = clean.filter(col("doc_id") % 2 === 0)
+    val trainNeg = noise.filter(col("doc_id") % 2 === 0)
+    val model = QualityModel.trainQualityClassifier(trainPos, trainNeg, "text",
+      numFeatures = 1 << 15, maxIter = 10)
+    assert(model.weights.length == (1 << 15))
+    // 1. the native scorer computes EXACTLY the trained model's logit:
+    // recompute each sampled doc's logit driver-side from the same SQL
+    // hash() buckets the trainer assembled vectors from
+    val sample = clean.limit(20).unionByName(noise.limit(20))
+    val scored = QualityModel.scoreQuality(sample, "text", model)
+      .select(col("doc_id"), col("quality_logit")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    sample.select(col("doc_id"),
+        transform(TextAnalysis.wsTokens(col("text")),
+          t => pmod(hash(t), lit(1 << 15)).cast("int")).as("buckets"))
+      .collect().foreach { r =>
+        val logit = model.intercept +
+          r.getAs[scala.collection.Seq[Int]]("buckets").map(model.weights(_)).sum
+        assert(math.abs(scored(r.getLong(0)) - logit) < 1e-6,
+          s"doc ${r.getLong(0)}: native ${scored(r.getLong(0))} != recomputed $logit")
+      }
+    // 2. held-out separation: odd-id docs were never trained on
+    val mp = QualityModel.scoreQuality(clean.filter(col("doc_id") % 2 === 1), "text", model)
+      .agg(avg(col("quality_prob"))).head().getDouble(0)
+    val mn = QualityModel.scoreQuality(noise.filter(col("doc_id") % 2 === 1), "text", model)
+      .agg(avg(col("quality_prob"))).head().getDouble(0)
+    assert(mp > 0.8 && mn < 0.2, s"held-out separation weak: clean=$mp noise=$mn")
+    // 3. the one-call filter keeps overwhelmingly the clean side
+    val kept = QualityModel.classifierFilter(clean.unionByName(noise), "text",
+        trainPos, trainNeg, minProb = 0.5, numFeatures = 1 << 15, maxIter = 10)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    val (keptNoise, keptClean) = kept.partition(_ >= 100000L)
+    assert(keptClean.length > keptNoise.length * 10,
+      s"filter kept ${keptClean.length} clean vs ${keptNoise.length} noise")
+  }
+
   test("cohort retention: offset 0 counts the whole cohort, every later offset a subset") {
     val rows = SparkEntry.queries("q_cohort_retention")(spark, sf)
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
