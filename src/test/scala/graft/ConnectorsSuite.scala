@@ -529,6 +529,55 @@ class ConnectorsSuite extends AnyFunSuite {
     assert(kept === Seq(10L, 12L), s"fluency gate kept the wrong docs: $kept")
   }
 
+  test("streaming classifier gate: windows scored with a frozen model; noise dropped across windows") {
+    import graft.operators.{QualityModel, TextAnalysis}
+    // the model-based analogue of the fluency gate: the classifier is
+    // trained ONCE (the frozen artifact a nightly job produces) and every
+    // window is scored with the native broadcast-weights scan — no
+    // training anywhere in the streaming loop
+    val clean = graft.core.Tables.documents(spark, TestSpark.sf0001)
+      .filter(col("lang") === "en").select(col("doc_id"), col("text"))
+    val noiseText = (t: org.apache.spark.sql.Column) =>
+      array_join(transform(TextAnalysis.wsTokens(t),
+        tok => concat(lit("x"), substring(md5(tok), 1, 6))), " ")
+    val noise = clean.select((col("doc_id") + 100000L).as("doc_id"),
+      noiseText(col("text")).as("text"))
+    val model = QualityModel.trainQualityClassifier(clean, noise, "text",
+      numFeatures = 1 << 15, maxIter = 10)
+
+    val mb = Minibatch(spark, freshRoot())
+    val st = mb.stream("classifier_ingest")
+    val keptDir = freshRoot() + "/kept_scored"
+    def drainInto(): Unit =
+      mb.streaming("classifier_ingest").size(1).emit((_, df) => {
+        val batch = df.select(
+          get_json_object(col("data"), "$.id").cast("long").as("doc_id"),
+          get_json_object(col("data"), "$.t").as("text"))
+        QualityModel.scoreQuality(batch, "text", model)
+          .filter(col("quality_prob") >= 0.5)
+          .select(col("doc_id"), col("quality_prob"))
+          .write.mode("append").parquet(keptDir)
+      }).run()
+    // window 1: clean text + a noise doc drawn from the SAME noise
+    // distribution the model was trained against (unseen-vocabulary noise
+    // hits zero-weight buckets and scores sigmoid(intercept) ~ 0.5 — the
+    // gate can only reject what the negative class taught it)
+    val cleanSample = clean.orderBy(col("doc_id")).limit(2)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val noiseSample = clean.orderBy(col("doc_id")).limit(1)
+      .select(noiseText(col("text")).as("t")).head().getString(0)
+    st.appendAll(Seq(
+      s"""{"id":20,"t":"${cleanSample(0)._2.replace("\"", "")}"}""",
+      s"""{"id":21,"t":"$noiseSample"}"""))
+    drainInto()
+    // window 2: the same frozen model gates again
+    st.appendAll(Seq(s"""{"id":22,"t":"${cleanSample(1)._2.replace("\"", "")}"}"""))
+    drainInto()
+    val kept = spark.read.parquet(keptDir)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept === Seq(20L, 22L), s"classifier gate kept the wrong docs: $kept")
+  }
+
   test("streaming ANN ingest: emitter windows append to the persisted index; search sees streamed vectors") {
     // the ANN analogue of the chunk-ingest spec: vectors arrive on a
     // stream, each window is encoded with the FROZEN index artifacts and
