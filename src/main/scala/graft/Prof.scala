@@ -40,7 +40,6 @@ object Prof {
             .write.format("noop").mode("overwrite").save())
       }
       // stage replica of semanticDedup's internals
-      import org.apache.spark.sql.expressions.Window
       val cells = Similarity.kmeansCells(emb, "vec_id", "embedding", 8, 2)
       val v = emb.select(col("vec_id").as("__id"),
           transform(col("embedding"), x => x.cast("double")).as("__vec"))

@@ -42,17 +42,22 @@ object Dedup {
     * Numeric ids only (same contract as [[dupClusters]]), and ids must be
     * UNIQUE across rows — the keep flag is an id-equality test against the
     * cluster winner, so duplicate ids would all inherit the winner's flag.
+    * A NULL cluster key means "not clustered": the row is its own
+    * singleton and keeps itself (the equi-join would silently DROP
+    * null-key rows — same left-join + coalesce posture as
+    * [[semanticDedup]]'s unclustered vectors).
     */
   def keepBestInCluster(df: DataFrame, clusterKey: Column, id: Column, score: Column): DataFrame = {
     val best = df
       .select(clusterKey.as("__ck"),
         struct(score.as("s"), (-id.cast("long")).as("nid")).as("__cand"))
+      .filter(col("__ck").isNotNull)
       .groupBy(col("__ck"))
       .agg(max(col("__cand")).as("__best"))
       .select(col("__ck"), (-col("__best.nid")).as("__keep_id"))
     df.withColumn("__ck", clusterKey)
-      .join(best, Seq("__ck"))
-      .withColumn("keep", id.cast("long") === col("__keep_id"))
+      .join(best, Seq("__ck"), "left")
+      .withColumn("keep", coalesce(id.cast("long") === col("__keep_id"), lit(true)))
       .drop("__ck", "__keep_id")
   }
 

@@ -394,9 +394,8 @@ object Pipeline {
       tieBreak: Column,
       nBuckets: Int = 3): DataFrame = {
     require(nBuckets >= 2, s"perplexityBuckets: nBuckets must be >= 2, got $nBuckets")
-    val base = Window.orderBy(score.desc, tieBreak.asc)
-    val w = if (partitionKeys.isEmpty) base
-            else Window.partitionBy(partitionKeys: _*).orderBy(score.desc, tieBreak.asc)
+    val w = (if (partitionKeys.isEmpty) Window.orderBy(score.desc, tieBreak.asc)
+             else Window.partitionBy(partitionKeys: _*).orderBy(score.desc, tieBreak.asc))
     df.withColumn("bucket", ntile(nBuckets).over(w))
   }
 

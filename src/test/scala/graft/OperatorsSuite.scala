@@ -1634,14 +1634,16 @@ class OperatorsSuite extends AnyFunSuite {
   test("keep-best dedup: quality picks the keeper, not the id; ties fall to min id") {
     import spark.implicits._
     val d = Seq(
-      (1L, "a", 0.9), (10L, "a", 0.95), // higher score wins despite larger id
-      (2L, "b", 0.5), (20L, "b", 0.5),  // tie -> smallest id
-      (3L, "c", 0.1)                    // singleton keeps itself
+      (1L, Some("a"), 0.9), (10L, Some("a"), 0.95), // higher score wins despite larger id
+      (2L, Some("b"), 0.5), (20L, Some("b"), 0.5),  // tie -> smallest id
+      (3L, Some("c"), 0.1),                         // singleton keeps itself
+      (4L, None, 0.0)                               // null key = unclustered -> keeps itself
     ).toDF("id", "ck", "s")
     val out = Dedup.keepBestInCluster(d, col("ck"), col("id"), col("s"))
       .select(col("id"), col("keep")).collect()
       .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
-    assert(out == Map(1L -> false, 10L -> true, 2L -> true, 20L -> false, 3L -> true))
+    assert(out == Map(1L -> false, 10L -> true, 2L -> true, 20L -> false,
+      3L -> true, 4L -> true))
     // constant score degrades to exactByKey's min-id keeper on real data
     val const = Dedup.keepBestInCluster(docs, col("lang"), col("doc_id"), lit(0))
       .filter(col("keep")).select(col("lang"), col("doc_id")).collect()
