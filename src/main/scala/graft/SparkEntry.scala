@@ -722,12 +722,15 @@ object SparkEntry {
     // codegen'd aggregate over hash() buckets, no UDF near the corpus.
     // (No SQL oracle: learned model. Native ≡ trained arithmetic,
     // held-out separation, and the filter composition are ScalaTest-
-    // asserted; the model artifact is bounded — 2^15 doubles.)
+    // asserted; the model artifact is bounded — 2^15 doubles.) Training
+    // runs at QUERY-CONSTRUCTION time — the weights compile into the
+    // plan, exactly the PqCodes pattern, so even a plan-only consumer
+    // (graft.Explain) pays the ~2 s fit; a production loop trains
+    // offline and freezes the artifact.
     "text_quality_model" -> ((s, dir) => {
       val clean = documents(s, dir).select(col("doc_id"), col("text"))
       val noise = clean.select((col("doc_id") + 1000000L).as("doc_id"),
-        array_join(transform(TextAnalysis.wsTokens(col("text")),
-          t => concat(lit("x"), substring(md5(t), 1, 6))), " ").as("text"))
+        QualityModel.syntheticNoise(col("text")).as("text"))
       val model = QualityModel.trainQualityClassifier(
         clean.filter(col("doc_id") % 4 === 0),
         noise.filter(col("doc_id") % 4 === 0),

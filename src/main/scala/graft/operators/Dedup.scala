@@ -39,25 +39,37 @@ object Dedup {
     * (partition by cluster order by score desc)`) must exchange and sort
     * every member row first — the same argmax-vs-window argument as
     * [[graft.functions.TopKPairs]] at k = 1, here in pure built-ins.
-    * Numeric ids only (same contract as [[dupClusters]]), and ids must be
-    * UNIQUE across rows — the keep flag is an id-equality test against the
-    * cluster winner, so duplicate ids would all inherit the winner's flag.
-    * A NULL cluster key means "not clustered": the row is its own
-    * singleton and keeps itself (the equi-join would silently DROP
-    * null-key rows — same left-join + coalesce posture as
-    * [[semanticDedup]]'s unclustered vectors).
+    * Numeric ids only — null or non-numeric ids fail loudly (the
+    * [[dupClusters]] `checkedId` posture; a silent null would let extra
+    * keepers through) — and ids must be UNIQUE across rows: the keep flag
+    * is an id-equality test against the cluster winner, so duplicate ids
+    * would all inherit the winner's flag. A NULL cluster key means "not
+    * clustered": the row is its own singleton and keeps itself (the
+    * equi-join would silently DROP null-key rows — same left-join +
+    * coalesce posture as [[semanticDedup]]'s unclustered vectors). A NaN
+    * score LOSES (normalized to null, which sorts below every real score
+    * in the winner struct — the [[graft.functions.TopKPairs]] NaN rule);
+    * a cluster with no real-scored member falls back to the min id.
     */
   def keepBestInCluster(df: DataFrame, clusterKey: Column, id: Column, score: Column): DataFrame = {
+    def checkedId(c: Column): Column = {
+      val casted = c.cast("long")
+      when(casted.isNull,
+        raise_error(concat(lit("keepBestInCluster: id is null or non-numeric: "),
+          coalesce(c.cast("string"), lit("NULL")))))
+        .otherwise(casted)
+    }
+    val scoreN = when(isnan(score.cast("double")), lit(null)).otherwise(score)
     val best = df
       .select(clusterKey.as("__ck"),
-        struct(score.as("s"), (-id.cast("long")).as("nid")).as("__cand"))
+        struct(scoreN.as("s"), (-checkedId(id)).as("nid")).as("__cand"))
       .filter(col("__ck").isNotNull)
       .groupBy(col("__ck"))
       .agg(max(col("__cand")).as("__best"))
       .select(col("__ck"), (-col("__best.nid")).as("__keep_id"))
     df.withColumn("__ck", clusterKey)
       .join(best, Seq("__ck"), "left")
-      .withColumn("keep", coalesce(id.cast("long") === col("__keep_id"), lit(true)))
+      .withColumn("keep", coalesce(checkedId(id) === col("__keep_id"), lit(true)))
       .drop("__ck", "__keep_id")
   }
 

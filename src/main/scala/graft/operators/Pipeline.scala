@@ -57,11 +57,18 @@ object Pipeline {
         .otherwise("test"))
   }
 
-  /** Deterministic 0-99 bucket from a stable key: first 16 bits of md5 mod
-    * 100 — reproducible on any engine with md5 (the cross-engine hash).
+  /** Deterministic bucket from a stable key: the first `hexChars` hex
+    * digits of md5, mod `buckets` — reproducible on any engine with md5
+    * (the cross-engine hash; DuckDB spells it
+    * `('0x' || substr(md5(k), 1, hexChars))::BIGINT % buckets`). Keep
+    * 16^hexChars ≫ buckets so the modulo bias stays immaterial (the two
+    * instantiations below are 2¹⁶ % 100 and 2³² % 10⁴).
     */
-  private def md5Bucket(key: Column): Column =
-    conv(substring(md5(key.cast("string")), 1, 4), 16, 10).cast("long") % 100
+  private def md5Bucket(key: Column, hexChars: Int, buckets: Int): Column =
+    conv(substring(md5(key.cast("string")), 1, hexChars), 16, 10).cast("long") % buckets
+
+  /** 0–99: the percentage-rate form ([[deterministicSplit]], [[weightedSample]]). */
+  private def md5Bucket(key: Column): Column = md5Bucket(key, 4, 100)
 
   /** Domain-mixture sampling: keep each row with its group's percentage —
     * the "data mixing" step that up/down-weights sources (web 30%, code
@@ -419,9 +426,14 @@ object Pipeline {
       .agg(percentile_approx(score, probs, lit(10000)).as("__bnds"))
     // boundaries ascend with the quantile, so a score below j of them sits
     // j buckets away from the head: >= all boundaries -> bucket 1 (head),
-    // below all -> bucket nBuckets (tail)
+    // below all -> bucket nBuckets (tail). A NULL score lands in the tail
+    // bucket, matching the exact form (desc ordering sorts nulls last) —
+    // without the branch the null predicate would count 0 boundaries and
+    // crown every unscored row "head"
     df.join(broadcast(bounds), partitionKeys)
-      .withColumn("bucket", (lit(1) + size(filter(col("__bnds"), b => score < b))).cast("int"))
+      .withColumn("bucket",
+        when(score.isNull, lit(nBuckets))
+          .otherwise(lit(1) + size(filter(col("__bnds"), b => score < b))).cast("int"))
       .drop("__bnds")
   }
 
@@ -456,10 +468,17 @@ object Pipeline {
       tieBreak: Column,
       budget: Long): DataFrame = {
     require(budget > 0, s"selectByTokenBudget: budget must be positive, got $budget")
+    // a negative token count would make the cumsum non-monotone (the kept
+    // set stops being a prefix) and a null row would ride along for free —
+    // both are data bugs; fail loudly like dupClusters does on bad ids
+    val tok = when(tokens.isNull.or(tokens < 0),
+      raise_error(concat(lit("selectByTokenBudget: tokens must be non-negative, got "),
+        coalesce(tokens.cast("string"), lit("NULL")))))
+      .otherwise(tokens)
     val w = (if (partitionKeys.isEmpty) Window.orderBy(score.desc, tieBreak.asc)
              else Window.partitionBy(partitionKeys: _*).orderBy(score.desc, tieBreak.asc))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("cum_tokens", sum(tokens).over(w))
+    df.withColumn("cum_tokens", sum(tok).over(w))
       .filter(col("cum_tokens") <= budget)
   }
 
@@ -497,12 +516,17 @@ object Pipeline {
     require(temperature >= 1.0,
       s"temperatureRates: temperature must be >= 1 (downsampling-only), got $temperature")
     val n = df.groupBy(group.as("group")).agg(sum(tokens).as("n_tokens"))
-    val mn = n.agg(min(col("n_tokens")).as("__mn"))
+    // n_min ranges over POSITIVE masses only: a source with zero (or null)
+    // token mass has nothing to sample — it gets rate 0 below — and letting
+    // it into the min would zero every other source's rate (0/n_g) and make
+    // its own ratio 0/0
+    val mn = n.filter(col("n_tokens") > 0).agg(min(col("n_tokens")).as("__mn"))
     val ratio = col("__mn").cast("double") / col("n_tokens").cast("double")
     val raw = if (temperature == 2.0) sqrt(ratio)
               else pow(ratio, 1.0 - 1.0 / temperature)
     n.crossJoin(broadcast(mn))
-      .withColumn("rate_bp", floor(raw * 10000).cast("long"))
+      .withColumn("rate_bp",
+        when(col("n_tokens") > 0, floor(raw * 10000).cast("long")).otherwise(lit(0L)))
       .select(col("group"), col("n_tokens"), col("rate_bp"),
         (col("rate_bp") / 10000.0).as("rate"))
   }
@@ -532,12 +556,6 @@ object Pipeline {
       .drop("__grp", "__rate_bp")
   }
 
-  /** Deterministic 0–9999 bucket from a stable key: first 32 bits of md5
-    * mod 10⁴ (the 2³² range makes the modulo bias ~1/429k — immaterial;
-    * the 16-bit variant `md5Bucket` uses mod 100 where the bias is equally
-    * negligible). Cross-engine: DuckDB spells it
-    * `('0x' || substr(md5(k),1,8))::BIGINT % 10000`.
-    */
-  private def md5Bucket10k(key: Column): Column =
-    conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long") % 10000
+  /** 0–9999: the basis-point-rate form ([[temperatureSample]]). */
+  private def md5Bucket10k(key: Column): Column = md5Bucket(key, 8, 10000)
 }

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.ml.classification.LogisticRegression
 import org.apache.spark.ml.linalg.Vectors
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Model-based quality filtering — the classifier step of the GPT-3 §A.2 /
@@ -46,6 +46,16 @@ object QualityModel {
   final case class QualityLR(weights: Array[Double], intercept: Double) {
     def numFeatures: Int = weights.length
   }
+
+  /** Deterministic synthetic-negative generator: every token maps to an
+    * x-prefixed hex word (disjoint vocabulary, same document shape). The
+    * ONE definition of the negative class the registered query and its
+    * specs all share — a pipeline with a real raw-crawl sample should use
+    * that instead.
+    */
+  def syntheticNoise(text: Column): Column =
+    array_join(transform(TextAnalysis.wsTokens(text),
+      t => concat(lit("x"), substring(md5(t), 1, 6))), " ")
 
   /** Train P(reference-like | hashed BOW) on positives (curated/reference
     * docs) vs negatives (raw corpus sample). Tokenization is

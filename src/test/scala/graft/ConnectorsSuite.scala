@@ -530,18 +530,15 @@ class ConnectorsSuite extends AnyFunSuite {
   }
 
   test("streaming classifier gate: windows scored with a frozen model; noise dropped across windows") {
-    import graft.operators.{QualityModel, TextAnalysis}
+    import graft.operators.QualityModel
     // the model-based analogue of the fluency gate: the classifier is
     // trained ONCE (the frozen artifact a nightly job produces) and every
     // window is scored with the native broadcast-weights scan — no
     // training anywhere in the streaming loop
     val clean = graft.core.Tables.documents(spark, TestSpark.sf0001)
       .filter(col("lang") === "en").select(col("doc_id"), col("text"))
-    val noiseText = (t: org.apache.spark.sql.Column) =>
-      array_join(transform(TextAnalysis.wsTokens(t),
-        tok => concat(lit("x"), substring(md5(tok), 1, 6))), " ")
     val noise = clean.select((col("doc_id") + 100000L).as("doc_id"),
-      noiseText(col("text")).as("text"))
+      QualityModel.syntheticNoise(col("text")).as("text"))
     val model = QualityModel.trainQualityClassifier(clean, noise, "text",
       numFeatures = 1 << 15, maxIter = 10)
 
@@ -565,7 +562,7 @@ class ConnectorsSuite extends AnyFunSuite {
     val cleanSample = clean.orderBy(col("doc_id")).limit(2)
       .collect().map(r => (r.getLong(0), r.getString(1)))
     val noiseSample = clean.orderBy(col("doc_id")).limit(1)
-      .select(noiseText(col("text")).as("t")).head().getString(0)
+      .select(QualityModel.syntheticNoise(col("text")).as("t")).head().getString(0)
     st.appendAll(Seq(
       s"""{"id":20,"t":"${cleanSample(0)._2.replace("\"", "")}"}""",
       s"""{"id":21,"t":"$noiseSample"}"""))

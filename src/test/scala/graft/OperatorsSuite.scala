@@ -1549,6 +1549,15 @@ class OperatorsSuite extends AnyFunSuite {
       byB.values.foreach(v =>
         assert(v.length >= rs.length / 6, s"$lang: approx bucket collapsed"))
     }
+    // a NULL score lands in the tail on the approx path, matching the
+    // exact form's desc-nulls-last deal
+    import spark.implicits._
+    val withNull = Seq((1L, "k", Some(5.0)), (2L, "k", Some(1.0)), (3L, "k", None),
+      (4L, "k", Some(3.0))).toDF("id", "key", "sc")
+    val nb = Pipeline.perplexityBucketsApprox(withNull, Seq("key"), col("sc"))
+      .select(col("id"), col("bucket")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(nb(3L) == 3, s"null score must land in the tail bucket: $nb")
   }
 
   test("token-budget selection: maximal prefix per key, straddling row blocks the tail") {
@@ -1572,15 +1581,23 @@ class OperatorsSuite extends AnyFunSuite {
       col("tok"), col("id"), budget = 90L)
       .select(col("id")).collect().map(_.getLong(0)).toSet
     assert(g == Set(1L, 2L))
+    // a negative token count would break the prefix contract — fail loudly
+    val err = intercept[Exception] {
+      Seq((1L, "a", 1.0, -5L)).toDF("id", "key", "score", "tok")
+        .transform(Pipeline.selectByTokenBudget(_, Seq(col("key")), col("score"),
+          col("tok"), col("id"), budget = 10L))
+        .collect()
+    }
+    assert(err.getMessage.contains("selectByTokenBudget"))
   }
 
   test("quality classifier: native scoring == spark.ml arithmetic; held-out separation; filter keeps clean side") {
     val clean = docs.filter(col("lang") === "en").select(col("doc_id"), col("text"))
     // deterministic gibberish with a disjoint vocabulary (stands in for the
-    // raw-crawl negative class): every token maps to an x-prefixed hex word
+    // raw-crawl negative class) — the library's own generator, so the spec
+    // pins the same negative class the registered query trains on
     val noise = clean.select((col("doc_id") + 100000L).as("doc_id"),
-      array_join(transform(TextAnalysis.wsTokens(col("text")),
-        t => concat(lit("x"), substring(md5(t), 1, 6))), " ").as("text"))
+      QualityModel.syntheticNoise(col("text")).as("text"))
     val trainPos = clean.filter(col("doc_id") % 2 === 0)
     val trainNeg = noise.filter(col("doc_id") % 2 === 0)
     val model = QualityModel.trainQualityClassifier(trainPos, trainNeg, "text",
@@ -1644,6 +1661,26 @@ class OperatorsSuite extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
     assert(out == Map(1L -> false, 10L -> true, 2L -> true, 20L -> false,
       3L -> true, 4L -> true))
+    // NaN scores LOSE (the TopKPairs rule): the real-scored member wins,
+    // and an all-NaN cluster falls back to the min id
+    val nd = Seq(
+      (1L, "a", Double.NaN), (2L, "a", 0.1), // NaN must not crown id 1
+      (5L, "b", Double.NaN), (6L, "b", Double.NaN) // all-NaN -> min id 5
+    ).toDF("id", "ck", "s")
+    val nout = Dedup.keepBestInCluster(nd, col("ck"), col("id"), col("s"))
+      .select(col("id"), col("keep")).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(nout == Map(1L -> false, 2L -> true, 5L -> true, 6L -> false))
+    // a non-numeric id fails loudly — under ANSI the cast itself throws,
+    // and the checkedId raise_error backstops NULL ids (which cast cleanly
+    // to null) in non-ANSI sessions
+    val err = intercept[Exception] {
+      Seq(("x1", "a", 1.0)).toDF("id", "ck", "s")
+        .transform(Dedup.keepBestInCluster(_, col("ck"), col("id"), col("s")))
+        .collect()
+    }
+    assert(err.getMessage.contains("keepBestInCluster") ||
+      err.getMessage.contains("CAST_INVALID_INPUT"))
     // constant score degrades to exactByKey's min-id keeper on real data
     val const = Dedup.keepBestInCluster(docs, col("lang"), col("doc_id"), lit(0))
       .filter(col("keep")).select(col("lang"), col("doc_id")).collect()
@@ -1683,5 +1720,15 @@ class OperatorsSuite extends AnyFunSuite {
       .map(_.getLong(0)).toSet
     assert(kept == expected)
     assert(kept.nonEmpty && kept.size < docs.count())
+    // a zero-mass source gets rate 0 and must NOT zero everyone else's
+    // rate through the min (nor divide 0/0)
+    import spark.implicits._
+    val withEmpty = Seq(("s1", 100L), ("s1", 100L), ("s2", 50L), ("s3", 0L))
+      .toDF("src", "tok")
+    val zr = Pipeline.temperatureRates(withEmpty, col("src"), col("tok"), 2.0)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(zr("s3") == 0L, s"zero-mass source must get rate 0: $zr")
+    assert(zr("s2") == 10000L && zr("s1") == 5000L,
+      s"positive sources must rate against the positive min only: $zr")
   }
 }
