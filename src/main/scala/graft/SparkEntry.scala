@@ -1421,6 +1421,26 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // The mixture-drives-selection composition: temperatureRates (T = 2)
+    // allocates each source's TOKEN BUDGET (rate × mass, integer DIV),
+    // and selectByTokenBudget fills each budget with that source's
+    // best-alpha-ratio docs. Census per source proves sum_chars ≤ budget.
+    // Every step is integer or correctly-rounded IEEE — full oracle.
+    "select_temperature_budget" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      val budgets = Pipeline.temperatureRates(docs, col("source"), col("n_chars"), 2.0)
+        .select(col("group").as("source"),
+          expr("(rate_bp * n_tokens) DIV 10000").as("budget"))
+      val scored = TextAnalysis.withQuality(docs, col("text"))
+        .join(broadcast(budgets), Seq("source"))
+      Pipeline.selectByTokenBudget(scored, Seq(col("source")), col("alpha_ratio"),
+          col("n_chars"), col("doc_id"), col("budget"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+          max(col("budget")).as("budget_chars"))
+        .orderBy(col("source"))
+    }),
+
     // Temperature-scaled mixture (T = 2): per-source keep rates from
     // token mass, applied as a deterministic md5 sample — census per
     // source proves the realized mixture. T = 2 keeps the whole rate
@@ -2626,11 +2646,35 @@ object SparkEntry {
         |FROM c WHERE cum_tokens <= 10000
         |ORDER BY doc_id""".stripMargin,
 
+    "select_temperature_budget" ->
+      """WITH n AS (SELECT source, sum(n_chars) AS nt FROM documents GROUP BY source),
+        |r AS (SELECT source, nt,
+        |             CAST(floor(sqrt((SELECT min(nt) FROM n WHERE nt > 0)::DOUBLE
+        |                             / nt::DOUBLE) * 10000) AS BIGINT) AS rate_bp
+        |      FROM n),
+        |b AS (SELECT source, (rate_bp * nt) // 10000 AS budget FROM r),
+        |q AS (SELECT doc_id, source, n_chars,
+        |             (20000 * length(regexp_replace(text, '[^a-z]', '', 'g'))
+        |                + greatest(length(text), 1)) // (2 * greatest(length(text), 1))
+        |               / 10000.0 AS alpha_ratio
+        |      FROM documents),
+        |c AS (SELECT q.source, q.n_chars, b.budget,
+        |             CAST(sum(q.n_chars) OVER (PARTITION BY q.source
+        |                                       ORDER BY q.alpha_ratio DESC, q.doc_id
+        |                                       ROWS BETWEEN UNBOUNDED PRECEDING
+        |                                       AND CURRENT ROW) AS BIGINT) AS cum
+        |      FROM q JOIN b USING (source))
+        |SELECT source, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars,
+        |       CAST(max(budget) AS BIGINT) AS budget_chars
+        |FROM c WHERE cum <= budget
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
+
     "sample_temperature" ->
       """WITH n AS (SELECT source, sum(n_chars) AS nt FROM documents GROUP BY source),
         |r AS (SELECT source,
-        |             CAST(floor(sqrt((SELECT min(nt) FROM n)::DOUBLE / nt::DOUBLE)
-        |                        * 10000) AS BIGINT) AS rate_bp
+        |             CAST(floor(sqrt((SELECT min(nt) FROM n WHERE nt > 0)::DOUBLE
+        |                             / nt::DOUBLE) * 10000) AS BIGINT) AS rate_bp
         |      FROM n)
         |SELECT d.source, count(*)::BIGINT AS n_docs, sum(d.n_chars)::BIGINT AS sum_chars
         |FROM documents d JOIN r USING (source)

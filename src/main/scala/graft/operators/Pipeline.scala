@@ -468,6 +468,22 @@ object Pipeline {
       tieBreak: Column,
       budget: Long): DataFrame = {
     require(budget > 0, s"selectByTokenBudget: budget must be positive, got $budget")
+    selectByTokenBudget(df, partitionKeys, score, tokens, tieBreak, lit(budget))
+  }
+
+  /** [[selectByTokenBudget]] with a PER-ROW budget column — in practice a
+    * per-key constant joined in upstream, which is how a mixture drives
+    * selection: [[temperatureRates]] allocates each domain's token budget
+    * (rate·mass) and this fills each budget best-first. A null or
+    * non-positive budget fails loudly, like the token guard.
+    */
+  def selectByTokenBudget(
+      df: DataFrame,
+      partitionKeys: Seq[Column],
+      score: Column,
+      tokens: Column,
+      tieBreak: Column,
+      budget: Column): DataFrame = {
     // a negative token count would make the cumsum non-monotone (the kept
     // set stops being a prefix) and a null row would ride along for free —
     // both are data bugs; fail loudly like dupClusters does on bad ids
@@ -475,11 +491,15 @@ object Pipeline {
       raise_error(concat(lit("selectByTokenBudget: tokens must be non-negative, got "),
         coalesce(tokens.cast("string"), lit("NULL")))))
       .otherwise(tokens)
+    val bud = when(budget.isNull.or(budget <= 0),
+      raise_error(concat(lit("selectByTokenBudget: budget must be positive, got "),
+        coalesce(budget.cast("string"), lit("NULL")))))
+      .otherwise(budget)
     val w = (if (partitionKeys.isEmpty) Window.orderBy(score.desc, tieBreak.asc)
              else Window.partitionBy(partitionKeys: _*).orderBy(score.desc, tieBreak.asc))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("cum_tokens", sum(tok).over(w))
-      .filter(col("cum_tokens") <= budget)
+      .filter(col("cum_tokens") <= bud)
   }
 
   /** Temperature-scaled mixture rates (the multilingual/domain rebalancing

@@ -1476,6 +1476,7 @@ class OperatorsSuite extends AnyFunSuite {
         "pipeline_e2e" -> true,          // decon eval side + quantile thresholds broadcast
         "similarity_knn_join_lsh" -> false,
         "sample_temperature" -> true,    // |sources|-row rate table broadcast to the probe
+        "select_temperature_budget" -> true, // |sources|-row budget table broadcast
         "text_ccnet_buckets" -> true,    // LM vocab V as broadcast 1-row agg
         "select_token_budget" -> false,  // pure per-lang window, no join at all
         "dedup_keep_best" -> false)      // winner agg + equi-join; nothing broadcast-required
