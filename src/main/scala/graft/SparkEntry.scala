@@ -1407,6 +1407,23 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // The CCNet bucketing's no-sort scale path: per-lang t-digest
+    // boundaries broadcast, per-row assignment — census per (lang,
+    // bucket). (No SQL oracle: sketch-boundary-dependent, like
+    // q_histogram_equidepth_scale; totality/monotonicity/balance are
+    // spec-asserted, and the exact ntile form above is the hash-checked
+    // anchor.)
+    "text_ccnet_buckets_scale" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      val scored = Pipeline.bigramLogLikelihood(docs, docs, "doc_id", "text")
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      Pipeline.perplexityBucketsApprox(scored, Seq("lang"), col("avg_logp"))
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("avg_logp")).as("min_logp"), max(col("avg_logp")).as("max_logp"))
+        .orderBy(col("lang"), col("bucket"))
+    }),
+
     // Token-budget selection: per-language, keep the highest-alpha-ratio
     // docs until 10k chars of budget fill — the budget-constrained
     // cousin of text_importance_select (a token budget, not a keep
