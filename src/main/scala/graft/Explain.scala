@@ -60,5 +60,18 @@ object Explain {
       ("ORACLE SHAPE: exact corpus-as-queries broadcast join, kept as the correctness " +
         "reference while the id+vec table fits an executor. Scale paths: " +
         "similarity_knn_join_lsh ((table, bucket) shuffle join, nothing broadcast) or " +
-        "IndexStore.searchIvfPq over persisted artifacts (cell-pruned ADC scan)."))
+        "IndexStore.searchIvfPq over persisted artifacts (cell-pruned ADC scan)."),
+    "text_ccnet_buckets" ->
+      ("exact ntile = per-lang window sort (one language can dominate a web corpus). " +
+        "Scale path: text_ccnet_buckets_scale (perplexityBucketsApprox — per-lang t-digest " +
+        "boundaries broadcast, per-row assignment, no sort)."),
+    "sample_shuffle" ->
+      ("ORACLE SHAPE: materialized global rank = single-partition sort. " +
+        "At scale the md5 key IS the order (range-partitioned sort on write), " +
+        "no rank column ever materializes."),
+    "text_quality_model" ->
+      ("training (spark.ml L-BFGS) runs at query-construction time and compiles the weights " +
+        "into the plan — the PqCodes in-plan-artifact pattern. A production loop trains " +
+        "offline and freezes the artifact; the scoring scan itself is broadcast-weights + " +
+        "codegen'd aggregate, no UDF."))
 }
