@@ -290,6 +290,35 @@ class PropertySuite extends AnyFunSuite {
     }
   }
 
+  test("perplexity buckets: the ntile deal is balanced (±1) and score-monotone for any data") {
+    val rowGen = for {
+      id <- Gen.chooseNum(1L, 400L)
+      key <- Gen.oneOf("a", "b")
+      score <- Gen.chooseNum(0, 8) // narrow range forces boundary ties
+    } yield (id, key, score)
+    (1 to 5).foreach { _ =>
+      val rows = samples(rowGen, 45).distinctBy(_._1)
+      val df = spark.createDataFrame(rows).toDF("id", "key", "sc")
+      val out = Pipeline.perplexityBuckets(df, Seq(col("key")), col("sc"), col("id"))
+        .select(col("key"), col("bucket"), col("sc")).collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getInt(2)))
+      assert(out.length == rows.length)
+      out.groupBy(_._1).foreach { case (key, rs) =>
+        val sizes = rs.groupBy(_._2).view.mapValues(_.length).toMap
+        assert(sizes.keySet.subsetOf(Set(1, 2, 3)))
+        if (rs.length >= 3) {
+          assert(sizes.size == 3, s"$key: $sizes")
+          assert(sizes.values.max - sizes.values.min <= 1, s"$key: uneven $sizes")
+        }
+        for (b <- 1 to 2; hi <- sizes.get(b); lo <- sizes.get(b + 1)) {
+          val _ = (hi, lo)
+          assert(rs.filter(_._2 == b).map(_._3).min >= rs.filter(_._2 == b + 1).map(_._3).max,
+            s"$key: bucket order violated at $b")
+        }
+      }
+    }
+  }
+
   test("keep-best: exactly one keeper per cluster, keeper maximizes (score, -id)") {
     val rowGen = for {
       id <- Gen.chooseNum(1L, 300L)
