@@ -257,6 +257,78 @@ object SparkEntry {
         .orderBy(col("op"))
     }),
 
+    // UNPIVOT (wide→long melt) through Spark's native unpivot operator;
+    // measures are pre-scaled to integer micro-units so the per-metric
+    // totals are integer-exact cross-engine. Oracle is the portable
+    // UNION ALL formulation of the same melt.
+    "q_unpivot" -> ((s, dir) => {
+      lineitem(s, dir)
+        .select(
+          col("l_returnflag"),
+          round(col("l_quantity") * 100, 0).cast("long").as("quantity_c"),
+          round(col("l_discount") * 10000, 0).cast("long").as("discount_bp"),
+          round(col("l_tax") * 10000, 0).cast("long").as("tax_bp"))
+        .unpivot(
+          Array(col("l_returnflag")),
+          Array(col("quantity_c"), col("discount_bp"), col("tax_bp")),
+          "metric", "v")
+        .groupBy(col("l_returnflag"), col("metric"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_v"))
+        .orderBy(col("l_returnflag"), col("metric"))
+    }),
+
+    // Conditional / filtered aggregation: count_if, bool_and/bool_or, and
+    // a FILTER-style conditional max (max is comparison-only, so the raw
+    // double is cross-engine exact — no rounding needed).
+    "q_conditional_agg" -> ((s, dir) => {
+      customer(s, dir)
+        .join(broadcast(nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          count(lit(1)).as("n_cust"),
+          count_if(col("c_acctbal") > 0).as("n_pos"),
+          bool_or(col("c_mktsegment") === "BUILDING").as("any_building"),
+          bool_and(col("c_acctbal") > 0).as("all_pos"),
+          max(when(col("c_mktsegment") === "BUILDING", col("c_acctbal"))).as("max_building_bal"))
+        .orderBy(col("n_name"))
+    }),
+
+    // Correlated scalar subquery — Catalyst de-correlates it into an
+    // aggregate + join (no per-row re-execution, unlike the reference's
+    // per-message Python callbacks). min() is comparison-only and ×2 is
+    // exact IEEE, so the predicate is bit-stable cross-engine and
+    // run-to-run (an avg() here would make the boundary summation-order
+    // dependent — the q_outliers_mad failure class).
+    "q_scalar_subquery" -> ((s, dir) => {
+      orders(s, dir).createOrReplaceTempView("graft_sq_orders")
+      s.sql("""SELECT o_orderpriority, count(*) AS n_big
+              |FROM graft_sq_orders o
+              |WHERE o_totalprice > 2 * (SELECT min(o2.o_totalprice)
+              |                          FROM graft_sq_orders o2
+              |                          WHERE o2.o_custkey = o.o_custkey)
+              |GROUP BY o_orderpriority
+              |ORDER BY o_orderpriority""".stripMargin)
+    }),
+
+    // Z-order (Morton) clustering arithmetic: bucket census over the
+    // interleaved bits of two join keys — pure integer shift/mask, exact
+    // in any engine. The write-side twin (Layout.zorderWrite) has its
+    // both-dimensions-bounded locality property asserted in ScalaTest;
+    // this query oracle-pins the curve arithmetic itself.
+    "q_zorder_cluster" -> ((s, dir) => {
+      lineitem(s, dir)
+        .withColumn("z_bucket",
+          shiftright(graft.sources.Layout.zValue(col("l_partkey"), col("l_suppkey"), 6), 6)
+            .cast("long"))
+        .groupBy(col("z_bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(pmod(col("l_partkey"), lit(64))).as("min_x"),
+          max(pmod(col("l_partkey"), lit(64))).as("max_x"),
+          min(pmod(col("l_suppkey"), lit(64))).as("min_y"),
+          max(pmod(col("l_suppkey"), lit(64))).as("max_y"))
+        .orderBy(col("z_bucket"))
+    }),
+
     // Distinct aggregation.
     "q_distinct_agg" -> ((s, dir) => {
       events(s, dir)
@@ -1202,6 +1274,20 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    // Per-source quota cap (the domain-frequency ceiling of web-crawl
+    // curation): keep the 10 longest docs per source, census per source.
+    // Runs the salted two-phase plan (saltBuckets=8) whose row-identity
+    // with the direct window is asserted in ScalaTest — the oracle checks
+    // the direct formulation, so the equivalence is verified end-to-end.
+    "select_domain_cap" -> ((s, dir) => {
+      Pipeline.capPerKey(documents(s, dir), col("source"),
+          Seq(col("n_chars").desc, col("doc_id").asc), 10, col("doc_id"), saltBuckets = 8)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+          min(col("n_chars")).as("min_kept_chars"))
+        .orderBy(col("source"))
+    }),
+
     // Deterministic training-order shuffle: epoch-seeded md5 of the doc id
     // is the sort key, so every engine/run/cluster size derives the SAME
     // permutation, and a new epoch string is a fresh permutation with zero
@@ -1754,6 +1840,71 @@ object SparkEntry {
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+
+    "q_unpivot" ->
+      """SELECT l_returnflag, metric, count(*) AS n, CAST(sum(v) AS BIGINT) AS sum_v
+        |FROM (
+        |  SELECT l_returnflag, 'quantity_c' AS metric,
+        |         CAST(round(l_quantity * 100) AS BIGINT) AS v FROM lineitem
+        |  UNION ALL
+        |  SELECT l_returnflag, 'discount_bp',
+        |         CAST(round(l_discount * 10000) AS BIGINT) FROM lineitem
+        |  UNION ALL
+        |  SELECT l_returnflag, 'tax_bp',
+        |         CAST(round(l_tax * 10000) AS BIGINT) FROM lineitem)
+        |GROUP BY l_returnflag, metric
+        |ORDER BY l_returnflag, metric""".stripMargin,
+
+    "q_conditional_agg" ->
+      """SELECT n_name,
+        |       count(*) AS n_cust,
+        |       count(*) FILTER (WHERE c_acctbal > 0) AS n_pos,
+        |       bool_or(c_mktsegment = 'BUILDING') AS any_building,
+        |       bool_and(c_acctbal > 0) AS all_pos,
+        |       max(c_acctbal) FILTER (WHERE c_mktsegment = 'BUILDING') AS max_building_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
+
+    "q_scalar_subquery" ->
+      """SELECT o_orderpriority, count(*) AS n_big
+        |FROM orders o
+        |WHERE o_totalprice > 2 * (SELECT min(o2.o_totalprice)
+        |                          FROM orders o2
+        |                          WHERE o2.o_custkey = o.o_custkey)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q_zorder_cluster" ->
+      """WITH b AS (
+        |  SELECT l_partkey % 64 AS x, l_suppkey % 64 AS y FROM lineitem),
+        |z AS (
+        |  SELECT x, y,
+        |         (((x >> 0) & 1) * 1    + ((y >> 0) & 1) * 2
+        |        + ((x >> 1) & 1) * 4    + ((y >> 1) & 1) * 8
+        |        + ((x >> 2) & 1) * 16   + ((y >> 2) & 1) * 32
+        |        + ((x >> 3) & 1) * 64   + ((y >> 3) & 1) * 128
+        |        + ((x >> 4) & 1) * 256  + ((y >> 4) & 1) * 512
+        |        + ((x >> 5) & 1) * 1024 + ((y >> 5) & 1) * 2048) AS zv
+        |  FROM b)
+        |SELECT zv >> 6 AS z_bucket, count(*) AS n,
+        |       min(x) AS min_x, max(x) AS max_x,
+        |       min(y) AS min_y, max(y) AS max_y
+        |FROM z
+        |GROUP BY z_bucket
+        |ORDER BY z_bucket""".stripMargin,
+
+    "select_domain_cap" ->
+      """SELECT source, count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |       min(n_chars) AS min_kept_chars
+        |FROM (SELECT source, n_chars, doc_id,
+        |             row_number() OVER (PARTITION BY source
+        |                                ORDER BY n_chars DESC, doc_id) AS rk
+        |      FROM documents)
+        |WHERE rk <= 10
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
 
     "q_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,

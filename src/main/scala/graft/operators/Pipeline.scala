@@ -578,4 +578,51 @@ object Pipeline {
 
   /** 0–9999: the basis-point-rate form ([[temperatureSample]]). */
   private def md5Bucket10k(key: Column): Column = md5Bucket(key, 8, 10000)
+
+  /** Per-key quota cap: keep at most `maxPerKey` rows per `key`, choosing
+    * the FIRST `maxPerKey` under `order` — the domain-frequency cap of
+    * web-crawl curation ("no domain contributes more than N documents"),
+    * the counterpart of rate-based downsampling ([[temperatureSample]])
+    * when the policy is an absolute ceiling rather than a proportion.
+    *
+    * `order` must be a TOTAL order (end it with a unique id) — that is
+    * what makes the kept set deterministic AND what makes the salted
+    * two-phase plan below exactly equivalent to the direct window.
+    *
+    * Scale shape: the textbook `row_number ≤ N` window puts each key's
+    * whole row set on one reducer — a 10%-of-corpus hot domain becomes a
+    * single-task sort. With `saltBuckets > 1` the cap runs in two phases:
+    * phase 1 caps at `maxPerKey` within (key, salt) — salt is a
+    * deterministic md5 bucket of the tie-break id, so the shuffle spreads
+    * a hot key over `saltBuckets` reducers and each emits ≤ maxPerKey
+    * rows; phase 2 re-caps the ≤ saltBuckets·maxPerKey survivors per key.
+    * Because `order` is total, "top-N of the per-salt top-Ns" IS the
+    * global top-N — the two plans return identical rows, asserted in
+    * ScalaTest. Phase 2's input is bounded by keys·salt·N, so the hot-key
+    * sort everyone fears never materializes.
+    */
+  def capPerKey(
+      df: DataFrame,
+      key: Column,
+      order: Seq[Column],
+      maxPerKey: Int,
+      tieBreakId: Column,
+      saltBuckets: Int = 1): DataFrame = {
+    require(maxPerKey > 0, s"capPerKey: maxPerKey must be positive, got $maxPerKey")
+    require(order.nonEmpty, "capPerKey: order must be non-empty (and total)")
+    require(saltBuckets >= 1, s"capPerKey: saltBuckets must be >= 1, got $saltBuckets")
+    val capped =
+      if (saltBuckets == 1) df
+      else {
+        val salt = md5Bucket(tieBreakId, 4, saltBuckets)
+        val w1 = Window.partitionBy(key, salt).orderBy(order: _*)
+        df.withColumn("__rk1", row_number().over(w1))
+          .filter(col("__rk1") <= maxPerKey)
+          .drop("__rk1")
+      }
+    val w = Window.partitionBy(key).orderBy(order: _*)
+    capped.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= maxPerKey)
+      .drop("__rk")
+  }
 }

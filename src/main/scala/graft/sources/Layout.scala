@@ -1,7 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions.{col, pmod, shiftleft, shiftright}
 
 /** Write-side data layout: the half of scan pruning that happens before any
   * query runs. A 100 TB corpus laid out as `lang=.../date=...` partitions with
@@ -83,5 +83,60 @@ object Layout {
     if (sortCols.nonEmpty) w = w.sortBy(sortCols.head, sortCols.tail: _*)
     path.foreach(p => w = w.option("path", p))
     w.saveAsTable(tableName)
+  }
+
+  /** Z-order (Morton) interleave of the low `bits` bits of two non-negative
+    * integer columns: bit i of `x` lands at position 2i, bit i of `y` at
+    * 2i+1. Pure integer shift/mask arithmetic (codegen'd, no UDF), identical
+    * in any engine that has `>> << & %` — which is what makes the layout
+    * oracle-checkable. Inputs are taken mod 2^bits, so callers can pass raw
+    * keys; negative inputs should be pmod'ed by the caller first.
+    */
+  def zValue(x: Column, y: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"zValue: bits must be in [1,31], got $bits")
+    val side = 1L << bits
+    val xb = pmod(x, org.apache.spark.sql.functions.lit(side)).cast("long")
+    val yb = pmod(y, org.apache.spark.sql.functions.lit(side)).cast("long")
+    (0 until bits).map { i =>
+      shiftleft(shiftright(xb, i).bitwiseAND(1L), 2 * i) +
+        shiftleft(shiftright(yb, i).bitwiseAND(1L), 2 * i + 1)
+    }.reduce(_ + _) // disjoint bit positions, so + is |
+  }
+
+  /** Multi-dimensional clustering layout: range-partition and sort the data
+    * by the Z-order value of two filter columns, so EVERY file's parquet
+    * footer carries tight min/max bounds on BOTH dimensions at once.
+    *
+    * Sorting by a single column gives perfect skipping on that column and
+    * none on any other; Z-ordering trades a little per-column tightness for
+    * bounded spans on both — a contiguous Z range is a spatial block, so a
+    * selective predicate on EITHER column (or both) prunes most files at
+    * the footer level. This is the standard big-table layout for the
+    * two-filter-column scan pattern (e.g. corpus scans filtered by
+    * source-bucket and length-bucket) and is exactly what Delta/Iceberg
+    * `OPTIMIZE ZORDER BY` does — here as a plain-parquet write any engine
+    * can read.
+    *
+    * Scale shape: one range shuffle (sampled bounds, no hot reducer — Z
+    * values of real keys are near-uniform), per-partition sort, one file
+    * per partition. The Z expression itself is ~2·bits codegen'd integer
+    * ops per row. Locality bound (asserted in ScalaTest): with F files,
+    * each file's span in each dimension is ~side/2^floor(log4(F)) — both
+    * dimensions shrink as F grows, vs. one dimension stuck at full span
+    * under single-column sort.
+    */
+  def zorderWrite(
+      df: DataFrame,
+      x: Column,
+      y: Column,
+      bits: Int,
+      path: String,
+      numFiles: Int,
+      mode: SaveMode = SaveMode.Overwrite): Unit = {
+    require(numFiles > 0, "zorderWrite: numFiles must be positive")
+    val z = zValue(x, y, bits)
+    df.repartitionByRange(numFiles, z)
+      .sortWithinPartitions(z)
+      .write.mode(mode).parquet(path)
   }
 }

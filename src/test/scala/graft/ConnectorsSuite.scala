@@ -706,6 +706,38 @@ class ConnectorsSuite extends AnyFunSuite {
     }
   }
 
+  test("z-order layout: every file bounds BOTH dimensions; single-column sort bounds only its own") {
+    // a full 64×64 grid: the worst case for locality claims (perfectly
+    // uniform, nothing to get lucky on)
+    val grid = spark.range(0, 64L * 64L).select(
+      (col("id") % 64).as("x"), (col("id") / 64).cast("long").as("y"), col("id").as("payload"))
+    val out = freshRoot() + "/zorder"
+    Layout.zorderWrite(grid, col("x"), col("y"), bits = 6, path = out, numFiles = 16)
+    def spans(path: String) = spark.read.parquet(path)
+      .groupBy(input_file_name().as("f"))
+      .agg((max(col("x")) - min(col("x"))).as("sx"), (max(col("y")) - min(col("y"))).as("sy"))
+      .collect().map(r => (r.getAs[Long]("sx"), r.getAs[Long]("sy")))
+    val z = spans(out)
+    assert(z.length >= 8, s"expected ~16 files, got ${z.length}")
+    // ideal: 16 files = 16 perfect 16×16 Z-blocks (span 15 each); range
+    // boundaries come from sampling, so allow straddle slack — the claim
+    // is BOTH dims bounded well under the global span of 63
+    val meanSx = z.map(_._1).sum.toDouble / z.length
+    val meanSy = z.map(_._2).sum.toDouble / z.length
+    assert(meanSx <= 34 && meanSy <= 34,
+      s"z-order must bound both dims on average: meanSx=$meanSx meanSy=$meanSy spans=${z.toSeq}")
+    // contrast: the same data sorted by x alone leaves y at full span
+    val xo = freshRoot() + "/xorder"
+    grid.repartitionByRange(16, col("x")).sortWithinPartitions(col("x"))
+      .write.parquet(xo)
+    val xs = spans(xo)
+    val meanSyX = xs.map(_._2).sum.toDouble / xs.length
+    assert(meanSyX >= 55,
+      s"x-sorted layout should NOT bound y (got mean y-span $meanSyX) — else the z-order claim is vacuous")
+    // lossless
+    assert(spark.read.parquet(out).count() === 64L * 64L)
+  }
+
   test("IndexStore: persisted IVF-PQ artifacts search identically to the in-plan operator; codes prune by cell") {
     val emb = graft.core.Tables.embeddings(spark, TestSpark.sf0001)
     val queries = emb.filter(col("vec_id") < 5)

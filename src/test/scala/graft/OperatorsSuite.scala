@@ -1732,4 +1732,27 @@ class OperatorsSuite extends AnyFunSuite {
     assert(zr("s2") == 10000L && zr("s1") == 5000L,
       s"positive sources must rate against the positive min only: $zr")
   }
+
+  test("capPerKey: keeps exactly the first N per key under the total order; salted plan is row-identical") {
+    val order = Seq(col("n_chars").desc, col("doc_id").asc)
+    val direct = Pipeline.capPerKey(docs, col("source"), order, 7, col("doc_id"))
+    val salted = Pipeline.capPerKey(docs, col("source"), order, 7, col("doc_id"), saltBuckets = 8)
+    val d = direct.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val sl = salted.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    // top-N of the per-salt top-Ns == global top-N (order is total)
+    assert(d === sl)
+    // per-key count is min(N, group size)
+    val sizes = docs.groupBy(col("source")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val caps = direct.groupBy(col("source")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    sizes.foreach { case (s, n) =>
+      assert(caps.getOrElse(s, 0L) === math.min(7L, n), s"wrong cap for $s") }
+    // and the kept rows are EXACTLY the top-7 under (n_chars desc, doc_id)
+    val expect = docs.select(col("source"), col("n_chars"), col("doc_id"))
+      .collect().groupBy(_.getString(0)).values
+      .flatMap(rows => rows.sortBy(r => (-r.getLong(1), r.getLong(2))).take(7))
+      .map(_.getLong(2)).toSet
+    assert(d === expect)
+  }
 }
