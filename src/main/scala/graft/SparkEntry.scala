@@ -1274,6 +1274,29 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    // Scan-time observability: gate metrics computed DURING the filtered
+    // pass via Dataset.observe (CollectMetricsExec accumulator — zero
+    // extra jobs), then emitted as a 1-row table. The oracle recomputes
+    // the same aggregates with plain SQL, so the observed values are
+    // hash-checked — observability with a correctness gate. All-integer
+    // metrics; the action is the collect inside collectWithMetrics.
+    "pipeline_observed_gate" -> ((s, dir) => {
+      val base = documents(s, dir)
+        .filter(col("n_chars") >= 200)
+        .select(col("doc_id"), col("n_chars"), col("lang"))
+      val observed = graft.sources.Observe.withMetrics(base, "gate", Seq(
+        "n_kept" -> count(lit(1)),
+        "sum_chars" -> sum(col("n_chars")),
+        "n_en" -> count_if(col("lang") === "en"),
+        "min_doc" -> min(col("doc_id")),
+        "max_doc" -> max(col("doc_id"))))
+      val (_, m) = graft.sources.Observe.collectWithMetrics(observed, "gate")
+      import s.implicits._
+      Seq((m.getAs[Long]("n_kept"), m.getAs[Long]("sum_chars"), m.getAs[Long]("n_en"),
+          m.getAs[Long]("min_doc"), m.getAs[Long]("max_doc")))
+        .toDF("n_kept", "sum_chars", "n_en", "min_doc", "max_doc")
+    }),
+
     // Per-source quota cap (the domain-frequency ceiling of web-crawl
     // curation): keep the 10 longest docs per source, census per source.
     // Runs the salted two-phase plan (saltBuckets=8) whose row-identity
@@ -1893,6 +1916,15 @@ object SparkEntry {
         |FROM z
         |GROUP BY z_bucket
         |ORDER BY z_bucket""".stripMargin,
+
+    "pipeline_observed_gate" ->
+      """SELECT count(*) AS n_kept,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |       count(*) FILTER (WHERE lang = 'en') AS n_en,
+        |       min(doc_id) AS min_doc,
+        |       max(doc_id) AS max_doc
+        |FROM documents
+        |WHERE n_chars >= 200""".stripMargin,
 
     "select_domain_cap" ->
       """SELECT source, count(*) AS n_docs,

@@ -738,6 +738,22 @@ class ConnectorsSuite extends AnyFunSuite {
     assert(spark.read.parquet(out).count() === 64L * 64L)
   }
 
+  test("observe: gate metrics ride the scan's own pass and match recomputation; unknown name fails loudly") {
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val base = docs.filter(col("n_chars") >= 200).select(col("doc_id"), col("n_chars"))
+    val observed = Observe.withMetrics(base, "gate", Seq(
+      "n" -> count(lit(1)),
+      "sum_chars" -> sum(col("n_chars")),
+      "min_doc" -> min(col("doc_id"))))
+    val (rows, m) = Observe.collectWithMetrics(observed, "gate")
+    assert(rows.nonEmpty)
+    assert(m.getAs[Long]("n") === rows.length.toLong)
+    assert(m.getAs[Long]("sum_chars") === rows.map(_.getAs[Long]("n_chars")).sum)
+    assert(m.getAs[Long]("min_doc") === rows.map(_.getAs[Long]("doc_id")).min)
+    val boom = intercept[IllegalStateException](Observe.collectWithMetrics(observed, "nope"))
+    assert(boom.getMessage.contains("gate"), s"error should list present metric names: ${boom.getMessage}")
+  }
+
   test("IndexStore: persisted IVF-PQ artifacts search identically to the in-plan operator; codes prune by cell") {
     val emb = graft.core.Tables.embeddings(spark, TestSpark.sf0001)
     val queries = emb.filter(col("vec_id") < 5)

@@ -591,4 +591,27 @@ class StreamingSuite extends AnyFunSuite {
     assert(!src.isRunning, "attached source must stop on close")
     assert(!ret.isRunning, "retention loop must stop on close")
   }
+
+  test("observe: streaming gate metrics surface per micro-batch in query progress") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long)]
+    val observed = graft.sources.Observe.withMetrics(
+      input.toDF().toDF("id", "n_chars").filter(col("n_chars") >= 10),
+      "gate", Seq("n_kept" -> count(lit(1)), "mass" -> sum(col("n_chars"))))
+    val q = observed.writeStream
+      .format("memory").queryName("graft_observe_gate").outputMode("append").start()
+    try {
+      input.addData((1L, 5L), (2L, 20L), (3L, 30L))
+      q.processAllAvailable()
+      val gates = q.recentProgress.toSeq
+        .flatMap(pr => Option(pr.observedMetrics.get("gate")))
+        .filter(_.getAs[Long]("n_kept") > 0)
+      assert(gates.nonEmpty, "expected a progress entry carrying the gate metrics")
+      assert(gates.map(_.getAs[Long]("n_kept")).sum === 2L) // the 5-char row is gated out
+      assert(gates.map(_.getAs[Long]("mass")).sum === 50L)
+    } finally q.stop()
+  }
 }
