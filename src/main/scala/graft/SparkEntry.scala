@@ -237,6 +237,22 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    // Distribution window functions: percent_rank / cume_dist / ntile
+    // over a total order (unique tie-break), so every value is a single
+    // integer division — bit-identical cross-engine. The window computes
+    // over FULL partitions; the output filter only bounds result size.
+    "q_window_dist" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      orders(s, dir)
+        .withColumn("pr", percent_rank().over(w))
+        .withColumn("cd", cume_dist().over(w))
+        .withColumn("nt", ntile(10).over(w).cast("long"))
+        .filter(pmod(col("o_orderkey"), lit(100)) === 0)
+        .select(col("o_orderkey"), col("o_orderpriority"), col("pr"), col("cd"), col("nt"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // Global sort + limit (top-k).
     "q_sort_limit" -> ((s, dir) => {
       orders(s, dir)
@@ -1897,6 +1913,18 @@ object SparkEntry {
         |                          WHERE o2.o_custkey = o.o_custkey)
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+
+    "q_window_dist" ->
+      """SELECT o_orderkey, o_orderpriority, pr, cd, nt
+        |FROM (SELECT o_orderkey, o_orderpriority,
+        |             percent_rank() OVER w AS pr,
+        |             cume_dist()   OVER w AS cd,
+        |             ntile(10)     OVER w AS nt
+        |      FROM orders
+        |      WINDOW w AS (PARTITION BY o_orderpriority
+        |                   ORDER BY o_totalprice, o_orderkey))
+        |WHERE o_orderkey % 100 = 0
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q_zorder_cluster" ->
       """WITH b AS (

@@ -85,6 +85,80 @@ object Layout {
     w.saveAsTable(tableName)
   }
 
+  /** Result of a [[compact]] run — before/after file census for the
+    * maintenance job's own observability.
+    */
+  final case class CompactStats(
+      filesBefore: Int, bytesBefore: Long, filesAfter: Int, bytesAfter: Long, rows: Long)
+
+  /** Small-files compaction: rewrite one parquet leaf directory into
+    * ~`targetBytes`-sized files. Streaming ingest (one file per
+    * micro-batch per partition) and over-parallel writes fragment a
+    * dataset into thousands of KB-scale files; every subsequent scan then
+    * pays per-file open/footer/list costs that dwarf the data read — on
+    * object stores the LISTING alone can dominate. Compaction is the
+    * recurring maintenance job that keeps the read path healthy.
+    *
+    * Plan shape: `coalesce(n)` by default — collapsing file count needs NO
+    * shuffle (n writer tasks each read a slice of input files and stream
+    * rows through). Pass `rebalance = true` to pay one round-robin shuffle
+    * when input files are skewed enough that coalesce's merge-by-position
+    * would produce lopsided outputs. `sortCols` re-sorts within each
+    * output file (local sort, no exchange) to restore footer min/max
+    * selectivity after the merge.
+    *
+    * Swap protocol (plain-parquet stand-in for a table format's atomic
+    * commit): write to `<dir>.compact-tmp`, optionally verify row counts,
+    * rename old → `.compact-old`, tmp → dir, drop backup. A crash between
+    * the renames leaves the data recoverable at one of the two names —
+    * never half-overwritten. Readers racing the swap can fail one listing
+    * (document `ignoreMissingFiles` on hot paths, as the retention job
+    * does); production systems wanting fully-transactional compaction use
+    * a table format — this is the everything-else recipe.
+    *
+    * Compacts ONE leaf directory; for hive-partitioned layouts run it per
+    * partition directory (the partition values that actually fragmented).
+    */
+  def compact(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      targetBytes: Long = 128L << 20,
+      sortCols: Seq[String] = Nil,
+      rebalance: Boolean = false,
+      verifyCounts: Boolean = true): CompactStats = {
+    require(targetBytes > 0, "compact: targetBytes must be positive")
+    import org.apache.hadoop.fs.Path
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles = fs.listStatus(dir).filter(s =>
+      s.isFile && !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+    val before = dataFiles
+    require(before.nonEmpty, s"compact: no data files under $path (leaf directories only)")
+    val bytesBefore = before.map(_.getLen).sum
+    val nOut = math.max(1L, (bytesBefore + targetBytes - 1) / targetBytes).toInt
+    val df = spark.read.parquet(path)
+    val rowsBefore = if (verifyCounts) df.count() else -1L
+    val shaped = if (rebalance) df.repartition(nOut) else df.coalesce(nOut)
+    val sorted =
+      if (sortCols.nonEmpty) shaped.sortWithinPartitions(sortCols.map(col): _*) else shaped
+    val tmp = new Path(dir.getParent, dir.getName + ".compact-tmp")
+    fs.delete(tmp, true)
+    sorted.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    if (verifyCounts) {
+      val rowsAfter = spark.read.parquet(tmp.toString).count()
+      require(rowsAfter == rowsBefore,
+        s"compact: row count changed during rewrite ($rowsBefore -> $rowsAfter); " +
+          s"original untouched at $path, rewrite left at $tmp")
+    }
+    val bak = new Path(dir.getParent, dir.getName + ".compact-old")
+    fs.delete(bak, true)
+    require(fs.rename(dir, bak), s"compact: could not move $dir aside to $bak")
+    require(fs.rename(tmp, dir), s"compact: could not move $tmp into place; data is at $bak")
+    fs.delete(bak, true)
+    val after = dataFiles
+    CompactStats(before.length, bytesBefore, after.length, after.map(_.getLen).sum, rowsBefore)
+  }
+
   /** Z-order (Morton) interleave of the low `bits` bits of two non-negative
     * integer columns: bit i of `x` lands at position 2i, bit i of `y` at
     * 2i+1. Pure integer shift/mask arithmetic (codegen'd, no UDF), identical

@@ -738,6 +738,26 @@ class ConnectorsSuite extends AnyFunSuite {
     assert(spark.read.parquet(out).count() === 64L * 64L)
   }
 
+  test("compact: fragmented directory collapses to target-sized files, content byte-identical, stats true") {
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val frag = freshRoot() + "/fragmented"
+    docs.repartition(32).write.parquet(frag)
+    val filesBefore = java.nio.file.Files.list(java.nio.file.Paths.get(frag)).toArray.toSeq
+      .map(_.toString).count(f => !f.split('/').last.startsWith("_") && !f.split('/').last.startsWith("."))
+    assert(filesBefore >= 16, s"fixture should be fragmented, got $filesBefore files")
+    val expect = docs.collect().map(_.getAs[Long]("doc_id")).sorted
+    val stats = Layout.compact(spark, frag, targetBytes = 1L << 30, sortCols = Seq("doc_id"))
+    assert(stats.filesBefore === filesBefore)
+    assert(stats.filesAfter === 1, s"1 GiB target must collapse to one file: $stats")
+    assert(stats.rows === expect.length.toLong)
+    val got = spark.read.parquet(frag).collect().map(_.getAs[Long]("doc_id")).sorted
+    assert(got.toSeq === expect.toSeq, "compaction must be content-preserving")
+    // no tmp/backup residue from the swap protocol
+    val residue = java.nio.file.Files.list(java.nio.file.Paths.get(frag).getParent).toArray.toSeq
+      .map(_.toString).filter(f => f.contains(".compact-"))
+    assert(residue.isEmpty, s"swap must clean up: $residue")
+  }
+
   test("observe: gate metrics ride the scan's own pass and match recomputation; unknown name fails loudly") {
     val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
     val base = docs.filter(col("n_chars") >= 200).select(col("doc_id"), col("n_chars"))

@@ -1479,7 +1479,13 @@ class OperatorsSuite extends AnyFunSuite {
         "select_temperature_budget" -> true, // |sources|-row budget table broadcast
         "text_ccnet_buckets" -> true,    // LM vocab V as broadcast 1-row agg
         "select_token_budget" -> false,  // pure per-lang window, no join at all
-        "dedup_keep_best" -> false)      // winner agg + equi-join; nothing broadcast-required
+        "dedup_keep_best" -> false,      // winner agg + equi-join; nothing broadcast-required
+        "q_conditional_agg" -> true,     // 25-row nation dim explicitly broadcast
+        "select_domain_cap" -> false,    // two keyed windows + census, no join at all
+        "q_zorder_cluster" -> false,     // codegen'd z expression + one hash agg
+        "q_unpivot" -> false,            // expand (unpivot) + hash agg, no join
+        "q_window_dist" -> false,        // keyed windows; output orderBy is a range sort
+        "q_scalar_subquery" -> false)    // de-correlated agg + equi-join (broadcast is size-dependent, not asserted)
       cases.foreach { case (name, expectBroadcast) =>
         val plan: SparkPlan =
           SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan
