@@ -73,5 +73,14 @@ object Explain {
       ("training (spark.ml L-BFGS) runs at query-construction time and compiles the weights " +
         "into the plan — the PqCodes in-plan-artifact pattern. A production loop trains " +
         "offline and freezes the artifact; the scoring scan itself is broadcast-weights + " +
-        "codegen'd aggregate, no UDF."))
+        "codegen'd aggregate, no UDF."),
+    "pipeline_observed_gate" ->
+      ("the gate metrics ride the filtered scan's OWN pass (Dataset.observe -> " +
+        "CollectMetricsExec accumulator, zero extra jobs); the 1-row result printed here is " +
+        "the collected accumulator, so this plan is a LocalTableScan — audit the observed " +
+        "scan via Observe.withMetrics on any query instead."),
+    "q_scalar_subquery" ->
+      ("the correlated scalar subquery is de-correlated by Catalyst into an aggregate + " +
+        "equi-join — the plan must show one agg over orders joined back on o_custkey, " +
+        "never a per-row subquery re-execution."))
 }

@@ -237,6 +237,26 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    // TPC-H Q3 shape (shipping priority): selective filters on all three
+    // inputs reach the scans, the small filtered dimension broadcasts,
+    // and the final top-10 plans as TakeOrderedAndProject — per-partition
+    // heaps, never a materialized global sort (plan-asserted). Revenue in
+    // integer micro-units (cents × basis points), exact cross-engine.
+    "q_shipping_priority" -> ((s, dir) => {
+      val cut = lit("1998-01-01").cast("timestamp")
+      lineitem(s, dir).filter(col("l_shipdate") > cut)
+        .join(orders(s, dir).filter(col("o_orderdate") < cut),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(customer(s, dir).filter(col("c_mktsegment") === "BUILDING"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderpriority"))
+        .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long") *
+          (lit(10000L) - round(col("l_discount") * 10000, 0).cast("long"))).as("revenue_u"))
+        .orderBy(col("revenue_u").desc, col("l_orderkey"))
+        .limit(10)
+        .select(col("l_orderkey"), col("o_orderpriority"), col("revenue_u"))
+    }),
+
     // Distribution window functions: percent_rank / cume_dist / ntile
     // over a total order (unique tie-break), so every value is a single
     // integer division — bit-identical cross-engine. The window computes
@@ -1913,6 +1933,21 @@ object SparkEntry {
         |                          WHERE o2.o_custkey = o.o_custkey)
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+
+    "q_shipping_priority" ->
+      """SELECT l_orderkey, o_orderpriority,
+        |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |                (10000 - CAST(round(l_discount * 10000) AS BIGINT))) AS BIGINT)
+        |         AS revenue_u
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY l_orderkey, o_orderpriority
+        |ORDER BY revenue_u DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
 
     "q_window_dist" ->
       """SELECT o_orderkey, o_orderpriority, pr, cd, nt

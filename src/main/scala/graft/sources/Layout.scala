@@ -118,6 +118,13 @@ object Layout {
     *
     * Compacts ONE leaf directory; for hive-partitioned layouts run it per
     * partition directory (the partition values that actually fragmented).
+    *
+    * Do NOT compact a directory being consumed as a Structured Streaming
+    * file SOURCE: the file source tracks progress by file NAME, so the
+    * rewritten files all look like fresh input and every row is re-ingested
+    * as a duplicate. Compact sinks, history tables, and batch-read buffers
+    * — never a live source directory (pause the consumer and reset its
+    * checkpoint if a source dir truly must be rewritten).
     */
   def compact(
       spark: org.apache.spark.sql.SparkSession,

@@ -1485,7 +1485,8 @@ class OperatorsSuite extends AnyFunSuite {
         "q_zorder_cluster" -> false,     // codegen'd z expression + one hash agg
         "q_unpivot" -> false,            // expand (unpivot) + hash agg, no join
         "q_window_dist" -> false,        // keyed windows; output orderBy is a range sort
-        "q_scalar_subquery" -> false)    // de-correlated agg + equi-join (broadcast is size-dependent, not asserted)
+        "q_scalar_subquery" -> false,    // de-correlated agg + equi-join (broadcast is size-dependent, not asserted)
+        "q_shipping_priority" -> true)   // filtered BUILDING customers broadcast to the fact joins
       cases.foreach { case (name, expectBroadcast) =>
         val plan: SparkPlan =
           SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan
@@ -1508,6 +1509,16 @@ class OperatorsSuite extends AnyFunSuite {
         if (expectBroadcast)
           assert(broadcasts.nonEmpty,
             s"$name: expected a broadcast side, found none — a shuffle join replaced it:\n$plan")
+      }
+      // top-k queries must plan as TakeOrderedAndProject (per-partition
+      // heaps merged on the driver) — a Sort + Limit pair instead means a
+      // full global sort materialized before the cut
+      Seq("q_sort_limit", "q_shipping_priority").foreach { name =>
+        val plan = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan
+        val topk = plan.collect {
+          case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t }
+        assert(topk.nonEmpty,
+          s"$name: top-k must plan as TakeOrderedAndProject, not sort+limit:\n$plan")
       }
       // the argmax-not-window designs must stay window-free: a WindowExec
       // appearing in these plans means a ranking-window formulation crept
