@@ -591,6 +591,18 @@ class OperatorsSuite extends AnyFunSuite {
       20L -> 20L, 21L -> 20L, 22L -> 20L))
     // keeper iff doc_id == cluster_id, exactly one per cluster
     assert(got.filter(_._3).map(_._1).toSeq === Seq(1L, 10L, 20L))
+    // the size-gated union-find path and the forced distributed min-label
+    // loop must be row-identical — on the toy graph AND on a real pair set
+    val forced = Dedup.dupClusters(pairs, "doc_a", "doc_b", localEdgeThreshold = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1)
+    assert(forced.toSeq === got.toSeq)
+    val realPairs = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.5)
+    val localR = Dedup.dupClusters(realPairs, "doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val distR = Dedup.dupClusters(realPairs, "doc_a", "doc_b", localEdgeThreshold = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(localR === distR, "hybrid dupClusters paths diverged on the corpus pair set")
+    assert(localR.nonEmpty)
   }
 
   test("sequence packing: no bin exceeds the budget before its last doc; bins contiguous") {
