@@ -40,6 +40,17 @@ object EmitterRunner {
   /** Emit a window for every N messages, exact, across micro-batches
     * (reference CountWindow, window.py:305-327). */
   final case class CountWindow(size: Int) extends Strategy
+  /** [[CountWindow]] with BOUNDED STALENESS: exact-N windows, but a sub-N
+    * remainder flushes as one final partial window once event time moves
+    * `maxAgeSeconds` past the remainder's oldest message. The reference's
+    * CountWindow has no such bound — a remainder below N waits in the
+    * buffer forever (window.py:305-327 only ever emits complete windows);
+    * this is the standard fix (count trigger OR timeout, whichever first).
+    * Implemented with an event-time GroupState timeout against a
+    * 0-second watermark on arrival time, so the flush is deterministic
+    * (driven by data, not wall clock) and replay-safe.
+    */
+  final case class CountWindowTimeout(size: Int, maxAgeSeconds: Long) extends Strategy
   /** Aligned tumbling windows over arrival time (reference FixedTimeWindow,
     * window.py:229-278). A window fragments across micro-batches only if
     * the trigger outpaces the window interval — the same hazard the
@@ -102,6 +113,52 @@ object EmitterRunner {
               } else {
                 state.update(CountState(rest, prev.nextWindowId + nFull, nFull))
                 out.iterator
+              }
+          }
+      case CountWindowTimeout(n, maxAge) =>
+        ds.withWatermark("created", "0 seconds")
+          .groupByKey(_.stream)
+          .flatMapGroupsWithState[CountState, WindowedMessage](
+            OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+            (key: String, it: Iterator[Message], state: GroupState[CountState]) =>
+              val prev = state.getOption.getOrElse(CountState(Seq.empty, 0L, 0L))
+              if (state.hasTimedOut) {
+                // watermark moved past oldest-pending + maxAge: the tail
+                // becomes one partial window (bounded staleness). A stale
+                // timeout with nothing pending emits nothing.
+                val out = prev.pending.map(m =>
+                  WindowedMessage(m.stream, m.created, m.data, prev.nextWindowId))
+                val bump = if (prev.pending.nonEmpty) 1L else 0L
+                state.update(CountState(Seq.empty, prev.nextWindowId + bump, bump))
+                out.iterator
+              } else {
+                val (sentinels, incoming) = it.toSeq
+                  .sortBy(m => (m.created.getTime, m.data))
+                  .partition(_.data == FlushSentinel)
+                val all = prev.pending ++ incoming
+                val nFull = all.size / n
+                val (full, rest) = all.splitAt(nFull * n)
+                val out = full.zipWithIndex.map { case (m, i) =>
+                  WindowedMessage(m.stream, m.created, m.data, prev.nextWindowId + i / n)
+                }
+                if (sentinels.nonEmpty && rest.nonEmpty) {
+                  val tailId = prev.nextWindowId + nFull
+                  val tail = rest.map(m => WindowedMessage(m.stream, m.created, m.data, tailId))
+                  state.update(CountState(Seq.empty, tailId + 1, nFull + 1))
+                  (out ++ tail).iterator
+                } else {
+                  state.update(CountState(rest, prev.nextWindowId + nFull, nFull))
+                  if (rest.nonEmpty) {
+                    // flush when event time passes oldest-pending + maxAge;
+                    // clamp above the current watermark (setting a timeout
+                    // at-or-below it is rejected), which also means an
+                    // already-stale tail fires on the very next batch
+                    val oldest = rest.map(_.created.getTime).min
+                    state.setTimeoutTimestamp(
+                      math.max(oldest + maxAge * 1000L, state.getCurrentWatermarkMs() + 1L))
+                  }
+                  out.iterator
+                }
               }
           }
       case FixedTimeWindow(secs) =>

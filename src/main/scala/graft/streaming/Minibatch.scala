@@ -142,6 +142,14 @@ final case class EmitterBuilder(
   /** size= → CountWindow (reference __init__.py:107-115). */
   def size(n: Int): EmitterBuilder = copy(strategy = Some(EmitterRunner.CountWindow(n)))
 
+  /** size= with bounded staleness: exact-N windows, but a sub-N tail
+    * flushes as one partial window once event time moves `maxWaitSeconds`
+    * past its oldest message (count OR timeout, whichever first — the
+    * reference's CountWindow can starve a remainder forever).
+    */
+  def size(n: Int, maxWaitSeconds: Long): EmitterBuilder =
+    copy(strategy = Some(EmitterRunner.CountWindowTimeout(n, maxWaitSeconds)))
+
   /** interval= → RelaxedTimeWindow, or FixedTimeWindow when relaxed=false. */
   def interval(seconds: Long, relaxed: Boolean = true): EmitterBuilder =
     copy(strategy = Some(
@@ -210,7 +218,9 @@ final case class EmitterBuilder(
     * its sub-N tail as a final partial window.
     */
   def run(): Unit = {
-    if (flushPartial && strategy.forall(_.isInstanceOf[EmitterRunner.CountWindow]))
+    if (flushPartial && strategy.forall(s =>
+        s.isInstanceOf[EmitterRunner.CountWindow] ||
+        s.isInstanceOf[EmitterRunner.CountWindowTimeout]))
       stream.appendControl(EmitterRunner.FlushSentinel)
     val q = withTrigger(Trigger.AvailableNow()).start()
     q.awaitTermination()

@@ -592,6 +592,40 @@ class StreamingSuite extends AnyFunSuite {
     assert(!ret.isRunning, "retention loop must stop on close")
   }
 
+  test("count window with timeout: exact-N windows; sub-N tail flushes once event time passes maxAge") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def msg(s: String, sec: Long, d: String) =
+      EmitterRunner.Message(s, new Timestamp(1700000000000L + sec * 1000L), d)
+    val input = MemoryStream[EmitterRunner.Message]
+    val out = EmitterRunner.assign(input.toDS(), EmitterRunner.CountWindowTimeout(5, 60))
+    val q = out.writeStream
+      .format("memory").queryName("graft_cwt").outputMode("append").start()
+    try {
+      // 7 messages on stream s: one full window of 5 emits, 2 stay pending
+      input.addData((0 until 7).map(i => msg("s", i, s"m$i")): _*)
+      q.processAllAvailable()
+      def rows() = spark.table("graft_cwt")
+        .collect().map(r => (r.getString(0), r.getString(2), r.getLong(3)))
+      assert(rows().count(_._1 == "s") === 5, "exactly one full window before the timeout")
+      // advance event time far past oldest-pending(+60s) on ANOTHER stream —
+      // the watermark is global, so s's tail goes stale without s traffic;
+      // watermark updates at batch end, timeout fires on the following batch
+      input.addData(msg("other", 300, "x"))
+      q.processAllAvailable()
+      input.addData(msg("other", 301, "y"))
+      q.processAllAvailable()
+      val sRows = rows().filter(_._1 == "s")
+      assert(sRows.length === 7, s"the 2-message tail must flush as a partial window: ${sRows.toSeq}")
+      val tail = sRows.filter(r => r._2 == "m5" || r._2 == "m6").map(_._3).distinct
+      assert(tail.length === 1, s"tail must land in ONE window: ${sRows.toSeq}")
+      assert(tail.head === 1L, "tail window id follows the full window's")
+      // and the full window ids are untouched by the flush
+      assert(sRows.filter(r => r._2 < "m5").map(_._3).distinct.toSeq === Seq(0L))
+    } finally q.stop()
+  }
+
   test("observe: streaming gate metrics surface per micro-batch in query progress") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions._
