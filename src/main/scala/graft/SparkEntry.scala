@@ -1376,6 +1376,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Semantic decontamination: every 25th embedding plays the eval set;
+    // train vectors within cosine 0.3 of any eval vector are flagged with
+    // the hit count and the strongest similarity (broadcast the eval side,
+    // one corpus pass — the paraphrase-robust companion of
+    // text_decontaminate's n-gram overlap).
+    "decontaminate_semantic" -> ((s, dir) => {
+      val em = embeddings(s, dir)
+      Pipeline.semanticContaminated(
+          em.filter(pmod(col("vec_id"), lit(25)) =!= 0),
+          em.filter(pmod(col("vec_id"), lit(25)) === 0),
+          "vec_id", "embedding", 0.3)
+        .orderBy(col("train_id"))
+    }),
+
     // PII scrubbing: deterministic synthetic PII appended per doc (the
     // corpus itself is clean), then the portable-regex redaction chain;
     // per-source audit of matches found and bytes removed.
@@ -2651,6 +2665,16 @@ object SparkEntry {
         |WHERE g.doc_id % 50 <> 0
         |GROUP BY g.doc_id
         |ORDER BY g.doc_id""".stripMargin,
+
+    "decontaminate_semantic" ->
+      """SELECT t.vec_id AS train_id,
+        |       count(*)::BIGINT AS n_eval_hits,
+        |       round(max(list_cosine_similarity(t.embedding::DOUBLE[], e.embedding::DOUBLE[])), 4) AS max_cos
+        |FROM embeddings t JOIN embeddings e
+        |  ON t.vec_id % 25 <> 0 AND e.vec_id % 25 = 0
+        | AND list_cosine_similarity(t.embedding::DOUBLE[], e.embedding::DOUBLE[]) >= 0.3
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
 
     "text_pii_redact" ->
       """WITH p AS (

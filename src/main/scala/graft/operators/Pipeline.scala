@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.VectorFunctions._
+
 /** Dataset-preparation operators a pretraining pipeline runs after
   * filtering/dedup: packing documents into fixed token budgets and
   * deterministic split assignment. Both are pure map/window shapes — no
@@ -369,6 +371,45 @@ object Pipeline {
     grams(train).join(benchGrams, "__gram")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_shared_ngrams"))
+  }
+
+  /** Semantic decontamination — the embedding analog of
+    * [[contaminatedDocs]]: training rows whose embedding lies within
+    * cosine `threshold` of ANY benchmark/eval row, with the hit count and
+    * the strongest similarity. N-gram overlap misses paraphrased eval
+    * answers; embedding proximity catches them (the contamination variant
+    * studied in open eval-hygiene work, e.g. rephrased-benchmark probes).
+    *
+    * Output: one row per contaminated train id — (`train_id`,
+    * `n_eval_hits`, `max_cos` rounded to 4 dp). Dropping these ids from
+    * the corpus is a left-anti join on the result.
+    *
+    * Scale shape: the eval side is an evaluation benchmark — thousands of
+    * rows against a 100 TB corpus — so it is broadcast once and the corpus
+    * is touched in ONE pass: a broadcast nested-loop join whose per-row
+    * work is |eval| codegen'd [[graft.functions.VectorFunctions.dot]]
+    * products, then a map-side-combinable hash agg on the train id. The
+    * corpus never shuffles. An eval set too large to broadcast is the
+    * [[graft.operators.Dedup.embeddingNearDupLSH]] regime instead — bucket
+    * both sides by hyperplane signature and verify within buckets.
+    */
+  def semanticContaminated(
+      train: DataFrame,
+      eval: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double): DataFrame = {
+    val t = train.select(col(idCol).as("train_id"), toDoubleArray(col(vecCol)).as("__tv"))
+      .withColumn("__tn", l2Norm(col("__tv")))
+    val e = eval.select(toDoubleArray(col(vecCol)).as("__ev"))
+      .withColumn("__en", l2Norm(col("__ev")))
+    t.crossJoin(broadcast(e))
+      .withColumn("__cos", dot(col("__tv"), col("__ev")) / (col("__tn") * col("__en")))
+      .filter(col("__cos") >= threshold)
+      .groupBy(col("train_id"))
+      .agg(
+        count(lit(1)).as("n_eval_hits"),
+        round(max(col("__cos")), 4).as("max_cos"))
   }
 
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.4 — public

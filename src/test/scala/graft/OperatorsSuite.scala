@@ -311,6 +311,35 @@ class OperatorsSuite extends AnyFunSuite {
     assert(run().toSeq === rows.toSeq, "deterministic end to end")
   }
 
+  test("semantic decontamination agrees with the exact cross-pair set; a verbatim eval copy is flagged at cos 1") {
+    val train = emb.filter(pmod(col("vec_id"), lit(25)) =!= 0)
+    val eval = emb.filter(pmod(col("vec_id"), lit(25)) === 0)
+    val got = Pipeline.semanticContaminated(train, eval, "vec_id", "embedding", 0.3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // independent expectation: the all-pairs exact near-dup operator,
+    // restricted to (train, eval) cross pairs, aggregated per train id.
+    // round4 is monotone, so max(round4(cos)) == round4(max(cos)).
+    val cross = Dedup.embeddingNearDupExact(emb, "vec_id", "embedding", 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .flatMap { case (a, b, c) => ((a % 25 == 0, b % 25 == 0): @unchecked) match {
+        case (true, false) => Some(b -> c)
+        case (false, true) => Some(a -> c)
+        case _ => None
+      }}
+    val expect = cross.groupBy(_._1).map { case (id, hits) =>
+      id -> ((hits.length.toLong, hits.map(_._2).max)) }
+    assert(got === expect, "flag set, hit counts and max similarities must match the exact pair set")
+    assert(got.nonEmpty, "fixture should contain contamination")
+    // completeness anchor: a train row that IS an eval vector (verbatim
+    // copy under a fresh id) is always flagged, at similarity 1
+    val spiked = train.unionByName(
+      eval.limit(1).withColumn("vec_id", lit(999999L)))
+    val hit = Pipeline.semanticContaminated(spiked, eval, "vec_id", "embedding", 0.99)
+      .filter(col("train_id") === 999999L)
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    assert(hit.length === 1 && hit.head._1 >= 1L && hit.head._2 === 1.0)
+  }
+
   test("line-level dedup strips corpus-repeated lines and rebuilds documents") {
     import spark.implicits._
     val fixture = Seq(
@@ -1493,6 +1522,7 @@ class OperatorsSuite extends AnyFunSuite {
         "select_token_budget" -> false,  // pure per-lang window, no join at all
         "dedup_keep_best" -> false,      // winner agg + equi-join; nothing broadcast-required
         "q_conditional_agg" -> true,     // 25-row nation dim explicitly broadcast
+        "decontaminate_semantic" -> true, // eval side broadcast into the NLJ probe
         "select_domain_cap" -> false,    // two keyed windows + census, no join at all
         "q_zorder_cluster" -> false,     // codegen'd z expression + one hash agg
         "q_unpivot" -> false,            // expand (unpivot) + hash agg, no join
