@@ -42,6 +42,10 @@ object Explain {
     "embedding_neardup" ->
       ("ORACLE SHAPE: deliberate O(n^2) cross join, kept as the correctness reference. " +
         "Scale path: embedding_neardup_lsh (hyperplane bucket join)."),
+    "q_profile" ->
+      ("ORACLE SHAPE: exact multi-countDistinct plans via Expand (scan rows replicated " +
+        "once per profiled column before the partial agg). " +
+        "Scale path: q_profile_scale (per-column HLL sketches, one pass, no Expand)."),
     "q_percentiles" ->
       ("exact percentile = per-group sort agg. " +
         "Scale path: q_approx_percentiles (percentile_approx t-digest, partial+final hash agg)."),

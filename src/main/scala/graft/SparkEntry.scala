@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.operators.{Dedup, Multimodal, Pipeline, QualityModel, Relational, Similarity, TextAnalysis, Timeseries, WindowAssign}
+import graft.operators.{Dedup, Multimodal, Pipeline, Profile, QualityModel, Relational, Similarity, TextAnalysis, Timeseries, WindowAssign}
 import graft.functions.VectorFunctions
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -537,6 +537,42 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"),
           sum(when(col("is_anomaly"), 1L).otherwise(0L)).as("n_anomalies"))
         .orderBy(col("user_id"))
+    }),
+
+    // SCD2 change intervals: each user's event_type mutation log collapsed
+    // into [valid_from, valid_to) validity runs; the open (current) run's
+    // valid_to is the 9999-12-31 sentinel so the oracle hash never sees a
+    // NULL. Gaps-and-islands: one shuffle on user, runs collapse to a hash
+    // agg before the lead() window ever sorts anything.
+    "q_scd2_intervals" -> ((s, dir) => {
+      val ev = events(s, dir).withColumn("ts_s", unix_timestamp(col("ts")))
+      Timeseries.changeIntervals(ev, col("user_id"), col("ts_s"),
+          col("event_id"), col("event_type"))
+        .select(col("user_id"), col("value").as("event_type"),
+          col("valid_from"),
+          coalesce(col("valid_to"), lit(253402300800L)).as("valid_to"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("valid_from"))
+    }),
+
+    // One-pass column profiler over the corpus table: per column, rows /
+    // nulls / exact distincts / numeric min-max, all from a single
+    // aggregate over one scan (exact countDistinct = the Expand-planned
+    // oracle anchor; q_profile_scale is the HLL one-pass shape).
+    "q_profile" -> ((s, dir) => {
+      Profile.profile(documents(s, dir),
+          Seq("doc_id", "n_chars", "lang", "source", "text"), exact = true)
+        .orderBy(col("col_name"))
+    }),
+
+    // The 100 TB profiler shape: approx_count_distinct (HLL++ sketch per
+    // column, partial+final agg, NO Expand row multiplication). No SQL
+    // oracle: sketch-estimate-dependent; ±5% vs exact and plan shape
+    // asserted in ScalaTest.
+    "q_profile_scale" -> ((s, dir) => {
+      Profile.profile(documents(s, dir),
+          Seq("doc_id", "n_chars", "lang", "source", "text"), exact = false)
+        .orderBy(col("col_name"))
     }),
 
     // The scale path for the equi-depth histogram: bucket BOUNDARIES from
@@ -2419,6 +2455,50 @@ object SparkEntry {
         |FROM g
         |GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+
+    "q_scd2_intervals" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000000000 AS ts_s, event_type FROM events),
+        |c AS (SELECT user_id, event_id, ts_s, event_type,
+        |             CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_s, event_id)
+        |                       IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+        |      FROM e),
+        |r AS (SELECT user_id, ts_s, event_type,
+        |             sum(chg) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+        |                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS run_id
+        |      FROM c),
+        |g AS (SELECT user_id, run_id, min(event_type) AS event_type,
+        |             min(ts_s)::BIGINT AS valid_from, count(*)::BIGINT AS n_events
+        |      FROM r GROUP BY 1, 2)
+        |SELECT user_id, event_type, valid_from,
+        |       coalesce(lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from),
+        |                253402300800)::BIGINT AS valid_to,
+        |       n_events
+        |FROM g
+        |ORDER BY user_id, valid_from""".stripMargin,
+
+    "q_profile" ->
+      """SELECT 'doc_id' AS col_name, count(*)::BIGINT AS n_rows,
+        |       (count(*) - count(doc_id))::BIGINT AS n_nulls,
+        |       count(DISTINCT doc_id)::BIGINT AS n_distinct,
+        |       min(doc_id)::DOUBLE AS min_num, max(doc_id)::DOUBLE AS max_num
+        |FROM documents
+        |UNION ALL
+        |SELECT 'n_chars', count(*)::BIGINT, (count(*) - count(n_chars))::BIGINT,
+        |       count(DISTINCT n_chars)::BIGINT, min(n_chars)::DOUBLE, max(n_chars)::DOUBLE
+        |FROM documents
+        |UNION ALL
+        |SELECT 'lang', count(*)::BIGINT, (count(*) - count(lang))::BIGINT,
+        |       count(DISTINCT lang)::BIGINT, NULL::DOUBLE, NULL::DOUBLE
+        |FROM documents
+        |UNION ALL
+        |SELECT 'source', count(*)::BIGINT, (count(*) - count(source))::BIGINT,
+        |       count(DISTINCT source)::BIGINT, NULL::DOUBLE, NULL::DOUBLE
+        |FROM documents
+        |UNION ALL
+        |SELECT 'text', count(*)::BIGINT, (count(*) - count(text))::BIGINT,
+        |       count(DISTINCT text)::BIGINT, NULL::DOUBLE, NULL::DOUBLE
+        |FROM documents
+        |ORDER BY col_name""".stripMargin,
 
     "events_anomaly" ->
       """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS ts_s, value FROM events),

@@ -151,4 +151,47 @@ object Timeseries {
           lit(false)))
   }
 
+  /** SCD2-style change intervals: collapse each key's consecutive runs of
+    * an equal tracked value into validity intervals — the
+    * "effective_from / effective_to" derivation a warehouse runs over a
+    * mutation log. Runs are found with a null-safe lag-change flag and a
+    * running sum (the gaps-and-islands formulation); each run aggregates to
+    * one row, and `valid_to` is the NEXT run's `valid_from` (NULL on each
+    * key's current/open run — half-open intervals, `[from, to)`).
+    *
+    * Output: key column (original name), `value` (the tracked value of the
+    * run), `valid_from`, `valid_to` (nullable), `n_events`.
+    *
+    * `tieBreak` must make (ts, tieBreak) a total order per key — equal
+    * timestamps otherwise make run boundaries nondeterministic.
+    *
+    * Scale shape: ONE shuffle of the events on the key + a per-key sort
+    * for both windows; runs then collapse via hash agg (map-side combined)
+    * to one row per run — the second window (the `valid_to` lead) orders
+    * RUN rows, orders of magnitude fewer than events. Keys scale out
+    * independently; no global sort anywhere.
+    */
+  def changeIntervals(
+      df: DataFrame,
+      key: Column,
+      ts: Column,
+      tieBreak: Column,
+      value: Column): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(ts, tieBreak)
+    val runs = df
+      .withColumn("__chg",
+        when(not(lag(value, 1).over(w) <=> value), 1).otherwise(0))
+      .withColumn("__run",
+        sum(col("__chg")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val runAgg = runs.groupBy(key, col("__run"))
+      .agg(
+        min(value).as("value"),
+        min(ts).cast("long").as("valid_from"),
+        count(lit(1)).as("n_events"))
+    val wNext = Window.partitionBy(key).orderBy(col("valid_from"))
+    runAgg
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(wNext))
+      .drop("__run")
+  }
+
 }

@@ -1417,6 +1417,64 @@ class OperatorsSuite extends AnyFunSuite {
     assert(!early.exists(_.getBoolean(6)), "sub-minN frames must not flag")
   }
 
+  test("change intervals: runs tile each key's span, null runs merge, equal-ts ties break on the tiebreak") {
+    import spark.implicits._
+    val rows = Seq(
+      // key a: x x y x — three runs; equal ts at the y→x boundary, the
+      // tiebreak id orders y (id 3) before x (id 4)
+      ("a", 10L, 1L, "x"), ("a", 20L, 2L, "x"), ("a", 30L, 3L, "y"), ("a", 30L, 4L, "x"),
+      // key b: null null z — the two nulls are ONE run (null-safe change flag)
+      ("b", 10L, 5L, null), ("b", 20L, 6L, null), ("b", 30L, 7L, "z"))
+    val df = rows.toDF("k", "ts", "id", "v")
+    val got = Timeseries.changeIntervals(df, col("k"), col("ts"), col("id"), col("v"))
+      .collect()
+      .map(r => (r.getString(0), Option(r.getString(1)).getOrElse("∅"), r.getLong(2),
+        if (r.isNullAt(4)) -1L else r.getLong(4), r.getLong(3)))
+      .sortBy(t => (t._1, t._3))
+    assert(got === Array(
+      ("a", "x", 10L, 30L, 2L), ("a", "y", 30L, 30L, 1L), ("a", "x", 30L, -1L, 1L),
+      ("b", "∅", 10L, 30L, 2L), ("b", "z", 30L, -1L, 1L)))
+    // intervals tile: every run's valid_to equals the next run's valid_from,
+    // exactly one open run per key, and n_events sums to the input size
+    got.groupBy(_._1).foreach { case (k, rs) =>
+      assert(rs.count(_._4 == -1L) === 1, s"$k: exactly one open run")
+      rs.sliding(2).foreach {
+        case Array(prev, next) => assert(prev._4 === next._3, s"$k: gap between runs")
+        case _ =>
+      }
+    }
+    assert(got.map(_._5).sum === rows.length)
+  }
+
+  test("profiler: exact vs approx agree within 5%, nulls counted, approx plans without Expand") {
+    import spark.implicits._
+    val fx = Seq((1L, Some("a")), (2L, Some("a")), (3L, None), (4L, Some("b")))
+      .toDF("id", "s")
+    val p = Profile.profile(fx, Seq("id", "s")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(p("id").getLong(2) === 0L && p("id").getLong(3) === 4L)
+    assert(p("id").getDouble(4) === 1.0 && p("id").getDouble(5) === 4.0)
+    assert(p("s").getLong(2) === 1L, "one null in s")
+    assert(p("s").getLong(3) === 2L, "nulls don't count as a distinct value")
+    assert(p("s").isNullAt(4) && p("s").isNullAt(5), "no numeric min/max for strings")
+    // corpus-scale agreement + plan shape
+    val cols = Seq("doc_id", "n_chars", "lang", "source", "text")
+    val exact = Profile.profile(docs, cols, exact = true).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    val approxDf = Profile.profile(docs, cols, exact = false)
+    approxDf.collect().foreach { r =>
+      val (e, a) = (exact(r.getString(0)), r.getLong(3))
+      assert(math.abs(a - e) <= math.max(2L, (0.05 * e).toLong),
+        s"${r.getString(0)}: approx distinct $a too far from exact $e")
+    }
+    def planOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.toString
+    assert(planOf(Profile.profile(docs, cols, exact = true)).contains("Expand"),
+      "exact multi-countDistinct is the documented Expand shape")
+    assert(!planOf(approxDf).contains("Expand"),
+      "approx profiler must be a single pass with no Expand row multiplication")
+  }
+
   test("approx equi-depth histogram: buckets partition all rows and stay balanced") {
     val dir = TestSpark.sf0001
     val total = graft.core.Tables.lineitem(spark, dir).count()
