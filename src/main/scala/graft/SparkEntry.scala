@@ -673,6 +673,21 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // Latest-wins MERGE: every 10th order arrives again as a CDC update
+    // (price in cents × 11, version 1); winner per key via ONE hash agg
+    // carrying the full payload — no ranking window, no join back. Money
+    // as integer cents end to end (never round a ×1.1 float cross-engine).
+    "q_merge_upsert" -> ((s, dir) => {
+      val o = orders(s, dir).select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("price_c"))
+      val base = o.withColumn("ver", lit(0L))
+      val upd = o.filter(pmod(col("o_orderkey"), lit(10)) === 0)
+        .withColumn("price_c", col("price_c") * 11)
+        .withColumn("ver", lit(1L))
+      Relational.upsertLatest(base, upd, Seq("o_orderkey"), "ver")
+        .orderBy(col("o_orderkey"))
+    }),
+
     // TF-IDF top-3 terms per document: tf and df are hash aggs, the corpus
     // size joins in as a broadcast 1-row agg (never a driver-side count),
     // ranking is a per-doc window. Rank on the ROUNDED score + token
@@ -2187,6 +2202,18 @@ object SparkEntry {
         |  ON e.event_type = w.event_type
         |GROUP BY e.event_type
         |ORDER BY e.event_type""".stripMargin,
+
+    "q_merge_upsert" ->
+      """WITH b AS (SELECT o_orderkey, o_custkey,
+        |                  round(o_totalprice * 100)::BIGINT AS price_c, 0::BIGINT AS ver
+        |           FROM orders),
+        |u AS (SELECT o_orderkey, o_custkey,
+        |             round(o_totalprice * 100)::BIGINT * 11 AS price_c, 1::BIGINT AS ver
+        |      FROM orders WHERE o_orderkey % 10 = 0),
+        |a AS (SELECT * FROM b UNION ALL SELECT * FROM u)
+        |SELECT o_orderkey, o_custkey, price_c, ver FROM a
+        |QUALIFY row_number() OVER (PARTITION BY o_orderkey ORDER BY ver DESC) = 1
+        |ORDER BY o_orderkey""".stripMargin,
 
     "text_langid" ->
       """WITH d AS (SELECT doc_id, lang, string_split_regex(text, ' +') AS toks FROM documents),

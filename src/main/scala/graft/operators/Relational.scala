@@ -100,4 +100,41 @@ object Relational {
     // and keep Catalyst from re-planning it as a broadcast
     l.join(r.hint("shuffle_hash"), Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Latest-wins upsert — the batch form of `MERGE INTO … WHEN MATCHED
+    * UPDATE / WHEN NOT MATCHED INSERT` with last-writer-wins semantics:
+    * per key, keep the row with the highest `version`; on a version tie
+    * the UPDATE side wins (tagged above the base in the comparator).
+    * `version` must be non-null — a null version loses every comparison.
+    *
+    * Both inputs must share the base's schema; output keeps it (one row
+    * per key).
+    *
+    * Scale shape: the winner is `max(struct(version, side, payload))` in
+    * ONE map-side-combined hash agg — the full row rides the comparator,
+    * so there is no second join back to fetch the winner's payload and the
+    * exchange carries one candidate row per (key, partition). This is the
+    * keep-best-dedup argument applied to CDC: the ranking-window MERGE
+    * form sorts every key's history through the shuffle first.
+    */
+  def upsertLatest(
+      base: DataFrame,
+      updates: DataFrame,
+      keyCols: Seq[String],
+      versionCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "upsertLatest: keyCols must be non-empty")
+    val cols = base.columns.toSeq
+    require(updates.columns.toSeq == cols,
+      s"upsertLatest: schemas differ — base ${cols.mkString(",")} vs updates ${updates.columns.mkString(",")}")
+    require((keyCols :+ versionCol).forall(cols.contains),
+      "upsertLatest: keyCols and versionCol must exist in the schema")
+    val tagged = base.withColumn("__side", lit(0))
+      .unionByName(updates.withColumn("__side", lit(1)))
+    tagged
+      .groupBy(keyCols.map(col): _*)
+      .agg(max(struct(
+        col(versionCol).as("v"), col("__side").as("s"),
+        struct(cols.map(col): _*).as("p"))).as("__w"))
+      .select(col("__w.p.*"))
+  }
 }

@@ -1766,6 +1766,27 @@ class OperatorsSuite extends AnyFunSuite {
     }
   }
 
+  test("upsert latest-wins: updates replace, inserts land, base survives, version ties favor the update, no window in plan") {
+    import spark.implicits._
+    val base = Seq((1L, "a", 1L), (2L, "b", 5L), (3L, "c", 2L)).toDF("k", "payload", "ver")
+    val updates = Seq(
+      (1L, "a2", 2L),   // higher version: replaces
+      (2L, "b-old", 3L),// LOWER version: base survives
+      (3L, "c2", 2L),   // tie: the update side wins
+      (4L, "d", 1L))    // new key: inserted
+      .toDF("k", "payload", "ver")
+    val got = Relational.upsertLatest(base, updates, Seq("k"), "ver")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got === Map(
+      1L -> (("a2", 2L)), 2L -> (("b", 5L)), 3L -> (("c2", 2L)), 4L -> (("d", 1L))))
+    // the whole merge is one hash agg: no ranking window, no join back
+    val plan = SparkEntry.queries("q_merge_upsert")(spark, sf).queryExecution.executedPlan
+    assert(plan.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }.isEmpty,
+      s"upsert must not plan a ranking window:\n$plan")
+    assert(plan.collect { case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j }.isEmpty,
+      s"upsert must not join back for the payload:\n$plan")
+  }
+
   test("keep-best dedup: quality picks the keeper, not the id; ties fall to min id") {
     import spark.implicits._
     val d = Seq(
