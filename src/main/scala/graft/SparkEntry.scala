@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.operators.{Dedup, Multimodal, Pipeline, Profile, QualityModel, Relational, Similarity, TextAnalysis, Timeseries, WindowAssign}
-import graft.functions.VectorFunctions
+import graft.functions.{FrequentItems, VectorFunctions}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -748,6 +748,21 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("token"))
         .limit(20)
+    }),
+
+    // Heavy hitters WITHOUT shuffling the vocabulary: Misra-Gries sketch
+    // (256 counters per partition, merge-order-invariant sum, top 20 at
+    // eval) — the scale companion of text_term_freq's exact hash agg,
+    // whose exchange carries one row per distinct term per partition (no
+    // SQL oracle: summary-dependent estimates; the n/(k+1) undercount
+    // guarantee is asserted against exact counts in ScalaTest).
+    "text_heavy_hitters" -> ((s, dir) => {
+      documents(s, dir)
+        .select(explode(TextAnalysis.wordTokens(col("text"))).as("token"))
+        .agg(FrequentItems.freqItems(col("token"), 256, 20).as("hh"))
+        .select(posexplode(col("hh")).as(Seq("rank0", "e")))
+        .select((col("rank0") + 1).as("rank"),
+          col("e.item").as("token"), col("e.est_count").as("est_count"))
     }),
 
     // Exact dedup stats per language (text + normalized-fingerprint keys).

@@ -78,6 +78,14 @@ object GraftExtensions {
           "pairs per group as array<struct<id,score>>, ordered (score DESC, id ASC); " +
           "k must be an integer literal. Null scores/ids are ignored."),
       (args: Seq[Expression]) => TopKPairs(args(0), args(1), intLit(args(2), "k"))),
+    ("graft_freq_items",
+      info(classOf[FrequentItems], "graft_freq_items",
+        "_FUNC_(item, k, outK) - Aggregate: Misra-Gries heavy hitters over STRING " +
+          "items — k counters kept (est_count undercounts by at most n/(k+1), never " +
+          "overcounts), top outK reported as array<struct<item,est_count>> ordered " +
+          "(est_count DESC, item ASC); k and outK must be integer literals. " +
+          "Null items are ignored."),
+      (args: Seq[Expression]) => FrequentItems(args(0), intLit(args(1), "k"), intLit(args(2), "outK"))),
     ("graft_normalize",
       info(classOf[UnicodeNormalize], "graft_normalize",
         "_FUNC_(text, form) - Unicode-normalize a string; form must be a string " +

@@ -1787,6 +1787,48 @@ class OperatorsSuite extends AnyFunSuite {
       s"upsert must not join back for the payload:\n$plan")
   }
 
+  test("misra-gries heavy hitters: exact under capacity, undercount bounded, hot items never missed") {
+    import spark.implicits._
+    import graft.functions.FrequentItems
+    def sketch(df: org.apache.spark.sql.DataFrame, k: Int, outK: Int) =
+      df.agg(FrequentItems.freqItems(col("t"), k, outK).as("hh"))
+        .select(explode(col("hh")).as("e")).select("e.item", "e.est_count")
+        .collect().map(r => r.getString(0) -> r.getLong(1))
+    // distinct items ≤ k: no decrement ever fires — estimates are EXACT
+    val small = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq("c")).toDF("t")
+    assert(sketch(small, 8, 8).toMap === Map("a" -> 5L, "b" -> 3L, "c" -> 1L))
+    // corpus run: every estimate obeys est ≤ true and true − est ≤ n/(k+1),
+    // and every term frequent enough for the guarantee is present
+    val toks = docs.select(explode(TextAnalysis.wordTokens(col("text"))).as("t")).cache()
+    try {
+      val n = toks.count()
+      val k = 256
+      val exact = toks.groupBy(col("t")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val got = sketch(toks, k, k)
+      val bound = n / (k + 1)
+      got.foreach { case (item, est) =>
+        val t = exact(item)
+        assert(est <= t, s"$item: overcount $est > $t — MG never overcounts")
+        assert(t - est <= bound, s"$item: undercount ${t - est} beyond n/(k+1) = $bound")
+      }
+      val gotSet = got.map(_._1).toSet
+      exact.filter(_._2 > bound).keys.foreach { hot =>
+        assert(gotSet.contains(hot), s"guaranteed-present item $hot missing")
+      }
+      assert(sketch(toks, k, k).toSeq === got.toSeq, "merge-order-invariant: reruns identical")
+    } finally toks.unpersist()
+    // under pressure (k = 2, one dominant item) the hot item survives
+    val skew = (Seq.fill(50)("hot") ++ (1 to 20).map(i => s"cold$i")).toDF("t")
+    assert(sketch(skew.repartition(4), 2, 2).map(_._1).contains("hot"))
+    // SQL surface registered
+    graft.functions.GraftExtensions.register(spark)
+    skew.createOrReplaceTempView("__hh_in")
+    val viaSql = spark.sql("SELECT graft_freq_items(t, 4, 1)[0].item AS hot FROM __hh_in")
+      .collect().map(_.getString(0)).toList
+    assert(viaSql === List("hot"))
+  }
+
   test("keep-best dedup: quality picks the keeper, not the id; ties fall to min id") {
     import spark.implicits._
     val d = Seq(
