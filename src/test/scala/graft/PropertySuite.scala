@@ -341,6 +341,98 @@ class PropertySuite extends AnyFunSuite {
     }
   }
 
+  test("upsert latest-wins equals the max-(ver, side) reference for any CDC batch") {
+    import graft.operators.Relational
+    val rowGen = for {
+      k <- Gen.chooseNum(0L, 15L)
+      ver <- Gen.chooseNum(0L, 5L)
+      pay <- Gen.chooseNum(0, 99)
+    } yield (k, s"p$pay", ver)
+    (1 to 6).foreach { round =>
+      // distinct (key, ver) per side keeps the winner unique up to (ver, side)
+      val baseRows = samples(rowGen, 40).distinctBy(t => (t._1, t._3))
+      val updRows = samples(rowGen.map(t => (t._1, t._2 + "u", t._3)), 40)
+        .distinctBy(t => (t._1, t._3))
+      val base = spark.createDataFrame(baseRows).toDF("k", "payload", "ver")
+      val upd = spark.createDataFrame(updRows).toDF("k", "payload", "ver")
+      val got = Relational.upsertLatest(base, upd, Seq("k"), "ver")
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+      val want = (baseRows.map(t => (t, 0)) ++ updRows.map(t => (t, 1)))
+        .groupBy(_._1._1)
+        .map { case (k, cands) =>
+          val w = cands.maxBy { case ((_, _, ver), side) => (ver, side) }
+          k -> ((w._1._2, w._1._3))
+        }
+      assert(got === want, s"round $round")
+    }
+  }
+
+  test("change intervals equal a run-length encoding of the sorted log for any input") {
+    import graft.operators.Timeseries
+    val rowGen = for {
+      k <- Gen.oneOf("a", "b", "c")
+      ts <- Gen.chooseNum(0L, 20L) // small range forces equal-ts ties
+      v <- Gen.oneOf(Some("x"), Some("y"), Some("z"), None)
+    } yield (k, ts, v)
+    (1 to 6).foreach { round =>
+      val rows = samples(rowGen, 60).zipWithIndex
+        .map { case ((k, ts, v), id) => (k, ts, id.toLong, v.orNull) }
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map(Row.fromTuple), 3),
+        StructType(Seq(StructField("k", StringType), StructField("ts", LongType),
+          StructField("id", LongType), StructField("v", StringType))))
+      val got = Timeseries.changeIntervals(df, col("k"), col("ts"), col("id"), col("v"))
+        .collect()
+        .map(r => (r.getString(0), Option(r.getString(1)),
+          r.getLong(2), if (r.isNullAt(4)) None else Some(r.getLong(4)), r.getLong(3)))
+        .groupBy(_._1).view.mapValues(_.sortBy(_._3).toList).toMap
+      // reference: per key, sort by (ts, id), run-length encode the value
+      val want = rows.groupBy(_._1).view.mapValues { ks =>
+        val sorted = ks.sortBy(t => (t._2, t._3)).toList
+        val runs = sorted.foldLeft(List.empty[(Option[String], Long, Long)]) {
+          case (acc, (_, ts, _, v)) => acc match {
+            case (pv, from, n) :: rest if pv == Option(v) => (pv, from, n + 1) :: rest
+            case _ => (Option(v), ts, 1L) :: acc
+          }
+        }.reverse
+        runs.zip(runs.drop(1).map(r => Some(r._2)) :+ None).map {
+          case ((v, from, n), to) => (v, from, to, n)
+        }
+      }.toMap
+      want.foreach { case (k, wruns) =>
+        val gruns = got(k).map(t => (t._2, t._3, t._4, t._5))
+        assert(gruns === wruns, s"round $round key $k")
+      }
+      assert(got.keySet === want.keySet, s"round $round")
+    }
+  }
+
+  test("misra-gries: never overcounts, undercount <= n/(k+1), frequent items present, for any stream") {
+    import graft.functions.FrequentItems
+    val streamGen = Gen.chooseNum(30, 120).flatMap(n =>
+      // zipf-ish: hot item drawn often, tail sparse
+      Gen.listOfN(n, Gen.frequency(
+        5 -> Gen.const("hot"), 2 -> Gen.const("warm"),
+        3 -> Gen.chooseNum(0, 40).map(i => s"cold$i"))))
+    samples(streamGen, 8).zipWithIndex.foreach { case (items, i) =>
+      val k = 3 + (i % 5)
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(items.map(Row(_)), 4),
+        StructType(Seq(StructField("t", StringType))))
+      val got = df.agg(FrequentItems.freqItems(col("t"), k, k).as("hh"))
+        .select(explode(col("hh")).as("e")).select("e.item", "e.est_count")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val exact = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val bound = items.size.toLong / (k + 1)
+      got.foreach { case (item, est) =>
+        assert(est <= exact(item), s"case $i: $item overcounted")
+        assert(exact(item) - est <= bound, s"case $i: $item undercount beyond $bound")
+      }
+      exact.filter(_._2 > bound).keys.foreach(hot =>
+        assert(got.contains(hot), s"case $i: $hot (count ${exact(hot)}) must be present"))
+    }
+  }
+
   test("jaccard identity: a document is a perfect duplicate of itself") {
     val gen = Gen.chooseNum(5, 20).flatMap(n =>
       Gen.listOfN(n, Gen.oneOf("w1", "w2", "w3", "w4")).map(_.mkString(" ")))
