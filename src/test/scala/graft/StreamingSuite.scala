@@ -592,6 +592,49 @@ class StreamingSuite extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming SCD2 closed intervals match the batch operator; open runs stay in state across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.{col => c}
+    import spark.implicits._
+    import graft.streaming.StreamingScd2
+    implicit val sqlCtx = spark.sqlContext
+    // key a: x x y y x (three runs, last open); key b: null null z; the
+    // mid-run batch split must NOT close a's second run early
+    val rows = Seq(
+      StreamingScd2.Change("a", 10L, 1L, "x"), StreamingScd2.Change("a", 20L, 2L, "x"),
+      StreamingScd2.Change("a", 30L, 3L, "y"), StreamingScd2.Change("a", 40L, 4L, "y"),
+      StreamingScd2.Change("a", 50L, 5L, "x"),
+      StreamingScd2.Change("b", 10L, 6L, null), StreamingScd2.Change("b", 20L, 7L, null),
+      StreamingScd2.Change("b", 30L, 8L, "z"))
+    val input = MemoryStream[StreamingScd2.Change]
+    val q = StreamingScd2.intervals(input.toDS())
+      .writeStream.format("memory").queryName("graft_scd2")
+      .outputMode("append").start()
+    try {
+      // split inside a's y-run: (a,40,y) and later arrive in batch 2
+      val (first, second) = rows.splitAt(3)
+      input.addData(first)
+      q.processAllAvailable()
+      input.addData(second)
+      q.processAllAvailable()
+      val streamed = spark.table("graft_scd2")
+        .collect().map(r => (r.getString(0), Option(r.getString(1)), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      val batchClosed = graft.operators.Timeseries.changeIntervals(
+          rows.toDF("key", "ts", "seq", "value"), c("key"), c("ts"), c("seq"), c("value"))
+        .filter(c("valid_to").isNotNull)
+        .collect().map(r => (r.getString(0), Option(r.getString(1)), r.getLong(2),
+          r.getLong(4), r.getLong(3))).toSet
+      assert(streamed === batchClosed,
+        s"streamed closed intervals must equal batch:\n$streamed\nvs\n$batchClosed")
+      // the split y-run closed as ONE run of 2 (state carried it), and the
+      // open runs (a's trailing x, b's z) were never emitted
+      assert(streamed.contains(("a", Some("y"), 30L, 50L, 2L)))
+      assert(!streamed.exists(i => i._1 == "a" && i._3 == 50L), "open run must stay in state")
+      assert(!streamed.exists(i => i._1 == "b" && i._2 == Some("z")))
+    } finally q.stop()
+  }
+
   test("streaming anomalies judge late events at arrival (documented delta)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
