@@ -1071,6 +1071,21 @@ object SparkEntry {
         .orderBy(col("vec_a"), col("vec_b"))
     }),
 
+    // Int8 scalar quantization (SQ8): per-vector symmetric codes — the
+    // 4-8× embedding storage/shuffle cut. Pure per-row expressions, no
+    // shuffle; codes emitted as a joined string (array printing is not
+    // engine-portable), scale at 6 dp. The oracle mirrors Spark's
+    // HALF_UP-away-from-zero round as a sign-split floor(|x|/s + 0.5).
+    "embedding_quantize" -> ((s, dir) => {
+      embeddings(s, dir)
+        .select(col("vec_id"),
+          VectorFunctions.quantizeInt8(col("embedding")).as("qz"))
+        .select(col("vec_id"),
+          round(col("qz.scale"), 6).as("scale6"),
+          array_join(transform(col("qz.q"), _.cast("string")), ",").as("codes"))
+        .orderBy(col("vec_id"))
+    }),
+
     // Per-label embedding centroids (element-wise mean): posexplode →
     // hash-agg on (label, pos) — partial+final agg, no collect.
     "embedding_centroid" -> ((s, dir) => {
@@ -2787,6 +2802,20 @@ object SparkEntry {
         |WHERE g.doc_id % 50 <> 0
         |GROUP BY g.doc_id
         |ORDER BY g.doc_id""".stripMargin,
+
+    "embedding_quantize" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |         list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0 AS s,
+        |         embedding::DOUBLE[] AS e
+        |  FROM embeddings)
+        |SELECT vec_id, round(s, 6) AS scale6,
+        |       array_to_string(list_transform(e, x ->
+        |         (CASE WHEN s = 0 THEN 0
+        |               WHEN x < 0 THEN -floor(abs(x) / s + 0.5)
+        |               ELSE floor(abs(x) / s + 0.5) END)::INT), ',') AS codes
+        |FROM q
+        |ORDER BY vec_id""".stripMargin,
 
     "decontaminate_semantic" ->
       """SELECT t.vec_id AS train_id,
