@@ -1471,6 +1471,27 @@ object SparkEntry {
         .orderBy(col("train_id"))
     }),
 
+    // C4-style markup stripping: each doc deterministically wrapped in an
+    // HTML frame (style + script blocks, tags, entities — the corpus
+    // itself is plain text), then the portable-regex strip chain;
+    // per-source audit of characters in/out. Shuffle-free per-row chain +
+    // one census agg.
+    "text_strip_markup" -> ((s, dir) => {
+      val wrapped = documents(s, dir).select(col("doc_id"), col("source"),
+        concat(
+          lit("<html><head><style>p{color:red}</style></head><body><h1>Doc "),
+          col("doc_id").cast("string"),
+          lit("</h1><p class=\"x\">"), col("text"),
+          lit(" &amp; more &lt;i&gt;</p><script>var x=1;</script></body></html>"))
+          .as("html"))
+      wrapped.withColumn("clean", TextAnalysis.stripMarkup(col("html")))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("html"))).as("chars_in"),
+          sum(length(col("clean"))).as("chars_out"))
+        .orderBy(col("source"))
+    }),
+
     // PII scrubbing: deterministic synthetic PII appended per doc (the
     // corpus itself is clean), then the portable-regex redaction chain;
     // per-source audit of matches found and bytes removed.
@@ -2826,6 +2847,37 @@ object SparkEntry {
         | AND list_cosine_similarity(t.embedding::DOUBLE[], e.embedding::DOUBLE[]) >= 0.3
         |GROUP BY 1
         |ORDER BY 1""".stripMargin,
+
+    "text_strip_markup" ->
+      """WITH w AS (
+        |  SELECT source,
+        |         '<html><head><style>p{color:red}</style></head><body><h1>Doc '
+        |           || doc_id::VARCHAR || '</h1><p class="x">' || text
+        |           || ' &amp; more &lt;i&gt;</p><script>var x=1;</script></body></html>' AS html
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, html,
+        |         trim(regexp_replace(
+        |           regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |           regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |           regexp_replace(html,
+        |             '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |             '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        |             '<[^>]+>', ' ', 'g'),
+        |             '&lt;', '<', 'g'),
+        |             '&gt;', '>', 'g'),
+        |             '&quot;', '"', 'g'),
+        |             '&#39;', '''', 'g'),
+        |             '&nbsp;', ' ', 'g'),
+        |             '&amp;', '&', 'g'),
+        |             '\s+', ' ', 'g')) AS clean
+        |  FROM w)
+        |SELECT source, count(*)::BIGINT AS n_docs,
+        |       sum(length(html))::BIGINT AS chars_in,
+        |       sum(length(clean))::BIGINT AS chars_out
+        |FROM c
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
 
     "text_pii_redact" ->
       """WITH p AS (

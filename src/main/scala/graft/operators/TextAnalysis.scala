@@ -157,6 +157,28 @@ object TextAnalysis {
       regexp_replace(acc, pat, tag)
     }
 
+  /** C4-style markup stripping (Raffel et al. 2020 §2.2 describe the
+    * public method class: web-extracted text must lose markup before any
+    * quality/dedup pass): drop script/style blocks WITH their content,
+    * strip remaining tags to a space (so `a<br>b` never word-joins),
+    * decode the six ubiquitous HTML entities (`&amp;` LAST, so
+    * `&amp;lt;` single-decodes to `&lt;`, never double-decodes to `<`),
+    * collapse whitespace. Portable Java/RE2 regex subset, no
+    * backreferences (RE2 has none) — same posture as [[PiiPatterns]];
+    * codegen'd per-row `regexp_replace` chain, shuffle-free.
+    */
+  def stripMarkup(text: Column): Column = {
+    val noBlocks = Seq("script", "style").foldLeft(text) { (acc, t) =>
+      regexp_replace(acc, s"(?is)<$t[^>]*>.*?</$t>", " ")
+    }
+    val noTags = regexp_replace(noBlocks, "<[^>]+>", " ")
+    val decoded = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (acc, (ent, ch)) => regexp_replace(acc, ent, ch) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   /** Single rolling-hash fingerprint: min xxhash64 over the document's
     * shingles — one hash per document, robust to small edits away from the
     * minimum. For true locality (an edit changes only nearby fingerprints)

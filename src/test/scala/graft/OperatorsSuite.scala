@@ -1787,6 +1787,39 @@ class OperatorsSuite extends AnyFunSuite {
       s"upsert must not join back for the payload:\n$plan")
   }
 
+  test("markup stripping: blocks die with content, tags become spaces, entities single-decode, clean text is a fixpoint") {
+    import spark.implicits._
+    def strip(s: String): String =
+      Seq(s).toDF("t").select(TextAnalysis.stripMarkup(col("t"))).head().getString(0)
+    assert(strip("<html><body><h1>Title</h1><p>a<br>b</p></body></html>") === "Title a b",
+      "tags become spaces — a<br>b never word-joins")
+    assert(strip("x<script type=\"text/javascript\">alert('y')</script>z") === "x z",
+      "script content must die with the block")
+    assert(strip("x<style>p { color: red }</style>z") === "x z")
+    assert(strip("A<SCRIPT>\nmulti\nline\n</sCrIpT>B") === "A B",
+      "case-insensitive, dot-matches-newline block removal")
+    assert(strip("a &amp; b &lt;i&gt; &quot;q&quot; &#39;s&#39; x&nbsp;y") ===
+      "a & b <i> \"q\" 's' x y")
+    assert(strip("&amp;lt;") === "&lt;", "entities single-decode, never double")
+    assert(strip("  a \t\n  b  ") === "a b", "whitespace collapses")
+    val clean = "plain text with no markup at all"
+    assert(strip(clean) === clean && strip(strip(clean)) === strip(clean),
+      "clean text is a fixpoint")
+    // recovering the corpus: stripping the query's synthetic wrapper yields
+    // the original text framed by the known header/suffix
+    val got = docs.limit(5).select(col("doc_id"), col("text"),
+        TextAnalysis.stripMarkup(concat(
+          lit("<html><head><style>p{c}</style></head><body><h1>Doc "),
+          col("doc_id").cast("string"),
+          lit("</h1><p>"), col("text"), lit("</p><script>var x=1;</script></body></html>")))
+          .as("clean"))
+      .collect()
+    got.foreach { r =>
+      val wantBody = ("Doc " + r.getLong(0) + " " + r.getString(1)).replaceAll("\\s+", " ").trim
+      assert(r.getString(2) === wantBody, s"doc ${r.getLong(0)}: wrapper not cleanly removed")
+    }
+  }
+
   test("misra-gries heavy hitters: exact under capacity, undercount bounded, hot items never missed") {
     import spark.implicits._
     import graft.functions.FrequentItems
