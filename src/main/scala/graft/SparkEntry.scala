@@ -237,6 +237,24 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    // Value window functions (first/last/nth over an explicit full-
+    // partition frame) — per-key windows shard by customer, money in
+    // integer cents. A customer's second-ever order is NULL for singleton
+    // histories → sentinel -1 (oracle hash never sees a NULL).
+    "q_window_value_fns" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      orders(s, dir)
+        .withColumn("price_c", round(col("o_totalprice") * 100, 0).cast("long"))
+        .withColumn("first_c", first(col("price_c")).over(full))
+        .withColumn("last_c", last(col("price_c")).over(full))
+        .withColumn("second_c", coalesce(nth_value(col("price_c"), 2).over(full), lit(-1L)))
+        .select(col("o_orderkey"), col("o_custkey"), col("price_c"),
+          col("first_c"), col("last_c"), col("second_c"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // TPC-H Q3 shape (shipping priority): selective filters on all three
     // inputs reach the scans, the small filtered dimension broadcasts,
     // and the final top-10 plans as TakeOrderedAndProject — per-partition
@@ -1982,6 +2000,17 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
         |       w_frame AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_window_value_fns" ->
+      """SELECT o_orderkey, o_custkey,
+        |       round(o_totalprice * 100)::BIGINT AS price_c,
+        |       first_value(round(o_totalprice * 100)::BIGINT) OVER wf AS first_c,
+        |       last_value(round(o_totalprice * 100)::BIGINT) OVER wf AS last_c,
+        |       coalesce(nth_value(round(o_totalprice * 100)::BIGINT, 2) OVER wf, -1)::BIGINT AS second_c
+        |FROM orders
+        |WINDOW wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY o_orderkey""".stripMargin,
 
     "q_sort_limit" ->
