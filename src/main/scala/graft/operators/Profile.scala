@@ -54,4 +54,98 @@ object Profile {
     }
     one.select(explode(array(entries: _*)).as("p")).select("p.*")
   }
+
+  /** Per-group sufficient statistics for covariance / correlation / OLS
+    * regression: `n, Σx, Σy, Σx², Σy², Σxy` — the mergeable "stat state"
+    * a pipeline keeps per segment so slope/corr/r² are derivable later
+    * WITHOUT rescanning (merge two segments' states by summing them;
+    * same contract as `Relational.aggState`).
+    *
+    * Callers pass INTEGER-valued columns (pre-quantized micro-units);
+    * everything downstream is exact 64-bit arithmetic, so the state is
+    * bit-identical across engines and replay-safe. Spark's own
+    * `corr`/`regr_slope` fold to a float per group immediately — fine for
+    * one answer, useless as state.
+    *
+    * One hash aggregate (map-side combined): the exchange carries six
+    * longs per (group, partition). Overflow headroom is the caller's
+    * contract: |x|≤a, |y|≤b over N rows needs N·a², N·b², N·a·b < 2⁶³ —
+    * e.g. quantities ≤50 vs basis points ≤10⁴ holds to ~6×10⁹ rows
+    * (sf1000) with 10³× slack on the x side.
+    */
+  def regressionComponents(
+      df: DataFrame,
+      keys: Seq[Column],
+      x: Column,
+      y: Column): DataFrame = {
+    val xl = x.cast("long")
+    val yl = y.cast("long")
+    df.groupBy(keys: _*).agg(
+      count(lit(1)).as("n"),
+      sum(xl).as("sum_x"),
+      sum(yl).as("sum_y"),
+      sum(xl * xl).as("sum_xx"),
+      sum(yl * yl).as("sum_yy"),
+      sum(xl * yl).as("sum_xy"))
+  }
+
+  /** Declarative data-quality gate (the Deequ/Great-Expectations check a
+    * pipeline runs before promoting a new drop): evaluate a set of named
+    * constraints and emit one row per constraint —
+    * `(check_name, n_rows, n_violations, passed)`.
+    *
+    * Three constraint kinds:
+    *   - `rowChecks`: per-row boolean predicates; a NULL predicate counts
+    *     as a violation (a check you can't evaluate didn't pass).
+    *   - `uniqueCols`: violations = non-null duplicate excess,
+    *     `count(c) − countDistinct(c)` (nulls are `not_null`'s job).
+    *   - `fkChecks`: `(name, dim, fkCol, pkCol)` — violations = rows
+    *     whose fk has no match in `dim` (left-anti count).
+    *
+    * Scale shape: ALL row + uniqueness checks run in ONE aggregate over
+    * ONE scan (adding a check never rescans); `countDistinct` plans an
+    * Expand (rows × unique-checks before the partial agg) — at corpus
+    * scale swap `approx_count_distinct` in, same as `profile(exact =
+    * false)`. Each FK check is its own broadcast/shuffle anti-join pass
+    * over the fact — unavoidable second input, but the dim is typically
+    * broadcast so the fact is still scanned map-side only.
+    */
+  def expectations(
+      df: DataFrame,
+      rowChecks: Seq[(String, Column)],
+      uniqueCols: Seq[String] = Nil,
+      fkChecks: Seq[(String, DataFrame, String, String)] = Nil): DataFrame = {
+    require(rowChecks.nonEmpty || uniqueCols.nonEmpty || fkChecks.nonEmpty,
+      "expectations: at least one check required")
+    val rowAggs = rowChecks.map { case (nm, pred) =>
+      sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L)).as(s"__rc_$nm")
+    }
+    val uniqAggs = uniqueCols.map { c =>
+      (count(col(c)) - countDistinct(col(c))).as(s"__uq_$c")
+    }
+    val aggs = rowAggs ++ uniqAggs
+    val scanChecks: Seq[DataFrame] =
+      if (aggs.isEmpty) Nil
+      else {
+        val one = df.agg(count(lit(1)).as("__n"), aggs: _*)
+        val entries =
+          rowChecks.map { case (nm, _) =>
+            struct(lit(nm).as("check_name"), col("__n").as("n_rows"),
+              col(s"__rc_$nm").as("n_violations"))
+          } ++ uniqueCols.map { c =>
+            struct(lit(s"unique_$c").as("check_name"), col("__n").as("n_rows"),
+              col(s"__uq_$c").as("n_violations"))
+          }
+        Seq(one.select(explode(array(entries: _*)).as("e")).select("e.*"))
+      }
+    val fkFrames = fkChecks.map { case (nm, dim, fk, pk) =>
+      val viol = df.join(dim.select(col(pk)), col(fk) === col(pk), "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+      val n = df.agg(count(lit(1)).as("n_rows"))
+      n.crossJoin(viol).select(lit(nm).as("check_name"),
+        col("n_rows"), col("n_violations"))
+    }
+    (scanChecks ++ fkFrames).reduce(_ unionByName _)
+      .withColumn("passed", (col("n_violations") === 0L).cast("int"))
+  }
 }
