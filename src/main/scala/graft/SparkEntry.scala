@@ -974,10 +974,12 @@ object SparkEntry {
     // (no SQL oracle; recall vs brute force asserted in ScalaTest).
     "similarity_ivf_topk" -> ((s, dir) => {
       val emb = embeddings(s, dir)
-      // cells from the distributed Lloyd trainer (deterministic seeds, 2
-      // rounds) — labels are uncorrelated with cosine geometry, trained
-      // cells are the real IVF shape
-      val cells = Similarity.kmeansCells(emb, "vec_id", "embedding", nlist = 16, iters = 2)
+      // cells from the SAMPLED Lloyd trainer (driver-side over the 1024
+      // md5-deterministic vectors; assignment is one codegen projection) —
+      // labels are uncorrelated with cosine geometry, trained cells are
+      // the real IVF shape, and the sampled path is the 100 TB one
+      val cells = Similarity.kmeansCells(emb, "vec_id", "embedding",
+        nlist = 16, iters = 2, trainSample = 1024)
       Similarity.ivfTopK(emb.join(cells, "vec_id"), emb.filter(col("vec_id") < 5),
           "vec_id", "embedding", "cell", 5)
         .orderBy(col("query_id"), col("rank"))

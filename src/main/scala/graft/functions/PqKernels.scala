@@ -56,15 +56,24 @@ object PqKernels {
   /** PQ encode as a scalar expression: `array<long>` of m byte-range cell
     * codes, argmin of squared euclidean per subspace (ties → smallest
     * cell, matching `min_by(cell, struct(dist, cell))`).
+    *
+    * `normalize = false` skips the internal unit-normalization — the
+    * raw-vector mode that turns this kernel (with m = 1, dsub = dim) into
+    * a plain nearest-centroid assigner over a broadcast codebook: the
+    * one-projection IVF cell assignment ([[graft.operators.Similarity
+    * .kmeansCells]]'s sampled path), where centroids were trained on raw
+    * vectors and normalizing would change the argmin.
     */
-  case class PqCodes(child: Expression, book: DenseCodebook)
+  case class PqCodes(child: Expression, book: DenseCodebook, normalize: Boolean = true)
       extends UnaryExpression with ExpectsInputTypes {
 
     override def inputTypes = Seq(ArrayType(DoubleType))
     override def dataType: DataType = ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
 
     override def nullSafeEval(input: Any): Any = {
-      val x = normalized(input.asInstanceOf[ArrayData])
+      val x =
+        if (normalize) normalized(input.asInstanceOf[ArrayData])
+        else input.asInstanceOf[ArrayData].toDoubleArray()
       require(x.length == book.m * book.dsub,
         s"graft_pq_codes: vector length ${x.length} != m*dsub (${book.m}*${book.dsub})")
       val out = new Array[Long](book.m)
@@ -120,10 +129,12 @@ object PqKernels {
            |  throw new IllegalArgumentException(
            |    "graft_pq_codes: vector length " + $x.length + " != " + ${m * dsub});
            |}
+           |${if (normalize) s"""
            |double $n2 = 0.0;
            |for (int $i = 0; $i < $x.length; $i++) { $n2 += $x[$i] * $x[$i]; }
            |double $n = Math.sqrt($n2);
-           |if ($n > 0.0) { for (int $i = 0; $i < $x.length; $i++) { $x[$i] /= $n; } }
+           |if ($n > 0.0) { for (int $i = 0; $i < $x.length; $i++) { $x[$i] /= $n; } }""".stripMargin
+             else ""}
            |long[] $out = new long[$m];
            |for (int $sub = 0; $sub < $m; $sub++) {
            |  int $bestC = -1;
@@ -241,8 +252,8 @@ object PqKernels {
   }
 
   /** Column API: m byte-range PQ codes of a double vector. */
-  def pqCodes(vec: Column, book: DenseCodebook): Column =
-    ColumnBridge.column(PqCodes(ColumnBridge.expression(vec), book))
+  def pqCodes(vec: Column, book: DenseCodebook, normalize: Boolean = true): Column =
+    ColumnBridge.column(PqCodes(ColumnBridge.expression(vec), book, normalize))
 
   /** Column API: dense m·ksub ADC lookup table of a query vector. */
   def pqLut(vec: Column, book: DenseCodebook): Column =

@@ -179,13 +179,146 @@ object Similarity {
     * persisted feature table of any distributed k-means — and spills to
     * executor disk when it exceeds memory.
     */
+  /** Driver-side Lloyd over a bounded sample (the `trainSample` scale
+    * path shared by [[kmeansCells]], [[pqTrain]], and [[ivfPqTopK]]).
+    *
+    * Rationale: a codebook is a bounded MODEL ARTIFACT — `trainSample`
+    * vectors at most, whatever the corpus size — so once the sample is
+    * drawn, iterating Lloyd as distributed Spark jobs buys nothing and
+    * costs a full job round-trip (shuffle + localCheckpoint) PER
+    * ITERATION. Production quantizers (faiss et al.) train exactly this
+    * way: sample → in-memory k-means → broadcast the codebook; only the
+    * ENCODE pass, which must touch every vector, stays distributed (one
+    * codegen projection, [[graft.functions.PqKernels]]).
+    *
+    * Semantics mirror the distributed loop exactly: seeds are the first
+    * `k` samples (callers pass the md5-ordered sample), assignment is
+    * argmin(|c|² − 2·x·c) with ties to the smallest cell id, emptied
+    * cells drop out (`null` slot, never reused), recompute is the plain
+    * mean. All arithmetic runs in one fixed order, so the codebook is
+    * bit-reproducible run-to-run — stronger than the distributed
+    * recompute, whose partial-sum merge order floats with partitioning.
+    */
+  private def lloydLocal(
+      samples: Array[Array[Double]],
+      k: Int,
+      iters: Int): Array[Array[Double]] = {
+    require(samples.nonEmpty, "lloydLocal: empty training sample")
+    val dim = samples(0).length
+    val cents = new Array[Array[Double]](k)
+    var c = 0
+    while (c < math.min(k, samples.length)) { cents(c) = samples(c).clone(); c += 1 }
+    var it = 0
+    while (it < iters) {
+      val cn2 = cents.map(ct => if (ct == null) Double.PositiveInfinity
+        else { var s = 0.0; var d = 0; while (d < dim) { s += ct(d) * ct(d); d += 1 }; s })
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      var i = 0
+      while (i < samples.length) {
+        val x = samples(i)
+        var best = -1
+        var bestD = Double.PositiveInfinity
+        var cell = 0
+        while (cell < k) {
+          if (cents(cell) != null) {
+            val ct = cents(cell)
+            var dot = 0.0
+            var d = 0
+            while (d < dim) { dot += x(d) * ct(d); d += 1 }
+            val dist = cn2(cell) - 2.0 * dot
+            if (dist < bestD) { bestD = dist; best = cell }
+          }
+          cell += 1
+        }
+        counts(best) += 1
+        val s = sums(best)
+        var d = 0
+        while (d < dim) { s(d) += x(d); d += 1 }
+        i += 1
+      }
+      c = 0
+      while (c < k) {
+        if (counts(c) > 0) {
+          val s = sums(c)
+          val ct = new Array[Double](dim)
+          var d = 0
+          while (d < dim) { ct(d) = s(d) / counts(c); d += 1 }
+          cents(c) = ct
+        } else cents(c) = null
+        c += 1
+      }
+      it += 1
+    }
+    cents
+  }
+
+  /** The deterministic bounded training sample both local trainers draw:
+    * the `trainSample` md5-smallest rows as (id-ordered) raw double
+    * vectors — a TakeOrdered (no global sort), hash-spread, reproducible.
+    */
+  private def collectSample(
+      corpus: DataFrame, idCol: String, vecCol: String, trainSample: Int): Array[Array[Double]] =
+    corpus
+      .select(col(idCol).as("__id"), toDoubleArray(col(vecCol)).as("__vec"))
+      .orderBy(md5(col("__id").cast("string")), col("__id"))
+      .limit(trainSample)
+      .collect()
+      .map(_.getSeq[Double](1).toArray)
+
+  /** Pack full-vector centroids (index = cell id, null = emptied) into a
+    * single-subspace [[graft.functions.PqKernels.DenseCodebook]] — with
+    * m = 1 the PQ argmin kernel IS a nearest-centroid assigner.
+    */
+  private def centroidBook(
+      cents: Array[Array[Double]], dim: Int): graft.functions.PqKernels.DenseCodebook = {
+    val k = cents.length
+    val cb = new Array[Double](k * dim)
+    val cn2 = Array.fill(k)(Double.PositiveInfinity)
+    var c = 0
+    while (c < k) {
+      if (cents(c) != null) {
+        var n2 = 0.0
+        var d = 0
+        while (d < dim) { val v = cents(c)(d); cb(c * dim + d) = v; n2 += v * v; d += 1 }
+        cn2(c) = n2
+      }
+      c += 1
+    }
+    graft.functions.PqKernels.DenseCodebook(cb, cn2, 1, k, dim)
+  }
+
   def kmeansCells(
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
       nlist: Int,
-      iters: Int = 3): DataFrame = {
+      iters: Int = 3): DataFrame = kmeansCells(corpus, idCol, vecCol, nlist, iters, 0)
+
+  /** `trainSample > 0` is the scale path: Lloyd runs on the driver over
+    * the bounded md5-deterministic sample ([[lloydLocal]]) and the
+    * corpus-wide cell assignment collapses to ONE codegen projection
+    * (nearest-centroid via the m = 1 PQ kernel, raw vectors, broadcast
+    * codebook) — no per-iteration jobs, no assignment shuffle, no
+    * localCheckpoint. `trainSample = 0` keeps the fully distributed
+    * Lloyd loop (every vector trains; the exhaustive-fit anchor).
+    */
+  def kmeansCells(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nlist: Int,
+      iters: Int,
+      trainSample: Int): DataFrame = {
     require(nlist > 0 && iters >= 0, "kmeansCells: nlist and iters must be positive")
+    if (trainSample > 0) {
+      val samples = collectSample(corpus, idCol, vecCol, trainSample)
+      val cents = lloydLocal(samples, nlist, iters)
+      val book = centroidBook(cents, samples(0).length)
+      return corpus.select(col(idCol),
+        (element_at(graft.functions.PqKernels.pqCodes(
+          toDoubleArray(col(vecCol)), book, normalize = false), 1)).as("cell"))
+    }
     val base = corpus
       .select(col(idCol).as("__id"), toDoubleArray(col(vecCol)).as("__vec"))
       .withColumn("__vnorm2", dot(col("__vec"), col("__vec")))
@@ -303,10 +436,14 @@ object Similarity {
     *
     * `trainSample > 0` bounds the Lloyd working set to that many vectors —
     * the deterministic md5-smallest rows (hash-spread, engine-reproducible;
-    * a TakeOrdered, not a global sort). This is how production quantizers
+    * a TakeOrdered, not a global sort) — and runs Lloyd ON THE DRIVER
+    * ([[lloydLocal]]): once the working set is a bounded model-training
+    * sample, distributed iteration only pays a job round-trip per Lloyd
+    * round for kilobytes of state. This is how production quantizers
     * train at scale: the codebook needs a representative sample, not the
     * corpus — at 100 TB a full-corpus Lloyd loop is pure waste, while
-    * ENCODING (pqEncode) still covers every vector. 0 = train on all.
+    * ENCODING (pqEncode) still covers every vector. 0 = train on all
+    * (the fully distributed loop).
     */
   def pqTrain(
       corpus: DataFrame,
@@ -321,11 +458,40 @@ object Similarity {
       s"pqTrain: dim ($dim) must be divisible by m ($m)")
     require(ksub > 1 && ksub <= 256 && iters >= 0,
       s"pqTrain: ksub must be in (1, 256] (codes are byte-sized), iters >= 0")
-    val trainRows =
-      if (trainSample > 0)
-        corpus.orderBy(md5(col(idCol).cast("string")), col(idCol)).limit(trainSample)
-      else corpus
-    val base = subvectors(trainRows, idCol, vecCol, "__id", dim, m).localCheckpoint()
+    if (trainSample > 0) {
+      // driver-side Lloyd over the bounded sample (see lloydLocal): one
+      // TakeOrdered job draws the sample, m in-memory Lloyd runs train the
+      // subspace codebooks, and the result is a local m·ksub-row relation —
+      // vs ~2 jobs per iteration (+ checkpoints) for the distributed loop
+      val ds = dim / m
+      val samples = collectSample(corpus, idCol, vecCol, trainSample).map { v =>
+        require(v.length == dim, s"pqTrain: vector length ${v.length} != dim $dim")
+        var n2 = 0.0
+        var i = 0
+        while (i < dim) { n2 += v(i) * v(i); i += 1 }
+        val n = math.sqrt(n2)
+        if (n > 0.0) { i = 0; while (i < dim) { v(i) /= n; i += 1 } }
+        v
+      }
+      val rows = (0 until m).flatMap { sub =>
+        val subs = samples.map(v => java.util.Arrays.copyOfRange(v, sub * ds, sub * ds + ds))
+        lloydLocal(subs, ksub, iters).zipWithIndex.collect {
+          case (cent, cell) if cent != null =>
+            org.apache.spark.sql.Row(sub, cell.toLong, cent.toSeq)
+        }
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("sub",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("cell",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("cent",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType, containsNull = false), nullable = false)))
+      return corpus.sparkSession.createDataFrame(
+        new java.util.ArrayList(java.util.Arrays.asList(rows: _*)), schema)
+    }
+    val base = subvectors(corpus, idCol, vecCol, "__id", dim, m).localCheckpoint()
     val seedW = Window.partitionBy(col("sub"))
       .orderBy(md5(col("__id").cast("string")), col("__id"))
     var cents = base
@@ -493,6 +659,38 @@ object Similarity {
       ksub: Int = 16,
       iters: Int = 2,
       trainSample: Int = 0): DataFrame = {
+    if (trainSample > 0) {
+      // sampled scale path: BOTH codebooks train on the driver over the
+      // same bounded md5-deterministic sample, and the entire compressed
+      // inverted file — (id, ivf_cell, pq codes) — is ONE codegen
+      // projection over ONE corpus scan (two broadcast codebooks, zero
+      // joins, zero shuffles on the build side). IVF probe centroids are
+      // the TRAINING means (what faiss persists), not the full-corpus
+      // per-cell mean the distributed path recomputes — probe ranking is
+      // a routing heuristic either way, and recall is what the spec pins.
+      val samples = collectSample(corpus, idCol, vecCol, trainSample)
+      val cents = lloydLocal(samples, nlist, iters)
+      val ivfBook = centroidBook(cents, samples(0).length)
+      val codebook = pqTrain(corpus, idCol, vecCol, dim, m, ksub, iters, trainSample)
+      val book = collectCodebook(codebook, m, dim / m, ksubHint = ksub)
+      val codes = corpus.select(col(idCol),
+        graft.functions.PqKernels.pqCodes(toDoubleArray(col(vecCol)), book).as("codes"),
+        element_at(graft.functions.PqKernels.pqCodes(
+          toDoubleArray(col(vecCol)), ivfBook, normalize = false), 1).as("ivf_cell"))
+      val centRows = cents.zipWithIndex.collect { case (ct, cell) if ct != null =>
+        org.apache.spark.sql.Row(cell.toLong, ct.toSeq)
+      }
+      val centSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("ivf_cell",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("cent",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType, containsNull = false), nullable = false)))
+      val centroids = corpus.sparkSession.createDataFrame(
+          new java.util.ArrayList(java.util.Arrays.asList(centRows.toSeq: _*)), centSchema)
+        .withColumn("centnorm", l2Norm(col("cent")))
+      return ivfPqSearch(centroids, book, codes, queries, idCol, vecCol, k, nprobe)
+    }
     // IVF side: trained cells + their centroids (one-pass vector-avg agg)
     val cells = kmeansCells(corpus, idCol, vecCol, nlist, iters)
     val assigned = corpus.join(cells, idCol)

@@ -1968,4 +1968,42 @@ class OperatorsSuite extends AnyFunSuite {
       .map(_.getLong(2)).toSet
     assert(d === expect)
   }
+
+  test("sampled (driver-Lloyd) trainers: recall floors, determinism, IVF-PQ full probe ≡ PQ") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val brute = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // sampled PQ: same recall contract as the full-corpus trainer
+    def pqSampled() = Similarity.pqTopK(emb, queries, "vec_id", "embedding",
+        dim = 64, k = 5, m = 16, ksub = 32, trainSample = 200)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = pqSampled()
+    assert(pq.size === brute.size)
+    val pqRecall = (brute & pq).size.toDouble / brute.size
+    assert(pqRecall >= 0.4, s"sampled-PQ recall too low: $pqRecall")
+    assert(pqSampled() === pq, "sampled PQ must be deterministic run-to-run")
+
+    // sampled kmeansCells: total, in-range, deterministic assignment
+    val n = emb.count()
+    def cells() = Similarity.kmeansCells(emb, "vec_id", "embedding",
+        nlist = 8, iters = 2, trainSample = 200)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val a = cells()
+    assert(a.size === n)
+    assert(a.values.forall(c => c >= 0 && c < 8))
+    assert(cells() === a)
+
+    // sampled IVF-PQ at full probe prunes nothing → must reproduce the
+    // sampled PQ exactly (both sides train the same local codebook)
+    val fullProbe = Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding",
+        dim = 64, k = 5, nlist = 4, nprobe = 4, m = 16, ksub = 32, trainSample = 200)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fullProbe === pq, "sampled full probe must reduce IVF-PQ to plain PQ")
+    val pruned = Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding",
+        dim = 64, k = 5, nlist = 4, nprobe = 2, m = 16, ksub = 32, trainSample = 200)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & pruned).size.toDouble / brute.size
+    assert(recall >= 0.15, s"sampled IVF-PQ recall below structural floor: $recall")
+  }
 }
