@@ -613,10 +613,7 @@ object SparkEntry {
     }),
 
     // Robust per-group outlier census: median + MAD (median absolute
-    // deviation), flag rows beyond 3 scaled MADs. Exact `percentile` is
-    // the oracle tier (two grouped passes + one counting pass, the median
-    // join broadcast); approx_percentile collapses it to one pass at scale.
-    // Robust outlier census (median absolute deviation). Exact integer
+    // deviation), flag rows beyond 3 scaled MADs. Exact integer
     // arithmetic end to end, same posture as events_gapfill: prices
     // quantize to BIGINT cents, the group median of an even count is a
     // half-cent integer (percentile·2), the deviation median a
@@ -624,24 +621,35 @@ object SparkEntry {
     // identical integers, so no decimal rounding ever runs. Rounding the
     // medians instead made sf-dependent x.xx5 ties that Spark and DuckDB
     // break in opposite directions.
+    //
+    // Plan shape: the corpus collapses ONCE to a (flag, value, count)
+    // histogram — a hash agg with map-side combine — and every later pass
+    // (median, MAD, census) runs on that compact multiset via
+    // `percentile(x, p, frequency)`, which expands counts exactly like
+    // raw rows. The fact table is scanned once and its exchange reused
+    // (the three histogram branches canonicalize identically); the old
+    // formulation pushed all N rows through three grouped exact-percentile
+    // sorts. At 100 TB the histogram is |distinct prices|·|flags| rows —
+    // the 3-sigma census over raw values degenerates to approx sketches
+    // only when even THAT is too wide (q_outliers_mad_scale).
     "q_outliers_mad" -> ((s, dir) => {
-      val li = lineitem(s, dir)
+      val hist = lineitem(s, dir)
         .select(col("l_returnflag").as("flag"),
           round(col("l_extendedprice") * 100, 0).cast("long").as("xc"))
-      val med = li.groupBy(col("flag"))
-        .agg(round(expr("percentile(xc, 0.5d)") * 2, 0).cast("long").as("med_hc"))
-      val mad = li.join(broadcast(med), "flag")
+        .groupBy(col("flag"), col("xc"))
+        .agg(count(lit(1)).as("cnt"))
+      val med = hist.groupBy(col("flag"))
+        .agg(round(expr("percentile(xc, 0.5d, cnt)") * 2, 0).cast("long").as("med_hc"))
+      val dev = hist.join(broadcast(med), "flag")
         .withColumn("d_hc", abs(col("xc") * 2 - col("med_hc")))
+      val mad = dev.groupBy(col("flag"))
+        .agg(round(expr("percentile(d_hc, 0.5d, cnt)") * 2, 0).cast("long").as("mad_qc"))
+      dev.join(broadcast(mad), "flag")
         .groupBy(col("flag"))
-        .agg(round(expr("percentile(d_hc, 0.5d)") * 2, 0).cast("long").as("mad_qc"),
-          first(col("med_hc")).as("med_hc"))
-      li.join(broadcast(mad), "flag")
-        .withColumn("d_hc", abs(col("xc") * 2 - col("med_hc")))
-        .groupBy(col("flag"))
-        .agg(count(lit(1)).as("n_rows"),
+        .agg(sum(col("cnt")).as("n_rows"),
           (first(col("med_hc")).cast("double") / 200.0).as("med"),
           (first(col("mad_qc")).cast("double") / 400.0).as("mad"),
-          sum(when(col("d_hc").cast("double") > col("mad_qc") * 3 * 1.4826 / 2, 1L)
+          sum(when(col("d_hc").cast("double") > col("mad_qc") * 3 * 1.4826 / 2, col("cnt"))
             .otherwise(0L)).as("n_outliers"))
         .orderBy(col("flag"))
     }),
@@ -719,7 +727,7 @@ object SparkEntry {
       // back. N comes from the base table without exploding (docs with at
       // least one token, matching the toks-derived count).
       val n = documents(s, dir).agg(
-        countDistinct(when(size(TextAnalysis.wordTokens(col("text"))) > 0,
+        countDistinct(when(TextAnalysis.tokenCount(col("text")) > 0,
           col("doc_id"))).as("n_total"))
       val scored = tf
         .withColumn("df", count(lit(1)).over(Window.partitionBy(col("token"))))
@@ -902,7 +910,7 @@ object SparkEntry {
           count(lit(1)).as("n_docs"),
           round(avg(col("n_chars")), 2).as("avg_chars"),
           round(avg(size(TextAnalysis.wsTokens(col("text")))), 4).as("avg_ws_tokens"),
-          round(avg(size(TextAnalysis.wordTokens(col("text")))), 4).as("avg_word_tokens"))
+          round(avg(TextAnalysis.tokenCount(col("text"))), 4).as("avg_word_tokens"))
         .orderBy(col("lang"))
     }),
 

@@ -15,13 +15,20 @@ object TextAnalysis {
   /** Whitespace tokens (reference-style "words"). */
   def wsTokens(text: Column): Column = split(text, " +")
 
-  /** Word tokens by regex extraction (BPE-ish pre-tokenizer: runs of
-    * alphanumerics; punctuation splits). Matches DuckDB regexp_extract_all.
+  /** Word tokens (BPE-ish pre-tokenizer: runs of alphanumerics;
+    * punctuation splits) — the native byte-scan kernel
+    * [[graft.functions.Tokenize]], run-for-run identical to
+    * `regexp_extract_all(text, '[a-z0-9]+', 0)` (the DuckDB oracle form)
+    * without the per-row regex Matcher.
     */
   def wordTokens(text: Column): Column =
-    regexp_extract_all(text, lit("[a-z0-9]+"), lit(0))
+    graft.functions.Tokenize.wordTokens(text)
 
-  def tokenCount(text: Column): Column = size(wordTokens(text))
+  /** Token COUNT without materializing the array — no per-token
+    * allocation; the hot path of the quality-stat family.
+    */
+  def tokenCount(text: Column): Column =
+    graft.functions.Tokenize.wordTokenCount(text)
 
   /** Distinct n-gram (shingle) strings over whitespace tokens, native
     * codegen'd ([[graft.functions.Shingles]]); tokenizes once per row.

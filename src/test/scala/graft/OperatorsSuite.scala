@@ -1969,6 +1969,22 @@ class OperatorsSuite extends AnyFunSuite {
     assert(d === expect)
   }
 
+  test("native word tokenizer ≡ regexp_extract_all on the corpus and on unicode edge cases") {
+    import spark.implicits._
+    val edge = Seq(
+      "", "   ", "a", "9", "abc def", "a1b2!c3", "ÄÖÜ météo 北京 x7",
+      "UPPER lower", "tab\tnl\nmix", "trailing token ", " leading").toDF("text")
+    for (df <- Seq(docs.select(col("text")), edge)) {
+      val cmp = df.select(
+        graft.functions.Tokenize.wordTokens(col("text")).as("fast"),
+        regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0)).as("re"),
+        graft.functions.Tokenize.wordTokenCount(col("text")).as("cnt"))
+      val bad = cmp.filter(not(col("fast") === col("re")) ||
+        col("cnt") =!= size(col("re"))).count()
+      assert(bad === 0L, "native tokenizer must match the regex form row-for-row")
+    }
+  }
+
   test("sampled (driver-Lloyd) trainers: recall floors, determinism, IVF-PQ full probe ≡ PQ") {
     val queries = emb.filter(col("vec_id") < 10)
     val brute = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
