@@ -659,15 +659,39 @@ object Similarity {
       ksub: Int = 16,
       iters: Int = 2,
       trainSample: Int = 0): DataFrame = {
+    val (centroids, _, book, codes) =
+      ivfPqArtifacts(corpus, idCol, vecCol, dim, nlist, m, ksub, iters, trainSample)
+    ivfPqSearch(centroids, book, codes, queries, idCol, vecCol, k, nprobe)
+  }
+
+  /** The BUILD side of IVF-PQ — (centroids, codebook DF, collected
+    * codebook, cell-tagged codes) — shared by [[ivfPqTopK]] (build +
+    * search in one plan) and [[graft.sources.IndexStore.saveIvfPq]]
+    * (persist artifacts for offline/online split), so the two paths train
+    * IDENTICALLY and artifact search is bit-for-bit ≡ the in-plan
+    * operator at every `trainSample` setting.
+    *
+    * `trainSample > 0` is the sampled scale path: BOTH codebooks train on
+    * the driver over the same bounded md5-deterministic sample, and the
+    * entire compressed inverted file — (id, ivf_cell, pq codes) — is ONE
+    * codegen projection over ONE corpus scan (two broadcast codebooks,
+    * zero joins, zero shuffles on the build side). IVF probe centroids
+    * are the TRAINING means (what faiss persists), not the full-corpus
+    * per-cell mean the distributed path recomputes — probe ranking is a
+    * routing heuristic either way, and recall is what the spec pins.
+    */
+  private[graft] def ivfPqArtifacts(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      nlist: Int,
+      m: Int,
+      ksub: Int,
+      iters: Int,
+      trainSample: Int)
+      : (DataFrame, DataFrame, graft.functions.PqKernels.DenseCodebook, DataFrame) = {
     if (trainSample > 0) {
-      // sampled scale path: BOTH codebooks train on the driver over the
-      // same bounded md5-deterministic sample, and the entire compressed
-      // inverted file — (id, ivf_cell, pq codes) — is ONE codegen
-      // projection over ONE corpus scan (two broadcast codebooks, zero
-      // joins, zero shuffles on the build side). IVF probe centroids are
-      // the TRAINING means (what faiss persists), not the full-corpus
-      // per-cell mean the distributed path recomputes — probe ranking is
-      // a routing heuristic either way, and recall is what the spec pins.
       val samples = collectSample(corpus, idCol, vecCol, trainSample)
       val cents = lloydLocal(samples, nlist, iters)
       val ivfBook = centroidBook(cents, samples(0).length)
@@ -689,23 +713,24 @@ object Similarity {
       val centroids = corpus.sparkSession.createDataFrame(
           new java.util.ArrayList(java.util.Arrays.asList(centRows.toSeq: _*)), centSchema)
         .withColumn("centnorm", l2Norm(col("cent")))
-      return ivfPqSearch(centroids, book, codes, queries, idCol, vecCol, k, nprobe)
+      (centroids, codebook, book, codes)
+    } else {
+      // IVF side: trained cells + their centroids (one-pass vector-avg agg)
+      val cells = kmeansCells(corpus, idCol, vecCol, nlist, iters)
+      val assigned = corpus.join(cells, idCol)
+      val centroids = assigned
+        .select(col("cell").as("ivf_cell"), toDoubleArray(col(vecCol)).as("__cv"))
+        .groupBy(col("ivf_cell"))
+        .agg(graft.functions.VectorAvg.vectorAvg(col("__cv")).as("cent"))
+        .withColumn("centnorm", l2Norm(col("cent")))
+      // PQ side: codebook + byte codes, tagged with each vector's IVF cell
+      val codebook = pqTrain(corpus, idCol, vecCol, dim, m, ksub, iters, trainSample)
+      val book = collectCodebook(codebook, m, dim / m, ksubHint = ksub)
+      val codes = corpus.select(col(idCol),
+          graft.functions.PqKernels.pqCodes(toDoubleArray(col(vecCol)), book).as("codes"))
+        .join(cells.withColumnRenamed("cell", "ivf_cell"), idCol)
+      (centroids, codebook, book, codes)
     }
-    // IVF side: trained cells + their centroids (one-pass vector-avg agg)
-    val cells = kmeansCells(corpus, idCol, vecCol, nlist, iters)
-    val assigned = corpus.join(cells, idCol)
-    val centroids = assigned
-      .select(col("cell").as("ivf_cell"), toDoubleArray(col(vecCol)).as("__cv"))
-      .groupBy(col("ivf_cell"))
-      .agg(graft.functions.VectorAvg.vectorAvg(col("__cv")).as("cent"))
-      .withColumn("centnorm", l2Norm(col("cent")))
-    // PQ side: codebook + byte codes, tagged with each vector's IVF cell
-    val codebook = pqTrain(corpus, idCol, vecCol, dim, m, ksub, iters, trainSample)
-    val book = collectCodebook(codebook, m, dim / m, ksubHint = ksub)
-    val codes = corpus.select(col(idCol),
-        graft.functions.PqKernels.pqCodes(toDoubleArray(col(vecCol)), book).as("codes"))
-      .join(cells.withColumnRenamed("cell", "ivf_cell"), idCol)
-    ivfPqSearch(centroids, book, codes, queries, idCol, vecCol, k, nprobe)
   }
 
   /** The QUERY side of IVF-PQ, over prebuilt index artifacts — shared by

@@ -53,19 +53,10 @@ object IndexStore {
       ksub: Int = 16,
       iters: Int = 2,
       trainSample: Int = 0): Unit = {
-    import graft.functions.VectorFunctions._
-    val cells = Similarity.kmeansCells(corpus, idCol, vecCol, nlist, iters)
-    val assigned = corpus.join(cells, idCol)
-    val centroids = assigned
-      .select(col("cell").as("ivf_cell"), toDoubleArray(col(vecCol)).as("__cv"))
-      .groupBy(col("ivf_cell"))
-      .agg(graft.functions.VectorAvg.vectorAvg(col("__cv")).as("cent"))
-      .withColumn("centnorm", l2Norm(col("cent")))
-    val codebook = Similarity.pqTrain(corpus, idCol, vecCol, dim, m, ksub, iters, trainSample)
-    val book = Similarity.collectCodebook(codebook, m, dim / m, ksubHint = ksub)
-    val codes = corpus.select(col(idCol),
-        graft.functions.PqKernels.pqCodes(toDoubleArray(col(vecCol)), book).as("codes"))
-      .join(cells.withColumnRenamed("cell", "ivf_cell"), idCol)
+    // shared builder with the in-plan operator — identical trainers at
+    // every trainSample setting, so artifact search ≡ ivfPqTopK
+    val (centroids, codebook, _, codes) = Similarity.ivfPqArtifacts(
+      corpus, idCol, vecCol, dim, nlist, m, ksub, iters, trainSample)
     centroids.write.mode("overwrite").parquet(s"$path/centroids")
     codebook.write.mode("overwrite").parquet(s"$path/codebook")
     // one file per cell directory: repartition on the partition column
