@@ -865,26 +865,34 @@ object SparkEntry {
 
     // The same clusters-and-keep-one decision fed by MinHash+LSH candidate
     // pairs instead of the blocked exact-Jaccard index — the composition a
-    // web-scale corpus actually runs (no SQL oracle: LSH-recall-dependent;
-    // ScalaTest proves set-equality with the exact-pair clustering at
-    // J >= 0.5 on unblocked fixtures).
+    // web-scale corpus actually runs. md5-KM hash family (see the
+    // dedup_minhash oracle) so DuckDB recomputes the exact band
+    // buckets → full hash-checked oracle, not rows-only; ScalaTest
+    // additionally proves set-equality with the exact-pair clustering at
+    // J >= 0.5 on unblocked fixtures.
     "dedup_minhash_clusters" -> ((s, dir) => {
       val pairs = Dedup.minhashPairs(documents(s, dir), "doc_id", "text",
-        shingleSize = 3, threshold = 0.5)
+        shingleSize = 3, numHashes = 32, bands = 16, threshold = 0.5,
+        md5Family = true)
       Dedup.dupClusters(pairs, "doc_a", "doc_b")
         .orderBy(col("doc_id"))
     }),
 
-    // MinHash+LSH near-dup (no SQL oracle: hash-family-specific; exactness
-    // of reported Jaccard + recall vs exact pairs asserted in ScalaTest).
+    // MinHash+LSH near-dup on the DuckDB-recomputable md5 hash family
+    // (32 hashes, 16 bands of 2): the oracle rebuilds the identical
+    // signatures/band buckets in SQL, making LSH candidate generation
+    // itself hash-checked — same upgrade pattern as similarity_ivf_full_topk.
     "dedup_minhash" -> ((s, dir) => {
-      Dedup.minhashPairs(documents(s, dir), "doc_id", "text", threshold = 0.5)
+      Dedup.minhashPairs(documents(s, dir), "doc_id", "text",
+        numHashes = 32, bands = 16, threshold = 0.5, md5Family = true)
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
-    // SimHash near-dup candidates at Hamming ≤ 3 (no SQL oracle).
+    // SimHash near-dup candidates at Hamming ≤ 3 on the md5 family (60-bit
+    // fingerprint, 4 blocks of 15): DuckDB recomputes fingerprints, block
+    // buckets, and Hamming distances bit-for-bit → full oracle.
     "dedup_simhash" -> ((s, dir) => {
-      Dedup.simhashPairs(documents(s, dir), "doc_id", "text", maxHamming = 3)
+      Dedup.simhashPairsMd5(documents(s, dir), "doc_id", "text", maxHamming = 3)
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
@@ -1288,15 +1296,15 @@ object SparkEntry {
         .orderBy(col("media_type"))
     }),
 
-    // True winnowing (Schleimer et al. 2003) fingerprint sets: explode each
-    // document's selected window-min hashes, group by fingerprint → shared-
-    // fingerprint candidate groups, the plagiarism/near-dup candidate index
-    // (xxhash64-based — no DuckDB equivalent, rows-only; the locality
-    // guarantee is asserted in ScalaTest).
+    // True winnowing (Schleimer et al. 2003) fingerprint sets, grouped by
+    // fingerprint → shared-fingerprint candidate groups, the plagiarism/
+    // near-dup candidate index. md5 hash family: the distinct fingerprint
+    // set per doc is exactly the distinct WINDOW MINIMA (the rightmost-tie
+    // rule only picks the charged position, never the value), which DuckDB
+    // recomputes verbatim → full oracle; the native xxhash64 winnow
+    // (selection-order + locality guarantees) stays spec-covered.
     "text_winnow" -> ((s, dir) => {
-      documents(s, dir)
-        .select(col("doc_id"),
-          explode(TextAnalysis.winnowFingerprints(col("text"))).as("fp"))
+      TextAnalysis.winnowFingerprintsMd5(documents(s, dir), "doc_id", "text")
         .groupBy(col("fp"))
         .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_docs"))
         .select(col("fp"), col("doc_id"), col("n_docs"))
@@ -1385,14 +1393,15 @@ object SparkEntry {
     }),
 
     // The LSH scale path for the same gate — banding replaces blocking, so
-    // the corpus side joins on (band, bucket) only (no SQL oracle:
-    // banding-dependent; no-false-flags + recall vs the unblocked exact
-    // gate asserted in ScalaTest).
+    // the corpus side joins on (band, bucket) only. md5 hash family makes
+    // the banding DuckDB-recomputable → full oracle; no-false-flags +
+    // recall vs the unblocked exact gate stay asserted in ScalaTest.
     "dedup_incremental_minhash" -> ((s, dir) => {
       val d = documents(s, dir)
       Dedup.incrementalMinhashNew(
           d.filter(col("doc_id") >= 400), d.filter(col("doc_id") < 400),
-          "doc_id", "text", threshold = 0.5)
+          "doc_id", "text", numHashes = 32, bands = 16, threshold = 0.5,
+          md5Family = true)
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))
     }),
@@ -2305,20 +2314,25 @@ object SparkEntry {
         |QUALIFY row_number() OVER (PARTITION BY o_orderkey ORDER BY ver DESC) = 1
         |ORDER BY o_orderkey""".stripMargin,
 
-    "text_langid" ->
-      """WITH d AS (SELECT doc_id, lang, string_split_regex(text, ' +') AS toks FROM documents),
-        |p AS (SELECT lang,
-        |             (list_max([
-        |               {'score': len(list_filter(toks, x -> x IN ('der','die','und','das','ist'))), 'lang': 'de'},
-        |               {'score': len(list_filter(toks, x -> x IN ('the','a','and','of','is'))), 'lang': 'en'},
-        |               {'score': len(list_filter(toks, x -> x IN ('el','la','de','que','y'))), 'lang': 'es'},
-        |               {'score': len(list_filter(toks, x -> x IN ('le','la','et','les','des'))), 'lang': 'fr'},
-        |               {'score': len(list_filter(toks, x -> x IN ('de5','shi4','le5','zai4','he2'))), 'lang': 'zh'}
-        |             ])).lang AS lang_pred
-        |      FROM d)
-        |SELECT lang, lang_pred, count(*)::BIGINT AS n_docs
-        |FROM p GROUP BY lang, lang_pred
-        |ORDER BY lang, lang_pred""".stripMargin,
+    // generated from TextAnalysis.LangMarkers — one source of truth for
+    // both engines (widening the language table cannot desynchronize them)
+    "text_langid" -> {
+      val entries = graft.operators.TextAnalysis.LangMarkers.toSeq.sortBy(_._1)
+        .map { case (lang, ms) =>
+          val in = ms.map(m => s"'${m.replace("'", "''")}'").mkString(",")
+          s"{'score': len(list_filter(toks, x -> x IN ($in))), 'lang': '$lang'}"
+        }
+        .mkString(",\n               ")
+      s"""WITH d AS (SELECT doc_id, lang, string_split_regex(text, ' +') AS toks FROM documents),
+         |p AS (SELECT lang,
+         |             (list_max([
+         |               $entries
+         |             ])).lang AS lang_pred
+         |      FROM d)
+         |SELECT lang, lang_pred, count(*)::BIGINT AS n_docs
+         |FROM p GROUP BY lang, lang_pred
+         |ORDER BY lang, lang_pred""".stripMargin
+    },
 
     "text_tfidf" ->
       """WITH toks AS (
@@ -2458,6 +2472,213 @@ object SparkEntry {
         |  SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
         |  FROM reach GROUP BY u)
         |ORDER BY doc_id""".stripMargin,
+
+    // md5 MinHash family (Dedup.minhashSigTable md5 branch): one md5 per
+    // shingle split into integers a = int(hex[1..15]), b = int(hex[17..30]);
+    // permutation i's value is a + i·b (exact in BIGINT, no mod); signature
+    // entry = min over the shingle set; band bucket = '|'-joined decimal
+    // pair — recomputed here verbatim, so LSH candidate generation itself
+    // is hash-checked, then verified with the exact set Jaccard.
+    "dedup_minhash" ->
+      """WITH sf AS (
+        |  SELECT doc_id, sh FROM (
+        |    SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+        |                                  for i in range(1, len(toks) - 1)]) AS sh
+        |    FROM (SELECT doc_id, string_split_regex(text, ' +') AS toks
+        |          FROM documents))
+        |  WHERE len(sh) > 0
+        |),
+        |mh AS (
+        |  SELECT doc_id, i, min(a + i*b) AS h
+        |  FROM (SELECT doc_id,
+        |               ('0x' || substr(m, 1, 15))::BIGINT AS a,
+        |               ('0x' || substr(m, 17, 14))::BIGINT AS b
+        |        FROM (SELECT doc_id, md5(unnest(sh)) AS m FROM sf)),
+        |       range(0, 32) t(i)
+        |  GROUP BY doc_id, i
+        |),
+        |sg AS (SELECT doc_id, list(h ORDER BY i) AS sig FROM mh GROUP BY doc_id),
+        |bk AS (
+        |  SELECT doc_id, b, sig[2*b + 1]::VARCHAR || '|' || sig[2*b + 2]::VARCHAR AS bucket
+        |  FROM sg, range(0, 16) t(b)
+        |),
+        |cand AS (
+        |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+        |  FROM bk l JOIN bk r
+        |    ON l.b = r.b AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+        |),
+        |ver AS (
+        |  SELECT doc_a, doc_b,
+        |         len(list_intersect(a.sh, b.sh))::DOUBLE
+        |           / len(list_distinct(a.sh || b.sh)) AS raw_j
+        |  FROM cand
+        |  JOIN sf a ON a.doc_id = cand.doc_a
+        |  JOIN sf b ON b.doc_id = cand.doc_b
+        |)
+        |SELECT doc_a, doc_b, round(raw_j, 4) AS jaccard
+        |FROM ver WHERE raw_j >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // same md5-family LSH pairs, then the dedup_clusters transitive
+    // closure + keep-one selection over them
+    "dedup_minhash_clusters" ->
+      """WITH RECURSIVE sf AS (
+        |  SELECT doc_id, sh FROM (
+        |    SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+        |                                  for i in range(1, len(toks) - 1)]) AS sh
+        |    FROM (SELECT doc_id, string_split_regex(text, ' +') AS toks
+        |          FROM documents))
+        |  WHERE len(sh) > 0
+        |),
+        |mh AS (
+        |  SELECT doc_id, i, min(a + i*b) AS h
+        |  FROM (SELECT doc_id,
+        |               ('0x' || substr(m, 1, 15))::BIGINT AS a,
+        |               ('0x' || substr(m, 17, 14))::BIGINT AS b
+        |        FROM (SELECT doc_id, md5(unnest(sh)) AS m FROM sf)),
+        |       range(0, 32) t(i)
+        |  GROUP BY doc_id, i
+        |),
+        |sg AS (SELECT doc_id, list(h ORDER BY i) AS sig FROM mh GROUP BY doc_id),
+        |bk AS (
+        |  SELECT doc_id, b, sig[2*b + 1]::VARCHAR || '|' || sig[2*b + 2]::VARCHAR AS bucket
+        |  FROM sg, range(0, 16) t(b)
+        |),
+        |cand AS (
+        |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+        |  FROM bk l JOIN bk r
+        |    ON l.b = r.b AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+        |),
+        |pairs AS (
+        |  SELECT doc_a, doc_b
+        |  FROM cand
+        |  JOIN sf a ON a.doc_id = cand.doc_a
+        |  JOIN sf b ON b.doc_id = cand.doc_b
+        |  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+        |          / len(list_distinct(a.sh || b.sh)) >= 0.5
+        |),
+        |edges AS (
+        |  SELECT doc_a AS u, doc_b AS v FROM pairs
+        |  UNION
+        |  SELECT doc_b AS u, doc_a AS v FROM pairs
+        |),
+        |reach AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+        |  WHERE e.v <> r.u
+        |)
+        |SELECT doc_id, cluster_id, doc_id = cluster_id AS keep FROM (
+        |  SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
+        |  FROM reach GROUP BY u)
+        |ORDER BY doc_id""".stripMargin,
+
+    // md5-family incremental gate: batch (doc_id >= 400) survives unless an
+    // LSH band bucket it shares with the corpus (< 400) verifies at J >= 0.5
+    "dedup_incremental_minhash" ->
+      """WITH sf AS (
+        |  SELECT doc_id, sh FROM (
+        |    SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+        |                                  for i in range(1, len(toks) - 1)]) AS sh
+        |    FROM (SELECT doc_id, string_split_regex(text, ' +') AS toks
+        |          FROM documents))
+        |  WHERE len(sh) > 0
+        |),
+        |mh AS (
+        |  SELECT doc_id, i, min(a + i*b) AS h
+        |  FROM (SELECT doc_id,
+        |               ('0x' || substr(m, 1, 15))::BIGINT AS a,
+        |               ('0x' || substr(m, 17, 14))::BIGINT AS b
+        |        FROM (SELECT doc_id, md5(unnest(sh)) AS m FROM sf)),
+        |       range(0, 32) t(i)
+        |  GROUP BY doc_id, i
+        |),
+        |sg AS (SELECT doc_id, list(h ORDER BY i) AS sig FROM mh GROUP BY doc_id),
+        |bk AS (
+        |  SELECT doc_id, b, sig[2*b + 1]::VARCHAR || '|' || sig[2*b + 2]::VARCHAR AS bucket
+        |  FROM sg, range(0, 16) t(b)
+        |),
+        |cand AS (
+        |  SELECT DISTINCT l.doc_id AS batch_id, r.doc_id AS corpus_id
+        |  FROM bk l JOIN bk r ON l.b = r.b AND l.bucket = r.bucket
+        |  WHERE l.doc_id >= 400 AND r.doc_id < 400
+        |),
+        |flagged AS (
+        |  SELECT DISTINCT batch_id
+        |  FROM cand
+        |  JOIN sf a ON a.doc_id = cand.batch_id
+        |  JOIN sf b ON b.doc_id = cand.corpus_id
+        |  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+        |          / len(list_distinct(a.sh || b.sh)) >= 0.5
+        |)
+        |SELECT doc_id, lang FROM documents
+        |WHERE doc_id >= 400
+        |  AND doc_id NOT IN (SELECT batch_id FROM flagged)
+        |ORDER BY doc_id""".stripMargin,
+
+    // md5 SimHash family (Dedup.simhash60Md5): per-shingle 60-bit hash =
+    // first 15 md5 hex chars as an integer; bit j of the fingerprint set
+    // iff the ±1 votes over the shingle set sum >= 0; candidates share one
+    // of 4 intact 15-bit blocks (pigeonhole at Hamming <= 3), then exact
+    // Hamming verification — every step recomputed here bit-for-bit.
+    "dedup_simhash" ->
+      """WITH sf AS (
+        |  SELECT doc_id, sh FROM (
+        |    SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+        |                                  for i in range(1, len(toks) - 1)]) AS sh
+        |    FROM (SELECT doc_id, string_split_regex(text, ' +') AS toks
+        |          FROM documents))
+        |  WHERE len(sh) > 0
+        |),
+        |hv AS (
+        |  SELECT doc_id, ('0x' || substr(md5(e), 1, 15))::BIGINT AS h
+        |  FROM (SELECT doc_id, unnest(sh) AS e FROM sf)
+        |),
+        |bits AS (
+        |  SELECT doc_id, j,
+        |         CASE WHEN sum(((h >> j) & 1) * 2 - 1) >= 0
+        |              THEN (1::BIGINT << j) ELSE 0 END AS bv
+        |  FROM hv, range(0, 60) t(j)
+        |  GROUP BY doc_id, j
+        |),
+        |fp AS (SELECT doc_id, sum(bv)::BIGINT AS sh60 FROM bits GROUP BY doc_id),
+        |blk AS (
+        |  SELECT doc_id, sh60, b, (sh60 >> (b * 15)) & 32767 AS v
+        |  FROM fp, range(0, 4) t(b)
+        |)
+        |SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+        |       bit_count(xor(l.sh60, r.sh60))::INTEGER AS hamming
+        |FROM blk l JOIN blk r
+        |  ON l.b = r.b AND l.v = r.v AND l.doc_id < r.doc_id
+        |WHERE bit_count(xor(l.sh60, r.sh60)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // md5 winnowing (TextAnalysis.winnowFingerprintsMd5): per-doc distinct
+    // window minima over 3-gram md5-int hashes, window w=4 (rows frame
+    // CURRENT..3 FOLLOWING truncated at the tail; valid starts only) —
+    // the distinct fingerprint set needs no tie rule, so both engines
+    // agree value-for-value.
+    "text_winnow" ->
+      """WITH g AS (
+        |  SELECT doc_id, q,
+        |         ('0x' || substr(md5(array_to_string(t[q:q+2], ' ')), 1, 15))::BIGINT AS h
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS q
+        |        FROM (SELECT doc_id, string_split_regex(text, ' +') AS t
+        |              FROM documents))
+        |),
+        |wm AS (
+        |  SELECT doc_id, q,
+        |         count(*) OVER (PARTITION BY doc_id) AS nh,
+        |         min(h) OVER (PARTITION BY doc_id ORDER BY q
+        |                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS minh
+        |  FROM g
+        |),
+        |fps AS (
+        |  SELECT DISTINCT doc_id, minh AS fp FROM wm
+        |  WHERE q - 1 <= nh - least(4, nh)
+        |)
+        |SELECT fp, min(doc_id) AS doc_id, count(*) AS n_docs
+        |FROM fps GROUP BY fp ORDER BY fp""".stripMargin,
 
     "sample_consistent" ->
       """SELECT lang, rk, doc_id

@@ -5,7 +5,11 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // args: sfDir outDir [queryName...] — the optional names restrict the
+    // dump for local iteration; the driver passes only (sfDir, outDir)
+    val Array(sfDir, outDir) = args.take(2)
+    val nameFilter: String => Boolean =
+      if (args.length > 2) args.drop(2).toSet else (_ => true)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -15,7 +19,11 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // stable (sorted) emission order: the driver slices/enumerates results,
+    // and Map iteration order is build-dependent — r10 dropped
+    // q_window_range_frame from the verified set with no error logged.
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(kv => nameFilter(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

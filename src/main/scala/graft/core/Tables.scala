@@ -30,9 +30,18 @@ object Tables {
   def events(spark: SparkSession, d: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = load(spark, d, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        // newer Spark reads TIMESTAMP(NANOS) natively as NTZ (the legacy
+        // nanos-as-long conf no longer applies) — normalize to TimestampType
+        // so timestamp-only functions (unix_micros) keep resolving; the
+        // session timezone is pinned UTC everywhere (Verify/Bench/tests), so
+        // the wall-clock values are unchanged
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
   def documents(spark: SparkSession, d: String): DataFrame  = load(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = load(spark, d, "embeddings")

@@ -13,8 +13,11 @@ import graft.functions.VectorFunctions._
   * exact verification WITHIN buckets. The only shuffles are hash-partitioned
   * joins on the bucket keys — never an all-pairs cross join — so cost is
   * O(n · bucket_size), not O(n²), and survives a 1000-executor scale-up.
-  * All hashing is xxhash64 (Catalyst expression, codegen'd, deterministic
-  * across runs/executors — no RNG at execution time).
+  * Hashing is xxhash64 (Catalyst expression, codegen'd, deterministic
+  * across runs/executors — no RNG at execution time) by default, with an
+  * md5-based family ([[minhashSignatureMd5]], [[simhash60Md5]]) whose every
+  * step is recomputable in plain SQL — that is what lets the driver's
+  * DuckDB oracle hash-check LSH candidate generation itself.
   */
 object Dedup {
 
@@ -92,6 +95,18 @@ object Dedup {
           aggregate(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)), lit(0L),
             (acc, x) => xxhash64(acc, x)).as("bucket")))
 
+  /** md5-family LSH band buckets: the bucket key is the '|'-joined decimal
+    * rendering of the band's signature entries (no re-hash — the oracle's
+    * DuckDB side is then a plain `::VARCHAR ||`; values are non-negative so
+    * the rendering is sign/leading-zero-unambiguous on both engines).
+    */
+  def bandBucketsMd5(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => struct(b.as("band"),
+        array_join(
+          transform(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)),
+            v => v.cast("string")), "|").as("bucket")))
+
   /** MinHash+LSH near-dup pairs with exact Jaccard verification.
     *
     * Pipeline: shingle → signature → explode band buckets → self-join on
@@ -108,11 +123,15 @@ object Dedup {
       shingleSize: Int = 3,
       numHashes: Int = 128,
       bands: Int = 32,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      md5Family: Boolean = false): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val sig = minhashSigTable(df, idCol, textCol, shingleSize, numHashes)
+    val sig = minhashSigTable(df, idCol, textCol, shingleSize, numHashes, md5Family)
+    val bandExpr =
+      if (md5Family) bandBucketsMd5(col("sig"), bands, rowsPerBand)
+      else bandHashes(col("sig"), bands, rowsPerBand)
     val buckets = sig
-      .select(col("doc_id"), explode(bandHashes(col("sig"), bands, rowsPerBand)).as("b"))
+      .select(col("doc_id"), explode(bandExpr).as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.bucket").as("bucket"))
     val candidates = buckets.as("l")
       .join(buckets.as("r"),
@@ -144,12 +163,39 @@ object Dedup {
       idCol: String,
       textCol: String,
       shingleSize: Int,
-      numHashes: Int): DataFrame =
-    df.select(col(idCol).as("doc_id"),
+      numHashes: Int,
+      md5Family: Boolean = false): DataFrame = {
+    val base = df.select(col(idCol).as("doc_id"),
         TextAnalysis.shingles(col(textCol), shingleSize).as("sh"))
-      .select(col("doc_id"),
+    if (!md5Family)
+      base.select(col("doc_id"),
         sort_array(transform(col("sh"), s => xxhash64(s))).as("hs"),
         minhashSignature(col("sh"), numHashes).as("sig"))
+    else {
+      // DuckDB-recomputable family: ONE md5 per shingle split into two
+      // integers a = int(hex[1..15]), b = int(hex[17..30]), and permutation
+      // i's value is a + i·b (Kirsch-Mitzenmacher; a < 2^60, b < 2^56,
+      // i < 32 keep every sum < 2^62 — exact in BIGINT on both engines, no
+      // mod needed). Computed EXPLODED + groupBy rather than per-row array
+      // lambdas: higher-order-function lambdas evaluate interpreted per
+      // element, and numHashes interpreted passes over every shingle array
+      // measured 15 s at sf0.1 where this whole-stage-codegen'd hash
+      // aggregate (map-side partial, one shuffle on doc_id) takes ~1 s.
+      // Shingle-less docs vanish here exactly as in the oracle's unnest.
+      val exploded = base
+        .select(col("doc_id"), explode(col("sh")).as("s"))
+        .withColumn("m", md5(col("s")))
+        .withColumn("a", conv(substring(col("m"), 1, 15), 16, 10).cast("long"))
+        .withColumn("b", conv(substring(col("m"), 17, 14), 16, 10).cast("long"))
+      val aggs =
+        sort_array(collect_list(xxhash64(col("s")))).as("hs") +:
+          (0 until numHashes).map(i => min(col("a") + col("b") * i).as(s"__h$i"))
+      exploded.groupBy(col("doc_id"))
+        .agg(aggs.head, aggs.tail: _*)
+        .select(col("doc_id"), col("hs"),
+          array((0 until numHashes).map(i => col(s"__h$i")): _*).as("sig"))
+    }
+  }
 
   /** 64-bit SimHash over shingles: bit j is set iff the sum over shingles of
     * ±1 (sign of hash bit j) is non-negative. Native codegen'd expression —
@@ -183,6 +229,83 @@ object Dedup {
       // never enter the distinct's shuffle (a pair bucketed by k blocks is
       // emitted k times — dropping failures first shrinks that by the miss
       // rate, which dominates in a non-duplicated corpus)
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** DuckDB-recomputable SimHash: 60-bit fingerprint whose per-shingle
+    * hash is the first 15 hex chars of md5 read as an integer — both
+    * engines get the identical value (`conv(hex,16,10)` here,
+    * `('0x'||hex)::BIGINT` there), unlike the native xxhash64-based
+    * [[simhash64]], which stays the scale default (one codegen'd hash per
+    * shingle vs an md5 digest + 60 per-bit votes here). Bit j is set iff
+    * the sum over the shingle SET of ±1 (sign of hash bit j) is
+    * non-negative — order-independent, so both engines agree.
+    *
+    * Reference semantics as a per-row expression; interpreted HOF lambdas
+    * make it fixture-tier only — [[simhashPairsMd5]] computes the same
+    * fingerprint through a codegen'd exploded aggregate (the ScalaTest
+    * spec pins the two implementations equal).
+    */
+  def simhash60Md5(sh: Column): Column = {
+    val hs = transform(sh, s => conv(substring(md5(s), 1, 15), 16, 10).cast("long"))
+    val bits = transform(sequence(lit(0), lit(59)), j =>
+      when(
+        aggregate(hs, lit(0L), (acc, h) =>
+          acc + call_function("shiftright", h, j).bitwiseAND(lit(1L)) * 2 - 1) >= 0,
+        call_function("shiftleft", lit(1L), j)).otherwise(lit(0L)))
+    aggregate(bits, lit(0L), (a, b) => a.bitwiseOR(b))
+  }
+
+  /** [[simhash60Md5]] at scale: explode shingles, one codegen'd md5 +
+    * conv per row, then a single hash aggregate with 60 bit-count sums
+    * (map-side partial, one shuffle on doc_id). Bit j set iff
+    * 2·ones_j ≥ n — integer-exact, same vote rule as the ±1 sum.
+    */
+  private def simhashTableMd5(
+      df: DataFrame, idCol: String, textCol: String, shingleSize: Int): DataFrame = {
+    val exploded = df
+      .select(col(idCol).as("doc_id"),
+        TextAnalysis.shingles(col(textCol), shingleSize).as("sh"))
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .withColumn("h", conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long"))
+    val aggs = count(lit(1)).as("__n") +:
+      (0 until 60).map(j => sum(shiftright(col("h"), j).bitwiseAND(lit(1L))).as(s"__b$j"))
+    exploded.groupBy(col("doc_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"),
+        (0 until 60).map(j =>
+            when(col(s"__b$j") * 2 >= col("__n"), lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _).as("sh60"))
+  }
+
+  /** [[simhashPairs]] on the md5 family: 60-bit hash, 4 blocks of 15 bits
+    * (pigeonhole at Hamming ≤ 3 needs ≥ 4 intact-block candidates — same
+    * bound as the 64-bit/4×16 layout). Oracle-tier: every step is plain
+    * SQL in DuckDB. Shingle-less docs vanish in the explode, exactly as in
+    * the oracle's unnest.
+    */
+  def simhashPairsMd5(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      maxHamming: Int = 3): DataFrame = {
+    val hashed = simhashTableMd5(df, idCol, textCol, shingleSize)
+    val blocks = hashed.select(
+      col("doc_id"), col("sh60"),
+      explode(
+        transform(sequence(lit(0), lit(3)),
+          b => struct(b.as("blk"),
+            call_function("shiftright", col("sh60"), b * 15)
+              .bitwiseAND(lit(32767L)).as("v")))).as("b"))
+      .select(col("doc_id"), col("sh60"), col("b.blk").as("blk"), col("b.v").as("v"))
+    blocks.as("l")
+      .join(blocks.as("r"),
+        col("l.blk") === col("r.blk") && col("l.v") === col("r.v") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+        bit_count(col("l.sh60").bitwiseXOR(col("r.sh60"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
@@ -668,13 +791,19 @@ object Dedup {
       shingleSize: Int = 3,
       numHashes: Int = 128,
       bands: Int = 32,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      md5Family: Boolean = false): DataFrame = {
     val rowsPerBand = numHashes / bands
-    def buckets(sig: DataFrame) = sig
-      .select(col("doc_id"), explode(bandHashes(col("sig"), bands, rowsPerBand)).as("b"))
-      .select(col("doc_id"), col("b.band").as("band"), col("b.bucket").as("bucket"))
-    val bSig = minhashSigTable(newBatch, idCol, textCol, shingleSize, numHashes)
-    val cSig = minhashSigTable(corpus, idCol, textCol, shingleSize, numHashes)
+    def buckets(sig: DataFrame) = {
+      val bandExpr =
+        if (md5Family) bandBucketsMd5(col("sig"), bands, rowsPerBand)
+        else bandHashes(col("sig"), bands, rowsPerBand)
+      sig
+        .select(col("doc_id"), explode(bandExpr).as("b"))
+        .select(col("doc_id"), col("b.band").as("band"), col("b.bucket").as("bucket"))
+    }
+    val bSig = minhashSigTable(newBatch, idCol, textCol, shingleSize, numHashes, md5Family)
+    val cSig = minhashSigTable(corpus, idCol, textCol, shingleSize, numHashes, md5Family)
     val candidates = buckets(bSig).as("l")
       .join(buckets(cSig).as("r"),
         col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket"))

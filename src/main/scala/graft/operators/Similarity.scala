@@ -668,8 +668,12 @@ object Similarity {
     * codebook, cell-tagged codes) — shared by [[ivfPqTopK]] (build +
     * search in one plan) and [[graft.sources.IndexStore.saveIvfPq]]
     * (persist artifacts for offline/online split), so the two paths train
-    * IDENTICALLY and artifact search is bit-for-bit ≡ the in-plan
-    * operator at every `trainSample` setting.
+    * IDENTICALLY. With `trainSample > 0` the trainers are
+    * driver-deterministic (bounded md5-ordered sample), so artifact search
+    * is bit-for-bit ≡ the in-plan operator; with `trainSample = 0` the
+    * distributed Lloyd's partial-sum merge order floats with partitioning,
+    * so separate executions agree up to float-tie cases — SAME-PARTITIONING
+    * deterministic, not bit-reproducible run-to-run.
     *
     * `trainSample > 0` is the sampled scale path: BOTH codebooks train on
     * the driver over the same bounded md5-deterministic sample, and the

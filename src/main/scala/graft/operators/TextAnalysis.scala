@@ -99,16 +99,39 @@ object TextAnalysis {
   val QualityStopwords: Seq[String] =
     Seq("the", "a", "and", "of", "to", "in", "is", "it")
 
-  /** Tiny per-language marker sets for the n-gram/stopword language-ID
-    * heuristic. Deterministic; prediction = argmax marker hit-rate, ties
-    * broken by language code (descending, via struct max ordering).
+  /** Per-language marker sets for the stopword language-ID heuristic:
+    * high-frequency function words from public stopword lists, ASCII
+    * romanizations for non-Latin scripts (pinyin with tone digits for zh —
+    * matching the testdata's romanized corpus — romaji particles for ja,
+    * standard transliteration for ru/ar/hi/ko, diacritics stripped for vi).
+    * Deterministic; prediction = argmax marker hit-count, ties broken by
+    * language code (descending, via struct max ordering). The text_langid
+    * oracle SQL is GENERATED from this map (SparkEntry), so widening the
+    * table can never desynchronize the two engines.
     */
   val LangMarkers: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "a", "and", "of", "is"),
     "es" -> Seq("el", "la", "de", "que", "y"),
     "de" -> Seq("der", "die", "und", "das", "ist"),
     "fr" -> Seq("le", "la", "et", "les", "des"),
-    "zh" -> Seq("de5", "shi4", "le5", "zai4", "he2"))
+    "zh" -> Seq("de5", "shi4", "le5", "zai4", "he2"),
+    "it" -> Seq("il", "di", "che", "non", "per"),
+    "pt" -> Seq("o", "os", "uma", "que", "em"),
+    "nl" -> Seq("het", "een", "van", "niet", "zijn"),
+    "sv" -> Seq("och", "att", "som", "jag", "inte"),
+    "da" -> Seq("og", "jeg", "det", "at", "ikke"),
+    "no" -> Seq("og", "det", "som", "ikke", "jeg"),
+    "fi" -> Seq("ja", "on", "ei", "se", "hän"),
+    "pl" -> Seq("nie", "to", "się", "jest", "na"),
+    "cs" -> Seq("se", "na", "je", "že", "to"),
+    "ru" -> Seq("i", "v", "ne", "na", "chto"),
+    "ja" -> Seq("wa", "no", "ni", "wo", "ga"),
+    "ko" -> Seq("eun", "neun", "ga", "ui", "e"),
+    "ar" -> Seq("al", "fi", "min", "ala", "an"),
+    "hi" -> Seq("hai", "ka", "ki", "ke", "mein"),
+    "tr" -> Seq("ve", "bir", "bu", "icin", "ne"),
+    "id" -> Seq("yang", "dan", "di", "ini", "itu"),
+    "vi" -> Seq("la", "va", "cua", "co", "mot"))
 
   /** Predict language by marker hit counts. Returns (score, lang) argmax. */
   def langId(text: Column): Column = {
@@ -203,6 +226,44 @@ object TextAnalysis {
     */
   def winnowFingerprints(text: Column, n: Int = 3, w: Int = 4): Column =
     graft.functions.Winnow.winnow(wsTokens(text), n, w)
+
+  /** Winnowing fingerprint SET on the DuckDB-recomputable md5 family —
+    * (idCol, fp) rows, one per DISTINCT fingerprint per document.
+    *
+    * Key observation that makes this oracle-able: the fingerprint VALUE a
+    * window contributes is its MINIMUM gram hash — the rightmost-tie rule
+    * of robust winnowing only decides which POSITION gets charged, so the
+    * distinct fingerprint SET is exactly {min(h over window p) : valid p},
+    * no tie-breaking anywhere. Gram hash = first 15 md5 hex chars as an
+    * integer (same family as [[graft.operators.Dedup.simhash60Md5]]).
+    * Documents with fewer than `w` grams form one whole-document window
+    * (the native [[winnowFingerprints]] rule) — the frame's truncation at
+    * the partition tail provides exactly that window at p = 0.
+    *
+    * Plan shape: posexplode grams, one codegen'd md5+conv per gram, then a
+    * per-doc window min (one shuffle on the doc id, per-partition sort) —
+    * no cross-document data movement, linear at any scale.
+    */
+  def winnowFingerprintsMd5(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, w: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = df
+      .select(col(idCol).as("doc_id"),
+        posexplode(ngramsAll(col(textCol), n)).as(Seq("q", "gram")))
+      .withColumn("h", conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long"))
+    val byDoc = Window.partitionBy(col("doc_id"))
+    val frame = Window.partitionBy(col("doc_id")).orderBy(col("q"))
+      .rowsBetween(Window.currentRow, w - 1)
+    g.withColumn("nh", count(lit(1)).over(byDoc))
+      .withColumn("minh", min(col("h")).over(frame))
+      // valid window starts: p <= nh - win where win = min(w, nh); for
+      // nh < w that keeps exactly p = 0, whose truncated frame IS the
+      // whole-document window
+      .filter(col("q") <= col("nh") - least(lit(w), col("nh")))
+      .select(col("doc_id").as(idCol), col("minh").as("fp"))
+      .distinct()
+  }
 
   /** Repetition-based quality signals (the Gopher-style filters: Rae et
     * al. 2021, §A1.1 — public heuristic): duplicate-token fraction

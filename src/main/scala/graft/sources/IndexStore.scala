@@ -15,7 +15,8 @@ import graft.operators.Similarity
   * "nightly embed, all-day search" loop this store serves.)
   *
   * Layout under `path`:
-  *   - `centroids/` — nlist rows (ivf_cell, cent, centnorm): broadcast at
+  *   - `centroids/` — ≤ nlist rows (ivf_cell, cent, centnorm; Lloyd-emptied
+  *     cells are dropped by both build paths): broadcast at
   *     query time, never scanned at scale.
   *   - `codebook/`  — ≤ m·ksub rows (sub, cell, cent): the PQ model
   *     artifact, collected into the native kernels at load.
@@ -54,7 +55,13 @@ object IndexStore {
       iters: Int = 2,
       trainSample: Int = 0): Unit = {
     // shared builder with the in-plan operator — identical trainers at
-    // every trainSample setting, so artifact search ≡ ivfPqTopK
+    // every trainSample setting, so artifact search ≡ ivfPqTopK.
+    // ARTIFACT-SEMANTICS NOTE (format v2, round 10): with trainSample > 0
+    // the persisted centroids are TRAINING-SAMPLE means with one-projection
+    // assignment; earlier builds persisted full-corpus distributed-kmeans
+    // centroids. Rebuilding an index with the same params across that
+    // change yields different cell assignments — REBUILD rather than
+    // appendIvfPq across it (meta/ carries codebook_version for the check).
     val (centroids, codebook, _, codes) = Similarity.ivfPqArtifacts(
       corpus, idCol, vecCol, dim, nlist, m, ksub, iters, trainSample)
     centroids.write.mode("overwrite").parquet(s"$path/centroids")
@@ -65,9 +72,19 @@ object IndexStore {
       .write.mode("overwrite").partitionBy("ivf_cell").parquet(s"$path/codes")
     val spark = corpus.sparkSession
     import spark.implicits._
-    Seq((dim, m, ksub, nlist)).toDF("dim", "m", "ksub", "nlist")
+    Seq((dim, m, ksub, nlist, CodebookVersion))
+      .toDF("dim", "m", "ksub", "nlist", "codebook_version")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
+
+  /** Artifact format version, persisted in `meta/` and checked by
+    * [[appendIvfPq]]: bumped whenever trainer semantics change, so daily
+    * appends cannot silently mix codes across incompatible builds of "the
+    * same" index. v2 = driver-side sampled trainers (training-mean
+    * centroids, one-projection assignment); v1 (pre-round-10) persisted
+    * full-corpus distributed-kmeans centroids.
+    */
+  val CodebookVersion: Int = 2
 
   /** Incremental index maintenance — the daily-ingest half of the
     * offline/online split: encode a NEW batch with the index's EXISTING
@@ -97,6 +114,12 @@ object IndexStore {
     import graft.functions.VectorFunctions._
     val spark = newBatch.sparkSession
     val meta = spark.read.parquet(s"$path/meta").head()
+    val ver = if (meta.schema.fieldNames.contains("codebook_version"))
+      meta.getAs[Int]("codebook_version") else 1
+    require(ver == CodebookVersion,
+      s"appendIvfPq: index at $path has artifact version $ver, current is " +
+        s"$CodebookVersion — trainer semantics changed between versions; " +
+        "rebuild with saveIvfPq instead of appending across the change")
     val dim = meta.getAs[Int]("dim")
     val m = meta.getAs[Int]("m")
     val ksub = meta.getAs[Int]("ksub")

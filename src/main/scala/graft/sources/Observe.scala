@@ -1,6 +1,10 @@
 package graft.sources
 
+import java.util.concurrent.{LinkedBlockingQueue, TimeUnit}
+
 import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.util.QueryExecutionListener
 
 /** Scan-time pipeline observability (batch side of the engine's status
   * surface — the streaming side is `Minibatch.status`/`StatusServer`).
@@ -45,5 +49,48 @@ object Observe {
           s"was the observe() node dropped or the name misspelled? " +
           s"present: ${df.queryExecution.observedMetrics.keys.mkString(", ")}"))
     (rows, m)
+  }
+
+  /** Run a WRITE action on `df` and return the observed metrics row for
+    * `name` — the 100 TB path: [[collectWithMetrics]] materializes every
+    * output row on the driver to own the action, which is fine for a gate
+    * query but not for a pipeline whose output is the written table itself.
+    * A write executes its own QueryExecution (the writer wraps the plan in
+    * an insert command), so this df's accumulator stays empty; the metrics
+    * are instead taken from the post-action [[QueryExecutionListener]]
+    * callback, keyed by the observe `name` so a concurrent action on some
+    * other plan can't be mistaken for ours.
+    *
+    * Usage: `Observe.writeWithMetrics(observed, "gate")(
+    *   _.write.mode("overwrite").parquet(out))`.
+    */
+  def writeWithMetrics(df: DataFrame, name: String, timeoutSec: Long = 120)(
+      write: DataFrame => Unit): Row = {
+    val results = new LinkedBlockingQueue[Either[Throwable, Row]](1)
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+        qe.observedMetrics.get(name).foreach(r => results.offer(Right(r)))
+      override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit =
+        if (qe.observedMetrics.contains(name) ||
+            qe.analyzed.collectFirst {
+              case c: org.apache.spark.sql.catalyst.plans.logical.CollectMetrics
+                  if c.name == name => c
+            }.nonEmpty)
+          results.offer(Left(exception))
+    }
+    df.sparkSession.listenerManager.register(listener)
+    try {
+      write(df)
+      // the listener bus delivers asynchronously after the action returns
+      results.poll(timeoutSec, TimeUnit.SECONDS) match {
+        case Right(row) => row
+        case Left(e)    => throw new IllegalStateException(
+          s"Observe.writeWithMetrics: write action for '$name' failed", e)
+        case null       => throw new IllegalStateException(
+          s"Observe.writeWithMetrics: no observed metrics named '$name' " +
+            s"arrived within ${timeoutSec}s of the write — was the observe() " +
+            "node dropped or the name misspelled?")
+      }
+    } finally df.sparkSession.listenerManager.unregister(listener)
   }
 }

@@ -68,11 +68,20 @@ object KafkaIO {
   * contrib/mongodb.py:60-75: `idcol > last_seen`, sorted ascending).
   * `poll()` is driven by the caller's cadence (the reference polls every
   * 0.1 s, contrib/mongodb.py:52).
+  *
+  * `maxRowsPerPoll` bounds driver memory: after an outage, the backlog can
+  * be arbitrarily large, and an uncapped poll collects all of it in one
+  * array. The cap turns the collect into a sort+limit (TakeOrdered — no
+  * full-table sort materializes) and the cursor advances to the max key
+  * actually FORWARDED, so the remaining backlog drains loss-free across
+  * subsequent polls.
   */
 final class TableTailSource(
     spark: SparkSession,
     tablePath: String,
-    keyCol: String) {
+    keyCol: String,
+    maxRowsPerPoll: Int = 100000) {
+  require(maxRowsPerPoll > 0, "TableTailSource: maxRowsPerPoll must be > 0")
 
   @volatile private var lastSeen: Long = Long.MinValue
   @volatile private var cancelled: Boolean = false
@@ -83,9 +92,12 @@ final class TableTailSource(
     // cursor from the batch we actually forwarded. A second scan to compute
     // max(key) would race concurrent appends — rows landing between the two
     // scans would move lastSeen past keys never forwarded, dropping them.
+    // The ascending orderBy + limit means the cap always keeps the OLDEST
+    // pending keys, so the cursor never skips an unforwarded row.
     val collected = spark.read.parquet(tablePath)
       .filter(col(keyCol) > lastSeen && col(keyCol).cast("long").isNotNull)
       .orderBy(col(keyCol))
+      .limit(maxRowsPerPoll)
       .select(col(keyCol).cast("long").as("__key"), to_json(struct(col("*"))).as("__payload"))
       .collect()
     if (collected.nonEmpty) {

@@ -42,6 +42,59 @@ class OperatorsSuite extends AnyFunSuite {
     assert(recall >= 0.9, s"recall $recall, got ${got.size} of ${exactPairs.size}")
   }
 
+  test("md5-family minhash pairs: no false positives, high recall of exact pairs") {
+    // the family behind the oracle-tier dedup_minhash* queries: 32 hashes,
+    // 16 bands of 2; precision exact by construction (verified jaccard),
+    // recall bounded by banding (P(candidate | J=0.5) = 1-(1-0.25)^16 ≈ .99)
+    val got = Dedup.minhashPairs(docs, "doc_id", "text",
+        numHashes = 32, bands = 16, threshold = 0.5, md5Family = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(exactPairs))
+    assert(exactPairs.nonEmpty)
+    val recall = got.size.toDouble / exactPairs.size
+    assert(recall >= 0.9, s"recall $recall, got ${got.size} of ${exactPairs.size}")
+  }
+
+  test("md5-family simhash banding is COMPLETE for hamming <= 3 over 60-bit fingerprints") {
+    val sigs = docs
+      .select(col("doc_id"), TextAnalysis.shingles(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), Dedup.simhash60Md5(col("sh")).as("sh60"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val truth = (for {
+      (ida, ha) <- sigs; (idb, hb) <- sigs if ida < idb
+      if java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (ida, idb)).toSet
+    val got = Dedup.simhashPairsMd5(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === truth, s"missing=${truth -- got} extra=${got -- truth}")
+  }
+
+  test("md5-family winnow fingerprints equal per-doc distinct sliding-window minima") {
+    // local reference over the ENGINE's own gram multiset (so this pins the
+    // md5-int conversion + window/frame logic, not tokenizer details): the
+    // distinct fingerprint set is {min of each w-window of gram hashes},
+    // whole doc = one window when it has fewer than w grams
+    def h(gram: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(gram.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val expected = docs
+      .select(col("doc_id"), TextAnalysis.ngramsAll(col("text"), 3).as("g"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1)))
+      .collect { case (id, grams) if grams.nonEmpty =>
+        val hs = grams.map(h)
+        val win = math.min(4, hs.size)
+        id -> hs.sliding(win).map(_.min).toSet
+      }.toMap
+    val got = TextAnalysis.winnowFingerprintsMd5(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(got === expected)
+  }
+
   test("simhash banding is COMPLETE for hamming <= 3 (pigeonhole guarantee)") {
     // ground truth from the signatures themselves: all pairs at hamming <= 3
     val sigs = docs.select(col("doc_id"), Dedup.simhash64(col("text")).as("sh64"))

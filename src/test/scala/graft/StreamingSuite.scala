@@ -192,6 +192,33 @@ class StreamingSuite extends AnyFunSuite {
     assert(out.select("data").head.getString(0).contains(""""foo":"bar""""))
   }
 
+  test("table-tail source: capped poll drains an outage backlog loss-free with bounded memory") {
+    val mb = Minibatch(spark, freshRoot())
+    val st = mb.stream("backlog")
+    val srcDir = Files.createTempDirectory("graft-backlog").toString + "/ds"
+    // a 10k-row backlog (as after an outage) against a 1k-per-poll cap:
+    // each poll must stay under the cap (driver memory bound) and the
+    // cursor must advance only past FORWARDED keys, so the drain loses and
+    // duplicates nothing across polls
+    spark.range(10000).selectExpr("id AS k", "concat('v', id) AS v")
+      .write.mode("append").parquet(srcDir)
+    val src = new TableTailSource(spark, srcDir, "k", maxRowsPerPoll = 1000)
+    var polls = 0
+    var total = 0
+    var got = src.poll(st)
+    while (got > 0) {
+      assert(got <= 1000, s"poll returned $got rows, above the cap")
+      total += got; polls += 1
+      got = src.poll(st)
+    }
+    assert(total === 10000, "every backlog row must be forwarded")
+    assert(polls === 10, s"10k backlog at cap 1000 should drain in 10 polls, took $polls")
+    val ks = st.buffer()
+      .selectExpr("CAST(get_json_object(data, '$.k') AS LONG) AS k")
+    assert(ks.count() === 10000)
+    assert(ks.distinct().count() === 10000, "no key may be forwarded twice")
+  }
+
   test("parallel emit keeps up with a slow emitfn (test_slow_emitfn port)") {
     val mb = Minibatch(spark, freshRoot())
     val st = mb.stream("slow")
