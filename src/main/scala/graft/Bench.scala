@@ -49,11 +49,18 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
+    // A failed query must NOT masquerade as a fast one: analysis errors
+    // raise in milliseconds, and round 10 reported a broken query at
+    // 0.06 s for a whole round before anyone noticed. Track failures and
+    // surface them in the JSON so the caller sees them without reading
+    // stderr.
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
     def timedPass(): Seq[(String, Double)] =
       selected.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
         try materialize(fn(spark, sfDir))
         catch { case e: Throwable =>
+          failed += name
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
         name -> (System.nanoTime() - t0) / 1e9
@@ -78,8 +85,11 @@ object Bench {
       val qs = rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
       val om = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
+      val fl = if (failed.nonEmpty)
+        failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
+      else ""
       val total = results.map(_._2).sum // total always covers ALL queries
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$om,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$om$fl,"sf":"$sfDir"}"""
     }
     val full = lineFor(results, 0)
     println(full)
