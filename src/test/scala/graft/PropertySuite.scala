@@ -207,7 +207,7 @@ class PropertySuite extends AnyFunSuite {
       n <- Gen.chooseNum(0, 512)
       bs <- Gen.listOfN(n, Gen.chooseNum(-128, 127).map(_.toByte))
       prefix <- Gen.oneOf(Array.emptyByteArray, "RIFF".getBytes("US-ASCII"),
-        ("RIFF" + "    " + "AVI ").getBytes("ISO-8859-1"))
+        ("RIFF" + "\u0000\u0000\u0000\u0000" + "AVI ").getBytes("ISO-8859-1"))
     } yield prefix ++ bs
     samples(junk, 60).foreach { bytes =>
       val frames = Multimodal.aviJpegFrames(bytes, maxFrames = 8) // must not throw
