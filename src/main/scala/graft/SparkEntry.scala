@@ -1099,11 +1099,14 @@ object SparkEntry {
     }),
 
     // LSH-bucketed embedding near-dup — the scale path for the exact query
-    // above (no SQL oracle: hyperplane-family-specific; recall vs exact
-    // asserted in ScalaTest).
+    // above. md5-derived integer hyperplanes (Similarity.md5Planes) let
+    // DuckDB rebuild the planes and sign buckets verbatim → full
+    // hash-checked oracle (sign margins data-measured at ~0.07, eleven
+    // orders above double noise); single-table recall vs the exact pairs
+    // stays asserted in ScalaTest.
     "embedding_neardup_lsh" -> ((s, dir) => {
       Dedup.embeddingNearDupLSH(embeddings(s, dir), "vec_id", "embedding", 0.3,
-          Similarity.randomPlanes(4, 64, 7L))
+          Similarity.md5Planes(4, 64))
         .orderBy(col("vec_a"), col("vec_b"))
     }),
 
@@ -2766,6 +2769,36 @@ object SparkEntry {
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos_sim
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.3
+        |ORDER BY vec_a, vec_b""".stripMargin,
+
+    // md5 hyperplane family (Similarity.md5Planes): plane[p][d] =
+    // int(md5hex(p||','||d)[1..15]) % 2001 - 1000; bucket bit p = sign of
+    // dot(embedding, plane p); candidates share the full 4-bit bucket,
+    // then exact cosine verification — planes, signs, and buckets all
+    // recomputed here verbatim.
+    "embedding_neardup_lsh" ->
+      """WITH planes AS (
+        |  SELECT p, list(v ORDER BY d) AS plane
+        |  FROM (SELECT p, d,
+        |               (('0x' || substr(md5(p::VARCHAR || ',' || d::VARCHAR), 1, 15))::BIGINT
+        |                  % 2001 - 1000)::DOUBLE AS v
+        |        FROM range(0, 4) t(p), range(0, 64) u(d))
+        |  GROUP BY p
+        |),
+        |sig AS (
+        |  SELECT e.vec_id,
+        |         sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], pl.plane) >= 0
+        |                  THEN (1::BIGINT << pl.p) ELSE 0 END)::BIGINT AS bucket
+        |  FROM embeddings e, planes pl
+        |  GROUP BY e.vec_id
+        |)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos_sim
+        |FROM sig sa
+        |JOIN sig sb ON sa.bucket = sb.bucket AND sa.vec_id < sb.vec_id
+        |JOIN embeddings a ON a.vec_id = sa.vec_id
+        |JOIN embeddings b ON b.vec_id = sb.vec_id
         |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.3
         |ORDER BY vec_a, vec_b""".stripMargin,
 

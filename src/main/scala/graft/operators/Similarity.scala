@@ -29,6 +29,27 @@ object Similarity {
     Seq.fill(numPlanes)(Seq.fill(dim)(rng.nextGaussian()))
   }
 
+  /** DuckDB-recomputable hyperplane family: plane p's component d is
+    * `int(md5hex(p + "," + d)[0..14]) % 2001 − 1000` — integers in
+    * [−1000, 1000], exactly representable as doubles, so SQL rebuilds the
+    * planes verbatim (`('0x'||substr(md5(p||','||d),1,15))::BIGINT`).
+    * Direction quality matches a seeded-RNG plane for LSH purposes
+    * (md5 bits are uniform); what the family buys is that the sign-bucket
+    * computation becomes cross-engine checkable. Sign safety is
+    * data-measured, not assumed: min |dot| over the test corpora is
+    * ~0.07 at sf0.01 AND sf0.1 — eleven orders of magnitude above double
+    * accumulation noise — so bucket bits cannot flip between engines.
+    */
+  def md5Planes(numPlanes: Int, dim: Int): Seq[Seq[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Seq.tabulate(numPlanes) { p =>
+      Seq.tabulate(dim) { d =>
+        val hex = md.digest(s"$p,$d".getBytes("UTF-8")).map("%02x".format(_)).mkString
+        (java.lang.Long.parseLong(hex.substring(0, 15), 16) % 2001 - 1000).toDouble
+      }
+    }
+  }
+
   /** Sign-pattern bucket id: bit p set iff dot(vec, planes(p)) >= 0. */
   def hyperplaneSignature(vec: Column, planes: Seq[Seq[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>

@@ -70,6 +70,23 @@ class OperatorsSuite extends AnyFunSuite {
     assert(got === truth, s"missing=${truth -- got} extra=${got -- truth}")
   }
 
+  test("md5-plane embedding LSH: no false positives vs exact pairs, nonempty, deterministic") {
+    // the family behind the oracle-tier embedding_neardup_lsh query:
+    // precision is exact by construction (candidates verify with the same
+    // cosine as the exact operator); recall is the documented LSH loss
+    // (pairs split across sign buckets) — assert mechanics, not a recall
+    // number the 4-plane single-table setup doesn't promise
+    def run() = Dedup.embeddingNearDupLSH(emb, "vec_id", "embedding", 0.3,
+        Similarity.md5Planes(4, 64))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = run()
+    val exact = Dedup.embeddingNearDupExact(emb, "vec_id", "embedding", 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.nonEmpty, "fixture should produce same-bucket near-dup pairs")
+    assert(got.subsetOf(exact), s"false positives: ${got -- exact}")
+    assert(run() === got, "deterministic across runs")
+  }
+
   test("md5-family winnow fingerprints equal per-doc distinct sliding-window minima") {
     // local reference over the ENGINE's own gram multiset (so this pins the
     // md5-int conversion + window/frame logic, not tokenizer details): the
