@@ -979,10 +979,15 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
-    // LSH-bucketed ANN top-5 (no SQL oracle; recall vs brute force in tests).
+    // LSH-bucketed ANN top-5, oracle-tier.
     "similarity_lsh_topk" -> ((s, dir) => {
       val emb = embeddings(s, dir)
-      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", 5)
+      // md5 table-plane family (Similarity.md5TablePlanes): DuckDB rebuilds
+      // all 4×6 planes, sign buckets, and the 1-bit multiprobe set in SQL →
+      // full hash-checked oracle (was rows-only); recall vs brute force
+      // stays asserted in ScalaTest
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", 5,
+          md5Family = true)
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -2728,6 +2733,54 @@ object SparkEntry {
         |       SELECT query_id, neighbor_id, s,
         |              row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rank
         |       FROM scored)
+        |SELECT query_id, neighbor_id, round(s, 4) AS cos_sim, rank
+        |FROM ranked WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // md5 table-plane LSH (Similarity.md5TablePlanes, "t:p,d" keys): 4
+    // tables × 6 planes rebuilt verbatim; per (vec, table) the sign bucket;
+    // queries probe their bucket plus every 1-bit flip; candidates union
+    // across tables, then the same exact-cosine top-5 rank as
+    // similarity_topk.
+    "similarity_lsh_topk" ->
+      """WITH planes AS (
+        |  SELECT t, p, list(v ORDER BY d) AS plane
+        |  FROM (SELECT t, p, d,
+        |               (('0x' || substr(md5(t::VARCHAR || ':' || p::VARCHAR || ',' || d::VARCHAR), 1, 15))::BIGINT
+        |                  % 2001 - 1000)::DOUBLE AS v
+        |        FROM range(0, 4) tt(t), range(0, 6) pp(p), range(0, 64) dd(d))
+        |  GROUP BY t, p
+        |),
+        |sig AS (
+        |  SELECT e.vec_id, pl.t,
+        |         sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], pl.plane) >= 0
+        |                  THEN (1::BIGINT << pl.p) ELSE 0 END)::BIGINT AS bucket
+        |  FROM embeddings e, planes pl
+        |  GROUP BY e.vec_id, pl.t
+        |),
+        |flips AS (
+        |  SELECT 0::BIGINT AS flip
+        |  UNION ALL
+        |  SELECT (1::BIGINT << j) AS flip FROM range(0, 6) jj(j)
+        |),
+        |cand AS (
+        |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        |  FROM (SELECT * FROM sig WHERE vec_id < 5) q
+        |  JOIN flips f ON true
+        |  JOIN sig c ON c.t = q.t AND c.bucket = xor(q.bucket, f.flip)
+        |  WHERE c.vec_id <> q.vec_id
+        |),
+        |scored AS (
+        |  SELECT cand.query_id, cand.neighbor_id,
+        |         list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS s
+        |  FROM cand
+        |  JOIN embeddings a ON a.vec_id = cand.query_id
+        |  JOIN embeddings b ON b.vec_id = cand.neighbor_id
+        |),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, s,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rank
+        |  FROM scored)
         |SELECT query_id, neighbor_id, round(s, 4) AS cos_sim, rank
         |FROM ranked WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,

@@ -40,14 +40,21 @@ object Similarity {
     * ~0.07 at sf0.01 AND sf0.1 — eleven orders of magnitude above double
     * accumulation noise — so bucket bits cannot flip between engines.
     */
-  def md5Planes(numPlanes: Int, dim: Int): Seq[Seq[Double]] = {
+  def md5Planes(numPlanes: Int, dim: Int): Seq[Seq[Double]] =
+    Seq.tabulate(numPlanes)(p => Seq.tabulate(dim)(d => md5PlaneValue(s"$p,$d")))
+
+  /** [[md5Planes]] for multi-table LSH: table t's plane p component d is
+    * keyed `"t:p,d"` so every table gets an independent family, still
+    * SQL-recomputable. Sign margins over the test corpora across all 24
+    * (4×6) planes: ≥ 0.016 at sf0.01 and sf0.1 — far above double noise.
+    */
+  def md5TablePlanes(table: Int, numPlanes: Int, dim: Int): Seq[Seq[Double]] =
+    Seq.tabulate(numPlanes)(p => Seq.tabulate(dim)(d => md5PlaneValue(s"$table:$p,$d")))
+
+  private def md5PlaneValue(key: String): Double = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    Seq.tabulate(numPlanes) { p =>
-      Seq.tabulate(dim) { d =>
-        val hex = md.digest(s"$p,$d".getBytes("UTF-8")).map("%02x".format(_)).mkString
-        (java.lang.Long.parseLong(hex.substring(0, 15), 16) % 2001 - 1000).toDouble
-      }
-    }
+    val hex = md.digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    (java.lang.Long.parseLong(hex.substring(0, 15), 16) % 2001 - 1000).toDouble
   }
 
   /** Sign-pattern bucket id: bit p set iff dot(vec, planes(p)) >= 0. */
@@ -118,7 +125,8 @@ object Similarity {
       numPlanes: Int = 6,
       numTables: Int = 4,
       seed: Long = 42L,
-      dim: Int = -1): DataFrame = {
+      dim: Int = -1,
+      md5Family: Boolean = false): DataFrame = {
     // dim <= 0 → sample the dimensionality from the (small) query side at
     // plan time; hyperplanes of the wrong length would throw in DotProduct.
     val planeDim =
@@ -130,7 +138,9 @@ object Similarity {
           "lshTopK: cannot infer dim from an empty (or all-null) query set; pass dim explicitly")
         sampled(0).getInt(0)
       }
-    val tables = (0 until numTables).map(t => (t, randomPlanes(numPlanes, planeDim, seed + t)))
+    val tables = (0 until numTables).map(t =>
+      (t, if (md5Family) md5TablePlanes(t, numPlanes, planeDim)
+          else randomPlanes(numPlanes, planeDim, seed + t)))
     // signatures are computed ONCE per table into a column, and the probe
     // structs reference that column — inlining the signature subtree (6
     // dots × 64-double literals) into each of the (1+numPlanes)·numTables

@@ -180,6 +180,15 @@ class OperatorsSuite extends AnyFunSuite {
     val recall = (brute & lsh).size.toDouble / brute.size
     assert(recall >= 0.4, s"LSH recall too low: $recall")
     assert(lsh.size === brute.size) // still k per query
+    // the md5 table-plane family behind the oracle-tier similarity_lsh_topk
+    // query must hold the same recall floor — md5 bits are as uniform as
+    // the seeded-RNG planes, this pins it
+    val lshMd5 = Similarity.lshTopK(emb, queries, "vec_id", "embedding", 5,
+        md5Family = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recallMd5 = (brute & lshMd5).size.toDouble / brute.size
+    assert(recallMd5 >= 0.4, s"md5-family LSH recall too low: $recallMd5")
+    assert(lshMd5.size === brute.size)
   }
 
   test("minhash clusters equal the exact-pair clustering (set equality)") {
