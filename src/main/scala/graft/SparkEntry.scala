@@ -1068,12 +1068,13 @@ object SparkEntry {
     }),
 
     // LSH-bucketed k-NN join — both sides shuffle-partition on (table,
-    // bucket), nothing is broadcast, so corpus×corpus scales horizontally
-    // (no SQL oracle: hyperplane-family-specific; recall vs the exact join
-    // asserted in ScalaTest).
+    // bucket), nothing is broadcast, so corpus×corpus scales horizontally.
+    // md5 table-plane family → full hash-checked oracle (same pattern as
+    // similarity_lsh_topk); recall vs the exact join stays asserted in
+    // ScalaTest.
     "similarity_knn_join_lsh" -> ((s, dir) => {
       val emb = embeddings(s, dir)
-      Similarity.lshTopK(emb, emb, "vec_id", "embedding", 3)
+      Similarity.lshTopK(emb, emb, "vec_id", "embedding", 3, md5Family = true)
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -2814,6 +2815,51 @@ object SparkEntry {
         |       SELECT query_id, neighbor_id, s,
         |              row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rank
         |       FROM scored)
+        |SELECT query_id, neighbor_id, round(s, 4) AS cos_sim, rank
+        |FROM ranked WHERE rank <= 3
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // same md5 table-plane LSH as similarity_lsh_topk, corpus-as-queries
+    // (every vector probes its buckets + 1-bit flips), exact-cosine top-3
+    "similarity_knn_join_lsh" ->
+      """WITH planes AS (
+        |  SELECT t, p, list(v ORDER BY d) AS plane
+        |  FROM (SELECT t, p, d,
+        |               (('0x' || substr(md5(t::VARCHAR || ':' || p::VARCHAR || ',' || d::VARCHAR), 1, 15))::BIGINT
+        |                  % 2001 - 1000)::DOUBLE AS v
+        |        FROM range(0, 4) tt(t), range(0, 6) pp(p), range(0, 64) dd(d))
+        |  GROUP BY t, p
+        |),
+        |sig AS (
+        |  SELECT e.vec_id, pl.t,
+        |         sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], pl.plane) >= 0
+        |                  THEN (1::BIGINT << pl.p) ELSE 0 END)::BIGINT AS bucket
+        |  FROM embeddings e, planes pl
+        |  GROUP BY e.vec_id, pl.t
+        |),
+        |flips AS (
+        |  SELECT 0::BIGINT AS flip
+        |  UNION ALL
+        |  SELECT (1::BIGINT << j) AS flip FROM range(0, 6) jj(j)
+        |),
+        |cand AS (
+        |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        |  FROM sig q
+        |  JOIN flips f ON true
+        |  JOIN sig c ON c.t = q.t AND c.bucket = xor(q.bucket, f.flip)
+        |  WHERE c.vec_id <> q.vec_id
+        |),
+        |scored AS (
+        |  SELECT cand.query_id, cand.neighbor_id,
+        |         list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS s
+        |  FROM cand
+        |  JOIN embeddings a ON a.vec_id = cand.query_id
+        |  JOIN embeddings b ON b.vec_id = cand.neighbor_id
+        |),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, s,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rank
+        |  FROM scored)
         |SELECT query_id, neighbor_id, round(s, 4) AS cos_sim, rank
         |FROM ranked WHERE rank <= 3
         |ORDER BY query_id, rank""".stripMargin,

@@ -217,6 +217,13 @@ class OperatorsSuite extends AnyFunSuite {
     assert(lsh.size === brute.size, "k rows per query on both sides")
     val recall = (brute & lsh).size.toDouble / brute.size
     assert(recall >= 0.4, s"kNN-join LSH recall too low: $recall")
+    // md5 table-plane family (the oracle-tier similarity_knn_join_lsh query)
+    val lshMd5 = Similarity.lshTopK(emb, emb, "vec_id", "embedding", 3,
+        md5Family = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lshMd5.size === brute.size)
+    val recallMd5 = (brute & lshMd5).size.toDouble / brute.size
+    assert(recallMd5 >= 0.4, s"md5-family kNN-join recall too low: $recallMd5")
   }
 
   test("PQ/ADC top-k: byte-bounded codes, deterministic, reasonable recall vs brute force") {
