@@ -174,6 +174,29 @@ object SparkEntry {
         .orderBy(col("r_name"), col("n_name"))
     }),
 
+    // Bloom-pruned shuffle join (semi-join reduction): the dim side is a
+    // selective filter of orders whose KEYS build a Bloom sketch; fact
+    // rows failing the sketch die at the scan and never enter the join
+    // exchange. No false negatives → result ≡ the plain join the oracle
+    // runs. Integer-exact revenue (price and discount carried as scaled
+    // longs) so the sum is order-independent across engines.
+    "q_join_bloom_pruned" -> ((s, dir) => {
+      val dim = orders(s, dir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      Relational.bloomPrunedJoin(
+          lineitem(s, dir)
+            .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
+          col("l_orderkey"), dim, col("o_orderkey"))
+        .groupBy((year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+          .as("month"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(round(col("l_extendedprice") * 100, 0).cast("long") *
+            (lit(10000L) - round(col("l_discount") * 10000, 0).cast("long")))
+            .as("revenue_u"))
+        .orderBy(col("month"))
+    }),
+
     // Left-semi join (EXISTS).
     "q_semi_join" -> ((s, dir) => {
       customer(s, dir)
@@ -1437,6 +1460,20 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    // Exact-size weighted sample without replacement (Efraimidis-Spirtes
+    // A-ES, md5-derived uniforms): a 500-doc budget preferring long
+    // documents — inclusion probability proportional to n_chars, output
+    // size exactly 500 regardless of the corpus. TakeOrderedAndProject
+    // plan (bounded per-partition heap, no global sort); the oracle
+    // recomputes the identical ln(u)/w scores, so the SELECTION ITSELF is
+    // hash-checked, not just its census.
+    "sample_reservoir_weighted" -> ((s, dir) => {
+      Pipeline.reservoirSample(documents(s, dir), col("doc_id"),
+          greatest(col("n_chars"), lit(1L)).cast("double"), k = 500)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Scan-time observability: gate metrics computed DURING the filtered
     // pass via Dataset.observe (CollectMetricsExec accumulator — zero
     // extra jobs), then emitted as a 1-row table. The oracle recomputes
@@ -1985,6 +2022,19 @@ object SparkEntry {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name, n_name
         |ORDER BY r_name, n_name""".stripMargin,
+
+    // plain join: the Bloom prune is invisible to the result (no false
+    // negatives; join removes false positives)
+    "q_join_bloom_pruned" ->
+      """SELECT year(o.o_orderdate) * 100 + month(o.o_orderdate) AS month,
+        |       count(*)::BIGINT AS n_items,
+        |       sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+        |           * (10000 - CAST(round(l.l_discount * 10000, 0) AS BIGINT)))::BIGINT
+        |         AS revenue_u
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderpriority = '1-URGENT'
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
 
     "q_semi_join" ->
       """SELECT c_mktsegment, count(*) AS n_customers, round(sum(c_acctbal), 2) AS sum_acctbal
@@ -3202,6 +3252,22 @@ object SparkEntry {
         |                    WHEN 'es' THEN 25 WHEN 'zh' THEN 10 ELSE 100 END
         |GROUP BY lang
         |ORDER BY lang""".stripMargin,
+
+    // identical A-ES scores (md5 uniform -> ln(u)/w) recomputed in SQL: u
+    // is exactly representable ((v+1)/2^32), ln is correctly rounded in
+    // both engines, and the top-500 boundary is scored on identical
+    // doubles — the selected SET hash-matches, scores never leave the
+    // engine
+    "sample_reservoir_weighted" ->
+      """WITH keyed AS (
+        |  SELECT doc_id, source, n_chars,
+        |         ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT + 1)::DOUBLE
+        |            / 4294967296.0)
+        |           / greatest(n_chars, 1)::DOUBLE AS es
+        |  FROM documents),
+        |top AS (SELECT doc_id, source, n_chars FROM keyed
+        |        ORDER BY es DESC, doc_id LIMIT 500)
+        |SELECT doc_id, source, n_chars FROM top ORDER BY doc_id""".stripMargin,
 
     "text_decontaminate" ->
       """WITH s AS (

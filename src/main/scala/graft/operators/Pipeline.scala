@@ -98,6 +98,35 @@ object Pipeline {
     df.filter(md5Bucket(key) < pct)
   }
 
+  /** Exact-size weighted sample WITHOUT replacement — Efraimidis & Spirtes
+    * (2006) algorithm A-ES: each row draws a uniform u ∈ (0, 1] and scores
+    * ln(u)/w; the k highest scores are distributed exactly as a sequential
+    * weighted reservoir sample. Unlike [[weightedSample]] (per-group
+    * keep-rates → output SIZE varies with the data) this returns exactly
+    * min(k, n) rows with per-row inclusion probability ∝ weight — the
+    * "give me a 500-doc budget, prefer long documents" selection step.
+    *
+    * u is md5-derived from the stable id (first 8 hex chars → (v+1)/2³²,
+    * so u > 0 and ln is finite), NOT rand(): the sample reproduces across
+    * runs, engines (the DuckDB oracle recomputes the identical scores),
+    * and partition layouts. Weights must be > 0 — clamp upstream
+    * (`greatest(w, lit(1))`).
+    *
+    * Scale shape: score is one codegen'd projection; orderBy(desc).limit(k)
+    * plans as TakeOrderedAndProject — a bounded k-heap per partition, k
+    * rows per partition to the driver, NO global sort (spec-asserted). At
+    * 100 TB the corpus is scanned once and never shuffled.
+    */
+  def reservoirSample(df: DataFrame, id: Column, weight: Column, k: Int): DataFrame = {
+    require(k > 0, s"reservoirSample: k must be > 0, got $k")
+    val v = conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long")
+    val u = (v + lit(1L)).cast("double") / lit(4294967296.0)
+    df.withColumn("__es", log(u) / weight)
+      .orderBy(col("__es").desc, id.asc)
+      .limit(k)
+      .drop("__es")
+  }
+
   /** Fixed-size token-window chunking with overlap — the context-window
     * prep step that splits long documents into model-sized pieces (window
     * tokens, a new chunk every `stride` tokens, so consecutive chunks

@@ -137,4 +137,45 @@ object Relational {
         struct(cols.map(col): _*).as("p"))).as("__w"))
       .select(col("__w.p.*"))
   }
+
+  /** Bloom-pruned shuffle join — semi-join reduction (the "runtime filter"
+    * pattern) for fact⋈dim where the dim side is too big to broadcast AS A
+    * HASH TABLE but its join KEYS fit a Bloom sketch (~10 bits/key at 1%
+    * fpp vs hundreds of bytes/row): build the sketch from the dim keys,
+    * filter the fact side BEFORE its exchange, then run the ordinary
+    * shuffle equi-join. Bloom filters have no false negatives, so the
+    * result is exactly the plain join (the join itself removes the ≤fpp
+    * false positives) — only the exchange gets cheaper: with a selective
+    * dim, most fact rows die at the scan instead of shuffling. This is
+    * Spark's own runtime bloom-filter rewrite
+    * (`spark.sql.optimizer.runtime.bloomFilter.*`) made explicit, so it
+    * applies regardless of optimizer thresholds and survives plan shapes
+    * (pre-aggregations, unions) the rewrite won't look through.
+    *
+    * At 100 TB: the sketch is one pass over the (already filtered) dim
+    * keys and broadcasts at bits-per-key cost; the fact side never
+    * shuffles its non-matching rows. The sketch probe is a Scala UDF for
+    * the same reason as the incremental-dedup Bloom gate
+    * (Dedup.incrementalBloom): Spark's BloomFilterMightContain expression
+    * is optimizer-internal, and one probe per row dominates any codegen
+    * delta.
+    */
+  def bloomPrunedJoin(
+      fact: DataFrame,
+      factKey: Column,
+      dim: DataFrame,
+      dimKey: Column,
+      fpp: Double = 0.01,
+      expectedItems: Long = -1L): DataFrame = {
+    require(fpp > 0 && fpp < 1, "bloomPrunedJoin: fpp must be in (0, 1)")
+    val keys = dim.select(dimKey.cast("string").as("__k")).distinct().persist()
+    try {
+      val n = if (expectedItems > 0) expectedItems else math.max(keys.count(), 1L)
+      val bloom = keys.stat.bloomFilter("__k", n, fpp)
+      val bc = fact.sparkSession.sparkContext.broadcast(bloom)
+      val mightContain =
+        udf((s: String) => s != null && bc.value.mightContainString(s))
+      fact.filter(mightContain(factKey.cast("string"))).join(dim, factKey === dimKey)
+    } finally keys.unpersist()
+  }
 }

@@ -2108,4 +2108,53 @@ class OperatorsSuite extends AnyFunSuite {
     val recall = (brute & pruned).size.toDouble / brute.size
     assert(recall >= 0.15, s"sampled IVF-PQ recall below structural floor: $recall")
   }
+
+  test("reservoirSample: exact size, partition-layout-invariant, heap plan") {
+    val w = greatest(col("n_chars"), lit(1L)).cast("double")
+    val picked = Pipeline.reservoirSample(docs, col("doc_id"), w, k = 50)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(picked.size === 50, "A-ES sample must return exactly k rows")
+    // deterministic md5 uniforms: the SELECTION cannot depend on how the
+    // input happens to be partitioned
+    val repicked = Pipeline.reservoirSample(docs.repartition(7), col("doc_id"), w, k = 50)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(repicked === picked, "sample must be invariant to partitioning")
+    // n < k degrades to "all rows", not an error
+    val small = Pipeline.reservoirSample(docs.limit(10), col("doc_id"), w, k = 50)
+    assert(small.count() === 10L)
+    // the top-k must plan as TakeOrderedAndProject (bounded per-partition
+    // heap), never a global sort feeding a limit
+    // rendered-plan match: the operator sits under an AdaptiveSparkPlan
+    // wrapper whose inner tree collect() does not traverse
+    val plan = SparkEntry.queries("sample_reservoir_weighted")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"sample_reservoir_weighted must plan as TakeOrderedAndProject:\n$plan")
+  }
+
+  test("bloomPrunedJoin: result identical to the plain join, fact side pruned pre-shuffle") {
+    val fact = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_extendedprice"))
+    val dim = Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    val pruned = Relational.bloomPrunedJoin(fact, col("l_orderkey"), dim, col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_extendedprice"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+    val plain = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_extendedprice"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+    assert(pruned === plain, "Bloom prune must not change the join result")
+    // the sketch gate must actually drop fact rows (dim is selective), and
+    // can never drop a matching row (no false negatives)
+    val total = fact.count()
+    val matching = plain.size.toLong
+    val keys = dim.select(col("o_orderkey").cast("string").as("__k")).distinct()
+    val bloom = keys.stat.bloomFilter("__k", math.max(keys.count(), 1L), 0.01)
+    val bc = spark.sparkContext.broadcast(bloom)
+    val gate = udf((s: String) => s != null && bc.value.mightContainString(s))
+    val passed = fact.filter(gate(col("l_orderkey").cast("string"))).count()
+    assert(passed < total, s"sketch gate pruned nothing: $passed of $total")
+    assert(passed >= matching, "sketch gate dropped a matching fact row")
+  }
 }
