@@ -1474,6 +1474,19 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Stratified A-ES: exact 50-doc weighted budget PER LANGUAGE (balanced
+    // downsampling with a fixed per-stratum quota). Runs the salted
+    // two-phase plan (saltBuckets=8) whose identity with the direct window
+    // is spec-asserted; the oracle recomputes the identical per-group
+    // selection with row_number over the same scores.
+    "sample_reservoir_stratified" -> ((s, dir) => {
+      Pipeline.reservoirSamplePerKey(documents(s, dir), col("doc_id"),
+          greatest(col("n_chars"), lit(1L)).cast("double"), col("lang"),
+          kPerKey = 50, saltBuckets = 8)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("lang"), col("doc_id"))
+    }),
+
     // Scan-time observability: gate metrics computed DURING the filtered
     // pass via Dataset.observe (CollectMetricsExec accumulator — zero
     // extra jobs), then emitted as a 1-row table. The oracle recomputes
@@ -3268,6 +3281,19 @@ object SparkEntry {
         |top AS (SELECT doc_id, source, n_chars FROM keyed
         |        ORDER BY es DESC, doc_id LIMIT 500)
         |SELECT doc_id, source, n_chars FROM top ORDER BY doc_id""".stripMargin,
+
+    "sample_reservoir_stratified" ->
+      """WITH keyed AS (
+        |  SELECT doc_id, lang, n_chars,
+        |         ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT + 1)::DOUBLE
+        |            / 4294967296.0)
+        |           / greatest(n_chars, 1)::DOUBLE AS es
+        |  FROM documents),
+        |r AS (SELECT doc_id, lang, n_chars,
+        |             row_number() OVER (PARTITION BY lang ORDER BY es DESC, doc_id) AS rk
+        |      FROM keyed)
+        |SELECT doc_id, lang, n_chars FROM r WHERE rk <= 50
+        |ORDER BY lang, doc_id""".stripMargin,
 
     "text_decontaminate" ->
       """WITH s AS (

@@ -119,13 +119,45 @@ object Pipeline {
     */
   def reservoirSample(df: DataFrame, id: Column, weight: Column, k: Int): DataFrame = {
     require(k > 0, s"reservoirSample: k must be > 0, got $k")
-    val v = conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long")
-    val u = (v + lit(1L)).cast("double") / lit(4294967296.0)
-    df.withColumn("__es", log(u) / weight)
+    df.withColumn("__es", esScore(id, weight))
       .orderBy(col("__es").desc, id.asc)
       .limit(k)
       .drop("__es")
   }
+
+  /** The A-ES score ln(u)/w with u md5-derived from the stable id —
+    * shared by [[reservoirSample]] (global top-k) and
+    * [[reservoirSamplePerKey]] (per-group quotas).
+    */
+  private def esScore(id: Column, weight: Column): Column = {
+    val v = conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long")
+    val u = (v + lit(1L)).cast("double") / lit(4294967296.0)
+    log(u) / weight
+  }
+
+  /** Stratified A-ES: an exact-size weighted sample without replacement
+    * PER GROUP — "k docs per language, preferring long ones" — the
+    * balanced-downsampling step that fixes per-stratum budgets instead of
+    * one global budget ([[reservoirSample]]). Same deterministic md5
+    * scores, so the DuckDB oracle recomputes the per-group selection
+    * exactly.
+    *
+    * Scale shape: delegates to [[capPerKey]] on the score — with
+    * `saltBuckets > 1` a salted pre-cap bounds any hot group's sort to
+    * (group, salt) slices before the final per-group cut (the
+    * select_domain_cap plan), so a stratum with billions of rows never
+    * sorts through one task.
+    */
+  def reservoirSamplePerKey(
+      df: DataFrame,
+      id: Column,
+      weight: Column,
+      key: Column,
+      kPerKey: Int,
+      saltBuckets: Int = 1): DataFrame =
+    capPerKey(df.withColumn("__es", esScore(id, weight)), key,
+        Seq(col("__es").desc, id.asc), kPerKey, id, saltBuckets)
+      .drop("__es")
 
   /** Fixed-size token-window chunking with overlap — the context-window
     * prep step that splits long documents into model-sized pieces (window

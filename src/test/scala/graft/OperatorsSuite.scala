@@ -2132,6 +2132,24 @@ class OperatorsSuite extends AnyFunSuite {
       s"sample_reservoir_weighted must plan as TakeOrderedAndProject:\n$plan")
   }
 
+  test("reservoirSamplePerKey: exact per-group quotas, salted plan ≡ direct window") {
+    val w = greatest(col("n_chars"), lit(1L)).cast("double")
+    val direct = Pipeline.reservoirSamplePerKey(docs, col("doc_id"), w, col("lang"), 20)
+    val salted = Pipeline.reservoirSamplePerKey(docs, col("doc_id"), w, col("lang"), 20,
+      saltBuckets = 8)
+    val dIds = direct.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val sIds = salted.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(sIds === dIds, "salted pre-cap must not change the per-group selection")
+    // every group fills its quota exactly (or its full size when smaller)
+    val groupSizes = docs.groupBy(col("lang")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sampled = direct.groupBy(col("lang")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    groupSizes.foreach { case (lang, n) =>
+      assert(sampled(lang) === math.min(n, 20L), s"wrong quota for $lang")
+    }
+  }
+
   test("bloomPrunedJoin: result identical to the plain join, fact side pruned pre-shuffle") {
     val fact = Tables.lineitem(spark, sf)
       .select(col("l_orderkey"), col("l_extendedprice"))
