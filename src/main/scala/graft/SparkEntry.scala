@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.operators.{Dedup, Multimodal, Pipeline, Profile, QualityModel, Relational, Similarity, TextAnalysis, Timeseries, WindowAssign}
+import graft.operators.{Analytics, Dedup, Multimodal, Pipeline, Profile, QualityModel, Relational, Similarity, TextAnalysis, Timeseries, WindowAssign}
 import graft.functions.{FrequentItems, VectorFunctions}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -596,6 +596,114 @@ object SparkEntry {
         .orderBy(col("user_id"), col("valid_from"))
     }),
 
+    // Interval-overlap (temporal) join: per validity interval of the first
+    // user cohort, how many intervals of the second cohort were in force
+    // at the same time — concurrency analysis as a banded equi-join on the
+    // time band (each pair emitted only in its overlap-start band: exactly
+    // once, no dedup), never |L|·|R|. Oracle = the naive theta join.
+    "q_interval_overlap" -> ((s, dir) => {
+      val ev = events(s, dir).withColumn("ts_s", unix_timestamp(col("ts")))
+      def iv(loU: Int, hiU: Int, pfx: String) =
+        Timeseries.changeIntervals(
+            ev.filter(col("user_id") >= loU && col("user_id") < hiU),
+            col("user_id"), col("ts_s"), col("event_id"), col("event_type"))
+          .filter(col("valid_to").isNotNull) // open runs: no finite interval
+          .select(col("user_id").as(s"${pfx}_user"),
+            col("valid_from").as(s"${pfx}_from"), col("valid_to").as(s"${pfx}_to"))
+      Relational.intervalOverlapJoin(
+          iv(0, 10, "l"), iv(10, 20, "r"),
+          col("l_from"), col("l_to"), col("r_from"), col("r_to"),
+          bandWidth = 86400L)
+        .groupBy(col("l_user"), col("l_from"))
+        .agg(count(lit(1)).as("n_concurrent"))
+        .orderBy(col("l_user"), col("l_from"))
+    }),
+
+    // Bounded-horizon EWMA per user: exponential smoothing re-expressed as
+    // a pure function of the last 8 rows (geometric weights truncated where
+    // they vanish), so the sequential recurrence becomes one per-key window
+    // — embarrassingly parallel, no cross-row state. Value quantized once
+    // to micro-units; weight literals embedded identically in the oracle.
+    "events_ewma" -> ((s, dir) => {
+      events(s, dir)
+        .withColumn("ewma", Analytics.ewma("user_id",
+          Seq(unix_micros(col("ts")), col("event_id")), "value",
+          alpha = 0.3, horizon = 8))
+        .filter(pmod(col("event_id"), lit(20)) === 0)
+        .select(col("event_id"), col("user_id"), col("ewma"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Rolling 20-row Pearson correlation of value against time per user,
+    // from exact integer moment sums (decimal ≡ DuckDB HUGEINT) — the
+    // engines' native `corr` window aggregate accumulates doubles in
+    // engine-private order and can't be checked cross-engine. Degenerate
+    // frames (zero variance) yield sentinel 2.0, never NULL.
+    "events_rolling_corr" -> ((s, dir) => {
+      events(s, dir)
+        .withColumn("corr20", Analytics.rollingCorr("user_id",
+          Seq(unix_micros(col("ts")), col("event_id")),
+          xCol = unix_timestamp(col("ts")) - 1704067200L,
+          yCol = round(col("value") * 10000, 0).cast("long"),
+          frameRows = 20))
+        .filter(pmod(col("event_id"), lit(20)) === 0)
+        .select(col("event_id"), col("user_id"), col("corr20"))
+        .orderBy(col("event_id"))
+    }),
+
+    // First-order Markov transition census over per-user event sequences —
+    // the sequence-mining companion to funnel/cohort: which step follows
+    // which, with conditional probability in integer ppm (pure integer
+    // round-half-up; no float anywhere). Per-key lead() shards by user;
+    // the census is a hash agg on at most |states|² rows.
+    "events_transitions" -> ((s, dir) => {
+      Analytics.transitionCensus(events(s, dir), "user_id",
+          Seq(unix_micros(col("ts")), col("event_id")), "event_type")
+        .orderBy(col("from_state"), col("to_state"))
+    }),
+
+    // Per-segment OLS trend fit (value drift over time per event type) from
+    // exact decimal moment sums — deliberately NOT regr_slope/intercept,
+    // whose double accumulation order makes a distributed run unverifiable
+    // against a single-threaded oracle. One two-level hash agg, one row per
+    // group, closed-form slope/intercept from identical integers.
+    "q_regression_per_group" -> ((s, dir) => {
+      // x in kilo-seconds since 2024-01-01 (non-negative, so truncating
+      // `div` ≡ DuckDB's flooring `//`): keeps every moment difference
+      // inside int64 through sf1, where the oracle's BIGINT→DOUBLE cast is
+      // a single correctly-rounded hardware op (DuckDB's HUGEINT→DOUBLE is
+      // NOT correctly rounded — measured 1-ulp off on negative >2⁵³ values)
+      Analytics.regressionPerGroup(events(s, dir),
+          Seq(col("event_type")),
+          x = expr("(unix_timestamp(ts) - 1704067200) div 1000"),
+          y = round(col("value") * 10000, 0).cast("long"),
+          scale = 8)
+        .select(col("event_type"), col("n"), col("slope"), col("intercept"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Shannon entropy (nats) of the language distribution per source — the
+    // corpus-diversity / label-skew monitor. Counts aggregate exactly; the
+    // single float step (Σ c·ln c over ≤ a few categories) sits far inside
+    // the 6dp round.
+    "source_lang_entropy" -> ((s, dir) => {
+      Analytics.categoricalEntropy(documents(s, dir),
+          Seq(col("source")), col("lang"))
+        .select(col("source"), col("n_cats"), col("entropy"))
+        .orderBy(col("source"))
+    }),
+
+    // Deterministic mode: most frequent event type per user with a total
+    // tie-break (count desc, value asc) — the engines' native mode() is
+    // arbitrary on ties, useless for a reproducible pipeline. Count agg +
+    // per-key rank; shards by user.
+    "q_mode_per_group" -> ((s, dir) => {
+      Analytics.deterministicMode(events(s, dir),
+          Seq(col("user_id")), col("event_type"))
+        .select(col("user_id"), col("mode_val"), col("mode_n"))
+        .orderBy(col("user_id"))
+    }),
+
     // One-pass column profiler over the corpus table: per column, rows /
     // nulls / exact distincts / numeric min-max, all from a single
     // aggregate over one scan (exact countDistinct = the Expand-planned
@@ -763,6 +871,37 @@ object SparkEntry {
         .filter(col("rk") <= 3)
         .select(col("doc_id"), col("token"), col("tfidf"))
         .orderBy(col("doc_id"), col("tfidf").desc, col("token"))
+    }),
+
+    // Per-document novelty: fraction of a doc's distinct 3-token shingles
+    // with corpus document-frequency 1 — the complement signal of the
+    // MinHash family (shared shingles instead of shared signatures), used
+    // to weight selection toward original prose. Integer ppm end to end;
+    // the gram-keyed join is the exact-substring-dedup shape, never
+    // all-pairs.
+    "text_novelty" -> ((s, dir) => {
+      TextAnalysis.noveltyCensus(documents(s, dir), "doc_id", "text",
+          shingleSize = 3)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Compression-ratio quality screen (zlib-family): DEFLATE size of each
+    // document at fixed level over its raw UTF-8 bytes, as basis points.
+    // Highly compressible = boilerplate/template spam; incompressible =
+    // binary junk. Native codegen'd expression (functions/DeflateSize) —
+    // pure per-row CPU, no shuffle. No SQL oracle (DuckDB has no deflate);
+    // invariant + determinism specs in OperatorsSuite.
+    "text_compression_ratio" -> ((s, dir) => {
+      val raw = octet_length(col("text"))
+      documents(s, dir)
+        .withColumn("raw_bytes", raw.cast("long"))
+        .withColumn("deflate_bytes",
+          graft.functions.DeflateSize.deflateSize(col("text")).cast("long"))
+        .filter(col("raw_bytes") > 0)
+        .withColumn("ratio_bp",
+          (col("deflate_bytes") * 10000L / col("raw_bytes")).cast("long"))
+        .select(col("doc_id"), col("raw_bytes"), col("deflate_bytes"), col("ratio_bp"))
+        .orderBy(col("doc_id"))
     }),
 
     // TPC-H Q5 shape: 6-way join across the full star schema. Fact-fact
@@ -1941,6 +2080,37 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
+  /** DuckDB mirror of [[Analytics.ewma]]: weight literals printed from the
+    * SAME `math.pow(1-α, j)` doubles the Spark plan embeds (Double.toString
+    * round-trips through DuckDB's literal parser to the identical bits) and
+    * terms summed in the same ascending-j association order.
+    */
+  private def ewmaOracleSql(alpha: Double, horizon: Int): String = {
+    val lagCols = (0 until horizon).map { j =>
+      if (j == 0) "xu AS x0" else s"lag(xu, $j) OVER w AS x$j"
+    }.mkString(", ")
+    def w(j: Int) = java.lang.Double.toString(math.pow(1 - alpha, j))
+    val num = (0 until horizon)
+      .map(j => s"(CASE WHEN x$j IS NOT NULL THEN ${w(j)} * x$j ELSE 0.0 END)")
+      .mkString(" + ")
+    val den = (0 until horizon)
+      .map(j => s"(CASE WHEN x$j IS NOT NULL THEN ${w(j)} ELSE 0.0 END)")
+      .mkString(" + ")
+    s"""WITH e AS (
+       |  SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us,
+       |         CAST(round(value * 10000, 0) AS BIGINT) AS xu
+       |  FROM events),
+       |l AS (
+       |  SELECT event_id, user_id, $lagCols
+       |  FROM e
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id))
+       |SELECT event_id, user_id,
+       |       round(($num) / ($den) / 10000.0, 4) AS ewma
+       |FROM l
+       |WHERE event_id % 20 = 0
+       |ORDER BY event_id""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "count_window_agg" ->
       """SELECT window_id,
@@ -3083,6 +3253,149 @@ object SparkEntry {
         |             ELSE coalesce(prev_u, next_u) END) / 10000.0 AS v_interp
         |FROM w
         |ORDER BY user_id, bucket_s""".stripMargin,
+
+    "q_interval_overlap" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000000000 AS ts_s, event_type
+        |           FROM events WHERE user_id < 20),
+        |c AS (SELECT user_id, event_id, ts_s, event_type,
+        |             CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_s, event_id)
+        |                       IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+        |      FROM e),
+        |r AS (SELECT user_id, ts_s,
+        |             sum(chg) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+        |                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS run_id
+        |      FROM c),
+        |g AS (SELECT user_id, run_id, min(ts_s)::BIGINT AS valid_from
+        |      FROM r GROUP BY 1, 2),
+        |iv AS (SELECT user_id, valid_from,
+        |              lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) AS valid_to
+        |       FROM g),
+        |l AS (SELECT * FROM iv WHERE user_id < 10 AND valid_to IS NOT NULL),
+        |rr AS (SELECT * FROM iv WHERE user_id >= 10 AND valid_to IS NOT NULL)
+        |SELECT l.user_id AS l_user, l.valid_from AS l_from, count(*)::BIGINT AS n_concurrent
+        |FROM l JOIN rr ON l.valid_from < rr.valid_to AND rr.valid_from < l.valid_to
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+
+    // EWMA: the lag-unrolled bounded-horizon form, with the (1-α)^j weight
+    // literals emitted from the SAME math.pow calls the Spark plan embeds
+    // (Double.toString round-trips, so DuckDB parses the identical double)
+    // and the numerator/denominator summed in the same ascending-j
+    // association order — the final division is bit-identical.
+    "events_ewma" -> ewmaOracleSql(alpha = 0.3, horizon = 8),
+
+    // moment differences cast ::BIGINT::DOUBLE (single hardware cvt) —
+    // DuckDB's direct HUGEINT→DOUBLE is not correctly rounded; the bounded
+    // 20-row frame keeps every difference far inside int64.
+    "events_rolling_corr" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us,
+        |         (epoch_ns(ts) // 1000000000 - 1704067200)::HUGEINT AS x,
+        |         CAST(round(value * 10000, 0) AS BIGINT)::HUGEINT AS y
+        |  FROM events),
+        |w AS (
+        |  SELECT event_id, user_id,
+        |         count(*) OVER fr AS n,
+        |         sum(x) OVER fr AS sx, sum(y) OVER fr AS sy,
+        |         sum(x * y) OVER fr AS sxy,
+        |         sum(x * x) OVER fr AS sxx, sum(y * y) OVER fr AS syy
+        |  FROM e
+        |  WINDOW fr AS (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+        |SELECT event_id, user_id,
+        |       CASE WHEN (n * sxx - sx * sx)::BIGINT::DOUBLE > 0
+        |             AND (n * syy - sy * sy)::BIGINT::DOUBLE > 0
+        |            THEN floor((n * sxy - sx * sy)::BIGINT::DOUBLE
+        |                       / sqrt((n * sxx - sx * sx)::BIGINT::DOUBLE)
+        |                       / sqrt((n * syy - sy * sy)::BIGINT::DOUBLE)
+        |                       * 10000.0 + 0.5)::BIGINT / 10000.0
+        |            ELSE 2.0 END AS corr20
+        |FROM w
+        |WHERE event_id % 20 = 0
+        |ORDER BY event_id""".stripMargin,
+
+    "events_transitions" ->
+      """WITH p AS (
+        |  SELECT event_type AS from_state,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY epoch_ns(ts) // 1000, event_id) AS to_state
+        |  FROM events),
+        |c AS (
+        |  SELECT from_state, to_state, count(*)::BIGINT AS n
+        |  FROM p WHERE to_state IS NOT NULL GROUP BY 1, 2),
+        |t AS (
+        |  SELECT *, sum(n) OVER (PARTITION BY from_state) AS tot FROM c)
+        |SELECT from_state, to_state, n,
+        |       ((n * 2000000 + tot) // (tot * 2))::BIGINT AS p_ppm
+        |FROM t
+        |ORDER BY from_state, to_state""".stripMargin,
+
+    // exact HUGEINT moments, but every →DOUBLE conversion routed through
+    // ::BIGINT: DuckDB's HUGEINT→DOUBLE is not correctly rounded (1 ulp off
+    // on negative >2⁵³ values — measured), while BIGINT→DOUBLE is a single
+    // hardware cvt. x in kilo-seconds keeps all differences inside int64.
+    "q_regression_per_group" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |         ((epoch_ns(ts) // 1000000000 - 1704067200) // 1000)::HUGEINT AS x,
+        |         CAST(round(value * 10000, 0) AS BIGINT)::HUGEINT AS y
+        |  FROM events),
+        |a AS (
+        |  SELECT event_type, count(*)::HUGEINT AS n,
+        |         sum(x) AS sx, sum(y) AS sy,
+        |         sum(x * y) AS sxy, sum(x * x) AS sxx
+        |  FROM e GROUP BY 1),
+        |d AS (
+        |  SELECT event_type, n::BIGINT::DOUBLE AS nd,
+        |         (n * sxy - sx * sy)::BIGINT::DOUBLE AS num,
+        |         (n * sxx - sx * sx)::BIGINT::DOUBLE AS det,
+        |         sx::BIGINT::DOUBLE AS sxd, sy::BIGINT::DOUBLE AS syd
+        |  FROM a)
+        |SELECT event_type, nd::BIGINT AS n,
+        |       floor(num / det * 100000000.0 + 0.5)::BIGINT
+        |         / 100000000.0 AS slope,
+        |       floor((syd - num / det * sxd)
+        |             / nd * 100000000.0 + 0.5)::BIGINT
+        |         / 100000000.0 AS intercept
+        |FROM d
+        |WHERE det > 0
+        |ORDER BY event_type""".stripMargin,
+
+    "source_lang_entropy" ->
+      """WITH c AS (
+        |  SELECT source, lang, count(*)::BIGINT AS c
+        |  FROM documents GROUP BY 1, 2)
+        |SELECT source, count(*)::BIGINT AS n_cats,
+        |       round(ln(sum(c)::DOUBLE)
+        |             - sum(c::DOUBLE * ln(c::DOUBLE)) / sum(c), 6) AS entropy
+        |FROM c GROUP BY source
+        |ORDER BY source""".stripMargin,
+
+    "q_mode_per_group" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type AS mode_val, count(*)::BIGINT AS mode_n
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |           ORDER BY mode_n DESC, mode_val) AS rk FROM c)
+        |SELECT user_id, mode_val, mode_n FROM r WHERE rk = 1
+        |ORDER BY user_id""".stripMargin,
+
+    "text_novelty" ->
+      """WITH s AS (
+        |  SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+        |                                for i in range(1, len(toks) - 1)]) AS sh
+        |  FROM (SELECT doc_id, string_split_regex(text, ' +') AS toks
+        |        FROM documents)),
+        |g AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+        |d AS (SELECT shingle, count(*)::BIGINT AS df FROM g GROUP BY 1)
+        |SELECT g.doc_id, count(*)::BIGINT AS n_shingles,
+        |       sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END)::BIGINT AS n_unique,
+        |       ((sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) * 2000000 + count(*))
+        |        // (count(*) * 2))::BIGINT AS novelty_ppm
+        |FROM g JOIN d USING (shingle)
+        |GROUP BY g.doc_id
+        |ORDER BY g.doc_id""".stripMargin,
 
     "sliding_window" ->
       """SELECT ws AS window_start_s, count(*) AS n_events, round(sum(value), 2) AS sum_value

@@ -1,0 +1,257 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.IntegralDivide
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
+
+/** Per-key analytic statistics a feature-engineering / monitoring pipeline
+  * runs over event streams and document corpora: exponential smoothing,
+  * rolling correlation, per-group trend fits, distribution entropy,
+  * deterministic mode, and Markov transition mining.
+  *
+  * The reference has no analytic surface (its WindowEmitter, reference
+  * window.py:13-327, hands raw window contents to user code); these are
+  * [EXT] operators, built so every result is bit-reproducible cross-engine:
+  * inputs quantize ONCE to integer units, all accumulation happens in exact
+  * integer/decimal arithmetic (Spark decimal sums ≡ DuckDB HUGEINT sums),
+  * and the only floating-point step is a final division of identical
+  * integers — nothing order-dependent survives to the output.
+  *
+  * Scale shape: everything here is per-key windows (shard by key — 10⁹
+  * independent series parallelize flat) or two-level hash aggregation with
+  * map-side combine. No global sorts, no driver materialization.
+  */
+object Analytics {
+
+  /** `DIV` (truncating integer division — DuckDB `//`), for exact plans. */
+  private def intDiv(a: Column, b: Column): Column =
+    ColumnBridge.column(new IntegralDivide(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Round-half-up to `scale` dp from IEEE primitives only — multiply,
+    * add, floor, long-cast, divide are each correctly rounded, so the
+    * result is bit-identical on any IEEE engine (the engines' native
+    * round() is NOT: at decimal ties Spark rounds the shortest decimal
+    * repr, DuckDB the binary expansion). Valid while |x·10^scale| < 2⁵³.
+    */
+  private[operators] def ieeeRound(x: Column, scale: Int): Column = {
+    val p = math.pow(10, scale)
+    floor(x * p + 0.5).cast("long") / p
+  }
+
+  /** Bounded-horizon exponential moving average per key.
+    *
+    * The textbook EWMA recurrence y_t = α·x_t + (1−α)·y_{t−1} is inherently
+    * sequential — state threads through every row of a series, which is the
+    * one shape a shared-nothing engine cannot parallelize within a key. The
+    * scale form truncates the geometric tail: weights α(1−α)^j decay so fast
+    * that horizon K with (1−α)^K < 1e-4 changes nothing material, and the
+    * truncated sum is a pure function of the last K rows — embarrassingly
+    * parallel, one per-key window, no recurrence.
+    *
+    *   y_t = Σ_{j=0..K−1} (1−α)^j · x_{t−j}  /  Σ_{j=0..K−1 present} (1−α)^j
+    *
+    * (normalized over the lags that exist, so the first rows of a series
+    * average over their shorter history instead of decaying toward 0).
+    *
+    * Exactness: x quantizes once to integer micro-units (×10⁴); weights are
+    * (1−α)^j for integer j — the same double on any IEEE engine; numerator
+    * and denominator are short fixed-order sums (j ascending, unrolled), so
+    * the final division is bit-identical cross-engine. Output rounds to 4dp.
+    */
+  def ewma(
+      keyCol: String,
+      orderCols: Seq[Column],
+      valueCol: String,
+      alpha: Double,
+      horizon: Int = 8): Column = {
+    require(alpha > 0 && alpha < 1, s"alpha in (0,1), got $alpha")
+    require(horizon >= 1, s"horizon >= 1, got $horizon")
+    val w = Window.partitionBy(col(keyCol)).orderBy(orderCols: _*)
+    val xu = round(col(valueCol) * 10000, 0).cast("long")
+    // fixed ascending-j unrolled sums: identical association order on both
+    // engines, so the doubles agree to the last bit
+    val terms = (0 until horizon).map { j =>
+      val wj = math.pow(1 - alpha, j)
+      val lj = if (j == 0) xu else lag(xu, j).over(w)
+      (when(lj.isNotNull, lit(wj) * lj).otherwise(lit(0.0)),
+       when(lj.isNotNull, lit(wj)).otherwise(lit(0.0)))
+    }
+    val num = terms.map(_._1).reduceLeft(_ + _)
+    val den = terms.map(_._2).reduceLeft(_ + _)
+    round(num / den / 10000.0, 4)
+  }
+
+  /** Rolling Pearson correlation between two series over a trailing
+    * `frameRows`-row frame per key, computed from EXACT integer moment sums
+    * (n, Σx, Σy, Σxy, Σx², Σy² as decimal — Spark decimal agg ≡ DuckDB
+    * HUGEINT, both exact) rather than the engines' native `corr` window
+    * aggregate, whose incremental update order is engine-private and floats
+    * in the last ulp. From identical integer moments the closed form
+    *
+    *   r = (n·Σxy − Σx·Σy) / sqrt(n·Σx² − (Σx)²) / sqrt(n·Σy² − (Σy)²)
+    *
+    * is bit-identical cross-engine (sqrt and divide are correctly-rounded
+    * IEEE ops); output rounds to 4dp via [[ieeeRound]]. Degenerate frames
+    * (zero variance on either side) yield the sentinel 2.0 — outside [−1,1],
+    * never NULL, so the oracle hash stays total.
+    *
+    * Scale: one per-key window with a bounded ROWS frame — state per frame
+    * is six numbers regardless of series length.
+    */
+  def rollingCorr(
+      keyCol: String,
+      orderCols: Seq[Column],
+      xCol: Column,
+      yCol: Column,
+      frameRows: Int): Column = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(orderCols: _*)
+      .rowsBetween(-(frameRows - 1), Window.currentRow)
+    val dec = "decimal(38,0)"
+    val x = xCol.cast(dec)
+    val y = yCol.cast(dec)
+    val n   = count(lit(1)).over(w).cast(dec)
+    val sx  = sum(x).over(w)
+    val sy  = sum(y).over(w)
+    val sxy = sum(x * y).over(w)
+    val sxx = sum(x * x).over(w)
+    val syy = sum(y * y).over(w)
+    val varX = (n * sxx - sx * sx).cast("double")
+    val varY = (n * syy - sy * sy).cast("double")
+    val cov  = (n * sxy - sx * sy).cast("double")
+    when(varX > 0 && varY > 0, ieeeRound(cov / sqrt(varX) / sqrt(varY), 4))
+      .otherwise(lit(2.0))
+  }
+
+  /** Per-group ordinary-least-squares fit of y against x — the trend
+    * detector behind per-segment drift monitoring. Deliberately NOT the
+    * engines' `regr_slope`/`regr_intercept`: those accumulate doubles in
+    * partition order, so a distributed run is not reproducible against a
+    * single-threaded oracle. Here both coordinates quantize to integers
+    * (y to micro-units, x shifted by `xOrigin` to keep magnitudes small),
+    * the five moments aggregate as exact decimals, and slope/intercept come
+    * out of one closed-form division of identical integers.
+    *
+    * Output: (group, n, slope, intercept) with slope/intercept rounded to
+    * `scale` dp — via floor(x·10^scale + 0.5)/10^scale, every step an IEEE
+    * primitive (multiply, add, floor, divide) with one correctly-rounded
+    * result, so the output double is bit-identical cross-engine; the
+    * engines' native round() differs at decimal-tie boundaries (Spark
+    * rounds the shortest decimal repr, DuckDB the binary expansion).
+    * Requires |x·10^scale| < 2⁵³. Groups with zero x-variance are dropped
+    * (no fit exists).
+    *
+    * Scale: a two-level hash agg with map-side combine — one row per group
+    * out, nothing sorts.
+    */
+  def regressionPerGroup(
+      df: DataFrame,
+      groupCols: Seq[Column],
+      x: Column,
+      y: Column,
+      scale: Int = 6): DataFrame = {
+    val dec = "decimal(38,0)"
+    val xi = x.cast("long").cast(dec)
+    val yi = y.cast("long").cast(dec)
+    df.groupBy(groupCols: _*)
+      .agg(
+        count(lit(1)).cast(dec).as("n_dec"),
+        sum(xi).as("sx"),
+        sum(yi).as("sy"),
+        sum(xi * yi).as("sxy"),
+        sum(xi * xi).as("sxx"))
+      .withColumn("det", (col("n_dec") * col("sxx") - col("sx") * col("sx")).cast("double"))
+      .filter(col("det") > 0)
+      .withColumn("slope_raw",
+        (col("n_dec") * col("sxy") - col("sx") * col("sy")).cast("double") / col("det"))
+      .withColumn("slope", ieeeRound(col("slope_raw"), scale))
+      .withColumn("intercept", ieeeRound(
+        (col("sy").cast("double") - col("slope_raw") * col("sx").cast("double"))
+          / col("n_dec").cast("double"), scale))
+      .withColumn("n", col("n_dec").cast("long"))
+      .drop("n_dec", "sx", "sy", "sxy", "sxx", "det", "slope_raw")
+  }
+
+  /** Shannon entropy (nats) of a categorical distribution per group — the
+    * label-skew / source-diversity signal a corpus monitor tracks. Two-level
+    * hash agg: counts per (group, category), then H = ln(N) − Σc·ln(c)/N
+    * per group from exact integer counts. That algebraic form needs only ONE
+    * float sum (Σ c·ln c); with ≤ a few hundred categories per group and a
+    * 6dp round, accumulation-order ulp noise is far below the output
+    * precision, and DuckDB's single-threaded sum agrees.
+    *
+    * Output: (groupCols..., n_cats, entropy).
+    */
+  def categoricalEntropy(
+      df: DataFrame,
+      groupCols: Seq[Column],
+      category: Column): DataFrame = {
+    val byCat = df.groupBy((groupCols :+ category.as("__cat")): _*)
+      .agg(count(lit(1)).as("__c"))
+    byCat.groupBy(groupCols: _*)
+      .agg(
+        count(lit(1)).as("n_cats"),
+        sum(col("__c")).as("__n"),
+        sum(col("__c").cast("double") * log(col("__c").cast("double"))).as("__clnc"))
+      .withColumn("entropy",
+        round(log(col("__n").cast("double")) - col("__clnc") / col("__n"), 6))
+      .drop("__n", "__clnc")
+  }
+
+  /** Mode (most frequent value) per group with a DETERMINISTIC tie-break
+    * (smallest value wins). The engines' native `mode()` returns an
+    * arbitrary element on ties — fine interactively, useless for a
+    * reproducible pipeline or a cross-engine check. Count + one per-group
+    * rank over (count desc, value asc); the rank window partitions by group,
+    * so it shards. Output: (groupCols..., mode_val, mode_n).
+    */
+  def deterministicMode(
+      df: DataFrame,
+      groupCols: Seq[Column],
+      value: Column): DataFrame = {
+    val counted = df.groupBy((groupCols :+ value.as("mode_val")): _*)
+      .agg(count(lit(1)).as("mode_n"))
+    val w = Window.partitionBy(groupCols: _*)
+      .orderBy(col("mode_n").desc, col("mode_val"))
+    counted.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .drop("__rk")
+  }
+
+  /** First-order Markov transition census over per-key ordered event
+    * sequences: for every key the consecutive (state → next state) pairs,
+    * counted corpus-wide, with the conditional transition probability in
+    * integer parts-per-million, computed as pure integer round-half-up
+    * ((n·2e6 + total) div (2·total)) — no float anywhere in the output.
+    *
+    * This is the sequence-mining companion to funnel/cohort analysis: which
+    * step follows which, and how often.
+    *
+    * Scale: lag is a per-key window (shards); the census is a hash agg on
+    * (from, to); the row-total a window over `from` — at most |states|²
+    * rows by then, negligible.
+    *
+    * Output: (from_state, to_state, n, p_ppm).
+    */
+  def transitionCensus(
+      df: DataFrame,
+      keyCol: String,
+      orderCols: Seq[Column],
+      stateCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(orderCols: _*)
+    val pairs = df
+      .withColumn("__to", lead(col(stateCol), 1).over(w))
+      .filter(col("__to").isNotNull)
+      .select(col(stateCol).as("from_state"), col("__to").as("to_state"))
+    val counted = pairs.groupBy(col("from_state"), col("to_state"))
+      .agg(count(lit(1)).as("n"))
+    val wf = Window.partitionBy(col("from_state"))
+    counted
+      .withColumn("__tot", sum(col("n")).over(wf))
+      .withColumn("p_ppm",
+        intDiv(col("n") * 2000000L + col("__tot"), col("__tot") * 2L).cast("long"))
+      .drop("__tot")
+  }
+}

@@ -351,4 +351,46 @@ object TextAnalysis {
       seed: Int = 42): org.apache.spark.util.sketch.CountMinSketch =
     df.select(explode(wordTokens(textCol)).as("token"))
       .stat.countMinSketch(col("token"), eps, confidence, seed)
+
+  /** Per-document novelty census: what fraction of a document's distinct
+    * n-token shingles appear in NO other document. High novelty separates
+    * original prose from template/boilerplate corpora; selection recipes
+    * weight toward it the same way they weight against near-duplicates
+    * (it is the complement signal of the MinHash family — shared shingles
+    * instead of shared signatures).
+    *
+    * Exactness: counts all the way down — the score is integer ppm via
+    * round-half-up integer division, so there is nothing for engines to
+    * disagree on. Documents shorter than n tokens have no shingles and
+    * drop out (no denominator exists).
+    *
+    * Scale shape: explode → one hash agg keyed on the shingle (map-side
+    * combine collapses within-partition repeats) → one shuffle join back
+    * on the shingle key → per-doc hash agg. The gram-keyed join is m rows
+    * per shared gram — the exact-substring-dedup shape, never all-pairs.
+    *
+    * Output: (doc_id, n_shingles, n_unique, novelty_ppm).
+    */
+  def noveltyCensus(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol).as("doc_id"),
+      explode(shingles(col(textCol), shingleSize)).as("shingle"))
+    val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val ppm = {
+      val u = col("n_unique")
+      val t = col("n_shingles")
+      ColumnBridge.column(new IntegralDivide(
+        ColumnBridge.expression(u * 2000000L + t),
+        ColumnBridge.expression(t * 2L)))
+    }
+    sh.join(dfreq, "shingle")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .withColumn("novelty_ppm", ppm.cast("long"))
+  }
 }

@@ -1,0 +1,198 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Tables
+import graft.operators.{Analytics, TextAnalysis}
+
+/** Invariant specs for the analytic-statistics family (Analytics.scala) and
+  * the compression-ratio signal (functions/DeflateSize.scala). The oracle
+  * queries check cross-engine exactness; these check the math itself.
+  */
+class AnalyticsSuite extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf0001
+  import spark.implicits._
+
+  test("ewma: constant series is identity; step series moves monotonically toward the new level") {
+    val const = (1 to 30).map(i => ("k", i, 5.0)).toDF("k", "i", "v")
+    val c = const.withColumn("e", Analytics.ewma("k", Seq(col("i")), "v", 0.3, 8))
+      .select("e").as[Double].collect()
+    assert(c.forall(_ == 5.0), "EWMA of a constant series must be the constant")
+
+    val step = ((1 to 10).map(i => ("k", i, 0.0)) ++ (11 to 20).map(i => ("k", i, 10.0)))
+      .toDF("k", "i", "v")
+    val s = step.orderBy("i")
+      .withColumn("e", Analytics.ewma("k", Seq(col("i")), "v", 0.3, 8))
+      .orderBy("i").select("e").as[Double].collect()
+    val after = s.drop(10)
+    assert(after.zip(after.tail).forall { case (a, b) => b >= a },
+      s"EWMA must rise monotonically after an upward step: ${after.toSeq}")
+    assert(after.last > 9.9, "horizon-8 EWMA at alpha=0.3 must converge onto the new level")
+    assert(after.head < 5.0, "first post-step EWMA must still be dominated by history")
+  }
+
+  test("ewma: bounded by the min/max of the horizon window") {
+    val ev = Tables.events(spark, sf)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(unix_micros(col("ts")), col("event_id"))
+      .rowsBetween(-7, 0)
+    val bad = ev
+      .withColumn("e", Analytics.ewma("user_id",
+        Seq(unix_micros(col("ts")), col("event_id")), "value", 0.3, 8))
+      .withColumn("lo", min(round(col("value") * 10000, 0) / 10000.0).over(w))
+      .withColumn("hi", max(round(col("value") * 10000, 0) / 10000.0).over(w))
+      .filter(col("e") < col("lo") - 0.0001 || col("e") > col("hi") + 0.0001)
+      .count()
+    assert(bad === 0L, "EWMA is a convex combination of the horizon window")
+  }
+
+  test("rollingCorr: +1 on a perfect positive line, -1 on a negative one, sentinel on zero variance") {
+    val lin = (1 to 50).map(i => ("k", i.toLong, (2 * i + 3).toLong, (100 - i).toLong, 7L))
+      .toDF("k", "x", "yUp", "yDown", "yConst")
+    def corrOf(y: String): Seq[Double] = lin
+      .withColumn("c", Analytics.rollingCorr("k", Seq(col("x")), col("x"), col(y), 10))
+      .filter(col("x") >= 2)  // first frame has one row: zero variance
+      .select("c").as[Double].collect().toSeq
+    assert(corrOf("yUp").forall(_ == 1.0), "y=2x+3 has rolling corr exactly +1")
+    assert(corrOf("yDown").forall(_ == -1.0), "y=100-x has rolling corr exactly -1")
+    assert(corrOf("yConst").forall(_ == 2.0), "zero y-variance yields the 2.0 sentinel")
+  }
+
+  test("rollingCorr: |r| <= 1 on real data wherever defined") {
+    val ev = Tables.events(spark, sf)
+    val out = ev.withColumn("c", Analytics.rollingCorr("user_id",
+        Seq(unix_micros(col("ts")), col("event_id")),
+        unix_timestamp(col("ts")) - 1704067200L,
+        round(col("value") * 10000, 0).cast("long"), 20))
+      .select("c").as[Double].collect()
+    assert(out.nonEmpty)
+    assert(out.forall(c => c == 2.0 || (c >= -1.0 && c <= 1.0)))
+  }
+
+  test("regressionPerGroup: recovers an exact integer line; drops zero-variance groups") {
+    val pts = ((1 to 40).map(x => ("lin", x.toLong, 3L * x + 7)) ++
+      (1 to 5).map(_ => ("flat", 4L, 99L)))  // zero x-variance
+      .toDF("g", "x", "y")
+    val fit = Analytics.regressionPerGroup(pts, Seq(col("g")), col("x"), col("y"), scale = 8)
+      .collect().map(r => (r.getString(0), r)).toMap
+    assert(!fit.contains("flat"), "a group with zero x-variance has no fit")
+    val lin = fit("lin")
+    assert(lin.getAs[Double]("slope") === 3.0)
+    assert(lin.getAs[Double]("intercept") === 7.0)
+    assert(lin.getAs[Long]("n") === 40L)
+  }
+
+  test("categoricalEntropy: 0 for a single category, ln(k) for a uniform distribution") {
+    val df = ((1 to 12).map(i => ("uni", s"c${i % 4}")) ++
+      (1 to 9).map(_ => ("mono", "only"))).toDF("g", "cat")
+    val ent = Analytics.categoricalEntropy(df, Seq(col("g")), col("cat"))
+      .collect().map(r => (r.getString(0), (r.getAs[Long]("n_cats"), r.getAs[Double]("entropy")))).toMap
+    assert(ent("mono") === ((1L, 0.0)))
+    assert(ent("uni")._1 === 4L)
+    assert(math.abs(ent("uni")._2 - math.log(4)) < 1e-6, "uniform over 4 cats = ln 4 nats")
+  }
+
+  test("deterministicMode: smallest value wins a count tie") {
+    val df = Seq(("g", "b"), ("g", "b"), ("g", "a"), ("g", "a"), ("g", "z"))
+      .toDF("g", "v")
+    val m = Analytics.deterministicMode(df, Seq(col("g")), col("v")).collect()
+    assert(m.length === 1)
+    assert(m(0).getAs[String]("mode_val") === "a", "tie at count 2 breaks to the smaller value")
+    assert(m(0).getAs[Long]("mode_n") === 2L)
+  }
+
+  test("transitionCensus: known tiny chain, and ppm sums to ~1e6 per from-state") {
+    val seqs = Seq(
+      ("u1", 1L, "a"), ("u1", 2L, "b"), ("u1", 3L, "a"), ("u1", 4L, "b"),
+      ("u2", 1L, "a"), ("u2", 2L, "b"), ("u2", 3L, "c"))
+      .toDF("k", "t", "st")
+    val t = Analytics.transitionCensus(seqs, "k", Seq(col("t")), "st")
+      .collect().map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3)))).toMap
+    // u1: a->b, b->a, a->b; u2: a->b, b->c  => a->b:3, b->a:1, b->c:1
+    assert(t(("a", "b")) === ((3L, 1000000L)))
+    assert(t(("b", "a")) === ((1L, 500000L)))
+    assert(t(("b", "c")) === ((1L, 500000L)))
+
+    val real = Analytics.transitionCensus(Tables.events(spark, sf), "user_id",
+        Seq(unix_micros(col("ts")), col("event_id")), "event_type")
+    val sums = real.groupBy("from_state").agg(sum("p_ppm").as("s"), count(lit(1)).as("k"))
+      .collect()
+    sums.foreach { r =>
+      val s = r.getAs[Long]("s"); val k = r.getAs[Long]("k")
+      assert(math.abs(s - 1000000L) <= k, s"ppm per from-state within rounding: $s over $k rows")
+    }
+  }
+
+  test("noveltyCensus: identical docs score 0 ppm, disjoint docs 1e6 ppm, short docs drop") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),      // identical to 1: df=2 everywhere
+      (3L, "zeta eta theta iota kappa lambda"),    // fully disjoint
+      (4L, "mu nu")                                // < 3 tokens: no shingles
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.noveltyCensus(docs, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("novelty_ppm"))).toMap
+    assert(out(1L) === 0L)
+    assert(out(2L) === 0L)
+    assert(out(3L) === 1000000L)
+    assert(!out.contains(4L), "a doc shorter than the shingle size has no score")
+  }
+
+  test("intervalOverlapJoin: identical to the naive theta join, each pair exactly once") {
+    import graft.operators.Relational
+    // deterministic pseudo-random half-open intervals, widths 1..40 over a
+    // 0..1000 axis so bands (width 16) see starts, ends, spans, containment
+    def ivs(n: Int, seed: Int, pfx: String) = (0 until n).map { i =>
+      val lo = ((i * 2654435761L + seed * 97L) % 1000 + 1000) % 1000
+      val w = (i * 40503L + seed) % 40 + 1
+      (i.toLong, lo, lo + w)
+    }.toDF(s"${pfx}_id", s"${pfx}_lo", s"${pfx}_hi")
+    val l = ivs(120, 1, "l"); val r = ivs(150, 2, "r")
+    val banded = Relational.intervalOverlapJoin(l, r,
+        col("l_lo"), col("l_hi"), col("r_lo"), col("r_hi"), bandWidth = 16L)
+      .select("l_id", "r_id").as[(Long, Long)].collect().toSeq
+    val naive = l.join(r, col("l_lo") < col("r_hi") && col("r_lo") < col("l_hi"))
+      .select("l_id", "r_id").as[(Long, Long)].collect().toSeq
+    assert(banded.size === banded.distinct.size, "no pair may be emitted twice")
+    assert(banded.sorted === naive.sorted, "banded join must equal the theta join")
+    assert(naive.nonEmpty)
+    // empty intervals (hi <= lo) match nothing and must not break expansion
+    val withEmpty = l.union(Seq((999L, 5L, 5L)).toDF("l_id", "l_lo", "l_hi"))
+    val b2 = Relational.intervalOverlapJoin(withEmpty, r,
+        col("l_lo"), col("l_hi"), col("r_lo"), col("r_hi"), bandWidth = 16L)
+      .filter(col("l_id") === 999L).count()
+    assert(b2 === 0L)
+  }
+
+  test("deflateSize: matches a driver-side java.util.zip reference and is deterministic") {
+    val docs = Tables.documents(spark, sf).limit(50)
+    val got = docs.select(col("doc_id"), col("text"),
+        graft.functions.DeflateSize.deflateSize(col("text")).as("d1"),
+        graft.functions.DeflateSize.deflateSize(col("text")).as("d2"))
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val ref = graft.functions.DeflateSize.deflatedSize(
+        r.getAs[String]("text").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      assert(r.getAs[Int]("d1") === ref, s"doc ${r.getLong(0)}: executor deflate != reference")
+      assert(r.getAs[Int]("d2") === ref, "re-evaluation must be identical")
+    }
+  }
+
+  test("deflateSize: boilerplate compresses far better than varied text") {
+    val df = Seq(
+      ("boiler", "click here to subscribe now! " * 200),
+      ("varied", (1 to 200).map(i => s"w${i * 2654435761L % 9973}").mkString(" ")))
+      .toDF("kind", "text")
+    val m = df.select(col("kind"),
+        (graft.functions.DeflateSize.deflateSize(col("text")) * 10000L /
+          octet_length(col("text"))).cast("long").as("bp"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(m("boiler") < m("varied") / 4,
+      s"repetitive template must compress >=4x better: $m")
+    assert(m("varied") > 1000, "hash-worded text stays fairly incompressible")
+  }
+}
