@@ -904,6 +904,30 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Real subword token budgeting: train a BPE merge table on the corpus'
+    // word-frequency head (one explode + hash agg + bounded-heap top-k →
+    // driver merge loop — the sampled-codebook pattern), then count tokens
+    // in one codegen'd pass with the merges riding the expression. Census
+    // per source: whitespace counts vs subword counts. No SQL oracle (the
+    // merge loop isn't expressible); parity/monotonicity/textbook specs in
+    // AnalyticsSuite.
+    "text_bpe_tokens" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      // the synthetic corpus has a ~31-word vocabulary; 40 merges leaves
+      // rare words split into subwords (200 would reconstruct every word
+      // whole and the census would just equal the whitespace counts)
+      val merges = graft.operators.Bpe.train(docs, col("text"),
+        numMerges = 40, maxWords = 20000)
+      docs.select(col("source"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("ws"),
+          graft.operators.Bpe.tokenCount(col("text"), merges).cast("long").as("bpe"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ws")).as("ws_tokens"),
+          sum(col("bpe")).as("bpe_tokens"))
+        .orderBy(col("source"))
+    }),
+
     // TPC-H Q5 shape: 6-way join across the full star schema. Fact-fact
     // joins (orders⋈lineitem, ⋈customer) shuffle on their keys; nation/
     // region/supplier are dims — Catalyst/AQE picks broadcast at any scale

@@ -167,6 +167,47 @@ class AnalyticsSuite extends AnyFunSuite {
     assert(b2 === 0L)
   }
 
+  test("bpe: textbook merge order on the Sennrich corpus, and greedy encode applies it") {
+    import graft.operators.Bpe
+    // the NMT-subword paper's worked example: {low:5, lower:2, newest:6, widest:3}
+    val corpus = Seq("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+    val merges = Bpe.trainLocal(corpus, 4)
+    // pair mass: (e,s)=9 ties (s,t)=9 -> lex-smallest; then (es,t)=9;
+    // then (l,o)=7 ties (o,w)=7 -> lex-smallest; then (lo,w)=7
+    assert(merges === Seq(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w")))
+    val ranks = new java.util.HashMap[String, Integer]()
+    merges.zipWithIndex.foreach { case ((a, b), i) => ranks.put(s"$a $b", i) }
+    assert(graft.functions.BpeEncode.encodeWord("lowest", ranks).toSeq === Seq("low", "est"))
+    assert(graft.functions.BpeEncode.encodeWord("newest", ranks).toSeq === Seq("n", "e", "w", "est"))
+  }
+
+  test("bpe: executor encode matches driver reference; more merges never add tokens") {
+    import graft.operators.Bpe
+    val docs = Tables.documents(spark, sf).limit(40).cache()
+    val m50 = Bpe.train(docs, col("text"), numMerges = 50, maxWords = 5000)
+    val m200 = Bpe.train(docs, col("text"), numMerges = 200, maxWords = 5000)
+    assert(m200.take(50) === m50, "merge order is a deterministic prefix sequence")
+    val got = docs.select(col("text"),
+        Bpe.tokens(col("text"), m200).as("toks"),
+        Bpe.tokenCount(col("text"), m200).as("n200"),
+        Bpe.tokenCount(col("text"), m50).as("n50"),
+        graft.operators.TextAnalysis.tokenCount(col("text")).as("nws"))
+      .collect()
+    val ranks = new java.util.HashMap[String, Integer]()
+    m200.zipWithIndex.foreach { case ((a, b), i) => ranks.put(s"$a $b", i) }
+    got.foreach { r =>
+      val text = r.getAs[String]("text")
+      val ref = "[a-z0-9]+".r.findAllIn(text).flatMap(w =>
+        graft.functions.BpeEncode.encodeWord(w, ranks)).toSeq
+      assert(r.getAs[Seq[String]]("toks") === ref, "executor BPE != driver reference")
+      assert(r.getAs[Int]("n200") === ref.size)
+      assert(r.getAs[Int]("n200") <= r.getAs[Int]("n50"),
+        "a superset merge table can only shrink the encoding")
+      assert(r.getAs[Int]("n50") >= r.getAs[Int]("nws"),
+        "subword tokens are at least as many as whitespace words")
+    }
+  }
+
   test("deflateSize: matches a driver-side java.util.zip reference and is deterministic") {
     val docs = Tables.documents(spark, sf).limit(50)
     val got = docs.select(col("doc_id"), col("text"),
