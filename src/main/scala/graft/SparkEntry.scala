@@ -693,6 +693,24 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // Mixture-drift monitor: KL divergence of each source's language mix
+    // against the corpus blend. One corpus hash agg to joint counts; the
+    // divergence math runs on the compact count table (marginals broadcast).
+    "mixture_kl" -> ((s, dir) => {
+      Analytics.klDivergence(documents(s, dir), Seq(col("source")), col("lang"))
+        .select(col("source"), col("n_rows"), col("n_cats"), col("kl"))
+        .orderBy(col("source"))
+    }),
+
+    // Independence census: per-source Pearson chi-square contribution of
+    // the lang×source table (textbook form incl. unobserved cells, which
+    // are synthesised by crossing the tiny marginal tables).
+    "mixture_chi2" -> ((s, dir) => {
+      Analytics.chiSquare(documents(s, dir), col("source"), col("lang"))
+        .select(col("row_cat").as("source"), col("n_rows"), col("n_cells"), col("chi2"))
+        .orderBy(col("source"))
+    }),
+
     // Deterministic mode: most frequent event type per user with a total
     // tie-break (count desc, value asc) — the engines' native mode() is
     // arbitrary on ties, useless for a reproducible pipeline. Count agg +
@@ -2326,6 +2344,35 @@ object SparkEntry {
        |  FROM c)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "mixture_kl" ->
+      """WITH j AS (SELECT source, lang, count(*)::BIGINT AS ngc
+        |           FROM documents GROUP BY 1, 2),
+        |g AS (SELECT source, sum(ngc)::BIGINT AS ng FROM j GROUP BY 1),
+        |c AS (SELECT lang, sum(ngc)::BIGINT AS nc FROM j GROUP BY 1),
+        |n AS (SELECT sum(nc)::BIGINT AS n FROM c)
+        |SELECT j.source, max(g.ng)::BIGINT AS n_rows, count(*)::BIGINT AS n_cats,
+        |       round(sum(ngc::DOUBLE * (ln(ngc::DOUBLE) + ln(n.n::DOUBLE)
+        |                                - ln(g.ng::DOUBLE) - ln(c.nc::DOUBLE)))
+        |             / max(g.ng)::DOUBLE, 6) AS kl
+        |FROM j JOIN g USING (source) JOIN c USING (lang), n
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "mixture_chi2" ->
+      """WITH j AS (SELECT source AS r, lang AS cst, count(*)::BIGINT AS o
+        |           FROM documents GROUP BY 1, 2),
+        |rt AS (SELECT r, sum(o)::BIGINT AS nr FROM j GROUP BY 1),
+        |ct AS (SELECT cst, sum(o)::BIGINT AS nc FROM j GROUP BY 1),
+        |n AS (SELECT sum(nc)::BIGINT AS n FROM ct),
+        |cells AS (
+        |  SELECT rt.r, ct.cst, rt.nr,
+        |         coalesce(j.o, 0)::DOUBLE AS od,
+        |         rt.nr::DOUBLE * ct.nc::DOUBLE / n.n::DOUBLE AS e
+        |  FROM rt CROSS JOIN ct CROSS JOIN n
+        |  LEFT JOIN j ON j.r = rt.r AND j.cst = ct.cst)
+        |SELECT r AS source, max(nr)::BIGINT AS n_rows, count(*)::BIGINT AS n_cells,
+        |       round(sum((od - e) * (od - e) / e), 6) AS chi2
+        |FROM cells GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "url_parse" ->
       s"""WITH $syntheticUrlSql,
          |p AS (

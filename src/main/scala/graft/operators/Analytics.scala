@@ -200,6 +200,82 @@ object Analytics {
       .drop("__n", "__clnc")
   }
 
+  /** KL divergence of each group's category distribution against the whole
+    * corpus's — the data-mixture drift monitor: "how far is source X's
+    * language (or domain/label) mix from the blend the training run
+    * expects?". KL(p_g ‖ q) = Σ_c (n_gc/n_g)·ln(n_gc·N / (n_g·n_c)),
+    * computed from exact integer counts with the single float step
+    * Σ n_gc·(ln n_gc + ln N − ln n_g − ln n_c) done per group over ≤|cats|
+    * terms (same ulp-vs-6dp argument as [[categoricalEntropy]]).
+    *
+    * Plan shape at 100 TB: ONE corpus-sized hash agg to the (group,
+    * category) joint counts; everything after runs on that compact table —
+    * group totals re-aggregate it, category totals and the grand total are
+    * tiny and broadcast. q_c > 0 whenever n_gc > 0 (q is the marginal of
+    * the same counts), so the log never sees zero.
+    *
+    * Output: (groupCols..., n_rows, n_cats, kl).
+    */
+  def klDivergence(
+      df: DataFrame,
+      groupCols: Seq[Column],
+      category: Column): DataFrame = {
+    val joint = df.groupBy((groupCols :+ category.as("__cat")): _*)
+      .agg(count(lit(1)).as("__ngc"))
+    val gTot = joint.groupBy(groupCols: _*).agg(sum(col("__ngc")).as("__ng"))
+    val cTot = joint.groupBy(col("__cat")).agg(sum(col("__ngc")).as("__nc"))
+    val grand = cTot.agg(sum(col("__nc")).as("__n"))
+    val groupNames = groupCols.map(_.toString)
+    joint
+      .join(gTot, groupNames)
+      .join(broadcast(cTot), "__cat")
+      .crossJoin(broadcast(grand))
+      .groupBy(groupCols: _*)
+      .agg(
+        max(col("__ng")).as("n_rows"),
+        count(lit(1)).as("n_cats"),
+        sum(col("__ngc").cast("double") *
+            (log(col("__ngc").cast("double")) + log(col("__n").cast("double"))
+              - log(col("__ng").cast("double")) - log(col("__nc").cast("double"))))
+          .as("__t"))
+      .withColumn("kl", round(col("__t") / col("n_rows").cast("double"), 6))
+      .drop("__t")
+  }
+
+  /** Pearson chi-square contribution of each row-category to the
+    * (rowCat × colCat) independence test — the "is language independent of
+    * source?" census. Expected counts e_rc = n_r·n_c / N from exact integer
+    * marginals; UNOBSERVED cells (o = 0, e > 0) are synthesised by crossing
+    * the two marginal tables (|rows|·|cols| cells — tiny) so the statistic
+    * is the textbook one, then each (o−e)²/e folds back per row-category.
+    *
+    * Plan: one corpus-sized hash agg to the joint counts; marginals crossed
+    * and broadcast; observed cells left-joined in. Output: (rowCat, n_rows,
+    * n_cells, chi2).
+    */
+  def chiSquare(
+      df: DataFrame,
+      rowCat: Column,
+      colCat: Column): DataFrame = {
+    val joint = df.groupBy(rowCat.as("__r"), colCat.as("__c"))
+      .agg(count(lit(1)).as("__o"))
+    val rTot = joint.groupBy(col("__r")).agg(sum(col("__o")).as("__nr"))
+    val cTot = joint.groupBy(col("__c")).agg(sum(col("__o")).as("__nc"))
+    val grand = cTot.agg(sum(col("__nc")).as("__n"))
+    val cells = rTot.crossJoin(broadcast(cTot)).crossJoin(broadcast(grand))
+      .join(joint, Seq("__r", "__c"), "left")
+      .withColumn("__oD", coalesce(col("__o"), lit(0L)).cast("double"))
+      .withColumn("__e",
+        col("__nr").cast("double") * col("__nc").cast("double") / col("__n").cast("double"))
+    cells.groupBy(col("__r"))
+      .agg(
+        max(col("__nr")).as("n_rows"),
+        count(lit(1)).as("n_cells"),
+        round(sum((col("__oD") - col("__e")) * (col("__oD") - col("__e")) / col("__e")), 6)
+          .as("chi2"))
+      .withColumnRenamed("__r", "row_cat")
+  }
+
   /** Mode (most frequent value) per group with a DETERMINISTIC tie-break
     * (smallest value wins). The engines' native `mode()` returns an
     * arbitrary element on ties — fine interactively, useless for a

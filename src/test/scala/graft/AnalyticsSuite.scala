@@ -236,4 +236,42 @@ class AnalyticsSuite extends AnyFunSuite {
       s"repetitive template must compress >=4x better: $m")
     assert(m("varied") > 1000, "hash-worded text stays fairly incompressible")
   }
+
+  test("klDivergence: zero iff the group mix equals the corpus mix, positive otherwise") {
+    // two groups with IDENTICAL category mixes → every group matches the
+    // corpus marginal exactly → KL = 0 for both
+    val same = (Seq.fill(6)("x") ++ Seq.fill(3)("y")).zipWithIndex.flatMap {
+      case (c, i) => Seq(("g1", c), ("g2", c))
+    }.toDF("g", "c")
+    val klSame = Analytics.klDivergence(same, Seq(col("g")), col("c"))
+      .select("kl").as[Double].collect()
+    assert(klSame.forall(_ == 0.0), s"identical mixes must give KL=0: ${klSame.toSeq}")
+
+    // skewed group vs corpus → strictly positive, and the more-skewed group
+    // diverges more
+    val skew = (Seq.fill(9)(("a", "x")) ++ Seq.fill(1)(("a", "y")) ++
+      Seq.fill(5)(("b", "x")) ++ Seq.fill(5)(("b", "y"))).toDF("g", "c")
+    val m = Analytics.klDivergence(skew, Seq(col("g")), col("c"))
+      .collect().map(r => (r.getString(0), r.getAs[Double]("kl"))).toMap
+    assert(m("a") > 0.0 && m("b") > 0.0, s"diverging mixes must give KL>0: $m")
+    assert(m("a") > m("b"), s"the further-from-corpus group must score higher: $m")
+  }
+
+  test("chiSquare: zero on an exactly-independent table, counts unobserved cells") {
+    // perfectly proportional 2x2 → chi2 = 0
+    val indep = (Seq.fill(4)(("r1", "x")) ++ Seq.fill(2)(("r1", "y")) ++
+      Seq.fill(8)(("r2", "x")) ++ Seq.fill(4)(("r2", "y"))).toDF("r", "c")
+    val z = Analytics.chiSquare(indep, col("r"), col("c"))
+      .select("chi2").as[Double].collect()
+    assert(z.forall(_ == 0.0), s"independent table must give chi2=0: ${z.toSeq}")
+
+    // r2 never shows category y: the (r2, y) cell is unobserved but must
+    // still be counted (o=0, e>0 contributes e to the statistic)
+    val dep = (Seq.fill(5)(("r1", "x")) ++ Seq.fill(5)(("r1", "y")) ++
+      Seq.fill(10)(("r2", "x"))).toDF("r", "c")
+    val rows = Analytics.chiSquare(dep, col("r"), col("c"))
+      .collect().map(r => (r.getString(0), r.getAs[Long]("n_cells"), r.getAs[Double]("chi2")))
+    assert(rows.forall(_._2 == 2L), s"every row-cat must see |cols| cells: ${rows.toSeq}")
+    assert(rows.forall(_._3 > 0.0), s"dependent table must give chi2>0: ${rows.toSeq}")
+  }
 }
