@@ -711,6 +711,29 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // OHLC downsample: per-user daily bars (open/close = arrival-order row
+    // selections, no float arithmetic; sums in exact micro-units). One
+    // (key, bucket) shuffle shared by both row_number directions + the agg.
+    "events_ohlc" -> ((s, dir) => {
+      Timeseries.resampleOhlc(events(s, dir), col("user_id"), col("ts"),
+          Seq(unix_micros(col("ts")), col("event_id")), col("value"), 86400L)
+        .select(col("__k").as("user_id"), col("bucket_s"), col("open"),
+          col("high"), col("low"), col("close"), col("n_events"), col("sum_u"))
+        .orderBy(col("user_id"), col("bucket_s"))
+    }),
+
+    // Winsorized robust stats per event type: nearest-rank [p5, p95]
+    // boundaries from the histogram-compacted integer multiset (exact —
+    // interpolated percentiles of 2dp money are the known cross-engine
+    // trap), boundaries broadcast back for the clamp. No global sort.
+    "q_winsorize" -> ((s, dir) => {
+      Analytics.winsorizedStats(events(s, dir), Seq(col("event_type")),
+          col("value"), pLo = 5, pHi = 95)
+        .select(col("event_type"), col("n_rows"), col("lo"), col("hi"),
+          col("n_clipped_lo"), col("n_clipped_hi"), col("sum_u"))
+        .orderBy(col("event_type"))
+    }),
+
     // Deterministic mode: most frequent event type per user with a total
     // tie-break (count desc, value asc) — the engines' native mode() is
     // arbitrary on ties, useless for a reproducible pipeline. Count agg +
@@ -2372,6 +2395,51 @@ object SparkEntry {
         |SELECT r AS source, max(nr)::BIGINT AS n_rows, count(*)::BIGINT AS n_cells,
         |       round(sum((od - e) * (od - e) / e), 6) AS chi2
         |FROM cells GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "events_ohlc" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us,
+        |         (epoch_ns(ts) // 1000000000 // 86400) * 86400 AS bucket_s, value
+        |  FROM events),
+        |r AS (
+        |  SELECT *,
+        |         row_number() OVER (PARTITION BY user_id, bucket_s
+        |                            ORDER BY ts_us, event_id) AS ra,
+        |         row_number() OVER (PARTITION BY user_id, bucket_s
+        |                            ORDER BY ts_us DESC, event_id DESC) AS rd
+        |  FROM e)
+        |SELECT user_id, bucket_s,
+        |       round(max(CASE WHEN ra = 1 THEN value END), 2) AS open,
+        |       round(max(value), 2) AS high,
+        |       round(min(value), 2) AS low,
+        |       round(max(CASE WHEN rd = 1 THEN value END), 2) AS close,
+        |       count(*)::BIGINT AS n_events,
+        |       sum(CAST(round(value * 10000, 0) AS BIGINT))::BIGINT AS sum_u
+        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_winsorize" ->
+      """WITH v AS (
+        |  SELECT event_type, CAST(round(value * 10000, 0) AS BIGINT) AS vu
+        |  FROM events),
+        |m AS (SELECT event_type, vu, count(*)::BIGINT AS c FROM v GROUP BY 1, 2),
+        |cm AS (
+        |  SELECT event_type, vu, c,
+        |         sum(c) OVER (PARTITION BY event_type ORDER BY vu
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum,
+        |         sum(c) OVER (PARTITION BY event_type)::BIGINT AS n
+        |  FROM m),
+        |b AS (
+        |  SELECT event_type, max(n)::BIGINT AS n_rows,
+        |         min(CASE WHEN cum >= (n * 5 + 99) // 100 THEN vu END)::BIGINT AS lo_u,
+        |         min(CASE WHEN cum >= (n * 95 + 99) // 100 THEN vu END)::BIGINT AS hi_u
+        |  FROM cm GROUP BY 1)
+        |SELECT v.event_type, max(b.n_rows)::BIGINT AS n_rows,
+        |       max(b.lo_u) / 10000.0 AS lo, max(b.hi_u) / 10000.0 AS hi,
+        |       sum(CASE WHEN vu < lo_u THEN 1 ELSE 0 END)::BIGINT AS n_clipped_lo,
+        |       sum(CASE WHEN vu > hi_u THEN 1 ELSE 0 END)::BIGINT AS n_clipped_hi,
+        |       sum(least(greatest(vu, lo_u), hi_u))::BIGINT AS sum_u
+        |FROM v JOIN b USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "url_parse" ->
       s"""WITH $syntheticUrlSql,

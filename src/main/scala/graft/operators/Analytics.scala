@@ -276,6 +276,64 @@ object Analytics {
       .withColumnRenamed("__r", "row_cat")
   }
 
+  /** Winsorized statistics per group: clamp a metric into its per-group
+    * [pLo, pHi] NEAREST-RANK percentile band and report exact clipped
+    * counts and the exact micro-unit sum of the clamped values. The robust
+    * alternative to dropping outliers before feature scaling.
+    *
+    * Nearest-rank (not interpolated) boundaries on the micro-unit INTEGER
+    * multiset keep every step exact — interpolated percentiles of 2-decimal
+    * money land on half-cent rounding boundaries and are not cross-engine
+    * reproducible (the q_percentiles family's known trap). k = ⌈p·n⌉ via
+    * pure integer (p100·n + 99) div 100.
+    *
+    * Plan (histogram-compacted, same trick as the MAD census): one hash agg
+    * to the (group, value_u) multiset — corpus-sized rows collapse to
+    * distinct values — then a per-group cumulative over the COMPACT
+    * multiset picks boundaries; boundaries broadcast back onto the corpus
+    * scan for the clamp. No global sort, no per-row window over raw data.
+    *
+    * Output: (groupCols..., n_rows, lo, hi, n_clipped_lo, n_clipped_hi,
+    * sum_u) — lo/hi in original units (exact 2dp), sum_u = Σ clamp(value_u)
+    * in BIGINT micro-units.
+    */
+  def winsorizedStats(
+      df: DataFrame,
+      groupCols: Seq[Column],
+      value: Column,
+      pLo: Int = 5,
+      pHi: Int = 95): DataFrame = {
+    require(0 <= pLo && pLo < pHi && pHi <= 100, "need 0 <= pLo < pHi <= 100")
+    val groupNames = groupCols.map(_.toString)
+    val vu = round(value * 10000, 0).cast("long").as("__vu")
+    val withU = df.select((groupCols :+ vu): _*)
+    val multiset = withU.groupBy((groupCols :+ col("__vu")): _*)
+      .agg(count(lit(1)).as("__c"))
+    val wCum = Window.partitionBy(groupCols: _*).orderBy(col("__vu"))
+    val cum = multiset
+      .withColumn("__cum", sum(col("__c")).over(wCum))
+      .withColumn("__n", sum(col("__c")).over(Window.partitionBy(groupCols: _*)))
+    def kOf(p: Int) = intDiv(col("__n") * p + 99, lit(100L))
+    val bounds = cum
+      .withColumn("__klo", kOf(pLo))
+      .withColumn("__khi", kOf(pHi))
+      .groupBy(groupCols: _*)
+      .agg(
+        max(col("__n")).as("n_rows"),
+        min(when(col("__cum") >= col("__klo"), col("__vu"))).as("__lo_u"),
+        min(when(col("__cum") >= col("__khi"), col("__vu"))).as("__hi_u"))
+    val clamped = withU.join(broadcast(bounds), groupNames)
+      .withColumn("__cl", least(greatest(col("__vu"), col("__lo_u")), col("__hi_u")))
+    clamped.groupBy(groupCols: _*)
+      .agg(
+        max(col("n_rows")).as("n_rows"),
+        (max(col("__lo_u")) / 10000.0).as("lo"),
+        (max(col("__hi_u")) / 10000.0).as("hi"),
+        sum(when(col("__vu") < col("__lo_u"), 1L).otherwise(0L)).as("n_clipped_lo"),
+        sum(when(col("__vu") > col("__hi_u"), 1L).otherwise(0L)).as("n_clipped_hi"),
+        sum(col("__cl")).as("sum_u"))
+  }
+
   /** Mode (most frequent value) per group with a DETERMINISTIC tie-break
     * (smallest value wins). The engines' native `mode()` returns an
     * arbitrary element on ties — fine interactively, useless for a

@@ -194,4 +194,46 @@ object Timeseries {
       .drop("__run")
   }
 
+  /** Downsample an event stream to per-key fixed-width buckets with
+    * OHLC-style summaries: first/last value in arrival order (open/close),
+    * extremes (high/low), event count and an EXACT micro-unit sum. The
+    * financial-bar resample generalised to any metric stream.
+    *
+    * `orderCols` must be a total order within each (key, bucket) — open and
+    * close are row SELECTIONS under that order (no float arithmetic), so
+    * the result is cross-engine exact. Both row_number directions share one
+    * (key, bucket) partitioning: a single shuffle + sort, reused by the
+    * final hash agg. Shards by (key, bucket) — at 100 TB the sort is per
+    * key-bucket shard, never global.
+    *
+    * Output: (keyCol, bucket_s, open, high, low, close, n_events, sum_u)
+    * with open/high/low/close rounded to 2dp and sum_u the exact
+    * Σ round(value·10⁴) in BIGINT micro-units.
+    */
+  def resampleOhlc(
+      df: DataFrame,
+      key: Column,
+      ts: Column,
+      orderCols: Seq[Column],
+      value: Column,
+      bucketSeconds: Long): DataFrame = {
+    val bucket = (intDiv(unix_timestamp(ts), lit(bucketSeconds)) * bucketSeconds)
+      .as("bucket_s")
+    val base = df.select(key.as("__k"), bucket,
+      struct(orderCols: _*).as("__ord"), value.as("__v"))
+    val wAsc = Window.partitionBy(col("__k"), col("bucket_s")).orderBy(col("__ord").asc)
+    val wDesc = Window.partitionBy(col("__k"), col("bucket_s")).orderBy(col("__ord").desc)
+    base
+      .withColumn("__ra", row_number().over(wAsc))
+      .withColumn("__rd", row_number().over(wDesc))
+      .groupBy(col("__k"), col("bucket_s"))
+      .agg(
+        round(max(when(col("__ra") === 1, col("__v"))), 2).as("open"),
+        round(max(col("__v")), 2).as("high"),
+        round(min(col("__v")), 2).as("low"),
+        round(max(when(col("__rd") === 1, col("__v"))), 2).as("close"),
+        count(lit(1)).as("n_events"),
+        sum(round(col("__v") * 10000, 0).cast("long")).as("sum_u"))
+  }
+
 }

@@ -274,4 +274,63 @@ class AnalyticsSuite extends AnyFunSuite {
     assert(rows.forall(_._2 == 2L), s"every row-cat must see |cols| cells: ${rows.toSeq}")
     assert(rows.forall(_._3 > 0.0), s"dependent table must give chi2>0: ${rows.toSeq}")
   }
+
+  test("resampleOhlc: bar invariants and order-selection semantics") {
+    import graft.operators.Timeseries
+    val ev = Tables.events(spark, sf)
+    val bars = Timeseries.resampleOhlc(ev, col("user_id"), col("ts"),
+      Seq(unix_micros(col("ts")), col("event_id")), col("value"), 86400L).collect()
+    assert(bars.nonEmpty)
+    for (b <- bars) {
+      val (o, h, l, c) = (b.getAs[Double]("open"), b.getAs[Double]("high"),
+        b.getAs[Double]("low"), b.getAs[Double]("close"))
+      assert(l <= o && o <= h && l <= c && c <= h, s"low<=open/close<=high violated: $b")
+      assert(b.getAs[Long]("n_events") >= 1L)
+      if (b.getAs[Long]("n_events") == 1L)
+        assert(o == h && h == l && l == c, s"singleton bar must collapse: $b")
+    }
+    val total = bars.map(_.getAs[Long]("n_events")).sum
+    assert(total === ev.count(), "bars must partition the stream")
+
+    // open/close are arrival-ORDER selections: first/last value of a
+    // handcrafted out-of-order frame
+    val df = Seq(
+      (1L, 1000L, 5.0), (1L, 500L, 9.0), (1L, 1500L, 2.0))
+      .toDF("k", "t", "v")
+      .withColumn("ts", timestamp_seconds(col("t")))
+    val one = Timeseries.resampleOhlc(df, col("k"), col("ts"),
+      Seq(col("t")), col("v"), 86400L).collect()(0)
+    assert(one.getAs[Double]("open") === 9.0 && one.getAs[Double]("close") === 2.0)
+    assert(one.getAs[Double]("high") === 9.0 && one.getAs[Double]("low") === 2.0)
+    assert(one.getAs[Long]("sum_u") === 160000L)
+  }
+
+  test("winsorizedStats: boundary and clamping invariants") {
+    val ev = Tables.events(spark, sf)
+    val rows = Analytics.winsorizedStats(ev, Seq(col("event_type")), col("value"))
+      .collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val n = r.getAs[Long]("n_rows")
+      val (lo, hi) = (r.getAs[Double]("lo"), r.getAs[Double]("hi"))
+      val (cl, ch) = (r.getAs[Long]("n_clipped_lo"), r.getAs[Long]("n_clipped_hi"))
+      assert(lo <= hi, s"lo<=hi violated: $r")
+      // nearest-rank p5/p95: strictly-below-lo count < 5% of n, and
+      // strictly-above-hi count <= 5% of n
+      assert(cl < (n * 5 + 99) / 100, s"clip-lo count must stay under k_lo: $r")
+      assert(ch <= n - (n * 95 + 99) / 100, s"clip-hi count must stay under n-k_hi: $r")
+      // clamped sum bounded by the band
+      val su = r.getAs[Long]("sum_u")
+      assert(su >= (lo * 10000).round * n && su <= (hi * 10000).round * n,
+        s"winsorized sum must sit inside the band: $r")
+    }
+
+    // handcrafted: 1..100 at 2dp, p5/p95 nearest-rank = 5 and 95; the two
+    // outliers beyond the band clamp onto it
+    val hand = ((1 to 100).map(i => ("t", i.toDouble)) :+ (("t", 1e6)) :+ (("t", -1e6)))
+      .toDF("g", "v")
+    val h = Analytics.winsorizedStats(hand, Seq(col("g")), col("v")).collect()(0)
+    assert(h.getAs[Long]("n_clipped_lo") >= 1L && h.getAs[Long]("n_clipped_hi") >= 1L)
+    assert(h.getAs[Double]("lo") >= 1.0 && h.getAs[Double]("hi") <= 100.0)
+  }
 }
