@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.operators.{Analytics, Dedup, Multimodal, Pipeline, Profile, QualityModel, Relational, Similarity, TextAnalysis, Timeseries, Web, WindowAssign}
+import graft.operators.{Analytics, Dedup, Graph, Linkage, Multimodal, Pipeline, Profile, QualityModel, Relational, Similarity, TextAnalysis, Timeseries, Web, WindowAssign}
 import graft.functions.{FrequentItems, VectorFunctions}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -720,6 +720,49 @@ object SparkEntry {
         .select(col("__k").as("user_id"), col("bucket_s"), col("open"),
           col("high"), col("low"), col("close"), col("n_events"), col("sum_u"))
         .orderBy(col("user_id"), col("bucket_s"))
+    }),
+
+    // Record linkage: every deterministically-perturbed customer name
+    // (substitute/delete/insert one char in the digit zone) finds its best
+    // clean match via q-gram blocking (frequency-capped stop-grams — the
+    // skew guard) + levenshtein verify on distinct candidates + argmin
+    // resolve. No all-pairs product; exchanges keyed on gram / pair.
+    "linkage_blocked" -> ((s, dir) => {
+      val cust = customer(s, dir)
+      val clean = cust.select(col("c_custkey"), col("c_name"))
+      val nameL = lower(col("c_name"))
+      val pos = lit(10) + pmod(col("c_custkey"), lit(9))
+      val m3 = pmod(col("c_custkey"), lit(3))
+      val dirtyName = when(m3 === 0,
+          concat(nameL.substr(lit(1), pos - 1), lit("x"), nameL.substr(pos + 1, lit(100))))
+        .when(m3 === 1,
+          concat(nameL.substr(lit(1), pos - 1), nameL.substr(pos + 1, lit(100))))
+        .otherwise(
+          concat(nameL.substr(lit(1), pos - 1), lit("z"), nameL.substr(pos, lit(100))))
+      val dirty = cust.select(col("c_custkey").as("d_id"), dirtyName.as("d_name"))
+      Linkage.bestMatch(
+          dirty, col("d_id"), col("d_name"),
+          clean, col("c_custkey"), col("c_name"))
+        .orderBy(col("left_id"))
+    }),
+
+    // PageRank over the supplier↔customer bipartite trade graph (symmetric
+    // closure of distinct lineitem⋈orders pairs), 3 iterations, damping 85%.
+    // Exact integer fixed-point (rank = BIGINT e12): integer sums are
+    // partition-order-free, so the distributed run equals the oracle's
+    // unrolled single-threaded recurrence bit-for-bit — float PageRank
+    // can't be cross-checked at all. Per iter: one edges⋈ranks shuffle +
+    // one dst hash agg; scalar tables broadcast.
+    "graph_pagerank" -> ((s, dir) => {
+      val e0 = lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
+        .join(orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("s"), col("l_suppkey").cast("string")).as("src"),
+          concat(lit("c"), col("o_custkey").cast("string")).as("dst"))
+        .distinct()
+      val sym = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      Graph.pageRank(sym, iters = 3)
+        .orderBy(col("vertex"))
     }),
 
     // Winsorized robust stats per event type: nearest-rank [p5, p95]
@@ -2366,7 +2409,83 @@ object SparkEntry {
        |         CASE WHEN qs = '' THEN '' ELSE '?' || qs END AS canonical_url
        |  FROM c)""".stripMargin
 
+  /** DuckDB mirror of [[Graph.pageRank]]: the same integer recurrence
+    * unrolled as one CTE pair (contribs, ranks) per iteration. Exact BIGINT
+    * arithmetic end-to-end — both engines produce identical ranks.
+    */
+  private def pageRankOracleSql(iters: Int): String = {
+    val s = Graph.Scale
+    val iterCtes = (1 to iters).map { i =>
+      s"""c$i AS (
+         |  SELECT ed.dst, sum(r.rank_e12 // deg.outdeg)::BIGINT AS s
+         |  FROM ed JOIN r${i - 1} r ON ed.src = r.vertex
+         |          JOIN deg ON ed.src = deg.src
+         |  GROUP BY 1),
+         |d$i AS (
+         |  SELECT coalesce(sum(r.rank_e12), 0)::BIGINT AS dmass
+         |  FROM r${i - 1} r LEFT JOIN deg ON r.vertex = deg.src
+         |  WHERE deg.src IS NULL),
+         |r$i AS (
+         |  SELECT v.vertex,
+         |         (((15 * $s) // 100) // nv.n
+         |          + (85 * (coalesce(c$i.s, 0) + d$i.dmass // nv.n)) // 100)::BIGINT
+         |           AS rank_e12
+         |  FROM v CROSS JOIN nv CROSS JOIN d$i
+         |       LEFT JOIN c$i ON v.vertex = c$i.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (
+       |  SELECT DISTINCT 's' || l.l_suppkey::VARCHAR AS src,
+       |                  'c' || o.o_custkey::VARCHAR AS dst
+       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+       |ed AS (SELECT src, dst FROM e0
+       |       UNION SELECT dst AS src, src AS dst FROM e0),
+       |v AS (SELECT src AS vertex FROM ed UNION SELECT dst FROM ed),
+       |deg AS (SELECT src, count(*)::BIGINT AS outdeg FROM ed GROUP BY 1),
+       |nv AS (SELECT count(*)::BIGINT AS n FROM v),
+       |r0 AS (SELECT vertex, ($s // n)::BIGINT AS rank_e12 FROM v, nv),
+       |$iterCtes
+       |SELECT vertex, rank_e12 FROM r$iters ORDER BY vertex""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "graph_pagerank" -> pageRankOracleSql(3),
+
+    "linkage_blocked" ->
+      """WITH cl AS (SELECT c_custkey AS right_id, lower(c_name) AS rn FROM customer),
+        |dn AS (
+        |  SELECT c_custkey AS left_id,
+        |         10 + (c_custkey % 9) AS pos, c_custkey % 3 AS m3,
+        |         lower(c_name) AS n
+        |  FROM customer),
+        |dirty AS (
+        |  SELECT left_id,
+        |         CASE m3 WHEN 0 THEN substr(n, 1, pos - 1) || 'x' || substr(n, pos + 1)
+        |                 WHEN 1 THEN substr(n, 1, pos - 1) || substr(n, pos + 1)
+        |                 ELSE substr(n, 1, pos - 1) || 'z' || substr(n, pos) END AS ln
+        |  FROM dn),
+        |lt AS (SELECT left_id, ln, substr(ln, greatest(length(ln) - 7, 1), 8) AS tail
+        |       FROM dirty),
+        |lg AS (SELECT DISTINCT left_id, ln, substr(tail, i, 4) AS g
+        |       FROM lt, unnest(range(1, greatest(length(tail) - 3, 1) + 1)) u(i)),
+        |rt AS (SELECT right_id, rn, substr(rn, greatest(length(rn) - 7, 1), 8) AS tail
+        |       FROM cl),
+        |rg AS (SELECT DISTINCT right_id, rn, substr(tail, i, 4) AS g
+        |       FROM rt, unnest(range(1, greatest(length(tail) - 3, 1) + 1)) u(i)),
+        |hot AS (SELECT g FROM (SELECT g, count(*) AS f FROM rg GROUP BY 1) WHERE f > 200),
+        |pairs AS (
+        |  SELECT DISTINCT left_id, ln, right_id, rn
+        |  FROM (SELECT * FROM lg WHERE g NOT IN (SELECT g FROM hot)) l
+        |  JOIN (SELECT * FROM rg WHERE g NOT IN (SELECT g FROM hot)) r USING (g)),
+        |ver AS (SELECT left_id, right_id, dist FROM
+        |          (SELECT left_id, right_id, levenshtein(ln, rn) AS dist FROM pairs)
+        |        WHERE dist <= 2),
+        |best AS (SELECT left_id, right_id, dist,
+        |                row_number() OVER (PARTITION BY left_id
+        |                                   ORDER BY dist, right_id) AS rk
+        |         FROM ver)
+        |SELECT left_id, right_id, dist::INTEGER AS dist
+        |FROM best WHERE rk = 1 ORDER BY left_id""".stripMargin,
+
     "mixture_kl" ->
       """WITH j AS (SELECT source, lang, count(*)::BIGINT AS ngc
         |           FROM documents GROUP BY 1, 2),

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Graph
+
+/** Invariant specs for the integer fixed-point PageRank (operators/Graph
+  * .scala). The graph_pagerank oracle checks cross-engine exactness on the
+  * trade graph; these check the algorithm itself on handcrafted graphs.
+  */
+class GraphSuite extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ranksOf(edges: Seq[(String, String)], iters: Int = 3): Map[String, Long] =
+    Graph.pageRank(edges.toDF("src", "dst"), iters)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("mass conservation: ranks sum to Scale up to integer-floor loss") {
+    val edges = Seq("a" -> "b", "b" -> "c", "c" -> "a", "a" -> "c")
+    val m = ranksOf(edges)
+    val total = m.values.sum
+    // each of the |V| per-vertex expressions floors at most 3 times per
+    // iteration; loss is bounded far under 1e-6 of the mass
+    assert(total <= Graph.Scale && total > Graph.Scale - 1000L,
+      s"mass must be conserved up to floor loss: $total")
+  }
+
+  test("star graph: the hub out-ranks every leaf; leaves tie exactly") {
+    val leaves = (1 to 8).map(i => s"l$i")
+    val edges = leaves.flatMap(l => Seq(l -> "hub", "hub" -> l))
+    val m = ranksOf(edges)
+    val leafRanks = leaves.map(m)
+    assert(leafRanks.distinct.size === 1, s"symmetric leaves must tie exactly: $m")
+    assert(m("hub") > leafRanks.head * 4, s"hub must dominate: $m")
+  }
+
+  test("dangling mass redistributes: sink chain conserves total rank") {
+    // b has no out-edges — without the dangling correction its mass would
+    // leak every iteration
+    val m = ranksOf(Seq("a" -> "b"), iters = 5)
+    val total = m.values.sum
+    assert(total > Graph.Scale - 1000L, s"dangling mass must not leak: $m")
+    assert(m("b") > m("a"), s"the sink receives a's mass plus its share: $m")
+  }
+
+  test("disconnected equal components rank identically; duplicate edges collapse") {
+    val comp1 = Seq("a" -> "b", "b" -> "a")
+    val comp2 = Seq("x" -> "y", "y" -> "x")
+    val dups = Seq("a" -> "b", "a" -> "b") // duplicate must not double-weight
+    val m = ranksOf(comp1 ++ comp2 ++ dups)
+    assert(m("a") === m("x") && m("b") === m("y"),
+      s"isomorphic components must rank identically: $m")
+  }
+
+  test("deterministic across repartitioning (integer sums are order-free)") {
+    val edges = (1 to 40).map(i => (s"v${i % 7}", s"v${(i * 3) % 11}"))
+      .filter { case (a, b) => a != b }
+    val df1 = edges.toDF("src", "dst").repartition(1)
+    val df13 = edges.toDF("src", "dst").repartition(13)
+    val r1 = Graph.pageRank(df1).collect().map(r => (r.getString(0), r.getLong(1))).sorted
+    val r13 = Graph.pageRank(df13).collect().map(r => (r.getString(0), r.getLong(1))).sorted
+    assert(r1.sameElements(r13), "partitioning must not change a single rank bit")
+  }
+}

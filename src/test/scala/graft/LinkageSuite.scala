@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Linkage
+
+/** Specs for q-gram blocked record linkage (operators/Linkage.scala). The
+  * linkage_blocked oracle checks cross-engine exactness; these check match
+  * quality and the no-all-pairs plan shape.
+  */
+class LinkageSuite extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("bestMatch: single-char typos resolve to the true record; exact ties prefer smallest id") {
+    val clean = Seq(
+      (1L, "Jonathan Smithers"), (2L, "Jonathan Smythers"), (3L, "Abigail Winterbottom"),
+      (4L, "Christoph Gutenberg"), (5L, "Margarete Llewellyn"))
+      .toDF("id", "name")
+    val dirty = Seq(
+      (11L, "Jonathan Smifhers"),    // 1 sub → id 1 (dist 1) or id 2 (dist 2)
+      (13L, "Abigail Winterbottom"), // exact
+      (14L, "Christoph Gutenbergg"), // 1 insert
+      (15L, "Margarete Llewelyn"))   // 1 delete
+      .toDF("id", "name")
+    val m = Linkage.bestMatch(
+        dirty, col("id"), col("name"), clean, col("id"), col("name"),
+        tailLen = 20, maxGramFreq = 100)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(m(11L) === ((1L, 1)))
+    assert(m(13L) === ((3L, 0)))
+    assert(m(14L) === ((4L, 1)))
+    assert(m(15L) === ((5L, 1)))
+  }
+
+  test("blocking recall on the perturbed-customer workload stays high; matches are sound") {
+    val cust = graft.core.Tables.customer(spark, TestSpark.sf0001)
+    val clean = cust.select(col("c_custkey"), col("c_name"))
+    val nameL = lower(col("c_name"))
+    val pos = lit(10) + pmod(col("c_custkey"), lit(9))
+    val m3 = pmod(col("c_custkey"), lit(3))
+    val dirtyName = when(m3 === 0,
+        concat(nameL.substr(lit(1), pos - 1), lit("x"), nameL.substr(pos + 1, lit(100))))
+      .when(m3 === 1, concat(nameL.substr(lit(1), pos - 1), nameL.substr(pos + 1, lit(100))))
+      .otherwise(concat(nameL.substr(lit(1), pos - 1), lit("z"), nameL.substr(pos, lit(100))))
+    val dirty = cust.select(col("c_custkey").as("d_id"), dirtyName.as("d_name"))
+
+    val out = Linkage.bestMatch(dirty, col("d_id"), col("d_name"),
+      clean, col("c_custkey"), col("c_name")).collect()
+    val n = clean.count()
+    // every emitted match is within the verify budget
+    assert(out.forall(_.getInt(2) <= 2), "verify must enforce maxDist")
+    // blocking recall: the vast majority of 1-edit names find SOME match...
+    assert(out.length > n * 0.8, s"blocking recall collapsed: ${out.length}/$n")
+    // ...and of those, the bulk resolve to their own source record (ties on
+    // digit-substitution can legitimately prefer a smaller custkey)
+    val self = out.count(r => r.getLong(0) == r.getLong(1))
+    assert(self > out.length * 0.7, s"self-match rate too low: $self/${out.length}")
+  }
+
+  test("plan: no cartesian / broadcast-nested-loop anywhere (block join only)") {
+    val clean = (1 to 50).map(i => (i.toLong, f"Record#$i%06d")).toDF("id", "name")
+    val dirty = (1 to 50).map(i => (i.toLong + 1000, f"Record#$i%06d")).toDF("id", "name")
+    val plan = Linkage.bestMatch(dirty, col("id"), col("name"),
+        clean, col("id"), col("name"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"linkage must never fall back to all-pairs:\n$plan")
+  }
+}
