@@ -711,9 +711,9 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
-    // OHLC downsample: per-user daily bars (open/close = arrival-order row
-    // selections, no float arithmetic; sums in exact micro-units). One
-    // (key, bucket) shuffle shared by both row_number directions + the agg.
+    // OHLC downsample: per-user daily bars (open/close = min_by/max_by row
+    // selections under a total order, no float arithmetic; sums in exact
+    // micro-units). ONE map-side-combined hash agg — no sort anywhere.
     "events_ohlc" -> ((s, dir) => {
       Timeseries.resampleOhlc(events(s, dir), col("user_id"), col("ts"),
           Seq(unix_micros(col("ts")), col("event_id")), col("value"), 86400L)

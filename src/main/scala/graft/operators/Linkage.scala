@@ -74,7 +74,11 @@ object Linkage {
     val lgCold = lg.join(broadcast(hot), Seq("__g"), "left_anti")
     val rgCold = rg.join(broadcast(hot), Seq("__g"), "left_anti")
 
+    // length filter: levenshtein(a,b) >= |len(a)-len(b)|, so pairs whose
+    // lengths differ by more than maxDist can never verify — pruning them
+    // BEFORE the distinct shrinks the pair-dedup exchange (output-neutral)
     val pairs = lgCold.join(rgCold, "__g")
+      .filter(abs(length(col("__ln")) - length(col("__rn"))) <= maxDist)
       .select(col("left_id"), col("__ln"), col("right_id"), col("__rn"))
       .distinct()
     val verified = pairs

@@ -201,10 +201,12 @@ object Timeseries {
     *
     * `orderCols` must be a total order within each (key, bucket) — open and
     * close are row SELECTIONS under that order (no float arithmetic), so
-    * the result is cross-engine exact. Both row_number directions share one
-    * (key, bucket) partitioning: a single shuffle + sort, reused by the
-    * final hash agg. Shards by (key, bucket) — at 100 TB the sort is per
-    * key-bucket shard, never global.
+    * the result is cross-engine exact. min_by/max_by make the whole bar ONE
+    * hash aggregation: partial bars combine map-side and merge
+    * associatively, so the only exchange carries one partial bar per
+    * (key, bucket) per task — no sort anywhere, and the identical
+    * aggregation runs under a streaming event-time window ([[ohlcAggs]],
+    * batch-parity spec in StreamingSuite).
     *
     * Output: (keyCol, bucket_s, open, high, low, close, n_events, sum_u)
     * with open/high/low/close rounded to 2dp and sum_u the exact
@@ -221,19 +223,23 @@ object Timeseries {
       .as("bucket_s")
     val base = df.select(key.as("__k"), bucket,
       struct(orderCols: _*).as("__ord"), value.as("__v"))
-    val wAsc = Window.partitionBy(col("__k"), col("bucket_s")).orderBy(col("__ord").asc)
-    val wDesc = Window.partitionBy(col("__k"), col("bucket_s")).orderBy(col("__ord").desc)
     base
-      .withColumn("__ra", row_number().over(wAsc))
-      .withColumn("__rd", row_number().over(wDesc))
       .groupBy(col("__k"), col("bucket_s"))
-      .agg(
-        round(max(when(col("__ra") === 1, col("__v"))), 2).as("open"),
-        round(max(col("__v")), 2).as("high"),
-        round(min(col("__v")), 2).as("low"),
-        round(max(when(col("__rd") === 1, col("__v"))), 2).as("close"),
-        count(lit(1)).as("n_events"),
-        sum(round(col("__v") * 10000, 0).cast("long")).as("sum_u"))
+      .agg(ohlcAggs(col("__ord"), col("__v")).head,
+        ohlcAggs(col("__ord"), col("__v")).tail: _*)
   }
+
+  /** The OHLC aggregate columns over a total-order column and a value —
+    * shared by the batch resample and the streaming windowed form (pair
+    * with `groupBy(key, window(ts, ...))` + a watermark; min_by/max_by are
+    * streaming-legal aggregates, so bars finalize in append mode).
+    */
+  def ohlcAggs(ord: Column, v: Column): Seq[Column] = Seq(
+    round(min_by(v, ord), 2).as("open"),
+    round(max(v), 2).as("high"),
+    round(min(v), 2).as("low"),
+    round(max_by(v, ord), 2).as("close"),
+    count(lit(1)).as("n_events"),
+    sum(round(v * 10000, 0).cast("long")).as("sum_u"))
 
 }

@@ -766,4 +766,51 @@ class StreamingSuite extends AnyFunSuite {
       assert(gates.map(_.getAs[Long]("mass")).sum === 50L)
     } finally q.stop()
   }
+
+  test("streaming OHLC bars match the batch resample once the watermark closes the window") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.operators.Timeseries
+    implicit val sqlCtx = spark.sqlContext
+    // (key, epoch-second, seq, value) — two 1-hour buckets per key, rows
+    // arrive OUT of event-time order within a batch; a final late-watermark
+    // batch closes everything
+    val rows = Seq(
+      ("k1", 100L, 1L, 5.0), ("k1", 50L, 2L, 9.0), ("k1", 3599L, 3L, 2.0),
+      ("k1", 3600L, 4L, 7.0), ("k1", 4000L, 5L, 1.0),
+      ("k2", 10L, 6L, 4.0), ("k2", 20L, 7L, 4.5))
+    val input = MemoryStream[(String, Long, Long, Double)]
+    val src = input.toDF().toDF("key", "t", "seq", "v")
+      .withColumn("ts", timestamp_seconds(col("t")))
+      .withWatermark("ts", "0 seconds")
+    val aggs = Timeseries.ohlcAggs(struct(col("t"), col("seq")), col("v"))
+    val q = src.groupBy(col("key"), window(col("ts"), "3600 seconds"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("key"), unix_timestamp(col("window.start")).as("bucket_s"),
+        col("open"), col("high"), col("low"), col("close"),
+        col("n_events"), col("sum_u"))
+      .writeStream.format("memory").queryName("graft_ohlc")
+      .outputMode("append").start()
+    try {
+      input.addData(rows)
+      q.processAllAvailable()
+      input.addData(("k9", 999999L, 99L, 0.0)) // advance the watermark past all buckets
+      q.processAllAvailable()
+      val streamed = spark.table("graft_ohlc")
+        .filter(col("key") =!= "k9")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+          r.getDouble(4), r.getDouble(5), r.getLong(6), r.getLong(7))).toSet
+      val batch = Timeseries.resampleOhlc(
+          rows.toDF("key", "t", "seq", "v").withColumn("ts", timestamp_seconds(col("t"))),
+          col("key"), col("ts"), Seq(col("t"), col("seq")), col("v"), 3600L)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+          r.getDouble(4), r.getDouble(5), r.getLong(6), r.getLong(7))).toSet
+      assert(streamed === batch,
+        s"streamed bars must equal the batch resample:\n$streamed\nvs\n$batch")
+      // out-of-order arrivals resolved by EVENT order: k1 bucket 0 opens at
+      // t=50 (9.0) and closes at t=3599 (2.0)
+      assert(streamed.contains(("k1", 0L, 9.0, 9.0, 2.0, 2.0, 3L, 160000L)))
+    } finally q.stop()
+  }
 }
