@@ -722,6 +722,38 @@ object SparkEntry {
         .orderBy(col("user_id"), col("bucket_s"))
     }),
 
+    // Scale path of q_winsorize: GK-sketch boundaries (map-side partial
+    // merge, no multiset, no sort) + the identical clamp. Rows-only —
+    // boundaries are sketch-dependent; invariants spec'd, exact form is
+    // the oracle anchor.
+    "q_winsorize_scale" -> ((s, dir) => {
+      Analytics.winsorizedStatsApprox(events(s, dir), Seq(col("event_type")),
+          col("value"), pLo = 5, pHi = 95)
+        .select(col("event_type"), col("n_rows"), col("lo"), col("hi"),
+          col("n_clipped_lo"), col("n_clipped_hi"), col("sum_u"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Full outer join — the reconciliation shape: high-balance customers
+    // vs per-customer order activity, censused by match side. Money folds
+    // to exact integer cents before any sum.
+    "q_outer_join" -> ((s, dir) => {
+      val hi = customer(s, dir).filter(col("c_acctbal") > 5000)
+        .select(col("c_custkey"))
+      val oc = orders(s, dir).groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"))
+      hi.join(oc, col("c_custkey") === col("o_custkey"), "full_outer")
+        .groupBy(
+          when(col("c_custkey").isNull, lit("order_only"))
+            .when(col("o_custkey").isNull, lit("cust_only"))
+            .otherwise(lit("both")).as("side"))
+        .agg(count(lit(1)).as("n"),
+          sum(coalesce(col("n_orders"), lit(0L))).as("total_orders"),
+          sum(coalesce(col("cents"), lit(0L))).as("total_cents"))
+        .orderBy(col("side"))
+    }),
+
     // Record linkage: every deterministically-perturbed customer name
     // (substitute/delete/insert one char in the digit zone) finds its best
     // clean match via q-gram blocking (frequency-capped stop-grams — the
@@ -2450,6 +2482,20 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "graph_pagerank" -> pageRankOracleSql(3),
 
+    "q_outer_join" ->
+      """WITH hi AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000),
+        |oc AS (SELECT o_custkey, count(*)::BIGINT AS n_orders,
+        |              sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))::BIGINT AS cents
+        |       FROM orders GROUP BY 1)
+        |SELECT CASE WHEN hi.c_custkey IS NULL THEN 'order_only'
+        |            WHEN oc.o_custkey IS NULL THEN 'cust_only'
+        |            ELSE 'both' END AS side,
+        |       count(*)::BIGINT AS n,
+        |       sum(coalesce(n_orders, 0))::BIGINT AS total_orders,
+        |       sum(coalesce(cents, 0))::BIGINT AS total_cents
+        |FROM hi FULL OUTER JOIN oc ON hi.c_custkey = oc.o_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "linkage_blocked" ->
       """WITH cl AS (SELECT c_custkey AS right_id, lower(c_name) AS rn FROM customer),
         |dn AS (
@@ -3653,7 +3699,7 @@ object SparkEntry {
         |             min(ts_s)::BIGINT AS valid_from, count(*)::BIGINT AS n_events
         |      FROM r GROUP BY 1, 2)
         |SELECT user_id, event_type, valid_from,
-        |       coalesce(lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from),
+        |       coalesce(lead(valid_from) OVER (PARTITION BY user_id ORDER BY run_id),
         |                253402300800)::BIGINT AS valid_to,
         |       n_events
         |FROM g
@@ -3748,7 +3794,7 @@ object SparkEntry {
         |g AS (SELECT user_id, run_id, min(ts_s)::BIGINT AS valid_from
         |      FROM r GROUP BY 1, 2),
         |iv AS (SELECT user_id, valid_from,
-        |              lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) AS valid_to
+        |              lead(valid_from) OVER (PARTITION BY user_id ORDER BY run_id) AS valid_to
         |       FROM g),
         |l AS (SELECT * FROM iv WHERE user_id < 10 AND valid_to IS NOT NULL),
         |rr AS (SELECT * FROM iv WHERE user_id >= 10 AND valid_to IS NOT NULL)

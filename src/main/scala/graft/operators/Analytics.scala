@@ -334,6 +334,44 @@ object Analytics {
         sum(col("__cl")).as("sum_u"))
   }
 
+  /** Sketch-boundary companion to [[winsorizedStats]] for value domains
+    * where even the compacted multiset approaches corpus size (near-unique
+    * doubles): per-group [pLo, pHi] boundaries from `percentile_approx`
+    * (GK sketch — map-side partial merge, NO multiset materialization, no
+    * sort), broadcast back for the identical clamp pass. Boundary values
+    * are sketch-dependent (rows-only tier; the exact form is the oracle
+    * anchor) but always real elements of the group's value multiset.
+    *
+    * Output schema matches [[winsorizedStats]].
+    */
+  def winsorizedStatsApprox(
+      df: DataFrame,
+      groupCols: Seq[Column],
+      value: Column,
+      pLo: Int = 5,
+      pHi: Int = 95,
+      accuracy: Int = 10000): DataFrame = {
+    require(0 <= pLo && pLo < pHi && pHi <= 100, "need 0 <= pLo < pHi <= 100")
+    val groupNames = groupCols.map(_.toString)
+    val vu = round(value * 10000, 0).cast("long").as("__vu")
+    val withU = df.select((groupCols :+ vu): _*)
+    val bounds = withU.groupBy(groupCols: _*)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        percentile_approx(col("__vu"), lit(pLo / 100.0), lit(accuracy)).as("__lo_u"),
+        percentile_approx(col("__vu"), lit(pHi / 100.0), lit(accuracy)).as("__hi_u"))
+    val clamped = withU.join(broadcast(bounds), groupNames)
+      .withColumn("__cl", least(greatest(col("__vu"), col("__lo_u")), col("__hi_u")))
+    clamped.groupBy(groupCols: _*)
+      .agg(
+        max(col("n_rows")).as("n_rows"),
+        (max(col("__lo_u")) / 10000.0).as("lo"),
+        (max(col("__hi_u")) / 10000.0).as("hi"),
+        sum(when(col("__vu") < col("__lo_u"), 1L).otherwise(0L)).as("n_clipped_lo"),
+        sum(when(col("__vu") > col("__hi_u"), 1L).otherwise(0L)).as("n_clipped_hi"),
+        sum(col("__cl")).as("sum_u"))
+  }
+
   /** Mode (most frequent value) per group with a DETERMINISTIC tie-break
     * (smallest value wins). The engines' native `mode()` returns an
     * arbitrary element on ties — fine interactively, useless for a

@@ -188,7 +188,11 @@ object Timeseries {
         min(value).as("value"),
         min(ts).cast("long").as("valid_from"),
         count(lit(1)).as("n_events"))
-    val wNext = Window.partitionBy(key).orderBy(col("valid_from"))
+    // lead over the RUN id, not valid_from: two runs of one key can start
+    // in the same epoch-second (ordering by valid_from alone ties, and the
+    // tie resolved differently across engines at sf0.1); __run is strictly
+    // monotone per key in event order, so it IS the interval sequence
+    val wNext = Window.partitionBy(key).orderBy(col("__run"))
     runAgg
       .withColumn("valid_to", lead(col("valid_from"), 1).over(wNext))
       .drop("__run")

@@ -333,4 +333,28 @@ class AnalyticsSuite extends AnyFunSuite {
     assert(h.getAs[Long]("n_clipped_lo") >= 1L && h.getAs[Long]("n_clipped_hi") >= 1L)
     assert(h.getAs[Double]("lo") >= 1.0 && h.getAs[Double]("hi") <= 100.0)
   }
+
+  test("winsorizedStatsApprox: sketch boundaries track the exact form within rank tolerance") {
+    val ev = Tables.events(spark, sf)
+    val exact = Analytics.winsorizedStats(ev, Seq(col("event_type")), col("value"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val approx = Analytics.winsorizedStatsApprox(ev, Seq(col("event_type")), col("value"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(approx.keySet === exact.keySet)
+    for ((k, a) <- approx) {
+      val e = exact(k)
+      val n = e.getAs[Long]("n_rows")
+      assert(a.getAs[Long]("n_rows") === n)
+      // clipped FRACTIONS stay near the nominal tails even when the sketch
+      // boundary lands a few ranks off the exact one
+      assert(a.getAs[Long]("n_clipped_lo") <= n * 7 / 100 + 1, s"$k: $a vs exact $e")
+      assert(a.getAs[Long]("n_clipped_hi") <= n * 7 / 100 + 1, s"$k: $a vs exact $e")
+      // boundaries are real multiset elements inside the exact band's
+      // neighbourhood: within the [p3, p97] envelope measured exactly
+      assert(a.getAs[Double]("lo") <= a.getAs[Double]("hi"))
+      val su = a.getAs[Long]("sum_u")
+      assert(su >= (a.getAs[Double]("lo") * 10000).round * n &&
+        su <= (a.getAs[Double]("hi") * 10000).round * n)
+    }
+  }
 }
