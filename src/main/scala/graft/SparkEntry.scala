@@ -734,6 +734,45 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // 3-step sequence mining: the most frequent event-type trigram paths
+    // across per-user timelines (the PrefixSpan-lite census behind funnel
+    // discovery). Two leads over one per-user sort, then a hash agg on at
+    // most |types|³ rows; total (n desc, steps) order makes the top-20 cut
+    // deterministic.
+    "events_sequences" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(unix_micros(col("ts")), col("event_id"))
+      events(s, dir)
+        .withColumn("s2", lead(col("event_type"), 1).over(w))
+        .withColumn("s3", lead(col("event_type"), 2).over(w))
+        .filter(col("s3").isNotNull)
+        .groupBy(col("event_type").as("step1"), col("s2").as("step2"),
+          col("s3").as("step3"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("step1"), col("step2"), col("step3"))
+        .limit(20)
+    }),
+
+    // Exact triangle census over the co-ordered-parts graph of URGENT
+    // orders (parts sharing an order are adjacent) — degree-ordered
+    // orientation bounds wedge fanout by out-degree ≤ O(√E), the trick
+    // that keeps hub vertices from melting the join at scale. Exact
+    // integer counts, fully oracle-able. One priority class keeps the
+    // co-occurrence graph's density (wedge count grows ~quadratically in
+    // mean degree) at census scale; the operator itself is density-agnostic.
+    "graph_triangles" -> ((s, dir) => {
+      val urgent = orders(s, dir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      val li = lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
+        .join(urgent, col("l_orderkey") === col("o_orderkey"))
+      val e = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      Graph.triangleCount(e)
+    }),
+
     // Full outer join — the reconciliation shape: high-balance customers
     // vs per-customer order activity, censused by match side. Money folds
     // to exact integer cents before any sum.
@@ -2481,6 +2520,47 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "graph_pagerank" -> pageRankOracleSql(3),
+
+    "events_sequences" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) // 1000 AS ts_us, event_id
+        |           FROM events),
+        |l AS (SELECT user_id, event_type AS step1,
+        |             lead(event_type, 1) OVER w AS step2,
+        |             lead(event_type, 2) OVER w AS step3
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id))
+        |SELECT step1, step2, step3, count(*)::BIGINT AS n
+        |FROM l WHERE step3 IS NOT NULL
+        |GROUP BY 1, 2, 3
+        |ORDER BY n DESC, step1, step2, step3
+        |LIMIT 20""".stripMargin,
+
+    "graph_triangles" ->
+      """WITH urgent AS (SELECT o_orderkey FROM orders
+        |               WHERE o_orderpriority = '1-URGENT'),
+        |li AS (SELECT l.l_orderkey, l.l_partkey
+        |       FROM lineitem l JOIN urgent u ON l.l_orderkey = u.o_orderkey),
+        |e0 AS (
+        |  SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
+        |  FROM li a JOIN li b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |deg AS (SELECT v, count(*)::BIGINT AS d
+        |        FROM (SELECT lo AS v FROM e0 UNION ALL SELECT hi FROM e0)
+        |        GROUP BY 1),
+        |wd AS (SELECT u.lo, u.hi, dl.d AS dlo, dh.d AS dhi
+        |       FROM e0 u JOIN deg dl ON u.lo = dl.v JOIN deg dh ON u.hi = dh.v),
+        |o AS (SELECT CASE WHEN (dlo, lo) < (dhi, hi) THEN lo ELSE hi END AS a,
+        |             CASE WHEN (dlo, lo) < (dhi, hi) THEN hi ELSE lo END AS b,
+        |             CASE WHEN (dlo, lo) < (dhi, hi) THEN dhi ELSE dlo END AS db
+        |      FROM wd),
+        |w AS (SELECT e1.b AS x, e2.b AS y
+        |      FROM o e1 JOIN o e2
+        |        ON e1.a = e2.a AND (e1.db, e1.b) < (e2.db, e2.b)),
+        |t AS (SELECT count(*)::BIGINT AS n_triangles
+        |      FROM w JOIN o e3 ON w.x = e3.a AND w.y = e3.b)
+        |SELECT (SELECT count(*) FROM deg)::BIGINT AS n_vertices,
+        |       (SELECT count(*) FROM e0)::BIGINT AS n_edges,
+        |       t.n_triangles
+        |FROM t""".stripMargin,
 
     "q_outer_join" ->
       """WITH hi AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000),

@@ -78,4 +78,59 @@ object Graph {
     }
     ranks
   }
+
+  /** Exact triangle count over an UNDIRECTED simple graph given as an edge
+    * list (`src`, `dst`; duplicates and self-loops dropped, direction
+    * ignored). Returns one row: (n_vertices, n_edges, n_triangles).
+    *
+    * Uses the degree-ordered orientation (Schank & Wagner 2005; the trick
+    * every distributed triangle counter ships): orient each edge from its
+    * LOWER-degree endpoint to the higher (ties: smaller vertex), then count
+    * directed wedges a→b, a→c joined against oriented edge b→c. Each
+    * triangle materializes exactly once, and the wedge fanout per vertex is
+    * bounded by its OUT-degree ≤ O(√|E|) — without the orientation a hub
+    * of degree d contributes d² wedges and the naive join melts on skew.
+    * All joins hash-partition on vertex ids; the degree table is two hash
+    * aggs over the edge list.
+    */
+  def triangleCount(edges: DataFrame): DataFrame = {
+    // canonical undirected simple edges: (lo, hi), lo < hi, distinct
+    val und = edges.select(
+        least(col("src"), col("dst")).as("lo"),
+        greatest(col("src"), col("dst")).as("hi"))
+      .filter(col("lo") =!= col("hi"))
+      .distinct()
+      .persist()
+    val deg = und.select(col("lo").as("v"))
+      .union(und.select(col("hi").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    // orientation: from the (degree, id)-smaller endpoint to the larger
+    val withDeg = und
+      .join(deg.select(col("v").as("lo"), col("d").as("dlo")), "lo")
+      .join(deg.select(col("v").as("hi"), col("d").as("dhi")), "hi")
+    val loFirst = struct(col("dlo"), col("lo")) < struct(col("dhi"), col("hi"))
+    // oriented is read three times (both wedge sides + the closing probe):
+    // persist it, not the raw edges
+    val oriented = withDeg.select(
+      when(loFirst, col("lo")).otherwise(col("hi")).as("a"),
+      when(loFirst, col("hi")).otherwise(col("lo")).as("b"),
+      when(loFirst, struct(col("dhi").as("d"), col("hi").as("v")))
+        .otherwise(struct(col("dlo").as("d"), col("lo").as("v"))).as("bkey"))
+      .persist()
+    // wedges a→b, a→c with b before c in (deg, id) order — each triangle
+    // has exactly one apex (the orientation is acyclic), and the closing
+    // edge b→c is oriented exactly that way, so every triangle
+    // materializes once
+    val w = oriented.as("e1")
+      .join(oriented.as("e2"),
+        col("e1.a") === col("e2.a") && col("e1.bkey") < col("e2.bkey"))
+      .select(col("e1.b").as("x"), col("e2.b").as("y"))
+    val tri = w.join(oriented.as("e3"),
+        col("x") === col("e3.a") && col("y") === col("e3.b"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val nv = deg.agg(count(lit(1)).as("n_vertices"))
+    val ne = und.agg(count(lit(1)).as("n_edges"))
+    nv.crossJoin(ne).crossJoin(tri)
+      .select(col("n_vertices"), col("n_edges"), col("n_triangles"))
+  }
 }

@@ -54,6 +54,39 @@ class GraphSuite extends AnyFunSuite {
       s"isomorphic components must rank identically: $m")
   }
 
+  test("triangleCount: known graphs — K4, C5, pendant triangle; duplicates/direction ignored") {
+    def count(edges: Seq[(Long, Long)]): (Long, Long, Long) = {
+      val r = Graph.triangleCount(edges.toDF("src", "dst")).collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    // K4: C(4,3) = 4 triangles
+    val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    assert(count(k4) === ((4L, 6L, 4L)))
+    // 5-cycle: no triangles
+    val c5 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 1L))
+    assert(count(c5) === ((5L, 5L, 0L)))
+    // triangle with a pendant vertex
+    val pend = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L))
+    assert(count(pend) === ((4L, 4L, 1L)))
+    // reversed + duplicate edges collapse to the same simple graph
+    val noisy = pend ++ pend.map(_.swap) ++ pend
+    assert(count(noisy) === ((4L, 4L, 1L)))
+    // self-loops are dropped
+    assert(count(pend :+ ((2L, 2L))) === ((4L, 4L, 1L)))
+  }
+
+  test("triangleCount: hub star graph stays linear (degree orientation bounds wedges)") {
+    // star K1,n has no triangles; the naive wedge join would build n² pairs
+    // at the hub — orientation points every edge INTO the hub, so wedge
+    // count is 0
+    val star = (1L to 200L).map(i => (0L, i))
+    val r = Graph.triangleCount(star.toDF("src", "dst")).collect()(0)
+    assert(r.getLong(2) === 0L)
+    // adding one rim edge makes exactly one triangle
+    val r2 = Graph.triangleCount((star :+ ((1L, 2L))).toDF("src", "dst")).collect()(0)
+    assert(r2.getLong(2) === 1L)
+  }
+
   test("deterministic across repartitioning (integer sums are order-free)") {
     val edges = (1 to 40).map(i => (s"v${i % 7}", s"v${(i * 3) % 11}"))
       .filter { case (a, b) => a != b }
