@@ -734,6 +734,38 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // CUSUM changepoint census per user (Page 1954): mean-centered
+    // cumulative deviation in the n-scaled integer form (no division, no
+    // float anywhere), crossings flagged against a 300-unit excursion
+    // budget. One per-key window pass + one hash agg.
+    "events_cusum" -> ((s, dir) => {
+      Analytics.cusumCensus(events(s, dir), col("user_id"),
+          Seq(unix_micros(col("ts")), col("event_id")), col("value"),
+          thresholdUnits = 300.0)
+        .select(col("__k").as("user_id"), col("n_events"), col("n_crossings"),
+          col("max_dev_u"), col("first_cross"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Declarative data-quality expectations over lineitem: range / domain /
+    // uniqueness checks fold into ONE aggregate over ONE scan (adding a
+    // check never rescans); the FK check is a broadcast anti-join pass.
+    // qty_breaks_at_45 is a deliberately failing check so the report shape
+    // includes real violations.
+    "q_expectations" -> ((s, dir) => {
+      Profile.expectations(
+          lineitem(s, dir),
+          rowChecks = Seq(
+            "qty_in_range" -> col("l_quantity").between(1, 50),
+            "discount_in_range" -> col("l_discount").between(0.0, 0.1),
+            "price_positive" -> (col("l_extendedprice") > 0),
+            "returnflag_valid" -> col("l_returnflag").isin("A", "N", "R"),
+            "qty_breaks_at_45" -> (col("l_quantity") <= 45)),
+          uniqueCols = Seq("l_orderkey"),
+          fkChecks = Seq(("fk_order_exists", orders(s, dir), "l_orderkey", "o_orderkey")))
+        .orderBy(col("check_name"))
+    }),
+
     // 3-step sequence mining: the most frequent event-type trigram paths
     // across per-user timelines (the PrefixSpan-lite census behind funnel
     // discovery). Two leads over one per-user sort, then a hash agg on at
@@ -2520,6 +2552,50 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "graph_pagerank" -> pageRankOracleSql(3),
+
+    "events_cusum" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, event_id,
+        |                  CAST(round(value * 10000, 0) AS BIGINT) AS vu
+        |           FROM events),
+        |w AS (SELECT user_id,
+        |        row_number() OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS i,
+        |        sum(vu) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |        count(*) OVER (PARTITION BY user_id) AS n,
+        |        sum(vu) OVER (PARTITION BY user_id) AS s
+        |      FROM e),
+        |c AS (SELECT user_id, i, n, n * cum - i * s AS cdev FROM w)
+        |SELECT user_id, max(n)::BIGINT AS n_events,
+        |       sum(CASE WHEN abs(cdev) > 3000000 * n THEN 1 ELSE 0 END)::BIGINT
+        |         AS n_crossings,
+        |       (max(abs(cdev)) // max(n))::BIGINT AS max_dev_u,
+        |       min(CASE WHEN abs(cdev) > 3000000 * n THEN i END)::BIGINT AS first_cross
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_expectations" ->
+      """WITH agg AS (
+        |  SELECT count(*)::BIGINT AS n_rows,
+        |    sum(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 0 ELSE 1 END)::BIGINT AS v_qty,
+        |    sum(CASE WHEN l_discount BETWEEN 0.0 AND 0.1 THEN 0 ELSE 1 END)::BIGINT AS v_disc,
+        |    sum(CASE WHEN l_extendedprice > 0 THEN 0 ELSE 1 END)::BIGINT AS v_price,
+        |    sum(CASE WHEN l_returnflag IN ('A', 'N', 'R') THEN 0 ELSE 1 END)::BIGINT AS v_flag,
+        |    sum(CASE WHEN l_quantity <= 45 THEN 0 ELSE 1 END)::BIGINT AS v_q45,
+        |    (count(l_orderkey) - count(DISTINCT l_orderkey))::BIGINT AS v_uniq
+        |  FROM lineitem),
+        |fk AS (SELECT count(*)::BIGINT AS v_fk
+        |       FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |       WHERE o.o_orderkey IS NULL)
+        |SELECT check_name, n_rows, n_violations,
+        |       CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS passed
+        |FROM (
+        |  SELECT 'qty_in_range' AS check_name, n_rows, v_qty AS n_violations FROM agg
+        |  UNION ALL SELECT 'discount_in_range', n_rows, v_disc FROM agg
+        |  UNION ALL SELECT 'price_positive', n_rows, v_price FROM agg
+        |  UNION ALL SELECT 'returnflag_valid', n_rows, v_flag FROM agg
+        |  UNION ALL SELECT 'qty_breaks_at_45', n_rows, v_q45 FROM agg
+        |  UNION ALL SELECT 'unique_l_orderkey', n_rows, v_uniq FROM agg
+        |  UNION ALL SELECT 'fk_order_exists', n_rows, v_fk FROM agg, fk
+        |) ORDER BY check_name""".stripMargin,
 
     "events_sequences" ->
       """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) // 1000 AS ts_us, event_id

@@ -372,6 +372,48 @@ object Analytics {
         sum(col("__cl")).as("sum_u"))
   }
 
+  /** CUSUM changepoint census per key: cumulative deviation of a metric
+    * from its per-key mean, flagged where the excursion exceeds a
+    * threshold — the classic drift detector (Page 1954) for "did this
+    * source's quality shift mid-corpus?", complementary to
+    * [[Timeseries.rollingAnomalies]]' pointwise z-score.
+    *
+    * EXACT integer form: with vu = micro-units, the mean-centered cumsum
+    * c_i = n·Σ_{j≤i} vu_j − i·Σ vu scales the deviation by n so no
+    * division (and no float) ever happens; a crossing is |c_i| > thr_u·n.
+    * Everything is one per-key window pass (cumsum + row_number + the
+    * unbounded n/Σ share a single (key)-partitioned sort) + one hash agg.
+    *
+    * Output: (key, n_events, n_crossings, max_dev_u = max|c| DIV n in
+    * micro-units, first_cross = earliest crossing position or null).
+    */
+  def cusumCensus(
+      df: DataFrame,
+      key: Column,
+      orderCols: Seq[Column],
+      value: Column,
+      thresholdUnits: Double): DataFrame = {
+    val thrU = math.round(thresholdUnits * 10000)
+    val vu = round(value * 10000, 0).cast("long")
+    val base = df.select(key.as("__k"), struct(orderCols: _*).as("__ord"), vu.as("__vu"))
+    val wOrd = Window.partitionBy(col("__k")).orderBy(col("__ord"))
+    val wAll = Window.partitionBy(col("__k"))
+    val c = base
+      .withColumn("__i", row_number().over(wOrd).cast("long"))
+      .withColumn("__cum",
+        sum(col("__vu")).over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__s", sum(col("__vu")).over(wAll))
+      .withColumn("__c", col("__n") * col("__cum") - col("__i") * col("__s"))
+      .withColumn("__x", abs(col("__c")) > lit(thrU) * col("__n"))
+    c.groupBy(col("__k"))
+      .agg(
+        max(col("__n")).as("n_events"),
+        sum(when(col("__x"), 1L).otherwise(0L)).as("n_crossings"),
+        intDiv(max(abs(col("__c"))), max(col("__n"))).as("max_dev_u"),
+        min(when(col("__x"), col("__i"))).as("first_cross"))
+  }
+
   /** Mode (most frequent value) per group with a DETERMINISTIC tie-break
     * (smallest value wins). The engines' native `mode()` returns an
     * arbitrary element on ties — fine interactively, useless for a

@@ -81,9 +81,12 @@ object Linkage {
       .filter(abs(length(col("__ln")) - length(col("__rn"))) <= maxDist)
       .select(col("left_id"), col("__ln"), col("right_id"), col("__rn"))
       .distinct()
+    // 3-arg levenshtein runs the BANDED O(maxDist·n) DP and bails with -1
+    // past the threshold — the verify step's cost tracks the budget, not
+    // the name length; kept rows carry the exact distance either way
     val verified = pairs
-      .withColumn("dist", levenshtein(col("__ln"), col("__rn")))
-      .filter(col("dist") <= maxDist)
+      .withColumn("dist", levenshtein(col("__ln"), col("__rn"), maxDist))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
     val w = Window.partitionBy(col("left_id")).orderBy(col("dist"), col("right_id"))
     verified.withColumn("__rk", row_number().over(w))
       .filter(col("__rk") === 1)

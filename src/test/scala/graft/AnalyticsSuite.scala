@@ -334,6 +334,61 @@ class AnalyticsSuite extends AnyFunSuite {
     assert(h.getAs[Double]("lo") >= 1.0 && h.getAs[Double]("hi") <= 100.0)
   }
 
+  test("cusumCensus: constant series never crosses; a level shift crosses after the step") {
+    // constant: every deviation is 0 → no crossings, max_dev 0
+    val const = (1 to 40).map(i => ("k", i, 7.0)).toDF("k", "i", "v")
+    val c = Analytics.cusumCensus(const, col("k"), Seq(col("i")), col("v"), 1.0)
+      .collect()(0)
+    assert(c.getAs[Long]("n_crossings") === 0L)
+    assert(c.getAs[Long]("max_dev_u") === 0L)
+    assert(c.isNullAt(c.fieldIndex("first_cross")))
+
+    // step 0→10 at midpoint: the mean is 5, so the cumulative deviation
+    // excursion reaches 5·(n/2) units at the step — far over a 20-unit
+    // budget; the first crossing must come at position > 1 (the excursion
+    // accumulates) and crossings must exist
+    val step = ((1 to 20).map(i => ("k", i, 0.0)) ++ (21 to 40).map(i => ("k", i, 10.0)))
+      .toDF("k", "i", "v")
+    val s = Analytics.cusumCensus(step, col("k"), Seq(col("i")), col("v"), 20.0)
+      .collect()(0)
+    assert(s.getAs[Long]("n_crossings") > 0L, s"level shift must cross: $s")
+    val first = s.getAs[Long]("first_cross")
+    assert(first > 1L && first <= 20L,
+      s"excursion accumulates toward the step point: $s")
+    // hand-check max_dev: max |cumdev| = 100 units at i=20 (20 rows × mean 5)
+    assert(s.getAs[Long]("max_dev_u") === 100L * 10000L)
+
+    // threshold above the worst excursion → zero crossings on the same data
+    val q = Analytics.cusumCensus(step, col("k"), Seq(col("i")), col("v"), 101.0)
+      .collect()(0)
+    assert(q.getAs[Long]("n_crossings") === 0L)
+  }
+
+  test("expectations: violation counts exact, FK anti-join, one-scan report shape") {
+    import graft.operators.Profile
+    val facts = Seq(
+      (1L, 10.0, "A"), (2L, 55.0, "A"), (3L, -1.0, "B"), (3L, 20.0, "A"), (9L, 30.0, "A"))
+      .toDF("id", "qty", "flag")
+    val dim = Seq(1L, 2L, 3L).toDF("pk")
+    val rep = Profile.expectations(
+        facts,
+        rowChecks = Seq(
+          "qty_in_range" -> col("qty").between(0, 50),
+          "flag_valid" -> (col("flag") === "A")),
+        uniqueCols = Seq("id"),
+        fkChecks = Seq(("fk_dim", dim, "id", "pk")))
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("n_violations"), r.getAs[Int]("passed"))).toMap
+    assert(rep("qty_in_range") === ((5L, 2L, 0)))   // 55.0 and -1.0
+    assert(rep("flag_valid") === ((5L, 1L, 0)))     // the B row
+    assert(rep("unique_id") === ((5L, 1L, 0)))      // id 3 twice
+    assert(rep("fk_dim") === ((5L, 1L, 0)))         // id 9 unmatched
+    // an all-green check reports passed=1
+    val ok = Profile.expectations(facts, rowChecks = Seq("n_nonneg" -> col("id").isNotNull))
+      .collect()(0)
+    assert(ok.getAs[Long]("n_violations") === 0L && ok.getAs[Int]("passed") === 1)
+  }
+
   test("winsorizedStatsApprox: sketch boundaries track the exact form within rank tolerance") {
     val ev = Tables.events(spark, sf)
     val exact = Analytics.winsorizedStats(ev, Seq(col("event_type")), col("value"))
