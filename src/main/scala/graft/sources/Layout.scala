@@ -166,6 +166,81 @@ object Layout {
     CompactStats(before.length, bytesBefore, after.length, after.map(_.getLen).sum, rowsBefore)
   }
 
+  final case class TakedownStats(
+      nPartitionsTotal: Int,
+      nPartitionsRewritten: Int,
+      rowsDeleted: Long)
+
+  /** Targeted deletion from a hive-partitioned corpus — the takedown /
+    * right-to-be-forgotten operation every LLM training corpus eventually
+    * needs. Rows whose `keyCol` appears in `keys` are removed by rewriting
+    * ONLY the partitions that contain a hit; every other partition's files
+    * are untouched byte-for-byte (spec-asserted), so a 100 TB corpus pays
+    * IO proportional to the takedown's partition locality, not its size.
+    *
+    * Locating the affected partitions: if `keys` carries `partitionCol`
+    * (the caller knows where the rows live — the usual case, the key store
+    * records it), NO corpus scan happens at all; otherwise one
+    * broadcast-join scan over `keyCol` finds them.
+    *
+    * Each affected leaf rewrites via the same tmp → backup → swap rename
+    * protocol as [[compact]], with a row-count proof (after == before −
+    * deleted) BEFORE the original is touched — a failed rewrite leaves the
+    * corpus exactly as it was.
+    */
+  def deleteByKey(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      partitionCol: String,
+      keyCol: String,
+      keys: DataFrame): TakedownStats = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.functions.broadcast
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val allParts = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$partitionCol="))
+      .map(_.getPath.getName.stripPrefix(s"$partitionCol="))
+    val keySet = keys.select(col(keyCol)).distinct().persist()
+    val affected: Array[String] =
+      if (keys.columns.contains(partitionCol))
+        keys.select(col(partitionCol).cast("string")).distinct()
+          .collect().map(_.getString(0)).filter(allParts.contains)
+      else
+        spark.read.parquet(path)
+          .join(broadcast(keySet), keyCol)
+          .select(col(partitionCol).cast("string")).distinct()
+          .collect().map(_.getString(0))
+    var deleted = 0L
+    var rewritten = 0
+    for (p <- affected.sorted) {
+      val leaf = new Path(root, s"$partitionCol=$p")
+      val before = spark.read.parquet(leaf.toString)
+      val nBefore = before.count()
+      val kept = before.join(broadcast(keySet), Seq(keyCol), "left_anti")
+      val tmp = new Path(root, s"$partitionCol=$p.takedown-tmp")
+      fs.delete(tmp, true)
+      kept.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      val nAfter = spark.read.parquet(tmp.toString).count()
+      val nHit = nBefore - nAfter
+      require(nHit >= 0 && nAfter <= nBefore,
+        s"deleteByKey: rewrite grew partition $p ($nBefore -> $nAfter); " +
+          s"original untouched, rewrite left at $tmp")
+      if (nHit == 0) { fs.delete(tmp, true) } // false-positive partition: no rewrite
+      else {
+        val bak = new Path(root, s"$partitionCol=$p.takedown-old")
+        fs.delete(bak, true)
+        require(fs.rename(leaf, bak), s"deleteByKey: could not move $leaf aside")
+        require(fs.rename(tmp, leaf), s"deleteByKey: could not swap in $tmp; data at $bak")
+        fs.delete(bak, true)
+        deleted += nHit
+        rewritten += 1
+      }
+    }
+    keySet.unpersist()
+    TakedownStats(allParts.length, rewritten, deleted)
+  }
+
   /** Z-order (Morton) interleave of the low `bits` bits of two non-negative
     * integer columns: bit i of `x` lands at position 2i, bit i of `y` at
     * 2i+1. Pure integer shift/mask arithmetic (codegen'd, no UDF), identical

@@ -946,4 +946,62 @@ class ConnectorsSuite extends AnyFunSuite {
     val after = mb.status("watched")
     assert(!after.running)
   }
+
+  test("takedown deleteByKey: only hit partitions rewrite; others stay byte-identical") {
+    import java.nio.file.{Files, Paths}
+    val sp = TestSpark.spark
+    import sp.implicits._
+    val docs = TestSpark.spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val out = freshRoot() + "/docs_takedown"
+    Layout.writePartitioned(docs, out, partitionCols = Seq("lang"), sortCols = Seq("doc_id"))
+    val total = docs.count()
+
+    // victim keys: three docs from ONE language partition
+    val victims = docs.filter(col("lang") === "en").select("doc_id").limit(3)
+    val victimIds = victims.as[Long].collect().toSet
+    assert(victimIds.size === 3)
+
+    // fingerprint every partition's files before the takedown
+    def fileBytes(): Map[String, Seq[(String, Long)]] =
+      Files.list(Paths.get(out)).toArray.toSeq.map(_.toString)
+        .filter(_.contains("lang=")).map { d =>
+          d -> Files.list(Paths.get(d)).toArray.toSeq.map(_.toString)
+            .filter(_.endsWith(".parquet"))
+            .sorted.map(f => (f, Files.size(Paths.get(f))))
+        }.toMap
+    val before = fileBytes()
+
+    val stats = Layout.deleteByKey(TestSpark.spark, out, "lang", "doc_id",
+      victims.toDF("doc_id"))
+    assert(stats.rowsDeleted === 3L, s"expected 3 deletions: $stats")
+    assert(stats.nPartitionsRewritten === 1, s"only lang=en should rewrite: $stats")
+    assert(stats.nPartitionsTotal === before.size)
+
+    // deleted rows are gone, everything else survives
+    val remaining = spark.read.parquet(out)
+    assert(remaining.count() === total - 3)
+    assert(remaining.filter(col("doc_id").isin(victimIds.toSeq: _*)).count() === 0)
+
+    // untouched partitions: identical file lists and sizes; the rewritten
+    // one changed; no tmp/backup residue anywhere
+    val after = fileBytes()
+    for ((d, files) <- before if !d.endsWith("lang=en"))
+      assert(after(d) === files, s"untouched partition $d must keep its exact files")
+    assert(after(before.keys.find(_.endsWith("lang=en")).get)
+      !== before(before.keys.find(_.endsWith("lang=en")).get))
+    assert(!Files.list(Paths.get(out)).toArray.toSeq.map(_.toString)
+      .exists(_.contains(".takedown-")), "no swap residue")
+
+    // keys carrying the partition column skip the locate scan and still work
+    val more = docs.filter(col("lang") === "de").select("doc_id", "lang").limit(2)
+    val stats2 = Layout.deleteByKey(TestSpark.spark, out, "lang", "doc_id", more)
+    assert(stats2.rowsDeleted === 2L && stats2.nPartitionsRewritten === 1)
+    assert(spark.read.parquet(out).count() === total - 5)
+
+    // a key that exists nowhere: no rewrites, nothing changes
+    val stats3 = Layout.deleteByKey(TestSpark.spark, out, "lang", "doc_id",
+      Seq(999999999L).toDF("doc_id"))
+    assert(stats3.rowsDeleted === 0L && stats3.nPartitionsRewritten === 0)
+    assert(spark.read.parquet(out).count() === total - 5)
+  }
 }
