@@ -734,6 +734,25 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // Snapshot diff audit: synthetic "tomorrow" snapshot (every 97th doc
+    // deleted, every 41st revised, every 89th re-added under a new id)
+    // diffed against today's by md5 fingerprint — one full outer join
+    // carrying (id, hash), bodies never shuffle. Census per change kind.
+    "corpus_diff" -> ((s, dir) => {
+      val a = documents(s, dir)
+      val b = a.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+        .withColumn("text",
+          when(pmod(col("doc_id"), lit(41)) === 0, concat(col("text"), lit(" rev2")))
+            .otherwise(col("text")))
+        .unionByName(
+          a.filter(pmod(col("doc_id"), lit(89)) === 0)
+            .withColumn("doc_id", col("doc_id") + 1000000L))
+      Profile.snapshotDiff(a, b, "doc_id", "text")
+        .groupBy(col("change"))
+        .agg(count(lit(1)).as("n"), min(col("id")).as("first_id"))
+        .orderBy(col("change"))
+    }),
+
     // CUSUM changepoint census per user (Page 1954): mean-centered
     // cumulative deviation in the n-scaled integer form (no division, no
     // float anywhere), crossings flagged against a 300-unit excursion
@@ -2552,6 +2571,24 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "graph_pagerank" -> pageRankOracleSql(3),
+
+    "corpus_diff" ->
+      """WITH a AS (SELECT doc_id, md5(text) AS h FROM documents),
+        |b0 AS (SELECT doc_id,
+        |              CASE WHEN doc_id % 41 = 0 THEN text || ' rev2' ELSE text END AS text
+        |       FROM documents WHERE doc_id % 97 <> 0),
+        |b1 AS (SELECT doc_id + 1000000 AS doc_id, text
+        |       FROM documents WHERE doc_id % 89 = 0),
+        |b AS (SELECT doc_id, md5(text) AS h FROM
+        |        (SELECT * FROM b0 UNION ALL SELECT * FROM b1)),
+        |d AS (SELECT coalesce(a.doc_id, b.doc_id) AS id,
+        |             CASE WHEN b.h IS NULL THEN 'removed'
+        |                  WHEN a.h IS NULL THEN 'added'
+        |                  WHEN a.h <> b.h THEN 'changed'
+        |                  ELSE 'unchanged' END AS change
+        |      FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+        |SELECT change, count(*)::BIGINT AS n, min(id)::BIGINT AS first_id
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "events_cusum" ->
       """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, event_id,

@@ -110,6 +110,65 @@ object Profile {
     * over the fact — unavoidable second input, but the dim is typically
     * broadcast so the fact is still scanned map-side only.
     */
+  /** Mergeable distinct-count sketches per column — the incremental half of
+    * profiling: sketch today's batch, UNION it into the stored corpus
+    * sketch, and the corpus-wide distinct count updates WITHOUT rescanning
+    * 100 TB. Apache DataSketches HLL via the native `hll_sketch_agg`
+    * aggregate (one mergeable binary per column, map-side combined).
+    *
+    * Merging tracks the direct whole-corpus sketch closely but NOT
+    * bit-identically: DataSketches HLL promotes through LIST → SET → HLL
+    * modes, and a union's gadget can sit in a different mode than a
+    * directly-built sketch of the same stream, shifting the estimator by
+    * a fraction of a percent (spec pins merged-vs-direct within 1% and
+    * both within the usual HLL error of exact).
+    *
+    * Output: one row per column, (col_name, n_rows, sketch BINARY).
+    */
+  def sketchProfile(df: DataFrame, cols: Seq[String], lgK: Int = 12): DataFrame = {
+    require(cols.nonEmpty, "sketchProfile: cols must be non-empty")
+    val aggs = count(lit(1)).as("__n") +:
+      cols.map(c => hll_sketch_agg(col(c).cast("string"), lit(lgK)).as(s"__sk_$c"))
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val entries = cols.map { c =>
+      struct(lit(c).as("col_name"), col("__n").as("n_rows"), col(s"__sk_$c").as("sketch"))
+    }
+    one.select(explode(array(entries: _*)).as("e")).select("e.*")
+  }
+
+  /** Merge two sketch-profile tables (same columns) into one: row counts
+    * add, sketches HLL-union. Both inputs are |cols| rows — this runs in
+    * milliseconds regardless of how much data each side summarizes.
+    */
+  def mergeSketchProfiles(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("col_name"))
+      .agg(sum(col("n_rows")).as("n_rows"),
+        hll_union_agg(col("sketch"), lit(true)).as("sketch"))
+
+  /** Readable view of a sketch profile: distinct-count estimates. */
+  def estimateSketchProfile(p: DataFrame): DataFrame =
+    p.select(col("col_name"), col("n_rows"),
+      hll_sketch_estimate(col("sketch")).as("n_distinct_est"))
+
+  /** Row-level diff of two corpus snapshots by content fingerprint — the
+    * "what changed between yesterday's drop and today's" audit. One full
+    * outer join on the id, comparing md5 fingerprints; the shuffle carries
+    * (id, 32-char hash), never the documents. Output: (id, change) with
+    * change ∈ added | removed | changed | unchanged.
+    */
+  def snapshotDiff(a: DataFrame, b: DataFrame, id: String, content: String): DataFrame = {
+    val fa = a.select(col(id).as("__ida"), md5(col(content).cast("binary")).as("__ha"))
+    val fb = b.select(col(id).as("__idb"), md5(col(content).cast("binary")).as("__hb"))
+    fa.join(fb, col("__ida") === col("__idb"), "full_outer")
+      .select(
+        coalesce(col("__ida"), col("__idb")).as("id"),
+        when(col("__hb").isNull, lit("removed"))
+          .when(col("__ha").isNull, lit("added"))
+          .when(col("__ha") =!= col("__hb"), lit("changed"))
+          .otherwise(lit("unchanged")).as("change"))
+  }
+
   def expectations(
       df: DataFrame,
       rowChecks: Seq[(String, Column)],

@@ -2175,4 +2175,45 @@ class OperatorsSuite extends AnyFunSuite {
     assert(passed < total, s"sketch gate pruned nothing: $passed of $total")
     assert(passed >= matching, "sketch gate dropped a matching fact row")
   }
+
+  test("sketchProfile: merged batch sketches track the whole-corpus sketch; estimates accurate") {
+    import graft.operators.Profile
+    val docs = graft.core.Tables.documents(spark, TestSpark.sf0001)
+    val (a, b) = (docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 === 1))
+    val cols = Seq("doc_id", "lang", "source")
+
+    val merged = Profile.mergeSketchProfiles(
+      Profile.sketchProfile(a, cols), Profile.sketchProfile(b, cols))
+    val whole = Profile.sketchProfile(docs, cols)
+
+    def est(p: org.apache.spark.sql.DataFrame): Map[String, (Long, Long)] =
+      Profile.estimateSketchProfile(p).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val (m, w) = (est(merged), est(whole))
+    assert(m.keySet === cols.toSet)
+    for (c <- cols) {
+      assert(m(c)._1 === w(c)._1, s"$c: row counts must add exactly")
+      // merged estimate tracks the direct sketch within 1% (DataSketches
+      // mode promotion can shift the estimator a fraction of a percent)
+      assert(math.abs(m(c)._2 - w(c)._2) <= math.max(1.0, w(c)._2 * 0.01),
+        s"$c: merged sketch drifted from the direct one: ${m(c)} vs ${w(c)}")
+    }
+    // accuracy: within 5% of exact distinct at lgK=12 on these cardinalities
+    for (c <- cols) {
+      val exact = docs.select(col(c)).distinct().count()
+      val e = w(c)._2.toDouble
+      assert(math.abs(e - exact) <= math.max(1.0, exact * 0.05),
+        s"$c: estimate $e too far from exact $exact")
+    }
+    // the incremental flow: persist the corpus sketch, merge a new batch's
+    // sketch against the RE-READ artifact — |cols| rows in, |cols| rows
+    // out, the original corpus is never touched again
+    val dir = java.nio.file.Files.createTempDirectory("sketch_prof").toString
+    whole.write.mode("overwrite").parquet(dir)
+    val updated = Profile.mergeSketchProfiles(
+      spark.read.parquet(dir), Profile.sketchProfile(b, cols))
+    val u = est(updated)
+    assert(u("doc_id")._1 === docs.count() + b.count())
+    assert(u("lang")._2 === w("lang")._2, "re-merging a subset adds no new distincts")
+  }
 }
