@@ -102,5 +102,21 @@ object Explain {
     "q_scalar_subquery" ->
       ("the correlated scalar subquery is de-correlated by Catalyst into an aggregate + " +
         "equi-join — the plan must show one agg over orders joined back on o_custkey, " +
-        "never a per-row subquery re-execution."))
+        "never a per-row subquery re-execution."),
+    "q_winsorize" ->
+      ("nearest-rank boundaries from the (group, value_u) COMPACTED multiset — no global " +
+        "sort; still materializes distinct values per group. Scale path on near-unique " +
+        "domains: q_winsorize_scale (percentile_approx GK boundaries, no multiset)."),
+    "graph_triangles" ->
+      ("wedge volume grows ~quadratically in mean degree (this query pins density via one " +
+        "order-priority class). The degree-ordered orientation bounds per-vertex wedge " +
+        "fanout at out-degree <= O(sqrt E) — audit for the oriented-edge exchange being " +
+        "keyed on the apex vertex, never a broadcast of the corpus."),
+    "linkage_blocked" ->
+      ("candidate volume = sum over cold grams of |L_g|*|R_g|, bounded by the maxGramFreq " +
+        "stop-gram cap (the skew guard). Audit: exchanges keyed on gram / pair, banded " +
+        "3-arg levenshtein only on DISTINCT pairs, no cartesian fallback."),
+    "graph_pagerank" ->
+      ("per iteration ONE edges-ranks shuffle + one dst hash agg; rank table is |V| rows. " +
+        "Deep runs checkpoint every ~10 iters (lineage); scalar mass tables broadcast."))
 }
