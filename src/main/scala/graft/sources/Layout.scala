@@ -166,6 +166,43 @@ object Layout {
     CompactStats(before.length, bytesBefore, after.length, after.map(_.getLen).sum, rowsBefore)
   }
 
+  /** Recursive [[compact]] over a hive-partitioned tree: walks to the leaf
+    * directories (those holding data files), compacts ONLY the fragmented
+    * ones (file count above `minFilesToCompact`), leaves the rest
+    * untouched. The maintenance loop a micro-batch-ingested corpus runs
+    * nightly — per-leaf granularity means a year-old cold partition is
+    * never rewritten just because yesterday's is fragmented.
+    *
+    * Returns (leaves examined, leaves compacted).
+    */
+  def compactTree(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      targetBytes: Long = 128L << 20,
+      sortCols: Seq[String] = Nil,
+      minFilesToCompact: Int = 2): (Int, Int) = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def leaves(p: Path): Seq[Path] = {
+      val entries = fs.listStatus(p).filterNot(_.getPath.getName.startsWith("_"))
+      val (dirs, files) = entries.partition(_.isDirectory)
+      if (files.exists(f => !f.getPath.getName.startsWith("."))) Seq(p)
+      else dirs.flatMap(d => leaves(d.getPath)).toSeq
+    }
+    val ls = leaves(root)
+    var done = 0
+    for (leaf <- ls) {
+      val nFiles = fs.listStatus(leaf).count(s =>
+        s.isFile && !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+      if (nFiles >= minFilesToCompact) {
+        compact(spark, leaf.toString, targetBytes, sortCols)
+        done += 1
+      }
+    }
+    (ls.length, done)
+  }
+
   final case class TakedownStats(
       nPartitionsTotal: Int,
       nPartitionsRewritten: Int,

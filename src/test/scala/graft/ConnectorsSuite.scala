@@ -947,6 +947,31 @@ class ConnectorsSuite extends AnyFunSuite {
     assert(!after.running)
   }
 
+  test("compactTree: only fragmented leaves compact; cold partitions untouched") {
+    import java.nio.file.{Files, Paths}
+    val sp = TestSpark.spark
+    import sp.implicits._
+    val out = freshRoot() + "/tree"
+    // lang=a: fragmented (8 files); lang=b: already one file (cold)
+    (1 to 80).map(i => (i.toLong, "a")).toDF("id", "lang")
+      .repartition(8).write.partitionBy("lang").parquet(out)
+    (1000 to 1040).map(i => (i.toLong, "b")).toDF("id", "lang")
+      .coalesce(1).write.mode("append").partitionBy("lang").parquet(out)
+    def filesOf(p: String) = Files.list(Paths.get(s"$out/lang=$p")).toArray.toSeq
+      .map(_.toString).filter(_.endsWith(".parquet")).sorted
+    val bFiles = filesOf("b").map(f => (f, Files.size(Paths.get(f))))
+    assert(filesOf("a").size > 1)
+    val total = spark.read.parquet(out).count()
+
+    val (examined, compacted) = Layout.compactTree(TestSpark.spark, out,
+      targetBytes = 1L << 30, minFilesToCompact = 2)
+    assert(examined === 2 && compacted === 1, s"only lang=a should compact: $examined/$compacted")
+    assert(filesOf("a").size === 1, "fragmented leaf must collapse to one file")
+    assert(filesOf("b").map(f => (f, Files.size(Paths.get(f)))) === bFiles,
+      "cold partition must keep its exact files")
+    assert(spark.read.parquet(out).count() === total, "compaction is content-preserving")
+  }
+
   test("takedown deleteByKey: only hit partitions rewrite; others stay byte-identical") {
     import java.nio.file.{Files, Paths}
     val sp = TestSpark.spark

@@ -80,6 +80,47 @@ class IngestSuite extends AnyFunSuite {
     assert(rows.length === 3, "records before the truncation point must survive")
   }
 
+  test("warc → corpus e2e: crawl archive feeds the text pipeline (strip, langid, dedup, chunk)") {
+    import graft.operators.{Dedup, Pipeline, TextAnalysis}
+    val dir = Files.createTempDirectory("warc_e2e")
+    def page(body: String) =
+      s"<html><head><script>var x=1;</script></head><body>$body</body></html>"
+    val docs = Seq(
+      ("https://a.com/1", page("the quick brown fox jumps over the lazy dog and runs away")),
+      ("https://a.com/2", page("the quick brown fox jumps over the lazy dog and runs away")), // dup
+      ("https://b.com/1", page("a completely different document about spark query engines")),
+      ("https://b.com/2", page("der schnelle braune fuchs springt und die hunde laufen weg")))
+    val bytes = docs.flatMap { case (uri, html) =>
+      warcRecord("response", uri, html.getBytes(StandardCharsets.ISO_8859_1))
+    }.toArray
+    Files.write(dir.resolve("crawl-e2e.warc"), bytes)
+
+    // front door: WARC → (uri, text); payload decodes executor-side
+    val raw = Ingest.readWarc(spark, dir.toString)
+      .filter(col("warc_type") === "response")
+      .select(col("target_uri").as("url"),
+        col("payload").cast("string").as("html"),
+        col("record_idx").cast("long").as("doc_id"))
+    // pipeline: markup strip → langid → exact dedup → chunk
+    val text = raw.withColumn("text", TextAnalysis.stripMarkup(col("html")))
+    val lang = text.withColumn("lang", TextAnalysis.langId(col("text")))
+    val kept = Dedup.exactByKey(
+        lang.select(md5(col("text").cast("binary")).as("k"), col("doc_id")),
+        col("k"), col("doc_id"))
+      .join(lang, "doc_id")
+    val chunks = Pipeline.chunkTokens(kept, col("doc_id"), col("text"),
+      window = 8, stride = 6)
+
+    val keptRows = kept.collect()
+    assert(keptRows.length === 3, "exact dedup must fold the duplicate page")
+    val langs = kept.select("lang").as[String].collect()
+    assert(langs.count(_ == "en") >= 2 && langs.contains("de"),
+      s"langid must separate the German page: ${langs.toSeq}")
+    assert(kept.filter(col("text").contains("script")).count() === 0,
+      "script blocks must die with their content")
+    assert(chunks.count() >= 3, "every surviving doc chunks")
+  }
+
   test("jsonl quarantine: valid rows parse, malformed lines land in quarantine verbatim") {
     val dir = Files.createTempDirectory("jsonl")
     val lines = Seq(
