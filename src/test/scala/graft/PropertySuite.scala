@@ -448,4 +448,92 @@ class PropertySuite extends AnyFunSuite {
       assert(pairs(0).getDouble(2) === 1.0)
     }
   }
+
+  test("property: canonicalizeUrl is idempotent and component-stable for ANY generated URL") {
+    import graft.operators.Web
+    val schemeGen = Gen.oneOf("http", "https", "HTTP", "Https", "ftp")
+    val labelGen = Gen.choose(1, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaNumChar).map(_.mkString))
+    val hostGen = for {
+      nl <- Gen.choose(1, 4)
+      ls <- Gen.listOfN(nl, labelGen)
+      sfx <- Gen.oneOf("", ".com", ".co.uk", ".org", ".example.co.uk")
+    } yield (ls.mkString(".") + sfx)
+    val urlGen = for {
+      sch <- schemeGen
+      hst <- hostGen
+      prt <- Gen.oneOf("", ":80", ":443", ":8080", ":65000")
+      pth <- Gen.oneOf("", "/", "/a", "/a/b.html", "/x%20y")
+      q <- Gen.oneOf("", "?a=1", "?utm_source=x", "?b=2&a=1&utm_c=3", "?z&=v&k=")
+      f <- Gen.oneOf("", "#f", "#a=b")
+    } yield s"$sch://$hst$prt$pth$q$f"
+    val urls = samples(urlGen, 120).distinct
+    import spark.implicits._
+    val df = urls.toDF("u")
+    val rows = df.select(col("u"), Web.canonicalizeUrl(col("u")).as("c1"),
+        Web.canonicalizeUrl(Web.canonicalizeUrl(col("u"))).as("c2"),
+        Web.host(col("u")).as("h"),
+        Web.registeredDomain(Web.host(col("u"))).as("rd"))
+      .collect()
+    for (r <- rows) {
+      val (u, c1, c2) = (r.getString(0), r.getString(1), r.getString(2))
+      assert(c1 == c2, s"idempotence broke for $u: '$c1' vs '$c2'")
+      if (c1 != null) {
+        assert(c1 == c1.toLowerCase.take(c1.indexOf("://") + 3) + c1.drop(c1.indexOf("://") + 3),
+          s"scheme must be lowercase: $c1")
+        assert(!c1.contains("#"), s"fragment must not survive: $u -> $c1")
+        assert(!c1.contains("utm_"), s"tracking params must not survive: $u -> $c1")
+        val h = r.getString(3)
+        assert(c1.contains(h), s"canonical must embed the lowercased host: $u -> $c1")
+        val rd = r.getString(4)
+        assert(h == rd || h.endsWith("." + rd) || !h.contains("."),
+          s"registered domain must be a dot-boundary suffix of the host: $h vs $rd")
+      }
+    }
+  }
+
+  test("property: triangleCount equals brute-force 3-subset enumeration on random graphs") {
+    import graft.operators.Graph
+    import spark.implicits._
+    val graphGen = for {
+      nv <- Gen.choose(3, 9)
+      ne <- Gen.choose(0, 18)
+      es <- Gen.listOfN(ne, for {
+        a <- Gen.choose(0L, nv.toLong - 1)
+        b <- Gen.choose(0L, nv.toLong - 1)
+      } yield (a, b))
+    } yield es
+    for ((edges, i) <- samples(graphGen, 12).zipWithIndex) {
+      val simple = edges.filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      val adj = simple.toSet
+      val verts = simple.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+      val brute = verts.combinations(3).count { case Seq(a, b, c) =>
+        adj((a, b)) && adj((b, c)) && adj((a, c))
+      }
+      if (simple.nonEmpty) {
+        val got = Graph.triangleCount(edges.toDF("src", "dst")).collect()(0).getLong(2)
+        assert(got === brute.toLong, s"case $i: graph $simple expected $brute got $got")
+      }
+    }
+  }
+
+  test("property: winsorizedStats boundaries equal driver-side nearest-rank on random data") {
+    import graft.operators.Analytics
+    import spark.implicits._
+    val dataGen = for {
+      n <- Gen.choose(1, 60)
+      vs <- Gen.listOfN(n, Gen.choose(-50000, 50000).map(_ / 100.0))
+    } yield vs
+    for ((vs, i) <- samples(dataGen, 10).zipWithIndex) {
+      val df = vs.map(("g", _)).toDF("g", "v")
+      val r = Analytics.winsorizedStats(df, Seq(col("g")), col("v")).collect()(0)
+      val sortedU = vs.map(v => math.round(v * 10000)).sorted
+      def nr(p: Int) = sortedU((((sortedU.size.toLong * p + 99) / 100).toInt - 1).max(0))
+      assert(math.round(r.getAs[Double]("lo") * 10000) === nr(5), s"case $i lo")
+      assert(math.round(r.getAs[Double]("hi") * 10000) === nr(95), s"case $i hi")
+      val clamped = sortedU.map(u => u.max(nr(5)).min(nr(95))).sum
+      assert(r.getAs[Long]("sum_u") === clamped, s"case $i sum")
+    }
+  }
 }
