@@ -734,6 +734,28 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // Semi-structured VARIANT path (Spark 4): nested JSON built in-plan,
+    // parsed ONCE to the binary VARIANT encoding, then typed path
+    // extraction — the modern engine shape for schema-on-read columns
+    // (parse once, extract many, no per-path re-parse like
+    // get_json_object). Oracle replays the same paths over DuckDB JSON.
+    "q_json_variant" -> ((s, dir) => {
+      val js = concat(lit("{\"doc\": "), col("doc_id"),
+        lit(", \"meta\": {\"lang\": \""), col("lang"),
+        lit("\", \"n\": "), col("n_chars"),
+        lit("}, \"tags\": [\""), col("source"),
+        lit("\", \"t"), pmod(col("doc_id"), lit(5)),
+        lit("\"]}"))
+      documents(s, dir).withColumn("v", parse_json(js))
+        .select(
+          variant_get(col("v"), "$.meta.lang", "string").as("vlang"),
+          variant_get(col("v"), "$.tags[1]", "string").as("tag"),
+          variant_get(col("v"), "$.meta.n", "bigint").as("n"))
+        .groupBy(col("vlang"), col("tag"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("sum_n"))
+        .orderBy(col("vlang"), col("tag"))
+    }),
+
     // Snapshot diff audit: synthetic "tomorrow" snapshot (every 97th doc
     // deleted, every 41st revised, every 89th re-added under a new id)
     // diffed against today's by md5 fingerprint — one full outer join
@@ -2571,6 +2593,18 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "graph_pagerank" -> pageRankOracleSql(3),
+
+    "q_json_variant" ->
+      """WITH j AS (
+        |  SELECT '{"doc": ' || doc_id || ', "meta": {"lang": "' || lang ||
+        |         '", "n": ' || n_chars || '}, "tags": ["' || source ||
+        |         '", "t' || (doc_id % 5) || '"]}' AS js
+        |  FROM documents)
+        |SELECT json_extract_string(js, '$.meta.lang') AS vlang,
+        |       json_extract_string(js, '$.tags[1]') AS tag,
+        |       count(*)::BIGINT AS n_docs,
+        |       sum(json_extract(js, '$.meta.n')::BIGINT)::BIGINT AS sum_n
+        |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "corpus_diff" ->
       """WITH a AS (SELECT doc_id, md5(text) AS h FROM documents),

@@ -48,16 +48,81 @@ object Graph {
     */
   def pageRank(edges: DataFrame, iters: Int = 3): DataFrame = {
     require(iters >= 1, "pageRank: iters must be >= 1")
-    val ed = edges.select(col("src"), col("dst")).distinct().persist()
-    val verts = ed.select(col("src").as("vertex"))
-      .union(ed.select(col("dst").as("vertex"))).distinct().persist()
-    val deg = ed.groupBy(col("src")).agg(count(lit(1)).as("outdeg")).persist()
-    val nRow = verts.agg(count(lit(1)).as("n"))
-
-    var ranks = verts.crossJoin(broadcast(nRow))
-      .select(col("vertex"), intDiv(lit(Scale), col("n")).as("rank_e12"))
+    if (iters > 5) {
+      // each step reads the previous ranks three times, so a LAZY deep
+      // composition grows the logical plan ~3^iters — the driver dies
+      // assembling it. Deep runs go through the checkpointed iterator
+      // (tol = -1 never stops early → exactly `iters` steps, identical
+      // recurrence, identical bits).
+      val (ranks, _) = pageRankConverged(edges, tolE12 = -1L, maxIters = iters)
+      return ranks
+    }
+    val g = Prepared(edges)
+    var ranks = g.initialRanks
     var prev: DataFrame = null
     for (_ <- 1 to iters) {
+      val next = g.step(ranks).persist()
+      if (prev != null) prev.unpersist()
+      prev = ranks
+      ranks = next
+    }
+    // ed/verts/deg stay persisted: the returned plan is LAZY and reads each
+    // of them several times when it finally executes (every step touches
+    // edges + both scalar tables); converged mode, which materializes per
+    // iteration, does clean up after itself
+    ranks
+  }
+
+  /** PageRank to CONVERGENCE: iterate until the largest per-vertex change
+    * drops to `tolE12` (in 10⁻¹² rank units) or `maxIters` is hit. The
+    * residual check is one |V|-row join + max agg per iteration — a
+    * driver-side loop over distributed steps, the canonical iterate-until-
+    * fixpoint shape (same family as Dedup's min-label fixpoint). Integer
+    * ranks make the convergence test exact: once the residual hits 0 the
+    * iteration is a true fixpoint, not a float plateau.
+    *
+    * Returns (ranks, iterations actually run).
+    */
+  def pageRankConverged(
+      edges: DataFrame,
+      tolE12: Long = 1000L,
+      maxIters: Int = 50): (DataFrame, Int) = {
+    val g = Prepared(edges)
+    // localCheckpoint per iteration TRUNCATES lineage — each step reads the
+    // previous ranks three times (contribs, dangling, residual), so without
+    // truncation the logical plan grows ~3^iters and the driver dies
+    // assembling it long before the executors do any work
+    var ranks = g.initialRanks.localCheckpoint(true)
+    var done = 0
+    var residual = Long.MaxValue
+    while (done < maxIters && residual > tolE12) {
+      val next = g.step(ranks).localCheckpoint(true)
+      residual = next.join(ranks.withColumnRenamed("rank_e12", "__old"), "vertex")
+        .agg(max(abs(col("rank_e12") - col("__old"))).as("r"))
+        .collect()(0).getLong(0)
+      ranks.unpersist()
+      ranks = next
+      done += 1
+    }
+    g.unpersist()
+    (ranks, done)
+  }
+
+  /** Shared per-iteration machinery: the persisted edge/vertex/degree
+    * tables and the exact-integer rank recurrence (one edges⋈ranks shuffle
+    * + one dst agg; scalar tables broadcast).
+    */
+  private final case class Prepared(edges: DataFrame) {
+    val ed: DataFrame = edges.select(col("src"), col("dst")).distinct().persist()
+    val verts: DataFrame = ed.select(col("src").as("vertex"))
+      .union(ed.select(col("dst").as("vertex"))).distinct().persist()
+    val deg: DataFrame = ed.groupBy(col("src")).agg(count(lit(1)).as("outdeg")).persist()
+    val nRow: DataFrame = verts.agg(count(lit(1)).as("n"))
+
+    def initialRanks: DataFrame = verts.crossJoin(broadcast(nRow))
+      .select(col("vertex"), intDiv(lit(Scale), col("n")).as("rank_e12"))
+
+    def step(ranks: DataFrame): DataFrame = {
       val contribs = ed.join(deg, "src")
         .join(ranks.withColumnRenamed("vertex", "src"), "src")
         .select(col("dst"), intDiv(col("rank_e12"), col("outdeg")).as("__c"))
@@ -65,18 +130,15 @@ object Graph {
       val dangling = ranks
         .join(deg.select(col("src").as("vertex")), Seq("vertex"), "left_anti")
         .agg(coalesce(sum(col("rank_e12")), lit(0L)).as("__dmass"))
-      val next = verts.crossJoin(broadcast(nRow)).crossJoin(broadcast(dangling))
+      verts.crossJoin(broadcast(nRow)).crossJoin(broadcast(dangling))
         .join(contribs, col("vertex") === col("dst"), "left")
         .select(col("vertex"),
           (intDiv(intDiv(lit(15L * Scale), lit(100L)), col("n")) +
             intDiv(lit(85L) * (coalesce(col("__s"), lit(0L)) +
               intDiv(col("__dmass"), col("n"))), lit(100L))).as("rank_e12"))
-        .persist()
-      if (prev != null) prev.unpersist()
-      prev = ranks
-      ranks = next
     }
-    ranks
+
+    def unpersist(): Unit = { ed.unpersist(); verts.unpersist(); deg.unpersist() }
   }
 
   /** Exact triangle count over an UNDIRECTED simple graph given as an edge

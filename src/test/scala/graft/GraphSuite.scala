@@ -87,6 +87,28 @@ class GraphSuite extends AnyFunSuite {
     assert(r2.getLong(2) === 1L)
   }
 
+  test("pageRankConverged: stops at the residual bound; ranks equal the same-depth fixed run") {
+    val edges = Seq("a" -> "b", "b" -> "c", "c" -> "a", "a" -> "c", "c" -> "b")
+      .toDF("src", "dst")
+    val (ranks, iters) = Graph.pageRankConverged(edges, tolE12 = 5L, maxIters = 60)
+    assert(iters > 1 && iters < 60,
+      s"small graph must meet the 5e-12 residual before the cap: $iters")
+    val m = ranks.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the recurrence is deterministic, so converged ranks ARE the fixed run
+    // of the same depth, bit-for-bit
+    val fixed = Graph.pageRank(edges, iters = iters)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m === fixed, s"converged ranks must equal the same-depth fixed run: $m vs $fixed")
+    // and the residual contract holds: one MORE step moves no vertex by > 5
+    val next = Graph.pageRank(edges, iters = iters + 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((v, r) <- m) assert(math.abs(next(v) - r) <= 5L,
+      s"residual bound violated at $v: $r -> ${next(v)}")
+    // a looser tolerance never iterates more
+    val (_, itersLoose) = Graph.pageRankConverged(edges, tolE12 = 100000000L, maxIters = 60)
+    assert(itersLoose <= iters)
+  }
+
   test("deterministic across repartitioning (integer sums are order-free)") {
     val edges = (1 to 40).map(i => (s"v${i % 7}", s"v${(i * 3) % 11}"))
       .filter { case (a, b) => a != b }
