@@ -90,7 +90,45 @@ object GraftExtensions {
       info(classOf[UnicodeNormalize], "graft_normalize",
         "_FUNC_(text, form) - Unicode-normalize a string; form must be a string " +
           "literal, one of 'NFC', 'NFD', 'NFKC', 'NFKD'."),
-      (args: Seq[Expression]) => UnicodeNormalize(args(0), strLit(args(1), "normal form"))))
+      (args: Seq[Expression]) => UnicodeNormalize(args(0), strLit(args(1), "normal form"))),
+    // URL parsing surface — the registry needs REAL catalyst trees (a
+    // functions-API Column wraps unresolved column nodes that never
+    // re-analyze inside a registered-function expansion), so these mirror
+    // Web.host / Web.registeredDomain with the catalyst classes directly.
+    // canonicalizeUrl stays Column-API-only: its higher-order array
+    // lambdas cannot be re-bound through this path at all.
+    ("graft_url_host",
+      info(graft.operators.Web.getClass, "graft_url_host",
+        "_FUNC_(url) - Lower-cased host of an absolute URL (port excluded); NULL when unparseable."),
+      (args: Seq[Expression]) => urlHostExpr(args(0))),
+    ("graft_reg_domain",
+      info(graft.operators.Web.getClass, "graft_reg_domain",
+        "_FUNC_(host) - Registered domain (eTLD+1) of a lower-cased host; multi-part " +
+          "public suffixes (co.uk style) keep three labels."),
+      (args: Seq[Expression]) => regDomainExpr(args(0))))
+
+  /** Catalyst mirror of [[graft.operators.Web.host]]. */
+  private def urlHostExpr(url: Expression): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, Lower, NullIf, RegExpExtract}
+    Lower(new NullIf(
+      RegExpExtract(url, Literal(graft.operators.Web.UrlPattern), Literal(2)),
+      Literal("")))
+  }
+
+  /** Catalyst mirror of [[graft.operators.Web.registeredDomain]]. */
+  private def regDomainExpr(h: Expression): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{And, CaseWhen, EqualTo, In, Literal, Not, RegExpExtract}
+    def ext(p: String) = RegExpExtract(h, Literal(p), Literal(1))
+    val last2 = ext("([^.]+\\.[^.]+)$")
+    val last3 = ext("([^.]+\\.[^.]+\\.[^.]+)$")
+    val sfx2 = ext("[^.]+\\.([^.]+\\.[^.]+)$")
+    CaseWhen(Seq(
+      (EqualTo(last2, Literal("")), h),
+      (And(
+        In(sfx2, graft.operators.Web.MultiPartSuffixes.map(s => Literal(s): Expression)),
+        Not(EqualTo(last3, Literal("")))), last3)),
+      Some(last2))
+  }
 
   private def strLit(e: Expression, what: String): String = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: org.apache.spark.unsafe.types.UTF8String, _) =>

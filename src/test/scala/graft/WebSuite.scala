@@ -87,6 +87,27 @@ class WebSuite extends AnyFunSuite {
     }
   }
 
+  test("SQL surface: graft_url_host / graft_reg_domain ≡ Column API") {
+    graft.functions.GraftExtensions.register(spark)
+    val urls = Seq(
+      "HTTP://WWW.Example.CO.UK:80/docs/1?utm_source=a&id=2#x",
+      "https://cdn.s1.example.org:8080/a?z=9&a=1",
+      "not a url")
+    urls.toDF("u").createOrReplaceTempView("web_sql_cases")
+    val viaSql = spark.sql(
+      """SELECT graft_url_host(u) AS h,
+        |       graft_reg_domain(graft_url_host(u)) AS rd
+        |FROM web_sql_cases""".stripMargin).collect()
+    val viaCol = urls.toDF("u")
+      .select(Web.host(col("u")).as("h"),
+        Web.registeredDomain(Web.host(col("u"))).as("rd")).collect()
+    assert(viaSql.map(_.toString).toSeq === viaCol.map(_.toString).toSeq,
+      "SQL registration must produce the identical expression tree results")
+    val desc = spark.sql("DESCRIBE FUNCTION graft_reg_domain")
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(desc.contains("eTLD"), s"usage must describe the suffix handling:\n$desc")
+  }
+
   test("url dedup folds canonicalization noise onto one key (plan: single hash agg)") {
     val df = Seq(
       (1L, "https://E.com/p?v=1&utm_source=a"),
