@@ -767,6 +767,40 @@ class StreamingSuite extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming CUSUM: level shift alarms once then restarts; constant stream never alarms") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    import graft.streaming.StreamingCusum
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamingCusum.Obs]
+    val q = StreamingCusum.alarms(input.toDS(), threshold = 30.0, slack = 0.5)
+      .writeStream.format("memory").queryName("graft_cusum")
+      .outputMode("append").start()
+    try {
+      // key c: constant — zero excursion forever
+      // key s: 20 at level 0, then 20 at level 10 — the shift accumulates
+      //        ~9.5/obs against the pre-shift mean → alarms within a few
+      //        observations, then restarts
+      input.addData((1 to 20).map(i => StreamingCusum.Obs("c", i.toLong, 5.0)) ++
+        (1 to 20).map(i => StreamingCusum.Obs("s", i.toLong, 0.0)))
+      q.processAllAvailable()
+      input.addData((21 to 40).map(i => StreamingCusum.Obs("s", i.toLong, 10.0)) ++
+        (21 to 40).map(i => StreamingCusum.Obs("c", i.toLong, 5.0)))
+      q.processAllAvailable()
+      val rows = spark.table("graft_cusum").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getBoolean(6)))
+      assert(!rows.exists(r => r._1 == "c" && r._3), "constant stream must never alarm")
+      val sAlarms = rows.filter(r => r._1 == "s" && r._3).map(_._2).sorted
+      assert(sAlarms.nonEmpty, "a 10-sigma level shift must alarm")
+      assert(sAlarms.head > 20L && sAlarms.head <= 26L,
+        s"first alarm lands shortly after the shift at t=21: ${sAlarms.toSeq}")
+      // restart semantics: alarms are sparse detections, not a saturated flag
+      assert(sAlarms.size < 10, s"post-alarm restart must space detections: ${sAlarms.toSeq}")
+      // state survives batch splits: no alarm inside the pre-shift batch
+      assert(rows.filter(r => r._1 == "s" && r._2 <= 20L).forall(!_._3))
+    } finally q.stop()
+  }
+
   test("streaming OHLC bars match the batch resample once the watermark closes the window") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions._
