@@ -756,6 +756,18 @@ object SparkEntry {
         .orderBy(col("vlang"), col("tag"))
     }),
 
+    // Bollinger-band breach census: rows leaving the rolling mean ± 2σ
+    // band of the trailing 20 observations — the squared cross-multiplied
+    // form keeps EVERYTHING integer (no σ, no sqrt, no division), so the
+    // census is bit-exact cross-engine. One per-key window pass + hash agg.
+    "events_bollinger" -> ((s, dir) => {
+      Analytics.bollingerCensus(events(s, dir), "user_id",
+          Seq(unix_micros(col("ts")), col("event_id")), col("value"),
+          frameRows = 20, k = 2)
+        .select(col("user_id"), col("n_eval"), col("n_breaches"), col("first_breach"))
+        .orderBy(col("user_id"))
+    }),
+
     // Snapshot diff audit: synthetic "tomorrow" snapshot (every 97th doc
     // deleted, every 41st revised, every 89th re-added under a new id)
     // diffed against today's by md5 fingerprint — one full outer join
@@ -2605,6 +2617,26 @@ object SparkEntry {
         |       count(*)::BIGINT AS n_docs,
         |       sum(json_extract(js, '$.meta.n')::BIGINT)::BIGINT AS sum_n
         |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "events_bollinger" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, event_id,
+        |                  CAST(round(value * 10000, 0) AS BIGINT) AS vu
+        |           FROM events),
+        |m AS (SELECT user_id, vu,
+        |        row_number() OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS i,
+        |        count(*) OVER fr AS n, sum(vu) OVER fr AS sx,
+        |        sum(vu * vu) OVER fr AS sxx
+        |      FROM e
+        |      WINDOW fr AS (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+        |f AS (SELECT user_id, i,
+        |             (vu * n - sx) * (vu * n - sx) * (n - 1) >
+        |               4 * n * (n * sxx - sx * sx) AS b
+        |      FROM m WHERE n = 20)
+        |SELECT user_id, count(*)::BIGINT AS n_eval,
+        |       sum(CASE WHEN b THEN 1 ELSE 0 END)::BIGINT AS n_breaches,
+        |       min(CASE WHEN b THEN i END)::BIGINT AS first_breach
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "corpus_diff" ->
       """WITH a AS (SELECT doc_id, md5(text) AS h FROM documents),

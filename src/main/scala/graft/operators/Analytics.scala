@@ -125,6 +125,57 @@ object Analytics {
       .otherwise(lit(2.0))
   }
 
+  /** Bollinger-band breach census per key: rows whose value leaves the
+    * rolling mean ± k·σ band of the trailing `frameRows` window — the band
+    * monitor every metrics pipeline runs, here with ZERO float math: the
+    * breach test |v − mean| > k·σ squares into
+    *   (v·n − Σv)²·(n−1) > k²·n·(n·Σv² − (Σv)²)
+    * over exact integer micro-unit moments (cross-multiplied so no
+    * division, no sqrt — the σ never materializes), so the distributed run
+    * and the single-threaded oracle agree bit-for-bit. Rows without a full
+    * frame don't evaluate.
+    *
+    * One per-key window pass + one hash agg. Output: (key, n_eval,
+    * n_breaches, first_breach — the tie-broken order position, null when
+    * the key never breaches).
+    */
+  def bollingerCensus(
+      df: DataFrame,
+      keyCol: String,
+      orderCols: Seq[Column],
+      value: Column,
+      frameRows: Int,
+      k: Int = 2): DataFrame = {
+    require(frameRows >= 2 && k >= 1, "bollingerCensus: frameRows >= 2, k >= 1")
+    val w = Window.partitionBy(col(keyCol)).orderBy(orderCols: _*)
+      .rowsBetween(-(frameRows - 1), Window.currentRow)
+    val wOrd = Window.partitionBy(col(keyCol)).orderBy(orderCols: _*)
+    val vu = round(value * 10000, 0).cast("long")
+    val base = df.select(col(keyCol), struct(orderCols: _*).as("__ord0"), vu.as("__vu"))
+    val withM = base
+      .withColumn("__i", row_number().over(
+        Window.partitionBy(col(keyCol)).orderBy(col("__ord0"))))
+      .withColumn("__n", count(lit(1)).over(
+        Window.partitionBy(col(keyCol)).orderBy(col("__ord0"))
+          .rowsBetween(-(frameRows - 1), Window.currentRow)))
+      .withColumn("__sx", sum(col("__vu")).over(
+        Window.partitionBy(col(keyCol)).orderBy(col("__ord0"))
+          .rowsBetween(-(frameRows - 1), Window.currentRow)))
+      .withColumn("__sxx", sum(col("__vu") * col("__vu")).over(
+        Window.partitionBy(col(keyCol)).orderBy(col("__ord0"))
+          .rowsBetween(-(frameRows - 1), Window.currentRow)))
+    val full = withM.filter(col("__n") === frameRows)
+    val dev = col("__vu") * col("__n") - col("__sx")
+    val breach = dev * dev * (col("__n") - 1) >
+      lit(k.toLong * k) * col("__n") * (col("__n") * col("__sxx") - col("__sx") * col("__sx"))
+    full.withColumn("__b", breach)
+      .groupBy(col(keyCol))
+      .agg(
+        count(lit(1)).as("n_eval"),
+        sum(when(col("__b"), 1L).otherwise(0L)).as("n_breaches"),
+        min(when(col("__b"), col("__i"))).as("first_breach"))
+  }
+
   /** Per-group ordinary-least-squares fit of y against x — the trend
     * detector behind per-segment drift monitoring. Deliberately NOT the
     * engines' `regr_slope`/`regr_intercept`: those accumulate doubles in

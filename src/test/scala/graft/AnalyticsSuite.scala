@@ -389,6 +389,23 @@ class AnalyticsSuite extends AnyFunSuite {
     assert(ok.getAs[Long]("n_violations") === 0L && ok.getAs[Int]("passed") === 1)
   }
 
+  test("bollingerCensus: constant series silent; a spike after a noisy warmup breaches") {
+    // constant: zero variance → dev² (=0) is never > 0 → silent
+    val const = (1 to 40).map(i => ("k", i, 7.0)).toDF("k", "i", "v")
+    val c = Analytics.bollingerCensus(const, "k", Seq(col("i")), col("v"), 20).collect()(0)
+    assert(c.getAs[Long]("n_eval") === 21L, "rows without a full frame must not evaluate")
+    assert(c.getAs[Long]("n_breaches") === 0L)
+    assert(c.isNullAt(c.fieldIndex("first_breach")))
+
+    // alternating ±1 around 10 (nonzero σ), then one 30.0 spike: the spike
+    // sits far outside mean ± 2σ of its trailing frame
+    val vals = (1 to 39).map(i => ("k", i, 10.0 + (i % 2))) :+ (("k", 40, 30.0))
+    val s = Analytics.bollingerCensus(vals.toDF("k", "i", "v"), "k", Seq(col("i")), col("v"), 20)
+      .collect()(0)
+    assert(s.getAs[Long]("n_breaches") >= 1L, s"spike must breach: $s")
+    assert(s.getAs[Int]("first_breach") === 40, s"the spike row is the first breach: $s")
+  }
+
   test("winsorizedStatsApprox: sketch boundaries track the exact form within rank tolerance") {
     val ev = Tables.events(spark, sf)
     val exact = Analytics.winsorizedStats(ev, Seq(col("event_type")), col("value"))
