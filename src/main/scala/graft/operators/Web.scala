@@ -8,10 +8,14 @@ import org.apache.spark.sql.functions._
   * them to a canonical form, and fold documents that differ only by tracking
   * noise onto one representative.
   *
-  * Everything here is a pure `Column` expression (regexp + higher-order array
-  * functions) — whole-stage-codegen'd per row, no UDF, no shuffle of its own;
-  * the only exchanges in a URL-dedup pipeline are the hash aggregation on the
-  * canonical key, which is exactly the exact-dedup shape ([[Dedup.exactByKey]]).
+  * Everything here is a pure `Column` expression, no UDF, no shuffle of its
+  * own: the parse/registered-domain family is regexp-only (whole-stage
+  * codegen'd); the canonicalizer's query-param step uses higher-order array
+  * functions whose lambdas evaluate interpreted per element — fine here
+  * because a URL carries ≤ a handful of params (unlike the per-shingle HOF
+  * trap SCALE.md documents for the dedup family). The only exchange in a
+  * URL-dedup pipeline is the hash aggregation on the canonical key, which
+  * is exactly the exact-dedup shape ([[Dedup.exactByKey]]).
   * At 100 TB the canonical key is a short string — the shuffle carries the key
   * and the keep-policy payload, never the document body.
   *
