@@ -33,9 +33,14 @@ import graft.operators.Similarity
   *     loader validates against instead of trusting the caller to repeat
   *     the training parameters.
   *
-  * Determinism: both trainers are md5-seeded, so rebuild → identical
-  * artifacts, and `searchIvfPq` over saved artifacts ≡ `ivfPqTopK` on
-  * the same corpus/params (spec-asserted).
+  * Determinism: with `trainSample > 0` both trainers are
+  * driver-deterministic (bounded md5-ordered sample), so rebuild →
+  * identical artifacts and `searchIvfPq` over saved artifacts is
+  * bit-for-bit ≡ `ivfPqTopK` on the same corpus/params (spec-asserted).
+  * With `trainSample = 0` the distributed Lloyd's partial-sum merge
+  * order floats with partitioning — SAME-PARTITIONING deterministic,
+  * agreeing with a separately executed `ivfPqTopK` up to float-tie
+  * cases (see [[graft.operators.Similarity.ivfPqArtifacts]]).
   */
 object IndexStore {
 
@@ -54,8 +59,8 @@ object IndexStore {
       ksub: Int = 16,
       iters: Int = 2,
       trainSample: Int = 0): Unit = {
-    // shared builder with the in-plan operator — identical trainers at
-    // every trainSample setting, so artifact search ≡ ivfPqTopK.
+    // shared builder with the in-plan operator — same trainers at every
+    // trainSample setting (determinism caveats in the object doc above).
     // ARTIFACT-SEMANTICS NOTE (format v2, round 10): with trainSample > 0
     // the persisted centroids are TRAINING-SAMPLE means with one-projection
     // assignment; earlier builds persisted full-corpus distributed-kmeans
