@@ -921,6 +921,29 @@ object SparkEntry {
         .orderBy(col("vertex"))
     }),
 
+    // Multi-source BFS over the same trade graph: exact hop distance from
+    // a decile supplier cohort (s_suppkey % 10 = 0 — SF-stable, non-empty
+    // at every scale factor), capped at 3 hops — the blast-radius /
+    // influence-frontier query (who does a recall at these suppliers
+    // touch, and how directly?). Frontier iteration: each round joins only
+    // the newly-reached frontier against the persisted edge table, never
+    // the full reached set; integer distances make the distributed search
+    // equal DuckDB's recursive-CTE unrolling bit-for-bit.
+    "graph_reach" -> ((s, dir) => {
+      val e0 = lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
+        .join(orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("s"), col("l_suppkey").cast("string")).as("src"),
+          concat(lit("c"), col("o_custkey").cast("string")).as("dst"))
+        .distinct()
+      val sym = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = supplier(s, dir)
+        .filter(pmod(col("s_suppkey"), lit(10)) === 0)
+        .select(concat(lit("s"), col("s_suppkey").cast("string")).as("vertex"))
+      Graph.shortestHops(sym, seeds, maxHops = 3)
+        .orderBy(col("vertex"))
+    }),
+
     // Winsorized robust stats per event type: nearest-rank [p5, p95]
     // boundaries from the histogram-compacted integer multiset (exact —
     // interpolated percentiles of 2dp money are the known cross-engine
@@ -2605,6 +2628,25 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "graph_pagerank" -> pageRankOracleSql(3),
+
+    "graph_reach" ->
+      """WITH RECURSIVE e0 AS (
+        |  SELECT DISTINCT 's' || l.l_suppkey::VARCHAR AS src,
+        |                  'c' || o.o_custkey::VARCHAR AS dst
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |ed AS (SELECT src, dst FROM e0
+        |       UNION SELECT dst AS src, src AS dst FROM e0),
+        |seeds AS (
+        |  SELECT DISTINCT 's' || s_suppkey::VARCHAR AS vertex
+        |  FROM supplier WHERE s_suppkey % 10 = 0),
+        |reach(vertex, dist) AS (
+        |  SELECT vertex, 0 FROM seeds
+        |  UNION
+        |  SELECT ed.dst, r.dist + 1
+        |  FROM reach r JOIN ed ON r.vertex = ed.src
+        |  WHERE r.dist < 3)
+        |SELECT vertex, min(dist)::BIGINT AS dist
+        |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_json_variant" ->
       """WITH j AS (

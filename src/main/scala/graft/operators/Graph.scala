@@ -155,6 +155,58 @@ object Graph {
     * All joins hash-partition on vertex ids; the degree table is two hash
     * aggs over the edge list.
     */
+  /** Multi-source BFS: exact hop distance from a seed set over a directed
+    * edge list `(src, dst)`, capped at `maxHops`. Returns `(vertex, dist)`
+    * for every vertex reachable within the cap (seeds at dist 0; min over
+    * all paths — BFS order guarantees the first label IS the min).
+    *
+    * Frontier iteration, the Pregel shape: each round joins only the
+    * CURRENT FRONTIER (vertices first reached last round) against the edge
+    * table — never the full reached set — then anti-joins the reached set
+    * to keep only newly discovered vertices. At 100 TB the edge table is
+    * the big side and hash-partitions on `src` once (persisted); the
+    * frontier is the small, shrinking probe. Distances are exact integers,
+    * so the distributed run matches DuckDB's recursive-CTE unrolling of
+    * the same search bit-for-bit. Per round: one frontier⋈edges shuffle +
+    * one distinct + one anti-join; `localCheckpoint` truncates lineage
+    * (without it the plan doubles per round); the loop exits early on an
+    * empty frontier — the driver-side emptiness probe is one count over a
+    * frontier-sized table, the same iterate-until-fixpoint shape as
+    * [[pageRankConverged]] and Dedup's min-label fixpoint.
+    */
+  def shortestHops(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, "shortestHops: maxHops must be >= 0")
+    val ed = edges.select(col("src"), col("dst")).distinct()
+      .repartition(col("src")).persist()
+    // seeds may list non-vertices or duplicates; dist 0 rows are the set
+    var dist = seeds.select(col("vertex")).distinct()
+      .select(col("vertex"), lit(0L).as("dist")).localCheckpoint(true)
+    var frontier = dist
+    var hop = 0L
+    var exhausted = false
+    while (hop < maxHops && !exhausted) {
+      hop += 1
+      val next = frontier.join(ed, col("vertex") === col("src"))
+        .select(col("dst").as("vertex")).distinct()
+        .join(dist, Seq("vertex"), "left_anti")
+        .select(col("vertex"), lit(hop).as("dist"))
+        .localCheckpoint(true)
+      if (next.isEmpty) { exhausted = true; next.unpersist() }
+      else {
+        val merged = dist.union(next).localCheckpoint(true)
+        dist.unpersist(); frontier.unpersist()
+        dist = merged
+        frontier = next
+      }
+    }
+    // merged checkpoints own copies of the frontier rows, so the last
+    // frontier's storage can go; dist stays (eagerly materialized, it IS
+    // the result)
+    if (!(frontier eq dist)) frontier.unpersist()
+    ed.unpersist()
+    dist
+  }
+
   def triangleCount(edges: DataFrame): DataFrame = {
     // canonical undirected simple edges: (lo, hi), lo < hi, distinct
     val und = edges.select(

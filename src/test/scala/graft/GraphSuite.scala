@@ -118,4 +118,53 @@ class GraphSuite extends AnyFunSuite {
     val r13 = Graph.pageRank(df13).collect().map(r => (r.getString(0), r.getLong(1))).sorted
     assert(r1.sameElements(r13), "partitioning must not change a single rank bit")
   }
+
+  private def hops(edges: Seq[(String, String)], seeds: Seq[String],
+      maxHops: Int): Map[String, Long] =
+    Graph.shortestHops(edges.toDF("src", "dst"),
+        seeds.toDF("vertex"), maxHops)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("shortestHops: BFS distances on a known graph; direction respected") {
+    // a→b→c→d plus shortcut a→c; e isolated from a's component
+    val edges = Seq("a" -> "b", "b" -> "c", "c" -> "d", "a" -> "c", "e" -> "a")
+    val m = hops(edges, Seq("a"), maxHops = 5)
+    assert(m === Map("a" -> 0L, "b" -> 1L, "c" -> 1L, "d" -> 2L),
+      s"shortcut must win and e (only reaches a, not reachable FROM a) excluded: $m")
+  }
+
+  test("shortestHops: multi-source takes the min over seeds; duplicate seeds collapse") {
+    val edges = Seq("a" -> "b", "b" -> "c", "c" -> "d", "z" -> "c")
+    val m = hops(edges, Seq("a", "z", "z"), maxHops = 5)
+    assert(m("c") === 1L, s"z reaches c in 1 < a's 2: $m")
+    assert(m("d") === 2L && m("a") === 0L && m("z") === 0L, s"$m")
+  }
+
+  test("shortestHops: maxHops caps the search; 0 returns only the seed set") {
+    val chain = Seq("a" -> "b", "b" -> "c", "c" -> "d")
+    assert(hops(chain, Seq("a"), maxHops = 2) ===
+      Map("a" -> 0L, "b" -> 1L, "c" -> 2L), "d is 3 hops out, capped away")
+    assert(hops(chain, Seq("a"), maxHops = 0) === Map("a" -> 0L))
+  }
+
+  test("shortestHops: cycles terminate via the early frontier-empty exit") {
+    val cycle = Seq("a" -> "b", "b" -> "c", "c" -> "a")
+    // cap far above the diameter: the frontier empties after 2 hops and
+    // the loop must stop on its own, not run 50 joins
+    val m = hops(cycle, Seq("a"), maxHops = 50)
+    assert(m === Map("a" -> 0L, "b" -> 1L, "c" -> 2L),
+      s"a already reached at dist 0 must not be relabeled by the cycle: $m")
+  }
+
+  test("shortestHops: deterministic across repartitioning") {
+    val edges = (1 to 60).map(i => (s"v${i % 9}", s"v${(i * 5) % 13}"))
+      .filter { case (a, b) => a != b }
+    val r1 = Graph.shortestHops(edges.toDF("src", "dst").repartition(1),
+      Seq("v1").toDF("vertex"), 4).collect()
+      .map(r => (r.getString(0), r.getLong(1))).sorted
+    val r13 = Graph.shortestHops(edges.toDF("src", "dst").repartition(13),
+      Seq("v1").toDF("vertex"), 4).collect()
+      .map(r => (r.getString(0), r.getLong(1))).sorted
+    assert(r1.sameElements(r13), "partitioning must not change a distance")
+  }
 }
