@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.operators.{Analytics, Dedup, Graph, Linkage, Multimodal, Pipeline, Profile, QualityModel, Relational, Similarity, TextAnalysis, Timeseries, Web, WindowAssign}
+import graft.operators.{Analytics, Dedup, Graph, Incremental, Linkage, Multimodal, Pipeline, Profile, QualityModel, Relational, Similarity, TextAnalysis, Timeseries, Web, WindowAssign}
 import graft.functions.{FrequentItems, VectorFunctions}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -876,6 +876,33 @@ object SparkEntry {
           sum(coalesce(col("n_orders"), lit(0L))).as("total_orders"),
           sum(coalesce(col("cents"), lit(0L))).as("total_cents"))
         .orderBy(col("side"))
+    }),
+
+    // Incremental aggregate maintenance — the daily-ingest shape: fold a
+    // delta batch's partial-aggregate state into the historical state
+    // instead of re-scanning the corpus. Here the 1999+ orders arrive as
+    // the delta against the pre-1999 base; merged state must equal the
+    // full recompute EXACTLY (integer cents, mergeable count/sum/min/max),
+    // which is precisely what the oracle's one-shot GROUP BY checks. At
+    // 100 TB the merge step scans |groups| rows + the delta — never the
+    // base corpus. (The state also carries a mergeable HLL sketch for
+    // distinct customers; dropped here so the query stays oracle-exact —
+    // Catalyst prunes the sketch agg away — and spec-checked instead.)
+    "agg_incremental" -> ((s, dir) => {
+      val o = orders(s, dir).select(
+        col("o_orderpriority"), col("o_orderstatus"),
+        col("o_orderdate"), col("o_custkey"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      val cutoff = lit("1999-01-01").cast("timestamp")
+      val keys = Seq(col("o_orderpriority"), col("o_orderstatus"))
+      val keyNames = Seq("o_orderpriority", "o_orderstatus")
+      val base = Incremental.state(
+        o.filter(col("o_orderdate") < cutoff), keys, col("cents"), col("o_custkey"))
+      val delta = Incremental.state(
+        o.filter(col("o_orderdate") >= cutoff), keys, col("cents"), col("o_custkey"))
+      Incremental.finish(Incremental.merge(keyNames, base, delta), keyNames)
+        .drop("n_distinct_approx")
+        .orderBy(col("o_orderpriority"), col("o_orderstatus"))
     }),
 
     // Record linkage: every deterministically-perturbed customer name
@@ -2647,6 +2674,19 @@ object SparkEntry {
         |  WHERE r.dist < 3)
         |SELECT vertex, min(dist)::BIGINT AS dist
         |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "agg_incremental" ->
+      """WITH o AS (
+        |  SELECT o_orderpriority, o_orderstatus,
+        |         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT o_orderpriority, o_orderstatus,
+        |       count(*)::BIGINT AS n,
+        |       sum(cents)::BIGINT AS sum_u,
+        |       min(cents)::BIGINT AS min_u,
+        |       max(cents)::BIGINT AS max_u,
+        |       round(sum(cents)::DOUBLE / count(*), 4) AS avg_u
+        |FROM o GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_json_variant" ->
       """WITH j AS (

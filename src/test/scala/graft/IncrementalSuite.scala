@@ -1,0 +1,134 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Incremental
+
+/** Invariant specs for incremental aggregate maintenance
+  * (operators/Incremental.scala). The agg_incremental oracle checks the
+  * merged state equals a full recompute cross-engine; these check the
+  * algebra (mergeability, associativity, sketch behavior) and the
+  * versioned persistence contract.
+  */
+class IncrementalSuite extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val KeyNames = Seq("k")
+
+  private def rows(n: Int, keyMod: Int = 3, offset: Int = 0): DataFrame =
+    (1 to n).map(i => (s"k${(i + offset) % keyMod}", (i.toLong * 7) % 1000, (i + offset).toLong % 97))
+      .toDF("k", "v", "d")
+
+  private def st(df: DataFrame): DataFrame =
+    Incremental.state(df, Seq(col("k")), col("v"), col("d"))
+
+  private def finished(state: DataFrame): Seq[(String, Long, Long, Long, Long, Double, Long)] =
+    Incremental.finish(state, KeyNames).collect().map(r => (r.getString(0),
+      r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getDouble(5), r.getLong(6))).toSeq.sorted
+
+  test("merged deltas equal the one-shot state on the union, exactly") {
+    val a = rows(500)
+    val b = rows(400, offset = 500)
+    val merged = finished(Incremental.merge(KeyNames, st(a), st(b)))
+    val oneShot = finished(st(a.unionByName(b)))
+    assert(merged === oneShot,
+      "integer sums + min/max lattice + sketch union must reproduce the full recompute")
+  }
+
+  test("merge is associative and handles disjoint / brand-new groups") {
+    val a = rows(300, keyMod = 2)          // groups k0, k1
+    val b = rows(300, keyMod = 5, offset = 300) // introduces k2..k4
+    val c = rows(100, keyMod = 3, offset = 600)
+    val left = finished(Incremental.merge(KeyNames,
+      Incremental.merge(KeyNames, st(a), st(b)), st(c)))
+    val right = finished(Incremental.merge(KeyNames,
+      st(a), Incremental.merge(KeyNames, st(b), st(c))))
+    assert(left === right, "fold shape must not matter")
+    val allKeys = left.map(_._1).toSet
+    assert(allKeys === Set("k0", "k1", "k2", "k3", "k4"),
+      s"groups from every delta must survive the merge: $allKeys")
+  }
+
+  test("HLL distinct survives merging within 5% of exact") {
+    // 3 deltas with overlapping distinct ids: union must estimate the
+    // UNION cardinality, not the sum of per-delta cardinalities
+    val parts = Seq(0, 1, 2).map(p =>
+      (1 to 4000).map(i => ("k0", i.toLong, ((i * (p + 1)) % 6000).toLong))
+        .toDF("k", "v", "d"))
+    val merged = Incremental.merge(KeyNames, parts.map(st): _*)
+    val est = Incremental.finish(merged, KeyNames).collect()(0).getLong(6)
+    val exact = parts.reduce(_.unionByName(_)).select(col("d")).distinct().count()
+    assert(math.abs(est - exact).toDouble / exact < 0.05,
+      s"HLL union estimate $est vs exact $exact")
+    // and the naive wrong answer would be ~3x the union size
+    assert(est < 2 * exact, "sketch union must dedup across deltas")
+  }
+
+  test("maintain: versioned folds equal full recompute; replay-safe; _SUCCESS-gated") {
+    val path = Files.createTempDirectory("graft-incr").toString + "/state"
+    val deltas = Seq(rows(300), rows(300, offset = 300), rows(300, offset = 600))
+    val versions = deltas.map(d => Incremental.maintain(spark, path, KeyNames, st(d)))
+    assert(versions === Seq(0L, 1L, 2L), "versions must advance per step")
+    val served = finished(Incremental.latestState(spark, path).get)
+    val full = finished(st(deltas.reduce(_.unionByName(_))))
+    assert(served === full, "three folds must equal the one-shot recompute")
+
+    // replay the last step (crash-recovery double-run): a NEW version is
+    // written from the same previous state — the answer must not change
+    val v3 = Incremental.maintain(spark, path, KeyNames, st(deltas.last))
+    assert(v3 === 3L)
+    val replayed = Incremental.latestState(spark, path).get
+    val g = Incremental.finish(replayed, KeyNames)
+      .filter(col("k") === "k0").collect()(0)
+    val before = Incremental.finish(st(deltas.reduce(_.unionByName(_))
+        .unionByName(deltas.last)), KeyNames)
+      .filter(col("k") === "k0").collect()(0)
+    assert(g.getLong(1) === before.getLong(1),
+      "a replayed fold double-counts ONLY its own delta — versioning keeps " +
+        "each step isolated so the caller's idempotence contract (skip seen " +
+        "batch ids) can be applied at the step level")
+
+    // an incomplete version (no _SUCCESS) must be invisible to readers and
+    // to version allocation: the next step folds from the last COMPLETE
+    // state (v=3), not the crashed junk
+    val dir = new java.io.File(s"$path/v=99"); dir.mkdirs()
+    Files.writeString(java.nio.file.Paths.get(s"$path/v=99/part-junk.parquet"), "")
+    val seen = Incremental.maintain(spark, path, KeyNames, st(rows(10)))
+    assert(seen === 4L,
+      "allocation advances from the last COMPLETE version — a re-run of a " +
+        "crashed step overwrites its own dir, never a finished one")
+    val latest = finished(Incremental.latestState(spark, path).get)
+    assert(latest.nonEmpty && latest.map(_._2).sum ===
+        finished(st(deltas.reduce(_.unionByName(_)).unionByName(deltas.last)
+          .unionByName(rows(10)))).map(_._2).sum,
+      "reader must serve the _SUCCESS-marked v=4, skipping the junk dir")
+  }
+
+  test("streaming maintenance: foreachBatch folds equal the batch recompute") {
+    val srcDir = Files.createTempDirectory("graft-incr-stream").toString + "/src"
+    val path = Files.createTempDirectory("graft-incr-stream").toString + "/state"
+    rows(400).write.parquet(srcDir)
+    rows(400, offset = 400).write.mode("append").parquet(srcDir)
+    val q = spark.readStream
+      .schema("k STRING, v BIGINT, d BIGINT")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Incremental.maintain(spark, path, KeyNames, st(batch)): Unit
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val served = finished(Incremental.latestState(spark, path).get)
+    val full = finished(st(spark.read.parquet(srcDir)))
+    assert(served === full,
+      "micro-batch folds through foreachBatch must equal the full recompute")
+  }
+}
