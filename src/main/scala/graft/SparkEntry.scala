@@ -929,6 +929,33 @@ object SparkEntry {
         .orderBy(col("left_id"))
     }),
 
+    // Record linkage, Jaro-Winkler verifier: same q-gram BLOCK step and
+    // perturbed names as linkage_blocked, but verify/resolve by the
+    // native graft_jaro_winkler expression (prefix-weighted typo
+    // similarity, argmax per dirty record) — bit-compatible with DuckDB's
+    // jaro_winkler_similarity, so the whole block→verify→resolve pipe is
+    // hash-checked cross-engine. Rounded sim (6dp) drives the argmax
+    // ordering on BOTH engines: resolve stays stable even against an
+    // implementation differing in the last float bits.
+    "linkage_jw" -> ((s, dir) => {
+      val cust = customer(s, dir)
+      val clean = cust.select(col("c_custkey"), col("c_name"))
+      val nameL = lower(col("c_name"))
+      val pos = lit(10) + pmod(col("c_custkey"), lit(9))
+      val m3 = pmod(col("c_custkey"), lit(3))
+      val dirtyName = when(m3 === 0,
+          concat(nameL.substr(lit(1), pos - 1), lit("x"), nameL.substr(pos + 1, lit(100))))
+        .when(m3 === 1,
+          concat(nameL.substr(lit(1), pos - 1), nameL.substr(pos + 1, lit(100))))
+        .otherwise(
+          concat(nameL.substr(lit(1), pos - 1), lit("z"), nameL.substr(pos, lit(100))))
+      val dirty = cust.select(col("c_custkey").as("d_id"), dirtyName.as("d_name"))
+      Linkage.bestMatchJw(
+          dirty, col("d_id"), col("d_name"),
+          clean, col("c_custkey"), col("c_name"), minSim = 0.9)
+        .orderBy(col("left_id"))
+    }),
+
     // PageRank over the supplier↔customer bipartite trade graph (symmetric
     // closure of distinct lineitem⋈orders pairs), 3 iterations, damping 85%.
     // Exact integer fixed-point (rank = BIGINT e12): integer sums are
@@ -2871,6 +2898,44 @@ object SparkEntry {
         |                                   ORDER BY dist, right_id) AS rk
         |         FROM ver)
         |SELECT left_id, right_id, dist::INTEGER AS dist
+        |FROM best WHERE rk = 1 ORDER BY left_id""".stripMargin,
+
+    "linkage_jw" ->
+      """WITH cl AS (SELECT c_custkey AS right_id, lower(c_name) AS rn FROM customer),
+        |dn AS (
+        |  SELECT c_custkey AS left_id,
+        |         10 + (c_custkey % 9) AS pos, c_custkey % 3 AS m3,
+        |         lower(c_name) AS n
+        |  FROM customer),
+        |dirty AS (
+        |  SELECT left_id,
+        |         CASE m3 WHEN 0 THEN substr(n, 1, pos - 1) || 'x' || substr(n, pos + 1)
+        |                 WHEN 1 THEN substr(n, 1, pos - 1) || substr(n, pos + 1)
+        |                 ELSE substr(n, 1, pos - 1) || 'z' || substr(n, pos) END AS ln
+        |  FROM dn),
+        |lt AS (SELECT left_id, ln, substr(ln, greatest(length(ln) - 7, 1), 8) AS tail
+        |       FROM dirty),
+        |lg AS (SELECT DISTINCT left_id, ln, substr(tail, i, 4) AS g
+        |       FROM lt, unnest(range(1, greatest(length(tail) - 3, 1) + 1)) u(i)),
+        |rt AS (SELECT right_id, rn, substr(rn, greatest(length(rn) - 7, 1), 8) AS tail
+        |       FROM cl),
+        |rg AS (SELECT DISTINCT right_id, rn, substr(tail, i, 4) AS g
+        |       FROM rt, unnest(range(1, greatest(length(tail) - 3, 1) + 1)) u(i)),
+        |hot AS (SELECT g FROM (SELECT g, count(*) AS f FROM rg GROUP BY 1) WHERE f > 200),
+        |pairs AS (
+        |  SELECT DISTINCT left_id, ln, right_id, rn
+        |  FROM (SELECT * FROM lg WHERE g NOT IN (SELECT g FROM hot)) l
+        |  JOIN (SELECT * FROM rg WHERE g NOT IN (SELECT g FROM hot)) r USING (g)),
+        |ver AS (SELECT left_id, right_id, sim FROM
+        |          (SELECT left_id, right_id,
+        |                  round(jaro_winkler_similarity(ln, rn), 6) AS sim
+        |           FROM pairs)
+        |        WHERE sim >= 0.9),
+        |best AS (SELECT left_id, right_id, sim,
+        |                row_number() OVER (PARTITION BY left_id
+        |                                   ORDER BY sim DESC, right_id) AS rk
+        |         FROM ver)
+        |SELECT left_id, right_id, sim
         |FROM best WHERE rk = 1 ORDER BY left_id""".stripMargin,
 
     "mixture_kl" ->

@@ -97,6 +97,11 @@ object GraftExtensions {
     // Web.host / Web.registeredDomain with the catalyst classes directly.
     // canonicalizeUrl stays Column-API-only: its higher-order array
     // lambdas cannot be re-bound through this path at all.
+    ("graft_jaro_winkler",
+      info(JaroWinkler.getClass, "graft_jaro_winkler",
+        "_FUNC_(a, b) - Jaro-Winkler similarity in [0,1] (prefix scale 0.1 " +
+          "capped at 4, boost only above jaro 0.7; either side empty returns 0)."),
+      (args: Seq[Expression]) => JaroWinkler.JaroWinklerExpr(args(0), args(1))),
     ("graft_url_host",
       info(graft.operators.Web.getClass, "graft_url_host",
         "_FUNC_(url) - Lower-cased host of an absolute URL (port excluded); NULL when unparseable."),

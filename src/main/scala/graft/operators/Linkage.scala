@@ -55,6 +55,63 @@ object Linkage {
       tailLen: Int = 8,
       maxGramFreq: Long = 200L,
       maxDist: Int = 2): DataFrame = {
+    // length filter: levenshtein(a,b) >= |len(a)-len(b)|, so pairs whose
+    // lengths differ by more than maxDist can never verify — pruning them
+    // BEFORE the distinct shrinks the pair-dedup exchange (output-neutral)
+    val pairs = candidatePairs(left, leftId, leftName, right, rightId, rightName,
+      gramWidth, tailLen, maxGramFreq, maxLenDiff = Some(maxDist))
+    // 3-arg levenshtein runs the BANDED O(maxDist·n) DP and bails with -1
+    // past the threshold — the verify step's cost tracks the budget, not
+    // the name length; kept rows carry the exact distance either way
+    val verified = pairs
+      .withColumn("dist", levenshtein(col("__ln"), col("__rn"), maxDist))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
+    val w = Window.partitionBy(col("left_id")).orderBy(col("dist"), col("right_id"))
+    verified.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select(col("left_id"), col("right_id"), col("dist"))
+  }
+
+  /** [[bestMatch]] with a Jaro-Winkler verifier — same BLOCK step, but the
+    * verify/resolve favors shared prefixes and transpositions (human-keyed
+    * typos) instead of raw edit count. Keeps candidates with similarity ≥
+    * `minSim`; best match per left record = argmax, ties on smallest
+    * right_id. Output: (left_id, right_id, sim) with sim rounded to 6dp —
+    * the ROUNDED value also drives the argmax ordering, so the resolve is
+    * stable cross-engine even if a foreign implementation differs in the
+    * last float bits. No length prune here: unlike levenshtein, a large
+    * length gap does not bound Jaro-Winkler below any threshold a caller
+    * might pick.
+    */
+  def bestMatchJw(
+      left: DataFrame, leftId: Column, leftName: Column,
+      right: DataFrame, rightId: Column, rightName: Column,
+      gramWidth: Int = 4,
+      tailLen: Int = 8,
+      maxGramFreq: Long = 200L,
+      minSim: Double = 0.9): DataFrame = {
+    val pairs = candidatePairs(left, leftId, leftName, right, rightId, rightName,
+      gramWidth, tailLen, maxGramFreq, maxLenDiff = None)
+    val verified = pairs
+      .withColumn("sim",
+        round(graft.functions.JaroWinkler.jaroWinkler(col("__ln"), col("__rn")), 6))
+      .filter(col("sim") >= minSim)
+    val w = Window.partitionBy(col("left_id"))
+      .orderBy(col("sim").desc, col("right_id"))
+    verified.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select(col("left_id"), col("right_id"), col("sim"))
+  }
+
+  /** The shared BLOCK step: distinct candidate pairs
+    * (left_id, __ln, right_id, __rn) from q-gram blocking with stop-gram
+    * capping, optionally length-pruned for edit-bounded verifiers.
+    */
+  private def candidatePairs(
+      left: DataFrame, leftId: Column, leftName: Column,
+      right: DataFrame, rightId: Column, rightName: Column,
+      gramWidth: Int, tailLen: Int, maxGramFreq: Long,
+      maxLenDiff: Option[Int]): DataFrame = {
     val l = left.select(leftId.as("left_id"), lower(leftName).as("__ln"))
     val r = right.select(rightId.as("right_id"), lower(rightName).as("__rn"))
 
@@ -74,22 +131,13 @@ object Linkage {
     val lgCold = lg.join(broadcast(hot), Seq("__g"), "left_anti")
     val rgCold = rg.join(broadcast(hot), Seq("__g"), "left_anti")
 
-    // length filter: levenshtein(a,b) >= |len(a)-len(b)|, so pairs whose
-    // lengths differ by more than maxDist can never verify — pruning them
-    // BEFORE the distinct shrinks the pair-dedup exchange (output-neutral)
-    val pairs = lgCold.join(rgCold, "__g")
-      .filter(abs(length(col("__ln")) - length(col("__rn"))) <= maxDist)
+    val joined = lgCold.join(rgCold, "__g")
+    val pruned = maxLenDiff match {
+      case Some(d) => joined.filter(abs(length(col("__ln")) - length(col("__rn"))) <= d)
+      case None => joined
+    }
+    pruned
       .select(col("left_id"), col("__ln"), col("right_id"), col("__rn"))
       .distinct()
-    // 3-arg levenshtein runs the BANDED O(maxDist·n) DP and bails with -1
-    // past the threshold — the verify step's cost tracks the budget, not
-    // the name length; kept rows carry the exact distance either way
-    val verified = pairs
-      .withColumn("dist", levenshtein(col("__ln"), col("__rn"), maxDist))
-      .filter(col("dist") >= 0 && col("dist") <= maxDist)
-    val w = Window.partitionBy(col("left_id")).orderBy(col("dist"), col("right_id"))
-    verified.withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") === 1)
-      .select(col("left_id"), col("right_id"), col("dist"))
   }
 }

@@ -68,4 +68,51 @@ class LinkageSuite extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"linkage must never fall back to all-pairs:\n$plan")
   }
+
+  test("jaroWinkler: textbook reference values, DuckDB-probed (bit-level)") {
+    import graft.functions.JaroWinkler.jaroWinkler
+    // expected values are DuckDB 1.0 jaro_winkler_similarity outputs for
+    // the same pairs — the linkage_jw oracle depends on this agreement
+    val cases = Seq(
+      ("MARTHA", "MARHTA", 0.9611111111111111),
+      ("DIXON", "DICKSONX", 0.8133333333333332),
+      ("JELLYFISH", "SMELLYFISH", 0.8962962962962964),
+      ("DwAyNE", "DuANE", 0.8400000000000001),   // case-sensitive match
+      ("a", "ab", 0.8500000000000001),           // boost above 0.7
+      ("CRATE", "TRACE", 0.7333333333333334),    // no common prefix: no boost
+      ("abqqqqqq", "abzzzzzz", 0.5),             // jaro ≤ 0.7: boost suppressed
+      ("aaaaax", "aaaaay", 0.9333333333333333),  // prefix capped at 4
+      ("abc", "abc", 1.0),
+      ("abc", "xyz", 0.0),
+      ("ab", "ba", 0.0),                         // window 0: no matches
+      ("", "", 0.0), ("", "a", 0.0))             // empty → 0, the DuckDB rule
+    val df = cases.map { case (a, b, _) => (a, b) }.toDF("a", "b")
+      .withColumn("sim", jaroWinkler(col("a"), col("b")))
+    val got = df.collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    for ((a, b, want) <- cases)
+      assert(got((a, b)) === want, s"jaroWinkler($a, $b)")
+    // SQL registration serves the identical kernel
+    graft.functions.GraftExtensions.register(spark)
+    val viaSql = spark.sql("SELECT graft_jaro_winkler('MARTHA', 'MARHTA')").collect()(0).getDouble(0)
+    assert(viaSql === 0.9611111111111111)
+  }
+
+  test("bestMatchJw: typos resolve by prefix-weighted argmax; threshold filters junk") {
+    val clean = Seq(
+      (1L, "Jonathan Smithers"), (2L, "Jonathan Smythers"), (3L, "Abigail Winterbottom"),
+      (4L, "Zzzz Qqqq"))
+      .toDF("id", "name")
+    val dirty = Seq(
+      (11L, "Jonathan Smitehrs"),    // transposition → id 1 over id 2
+      (13L, "Abigail Winterbottom"), // exact → sim 1.0
+      (15L, "Totally Unrelated"))    // below minSim → dropped
+      .toDF("id", "name")
+    val m = Linkage.bestMatchJw(
+        dirty, col("id"), col("name"), clean, col("id"), col("name"),
+        tailLen = 20, maxGramFreq = 100, minSim = 0.9)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(m(11L)._1 === 1L, s"transposed name must match its source: $m")
+    assert(m(13L) === (3L, 1.0), s"exact match at sim 1.0: $m")
+    assert(!m.contains(15L), s"sub-threshold candidates must drop: $m")
+  }
 }
