@@ -21,6 +21,18 @@ import org.apache.spark.sql.SparkSession
   * between passes gives the ContextCleaner a chance to release the
   * previous pass's dropped broadcasts so pass 2 isn't paying pass 1's
   * garbage either.
+  *
+  * Contention instrumentation: min-of-2 defends against neighbor effects
+  * WITHIN a bench session but not against a contended session — three of
+  * four recorded round totals (r9, r10, r12) were inflated 1.5–1.7× by
+  * concurrent load on the machine (the r12 bench ran inside a 1,271 s sbt
+  * session) and each cost a round of manual triage. The JSON line now
+  * carries `load_pre`/`load_post` (1-minute /proc/loadavg samples taken
+  * before Spark starts and after the last pass) and a `contended` flag; if
+  * the pre- or between-pass load says another workload holds a meaningful
+  * share of the cores, a THIRD timed pass runs and the per-query min is
+  * taken over all three, so a contended session either self-corrects or is
+  * at least flagged so nobody has to guess.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -31,6 +43,16 @@ object Bench {
       else SparkEntry.queries.view.filterKeys(args.toSet).toMap
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+
+    // 1-minute load average; -1.0 when /proc/loadavg is unreadable (non-Linux)
+    def loadAvg(): Double =
+      try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .split("\\s+").head.toDouble
+      catch { case _: Throwable => -1.0 }
+    // External load at or above a quarter of the machine's cores means
+    // another workload is competing for CPU with the 32 bench threads.
+    val contentionThreshold = Runtime.getRuntime.availableProcessors() * 0.25
+    val loadPre = loadAvg() // sampled BEFORE Spark spins up its own threads
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -65,13 +87,40 @@ object Bench {
         }
         name -> (System.nanoTime() - t0) / 1e9
       }
+    // External CPU demand sampled mid-run: system-wide CPU share minus this
+    // JVM's own share, scaled to cores. Unlike the 1-minute loadavg — which
+    // right after a pass mostly reflects the bench's own 32 threads — this
+    // isolates OTHER processes' load, so it can detect contention that
+    // starts after loadPre was sampled.
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    def externalCpuLoad(): Double = osBean match {
+      case b: com.sun.management.OperatingSystemMXBean =>
+        val sysLoad = b.getCpuLoad
+        val selfLoad = b.getProcessCpuLoad
+        if (sysLoad.isNaN || selfLoad.isNaN) -1.0
+        else math.max(0.0, sysLoad - selfLoad) * Runtime.getRuntime.availableProcessors()
+      case _ => -1.0
+    }
+
     System.gc()
     val pass1 = timedPass()
+    val externalMid = externalCpuLoad()
     System.gc()
     val pass2 = timedPass().toMap
+    val contended =
+      loadPre > contentionThreshold || externalMid > contentionThreshold
+    // A contended session gets a third pass: by the time it runs the
+    // competing workload has often drained (sbt test sessions, compactions),
+    // and min-of-3 then recovers the idle number instead of recording a
+    // contaminated total that costs a round of triage.
+    val pass3: Map[String, Double] =
+      if (contended) { System.gc(); timedPass().toMap } else Map.empty
     val results = pass1.map { case (name, t1) =>
-      name -> math.min(t1, pass2.getOrElse(name, t1))
+      name -> math.min(
+        math.min(t1, pass2.getOrElse(name, t1)),
+        pass3.getOrElse(name, t1))
     }
+    val loadPost = loadAvg()
     // The driver keeps only the LAST ~2000 chars of stdout. With 125
     // queries the full per-query map is ~3.5 KB, so the line was always
     // truncated mid-JSON and both r9/r10 recorded "parsed": null. The full
@@ -89,7 +138,11 @@ object Bench {
         failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
       else ""
       val total = results.map(_._2).sum // total always covers ALL queries
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$om$fl,"sf":"$sfDir"}"""
+      val loadFields =
+        s""","load_pre":${fmt(loadPre)},"load_post":${fmt(loadPost)}""" +
+          s""","external_mid":${fmt(externalMid)},"contended":$contended""" +
+          s""","passes":${if (contended) 3 else 2}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$om$fl$loadFields,"sf":"$sfDir"}"""
     }
     val full = lineFor(results, 0)
     println(full)
