@@ -905,6 +905,31 @@ object SparkEntry {
         .orderBy(col("o_orderpriority"), col("o_orderstatus"))
     }),
 
+    // Incremental TOP-K maintenance: per-priority best-5 orders by price,
+    // maintained as a mergeable k-bounded state — top-k under the total
+    // order (score desc, id asc) is a monoid, so base ∪ delta folds with
+    // NO approximation and the daily merge re-ranks |groups|·k state rows,
+    // never the corpus. Oracle = DuckDB row_number over the full table:
+    // merged state ≡ one-shot recompute, bit-exact (cents ride a double
+    // losslessly — far below 2^53).
+    "agg_incremental_topk" -> ((s, dir) => {
+      val o = orders(s, dir).select(
+        col("o_orderpriority"), col("o_orderkey"), col("o_orderdate"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      val cutoff = lit("1996-01-01").cast("timestamp")
+      val keys = Seq(col("o_orderpriority"))
+      val keyNames = Seq("o_orderpriority")
+      def stTop(df: DataFrame) = Incremental.topKState(
+        df, keys, col("cents").cast("double"), col("o_orderkey"), k = 5)
+      val base = stTop(o.filter(col("o_orderdate") < cutoff))
+      val delta = stTop(o.filter(col("o_orderdate") >= cutoff))
+      Incremental.finishTopK(
+          Incremental.mergeTopK(keyNames, 5, base, delta), keyNames)
+        .select(col("o_orderpriority"), col("rank").cast("long").as("rank"),
+          col("id").as("o_orderkey"), col("score").cast("long").as("cents"))
+        .orderBy(col("o_orderpriority"), col("rank"))
+    }),
+
     // Record linkage: every deterministically-perturbed customer name
     // (substitute/delete/insert one char in the digit zone) finds its best
     // clean match via q-gram blocking (frequency-capped stop-grams — the
@@ -2714,6 +2739,19 @@ object SparkEntry {
         |       max(cents)::BIGINT AS max_u,
         |       round(sum(cents)::DOUBLE / count(*), 4) AS avg_u
         |FROM o GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "agg_incremental_topk" ->
+      """WITH o AS (
+        |  SELECT o_orderpriority, o_orderkey,
+        |         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+        |  FROM orders),
+        |r AS (
+        |  SELECT o_orderpriority, o_orderkey, cents,
+        |         row_number() OVER (PARTITION BY o_orderpriority
+        |                            ORDER BY cents DESC, o_orderkey) AS rank
+        |  FROM o)
+        |SELECT o_orderpriority, rank::BIGINT AS rank, o_orderkey, cents
+        |FROM r WHERE rank <= 5 ORDER BY 1, 2""".stripMargin,
 
     "q_json_variant" ->
       """WITH j AS (

@@ -78,38 +78,212 @@ object Incremental {
       round(col("sum_u").cast("double") / col("n"), 4).as("avg_u"),
       hll_sketch_estimate(col("hll")).as("n_distinct_approx")): _*)
 
+  // ---- mergeable per-group top-k ------------------------------------------
+  //
+  // Top-k under a TOTAL order is a monoid: merge(topK(A), topK(B)) =
+  // topK(A ∪ B) exactly — any pair ranked top-k in the union is top-k in
+  // its own half. So per-group "best k orders / nearest k neighbors /
+  // hottest k items by exact count" maintains incrementally with NO
+  // approximation: the persisted state is the k-bounded array itself, and
+  // a daily fold re-ranks k·states rows per group, never the corpus.
+  // The order is graft_topk's (score desc, id asc) — deterministic cut,
+  // so merged ≡ recompute is bit-exact (oracle-checked by
+  // `agg_incremental_topk`).
+
+  /** Per-group top-`k` (id, score) state of `df` — one hash agg via the
+    * heap-bounded `graft_topk` aggregate (≤ k rows per group cross the
+    * exchange; no sort).
+    */
+  def topKState(df: DataFrame, keys: Seq[Column], score: Column, id: Column,
+      k: Int): DataFrame =
+    df.groupBy(keys: _*).agg(graft.functions.TopKPairs.topK(score, id, k).as("topk"))
+
+  /** Fold top-k states: union, re-rank, cut at `k` under the same total
+    * order. Associative and commutative. Cost: Σ|groups|·k rows.
+    * `explode_outer` keeps groups whose every state array is empty (the
+    * null pair is ignored by the aggregate, leaving the empty array) so
+    * merge ≡ recompute holds even for all-null-score groups.
+    */
+  def mergeTopK(keyNames: Seq[String], k: Int, states: DataFrame*): DataFrame = {
+    require(states.nonEmpty, "mergeTopK: at least one state")
+    states.reduce(_.unionByName(_))
+      .select(keyNames.map(col) :+ explode_outer(col("topk")).as("p"): _*)
+      .groupBy(keyNames.map(col): _*)
+      .agg(graft.functions.TopKPairs.topK(col("p.score"), col("p.id"), k).as("topk"))
+  }
+
+  /** Serve-time projection: one ranked row per kept pair,
+    * rank 1 = best ((score desc, id asc) position in the group).
+    */
+  def finishTopK(state: DataFrame, keyNames: Seq[String]): DataFrame =
+    state.select(keyNames.map(col) :+ posexplode(col("topk")): _*)
+      .select(keyNames.map(col) ++ Seq(
+        (col("pos") + 1).as("rank"),
+        col("col.id").as("id"),
+        col("col.score").as("score")): _*)
+
+  // ---- mergeable heavy hitters (Misra–Gries) ------------------------------
+  //
+  // Exact per-item counts over a huge keyspace are NOT boundedly mergeable
+  // (the state is the keyspace). The Misra–Gries summary is (Agarwal et
+  // al., "Mergeable Summaries", PODS 2012): persist ≤ k counters per
+  // group, and fold states by summing counters then applying the MG
+  // reduction — subtract the (k+1)-th largest summed count from every
+  // counter and drop the non-positive. Estimates only ever UNDERCOUNT,
+  // by at most n/(k+1) of the total stream length the merged state
+  // summarizes — the same bound a single MG pass over the union gives,
+  // so daily folds don't degrade the guarantee (spec-asserted).
+
+  /** Per-group Misra–Gries state of `df`: ≤ `k` (item, est_count)
+    * counters via the `graft_freq_items` aggregate (k counters per
+    * partition, ≤ k rows per group cross the exchange).
+    */
+  def heavyHittersState(df: DataFrame, keys: Seq[Column], item: Column,
+      k: Int): DataFrame =
+    df.groupBy(keys: _*).agg(
+      graft.functions.FrequentItems.freqItems(item, k, k).as("mg"))
+
+  /** Fold Misra–Gries states with the PODS-2012 mergeable-summaries step:
+    * sum counters per (group, item), then subtract the (k+1)-th largest
+    * count in each group and keep the positive remainder — at most `k`
+    * counters survive by construction. The per-group window sort runs
+    * over state rows only (Σ|groups|·k), never a corpus. Output arrays
+    * are (est desc, item asc)-ordered like [[heavyHittersState]]'s. A
+    * group whose every counter dies in the reduction (all-tied small
+    * groups) disappears from the output — callers treat absent as empty.
+    */
+  def mergeHeavyHitters(keyNames: Seq[String], k: Int, states: DataFrame*): DataFrame = {
+    require(states.nonEmpty, "mergeHeavyHitters: at least one state")
+    val keys = keyNames.map(col)
+    val summed = states.reduce(_.unionByName(_))
+      .select(keys :+ explode(col("mg")).as("c"): _*)
+      .groupBy(keys :+ col("c.item").as("item"): _*)
+      .agg(sum(col("c.est_count")).as("est"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyNames.map(col): _*)
+      .orderBy(col("est").desc, col("item").asc)
+    summed
+      .withColumn("rk", row_number().over(w))
+      .withColumn("cut",
+        max(when(col("rk") === k + 1, col("est")).otherwise(lit(0L)))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy(keyNames.map(col): _*)))
+      .filter(col("est") - col("cut") > 0)
+      .groupBy(keyNames.map(col): _*)
+      .agg(array_sort(collect_list(
+        struct((-(col("est") - col("cut"))).as("neg"), col("item")))).as("a"))
+      .select(keys :+ transform(col("a"), x =>
+        struct(x("item").as("item"), (-x("neg")).as("est_count"))).as("mg"): _*)
+  }
+
+  /** Serve-time projection: the top `outK` (rank, item, est_count) rows
+    * per group from a Misra–Gries state.
+    */
+  def finishHeavyHitters(state: DataFrame, keyNames: Seq[String],
+      outK: Int): DataFrame =
+    state.select(keyNames.map(col) :+ posexplode(col("mg")): _*)
+      .filter(col("pos") < outK)
+      .select(keyNames.map(col) ++ Seq(
+        (col("pos") + 1).as("rank"),
+        col("col.item").as("item"),
+        col("col.est_count").as("est_count")): _*)
+
   /** One persisted maintenance step: fold `delta`'s state into the state
-    * table under `path` and write it as the next version directory
-    * `path/v=<k+1>` (parquet, with Spark's `_SUCCESS` marker). Versioned
-    * dirs make the step replay-safe — a re-run after a mid-write crash
-    * overwrites its own incomplete version and never touches the previous
-    * one; readers ([[latestState]]) only ever see versions whose
-    * `_SUCCESS` exists. Returns the new version number.
+    * table under `path` and publish it as the next version directory
+    * `path/v=<k+1>`. The write goes to a hidden `.tmp-v=<k+1>` directory
+    * first (parquet, with Spark's `_SUCCESS` marker, plus the `_BATCH`
+    * marker when `batchId` is given) and is then RENAMED into place, so a
+    * published version is always complete AND always carries its batch
+    * marker — there is no window where `_SUCCESS` exists but the marker
+    * doesn't. Readers ([[latestState]]) only ever see `_SUCCESS`-marked
+    * `v=` directories; a re-run after a mid-write crash deletes its own
+    * stale tmp/incomplete version and never touches the previous one.
+    *
+    * At-least-once retry safety: pass the delta's stable identity as
+    * `batchId` (Structured Streaming callers: `foreachBatch`'s batchId —
+    * the hook Spark provides for exactly this). A `maintain` whose batchId
+    * was already folded into a published version returns that version
+    * WITHOUT folding again, so a retry after the publish-rename but before
+    * the caller recorded completion cannot double-count. Without a
+    * batchId the caller owns idempotence (must not re-submit a delta that
+    * may already have committed). Single-maintainer protocol: concurrent
+    * maintainers on one `path` are not coordinated (rename is atomic on
+    * HDFS/local FS; object stores without atomic rename need an external
+    * commit lock regardless). Returns the published version number.
     */
   def maintain(spark: SparkSession, path: String, keyNames: Seq[String],
-      deltaState: DataFrame): Long = {
-    val next = latestVersion(spark, path).map(_ + 1).getOrElse(0L)
-    val merged = latestState(spark, path) match {
-      case Some(prev) => merge(keyNames, prev, deltaState)
-      case None => deltaState
+      deltaState: DataFrame, batchId: Option[String] = None): Long = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val alreadyFolded = batchId.flatMap { id =>
+      completeVersions(spark, path).sorted(Ordering[Long].reverse).find { v =>
+        val marker = new Path(s"$path/v=$v", BatchMarker)
+        fs.exists(marker) && readSmallFile(fs, marker).trim == id
+      }
     }
-    merged.write.mode("overwrite").parquet(s"$path/v=$next")
-    next
+    alreadyFolded.getOrElse {
+      val next = latestVersion(spark, path).map(_ + 1).getOrElse(0L)
+      val merged = latestState(spark, path) match {
+        case Some(prev) => merge(keyNames, prev, deltaState)
+        case None => deltaState
+      }
+      val tmp = new Path(s"$path/$TmpPrefix$next")
+      val dest = new Path(s"$path/v=$next")
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+      merged.write.mode("overwrite").parquet(tmp.toString)
+      batchId.foreach { id =>
+        val out = fs.create(new Path(tmp, BatchMarker), true)
+        try out.write(id.getBytes("UTF-8")) finally out.close()
+      }
+      if (fs.exists(dest)) fs.delete(dest, true) // stale incomplete attempt
+      require(fs.rename(tmp, dest), s"maintain: rename $tmp -> $dest failed")
+      next
+    }
+  }
+
+  /** Housekeeping for [[maintain]]'s version chain — without it a daily
+    * ingest leaves 365 full state copies a year (the same reason the
+    * reference runs a retention loop over its buffers, models.py:309-348).
+    * Deletes all but the newest `keep` COMPLETE (`_SUCCESS`-marked)
+    * versions, oldest first, so a crash mid-prune still leaves the newest
+    * `keep` states intact and readable. Incomplete directories (a
+    * concurrent/crashed writer's tip, stale `.tmp-v=` dirs) are never
+    * touched — they are invisible to readers and owned by the next
+    * `maintain`. Returns the deleted version numbers.
+    */
+  def pruneVersions(spark: SparkSession, path: String, keep: Int): Seq[Long] = {
+    require(keep >= 1, s"pruneVersions: keep must be >= 1, got $keep")
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val victims = completeVersions(spark, path).sorted.dropRight(keep)
+    victims.foreach(v => fs.delete(new Path(s"$path/v=$v"), true))
+    victims
   }
 
   /** The newest COMPLETE (`_SUCCESS`-marked) state version under `path`. */
   def latestState(spark: SparkSession, path: String): Option[DataFrame] =
     latestVersion(spark, path).map(v => spark.read.parquet(s"$path/v=$v"))
 
-  private def latestVersion(spark: SparkSession, path: String): Option[Long] = {
+  private val BatchMarker = "_BATCH"
+  private val TmpPrefix = ".tmp-v="
+
+  private def readSmallFile(fs: org.apache.hadoop.fs.FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try new String(in.readAllBytes(), "UTF-8") finally in.close()
+  }
+
+  private def latestVersion(spark: SparkSession, path: String): Option[Long] =
+    completeVersions(spark, path).maxOption
+
+  /** All `_SUCCESS`-marked `v=<n>` versions. A non-numeric `v=` directory
+    * (someone's `v=tmp`) is skipped, not fatal.
+    */
+  private def completeVersions(spark: SparkSession, path: String): Seq[Long] = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) None
+    if (!fs.exists(root)) Seq.empty
     else fs.listStatus(root).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
       .map(_.getPath)
       .filter(p => fs.exists(new Path(p, "_SUCCESS")))
-      .map(_.getName.stripPrefix("v=").toLong)
-      .maxOption
+      .flatMap(p =>
+        scala.util.Try(p.getName.stripPrefix("v=").toLong).toOption)
   }
 }

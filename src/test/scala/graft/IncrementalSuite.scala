@@ -110,6 +110,114 @@ class IncrementalSuite extends AnyFunSuite {
       "reader must serve the _SUCCESS-marked v=4, skipping the junk dir")
   }
 
+  test("maintain with batchId: a retried fold is a no-op, not a double-count") {
+    val path = Files.createTempDirectory("graft-incr-batch").toString + "/state"
+    val d0 = rows(300)
+    val d1 = rows(300, offset = 300)
+    assert(Incremental.maintain(spark, path, KeyNames, st(d0), Some("b0")) === 0L)
+    assert(Incremental.maintain(spark, path, KeyNames, st(d1), Some("b1")) === 1L)
+    val before = finished(Incremental.latestState(spark, path).get)
+    // at-least-once retry: the caller re-submits b1 after the publish
+    // landed but before its own completion record was written
+    val retried = Incremental.maintain(spark, path, KeyNames, st(d1), Some("b1"))
+    assert(retried === 1L, "a folded batchId must return its version, not fold again")
+    val after = finished(Incremental.latestState(spark, path).get)
+    assert(after === before, "retry must leave the state bit-identical")
+    assert(after === finished(st(d0.unionByName(d1))),
+      "…and that state is the exact one-shot recompute, not a double-count")
+    // a fresh batchId advances normally from the deduped state
+    assert(Incremental.maintain(spark, path, KeyNames, st(rows(50, offset = 600)),
+      Some("b2")) === 2L)
+  }
+
+  test("non-numeric v= junk is skipped, not fatal") {
+    val path = Files.createTempDirectory("graft-incr-junk").toString + "/state"
+    Incremental.maintain(spark, path, KeyNames, st(rows(100)))
+    // a stray non-numeric version dir WITH a _SUCCESS marker must be ignored
+    new java.io.File(s"$path/v=tmp").mkdirs()
+    Files.writeString(java.nio.file.Paths.get(s"$path/v=tmp/_SUCCESS"), "")
+    assert(Incremental.maintain(spark, path, KeyNames, st(rows(100, offset = 100))) === 1L)
+    assert(finished(Incremental.latestState(spark, path).get) ===
+      finished(st(rows(100).unionByName(rows(100, offset = 100)))))
+  }
+
+  test("pruneVersions keeps the newest K complete versions; reader still serves") {
+    val path = Files.createTempDirectory("graft-incr-prune").toString + "/state"
+    val deltas = (0 until 5).map(i => rows(200, offset = i * 200))
+    deltas.foreach(d => Incremental.maintain(spark, path, KeyNames, st(d)))
+    // an incomplete tip (no _SUCCESS) must survive pruning untouched
+    new java.io.File(s"$path/v=9").mkdirs()
+    Files.writeString(java.nio.file.Paths.get(s"$path/v=9/part-inflight.parquet"), "")
+    val victims = Incremental.pruneVersions(spark, path, keep = 2)
+    assert(victims === Seq(0L, 1L, 2L), "oldest complete versions go, oldest first")
+    val left = new java.io.File(path).listFiles().map(_.getName).toSet
+    assert(left === Set("v=3", "v=4", "v=9"),
+      s"newest 2 complete + the incomplete tip must remain, got $left")
+    assert(finished(Incremental.latestState(spark, path).get) ===
+      finished(st(deltas.reduce(_.unionByName(_)))),
+      "the served state is still the full five-delta fold")
+    // mid-prune crash simulation: deleting oldest-first means any prefix of
+    // the victim list leaves the newest K readable — prune again is a no-op
+    assert(Incremental.pruneVersions(spark, path, keep = 2) === Seq.empty)
+  }
+
+  test("top-k state: merged folds equal the one-shot recompute, bit-exactly") {
+    val a = rows(500)
+    val b = rows(400, offset = 500)
+    val score = col("v").cast("double")
+    def topSt(df: DataFrame) =
+      Incremental.topKState(df, Seq(col("k")), score, col("d"), k = 5)
+    def fin(state: DataFrame) =
+      Incremental.finishTopK(state, KeyNames).collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .toSeq.sorted
+    val merged = fin(Incremental.mergeTopK(KeyNames, 5, topSt(a), topSt(b)))
+    val oneShot = fin(topSt(a.unionByName(b)))
+    assert(merged === oneShot,
+      "top-k under the (score desc, id asc) total order is a monoid: " +
+        "merge of per-delta states must equal the recompute exactly")
+    assert(merged.nonEmpty && merged.groupBy(_._1).forall(_._2.size <= 5))
+    // commutativity: fold order must not matter
+    val swapped = fin(Incremental.mergeTopK(KeyNames, 5, topSt(b), topSt(a)))
+    assert(swapped === merged)
+  }
+
+  test("heavy-hitter state: PODS-2012 merge keeps the n/(k+1) undercount bound") {
+    // skewed stream: item "hot" dominates, a midsized band, a long tail
+    val mk = (base: Int, n: Int) => (1 to n).map { i =>
+      val item = if (i % 3 == 0) "hot"
+        else if (i % 7 == 0) s"warm${i % 4}"
+        else s"tail${(i + base) % 500}"
+      ("k0", item)
+    }
+    val a = mk(0, 3000).toDF("k", "item")
+    val b = mk(7000, 3000).toDF("k", "item")
+    val k = 20
+    def mgSt(df: DataFrame) =
+      Incremental.heavyHittersState(df, Seq(col("k")), col("item"), k)
+    val merged = Incremental.mergeHeavyHitters(KeyNames, k, mgSt(a), mgSt(b))
+    val est = Incremental.finishHeavyHitters(merged, KeyNames, outK = k)
+      .collect().map(r => r.getString(2) -> r.getLong(3)).toMap
+    val truth = a.unionByName(b).groupBy("item").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = truth.values.sum
+    val bound = n / (k + 1)
+    truth.foreach { case (item, t) =>
+      val e = est.getOrElse(item, 0L)
+      assert(e <= t, s"MG must only UNDERCOUNT: $item est $e > true $t")
+      assert(t - e <= bound,
+        s"merged undercount for $item is ${t - e}, bound is $bound (n=$n, k=$k)")
+    }
+    // every item with true count above the bound is guaranteed present
+    truth.filter(_._2 > bound).keys.foreach(item =>
+      assert(est.contains(item), s"guaranteed heavy hitter $item missing"))
+    // commutativity: summed-counter merge + deterministic reduction order
+    val swapped = Incremental.mergeHeavyHitters(KeyNames, k, mgSt(b), mgSt(a))
+      .collect().map(_.toString).sorted.toSeq
+    assert(swapped ===
+      merged.collect().map(_.toString).sorted.toSeq, "merge order must not matter")
+  }
+
   test("streaming maintenance: foreachBatch folds equal the batch recompute") {
     val srcDir = Files.createTempDirectory("graft-incr-stream").toString + "/src"
     val path = Files.createTempDirectory("graft-incr-stream").toString + "/state"
@@ -120,8 +228,11 @@ class IncrementalSuite extends AnyFunSuite {
       .option("maxFilesPerTrigger", 1)
       .parquet(srcDir)
       .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        Incremental.maintain(spark, path, KeyNames, st(batch)): Unit
+      // foreachBatch's batchId is the exactly-once hook: passing it as the
+      // maintain batchId makes a Spark-side batch RETRY fold once, not twice
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        Incremental.maintain(spark, path, KeyNames, st(batch),
+          Some(s"stream-b$batchId")): Unit
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
