@@ -99,50 +99,21 @@ object TextAnalysis {
   val QualityStopwords: Seq[String] =
     Seq("the", "a", "and", "of", "to", "in", "is", "it")
 
-  /** Per-language marker sets for the stopword language-ID heuristic:
-    * high-frequency function words from public stopword lists, ASCII
-    * romanizations for non-Latin scripts (pinyin with tone digits for zh —
-    * matching the testdata's romanized corpus — romaji particles for ja,
-    * standard transliteration for ru/ar/hi/ko, diacritics stripped for vi).
-    * Deterministic; prediction = argmax marker hit-count, ties broken by
-    * language code (descending, via struct max ordering). The text_langid
-    * oracle SQL is GENERATED from this map (SparkEntry), so widening the
-    * table can never desynchronize the two engines.
+  /** Per-language marker sets for the stopword language-ID heuristic —
+    * see [[graft.functions.LangId.Markers]] (the single source of truth;
+    * the text_langid oracle SQL is GENERATED from it, so widening the
+    * table can never desynchronize the two engines). Re-exported here for
+    * the callers that grew up against this surface.
     */
-  val LangMarkers: Map[String, Seq[String]] = Map(
-    "en" -> Seq("the", "a", "and", "of", "is"),
-    "es" -> Seq("el", "la", "de", "que", "y"),
-    "de" -> Seq("der", "die", "und", "das", "ist"),
-    "fr" -> Seq("le", "la", "et", "les", "des"),
-    "zh" -> Seq("de5", "shi4", "le5", "zai4", "he2"),
-    "it" -> Seq("il", "di", "che", "non", "per"),
-    "pt" -> Seq("o", "os", "uma", "que", "em"),
-    "nl" -> Seq("het", "een", "van", "niet", "zijn"),
-    "sv" -> Seq("och", "att", "som", "jag", "inte"),
-    "da" -> Seq("og", "jeg", "det", "at", "ikke"),
-    "no" -> Seq("og", "det", "som", "ikke", "jeg"),
-    "fi" -> Seq("ja", "on", "ei", "se", "hän"),
-    "pl" -> Seq("nie", "to", "się", "jest", "na"),
-    "cs" -> Seq("se", "na", "je", "že", "to"),
-    "ru" -> Seq("i", "v", "ne", "na", "chto"),
-    "ja" -> Seq("wa", "no", "ni", "wo", "ga"),
-    "ko" -> Seq("eun", "neun", "ga", "ui", "e"),
-    "ar" -> Seq("al", "fi", "min", "ala", "an"),
-    "hi" -> Seq("hai", "ka", "ki", "ke", "mein"),
-    "tr" -> Seq("ve", "bir", "bu", "icin", "ne"),
-    "id" -> Seq("yang", "dan", "di", "ini", "itu"),
-    "vi" -> Seq("la", "va", "cua", "co", "mot"))
+  val LangMarkers: Map[String, Seq[String]] = graft.functions.LangId.Markers
 
-  /** Predict language by marker hit counts. Returns (score, lang) argmax. */
-  def langId(text: Column): Column = {
-    val t = wsTokens(text)
-    val scored = LangMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
-      struct(
-        size(filter(t, tok => tok.isInCollection(markers))).as("score"),
-        lit(lang).as("lang"))
-    }
-    array_max(array(scored: _*)).getField("lang")
-  }
+  /** Predict language by marker hit counts — (score, lang) argmax, ties
+    * to the greatest language code. One codegen'd pass over the tokens
+    * with an O(1) hash probe per token ([[graft.functions.LangId]]);
+    * replaces the per-language filter loop whose cost grew linearly with
+    * the language table.
+    */
+  def langId(text: Column): Column = graft.functions.LangId.langId(text)
 
   /** Content-defined fingerprint: md5 of normalized text — exact-dup key
     * stable across engines (oracle-able).

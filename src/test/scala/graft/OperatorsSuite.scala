@@ -596,6 +596,26 @@ class OperatorsSuite extends AnyFunSuite {
     assert(out.select("doc_id", "p").except(again.select("doc_id", "p")).count() === 0)
   }
 
+  test("language-ID single-pass expression equals the declarative argmax") {
+    // the codegen'd one-pass LangIdExpr replaced a per-language
+    // size(filter(tokens, in markers)) loop; this pins the semantics it
+    // must preserve — same tokens (split " +"), same occurrence counting,
+    // same (score, lang) struct-max tie-break — over the whole corpus
+    val t = split(col("text"), " +")
+    val scored = TextAnalysis.LangMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
+      struct(
+        size(filter(t, tok => tok.isInCollection(markers))).as("score"),
+        lit(lang).as("lang"))
+    }
+    val declarative = array_max(array(scored: _*)).getField("lang")
+    val both = docs.select(
+      TextAnalysis.langId(col("text")).as("fast"), declarative.as("slow"))
+    assert(both.filter(col("fast") =!= col("slow")).count() === 0,
+      "single-pass prediction must match the declarative formulation row-for-row")
+    assert(TextAnalysis.LangMarkers.size >= 40,
+      s"language table must stay wide, got ${TextAnalysis.LangMarkers.size}")
+  }
+
   test("quality metrics are in sane ranges") {
     val q = TextAnalysis.withQuality(docs, col("text"))
     assert(q.filter(col("alpha_ratio") < 0 || col("alpha_ratio") > 1).count() === 0)
