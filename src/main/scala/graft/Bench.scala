@@ -91,7 +91,10 @@ object Bench {
     // JVM's own share, scaled to cores. Unlike the 1-minute loadavg — which
     // right after a pass mostly reflects the bench's own 32 threads — this
     // isolates OTHER processes' load, so it can detect contention that
-    // starts after loadPre was sampled.
+    // starts after loadPre was sampled. Both getters diff CPU-time ticks
+    // against the PREVIOUS call, so the bean is primed once here (the
+    // un-primed first call returns garbage) and the mid-run sample then
+    // reads the external average over everything since this point.
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     def externalCpuLoad(): Double = osBean match {
       case b: com.sun.management.OperatingSystemMXBean =>
@@ -101,6 +104,7 @@ object Bench {
         else math.max(0.0, sysLoad - selfLoad) * Runtime.getRuntime.availableProcessors()
       case _ => -1.0
     }
+    externalCpuLoad(): Unit // prime the tick counters
 
     System.gc()
     val pass1 = timedPass()

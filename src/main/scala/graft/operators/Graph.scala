@@ -167,12 +167,19 @@ object Graph {
     * the big side and hash-partitions on `src` once (persisted); the
     * frontier is the small, shrinking probe. Distances are exact integers,
     * so the distributed run matches DuckDB's recursive-CTE unrolling of
-    * the same search bit-for-bit. Per round: one frontier⋈edges shuffle +
-    * one distinct + one anti-join; `localCheckpoint` truncates lineage
-    * (without it the plan doubles per round); the loop exits early on an
-    * empty frontier — the driver-side emptiness probe is one count over a
-    * frontier-sized table, the same iterate-until-fixpoint shape as
-    * [[pageRankConverged]] and Dedup's min-label fixpoint.
+    * the same search bit-for-bit. Per round ONE job: the frontier⋈edges
+    * shuffle + distinct + anti-join plan is marked for a LAZY
+    * `localCheckpoint` (truncating lineage — without it the plan doubles
+    * per round) and the emptiness probe's `count()` is the action that
+    * materializes those checkpoint blocks, so probing costs no second
+    * pass. The running `dist` union is lazy-checkpointed the same way and
+    * materializes inside the NEXT round's job (or the caller's action) —
+    * the same iterate-until-fixpoint shape as [[pageRankConverged]] and
+    * Dedup's min-label fixpoint. Checkpoint block cleanup is the
+    * ContextCleaner's (`Dataset.unpersist` does not reach localCheckpoint
+    * blocks — they are persisted on the internal RDD, not registered with
+    * the CacheManager; dropped datasets are reclaimed when their RDDs are
+    * GC'd, as in [[pageRankConverged]]).
     */
   def shortestHops(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
     require(maxHops >= 0, "shortestHops: maxHops must be >= 0")
@@ -190,19 +197,16 @@ object Graph {
         .select(col("dst").as("vertex")).distinct()
         .join(dist, Seq("vertex"), "left_anti")
         .select(col("vertex"), lit(hop).as("dist"))
-        .localCheckpoint(true)
-      if (next.isEmpty) { exhausted = true; next.unpersist() }
+        .localCheckpoint(eager = false)
+      // count() is a FULL action (unlike isEmpty's take-1, which would
+      // checkpoint only the partitions it touched): one job materializes
+      // the frontier's checkpoint blocks AND answers the fixpoint probe
+      if (next.count() == 0) exhausted = true
       else {
-        val merged = dist.union(next).localCheckpoint(true)
-        dist.unpersist(); frontier.unpersist()
-        dist = merged
+        dist = dist.union(next).localCheckpoint(eager = false)
         frontier = next
       }
     }
-    // merged checkpoints own copies of the frontier rows, so the last
-    // frontier's storage can go; dist stays (eagerly materialized, it IS
-    // the result)
-    if (!(frontier eq dist)) frontier.unpersist()
     ed.unpersist()
     dist
   }

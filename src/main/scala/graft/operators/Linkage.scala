@@ -79,9 +79,16 @@ object Linkage {
     * right_id. Output: (left_id, right_id, sim) with sim rounded to 6dp —
     * the ROUNDED value also drives the argmax ordering, so the resolve is
     * stable cross-engine even if a foreign implementation differs in the
-    * last float bits. No length prune here: unlike levenshtein, a large
-    * length gap does not bound Jaro-Winkler below any threshold a caller
-    * might pick.
+    * last float bits.
+    *
+    * Length prune (output-neutral): matches are bounded by the shorter
+    * string — m ≤ min(|a|,|b|) gives jaro ≤ (2 + min/max)/3 and, with the
+    * full prefix boost, jw ≤ 0.8 + 0.2·min/max. So for `minSim` > 0.8 a
+    * pair whose length ratio min/max < (minSim − 0.8)/0.2 can never
+    * verify, and the verify work is skipped for it up front (for
+    * minSim = 0.9 that drops every pair off by more than 2× in length).
+    * The oracle SQL runs without the prune — identical output either way
+    * is exactly the neutrality claim.
     */
   def bestMatchJw(
       left: DataFrame, leftId: Column, leftName: Column,
@@ -92,7 +99,16 @@ object Linkage {
       minSim: Double = 0.9): DataFrame = {
     val pairs = candidatePairs(left, leftId, leftName, right, rightId, rightName,
       gramWidth, tailLen, maxGramFreq, maxLenDiff = None)
-    val verified = pairs
+    // jw ≤ 0.8 + 0.2·min/max (see scaladoc): below-ratio pairs can never
+    // reach minSim, so skip their verify. The 1e-9 slack keeps the float
+    // division from clipping an exactly-on-the-bound pair.
+    val pruned = if (minSim > 0.8) {
+      val lenL = length(col("__ln")).cast("double")
+      val lenR = length(col("__rn")).cast("double")
+      pairs.filter(
+        least(lenL, lenR) / greatest(lenL, lenR) >= lit((minSim - 0.8) / 0.2 - 1e-9))
+    } else pairs
+    val verified = pruned
       .withColumn("sim",
         round(graft.functions.JaroWinkler.jaroWinkler(col("__ln"), col("__rn")), 6))
       .filter(col("sim") >= minSim)
