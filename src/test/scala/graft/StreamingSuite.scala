@@ -801,6 +801,56 @@ class StreamingSuite extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming Bollinger flags match the batch census across a mid-series batch split") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.{col, count, lit, min, sum, when}
+    import spark.implicits._
+    import graft.streaming.StreamingBollinger
+    implicit val sqlCtx = spark.sqlContext
+    // key noisy: ±1 alternating warmup around 10, one 30.0 spike at t=40
+    // (the batch spec's series); key const: flat line — zero variance,
+    // must never breach
+    val obs =
+      (1 to 40).map { t =>
+        val v = if (t == 40) 30.0 else 10.0 + (t % 2)
+        StreamingBollinger.Obs("noisy", t.toLong, v)
+      } ++ (1 to 40).map(t => StreamingBollinger.Obs("const", t.toLong, 42.0))
+    val input = MemoryStream[StreamingBollinger.Obs]
+    val q = StreamingBollinger.flags(input.toDS(), frameRows = 20, k = 2)
+      .writeStream.format("memory").queryName("graft_bollinger")
+      .outputMode("append").start()
+    try {
+      // the ring state must carry the frame across this split: every frame
+      // for rows 31-49 straddles the batch boundary (incl. the spike's own)
+      val (first, second) = obs.partition(_.ts_s <= 30)
+      input.addData(first)
+      q.processAllAvailable()
+      input.addData(second)
+      q.processAllAvailable()
+      val streamed = spark.table("graft_bollinger")
+        .groupBy(col("key")).agg(
+          count(lit(1)).as("n_eval"),
+          sum(when(col("breach"), 1L).otherwise(0L)).as("n_breaches"),
+          min(when(col("breach"), col("i"))).as("first_breach"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getAs[Number](3).longValue())).toSeq.sorted
+      val batch = graft.operators.Analytics.bollingerCensus(
+          obs.toDF("key", "ts_s", "v"), "key",
+          Seq(col("ts_s"), col("v")), col("v"), frameRows = 20, k = 2)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getAs[Number](3).longValue())).toSeq.sorted
+      assert(streamed === batch,
+        "streaming ring-state flags must reproduce the batch census exactly")
+      val noisy = streamed.find(_._1 == "noisy").get
+      assert(noisy._3 >= 1L && noisy._4 === 40L,
+        s"the spike at i=40 must be the first breach: $noisy")
+      assert(streamed.find(_._1 == "const").get._3 === 0L,
+        "zero-variance stream must never breach")
+    } finally q.stop()
+  }
+
   test("streaming OHLC bars match the batch resample once the watermark closes the window") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions._
