@@ -1250,9 +1250,13 @@ object SparkEntry {
     // word-frequency head (one explode + hash agg + bounded-heap top-k →
     // driver merge loop — the sampled-codebook pattern), then count tokens
     // in one codegen'd pass with the merges riding the expression. Census
-    // per source: whitespace counts vs subword counts. No SQL oracle (the
-    // merge loop isn't expressible); parity/monotonicity/textbook specs in
-    // AnalyticsSuite.
+    // per source: whitespace counts vs subword counts. Oracle-tier via the
+    // generated-SQL pattern (langid/EWMA): the TRAINING loop isn't SQL-
+    // expressible, but the trained merge table is a bounded deterministic
+    // artifact — the query captures it and oracleSql (evaluated AFTER the
+    // queries run — Verify's dump order) emits DuckDB SQL that replays
+    // greedy encoding from those literals. Training itself stays pinned by
+    // the AnalyticsSuite textbook/parity specs.
     "text_bpe_tokens" -> ((s, dir) => {
       val docs = documents(s, dir)
       // the synthetic corpus has a ~31-word vocabulary; 40 merges leaves
@@ -1260,6 +1264,7 @@ object SparkEntry {
       // whole and the census would just equal the whitespace counts)
       val merges = graft.operators.Bpe.train(docs, col("text"),
         numMerges = 40, maxWords = 20000)
+      bpeTrainedMerges = merges
       docs.select(col("source"),
           TextAnalysis.tokenCount(col("text")).cast("long").as("ws"),
           graft.operators.Bpe.tokenCount(col("text"), merges).cast("long").as("bpe"))
@@ -2546,6 +2551,57 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
+  /** Merge table captured by the text_bpe_tokens run — deterministic given
+    * the corpus (tie-broken argmax, sorted frequency head), and `oracleSql`
+    * is evaluated AFTER the query loop in Verify, so the generated oracle's
+    * literals always describe the same table the Spark plan encoded with.
+    */
+  @volatile private var bpeTrainedMerges: Seq[(String, String)] = Seq.empty
+
+  /** DuckDB replay of greedy BPE encoding under [[bpeTrainedMerges]].
+    *
+    * Equivalence: [[graft.functions.BpeEncode.encodeWord]] merges the
+    * lowest-rank pair one occurrence at a time; because a pair of rank r
+    * can only ever be CREATED by merges of rank < r (its symbols must
+    * exist when it is learned — training would have assigned it an
+    * earlier rank otherwise), that is identical to applying the merges
+    * once each in rank order as left-to-right non-overlapping
+    * replace-alls. Each word becomes `~c~` per char (`~` cannot occur in
+    * a `[a-z0-9]+` word), so the pair pattern `~a~~b~` matches exactly a
+    * full-symbol adjacency — never inside a symbol, never sharing a
+    * delimiter with a neighboring occurrence — and one `replace` per
+    * merge is the whole encode. Symbol count = half the `~` count.
+    */
+  private def bpeOracleSql(merges: Seq[(String, String)]): String = {
+    val start = "concat('~', array_to_string(regexp_extract_all(w, '.'), '~~'), '~')"
+    val folded = merges.foldLeft(start) { case (acc, (a, b)) =>
+      val qa = a.replace("'", "''")
+      val qb = b.replace("'", "''")
+      s"replace($acc, '~$qa~~$qb~', '~$qa$qb~')"
+    }
+    s"""WITH words AS (
+       |  SELECT source, doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS w
+       |  FROM documents),
+       |enc AS (
+       |  SELECT source, doc_id,
+       |         $folded AS s
+       |  FROM words),
+       |perdoc AS (
+       |  SELECT source, doc_id,
+       |         sum((length(s) - length(replace(s, '~', ''))) // 2)::BIGINT AS bpe
+       |  FROM enc GROUP BY 1, 2),
+       |base AS (
+       |  SELECT source, doc_id,
+       |         len(regexp_extract_all(text, '[a-z0-9]+'))::BIGINT AS ws
+       |  FROM documents)
+       |SELECT base.source, count(*)::BIGINT AS n_docs,
+       |       sum(base.ws)::BIGINT AS ws_tokens,
+       |       sum(coalesce(perdoc.bpe, 0))::BIGINT AS bpe_tokens
+       |FROM base LEFT JOIN perdoc
+       |  ON base.source = perdoc.source AND base.doc_id = perdoc.doc_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** DuckDB mirror of [[Analytics.ewma]]: weight literals printed from the
     * SAME `math.pow(1-α, j)` doubles the Spark plan embeds (Double.toString
     * round-trips through DuckDB's literal parser to the identical bits) and
@@ -2752,6 +2808,8 @@ object SparkEntry {
         |  FROM o)
         |SELECT o_orderpriority, rank::BIGINT AS rank, o_orderkey, cents
         |FROM r WHERE rank <= 5 ORDER BY 1, 2""".stripMargin,
+
+    "text_bpe_tokens" -> bpeOracleSql(bpeTrainedMerges),
 
     "q_json_variant" ->
       """WITH j AS (
