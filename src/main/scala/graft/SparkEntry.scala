@@ -768,6 +768,46 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    // Robust rolling-outlier census — the median/MAD twin of
+    // events_bollinger: a spike inside the frame shifts a mean/σ band
+    // enough to mask the NEXT anomaly but barely moves the median/MAD.
+    // Odd frame → lower median IS the median; median, deviations, and MAD
+    // are exact micro-unit integers and |v−med| > k·MAD never touches a
+    // float. One frame-bounded window pass + one hash agg.
+    "events_rolling_median" -> ((s, dir) => {
+      Analytics.rollingMadCensus(events(s, dir), "user_id",
+          Seq(unix_micros(col("ts")), col("event_id")), col("value"),
+          frameRows = 7, k = 3)
+        .select(col("user_id"), col("n_eval"), col("n_outliers"), col("first_outlier"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Time-weighted average per user: each reading holds until the next
+    // (step-function integral / elapsed time) — the irregular-sampling
+    // mean a plain AVG gets wrong on bursty streams. Micro-units ×
+    // whole-ms durations sum as DECIMAL(38,0); one lead window pass + one
+    // hash agg, final division is the family's floor-rounding.
+    "events_twap" -> ((s, dir) => {
+      Timeseries.timeWeightedAvg(events(s, dir), col("user_id"),
+          unix_micros(col("ts")),
+          Seq(unix_micros(col("ts")), col("event_id")), col("value"))
+        .select(col("__k").as("user_id"), col("n_segments"), col("dur_ms"),
+          col("twavg"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Hour-of-day seasonal profile per event type (ratio-to-overall
+    // decomposition): phase mean ÷ type mean, cross-multiplied into exact
+    // DECIMAL(38,0) products. One corpus hash agg → |types·24| rows; the
+    // per-type totals window runs over THAT bounded table only.
+    "events_seasonal" -> ((s, dir) => {
+      Timeseries.seasonalIndex(events(s, dir), col("event_type"),
+          hour(col("ts")).cast("long"), col("value"))
+        .select(col("__k").as("event_type"), col("__p").as("hr"), col("n"),
+          col("idx"))
+        .orderBy(col("event_type"), col("hr"))
+    }),
+
     // Snapshot diff audit: synthetic "tomorrow" snapshot (every 97th doc
     // deleted, every 41st revised, every 89th re-added under a new id)
     // diffed against today's by md5 fingerprint — one full outer join
@@ -2842,6 +2882,59 @@ object SparkEntry {
         |       sum(CASE WHEN b THEN 1 ELSE 0 END)::BIGINT AS n_breaches,
         |       min(CASE WHEN b THEN i END)::BIGINT AS first_breach
         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "events_rolling_median" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, event_id,
+        |                  CAST(round(value * 10000, 0) AS BIGINT) AS vu
+        |           FROM events),
+        |f AS (SELECT user_id, vu,
+        |        row_number() OVER w AS i,
+        |        list(vu) OVER (w ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS arr
+        |      FROM e
+        |      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |m AS (SELECT user_id, vu, i, arr, list_sort(arr)[4] AS med
+        |      FROM f WHERE len(arr) = 7),
+        |d AS (SELECT user_id, i,
+        |             abs(vu - med) > 3 * list_sort([abs(x - med) for x in arr])[4] AS b
+        |      FROM m)
+        |SELECT user_id, count(*)::BIGINT AS n_eval,
+        |       sum(CASE WHEN b THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
+        |       min(CASE WHEN b THEN i END)::BIGINT AS first_outlier
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "events_twap" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, event_id,
+        |                  CAST(round(value * 10000, 0) AS BIGINT) AS vu
+        |           FROM events),
+        |s AS (SELECT user_id, vu, ts_us,
+        |             lead(ts_us) OVER (PARTITION BY user_id
+        |                               ORDER BY ts_us, event_id) AS next_ts
+        |      FROM e),
+        |seg AS (SELECT user_id, vu, (next_ts - ts_us) // 1000 AS dur_ms
+        |        FROM s WHERE next_ts IS NOT NULL),
+        |a AS (SELECT user_id, count(*)::BIGINT AS n_segments,
+        |             sum(dur_ms)::BIGINT AS dur_ms,
+        |             sum(vu::HUGEINT * dur_ms) AS num
+        |      FROM seg GROUP BY 1)
+        |SELECT user_id, n_segments, dur_ms,
+        |       floor(num::DOUBLE / dur_ms::DOUBLE + 0.5) / 10000 AS twavg
+        |FROM a WHERE dur_ms > 0 ORDER BY user_id""".stripMargin,
+
+    "events_seasonal" ->
+      """WITH e AS (SELECT event_type, hour(ts)::BIGINT AS hr,
+        |                  CAST(round(value * 10000, 0) AS BIGINT) AS vu
+        |           FROM events),
+        |g AS (SELECT event_type, hr, count(*)::BIGINT AS n,
+        |             sum(vu)::BIGINT AS sum_u
+        |      FROM e GROUP BY 1, 2),
+        |t AS (SELECT event_type, hr, n, sum_u,
+        |             sum(n) OVER (PARTITION BY event_type) AS tn,
+        |             sum(sum_u) OVER (PARTITION BY event_type) AS tsum
+        |      FROM g)
+        |SELECT event_type, hr, n,
+        |       floor((sum_u::HUGEINT * tn)::DOUBLE / (n::HUGEINT * tsum)::DOUBLE
+        |             * 10000 + 0.5) / 10000 AS idx
+        |FROM t WHERE tsum > 0 ORDER BY 1, 2""".stripMargin,
 
     "corpus_diff" ->
       """WITH a AS (SELECT doc_id, md5(text) AS h FROM documents),

@@ -176,6 +176,52 @@ object Analytics {
         min(when(col("__b"), col("__i"))).as("first_breach"))
   }
 
+  /** Robust rolling-outlier census per key: rows whose value deviates from
+    * the trailing-frame MEDIAN by more than `k` × the frame's MAD (median
+    * absolute deviation) — the robust twin of [[bollingerCensus]]: one
+    * 30× spike in the frame shifts a mean/σ band enough to mask the NEXT
+    * anomaly, but barely moves the median/MAD. `frameRows` must be odd so
+    * the lower median IS the median: median, deviations, and MAD are then
+    * all exact integers in micro-units and the breach test
+    * `|v − med| > k · MAD` never touches a float — distributed run ≡
+    * single-threaded oracle bit-for-bit. A zero-MAD (majority-constant)
+    * frame flags any deviation, the standard convention. Rows without a
+    * full frame don't evaluate.
+    *
+    * Scale shape: ONE per-key window pass carrying a frame-bounded array
+    * (sort cost O(frame log frame) per row, frame ≲ dozens) + one hash
+    * agg; no self-join, no global sort. Output: (key, n_eval, n_outliers,
+    * first_outlier — order position, null when the key never breaches).
+    */
+  def rollingMadCensus(
+      df: DataFrame,
+      keyCol: String,
+      orderCols: Seq[Column],
+      value: Column,
+      frameRows: Int,
+      k: Int = 3): DataFrame = {
+    require(frameRows >= 3 && frameRows % 2 == 1 && k >= 1,
+      "rollingMadCensus: frameRows odd >= 3, k >= 1")
+    val mid = (frameRows + 1) / 2 // 1-based lower-median index
+    val vu = round(value * 10000, 0).cast("long")
+    val base = df.select(col(keyCol), struct(orderCols: _*).as("__ord0"), vu.as("__vu"))
+    val wOrd = Window.partitionBy(col(keyCol)).orderBy(col("__ord0"))
+    val wFrame = wOrd.rowsBetween(-(frameRows - 1), Window.currentRow)
+    val withArr = base
+      .withColumn("__i", row_number().over(wOrd))
+      .withColumn("__arr", collect_list(col("__vu")).over(wFrame))
+      .filter(size(col("__arr")) === frameRows)
+      .withColumn("__med", element_at(sort_array(col("__arr")), mid))
+      .withColumn("__mad", element_at(
+        sort_array(transform(col("__arr"), x => abs(x - col("__med")))), mid))
+      .withColumn("__b", abs(col("__vu") - col("__med")) > lit(k.toLong) * col("__mad"))
+    withArr.groupBy(col(keyCol))
+      .agg(
+        count(lit(1)).as("n_eval"),
+        sum(when(col("__b"), 1L).otherwise(0L)).as("n_outliers"),
+        min(when(col("__b"), col("__i"))).as("first_outlier"))
+  }
+
   /** Per-group ordinary-least-squares fit of y against x — the trend
     * detector behind per-segment drift monitoring. Deliberately NOT the
     * engines' `regr_slope`/`regr_intercept`: those accumulate doubles in

@@ -246,4 +246,81 @@ object Timeseries {
     count(lit(1)).as("n_events"),
     sum(round(v * 10000, 0).cast("long")).as("sum_u"))
 
+  /** Time-weighted average value per key — the irregular-sampling mean: a
+    * reading HOLDS until the next one, so each value weighs by how long it
+    * was current (numerically: the step-function integral / elapsed time),
+    * where a plain AVG over-counts bursts of dense readings. The last
+    * reading of a key has no successor and contributes no segment (the
+    * standard left-closed convention).
+    *
+    * Exactness: micro-unit values × whole-millisecond durations accumulate
+    * as DECIMAL(38,0) — exact at any magnitude, so the only float op is
+    * the final one-per-key division of two exactly-represented sums
+    * (correctly-rounded casts + one IEEE divide + the floor(x·10⁴+0.5)
+    * rounding used across the family) — distributed ≡ oracle bit-for-bit.
+    *
+    * Scale shape: one per-key window pass (lead) + one hash agg with
+    * map-side combine; no self-join. Keys whose readings all share one
+    * millisecond carry zero elapsed time and are dropped (no average
+    * exists over a zero-length interval).
+    */
+  def timeWeightedAvg(
+      df: DataFrame,
+      key: Column,
+      tsMicros: Column,
+      orderCols: Seq[Column],
+      value: Column): DataFrame = {
+    val w = Window.partitionBy(col("__k")).orderBy(col("__ord"))
+    val base = df.select(key.as("__k"), tsMicros.as("__ts"),
+      struct(orderCols: _*).as("__ord"),
+      round(value * 10000, 0).cast("long").as("__vu"))
+    val seg = base
+      .withColumn("__next_ts", lead(col("__ts"), 1).over(w))
+      .filter(col("__next_ts").isNotNull)
+      .withColumn("__dur_ms", intDiv(col("__next_ts") - col("__ts"), lit(1000L)))
+    seg.groupBy(col("__k"))
+      .agg(
+        count(lit(1)).as("n_segments"),
+        sum(col("__dur_ms")).as("dur_ms"),
+        sum(col("__vu").cast("decimal(38,0)") * col("__dur_ms")).as("__num"))
+      .filter(col("dur_ms") > 0)
+      .select(col("__k"), col("n_segments"), col("dur_ms"),
+        // __num/dur is already in micro-units = value·10⁴, so adding 0.5
+        // and flooring IS the 4-decimal rounding; /10⁴ restores value units
+        (floor(col("__num").cast("double") / col("dur_ms").cast("double")
+          + 0.5d) / 10000d).as("twavg"))
+  }
+
+  /** Seasonal index per (key, phase) — the classical ratio-to-overall
+    * decomposition step (phase mean ÷ key mean; e.g. phase = hour-of-day
+    * exposes diurnal load shape, phase = day-of-week weekly shape). An
+    * index of 1 is "this phase behaves like the key overall"; the vector
+    * of indexes per key IS the seasonal profile a forecaster divides out.
+    *
+    * Exactness: the ratio (Σphase/nphase)/(Σkey/nkey) cross-multiplies to
+    * (Σphase·nkey)/(nphase·Σkey) — both products exact DECIMAL(38,0), so
+    * again the only float op is one correctly-rounded cast pair + one IEEE
+    * divide + the family's floor-rounding. Scale shape: one hash agg over
+    * the corpus to |keys·phases| rows, then a window over THAT (bounded)
+    * table for the per-key totals; nothing else touches the corpus.
+    */
+  def seasonalIndex(
+      df: DataFrame,
+      key: Column,
+      phase: Column,
+      value: Column): DataFrame = {
+    val base = df.select(key.as("__k"), phase.as("__p"),
+      round(value * 10000, 0).cast("long").as("__vu"))
+    val g = base.groupBy(col("__k"), col("__p"))
+      .agg(count(lit(1)).as("n"), sum(col("__vu")).as("sum_u"))
+    val w = Window.partitionBy(col("__k"))
+    g.withColumn("__tn", sum(col("n")).over(w))
+      .withColumn("__tsum", sum(col("sum_u")).over(w))
+      .filter(col("__tsum") > 0)
+      .select(col("__k"), col("__p"), col("n"),
+        (floor((col("sum_u").cast("decimal(38,0)") * col("__tn")).cast("double")
+          / (col("n").cast("decimal(38,0)") * col("__tsum")).cast("double")
+          * 10000d + 0.5d) / 10000d).as("idx"))
+  }
+
 }

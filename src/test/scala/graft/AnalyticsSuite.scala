@@ -406,6 +406,65 @@ class AnalyticsSuite extends AnyFunSuite {
     assert(s.getAs[Int]("first_breach") === 40, s"the spike row is the first breach: $s")
   }
 
+  test("rollingMadCensus: robust to an in-frame spike where the mean/σ band is masked") {
+    import graft.operators.Timeseries
+    // constant: MAD 0 and every deviation 0 → silent
+    val const = (1 to 30).map(i => ("k", i, 7.0)).toDF("k", "i", "v")
+    val c = Analytics.rollingMadCensus(const, "k", Seq(col("i")), col("v"), 7).collect()(0)
+    assert(c.getAs[Long]("n_eval") === 24L, "rows without a full frame must not evaluate")
+    assert(c.getAs[Long]("n_outliers") === 0L)
+    assert(c.isNullAt(c.fieldIndex("first_outlier")))
+
+    // ±1 jitter around 10 with a 40.0 spike at i=20: the spike flags, and —
+    // the robustness claim — the NEXT rows' frames contain the spike yet
+    // their median/MAD barely move, so normal rows after it stay silent
+    val vals = (1 to 30).map(i => ("k", i, if (i == 20) 40.0 else 10.0 + (i % 2)))
+      .toDF("k", "i", "v")
+    val s = Analytics.rollingMadCensus(vals, "k", Seq(col("i")), col("v"), 7).collect()(0)
+    assert(s.getAs[Long]("n_outliers") === 1L,
+      s"exactly the spike flags — post-spike frames must not cascade: $s")
+    assert(s.getAs[Number]("first_outlier").longValue() === 20L, s"spike row flags: $s")
+
+    // zero-MAD majority-constant frame: any deviation flags (the convention)
+    val zm = ((1 to 10).map(i => ("k", i, 3.0)) :+ (("k", 11, 3.2)))
+      .toDF("k", "i", "v")
+    val z = Analytics.rollingMadCensus(zm, "k", Seq(col("i")), col("v"), 7).collect()(0)
+    assert(z.getAs[Long]("n_outliers") === 1L &&
+      z.getAs[Number]("first_outlier").longValue() === 11L, s"$z")
+    ()
+  }
+
+  test("timeWeightedAvg: holds-until-next weighting; burst of dense readings doesn't dominate") {
+    import graft.operators.Timeseries
+    // value 10 held for 9s, then a 1s burst of 100s: twavg = (10·9 + 100·1)/10 = 19
+    // (a plain AVG of the readings would say (10+100+100)/3 = 70)
+    val rows = Seq(("k", 0L, 10.0), ("k", 9000000L, 100.0), ("k", 10000000L, 100.0))
+      .toDF("k", "ts_us", "v")
+    val out = Timeseries.timeWeightedAvg(rows, col("k"), col("ts_us"),
+      Seq(col("ts_us")), col("v")).collect()(0)
+    assert(out.getAs[Long]("n_segments") === 2L)
+    assert(out.getAs[Long]("dur_ms") === 10000L)
+    assert(out.getAs[Double]("twavg") === 19.0, s"$out")
+    // a key with all readings in one millisecond has no elapsed time → dropped
+    val degenerate = Seq(("z", 5L, 1.0), ("z", 900L, 2.0)).toDF("k", "ts_us", "v")
+    assert(Timeseries.timeWeightedAvg(degenerate, col("k"), col("ts_us"),
+      Seq(col("ts_us")), col("v")).count() === 0L)
+  }
+
+  test("seasonalIndex: flat series indexes to 1; load concentrated in one phase scales exactly") {
+    import graft.operators.Timeseries
+    // key flat: same value every phase → every index exactly 1.0
+    // key peaky: phase 0 runs at 3x the phase-1/2 level → indexes 1.8, 0.6, 0.6
+    //   (means 30,10,10; overall 50/3 → 30/(50/3) = 1.8)
+    val rows = (0 until 12).flatMap { i =>
+      Seq(("flat", i % 3, 5.0), ("peaky", i % 3, if (i % 3 == 0) 30.0 else 10.0))
+    }.toDF("k", "p", "v")
+    val out = Timeseries.seasonalIndex(rows, col("k"), col("p"), col("v"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(3))).toSeq.sorted
+    assert(out === Seq(("flat", 0, 1.0), ("flat", 1, 1.0), ("flat", 2, 1.0),
+      ("peaky", 0, 1.8), ("peaky", 1, 0.6), ("peaky", 2, 0.6)), s"$out")
+  }
+
   test("winsorizedStatsApprox: sketch boundaries track the exact form within rank tolerance") {
     val ev = Tables.events(spark, sf)
     val exact = Analytics.winsorizedStats(ev, Seq(col("event_type")), col("value"))
