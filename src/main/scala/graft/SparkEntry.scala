@@ -808,6 +808,22 @@ object SparkEntry {
         .orderBy(col("event_type"), col("hr"))
     }),
 
+    // Distinct-user overlap across half-years from two persisted THETA
+    // set states — |A|, |B|, |A∩B|, |A∪B|, |A\B| per event type with NO
+    // rescan of either half (theta sketches close under union/
+    // intersection/difference, unlike HLL's union-only). Rows-tier: the
+    // estimates are sketch-family-dependent; IncrementalSuite pins
+    // exactness below sketch capacity and the set-algebra identities.
+    "events_user_overlap" -> ((s, dir) => {
+      val e = events(s, dir)
+      val cut = lit("2024-01-16").cast("timestamp") // events span Jan 2024
+      val keys = Seq(col("event_type"))
+      val a = Incremental.setState(e.filter(col("ts") < cut), keys, col("user_id"))
+      val b = Incremental.setState(e.filter(col("ts") >= cut), keys, col("user_id"))
+      Incremental.setOverlap(Seq("event_type"), a, b)
+        .orderBy(col("event_type"))
+    }),
+
     // Snapshot diff audit: synthetic "tomorrow" snapshot (every 97th doc
     // deleted, every 41st revised, every 89th re-added under a new id)
     // diffed against today's by md5 fingerprint — one full outer join
@@ -1060,6 +1076,24 @@ object SparkEntry {
         .filter(pmod(col("s_suppkey"), lit(10)) === 0)
         .select(concat(lit("s"), col("s_suppkey").cast("string")).as("vertex"))
       Graph.shortestHops(sym, seeds, maxHops = 3)
+        .orderBy(col("vertex"))
+    }),
+
+    // Connected components (min-label fixpoint / size-gated union-find —
+    // one engine with dupClusters) over a deterministic chain+bridge graph
+    // on the customer keys: decade chains (c—c+1 within each run of 10)
+    // bridged at c%100=55, so components have known bounded diameter and
+    // the DuckDB transitive-closure oracle stays linear. Component id =
+    // min vertex, bit-exact cross-engine.
+    "graph_components" -> ((s, dir) => {
+      val v = customer(s, dir).select(col("c_custkey").as("id"))
+      val e0 = v.filter(pmod(col("id"), lit(10)) =!= 0)
+        .select(col("id").as("src"), (col("id") + 1).as("dst"))
+        .unionByName(v.filter(pmod(col("id"), lit(100)) === 55)
+          .select(col("id").as("src"), (col("id") + 10).as("dst")))
+      // keep only edges whose endpoint exists (the last key's +1 doesn't)
+      val edges = e0.join(v.select(col("id").as("dst")), Seq("dst"), "left_semi")
+      Graph.connectedComponents(edges)
         .orderBy(col("vertex"))
     }),
 
@@ -2850,6 +2884,25 @@ object SparkEntry {
         |FROM r WHERE rank <= 5 ORDER BY 1, 2""".stripMargin,
 
     "text_bpe_tokens" -> bpeOracleSql(bpeTrainedMerges),
+
+    "graph_components" ->
+      """WITH RECURSIVE v AS (SELECT c_custkey AS id FROM customer),
+        |e0 AS (
+        |  SELECT id AS src, id + 1 AS dst FROM v WHERE id % 10 <> 0
+        |  UNION ALL
+        |  SELECT id AS src, id + 10 AS dst FROM v WHERE id % 100 = 55),
+        |e1 AS (SELECT src, dst FROM e0 JOIN v ON e0.dst = v.id),
+        |edges AS (
+        |  SELECT src AS u, dst AS w FROM e1
+        |  UNION
+        |  SELECT dst AS u, src AS w FROM e1),
+        |reach AS (
+        |  SELECT u, w FROM edges
+        |  UNION
+        |  SELECT r.u, e.w FROM reach r JOIN edges e ON r.w = e.u
+        |  WHERE e.w <> r.u)
+        |SELECT u AS vertex, LEAST(u, MIN(w)) AS component
+        |FROM reach GROUP BY u ORDER BY vertex""".stripMargin,
 
     "q_json_variant" ->
       """WITH j AS (

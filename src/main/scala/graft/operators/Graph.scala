@@ -251,4 +251,24 @@ object Graph {
     nv.crossJoin(ne).crossJoin(tri)
       .select(col("n_vertices"), col("n_edges"), col("n_triangles"))
   }
+
+  /** Connected components over an undirected edge list `(src, dst)` —
+    * component id = the minimum vertex id in the component (deterministic
+    * winner). One row per vertex that appears in any edge:
+    * (vertex, component).
+    *
+    * Graph-API surface over [[Dedup.dupClusters]]' engine (one fixpoint,
+    * two callers): iterative min-label propagation — two hash-partitioned
+    * joins per round, lineage checkpoint-truncated, convergence detected
+    * by the monotone label sum — with the size-gated driver union-find
+    * fast path for bounded edge lists (identical labels by construction,
+    * spec-asserted there). Converges in O(component diameter) rounds;
+    * `maxIter` fails loudly rather than returning a half-merged labeling.
+    */
+  def connectedComponents(
+      edges: DataFrame,
+      maxIter: Int = 25,
+      localEdgeThreshold: Long = 500000L): DataFrame =
+    Dedup.dupClusters(edges, "src", "dst", maxIter, localEdgeThreshold)
+      .select(col("doc_id").as("vertex"), col("cluster_id").as("component"))
 }

@@ -187,6 +187,64 @@ object Incremental {
         col("col.item").as("item"),
         col("col.est_count").as("est_count")): _*)
 
+  // ---- mergeable distinct-SET states (Theta sketches) ---------------------
+  //
+  // HLL answers one question about a persisted state: how many. Theta
+  // sketches (DataSketches; Dasgupta et al., "A Framework for Estimating
+  // Stream Expression Cardinalities") carry a SAMPLE of the k smallest
+  // item hashes, which closes the sketch family under union AND
+  // intersection AND difference — so two persisted states can answer "how
+  // many distinct users did day A share with day B" with NO rescan of
+  // either day. All three operations are deterministic set algebra over
+  // hash order (no randomness), so estimates are run-stable.
+
+  /** Per-group theta-sketch state of `distinctOn` — the compact artifact
+    * that persists between ingests (same posture as [[state]]'s HLL
+    * column, plus set algebra at serve time).
+    */
+  def setState(df: DataFrame, keys: Seq[Column], distinctOn: Column,
+      lgK: Int = 12): DataFrame =
+    df.groupBy(keys: _*).agg(theta_sketch_agg(distinctOn, lgK).as("theta"))
+
+  /** Fold theta states: sketch union per group — associative,
+    * commutative, cost Σ|groups| rows. `lgK` bounds the UNION's retained
+    * hashes and should match the states' (a union is exact only below
+    * min(k) of everything it folds).
+    */
+  def mergeSetStates(keyNames: Seq[String], states: DataFrame*): DataFrame =
+    mergeSetStatesLgK(keyNames, 12, states: _*)
+
+  def mergeSetStatesLgK(keyNames: Seq[String], lgK: Int,
+      states: DataFrame*): DataFrame = {
+    require(states.nonEmpty, "mergeSetStates: at least one state")
+    states.reduce(_.unionByName(_)).groupBy(keyNames.map(col): _*)
+      .agg(theta_union_agg(col("theta"), lgK).as("theta"))
+  }
+
+  /** Serve-time set algebra between two persisted state tables: per group,
+    * estimated |A|, |B|, |A∩B|, |A∪B|, |A\B| — the corpus-overlap audit
+    * (how much of today's traffic is yesterday's users) straight off two
+    * bounded artifacts. Inner join on the group keys: groups absent from
+    * either side have no overlap question to answer.
+    */
+  def setOverlap(keyNames: Seq[String], a: DataFrame, b: DataFrame,
+      lgK: Int = 12): DataFrame = {
+    val keys = keyNames.map(col)
+    val joined = a.select(keys :+ col("theta").as("__ta"): _*)
+      .join(b.select(keys :+ col("theta").as("__tb"): _*), keyNames)
+    joined.select(keys ++ Seq(
+      theta_sketch_estimate(col("__ta")).cast("long").as("n_a"),
+      theta_sketch_estimate(col("__tb")).cast("long").as("n_b"),
+      theta_sketch_estimate(theta_intersection(col("__ta"), col("__tb")))
+        .cast("long").as("n_both"),
+      // the serve-time union must retain as many hashes as the states do,
+      // or it silently drops to estimation mode below their exact range
+      theta_sketch_estimate(theta_union(col("__ta"), col("__tb"), lgK))
+        .cast("long").as("n_either"),
+      theta_sketch_estimate(theta_difference(col("__ta"), col("__tb")))
+        .cast("long").as("n_only_a")): _*)
+  }
+
   /** One persisted maintenance step: fold `delta`'s state into the state
     * table under `path` and publish it as the next version directory
     * `path/v=<k+1>`. The write goes to a hidden `.tmp-v=<k+1>` directory

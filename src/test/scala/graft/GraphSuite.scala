@@ -167,4 +167,22 @@ class GraphSuite extends AnyFunSuite {
       .map(r => (r.getString(0), r.getLong(1))).sorted
     assert(r1.sameElements(r13), "partitioning must not change a distance")
   }
+
+  test("connectedComponents: known components; distributed and local paths agree") {
+    // two chains, a triangle, an isolated pair: components min-labeled
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),        // chain 1-4 → component 1
+      (10L, 11L), (11L, 12L),              // chain 10-12 → component 10
+      (20L, 21L), (21L, 22L), (22L, 20L),  // triangle → component 20
+      (30L, 31L))                          // pair → component 30
+      .toDF("src", "dst")
+    val expected = Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 30L -> 30L, 31L -> 30L)
+    def run(threshold: Long) =
+      Graph.connectedComponents(edges, localEdgeThreshold = threshold)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq.sorted
+    assert(run(500000L) === expected, "local union-find path")
+    assert(run(0L) === expected, "distributed min-label fixpoint path")
+  }
 }

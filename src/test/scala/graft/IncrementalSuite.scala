@@ -218,6 +218,32 @@ class IncrementalSuite extends AnyFunSuite {
       merged.collect().map(_.toString).sorted.toSeq, "merge order must not matter")
   }
 
+  test("theta set states: exact below capacity; union/intersection/difference identities") {
+    // group g: ids 1..3000 in A, 2001..5000 in B → |A|=3000 |B|=3000
+    // |A∩B|=1000 |A∪B|=5000 |A\B|=2000 — all below the default sketch
+    // capacity, where theta is EXACT, so these assert equality, not bounds
+    val a = (1 to 3000).map(i => ("g", i.toLong)).toDF("k", "d")
+    val b = (2001 to 5000).map(i => ("g", i.toLong)).toDF("k", "d")
+    val sa = Incremental.setState(a, Seq(col("k")), col("d"), lgK = 14)
+    val sb = Incremental.setState(b, Seq(col("k")), col("d"), lgK = 14)
+    val o = Incremental.setOverlap(KeyNames2, sa, sb, lgK = 14).collect()(0)
+    assert((o.getAs[Long]("n_a"), o.getAs[Long]("n_b"), o.getAs[Long]("n_both"),
+      o.getAs[Long]("n_either"), o.getAs[Long]("n_only_a")) ===
+      ((3000L, 3000L, 1000L, 5000L, 2000L)), s"$o")
+
+    // merged deltas ≡ one-shot state: union-fold then estimate
+    val merged = Incremental.mergeSetStatesLgK(KeyNames2, 14, sa, sb)
+    val est = merged.select(theta_sketch_estimate(col("theta")).cast("long"))
+      .collect()(0).getLong(0)
+    assert(est === 5000L, s"union-merged state must count the union exactly: $est")
+    // commutative
+    val swapped = Incremental.mergeSetStatesLgK(KeyNames2, 14, sb, sa)
+      .select(theta_sketch_estimate(col("theta")).cast("long")).collect()(0).getLong(0)
+    assert(swapped === est)
+  }
+
+  private val KeyNames2 = Seq("k")
+
   test("streaming maintenance: foreachBatch folds equal the batch recompute") {
     val srcDir = Files.createTempDirectory("graft-incr-stream").toString + "/src"
     val path = Files.createTempDirectory("graft-incr-stream").toString + "/state"
