@@ -244,6 +244,36 @@ class IncrementalSuite extends AnyFunSuite {
 
   private val KeyNames2 = Seq("k")
 
+  test("KLL quantile states: merged daily folds keep the rank guarantee") {
+    // skewed multiset split into 3 deltas; truth ranks computed exactly
+    val all = (1 to 12000).map(i => ("k0", (i.toLong * i) % 10007))
+    val deltas = all.grouped(4000).map(_.toDF("k", "v")).toSeq
+    val states = deltas.map(d =>
+      Incremental.quantileState(d, Seq(col("k")), col("v"), k = 200))
+    val merged = Incremental.mergeQuantileStates(KeyNames2, states: _*)
+    val probs = Seq(0.5, 0.95, 0.99)
+    val row = Incremental.finishQuantiles(merged, KeyNames2, probs).collect()(0)
+    val sortedVals = all.map(_._2).sorted
+    val n = sortedVals.length
+    probs.zipWithIndex.foreach { case (p, j) =>
+      val est = row.getLong(1 + j)
+      // normalized rank of the estimate vs the requested rank: KLL k=200
+      // guarantees ~1.2% at 99% confidence, preserved under merge; 3%
+      // leaves slack for the confidence tail without masking regressions
+      val rank = sortedVals.count(_ <= est).toDouble / n
+      assert(math.abs(rank - p) < 0.03,
+        s"p$p estimate $est lands at rank $rank — outside the merged-KLL bound")
+    }
+    // one-shot state over the union obeys the same bound (merge ≈ direct)
+    val direct = Incremental.finishQuantiles(
+      Incremental.quantileState(all.toDF("k", "v"), Seq(col("k")), col("v"), k = 200),
+      KeyNames2, probs).collect()(0)
+    probs.zipWithIndex.foreach { case (p, j) =>
+      val rank = sortedVals.count(_ <= direct.getLong(1 + j)).toDouble / n
+      assert(math.abs(rank - p) < 0.03, s"direct p$p outside bound")
+    }
+  }
+
   test("streaming maintenance: foreachBatch folds equal the batch recompute") {
     val srcDir = Files.createTempDirectory("graft-incr-stream").toString + "/src"
     val path = Files.createTempDirectory("graft-incr-stream").toString + "/state"

@@ -801,6 +801,55 @@ class StreamingSuite extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming rolling-median flags match the batch census across a mid-series batch split") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.{col, count, lit, min, sum, when}
+    import spark.implicits._
+    import graft.streaming.StreamingRollingMedian
+    implicit val sqlCtx = spark.sqlContext
+    // noisy: ±1 jitter around 10, 40.0 spike at t=20; const: flat line
+    val obs =
+      (1 to 30).map { t =>
+        val v = if (t == 20) 40.0 else 10.0 + (t % 2)
+        StreamingRollingMedian.Obs("noisy", t.toLong, v)
+      } ++ (1 to 30).map(t => StreamingRollingMedian.Obs("const", t.toLong, 7.0))
+    val input = MemoryStream[StreamingRollingMedian.Obs]
+    val q = StreamingRollingMedian.flags(input.toDS(), frameRows = 7, k = 3)
+      .writeStream.format("memory").queryName("graft_rollmed")
+      .outputMode("append").start()
+    try {
+      // frames for rows 16-22 straddle this split, incl. the spike's own
+      val (first, second) = obs.partition(_.ts_s <= 15)
+      input.addData(first)
+      q.processAllAvailable()
+      input.addData(second)
+      q.processAllAvailable()
+      def census(df: org.apache.spark.sql.DataFrame, flagCol: String, iCol: String) =
+        df.groupBy(col("key")).agg(
+            count(lit(1)).as("n"),
+            sum(when(col(flagCol), 1L).otherwise(0L)).as("nf"),
+            min(when(col(flagCol), col(iCol))).as("first"))
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+            if (r.isNullAt(3)) -1L else r.getAs[Number](3).longValue())).toSeq.sorted
+      val streamed = census(spark.table("graft_rollmed"), "outlier", "i")
+      val batch = graft.operators.Analytics.rollingMadCensus(
+          obs.toDF("key", "ts_s", "v"), "key",
+          Seq(col("ts_s"), col("v")), col("v"), frameRows = 7, k = 3)
+        .select(col("key"), col("n_eval").as("n"), col("n_outliers").as("nf"),
+          col("first_outlier").as("first"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getAs[Number](3).longValue())).toSeq.sorted
+      assert(streamed === batch,
+        "streaming ring-state flags must reproduce the batch census exactly")
+      val noisy = streamed.find(_._1 == "noisy").get
+      assert(noisy._3 === 1L && noisy._4 === 20L,
+        s"exactly the spike flags, at i=20: $noisy")
+      assert(streamed.find(_._1 == "const").get._3 === 0L)
+    } finally q.stop()
+  }
+
   test("streaming Bollinger flags match the batch census across a mid-series batch split") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions.{col, count, lit, min, sum, when}
