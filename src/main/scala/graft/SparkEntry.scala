@@ -651,6 +651,66 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // Autocorrelation census per event type at lags 1..3 — the
+    // seasonality/persistence detector. One window pass computes all lags'
+    // leads, one hash agg per (type, lag); exact deci-unit moments (chosen
+    // so moment differences stay inside int64 through sf1 for the oracle's
+    // single-cvt BIGINT→DOUBLE), sentinel 2.0 on degenerate lags.
+    "events_acf" -> ((s, dir) => {
+      Analytics.autocorrCensus(events(s, dir), "event_type",
+          Seq(unix_micros(col("ts")), col("event_id")), col("value"),
+          lags = Seq(1, 2, 3))
+        .select(col("event_type"), col("lag"), col("n_pairs"), col("acf"))
+        .orderBy(col("event_type"), col("lag"))
+    }),
+
+    // Gini concentration of document mass per source — "is this source a
+    // few huge docs or many small ones?". Rank formula over a total
+    // (n_chars, doc_id) order, exact decimal products, integer-ppm
+    // round-half-up output; the per-group window sort is the exact oracle
+    // shape (groups shard across the cluster).
+    "q_gini_source" -> ((s, dir) => {
+      Analytics.giniPerGroup(documents(s, dir), Seq(col("source")),
+          col("n_chars"), col("doc_id"))
+        .select(col("source"), col("n"), col("gini_ppm"))
+        .orderBy(col("source"))
+    }),
+
+    // Benford first-digit census over order totals (cents) — the
+    // fraud/synthetic-data screen. First digit via decimal-string head (no
+    // log10 boundary risk); observed ppm round-half-up integer, expected
+    // ppm the published Benford constants as literals on both engines.
+    "q_benford" -> ((s, dir) => {
+      Analytics.benfordCensus(orders(s, dir),
+          round(col("o_totalprice") * 100, 0).cast("long"))
+        .select(col("digit"), col("n"), col("obs_ppm"), col("exp_ppm"), col("dev_ppm"))
+        .orderBy(col("digit"))
+    }),
+
+    // Interval-union coverage per user: each event holds activity open for
+    // 5 minutes; overlapping holds merge into maximal spans (total active
+    // time — the union metric a gap-cut session window can't express).
+    // Gaps-and-islands in exact epoch-µs integers: one per-key sort, a
+    // prior-ends running max, flag-sum island ids, two hash aggs.
+    "events_active_spans" -> ((s, dir) => {
+      Timeseries.coverageSpans(events(s, dir), "user_id",
+          unix_micros(col("ts")), holdSeconds = 300)
+        .select(col("user_id"), col("n_spans"), col("active_us"), col("max_span_us"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Spearman rank correlation of char length vs token count per source —
+    // the monotone-association sanity monitor (a source where length stops
+    // tracking token count is full of markup or binary junk). Tie-corrected
+    // via exact integer DOUBLED average ranks; then the family's decimal
+    // moments + one closed-form division.
+    "q_spearman_source" -> ((s, dir) => {
+      Analytics.spearmanPerGroup(documents(s, dir), Seq(col("source")),
+          col("n_chars"), TextAnalysis.tokenCount(col("text")))
+        .select(col("source"), col("n"), col("rho"))
+        .orderBy(col("source"))
+    }),
+
     // First-order Markov transition census over per-user event sequences —
     // the sequence-mining companion to funnel/cohort: which step follows
     // which, with conditional probability in integer ppm (pure integer
@@ -4487,6 +4547,131 @@ object SparkEntry {
         |FROM w
         |WHERE event_id % 20 = 0
         |ORDER BY event_id""".stripMargin,
+
+    "events_active_spans" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) // 1000 AS s,
+        |         epoch_ns(ts) // 1000 + 300000000 AS e
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, s, e,
+        |         max(e) OVER (PARTITION BY user_id ORDER BY s, e
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING
+        |                      AND 1 PRECEDING) AS pme
+        |  FROM e),
+        |g AS (
+        |  SELECT user_id, s, e,
+        |         CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END AS nw
+        |  FROM f),
+        |h AS (
+        |  SELECT user_id, s, e,
+        |         sum(nw) OVER (PARTITION BY user_id ORDER BY s, e
+        |                       ROWS BETWEEN UNBOUNDED PRECEDING
+        |                       AND CURRENT ROW) AS isl
+        |  FROM g),
+        |i AS (
+        |  SELECT user_id, isl, min(s) AS f, max(e) AS t FROM h GROUP BY 1, 2)
+        |SELECT user_id, count(*)::BIGINT AS n_spans,
+        |       sum(t - f)::BIGINT AS active_us,
+        |       max(t - f)::BIGINT AS max_span_us
+        |FROM i GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+
+    "q_spearman_source" ->
+      """WITH d AS (
+        |  SELECT source, n_chars::BIGINT AS x,
+        |         len(regexp_extract_all(text, '[a-z0-9]+'))::BIGINT AS y
+        |  FROM documents),
+        |r AS (
+        |  SELECT source,
+        |         (2 * rank() OVER (PARTITION BY source ORDER BY x)
+        |          + count(*) OVER (PARTITION BY source, x) - 1)::HUGEINT AS rx,
+        |         (2 * rank() OVER (PARTITION BY source ORDER BY y)
+        |          + count(*) OVER (PARTITION BY source, y) - 1)::HUGEINT AS ry
+        |  FROM d),
+        |a AS (
+        |  SELECT source, count(*)::HUGEINT AS n, sum(rx) AS sx, sum(ry) AS sy,
+        |         sum(rx * ry) AS sxy, sum(rx * rx) AS sxx, sum(ry * ry) AS syy
+        |  FROM r GROUP BY 1)
+        |SELECT source, n::BIGINT AS n,
+        |       CASE WHEN (n * sxx - sx * sx)::BIGINT::DOUBLE > 0
+        |             AND (n * syy - sy * sy)::BIGINT::DOUBLE > 0
+        |            THEN floor((n * sxy - sx * sy)::BIGINT::DOUBLE
+        |                       / sqrt((n * sxx - sx * sx)::BIGINT::DOUBLE)
+        |                       / sqrt((n * syy - sy * sy)::BIGINT::DOUBLE)
+        |                       * 10000.0 + 0.5)::BIGINT / 10000.0
+        |            ELSE 2.0 END AS rho
+        |FROM a
+        |ORDER BY source""".stripMargin,
+
+    "events_acf" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_ns(ts) // 1000 AS ts_us, event_id,
+        |         CAST(round(value * 10, 0) AS BIGINT) AS x
+        |  FROM events),
+        |l AS (
+        |  SELECT event_type, x,
+        |         lead(x, 1) OVER w AS y1,
+        |         lead(x, 2) OVER w AS y2,
+        |         lead(x, 3) OVER w AS y3
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY ts_us, event_id)),
+        |p AS (
+        |  SELECT event_type, 1 AS lag, x::HUGEINT AS x, y1::HUGEINT AS y
+        |  FROM l WHERE y1 IS NOT NULL
+        |  UNION ALL
+        |  SELECT event_type, 2, x::HUGEINT, y2::HUGEINT FROM l WHERE y2 IS NOT NULL
+        |  UNION ALL
+        |  SELECT event_type, 3, x::HUGEINT, y3::HUGEINT FROM l WHERE y3 IS NOT NULL),
+        |a AS (
+        |  SELECT event_type, lag, count(*)::HUGEINT AS n,
+        |         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+        |         sum(x * x) AS sxx, sum(y * y) AS syy
+        |  FROM p GROUP BY 1, 2)
+        |SELECT event_type, lag, n::BIGINT AS n_pairs,
+        |       CASE WHEN (n * sxx - sx * sx)::BIGINT::DOUBLE > 0
+        |             AND (n * syy - sy * sy)::BIGINT::DOUBLE > 0
+        |            THEN floor((n * sxy - sx * sy)::BIGINT::DOUBLE
+        |                       / sqrt((n * sxx - sx * sx)::BIGINT::DOUBLE)
+        |                       / sqrt((n * syy - sy * sy)::BIGINT::DOUBLE)
+        |                       * 10000.0 + 0.5)::BIGINT / 10000.0
+        |            ELSE 2.0 END AS acf
+        |FROM a
+        |ORDER BY event_type, lag""".stripMargin,
+
+    "q_gini_source" ->
+      """WITH r AS (
+        |  SELECT source, n_chars::HUGEINT AS x,
+        |         row_number() OVER (PARTITION BY source
+        |           ORDER BY n_chars, doc_id)::HUGEINT AS i
+        |  FROM documents),
+        |a AS (
+        |  SELECT source, count(*)::HUGEINT AS n, sum(x) AS sx, sum(i * x) AS six
+        |  FROM r GROUP BY 1)
+        |SELECT source, n::BIGINT AS n,
+        |       (((2 * six - (n + 1) * sx) * 2000000 + n * sx)
+        |        // (n * sx * 2))::BIGINT AS gini_ppm
+        |FROM a WHERE sx > 0
+        |ORDER BY source""".stripMargin,
+
+    "q_benford" ->
+      """WITH c AS (
+        |  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)
+        |                          AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+        |         count(*)::BIGINT AS n
+        |  FROM orders
+        |  WHERE CAST(round(o_totalprice * 100, 0) AS BIGINT) > 0
+        |  GROUP BY 1),
+        |t AS (SELECT *, sum(n) OVER () AS tot FROM c),
+        |e AS (SELECT * FROM (VALUES (1, 301030), (2, 176091), (3, 124939),
+        |       (4, 96910), (5, 79181), (6, 66947), (7, 57992), (8, 51153),
+        |       (9, 45757)) AS v(digit, exp_ppm))
+        |SELECT t.digit, t.n,
+        |       ((t.n * 2000000 + tot) // (tot * 2))::BIGINT AS obs_ppm,
+        |       e.exp_ppm::BIGINT AS exp_ppm,
+        |       ((t.n * 2000000 + tot) // (tot * 2))::BIGINT - e.exp_ppm AS dev_ppm
+        |FROM t JOIN e ON t.digit = e.digit
+        |ORDER BY t.digit""".stripMargin,
 
     "events_transitions" ->
       """WITH p AS (

@@ -546,6 +546,189 @@ object Analytics {
     *
     * Output: (from_state, to_state, n, p_ppm).
     */
+  /** Autocorrelation census per key: Pearson correlation of the value
+    * series against its own `lag`-shifted self, for each requested lag —
+    * the seasonality/persistence detector (a daily cycle shows as a peak
+    * at the day lag; white noise stays near 0). Pairs-convention ACF
+    * (each lag correlates the (x_t, x_{t+lag}) pairs with their own
+    * means), the form that is a plain Pearson fit per (key, lag) and so
+    * shares [[rollingCorr]]'s exact machinery: values quantize ONCE to
+    * deci-units, all six moments aggregate as exact decimals, and the
+    * closed form divides identical integers. Deci-units (not the family's
+    * micro-units) keep every moment difference n·Σx²−(Σx)² ≤ n²·σ²
+    * inside int64 through sf1, where the oracle's BIGINT→DOUBLE cast is a
+    * single correctly-rounded hardware op (DuckDB's HUGEINT→DOUBLE is
+    * not). Degenerate lags (zero variance either side) yield sentinel 2.0.
+    *
+    * Scale: one per-key window pass computes ALL lags' leads (same window
+    * spec → one Window exec), then one hash agg on |keys|·|lags| groups.
+    * No self-join — the shifted pairing rides lead(), so the series is
+    * read once regardless of how many lags are probed.
+    */
+  def autocorrCensus(
+      df: DataFrame,
+      keyCol: String,
+      orderCols: Seq[Column],
+      value: Column,
+      lags: Seq[Int],
+      scale: Int = 4): DataFrame = {
+    require(lags.nonEmpty && lags.forall(_ >= 1), "autocorrCensus: lags >= 1")
+    val dec = "decimal(38,0)"
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__ord0"))
+    val base = df.select(col(keyCol), struct(orderCols: _*).as("__ord0"),
+      round(value * 10, 0).cast("long").as("__x"))
+    val pairs = base
+      .withColumn("__ys", array(lags.map(l => lead(col("__x"), l).over(w)): _*))
+      .select(col(keyCol), col("__x"),
+        posexplode(col("__ys")).as(Seq("__p", "__y")))
+      .filter(col("__y").isNotNull)
+      .withColumn("lag", element_at(array(lags.map(l => lit(l)): _*), col("__p") + 1))
+    val x = col("__x").cast(dec)
+    val y = col("__y").cast(dec)
+    pairs.groupBy(col(keyCol), col("lag"))
+      .agg(
+        count(lit(1)).cast(dec).as("__n"),
+        sum(x).as("__sx"), sum(y).as("__sy"),
+        sum(x * y).as("__sxy"), sum(x * x).as("__sxx"), sum(y * y).as("__syy"))
+      .withColumn("__varx",
+        (col("__n") * col("__sxx") - col("__sx") * col("__sx")).cast("double"))
+      .withColumn("__vary",
+        (col("__n") * col("__syy") - col("__sy") * col("__sy")).cast("double"))
+      .withColumn("__cov",
+        (col("__n") * col("__sxy") - col("__sx") * col("__sy")).cast("double"))
+      .withColumn("acf",
+        when(col("__varx") > 0 && col("__vary") > 0,
+          ieeeRound(col("__cov") / sqrt(col("__varx")) / sqrt(col("__vary")), scale))
+          .otherwise(lit(2.0)))
+      .withColumn("n_pairs", col("__n").cast("long"))
+      .select(col(keyCol), col("lag"), col("n_pairs"), col("acf"))
+  }
+
+  /** Spearman rank correlation per group — the monotone-association
+    * monitor (robust to outliers and any monotone rescaling, the reason a
+    * corpus pipeline prefers it over Pearson for sanity checks like "does
+    * char length track token count in every source?"). Standard
+    * tie-corrected form: Pearson over average-tie ranks — computed here as
+    * DOUBLED ranks, 2·avg_rank = 2·rank_min + ties − 1, an exact integer
+    * (Pearson is scale-invariant, so doubling changes nothing), then the
+    * family's exact decimal moments + one closed-form division of
+    * identical integers, 2.0 sentinel on zero rank variance. Moment
+    * differences are ≤ n⁴/3, inside int64 while groups stay ≤ ~5·10⁴ rows
+    * (documents-per-source through sf1) — the oracle's BIGINT→DOUBLE is
+    * then a single correctly-rounded cvt.
+    *
+    * Scale: one shuffle on the group key, two in-partition rank sorts (one
+    * per variable), one hash agg row per group.
+    */
+  def spearmanPerGroup(
+      df: DataFrame,
+      groupCols: Seq[Column],
+      x: Column,
+      y: Column,
+      scale: Int = 4): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = df.select(groupCols ++ Seq(x.cast("long").as("__x"), y.cast("long").as("__y")): _*)
+    val names = base.columns.dropRight(2)
+    def dblRank(c: String): Column = {
+      val w = Window.partitionBy(names.map(col): _*).orderBy(col(c))
+      val wt = Window.partitionBy((names.map(col) :+ col(c)): _*)
+      (lit(2L) * rank().over(w) + count(lit(1)).over(wt) - 1).cast(dec)
+    }
+    val rx = col("__rx"); val ry = col("__ry")
+    base
+      .withColumn("__rx", dblRank("__x"))
+      .withColumn("__ry", dblRank("__y"))
+      .groupBy(names.map(col): _*)
+      .agg(
+        count(lit(1)).cast(dec).as("__n"),
+        sum(rx).as("__sx"), sum(ry).as("__sy"),
+        sum(rx * ry).as("__sxy"), sum(rx * rx).as("__sxx"), sum(ry * ry).as("__syy"))
+      .withColumn("__varx",
+        (col("__n") * col("__sxx") - col("__sx") * col("__sx")).cast("double"))
+      .withColumn("__vary",
+        (col("__n") * col("__syy") - col("__sy") * col("__sy")).cast("double"))
+      .withColumn("__cov",
+        (col("__n") * col("__sxy") - col("__sx") * col("__sy")).cast("double"))
+      .withColumn("rho",
+        when(col("__varx") > 0 && col("__vary") > 0,
+          ieeeRound(col("__cov") / sqrt(col("__varx")) / sqrt(col("__vary")), scale))
+          .otherwise(lit(2.0)))
+      .withColumn("n", col("__n").cast("long"))
+      .select(names.map(col) ++ Seq(col("n"), col("rho")): _*)
+  }
+
+  /** Gini concentration coefficient per group — the inequality monitor a
+    * corpus pipeline points at per-source document mass ("is this source a
+    * few huge documents or many small ones?"). Classic rank formula over
+    * values sorted ascending with a TOTAL (value, tie) order,
+    *
+    *   G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx),
+    *
+    * every term an exact decimal product of integers; the output is
+    * integer ppm via the family's round-half-up integral division — no
+    * float anywhere, distributed ≡ single-threaded bit-for-bit. `value`
+    * must be a non-negative integer column (so the numerator is ≥ 0 and
+    * flooring division rounds half-up correctly); groups with Σx = 0 are
+    * dropped (no concentration is defined on zero mass).
+    *
+    * Scale shape: the rank needs one per-group window sort — the exact
+    * oracle form (groups shard across the cluster; a single group never
+    * exceeds one partition's sort budget at |group| ≲ 10⁸). Then one hash
+    * agg row per group.
+    */
+  def giniPerGroup(
+      df: DataFrame,
+      groupCols: Seq[Column],
+      value: Column,
+      tie: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = df.select(groupCols ++ Seq(value.cast("long").as("__x"), tie.as("__t")): _*)
+    val names = base.columns.dropRight(2)
+    val w = Window.partitionBy(names.map(col): _*).orderBy(col("__x"), col("__t"))
+    val ranked = base.withColumn("__i", row_number().over(w).cast(dec))
+    val agg = ranked.groupBy(names.map(col): _*)
+      .agg(
+        count(lit(1)).cast(dec).as("__n"),
+        sum(col("__x").cast(dec)).as("__sx"),
+        sum(col("__i") * col("__x").cast(dec)).as("__six"))
+    val num = lit(2).cast(dec) * col("__six") - (col("__n") + 1) * col("__sx")
+    val den = col("__n") * col("__sx")
+    agg.filter(col("__sx") > 0)
+      .withColumn("gini_ppm",
+        intDiv(num * 2000000L + den, den * 2).cast("long"))
+      .withColumn("n", col("__n").cast("long"))
+      .select(names.map(col) ++ Seq(col("n"), col("gini_ppm")): _*)
+  }
+
+  /** Benford first-significant-digit census — the fraud/synthetic-data
+    * screen: naturally occurring multiplicative quantities put digit d
+    * first with probability log₁₀(1+1/d); fabricated or truncated data
+    * doesn't. `value` must be a POSITIVE integer column (quantize prices
+    * to cents first); the first digit is the first character of the
+    * decimal string — pure string math, no log10 near a power-of-ten
+    * boundary to disagree at. Expected shares are the published Benford
+    * ppm constants (they sum to exactly 1,000,000), emitted as literals on
+    * both engines; observed shares are the family's round-half-up integer
+    * ppm. Output: (digit, n, obs_ppm, exp_ppm, dev_ppm).
+    *
+    * Scale: one hash agg to ≤ 9 rows; the total rides an unpartitioned
+    * window over those 9 rows, never the corpus.
+    */
+  def benfordCensus(df: DataFrame, value: Column): DataFrame = {
+    val expPpm = Seq(301030L, 176091L, 124939L, 96910L, 79181L, 66947L,
+      57992L, 51153L, 45757L)
+    val v = value.cast("long")
+    val counts = df.filter(v > 0)
+      .select(substring(v.cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy(col("digit"))
+      .agg(count(lit(1)).as("n"))
+    val tot = sum(col("n")).over(Window.partitionBy())
+    counts
+      .withColumn("obs_ppm", intDiv(col("n") * 2000000L + tot, tot * 2).cast("long"))
+      .withColumn("exp_ppm", element_at(array(expPpm.map(lit): _*), col("digit")))
+      .withColumn("dev_ppm", col("obs_ppm") - col("exp_ppm"))
+  }
+
   def transitionCensus(
       df: DataFrame,
       keyCol: String,

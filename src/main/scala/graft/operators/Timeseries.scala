@@ -304,6 +304,47 @@ object Timeseries {
     * the corpus to |keys·phases| rows, then a window over THAT (bounded)
     * table for the per-key totals; nothing else touches the corpus.
     */
+  /** Interval-union coverage per key: each event opens an activity interval
+    * `[ts, ts + holdSeconds)`; overlapping or touching intervals merge into
+    * maximal spans (the "total active time" metric sessionization's
+    * gap-based cut can't express — a session window splits on silence,
+    * this measures the union of hold windows). Classic gaps-and-islands:
+    * one per-key sort, a running max of prior ends marks island starts, a
+    * running flag-sum numbers islands, and two hash aggs collapse islands
+    * then keys. Everything is integer epoch microseconds — bit-exact
+    * cross-engine.
+    *
+    * Output: (key, n_spans, active_us — Σ merged span lengths,
+    * max_span_us — the longest merged span).
+    *
+    * Scale: one shuffle on the key, per-key in-partition sort, then hash
+    * aggs; state per row is one running max + one running sum. 10⁹ keys
+    * shard flat.
+    */
+  def coverageSpans(
+      df: DataFrame,
+      keyCol: String,
+      ts: Column,
+      holdSeconds: Long): DataFrame = {
+    require(holdSeconds > 0, "coverageSpans: holdSeconds > 0")
+    val hold = holdSeconds * 1000000L
+    val base = df.select(col(keyCol), ts.as("__s"))
+      .withColumn("__e", col("__s") + hold)
+    val wOrd = Window.partitionBy(col(keyCol)).orderBy(col("__s"), col("__e"))
+    val prevMaxEnd = max(col("__e")).over(wOrd.rowsBetween(Window.unboundedPreceding, -1))
+    val islands = base
+      .withColumn("__new", when(prevMaxEnd.isNull || col("__s") > prevMaxEnd, 1L).otherwise(0L))
+      .withColumn("__isl", sum(col("__new")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(keyCol), col("__isl"))
+      .agg(min(col("__s")).as("__from"), max(col("__e")).as("__to"))
+    islands.groupBy(col(keyCol))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(col("__to") - col("__from")).as("active_us"),
+        max(col("__to") - col("__from")).as("max_span_us"))
+  }
+
   def seasonalIndex(
       df: DataFrame,
       key: Column,

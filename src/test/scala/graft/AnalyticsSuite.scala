@@ -465,6 +465,99 @@ class AnalyticsSuite extends AnyFunSuite {
       ("peaky", 0, 1.8), ("peaky", 1, 0.6), ("peaky", 2, 0.6)), s"$out")
   }
 
+  test("autocorrCensus: alternating series is perfectly anti-correlated at lag 1, correlated at lag 2") {
+    // x = +5, -5, +5, ... : lag-1 pairs are (5,-5)/(-5,5) -> r = -1;
+    // lag-2 pairs repeat the same value -> r = +1.
+    val alt = (1 to 40).map(i => ("k", i, if (i % 2 == 0) 5.0 else -5.0))
+      .toDF("k", "i", "v")
+    val r = Analytics.autocorrCensus(alt, "k", Seq(col("i")), col("v"), Seq(1, 2))
+      .collect().map(x => x.getInt(1) -> x.getDouble(3)).toMap
+    assert(r(1) === -1.0, s"lag-1 ACF of an alternating series must be -1: $r")
+    assert(r(2) === 1.0, s"lag-2 ACF of an alternating series must be +1: $r")
+  }
+
+  test("autocorrCensus: constant series hits the degenerate sentinel; pair counts are n-lag") {
+    val const = (1 to 10).map(i => ("k", i, 7.0)).toDF("k", "i", "v")
+    val rows = Analytics.autocorrCensus(const, "k", Seq(col("i")), col("v"), Seq(1, 3))
+      .collect().map(x => x.getInt(1) -> (x.getLong(2), x.getDouble(3))).toMap
+    assert(rows(1) === ((9L, 2.0)), "zero-variance lag must emit sentinel 2.0 with n-1 pairs")
+    assert(rows(3) === ((7L, 2.0)), "lag 3 pairs over 10 rows = 7")
+  }
+
+  test("giniPerGroup: equal masses give 0; total concentration approaches (n-1)/n") {
+    val eq = (1 to 8).map(i => ("a", i.toLong, 50L)).toDF("g", "id", "x")
+    val g1 = Analytics.giniPerGroup(eq, Seq(col("g")), col("x"), col("id"))
+      .collect()(0)
+    assert(g1.getLong(1) === 8L && g1.getLong(2) === 0L,
+      "uniform distribution has Gini 0")
+
+    // one holder owns everything: G = (n-1)/n = 3/4 at n=4
+    val conc = Seq(("b", 1L, 0L), ("b", 2L, 0L), ("b", 3L, 0L), ("b", 4L, 100L))
+      .toDF("g", "id", "x")
+    val g2 = Analytics.giniPerGroup(conc, Seq(col("g")), col("x"), col("id"))
+      .collect()(0)
+    assert(g2.getLong(2) === 750000L, s"full concentration at n=4 is 750000 ppm: $g2")
+
+    // zero-mass group is dropped, not divided by zero
+    val zero = Seq(("z", 1L, 0L)).toDF("g", "id", "x")
+    assert(Analytics.giniPerGroup(zero, Seq(col("g")), col("x"), col("id")).count() === 0L)
+  }
+
+  test("benfordCensus: digits census is exact and a known skewed fixture deviates as computed") {
+    // fixture: 30 values starting with 1, 10 with 2, 5 with 9
+    val vals = (1 to 30).map(i => 100L + i) ++ (1 to 10).map(i => 2000L + i) ++
+      (1 to 5).map(i => 90L + i)
+    val df = vals.toDF("v")
+    val out = Analytics.benfordCensus(df, col("v")).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1)._1 === 30L && out(2)._1 === 10L && out(9)._1 === 5L)
+    // 30/45 -> 666667 ppm round-half-up
+    assert(out(1)._2 === 666667L, s"obs ppm must round half-up: ${out(1)}")
+    assert(out(1)._3 === 301030L, "expected ppm is the published Benford constant")
+    // non-positive values are excluded from the census
+    val withZero = (vals :+ 0L :+ -7L).toDF("v")
+    assert(Analytics.benfordCensus(withZero, col("v"))
+      .agg(sum(col("n"))).collect()(0).getLong(0) === 45L)
+  }
+
+  test("coverageSpans: overlapping and touching holds merge, distant ones don't") {
+    import graft.operators.Timeseries
+    // hold = 300s: [0,300)+[100,400) merge; [400,700) touches and merges;
+    // [1000000,1000300) stands alone
+    val ev = Seq(("u", 0L), ("u", 100000000L), ("u", 400000000L), ("u", 1000000000000L))
+      .toDF("k", "ts_us")
+    val out = Timeseries.coverageSpans(ev, "k", col("ts_us"), holdSeconds = 300)
+      .collect()(0)
+    assert(out.getLong(1) === 2L, s"two merged spans expected: $out")
+    assert(out.getLong(2) === 700000000L + 300000000L,
+      "active time is the union: [0,700s) + [1000000s,1000300s)")
+    assert(out.getLong(3) === 700000000L, "longest span is the merged 700s run")
+  }
+
+  test("spearmanPerGroup: 1 on any monotone relation, -1 reversed, sentinel on constant") {
+    val mono = (1 to 20).map(i => ("g", i.toLong, i.toLong * i * i)).toDF("g", "x", "y")
+    val r1 = Analytics.spearmanPerGroup(mono, Seq(col("g")), col("x"), col("y"))
+      .collect()(0).getDouble(2)
+    assert(r1 === 1.0, "Spearman is 1 for any strictly monotone relation (x vs x^3)")
+
+    val rev = (1 to 20).map(i => ("g", i.toLong, -i.toLong)).toDF("g", "x", "y")
+    val r2 = Analytics.spearmanPerGroup(rev, Seq(col("g")), col("x"), col("y"))
+      .collect()(0).getDouble(2)
+    assert(r2 === -1.0)
+
+    val const = (1 to 10).map(i => ("g", i.toLong, 5L)).toDF("g", "x", "y")
+    val r3 = Analytics.spearmanPerGroup(const, Seq(col("g")), col("x"), col("y"))
+      .collect()(0).getDouble(2)
+    assert(r3 === 2.0, "zero rank variance must emit the sentinel")
+
+    // tie correction: y has heavy ties but still monotone-nondecreasing in
+    // x; tie-corrected rho must stay strictly below 1
+    val tied = (1 to 20).map(i => ("g", i.toLong, (i / 5).toLong)).toDF("g", "x", "y")
+    val r4 = Analytics.spearmanPerGroup(tied, Seq(col("g")), col("x"), col("y"))
+      .collect()(0).getDouble(2)
+    assert(r4 > 0.9 && r4 < 1.0, s"tied monotone data: high but < 1, got $r4")
+  }
+
   test("winsorizedStatsApprox: sketch boundaries track the exact form within rank tolerance") {
     val ev = Tables.events(spark, sf)
     val exact = Analytics.winsorizedStats(ev, Seq(col("event_type")), col("value"))
