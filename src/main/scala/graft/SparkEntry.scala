@@ -1139,6 +1139,44 @@ object SparkEntry {
         .orderBy(col("vertex"))
     }),
 
+    // Weighted bounded-hop SSSP over the trade graph: cheapest route (in
+    // lineitem price cents, min per supplier↔customer pair) from the
+    // decile supplier cohort within 3 edges — "at what cost", where
+    // graph_reach answers "how directly". Frontier-restricted Bellman-Ford
+    // (round r relaxes only vertices improved in r−1); after maxHops
+    // rounds the labels are exactly min-cost-over-≤3-edge-paths, a total
+    // contract the unrolled-CTE oracle reproduces bit-for-bit in integers.
+    "graph_sssp" -> ((s, dir) => {
+      val e0 = lineitem(s, dir)
+        .join(orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("s"), col("l_suppkey").cast("string")).as("src"),
+          concat(lit("c"), col("o_custkey").cast("string")).as("dst"),
+          round(col("l_extendedprice") * 100, 0).cast("long").as("w"))
+      val sym = e0.union(e0.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+      val seeds = supplier(s, dir)
+        .filter(pmod(col("s_suppkey"), lit(10)) === 0)
+        .select(concat(lit("s"), col("s_suppkey").cast("string")).as("vertex"))
+      Graph.ssspBounded(sym, seeds, maxHops = 3)
+        .orderBy(col("vertex"))
+    }),
+
+    // k-core (k=4) of the high-quantity trade graph (l_quantity >= 45
+    // sparsifies enough that peeling bites): the dense-cohesion extractor.
+    // Contract is "the graph after 4 peel rounds" — identical to the
+    // oracle's unrolled rounds whether or not the fixpoint arrived (the
+    // spec pins multi-round convergence on handmade graphs; this data
+    // converges in 1–2).
+    "graph_kcore" -> ((s, dir) => {
+      val e = lineitem(s, dir).filter(col("l_quantity") >= 45)
+        .join(orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("c"), col("o_custkey").cast("string")).as("src"),
+          concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+      Graph.kCore(e, k = 4, maxRounds = 4)
+        .orderBy(col("vertex"))
+    }),
+
     // Connected components (min-label fixpoint / size-gated union-find —
     // one engine with dupClusters) over a deterministic chain+bridge graph
     // on the customer keys: decade chains (c—c+1 within each run of 10)
@@ -2895,8 +2933,70 @@ object SparkEntry {
        |SELECT vertex, rank_e12 FROM r$iters ORDER BY vertex""".stripMargin
   }
 
+  /** DuckDB mirror of [[Graph.ssspBounded]]: Bellman-Ford unrolled as one
+    * full-relaxation CTE per round (the frontier restriction is a pure
+    * optimization — labels after round r are identical). Integer cents
+    * end-to-end.
+    */
+  private def ssspOracleSql(rounds: Int): String = {
+    val iter = (1 to rounds).map { i =>
+      s"""d$i AS (
+         |  SELECT vertex, min(dist)::BIGINT AS dist FROM (
+         |    SELECT vertex, dist FROM d${i - 1}
+         |    UNION ALL
+         |    SELECT ed.dst AS vertex, d${i - 1}.dist + ed.w AS dist
+         |    FROM d${i - 1} JOIN ed ON d${i - 1}.vertex = ed.src) GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (
+       |  SELECT 's' || l.l_suppkey::VARCHAR AS src,
+       |         'c' || o.o_custkey::VARCHAR AS dst,
+       |         min(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)) AS w
+       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  GROUP BY 1, 2),
+       |ed AS (SELECT src, dst, w FROM e0
+       |       UNION ALL SELECT dst, src, w FROM e0),
+       |d0 AS (SELECT DISTINCT 's' || s_suppkey::VARCHAR AS vertex,
+       |              0::BIGINT AS dist
+       |       FROM supplier WHERE s_suppkey % 10 = 0),
+       |$iter
+       |SELECT vertex, dist FROM d$rounds ORDER BY vertex""".stripMargin
+  }
+
+  /** DuckDB mirror of [[Graph.kCore]]: the peel unrolled as one
+    * (degrees, bad, surviving-edges) CTE triple per round — a no-op round
+    * once the fixpoint arrives, so the round count is a contract, not a
+    * convergence bet.
+    */
+  private def kCoreOracleSql(k: Int, rounds: Int): String = {
+    val roundCtes = (0 until rounds).map { i =>
+      s"""d$i AS (
+         |  SELECT v, count(*)::BIGINT AS d
+         |  FROM (SELECT lo AS v FROM e$i UNION ALL SELECT hi FROM e$i)
+         |  GROUP BY 1),
+         |b$i AS (SELECT v FROM d$i WHERE d < $k),
+         |e${i + 1} AS (
+         |  SELECT lo, hi FROM e$i
+         |  WHERE lo NOT IN (SELECT v FROM b$i)
+         |    AND hi NOT IN (SELECT v FROM b$i))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (
+       |  SELECT DISTINCT 'c' || o.o_custkey::VARCHAR AS lo,
+       |                  's' || l.l_suppkey::VARCHAR AS hi
+       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  WHERE l.l_quantity >= 45),
+       |$roundCtes,
+       |df AS (
+       |  SELECT v, count(*)::BIGINT AS d
+       |  FROM (SELECT lo AS v FROM e$rounds UNION ALL SELECT hi FROM e$rounds)
+       |  GROUP BY 1)
+       |SELECT v AS vertex, d AS degree FROM df WHERE d >= $k
+       |ORDER BY vertex""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "graph_pagerank" -> pageRankOracleSql(3),
+    "graph_sssp" -> ssspOracleSql(3),
+    "graph_kcore" -> kCoreOracleSql(4, 4),
 
     "graph_reach" ->
       """WITH RECURSIVE e0 AS (

@@ -271,4 +271,106 @@ object Graph {
       localEdgeThreshold: Long = 500000L): DataFrame =
     Dedup.dupClusters(edges, "src", "dst", maxIter, localEdgeThreshold)
       .select(col("doc_id").as("vertex"), col("cluster_id").as("component"))
+
+  /** Bounded-hop single-source (multi-seed) shortest paths over a WEIGHTED
+    * directed edge list `(src, dst, w)` — the cheapest-route cost within
+    * `maxHops` edges, the weighted twin of [[shortestHops]] (which answers
+    * "how many hops"; this answers "at what cost"). Non-negative integer
+    * weights; parallel edges collapse to their min. Bellman-Ford with the
+    * frontier restriction: round r relaxes only vertices whose distance
+    * IMPROVED in round r−1 (a vertex whose label didn't change cannot
+    * produce a new relaxation), so late rounds touch a shrinking probe
+    * side while the edge table stays hash-partitioned on `src` once.
+    * After `maxHops` rounds the labels are exactly min-cost-over-≤maxHops
+    * -edge-paths — a well-defined result whether or not the graph has
+    * converged, which is what makes the unrolled-CTE oracle total. All
+    * arithmetic is integer, so distributed ≡ single-threaded bit-for-bit.
+    *
+    * Per round: frontier⋈edges shuffle + per-dst min agg + full-outer
+    * merge with the label table; both outputs lazy-localCheckpoint
+    * (lineage truncation, as [[shortestHops]]) with the improvement
+    * probe's `count()` as the materializing action. Returns
+    * (vertex, dist) for every vertex reachable within the cap.
+    */
+  def ssspBounded(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, "ssspBounded: maxHops must be >= 0")
+    val ed = edges.groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
+      .repartition(col("src")).persist()
+    var dist = seeds.select(col("vertex")).distinct()
+      .select(col("vertex"), lit(0L).as("dist")).localCheckpoint(true)
+    var frontier = dist
+    var hop = 0
+    var done = false
+    while (hop < maxHops && !done) {
+      hop += 1
+      val cand = frontier.join(ed, col("vertex") === col("src"))
+        .select(col("dst").as("vertex"), (col("dist") + col("w")).as("dist"))
+        .groupBy(col("vertex")).agg(min(col("dist")).as("cand"))
+      val merged = dist.withColumnRenamed("dist", "old")
+        .join(cand, Seq("vertex"), "full_outer")
+        .select(col("vertex"), col("old"), col("cand"),
+          least(col("old"), col("cand")).as("dist"))
+        .localCheckpoint(eager = false)
+      val improved = merged
+        .filter(col("cand").isNotNull && (col("old").isNull || col("cand") < col("old")))
+        .select(col("vertex"), col("dist"))
+        .localCheckpoint(eager = false)
+      // one job: materializes merged+improved checkpoint blocks AND probes
+      if (improved.count() == 0) done = true
+      else {
+        dist = merged.select(col("vertex"), col("dist"))
+        frontier = improved
+      }
+    }
+    ed.unpersist()
+    dist
+  }
+
+  /** k-core of an UNDIRECTED simple graph (duplicates/self-loops dropped,
+    * direction ignored): the maximal subgraph where every vertex keeps
+    * degree ≥ k — the standard "dense cohesive cluster" extractor (a
+    * vertex's shell survives gossip about peripheral hangers-on that raw
+    * degree can't distinguish). Iterative peeling: drop all vertices of
+    * degree < k, recompute degrees in what remains, repeat; the fixpoint
+    * is order-independent (the k-core is unique), so the distributed peel
+    * and a single-threaded one agree exactly. `maxRounds` bounds the loop
+    * AND defines the contract — the result is "the graph after maxRounds
+    * peels", identical to the oracle's unrolled rounds whether or not the
+    * fixpoint arrived (it converges much earlier on real graphs; the spec
+    * pins convergence on handmade ones).
+    *
+    * Per round: two hash aggs (degree), one broadcast-able bad-vertex
+    * table, two anti-joins on the edge list; edge survivors
+    * lazy-localCheckpoint with the peel probe's count() as the action.
+    * Returns (vertex, degree) of the k-core subgraph.
+    */
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 12): DataFrame = {
+    require(k >= 1 && maxRounds >= 1, "kCore: k >= 1, maxRounds >= 1")
+    var und = edges.select(
+        least(col("src"), col("dst")).as("lo"),
+        greatest(col("src"), col("dst")).as("hi"))
+      .filter(col("lo") =!= col("hi"))
+      .distinct()
+      .localCheckpoint(true)
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("lo").as("v")).union(e.select(col("hi").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    var round = 0
+    var done = false
+    while (round < maxRounds && !done) {
+      round += 1
+      val bad = degrees(und).filter(col("d") < k).select(col("v"))
+        .localCheckpoint(eager = false)
+      if (bad.count() == 0) done = true
+      else {
+        und = und
+          .join(bad.select(col("v").as("lo")), Seq("lo"), "left_anti")
+          .join(bad.select(col("v").as("hi")), Seq("hi"), "left_anti")
+          .select(col("lo"), col("hi"))
+          .localCheckpoint(eager = false)
+      }
+    }
+    degrees(und).filter(col("d") >= k)
+      .select(col("v").as("vertex"), col("d").as("degree"))
+  }
 }

@@ -185,4 +185,74 @@ class GraphSuite extends AnyFunSuite {
     assert(run(500000L) === expected, "local union-find path")
     assert(run(0L) === expected, "distributed min-label fixpoint path")
   }
+
+  test("ssspBounded: weighted min-cost within hop cap; cheaper long route beats expensive short one") {
+    // a→b direct costs 10; a→x→b costs 2+3=5 (2 hops); a→p→q→b costs 1+1+1=3 (3 hops)
+    val edges = Seq(
+      ("a", "b", 10L), ("a", "x", 2L), ("x", "b", 3L),
+      ("a", "p", 1L), ("p", "q", 1L), ("q", "b", 1L))
+      .toDF("src", "dst", "w")
+    val seeds = Seq("a").toDF("vertex")
+    def dists(h: Int) = Graph.ssspBounded(edges, seeds, h)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dists(1)("b") === 10L, "1 hop: only the direct edge")
+    assert(dists(2)("b") === 5L, "2 hops: the via-x route wins")
+    assert(dists(3)("b") === 3L, "3 hops: the 3-edge unit route wins")
+    assert(dists(3)("a") === 0L && dists(3)("q") === 2L)
+
+    // parallel edges collapse to min; multi-seed takes the min over seeds
+    val par = Seq(("a", "b", 7L), ("a", "b", 4L), ("s2", "b", 9L)).toDF("src", "dst", "w")
+    val m = Graph.ssspBounded(par, Seq("a", "s2", "a").toDF("vertex"), 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m("b") === 4L, "min over parallel edges and seeds")
+  }
+
+  test("ssspBounded: deterministic across repartitioning") {
+    val edges = (1 to 60).map(i => (s"v${i % 12}", s"v${(i * 7) % 12}", (i % 5 + 1).toLong))
+      .toDF("src", "dst", "w")
+    val a = Graph.ssspBounded(edges, Seq("v0").toDF("vertex"), 4)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted
+    val b = Graph.ssspBounded(edges.repartition(13), Seq("v0").toDF("vertex"), 4)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted
+    assert(a.sameElements(b), "partitioning must not change a cost")
+  }
+
+  test("kCore: multi-round peel — a tail unravels one vertex per round, the clique survives") {
+    // K4 clique {a,b,c,d} + tail d—t1—t2—t3; k=2: tail peels from the
+    // free end inward, one vertex per round (t3, then t2, then t1)
+    val k4 = Seq(("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d"))
+    val tail = Seq(("d", "t1"), ("t1", "t2"), ("t2", "t3"))
+    val edges = (k4 ++ tail).toDF("src", "dst")
+    val core = Graph.kCore(edges, k = 2).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(core.keySet === Set("a", "b", "c", "d"), "only the clique is in the 2-core")
+    assert(core.values.forall(_ === 3L), "each K4 vertex keeps degree 3")
+
+    // the round cap is a CONTRACT: after 1 round only t3 is peeled; t1
+    // still reports (its degree-2 count includes the not-yet-peeled t2,
+    // which itself fails the final degree >= k filter)
+    val one = Graph.kCore(edges, k = 2, maxRounds = 1).collect()
+      .map(_.getString(0)).toSet
+    assert(one === Set("a", "b", "c", "d", "t1"),
+      s"1-round peel must stop mid-unravel: $one")
+
+    // 3-core of K4+tail is K4; 4-core is empty
+    assert(Graph.kCore(edges, k = 3).collect().map(_.getString(0)).toSet
+      === Set("a", "b", "c", "d"))
+    assert(Graph.kCore(edges, k = 4).count() === 0L)
+  }
+
+  test("kCore: duplicates/direction/self-loops collapse; deterministic across repartitioning") {
+    val messy = Seq(("b", "a"), ("a", "b"), ("a", "a"), ("b", "c"), ("c", "a"))
+      .toDF("src", "dst")
+    val core = Graph.kCore(messy, k = 2).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(core === Map("a" -> 2L, "b" -> 2L, "c" -> 2L),
+      s"triangle 2-core after canonicalization: $core")
+    val edges = (1 to 80).map(i => (s"v${i % 16}", s"v${(i * 5) % 16}")).toDF("src", "dst")
+    val a = Graph.kCore(edges, 3).collect().map(r => (r.getString(0), r.getLong(1))).sorted
+    val b = Graph.kCore(edges.repartition(11), 3).collect()
+      .map(r => (r.getString(0), r.getLong(1))).sorted
+    assert(a.sameElements(b))
+  }
 }
