@@ -711,6 +711,27 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // Association-rule census over order baskets (which parts co-occur):
+    // support/confidence/lift in exact integer ppm. Pairs come from a
+    // self-join ON THE BASKET KEY (fanout Σ|basket|², never |items|²),
+    // min-support cut on the aggregated pairs, marginals joined back.
+    "basket_rules" -> ((s, dir) => {
+      Analytics.associationRules(lineitem(s, dir),
+          col("l_orderkey"), col("l_partkey"), minSupport = 2)
+        .orderBy(col("item_a"), col("item_b"))
+    }),
+
+    // Flesch-Kincaid readability census per source — the complexity screen
+    // next to the Gopher rules. Deterministic counting conventions (word/
+    // sentence/vowel-group runs via codegen'd regexp_extract_all), grade
+    // in exact clamped milli-units, round-half-up divisions only.
+    "text_readability" -> ((s, dir) => {
+      TextAnalysis.readabilityCensus(documents(s, dir), Seq(col("source")),
+          col("text"))
+        .select(col("source"), col("n_docs"), col("mean_grade_milli"))
+        .orderBy(col("source"))
+    }),
+
     // First-order Markov transition census over per-user event sequences —
     // the sequence-mining companion to funnel/cohort: which step follows
     // which, with conditional probability in integer ppm (pure integer
@@ -4647,6 +4668,44 @@ object SparkEntry {
         |FROM w
         |WHERE event_id % 20 = 0
         |ORDER BY event_id""".stripMargin,
+
+    "basket_rules" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+        |           FROM lineitem),
+        |nb AS (SELECT count(DISTINCT bk)::HUGEINT AS N FROM b),
+        |i AS (SELECT it, count(*)::HUGEINT AS ni FROM b GROUP BY 1),
+        |p AS (SELECT l.it AS item_a, r.it AS item_b, count(*)::HUGEINT AS nab
+        |      FROM b l JOIN b r ON l.bk = r.bk AND l.it < r.it
+        |      GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT p.item_a, p.item_b, nab::BIGINT AS n_ab,
+        |       ((nab * 2000000 + N) // (N * 2))::BIGINT AS supp_ppm,
+        |       ((nab * 2000000 + a.ni) // (a.ni * 2))::BIGINT AS conf_ab_ppm,
+        |       ((nab * 2000000 + c.ni) // (c.ni * 2))::BIGINT AS conf_ba_ppm,
+        |       ((nab * N * 2000000 + a.ni * c.ni)
+        |        // (a.ni * c.ni * 2))::BIGINT AS lift_ppm
+        |FROM p JOIN i a ON p.item_a = a.it
+        |       JOIN i c ON p.item_b = c.it
+        |       CROSS JOIN nb
+        |ORDER BY item_a, item_b""".stripMargin,
+
+    "text_readability" ->
+      """WITH g AS (
+        |  SELECT source,
+        |         len(regexp_extract_all(text, '[A-Za-z]+'))::BIGINT AS w,
+        |         greatest(1,
+        |           len(regexp_extract_all(text, '[.!?]+')))::BIGINT AS s,
+        |         len(regexp_extract_all(text, '[aeiouyAEIOUY]+'))::BIGINT AS syl
+        |  FROM documents),
+        |d AS (
+        |  SELECT source,
+        |         greatest(0, (390 * w * 2 + s) // (s * 2)
+        |                     + (11800 * syl * 2 + w) // (w * 2) - 15590) AS grade
+        |  FROM g WHERE w > 0)
+        |SELECT source, count(*)::BIGINT AS n_docs,
+        |       ((sum(grade) * 2 + count(*))
+        |        // (count(*) * 2))::BIGINT AS mean_grade_milli
+        |FROM d GROUP BY source
+        |ORDER BY source""".stripMargin,
 
     "events_active_spans" ->
       """WITH e AS (

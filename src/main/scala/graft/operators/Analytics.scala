@@ -729,6 +729,51 @@ object Analytics {
       .withColumn("dev_ppm", col("obs_ppm") - col("exp_ppm"))
   }
 
+  /** Association-rule census (market-basket mining): for every UNORDERED
+    * item pair co-occurring in ≥ `minSupport` baskets, the support /
+    * confidence / lift table — the classic "what sells with what" and, in
+    * a corpus pipeline, "which tags/domains co-occur" signal. All three
+    * metrics are exact integer ppm (the family round-half-up division):
+    * supp = n_ab/N, conf(a→b) = n_ab/n_a (and the reverse), lift =
+    * n_ab·N/(n_a·n_b).
+    *
+    * Scale shape: pairs come from a SELF-JOIN ON THE BASKET KEY — fanout
+    * is Σ|basket|², bounded by the basket size cap, never |items|²; the
+    * pair census is one hash agg on (a, b); item marginals are a bounded
+    * vocabulary joined back (broadcast-able); the basket count is a 1-row
+    * broadcast. The min-support cut happens ON THE AGGREGATED pairs, so
+    * nothing rides the exchange twice.
+    */
+  def associationRules(
+      df: DataFrame,
+      basketCol: Column,
+      itemCol: Column,
+      minSupport: Long = 2L): DataFrame = {
+    val dec = "decimal(38,0)"
+    def ppm(num: Column, den: Column): Column =
+      intDiv(num * 2000000L + den, den * 2).cast("long")
+    val b = df.select(basketCol.as("__bk"), itemCol.as("__it")).distinct().persist()
+    val nBaskets = b.agg(countDistinct(col("__bk")).cast(dec).as("__N"))
+    val itemN = b.groupBy(col("__it")).agg(count(lit(1)).cast(dec).as("__ni"))
+    val pairs = b.as("l")
+      .join(b.as("r"), col("l.__bk") === col("r.__bk") && col("l.__it") < col("r.__it"))
+      .select(col("l.__it").as("item_a"), col("r.__it").as("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).cast(dec).as("__nab"))
+      .filter(col("__nab") >= minSupport)
+    val out = pairs
+      .join(itemN.select(col("__it").as("item_a"), col("__ni").as("__na")), "item_a")
+      .join(itemN.select(col("__it").as("item_b"), col("__ni").as("__nb")), "item_b")
+      .crossJoin(broadcast(nBaskets))
+      .select(
+        col("item_a"), col("item_b"), col("__nab").cast("long").as("n_ab"),
+        ppm(col("__nab"), col("__N")).as("supp_ppm"),
+        ppm(col("__nab"), col("__na")).as("conf_ab_ppm"),
+        ppm(col("__nab"), col("__nb")).as("conf_ba_ppm"),
+        ppm(col("__nab") * col("__N"), col("__na") * col("__nb")).as("lift_ppm"))
+    out
+  }
+
   def transitionCensus(
       df: DataFrame,
       keyCol: String,

@@ -342,6 +342,56 @@ object TextAnalysis {
     *
     * Output: (doc_id, n_shingles, n_unique, novelty_ppm).
     */
+  /** Flesch-Kincaid-style readability grade in exact integer milli-units —
+    * the classic complexity screen a curation pipeline runs next to the
+    * Gopher rules (too-low grades are menus and listicles, too-high are
+    * OCR junk and legalese). Deterministic counting conventions so both
+    * engines agree bit-for-bit: words = runs of `[A-Za-z]+`, sentences =
+    * runs of `[.!?]+` floored at 1, syllables = runs of
+    * `[aeiouyAEIOUY]+` (the standard vowel-group proxy). Grade_milli =
+    * halfUp(390·W/S) + halfUp(11800·Syl/W) − 15590, clamped at 0 (the
+    * published convention, and it keeps every numerator non-negative so
+    * the round-half-up integral division is exact on both engines — their
+    * negative `//` semantics differ). Docs with zero words are dropped.
+    *
+    * Counting is three codegen'd `regexp_extract_all` sizes per row — no
+    * UDF, no shuffle before the census agg.
+    */
+  def fkGradeMilli(text: Column): Column = {
+    def halfUp(num: Column, den: Column): Column =
+      ColumnBridge.column(new IntegralDivide(
+        ColumnBridge.expression(num * 2L + den),
+        ColumnBridge.expression(den * 2L)))
+    val w = size(regexp_extract_all(text, lit("[A-Za-z]+"), lit(0))).cast("long")
+    val s = greatest(lit(1L),
+      size(regexp_extract_all(text, lit("[.!?]+"), lit(0))).cast("long"))
+    val syl = size(regexp_extract_all(text, lit("[aeiouyAEIOUY]+"), lit(0))).cast("long")
+    when(w > 0,
+      greatest(lit(0L),
+        halfUp(lit(390L) * w, s) + halfUp(lit(11800L) * syl, w) - 15590L))
+      .otherwise(lit(null).cast("long"))
+  }
+
+  /** Per-group readability census over [[fkGradeMilli]]: doc count and the
+    * mean grade (round-half-up milli), one hash agg.
+    */
+  def readabilityCensus(
+      df: DataFrame,
+      groupCols: Seq[Column],
+      text: Column): DataFrame = {
+    def halfUp(num: Column, den: Column): Column =
+      ColumnBridge.column(new IntegralDivide(
+        ColumnBridge.expression(num * 2L + den),
+        ColumnBridge.expression(den * 2L)))
+    val base = df.select(groupCols :+ fkGradeMilli(text).as("__g"): _*)
+    val names = base.columns.dropRight(1)
+    base.filter(col("__g").isNotNull)
+      .groupBy(names.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"), sum(col("__g")).as("__sum"))
+      .withColumn("mean_grade_milli", halfUp(col("__sum"), col("n_docs")).cast("long"))
+      .drop("__sum")
+  }
+
   def noveltyCensus(
       df: DataFrame,
       idCol: String,

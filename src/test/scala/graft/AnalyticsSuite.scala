@@ -558,6 +558,48 @@ class AnalyticsSuite extends AnyFunSuite {
     assert(r4 > 0.9 && r4 < 1.0, s"tied monotone data: high but < 1, got $r4")
   }
 
+  test("associationRules: known baskets give exact support/confidence/lift ppm") {
+    // b1{x,y,z} b2{x,y} b3{x,z} b4{y}; duplicate item in b2 must collapse
+    val rows = Seq(
+      (1L, "x"), (1L, "y"), (1L, "z"),
+      (2L, "x"), (2L, "y"), (2L, "y"),
+      (3L, "x"), (3L, "z"),
+      (4L, "y")).toDF("bk", "it")
+    val out = Analytics.associationRules(rows, col("bk"), col("it"), minSupport = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(out.keySet === Set(("x", "y"), ("x", "z")), s"min-support 2 keeps two pairs: $out")
+    // (x,y): n=2, supp 2/4, conf 2/3 both ways, lift 2*4/(3*3)
+    assert(out(("x", "y")) === ((2L, 500000L, 666667L, 666667L, 888889L)))
+    // (x,z): conf z->x = 2/2, lift 2*4/(3*2)
+    assert(out(("x", "z")) === ((2L, 500000L, 666667L, 1000000L, 1333333L)))
+  }
+
+  test("fkGradeMilli/readabilityCensus: exact milli grades, clamping, zero-word drop") {
+    val twenty = ("a " * 20).trim + "."
+    val forty = ("a " * 40).trim + "."
+    val df = Seq(("s1", twenty), ("s1", forty), ("s2", ""), ("s2", "!!!"))
+      .toDF("source", "text")
+    val per = df.select(col("text"), TextAnalysis.fkGradeMilli(col("text")).as("g"))
+      .collect().map(r => r.getString(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    // 20 one-syllable words, 1 sentence: 390*20 + 11800 - 15590 = 4010
+    assert(per(twenty) === Some(4010L), s"exact FK milli grade: $per")
+    assert(per(forty) === Some(11810L), "longer sentences raise the grade")
+    assert(per("") === None && per("!!!") === None, "zero-word docs drop")
+
+    val census = TextAnalysis.readabilityCensus(df, Seq(col("source")), col("text"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(census("s1") === ((2L, 7910L)), "mean of 4010 and 11810")
+    assert(!census.contains("s2"), "a source with only word-less docs vanishes")
+
+    // clamp: a short simple sentence computes negative and clamps to 0
+    val clamped = Seq(("c", "The cat sat.")).toDF("source", "text")
+    val g = TextAnalysis.readabilityCensus(clamped, Seq(col("source")), col("text"))
+      .collect()(0).getLong(2)
+    assert(g === 0L, "negative grades clamp to zero")
+  }
+
   test("winsorizedStatsApprox: sketch boundaries track the exact form within rank tolerance") {
     val ev = Tables.events(spark, sf)
     val exact = Analytics.winsorizedStats(ev, Seq(col("event_type")), col("value"))
