@@ -850,6 +850,43 @@ class StreamingSuite extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming EWMA values match the batch column bit-for-bit across a mid-series batch split") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    import spark.implicits._
+    import graft.streaming.StreamingEwma
+    implicit val sqlCtx = spark.sqlContext
+    // a ramp + a step key; values exercise the micro-unit quantization
+    val obs =
+      (1 to 30).map(t => StreamingEwma.Obs("ramp", t.toLong, t * 1.2345)) ++
+      (1 to 30).map(t => StreamingEwma.Obs("step", t.toLong, if (t <= 15) 3.3 else 9.9))
+    val input = MemoryStream[StreamingEwma.Obs]
+    val q = StreamingEwma.smooth(input.toDS(), alpha = 0.3, horizon = 8)
+      .writeStream.format("memory").queryName("graft_ewma")
+      .outputMode("append").start()
+    try {
+      // every output for rows 18-25 straddles the batch boundary's ring
+      val (first, second) = obs.partition(_.ts_s <= 17)
+      input.addData(first)
+      q.processAllAvailable()
+      input.addData(second)
+      q.processAllAvailable()
+      val streamed = spark.table("graft_ewma")
+        .select(col("key"), col("ts_s"), col("ewma"))
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val batch = obs.toDF("key", "ts_s", "v")
+        .withColumn("e", graft.operators.Analytics.ewma("key",
+          Seq(col("ts_s"), col("v")), "v", 0.3, 8))
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(3)).toMap
+      assert(streamed.size === batch.size)
+      val diffs = batch.collect {
+        case (k, v) if !(streamed(k) == v) => (k, v, streamed(k))
+      }
+      assert(diffs.isEmpty,
+        s"streaming ring must replay the batch arithmetic exactly: ${diffs.take(5)}")
+    } finally q.stop()
+  }
+
   test("streaming Bollinger flags match the batch census across a mid-series batch split") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions.{col, count, lit, min, sum, when}
