@@ -711,6 +711,76 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // Hapax-legomena census per source: what fraction of the distinct
+    // vocabulary occurs exactly once — the Heaps-law freshness signal
+    // (template spam collapses toward 0, OCR noise explodes toward 1).
+    "text_hapax" -> ((s, dir) => {
+      TextAnalysis.hapaxCensus(documents(s, dir), Seq(col("source")), col("text"))
+        .select(col("source"), col("n_terms"), col("n_hapax"), col("hapax_ppm"))
+        .orderBy(col("source"))
+    }),
+
+    // Char-mass midpoint per source: the lower WEIGHTED median of document
+    // length weighted by length — "half this source's bytes live in docs
+    // shorter than this". Exact integers: total-order cumsum, suffix test
+    // 2·cumw >= tot, min(struct) pick.
+    "q_wmedian_source" -> ((s, dir) => {
+      Analytics.weightedMedianPerGroup(documents(s, dir), Seq(col("source")),
+          col("n_chars"), col("n_chars"), col("doc_id"))
+        .select(col("source"), col("n"), col("total_w"), col("wmedian"))
+        .orderBy(col("source"))
+    }),
+
+    // State-dwell census: how long users sit in each event type before
+    // their next event (stint = holds-until-next, the TWAP duration
+    // model on a categorical) — the natural companion to the transition
+    // census. Exact epoch-µs; mean is the family round-half-up division.
+    "events_dwell" -> ((s, dir) => {
+      Timeseries.dwellCensus(events(s, dir), "user_id",
+          Seq(unix_micros(col("ts")), col("event_id")),
+          unix_micros(col("ts")), col("event_type"))
+        .select(col("state"), col("n_stints"), col("total_us"), col("mean_us"))
+        .orderBy(col("state"))
+    }),
+
+    // Pettitt changepoint census per user: the rank-based (outlier-immune)
+    // "where does this series split into before/after regimes" locator —
+    // the robust complement to the CUSUM census. Doubled average ranks
+    // keep tie handling integer; |U| <= 2n^2 stays in int64 at any sf.
+    "events_pettitt" -> ((s, dir) => {
+      Analytics.pettittCensus(events(s, dir), "user_id",
+          Seq(unix_micros(col("ts")), col("event_id")), col("value"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Transposition-noise census: every customer name gets a deterministic
+    // adjacent-character swap (position keyed by custkey), then per nation
+    // we compare plain levenshtein against the native full
+    // Damerau-Levenshtein — where they differ, a one-slip transposition
+    // was being billed as two edits. Exercises the codegen'd
+    // Lowrance-Wagner expression against DuckDB's full-variant builtin.
+    "linkage_dl" -> ((s, dir) => {
+      import graft.functions.DamerauLevenshtein.damerauLevenshtein
+      val p = (pmod(col("c_custkey"), (length(col("c_name")) - 1).cast("long")) + 1)
+        .cast("int")
+      val swapped = concat(
+        col("c_name").substr(lit(1), p - 1),
+        col("c_name").substr(p + 1, lit(1)),
+        col("c_name").substr(p, lit(1)),
+        col("c_name").substr(p + 2, lit(1000)))
+      customer(s, dir)
+        .select(col("c_nationkey"),
+          levenshtein(col("c_name"), swapped).cast("long").as("lev"),
+          damerauLevenshtein(col("c_name"), swapped).as("dl"))
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("lev")).as("sum_lev"),
+          sum(col("dl")).as("sum_dl"),
+          sum(when(col("lev") > col("dl"), 1L).otherwise(0L))
+            .as("n_transposition_wins"))
+        .orderBy(col("c_nationkey"))
+    }),
+
     // Association-rule census over order baskets (which parts co-occur):
     // support/confidence/lift in exact integer ppm. Pairs come from a
     // self-join ON THE BASKET KEY (fanout Σ|basket|², never |items|²),
@@ -4668,6 +4738,101 @@ object SparkEntry {
         |FROM w
         |WHERE event_id % 20 = 0
         |ORDER BY event_id""".stripMargin,
+
+    "text_hapax" ->
+      """WITH t AS (
+        |  SELECT source, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS term
+        |  FROM documents),
+        |c AS (SELECT source, term, count(*)::BIGINT AS c FROM t GROUP BY 1, 2)
+        |SELECT source, count(*)::BIGINT AS n_terms,
+        |       sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hapax,
+        |       ((sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000 * 2
+        |         + count(*)) // (count(*) * 2))::BIGINT AS hapax_ppm
+        |FROM c GROUP BY source
+        |ORDER BY source""".stripMargin,
+
+    "q_wmedian_source" ->
+      """WITH r AS (
+        |  SELECT source, n_chars::BIGINT AS v, n_chars::BIGINT AS w, doc_id,
+        |         sum(n_chars) OVER (PARTITION BY source
+        |             ORDER BY n_chars, doc_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |         sum(n_chars) OVER (PARTITION BY source) AS tot,
+        |         count(*) OVER (PARTITION BY source) AS n
+        |  FROM documents),
+        |q AS (SELECT * FROM r WHERE tot > 0 AND cum * 2 >= tot)
+        |SELECT source, max(n)::BIGINT AS n, max(tot)::BIGINT AS total_w,
+        |       min(v)::BIGINT AS wmedian
+        |FROM q GROUP BY source
+        |ORDER BY source""".stripMargin,
+
+    "events_dwell" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, event_id, event_type
+        |  FROM events),
+        |d AS (
+        |  SELECT event_type AS state,
+        |         lead(ts_us) OVER (PARTITION BY user_id
+        |                           ORDER BY ts_us, event_id) - ts_us AS dur
+        |  FROM e)
+        |SELECT state, count(*)::BIGINT AS n_stints, sum(dur)::BIGINT AS total_us,
+        |       ((sum(dur) * 2 + count(*)) // (count(*) * 2))::BIGINT AS mean_us
+        |FROM d WHERE dur IS NOT NULL
+        |GROUP BY state
+        |ORDER BY state""".stripMargin,
+
+    "events_pettitt" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, event_id,
+        |         CAST(round(value * 10000, 0) AS BIGINT) AS v
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, v,
+        |         count(*) OVER (PARTITION BY user_id) AS n,
+        |         2 * rank() OVER (PARTITION BY user_id ORDER BY v)
+        |           + count(*) OVER (PARTITION BY user_id, v) - 1 AS d,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY ts_us, event_id) AS t
+        |  FROM e),
+        |u AS (
+        |  SELECT user_id, n, t,
+        |         sum(d - n - 1) OVER (PARTITION BY user_id ORDER BY t
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ut
+        |  FROM r),
+        |w AS (
+        |  SELECT user_id, n, t, ut, abs(ut) AS a,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY abs(ut) DESC, t) AS rn
+        |  FROM u WHERE t < n)
+        |SELECT user_id, n::BIGINT AS n, a::BIGINT AS k2_stat,
+        |       t::BIGINT AS t_hat,
+        |       (CASE WHEN ut > 0 THEN 1 WHEN ut < 0 THEN -1
+        |             ELSE 0 END)::BIGINT AS direction
+        |FROM w WHERE rn = 1
+        |ORDER BY user_id""".stripMargin,
+
+    "linkage_dl" ->
+      """WITH s AS (
+        |  SELECT c_nationkey, c_name,
+        |         (c_custkey % (length(c_name) - 1) + 1)::INTEGER AS p
+        |  FROM customer),
+        |w AS (
+        |  SELECT c_nationkey,
+        |         levenshtein(c_name,
+        |           substr(c_name, 1, p - 1) || substr(c_name, p + 1, 1) ||
+        |           substr(c_name, p, 1) || substr(c_name, p + 2, 1000))::BIGINT
+        |           AS lev,
+        |         damerau_levenshtein(c_name,
+        |           substr(c_name, 1, p - 1) || substr(c_name, p + 1, 1) ||
+        |           substr(c_name, p, 1) || substr(c_name, p + 2, 1000))::BIGINT
+        |           AS dl
+        |  FROM s)
+        |SELECT c_nationkey, count(*)::BIGINT AS n, sum(lev)::BIGINT AS sum_lev,
+        |       sum(dl)::BIGINT AS sum_dl,
+        |       sum(CASE WHEN lev > dl THEN 1 ELSE 0 END)::BIGINT
+        |         AS n_transposition_wins
+        |FROM w GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin,
 
     "basket_rules" ->
       """WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it

@@ -102,6 +102,12 @@ object GraftExtensions {
         "_FUNC_(a, b) - Jaro-Winkler similarity in [0,1] (prefix scale 0.1 " +
           "capped at 4, boost only above jaro 0.7; either side empty returns 0)."),
       (args: Seq[Expression]) => JaroWinkler.JaroWinklerExpr(args(0), args(1))),
+    ("graft_damerau_levenshtein",
+      info(DamerauLevenshtein.getClass, "graft_damerau_levenshtein",
+        "_FUNC_(a, b) - Unrestricted (Lowrance-Wagner) Damerau-Levenshtein edit " +
+          "distance: adjacent transposition costs 1; matches DuckDB's full variant."),
+      (args: Seq[Expression]) =>
+        DamerauLevenshtein.DamerauLevenshteinExpr(args(0), args(1))),
     ("graft_url_host",
       info(graft.operators.Web.getClass, "graft_url_host",
         "_FUNC_(url) - Lower-cased host of an absolute URL (port excluded); NULL when unparseable."),

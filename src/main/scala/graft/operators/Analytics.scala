@@ -700,6 +700,42 @@ object Analytics {
       .select(names.map(col) ++ Seq(col("n"), col("gini_ppm")): _*)
   }
 
+  /** Lower weighted median per group — "the value below which half the
+    * MASS sits" (with weight = size, the corpus-mass midpoint: half your
+    * bytes live in documents shorter than this). Exact integer form: sort
+    * by a TOTAL (value, tie) order (ties must not reorder the cumsum),
+    * running weight cumsum, the answer is the first row where
+    * 2·cumw ≥ total — qualifying rows are a suffix of the sort, so one
+    * min agg picks its value deterministically. No float anywhere.
+    *
+    * Output: (group..., n, total_w, wmedian). Groups with zero total
+    * weight drop. Scale: the per-group window sort is the exact oracle
+    * shape (groups shard; see [[giniPerGroup]]); one agg row per group.
+    */
+  def weightedMedianPerGroup(
+      df: DataFrame,
+      groupCols: Seq[Column],
+      value: Column,
+      weight: Column,
+      tie: Column): DataFrame = {
+    val base = df.select(groupCols ++ Seq(value.cast("long").as("__v"),
+      weight.cast("long").as("__w"), tie.as("__t")): _*)
+    val names = base.columns.dropRight(3)
+    val wOrd = Window.partitionBy(names.map(col): _*).orderBy(col("__v"), col("__t"))
+    val wAll = Window.partitionBy(names.map(col): _*)
+    base
+      .withColumn("__cum", sum(col("__w")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__tot", sum(col("__w")).over(wAll))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .filter(col("__tot") > 0 && col("__cum") * 2 >= col("__tot"))
+      .groupBy(names.map(col): _*)
+      .agg(
+        max(col("__n")).as("n"),
+        max(col("__tot")).as("total_w"),
+        min(col("__v")).as("wmedian"))
+  }
+
   /** Benford first-significant-digit census — the fraud/synthetic-data
     * screen: naturally occurring multiplicative quantities put digit d
     * first with probability log₁₀(1+1/d); fabricated or truncated data
@@ -727,6 +763,56 @@ object Analytics {
       .withColumn("obs_ppm", intDiv(col("n") * 2000000L + tot, tot * 2).cast("long"))
       .withColumn("exp_ppm", element_at(array(expPpm.map(lit): _*), col("digit")))
       .withColumn("dev_ppm", col("obs_ppm") - col("exp_ppm"))
+  }
+
+  /** Pettitt changepoint census per key — the rank-based (distribution-free)
+    * single-changepoint locator (Pettitt 1979), the robust complement to
+    * [[cusumCensus]]: CUSUM tracks mean drift in value units, Pettitt asks
+    * WHERE the series most decisively splits into before/after regimes,
+    * immune to outliers because only ranks enter. Exact integer form: with
+    * doubled average ranks D_i = 2·rank_min + ties − 1 (the
+    * [[spearmanPerGroup]] trick), the Mann-Whitney split statistic is
+    *
+    *   U_t = Σ_{i≤t} (D_i − n − 1)
+    *
+    * (twice the classic U_t, so ties cost no fractions), and the census
+    * reports K = max_t |U_t| over t < n with the earliest achieving t. A
+    * negative U at the changepoint means the early regime ranks LOW — an
+    * upward shift. Values quantize to micro-units once; everything after
+    * is integer, so distributed ≡ single-threaded bit-for-bit.
+    *
+    * Output: (key, n, k2_stat — K in doubled-rank units, t_hat — earliest
+    * argmax position, direction ∈ {−1, 0, 1} — sign of U at t_hat).
+    * Keys with n < 2 drop (no split point exists).
+    *
+    * Scale: one shuffle on the key, three in-partition window passes (rank
+    * by value, cumsum + argmax by time) — |U| ≤ 2n² stays in int64 past
+    * 10⁹-row keys.
+    */
+  def pettittCensus(
+      df: DataFrame,
+      keyCol: String,
+      orderCols: Seq[Column],
+      value: Column): DataFrame = {
+    val vu = round(value * 10000, 0).cast("long")
+    val base = df.select(col(keyCol), struct(orderCols: _*).as("__ord0"), vu.as("__v"))
+    val wk = Window.partitionBy(col(keyCol))
+    val wTime = wk.orderBy(col("__ord0"))
+    base
+      .withColumn("__n", count(lit(1)).over(wk))
+      .withColumn("__d",
+        lit(2L) * rank().over(wk.orderBy(col("__v")))
+          + count(lit(1)).over(Window.partitionBy(col(keyCol), col("__v"))) - 1)
+      .withColumn("__t", row_number().over(wTime).cast("long"))
+      .withColumn("__u", sum(col("__d") - col("__n") - 1)
+        .over(wTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("__t") < col("__n"))
+      .withColumn("__a", abs(col("__u")))
+      .withColumn("__rn", row_number().over(wk.orderBy(col("__a").desc, col("__t"))))
+      .filter(col("__rn") === 1)
+      .select(col(keyCol), col("__n").cast("long").as("n"),
+        col("__a").cast("long").as("k2_stat"), col("__t").as("t_hat"),
+        when(col("__u") > 0, 1L).when(col("__u") < 0, -1L).otherwise(0L).as("direction"))
   }
 
   /** Association-rule census (market-basket mining): for every UNORDERED

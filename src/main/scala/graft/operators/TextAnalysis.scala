@@ -392,6 +392,35 @@ object TextAnalysis {
       .drop("__sum")
   }
 
+  /** Hapax-legomena census per group: the fraction of DISTINCT terms that
+    * occur exactly once — the vocabulary-freshness / Heaps-law signal a
+    * corpus monitor tracks (natural prose runs ~40–60% hapax; template
+    * spam collapses toward 0, OCR noise explodes toward 1). Two-level
+    * hash agg over [[wordTokens]] (≡ the oracle's
+    * `regexp_extract_all('[a-z0-9]+')`), exact integer counts, ppm via
+    * the family round-half-up integral division. Output: (group...,
+    * n_terms, n_hapax, hapax_ppm); token-less groups vanish.
+    */
+  def hapaxCensus(
+      df: DataFrame,
+      groupCols: Seq[Column],
+      text: Column): DataFrame = {
+    def halfUp(num: Column, den: Column): Column =
+      ColumnBridge.column(new IntegralDivide(
+        ColumnBridge.expression(num * 2L + den),
+        ColumnBridge.expression(den * 2L)))
+    val base = df.select(groupCols :+ explode(wordTokens(text)).as("__term"): _*)
+    val names = base.columns.dropRight(1)
+    base.groupBy((names.map(col) :+ col("__term")): _*)
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(names.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_terms"),
+        sum(when(col("__c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .withColumn("hapax_ppm",
+        halfUp(col("n_hapax") * 1000000L, col("n_terms")).cast("long"))
+  }
+
   def noveltyCensus(
       df: DataFrame,
       idCol: String,

@@ -345,6 +345,37 @@ object Timeseries {
         max(col("__to") - col("__from")).as("max_span_us"))
   }
 
+  /** State-dwell census: how long does a key sit in each state before its
+    * next event — the holds-until-next duration model of
+    * [[timeWeightedAvg]] applied to a categorical column, the natural
+    * companion to the Markov transition census ("error states are rare
+    * but users stew in them"). Per key one lead() window pass gives each
+    * event its stint length (the key's last event has no successor and
+    * drops — consistent with timeWeightedAvg); then one hash agg per
+    * state: stint count, total µs, mean µs (family round-half-up integral
+    * division — durations are non-negative). All integer epoch-µs.
+    */
+  def dwellCensus(
+      df: DataFrame,
+      keyCol: String,
+      orderCols: Seq[Column],
+      ts: Column,
+      state: Column): DataFrame = {
+    df.select(col(keyCol), struct(orderCols: _*).as("__ord0"), ts.as("__ts"),
+        state.as("state"))
+      .withColumn("__dur",
+        lead(col("__ts"), 1).over(
+          Window.partitionBy(col(keyCol)).orderBy(col("__ord0"))) - col("__ts"))
+      .filter(col("__dur").isNotNull)
+      .groupBy(col("state"))
+      .agg(
+        count(lit(1)).as("n_stints"),
+        sum(col("__dur")).as("total_us"))
+      .withColumn("mean_us",
+        intDiv(col("total_us") * 2 + col("n_stints"), col("n_stints") * 2)
+          .cast("long"))
+  }
+
   def seasonalIndex(
       df: DataFrame,
       key: Column,

@@ -600,6 +600,87 @@ class AnalyticsSuite extends AnyFunSuite {
     assert(g === 0L, "negative grades clamp to zero")
   }
 
+  test("pettittCensus: a clean step locates exactly; constants report zero; outliers don't move it") {
+    // 10 zeros then 10 tens: D = 11 early / 31 late, n = 20, so
+    // U_t = -10t for t <= 10 -> K = 100 at t = 10, direction -1 (upward shift)
+    val step = ((1 to 10).map(i => ("k", i, 0.0)) ++ (11 to 20).map(i => ("k", i, 10.0)))
+      .toDF("k", "i", "v")
+    val s = Analytics.pettittCensus(step, "k", Seq(col("i")), col("v")).collect()(0)
+    assert((s.getLong(1), s.getLong(2), s.getLong(3), s.getLong(4))
+      === ((20L, 100L, 10L, -1L)), s"hand-computed step census: $s")
+
+    val const = (1 to 12).map(i => ("k", i, 7.0)).toDF("k", "i", "v")
+    val c = Analytics.pettittCensus(const, "k", Seq(col("i")), col("v")).collect()(0)
+    assert((c.getLong(2), c.getLong(3), c.getLong(4)) === ((0L, 1L, 0L)),
+      "constant series: zero statistic, earliest t, no direction")
+
+    // one huge outlier mid-regime must NOT relocate the changepoint (ranks
+    // cap its influence) — the advantage over mean-based CUSUM
+    val noisy = ((1 to 10).map(i => ("k", i, 0.0)) ++ (11 to 20).map(i => ("k", i, 10.0)))
+      .map { case (k, i, v) => if (i == 5) (k, i, 1e6) else (k, i, v) }
+      .toDF("k", "i", "v")
+    val o = Analytics.pettittCensus(noisy, "k", Seq(col("i")), col("v")).collect()(0)
+    assert(o.getLong(3) === 10L, s"outlier-immune: changepoint stays at 10: $o")
+
+    // a single-row key has no split point and drops
+    val one = Seq(("solo", 1, 5.0)).toDF("k", "i", "v")
+    assert(Analytics.pettittCensus(one, "k", Seq(col("i")), col("v")).count() === 0L)
+  }
+
+  test("weightedMedianPerGroup: mass midpoint, not count midpoint; zero-weight group drops") {
+    // values 1..4 with weight 1 except value 4 carries weight 10: count
+    // median is 2, but the MASS midpoint is 4 (10 of 13 units sit there)
+    val heavy = Seq(("g", 1L, 1L, 1L), ("g", 2L, 1L, 2L), ("g", 3L, 1L, 3L),
+      ("g", 4L, 10L, 4L)).toDF("g", "v", "w", "id")
+    val h = Analytics.weightedMedianPerGroup(heavy, Seq(col("g")), col("v"),
+      col("w"), col("id")).collect()(0)
+    assert((h.getLong(1), h.getLong(2), h.getLong(3)) === ((4L, 13L, 4L)),
+      s"mass midpoint must be 4: $h")
+
+    // uniform weights reduce to the lower median
+    val unif = (1 to 5).map(i => ("u", i.toLong, 1L, i.toLong)).toDF("g", "v", "w", "id")
+    assert(Analytics.weightedMedianPerGroup(unif, Seq(col("g")), col("v"),
+      col("w"), col("id")).collect()(0).getLong(3) === 3L)
+
+    // even split: 2*cum >= tot first holds at the LOWER midpoint
+    val even = Seq(("e", 1L, 1L, 1L), ("e", 9L, 1L, 2L)).toDF("g", "v", "w", "id")
+    assert(Analytics.weightedMedianPerGroup(even, Seq(col("g")), col("v"),
+      col("w"), col("id")).collect()(0).getLong(3) === 1L)
+
+    val zero = Seq(("z", 5L, 0L, 1L)).toDF("g", "v", "w", "id")
+    assert(Analytics.weightedMedianPerGroup(zero, Seq(col("g")), col("v"),
+      col("w"), col("id")).count() === 0L)
+  }
+
+  test("dwellCensus: stints are holds-until-next per key; last events drop; means round half-up") {
+    import graft.operators.Timeseries
+    // u1: a@0 (dwell 10), b@10 (dwell 5), a@15 (last, drops)
+    // u2: a@100 (dwell 3), b@103 (last, drops)
+    val ev = Seq(
+      ("u1", 0L, 1L, "a"), ("u1", 10L, 2L, "b"), ("u1", 15L, 3L, "a"),
+      ("u2", 100L, 4L, "a"), ("u2", 103L, 5L, "b"))
+      .toDF("k", "ts_us", "seq", "st")
+    val out = Timeseries.dwellCensus(ev, "k", Seq(col("ts_us"), col("seq")),
+        col("ts_us"), col("st"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out("a") === ((2L, 13L, 7L)), s"a: stints 10+3, mean 6.5 rounds half-up to 7: $out")
+    assert(out("b") === ((1L, 5L, 5L)), s"b: one 5-unit stint: $out")
+  }
+
+  test("hapaxCensus: corpus-pooled hapax fraction; repeated vocab scores 0; empty group vanishes") {
+    val docs = Seq(
+      ("s", "aa bb"), ("s", "aa cc"),   // aa twice across docs, bb/cc once
+      ("t", "x x x"), ("t", "x"),       // one term, never hapax
+      ("e", "!!!"))                     // no tokens at all
+      .toDF("source", "text")
+    val out = TextAnalysis.hapaxCensus(docs, Seq(col("source")), col("text"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out("s") === ((3L, 2L, 666667L)),
+      s"2 of 3 distinct terms are corpus-hapax -> 666667 ppm half-up: $out")
+    assert(out("t") === ((1L, 0L, 0L)), "template vocabulary has no hapax")
+    assert(!out.contains("e"), "token-less group vanishes")
+  }
+
   test("winsorizedStatsApprox: sketch boundaries track the exact form within rank tolerance") {
     val ev = Tables.events(spark, sf)
     val exact = Analytics.winsorizedStats(ev, Seq(col("event_type")), col("value"))

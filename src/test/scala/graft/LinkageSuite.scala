@@ -115,4 +115,37 @@ class LinkageSuite extends AnyFunSuite {
     assert(m(13L) === (3L, 1.0), s"exact match at sim 1.0: $m")
     assert(!m.contains(15L), s"sub-threshold candidates must drop: $m")
   }
+
+  test("damerauLevenshtein: full-variant textbook values; transposition beats plain levenshtein") {
+    import graft.functions.DamerauLevenshtein.damerauLevenshtein
+    import org.apache.spark.sql.functions.levenshtein
+    val cases = Seq(
+      // (a, b, full DL) — CA/ABC is the full-vs-OSA discriminator: the
+      // full Lowrance-Wagner distance is 2 (OSA would say 3); DuckDB-probed
+      ("CA", "ABC", 2L),
+      ("ab", "ba", 1L),
+      ("abcd", "acbd", 1L),
+      ("smtih", "smith", 1L),
+      ("kitten", "sitting", 3L),
+      ("", "abc", 3L),
+      ("abc", "", 3L),
+      ("same", "same", 0L))
+    val out = cases.map { case (a, b, _) => (a, b) }.toDF("a", "b")
+      .select(col("a"), col("b"), damerauLevenshtein(col("a"), col("b")).as("d"),
+        levenshtein(col("a"), col("b")).cast("long").as("lev"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    cases.foreach { case (a, b, d) =>
+      assert(out((a, b))._1 === d, s"DL($a, $b) must be $d, got ${out((a, b))}")
+    }
+    // a pure adjacent swap is 1 for DL but 2 for levenshtein
+    assert(out(("ab", "ba")) === ((1L, 2L)))
+    // DL never exceeds levenshtein
+    assert(out.values.forall { case (d, l) => d <= l })
+
+    // SQL surface agrees with the Column API
+    graft.functions.GraftExtensions.register(spark)
+    val sql = spark.sql("SELECT graft_damerau_levenshtein('smtih', 'smith')")
+      .collect()(0).getLong(0)
+    assert(sql === 1L, "registered SQL function must route to the same expression")
+  }
 }

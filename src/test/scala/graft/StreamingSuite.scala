@@ -887,6 +887,54 @@ class StreamingSuite extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming TWAP stints reproduce the batch segmentation and average across a batch split") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.{col, count, floor, lit, sum}
+    import spark.implicits._
+    import graft.streaming.StreamingTwap
+    implicit val sqlCtx = spark.sqlContext
+    // irregular sampling: a burst of dense readings must not dominate
+    val obs = Seq(
+      StreamingTwap.Obs("k1", 0L, 10.0), StreamingTwap.Obs("k1", 1000000L, 10.0),
+      StreamingTwap.Obs("k1", 1001000L, 99.0), StreamingTwap.Obs("k1", 1002000L, 10.0),
+      StreamingTwap.Obs("k1", 2002000L, 10.0),
+      StreamingTwap.Obs("k2", 0L, 1.5), StreamingTwap.Obs("k2", 500000L, 2.5),
+      StreamingTwap.Obs("k2", 1500000L, 2.5))
+    val input = MemoryStream[StreamingTwap.Obs]
+    val q = StreamingTwap.stints(input.toDS())
+      .writeStream.format("memory").queryName("graft_twap")
+      .outputMode("append").start()
+    try {
+      // split so open stints straddle the boundary for both keys
+      val (first, second) = obs.partition(_.ts_us <= 1000500L)
+      input.addData(first)
+      q.processAllAvailable()
+      input.addData(second)
+      q.processAllAvailable()
+      // re-aggregate streamed stints with the batch operator's tail math
+      val streamed = spark.table("graft_twap")
+        .groupBy(col("key")).agg(
+          count(lit(1)).as("n_segments"),
+          sum(col("dur_ms")).as("dur_ms"),
+          sum(col("vu").cast("decimal(38,0)") * col("dur_ms")).as("num"))
+        .filter(col("dur_ms") > 0)
+        .select(col("key"), col("n_segments"), col("dur_ms"),
+          (floor(col("num").cast("double") / col("dur_ms").cast("double")
+            + 0.5d) / 10000d).as("twavg"))
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+      val batch = graft.operators.Timeseries.timeWeightedAvg(
+          obs.toDF("key", "ts_us", "v"), col("key"), col("ts_us"),
+          Seq(col("ts_us"), col("v")), col("v"))
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+      assert(streamed === batch,
+        s"streamed stints must reproduce the batch TWAP exactly: $streamed vs $batch")
+      // the dense 99.0 burst covers only 2ms of 2002ms — TWAP stays near 10
+      assert(batch("k1")._3 < 11.0, s"burst must not dominate: ${batch("k1")}")
+    } finally q.stop()
+  }
+
   test("streaming Bollinger flags match the batch census across a mid-series batch split") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions.{col, count, lit, min, sum, when}
