@@ -711,6 +711,19 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // Okapi BM25 relevance scores for a fixed 3-term query — the search
+    // scoring function, completing the retrieval family (TF-IDF weighs the
+    // corpus, DSIR matches distributions, BM25 ranks against a query).
+    // One 1-row stats broadcast + a per-row projection; the float chain is
+    // written in one fixed order the oracle mirrors token for token.
+    "text_bm25" -> ((s, dir) => {
+      TextAnalysis.bm25Scores(documents(s, dir), col("doc_id"), col("text"),
+          terms = Seq("join", "vector", "spark"))
+        .filter(pmod(col("id"), lit(10)) === 0)
+        .select(col("id").as("doc_id"), col("dl"), col("bm25"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Hapax-legomena census per source: what fraction of the distinct
     // vocabulary occurs exactly once — the Heaps-law freshness signal
     // (template spam collapses toward 0, OCR noise explodes toward 1).
@@ -4738,6 +4751,46 @@ object SparkEntry {
         |FROM w
         |WHERE event_id % 20 = 0
         |ORDER BY event_id""".stripMargin,
+
+    "text_bm25" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS toks
+        |  FROM documents),
+        |d AS (SELECT doc_id, toks, len(toks)::BIGINT AS dl FROM t),
+        |s AS (
+        |  SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS tot,
+        |         sum(CASE WHEN list_contains(toks, 'join')
+        |             THEN 1 ELSE 0 END)::BIGINT AS df0,
+        |         sum(CASE WHEN list_contains(toks, 'vector')
+        |             THEN 1 ELSE 0 END)::BIGINT AS df1,
+        |         sum(CASE WHEN list_contains(toks, 'spark')
+        |             THEN 1 ELSE 0 END)::BIGINT AS df2
+        |  FROM d),
+        |w AS (
+        |  SELECT doc_id, dl,
+        |         len(list_filter(toks, x -> x = 'join'))::BIGINT AS tf0,
+        |         len(list_filter(toks, x -> x = 'vector'))::BIGINT AS tf1,
+        |         len(list_filter(toks, x -> x = 'spark'))::BIGINT AS tf2,
+        |         n, tot, df0, df1, df2,
+        |         (1.0 - 0.75) + 0.75 * ((dl * n)::DOUBLE / tot::DOUBLE) AS nrm
+        |  FROM d CROSS JOIN s)
+        |SELECT doc_id, dl,
+        |       floor((
+        |         CASE WHEN tf0 > 0 THEN
+        |           ln(1.0 + ((n - df0)::DOUBLE + 0.5) / (df0::DOUBLE + 0.5))
+        |           * (tf0::DOUBLE * (1.2 + 1.0)
+        |              / (tf0::DOUBLE + 1.2 * nrm)) ELSE 0.0 END
+        |         + CASE WHEN tf1 > 0 THEN
+        |           ln(1.0 + ((n - df1)::DOUBLE + 0.5) / (df1::DOUBLE + 0.5))
+        |           * (tf1::DOUBLE * (1.2 + 1.0)
+        |              / (tf1::DOUBLE + 1.2 * nrm)) ELSE 0.0 END
+        |         + CASE WHEN tf2 > 0 THEN
+        |           ln(1.0 + ((n - df2)::DOUBLE + 0.5) / (df2::DOUBLE + 0.5))
+        |           * (tf2::DOUBLE * (1.2 + 1.0)
+        |              / (tf2::DOUBLE + 1.2 * nrm)) ELSE 0.0 END
+        |       ) * 10000.0 + 0.5)::BIGINT / 10000.0 AS bm25
+        |FROM w WHERE doc_id % 10 = 0
+        |ORDER BY doc_id""".stripMargin,
 
     "text_hapax" ->
       """WITH t AS (

@@ -392,6 +392,60 @@ object TextAnalysis {
       .drop("__sum")
   }
 
+  /** BM25 relevance scores for a fixed query-term set (Robertson-Walker
+    * Okapi BM25, the scoring function behind every keyword search engine)
+    * — completes the retrieval family next to TF-IDF (corpus term
+    * weighting) and DSIR (distribution matching): given query terms,
+    * score every document
+    *
+    *   Σ_t ln(1 + (N − df_t + ½)/(df_t + ½)) ·
+    *       tf·(k1+1) / (tf + k1·(1 − b + b·dl·N/Σdl))
+    *
+    * Cross-engine determinism: every input to the float math is an exact
+    * integer (tf, df, dl, N, Σdl); the float ops are written in ONE fixed
+    * order that the generated oracle mirrors token for token — composite
+    * constants stay as expressions over the parsed literals ((k1 + 1.0),
+    * (1.0 − b)) because IEEE addition is correctly rounded while
+    * Scala-folding them could round differently than SQL literal parsing;
+    * the only library call is ln on small rationals (the entropy/KL
+    * family's accepted 1-ulp class, far inside the 4dp round). Zero-tf
+    * terms contribute an explicit 0.
+    *
+    * Scale: corpus stats are ONE 1-row aggregate broadcast back; scoring
+    * is a per-row projection over the token array — the corpus never
+    * shuffles. Output: (id, dl, bm25 rounded 4dp).
+    */
+  def bm25Scores(
+      df: DataFrame,
+      idCol: Column,
+      text: Column,
+      terms: Seq[String],
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25Scores: at least one query term")
+    val toks = df.select(idCol.as("id"), wordTokens(text).as("__toks"))
+      .withColumn("__dl", size(col("__toks")).cast("long"))
+    val statAggs = Seq(count(lit(1)).as("__n"), sum(col("__dl")).as("__tot")) ++
+      terms.zipWithIndex.map { case (t, i) =>
+        sum(when(array_contains(col("__toks"), t), 1L).otherwise(0L)).as(s"__df$i")
+      }
+    val stats = toks.agg(statAggs.head, statAggs.tail: _*)
+    val scored = toks.crossJoin(broadcast(stats))
+    val norm = (lit(1.0) - lit(b)) +
+      lit(b) * ((col("__dl") * col("__n")).cast("double") / col("__tot").cast("double"))
+    val contribs = terms.zipWithIndex.map { case (t, i) =>
+      val tf = size(filter(col("__toks"), x => x === lit(t))).cast("double")
+      val idf = log(lit(1.0) +
+        ((col("__n") - col(s"__df$i")).cast("double") + lit(0.5)) /
+          (col(s"__df$i").cast("double") + lit(0.5)))
+      when(tf > 0,
+        idf * (tf * (lit(k1) + lit(1.0)) / (tf + lit(k1) * norm)))
+        .otherwise(lit(0.0))
+    }
+    scored.select(col("id"), col("__dl").as("dl"),
+      (floor(contribs.reduceLeft(_ + _) * 10000d + 0.5d) / 10000d).as("bm25"))
+  }
+
   /** Hapax-legomena census per group: the fraction of DISTINCT terms that
     * occur exactly once — the vocabulary-freshness / Heaps-law signal a
     * corpus monitor tracks (natural prose runs ~40–60% hapax; template

@@ -681,6 +681,29 @@ class AnalyticsSuite extends AnyFunSuite {
     assert(!out.contains("e"), "token-less group vanishes")
   }
 
+  test("bm25Scores: idf favors rare terms, tf saturates, length normalizes, no-hit scores 0") {
+    // 'rare' appears in 1 of 6 docs, 'common' in 5 of 6
+    val docs = Seq(
+      (1L, "rare alpha beta"), (2L, "common alpha"), (3L, "common beta"),
+      (4L, "common gamma"), (5L, "common delta common common common common common"),
+      (6L, "common epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bm25Scores(docs, col("doc_id"), col("text"),
+        terms = Seq("rare", "common"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(1L) > out(2L), s"one rare hit must outscore one common hit: $out")
+    // tf saturation: 6 occurrences score more than 1 but far less than 6x
+    assert(out(5L) > out(2L) && out(5L) < 6.0 * out(2L) * 0.5,
+      s"tf must saturate: ${out(2L)} -> ${out(5L)}")
+    // length normalization: same single 'common' hit, longer doc scores less
+    assert(out(6L) < out(2L), s"longer doc with same tf must score lower: $out")
+    // no query term at all -> exactly 0
+    val none = TextAnalysis.bm25Scores(docs, col("doc_id"), col("text"),
+        terms = Seq("absent"))
+      .collect().map(_.getDouble(2))
+    assert(none.forall(_ === 0.0), "docs without the term score exactly 0")
+  }
+
   test("winsorizedStatsApprox: sketch boundaries track the exact form within rank tolerance") {
     val ev = Tables.events(spark, sf)
     val exact = Analytics.winsorizedStats(ev, Seq(col("event_type")), col("value"))
