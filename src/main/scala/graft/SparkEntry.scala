@@ -756,6 +756,27 @@ object SparkEntry {
         .orderBy(col("state"))
     }),
 
+    // Two-sample KS census: each source's document-length distribution
+    // against the REST of the corpus — the shape-drift detector. Exact
+    // cross-multiplied ECDF distance on the discrete n_chars grid; ppm in
+    // decimal so no corpus size wraps it.
+    "q_ks_source" -> ((s, dir) => {
+      Analytics.ksCensus(documents(s, dir), col("source"), col("n_chars"))
+        .select(col("group").as("source"), col("n_g"), col("n_rest"),
+          col("d_num"), col("d_ppm"))
+        .orderBy(col("source"))
+    }),
+
+    // Western-Electric SPC rule census per user over the user's own
+    // control limits — the 1956 handbook run rules (beyond 3σ; 2-of-3
+    // beyond 2σ same side; 4-of-5 beyond 1σ same side; 8 same side), all
+    // as cross-multiplied integer inequalities in decimal, zero floats.
+    "events_spc" -> ((s, dir) => {
+      Analytics.spcCensus(events(s, dir), "user_id",
+          Seq(unix_micros(col("ts")), col("event_id")), col("value"))
+        .orderBy(col("user_id"))
+    }),
+
     // Pettitt changepoint census per user: the rank-based (outlier-immune)
     // "where does this series split into before/after regimes" locator —
     // the robust complement to the CUSUM census. Doubled average ranks
@@ -4833,6 +4854,83 @@ object SparkEntry {
         |FROM d WHERE dur IS NOT NULL
         |GROUP BY state
         |ORDER BY state""".stripMargin,
+
+    "q_ks_source" ->
+      """WITH c AS (SELECT source AS g, n_chars::BIGINT AS v,
+        |                  count(*)::BIGINT AS c
+        |           FROM documents GROUP BY 1, 2),
+        |t AS (SELECT g, sum(c)::BIGINT AS ng FROM c GROUP BY 1),
+        |a AS (SELECT v, sum(c)::BIGINT AS call FROM c GROUP BY 1),
+        |gr AS (SELECT sum(c)::BIGINT AS nall FROM c),
+        |grid AS (SELECT t.g, t.ng, a.v, a.call, gr.nall
+        |         FROM t CROSS JOIN a CROSS JOIN gr),
+        |j AS (SELECT grid.g, grid.ng, grid.v, grid.call, grid.nall,
+        |             coalesce(c.c, 0) AS c
+        |      FROM grid LEFT JOIN c ON grid.g = c.g AND grid.v = c.v),
+        |st AS (SELECT g, ng, nall - ng AS nr,
+        |              sum(c) OVER w AS cumg, sum(call) OVER w AS cumall
+        |       FROM j WINDOW w AS (PARTITION BY g ORDER BY v
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |m AS (SELECT g, max(ng) AS ng, max(nr) AS nr,
+        |             max(abs(cumg * nr - (cumall - cumg) * ng)) AS dnum
+        |      FROM st GROUP BY g)
+        |SELECT g AS source, ng::BIGINT AS n_g, nr::BIGINT AS n_rest,
+        |       dnum::BIGINT AS d_num,
+        |       ((dnum::HUGEINT * 2000000 + ng::HUGEINT * nr)
+        |        // (ng::HUGEINT * nr * 2))::BIGINT AS d_ppm
+        |FROM m WHERE nr > 0
+        |ORDER BY source""".stripMargin,
+
+    "events_spc" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, event_id,
+        |         CAST(round(value * 100, 0) AS BIGINT) AS v
+        |  FROM events),
+        |st AS (
+        |  SELECT user_id, ts_us, event_id, v,
+        |         count(*) OVER wk AS n,
+        |         sum(v) OVER wk AS s,
+        |         sum(v::HUGEINT * v) OVER wk AS q,
+        |         row_number() OVER wt AS rn
+        |  FROM e
+        |  WINDOW wk AS (PARTITION BY user_id),
+        |         wt AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |d AS (
+        |  SELECT user_id, ts_us, event_id, rn, n,
+        |         v::HUGEINT * n - s AS dev,
+        |         n::HUGEINT * q - s::HUGEINT * s AS vr
+        |  FROM st),
+        |f AS (
+        |  SELECT user_id, ts_us, event_id, rn, n, dev,
+        |         (dev * dev * (n - 1) > 9 * n::HUGEINT * vr) AS b3,
+        |         (dev * dev * (n - 1) > 4 * n::HUGEINT * vr) AS b2,
+        |         (dev * dev * (n - 1) > 1 * n::HUGEINT * vr) AS b1
+        |  FROM d),
+        |w2 AS (
+        |  SELECT user_id, n, rn, b3,
+        |         sum(CASE WHEN b2 AND dev > 0 THEN 1 ELSE 0 END) OVER w3 AS p2,
+        |         sum(CASE WHEN b2 AND dev < 0 THEN 1 ELSE 0 END) OVER w3 AS m2,
+        |         sum(CASE WHEN b1 AND dev > 0 THEN 1 ELSE 0 END) OVER w5 AS p1,
+        |         sum(CASE WHEN b1 AND dev < 0 THEN 1 ELSE 0 END) OVER w5 AS m1,
+        |         sum(CASE WHEN dev > 0 THEN 1 ELSE 0 END) OVER w8 AS pp,
+        |         sum(CASE WHEN dev < 0 THEN 1 ELSE 0 END) OVER w8 AS mm
+        |  FROM f
+        |  WINDOW w3 AS (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+        |         w5 AS (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+        |         w8 AS (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                ROWS BETWEEN 7 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, count(*)::BIGINT AS n,
+        |       sum(CASE WHEN b3 THEN 1 ELSE 0 END)::BIGINT AS r1,
+        |       sum(CASE WHEN rn >= 3 AND (p2 >= 2 OR m2 >= 2)
+        |           THEN 1 ELSE 0 END)::BIGINT AS r2,
+        |       sum(CASE WHEN rn >= 5 AND (p1 >= 4 OR m1 >= 4)
+        |           THEN 1 ELSE 0 END)::BIGINT AS r3,
+        |       sum(CASE WHEN rn >= 8 AND (pp = 8 OR mm = 8)
+        |           THEN 1 ELSE 0 END)::BIGINT AS r4
+        |FROM w2 GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
 
     "events_pettitt" ->
       """WITH e AS (

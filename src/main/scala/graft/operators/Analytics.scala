@@ -765,6 +765,127 @@ object Analytics {
       .withColumn("dev_ppm", col("obs_ppm") - col("exp_ppm"))
   }
 
+  /** Western-Electric SPC rule census per key — the four classic control-
+    * chart run rules over the key's own control limits (full-series mean
+    * and sample σ), the monitoring vocabulary process engineers have used
+    * since the 1956 handbook:
+    *
+    *   R1: a point beyond ±3σ;
+    *   R2: ≥2 of the trailing 3 points beyond 2σ, same side;
+    *   R3: ≥4 of the trailing 5 points beyond 1σ, same side;
+    *   R4: 8 consecutive points on the same side of the mean.
+    *
+    * (Pattern rules flag at the completing row, and only once the trailing
+    * frame is full — that precise contract is what the oracle mirrors.)
+    * ZERO float math: with S = Σx, Q = Σx² (cents, exact decimals), the
+    * k·σ test cross-multiplies to (x·n − S)²·(n−1) > k²·n·(n·Q − S²) and
+    * the side is the sign of x·n − S — the [[bollingerCensus]] inequality
+    * with whole-series limits, in decimal so no corpus size wraps it.
+    *
+    * Output: (key, n, r1, r2, r3, r4 — rows each rule fires on). Scale:
+    * one shuffle on the key; full-partition stats + bounded trailing
+    * frames in the same window pass family.
+    */
+  def spcCensus(
+      df: DataFrame,
+      keyCol: String,
+      orderCols: Seq[Column],
+      value: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val vu = round(value * 100, 0).cast("long")
+    val base = df.select(col(keyCol), struct(orderCols: _*).as("__ord0"), vu.as("__v"))
+    val wk = Window.partitionBy(col(keyCol))
+    val wt = wk.orderBy(col("__ord0"))
+    def trail(k: Int) = wt.rowsBetween(-(k - 1), Window.currentRow)
+    val n = count(lit(1)).over(wk)
+    val s = sum(col("__v")).over(wk).cast(dec)
+    val q = sum((col("__v") * col("__v")).cast(dec)).over(wk)
+    val withStats = base
+      .withColumn("__n", n)
+      .withColumn("__dev", col("__v").cast(dec) * col("__n") - s)
+      .withColumn("__var", col("__n").cast(dec) * q - s * s)
+      .withColumn("__rn", row_number().over(wt))
+    def beyond(k: Int): Column =
+      col("__dev") * col("__dev") * (col("__n") - 1) >
+        lit(k.toLong * k) * col("__n") * col("__var")
+    def cnt(c: Column, k: Int): Column =
+      sum(when(c, 1L).otherwise(0L)).over(trail(k))
+    val flagged = withStats
+      .withColumn("__r1", beyond(3))
+      .withColumn("__r2", col("__rn") >= 3 &&
+        (cnt(beyond(2) && col("__dev") > 0, 3) >= 2 ||
+         cnt(beyond(2) && col("__dev") < 0, 3) >= 2))
+      .withColumn("__r3", col("__rn") >= 5 &&
+        (cnt(beyond(1) && col("__dev") > 0, 5) >= 4 ||
+         cnt(beyond(1) && col("__dev") < 0, 5) >= 4))
+      .withColumn("__r4", col("__rn") >= 8 &&
+        (cnt(col("__dev") > 0, 8) === 8 || cnt(col("__dev") < 0, 8) === 8))
+    flagged.groupBy(col(keyCol))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("__r1"), 1L).otherwise(0L)).as("r1"),
+        sum(when(col("__r2"), 1L).otherwise(0L)).as("r2"),
+        sum(when(col("__r3"), 1L).otherwise(0L)).as("r3"),
+        sum(when(col("__r4"), 1L).otherwise(0L)).as("r4"))
+  }
+
+  /** Two-sample Kolmogorov-Smirnov census: for each group, the KS distance
+    * between the group's value distribution and the REST of the corpus —
+    * the drift detector that sees shape changes the mean/variance monitors
+    * miss. Exact integer form: at every distinct value v,
+    *
+    *   D(v) = |cumg(v)/n_g − cumr(v)/n_r|
+    *        = |cumg(v)·n_r − cumr(v)·n_g| / (n_g·n_r),
+    *
+    * so the census reports the cross-multiplied numerator max (an exact
+    * integer) plus the denominator pieces — callers divide if they want
+    * the classical D ∈ [0,1]. The group-vs-rest split means one pass
+    * computes every group's census against its own complement.
+    *
+    * Output: (group, n_g, n_rest, d_num — max |cross difference|, d_ppm —
+    * the distance in round-half-up ppm). Scale: one hash agg collapses the
+    * corpus to (group, value) counts; the working set from there is the
+    * |groups| × |distinct values| ECDF grid (the rest-ECDF must step at
+    * values the group never takes), so `value` should already be discrete
+    * or quantized to a bounded grid — binned ECDFs are the standard KS
+    * form at scale, and the census is EXACT on whatever grid it is given.
+    */
+  def ksCensus(
+      df: DataFrame,
+      groupCol: Column,
+      value: Column): DataFrame = {
+    val counts = df.select(groupCol.as("__g"), value.cast("long").as("__v"))
+      .groupBy(col("__g"), col("__v")).agg(count(lit(1)).as("__c"))
+      .persist()
+    val totals = counts.groupBy(col("__g")).agg(sum(col("__c")).as("__ng"))
+    val corpus = counts.groupBy(col("__v")).agg(sum(col("__c")).as("__call"))
+    val grand = counts.agg(sum(col("__c")).as("__nall"))
+    val grid = totals.crossJoin(corpus).crossJoin(broadcast(grand))
+    val w = Window.partitionBy(col("__g")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val stepped = grid
+      .join(counts, Seq("__g", "__v"), "left")
+      .na.fill(0L, Seq("__c"))
+      .withColumn("__cumg", sum(col("__c")).over(w))
+      .withColumn("__cumall", sum(col("__call")).over(w))
+      .withColumn("__nr", col("__nall") - col("__ng"))
+      .withColumn("__dnum",
+        abs(col("__cumg") * col("__nr") - (col("__cumall") - col("__cumg")) * col("__ng")))
+    stepped.groupBy(col("__g"))
+      .agg(
+        max(col("__ng")).as("n_g"),
+        max(col("__nr")).as("n_rest"),
+        max(col("__dnum")).as("d_num"))
+      .filter(col("n_rest") > 0)
+      // ppm in decimal so d_num·2e6 can't wrap past int64 on huge corpora
+      .withColumn("d_ppm",
+        intDiv(col("d_num").cast("decimal(38,0)") * 2000000L
+            + col("n_g").cast("decimal(38,0)") * col("n_rest"),
+          col("n_g").cast("decimal(38,0)") * col("n_rest") * 2).cast("long"))
+      .select(col("__g").as("group"), col("n_g"), col("n_rest"),
+        col("d_num"), col("d_ppm"))
+  }
+
   /** Pettitt changepoint census per key — the rank-based (distribution-free)
     * single-changepoint locator (Pettitt 1979), the robust complement to
     * [[cusumCensus]]: CUSUM tracks mean drift in value units, Pettitt asks

@@ -704,6 +704,45 @@ class AnalyticsSuite extends AnyFunSuite {
     assert(none.forall(_ === 0.0), "docs without the term score exactly 0")
   }
 
+  test("ksCensus: hand-computed group-vs-rest distance; identical distributions score 0") {
+    // A={1,1,2}, B={2,3,3}: on grid {1,2,3} cumA=2,3,3 cumRest=0,1,3
+    // -> max|cumA*3 - cumRest*3| = 6; D = 6/9 -> 666667 ppm
+    val ab = Seq(("A", 1L), ("A", 1L), ("A", 2L), ("B", 2L), ("B", 3L), ("B", 3L))
+      .toDF("g", "v")
+    val out = Analytics.ksCensus(ab, col("g"), col("v"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out("A") === ((3L, 3L, 6L, 666667L)), s"hand-computed KS: $out")
+    assert(out("B") === ((3L, 3L, 6L, 666667L)), "group-vs-rest is symmetric for two groups")
+
+    val same = Seq(("A", 1L), ("A", 2L), ("B", 1L), ("B", 2L)).toDF("g", "v")
+    val z = Analytics.ksCensus(same, col("g"), col("v"))
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(z.values.forall(_ === 0L), s"identical distributions must score 0: $z")
+  }
+
+  test("spcCensus: run rules fire on hand-computed patterns; constants are silent") {
+    // 10 zeros then 10 tens: binary split sits just inside 1 sigma, so only
+    // the same-side run rule fires — 8-in-a-row completes 3 times per side
+    val steps = ((1 to 10).map(i => ("k", i, 0.0)) ++ (11 to 20).map(i => ("k", i, 10.0)))
+      .toDF("k", "i", "v")
+    val s = Analytics.spcCensus(steps, "k", Seq(col("i")), col("v")).collect()(0)
+    assert((s.getLong(1), s.getLong(2), s.getLong(3), s.getLong(4), s.getLong(5))
+      === ((20L, 0L, 0L, 0L, 6L)), s"step series: only R4, 3 completions per side: $s")
+
+    // 19 tens + a spike of 100 at the end: the spike breaches 3 sigma once;
+    // the 19 below-mean rows complete 8-in-a-row 12 times
+    val spike = ((1 to 19).map(i => ("k", i, 10.0)) :+ (("k", 20, 100.0)))
+      .toDF("k", "i", "v")
+    val p = Analytics.spcCensus(spike, "k", Seq(col("i")), col("v")).collect()(0)
+    assert((p.getLong(2), p.getLong(5)) === ((1L, 12L)),
+      s"spike: R1 once, R4 twelve completions: $p")
+
+    val const = (1 to 30).map(i => ("k", i, 5.0)).toDF("k", "i", "v")
+    val c = Analytics.spcCensus(const, "k", Seq(col("i")), col("v")).collect()(0)
+    assert((c.getLong(2), c.getLong(3), c.getLong(4), c.getLong(5))
+      === ((0L, 0L, 0L, 0L)), "a constant series fires nothing (dev = 0 has no side)")
+  }
+
   test("winsorizedStatsApprox: sketch boundaries track the exact form within rank tolerance") {
     val ev = Tables.events(spark, sf)
     val exact = Analytics.winsorizedStats(ev, Seq(col("event_type")), col("value"))
