@@ -756,6 +756,16 @@ object SparkEntry {
         .orderBy(col("state"))
     }),
 
+    // AUC census per source: does document length separate English from
+    // the rest? AUC IS the Mann-Whitney statistic, so the doubled-rank
+    // identity gives it exactly — never the n_pos×n_neg pairwise blowup.
+    // Exact rational (num, den) + round-half-up ppm.
+    "q_auc_source" -> ((s, dir) => {
+      Analytics.aucCensus(documents(s, dir), Seq(col("source")),
+          col("n_chars"), col("lang") === "en")
+        .orderBy(col("source"))
+    }),
+
     // Two-sample KS census: each source's document-length distribution
     // against the REST of the corpus — the shape-drift detector. Exact
     // cross-multiplied ECDF distance on the discrete n_chars grid; ppm in
@@ -4854,6 +4864,29 @@ object SparkEntry {
         |FROM d WHERE dur IS NOT NULL
         |GROUP BY state
         |ORDER BY state""".stripMargin,
+
+    "q_auc_source" ->
+      """WITH d AS (
+        |  SELECT source, n_chars::BIGINT AS s, (lang = 'en') AS y
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, y,
+        |         (2 * rank() OVER (PARTITION BY source ORDER BY s)
+        |          + count(*) OVER (PARTITION BY source, s) - 1)::HUGEINT AS d
+        |  FROM d),
+        |a AS (
+        |  SELECT source,
+        |         sum(CASE WHEN y THEN 1 ELSE 0 END)::HUGEINT AS n1,
+        |         sum(CASE WHEN y THEN 0 ELSE 1 END)::HUGEINT AS n0,
+        |         sum(CASE WHEN y THEN d ELSE 0 END) AS r1
+        |  FROM r GROUP BY 1)
+        |SELECT source, n1::BIGINT AS n_pos, n0::BIGINT AS n_neg,
+        |       (r1 - n1 * (n1 + 1))::BIGINT AS auc_num,
+        |       (2 * n1 * n0)::BIGINT AS auc_den,
+        |       (((r1 - n1 * (n1 + 1)) * 2000000 + 2 * n1 * n0)
+        |        // (2 * n1 * n0 * 2))::BIGINT AS auc_ppm
+        |FROM a WHERE n1 > 0 AND n0 > 0
+        |ORDER BY source""".stripMargin,
 
     "q_ks_source" ->
       """WITH c AS (SELECT source AS g, n_chars::BIGINT AS v,

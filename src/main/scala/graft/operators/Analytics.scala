@@ -765,6 +765,55 @@ object Analytics {
       .withColumn("dev_ppm", col("obs_ppm") - col("exp_ppm"))
   }
 
+  /** AUC (area under the ROC curve) census per group — the
+    * threshold-free "does this score separate the classes" metric, exact:
+    * AUC is the Mann-Whitney statistic, so with the doubled average ranks
+    * of [[spearmanPerGroup]]/[[pettittCensus]] (2R_i = 2·rank_min +
+    * ties − 1, ties contributing the standard ½),
+    *
+    *   AUC = (Σ_{i∈pos} R_i − n₁(n₁+1)/2) / (n₁·n₀)
+    *       = (Σ_{i∈pos} 2R_i − n₁(n₁+1)) / (2·n₁·n₀),
+    *
+    * every term an exact integer. Output keeps the exact rational
+    * (auc_num, auc_den) plus the family round-half-up ppm. Groups missing
+    * a class drop (no curve exists).
+    *
+    * Scale: one shuffle on the group key, one in-partition rank sort, two
+    * agg rows per group folded to one — never a pairwise positive×negative
+    * comparison (that's the n₁·n₀ blowup the rank identity exists to
+    * avoid).
+    */
+  def aucCensus(
+      df: DataFrame,
+      groupCols: Seq[Column],
+      score: Column,
+      label: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = df.select(groupCols ++ Seq(score.cast("long").as("__s"),
+      label.cast("boolean").as("__y")): _*)
+    val names = base.columns.dropRight(2)
+    val wRank = Window.partitionBy(names.map(col): _*).orderBy(col("__s"))
+    val wTie = Window.partitionBy((names.map(col) :+ col("__s")): _*)
+    val ranked = base.withColumn("__d",
+      (lit(2L) * rank().over(wRank) + count(lit(1)).over(wTie) - 1).cast(dec))
+    val agg = ranked.groupBy(names.map(col): _*)
+      .agg(
+        sum(when(col("__y"), 1L).otherwise(0L)).cast(dec).as("__n1"),
+        sum(when(!col("__y"), 1L).otherwise(0L)).cast(dec).as("__n0"),
+        sum(when(col("__y"), col("__d")).otherwise(lit(0L).cast(dec))).as("__r1"))
+      .filter(col("__n1") > 0 && col("__n0") > 0)
+    val num = col("__r1") - col("__n1") * (col("__n1") + 1)
+    val den = lit(2).cast(dec) * col("__n1") * col("__n0")
+    agg
+      .withColumn("n_pos", col("__n1").cast("long"))
+      .withColumn("n_neg", col("__n0").cast("long"))
+      .withColumn("auc_num", num.cast("long"))
+      .withColumn("auc_den", den.cast("long"))
+      .withColumn("auc_ppm", intDiv(num * 2000000L + den, den * 2).cast("long"))
+      .select(names.map(col) ++ Seq(col("n_pos"), col("n_neg"),
+        col("auc_num"), col("auc_den"), col("auc_ppm")): _*)
+  }
+
   /** Western-Electric SPC rule census per key — the four classic control-
     * chart run rules over the key's own control limits (full-series mean
     * and sample σ), the monitoring vocabulary process engineers have used

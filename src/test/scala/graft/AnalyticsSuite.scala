@@ -743,6 +743,30 @@ class AnalyticsSuite extends AnyFunSuite {
       === ((0L, 0L, 0L, 0L)), "a constant series fires nothing (dev = 0 has no side)")
   }
 
+  test("aucCensus: perfect/reversed/tied separation give exactly 1, 0, and 1/2") {
+    // pos scores {3,4} above neg {1,2}: AUC = 1
+    val perfect = Seq(("g", 1L, false), ("g", 2L, false), ("g", 3L, true), ("g", 4L, true))
+      .toDF("g", "s", "y")
+    val p = Analytics.aucCensus(perfect, Seq(col("g")), col("s"), col("y")).collect()(0)
+    assert((p.getLong(1), p.getLong(2), p.getLong(3), p.getLong(4), p.getLong(5))
+      === ((2L, 2L, 8L, 8L, 1000000L)), s"perfect separation: $p")
+
+    val reversed = Seq(("g", 1L, true), ("g", 2L, true), ("g", 3L, false), ("g", 4L, false))
+      .toDF("g", "s", "y")
+    assert(Analytics.aucCensus(reversed, Seq(col("g")), col("s"), col("y"))
+      .collect()(0).getLong(5) === 0L, "reversed separation is AUC 0")
+
+    // all scores tied: every pair is a half-win -> exactly 1/2
+    val tied = Seq(("g", 7L, true), ("g", 7L, true), ("g", 7L, false), ("g", 7L, false))
+      .toDF("g", "s", "y")
+    assert(Analytics.aucCensus(tied, Seq(col("g")), col("s"), col("y"))
+      .collect()(0).getLong(5) === 500000L, "full ties give exactly 1/2")
+
+    // single-class group drops
+    val mono = Seq(("m", 1L, true), ("m", 2L, true)).toDF("g", "s", "y")
+    assert(Analytics.aucCensus(mono, Seq(col("g")), col("s"), col("y")).count() === 0L)
+  }
+
   test("winsorizedStatsApprox: sketch boundaries track the exact form within rank tolerance") {
     val ev = Tables.events(spark, sf)
     val exact = Analytics.winsorizedStats(ev, Seq(col("event_type")), col("value"))
