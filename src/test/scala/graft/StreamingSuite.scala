@@ -935,6 +935,54 @@ class StreamingSuite extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming SPC against frozen limits reproduces the batch census rule for rule") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.{col, lit, sum, when, count}
+    import spark.implicits._
+    import graft.streaming.StreamingSpc
+    implicit val sqlCtx = spark.sqlContext
+    // spiky: 19 tens + one 100 (R1 at the spike, R4 runs below the mean);
+    // steps: 10 zeros then 10 tens (R4 only)
+    val obs =
+      ((1 to 19).map(t => StreamingSpc.Obs("spiky", t.toLong, 10.0)) :+
+        StreamingSpc.Obs("spiky", 20L, 100.0)) ++
+      (1 to 20).map(t => StreamingSpc.Obs("steps", t.toLong, if (t <= 10) 0.0 else 10.0))
+    // frozen limits = each series' own full exact moments (cents)
+    val limits = obs.groupBy(_.key).map { case (k, os) =>
+      val cents = os.map(o => java.math.BigDecimal.valueOf(o.v * 100)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue())
+      k -> StreamingSpc.Limits(cents.size.toLong,
+        cents.map(BigInt(_)).sum, cents.map(c => BigInt(c) * c).sum)
+    }
+    val input = MemoryStream[StreamingSpc.Obs]
+    val q = StreamingSpc.flags(input.toDS(), limits)
+      .writeStream.format("memory").queryName("graft_spc")
+      .outputMode("append").start()
+    try {
+      val (first, second) = obs.partition(_.ts_s <= 11)
+      input.addData(first)
+      q.processAllAvailable()
+      input.addData(second)
+      q.processAllAvailable()
+      def cnt(c: org.apache.spark.sql.Column) = sum(when(c, 1L).otherwise(0L))
+      val streamed = spark.table("graft_spc")
+        .groupBy(col("key")).agg(count(lit(1)).as("n"), cnt(col("r1")).as("r1"),
+          cnt(col("r2")).as("r2"), cnt(col("r3")).as("r3"), cnt(col("r4")).as("r4"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))).toSeq.sorted
+      val batch = graft.operators.Analytics.spcCensus(
+          obs.toDF("key", "ts_s", "v"), "key", Seq(col("ts_s"), col("v")), col("v"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))).toSeq.sorted
+      assert(streamed === batch,
+        s"frozen-limit streaming flags must reproduce the batch census: $streamed vs $batch")
+      // a key without a baseline is silently unjudged
+      input.addData(Seq(StreamingSpc.Obs("nobase", 1L, 5.0)))
+      q.processAllAvailable()
+      assert(spark.table("graft_spc").filter(col("key") === "nobase").count() === 0L)
+    } finally q.stop()
+  }
+
   test("streaming Bollinger flags match the batch census across a mid-series batch split") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions.{col, count, lit, min, sum, when}
