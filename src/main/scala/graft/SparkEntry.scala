@@ -756,6 +756,28 @@ object SparkEntry {
         .orderBy(col("state"))
     }),
 
+    // RFM segmentation census: recency/frequency/monetary quintiles per
+    // customer (best = bin 1), counted per occupied cell — the classic
+    // customer-value grid, exact integers end to end (recency against the
+    // corpus max date, a 1-row broadcast).
+    "q_rfm" -> ((s, dir) => {
+      // o_orderdate is TIMESTAMP_NTZ in the parquet; the UTC-session cast
+      // makes unix_micros well-defined and equal to DuckDB's epoch_ns//1000
+      Analytics.rfmCensus(orders(s, dir), col("o_custkey"),
+          unix_micros(col("o_orderdate").cast("timestamp")),
+          round(col("o_totalprice") * 100, 0).cast("long"))
+        .orderBy(col("r_bin"), col("f_bin"), col("m_bin"))
+    }),
+
+    // ABC / Pareto census over part revenue: the 80/95 concentration cut
+    // via cross-multiplied integer comparisons on the inclusive cumulative
+    // share — no percentage float ever exists.
+    "q_abc_parts" -> ((s, dir) => {
+      Analytics.abcCensus(lineitem(s, dir), col("l_partkey"),
+          round(col("l_extendedprice") * 100, 0).cast("long"))
+        .orderBy(col("abc_class"))
+    }),
+
     // AUC census per source: does document length separate English from
     // the rest? AUC IS the Mann-Whitney statistic, so the doubled-rank
     // identity gives it exactly — never the n_pos×n_neg pairwise blowup.
@@ -4864,6 +4886,49 @@ object SparkEntry {
         |FROM d WHERE dur IS NOT NULL
         |GROUP BY state
         |ORDER BY state""".stripMargin,
+
+    "q_rfm" ->
+      """WITH p AS (
+        |  SELECT o_custkey AS e,
+        |         max(epoch_ns(o_orderdate) // 1000) AS lastts,
+        |         count(*)::BIGINT AS f,
+        |         sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))::BIGINT AS m
+        |  FROM orders GROUP BY 1),
+        |a AS (SELECT max(lastts) AS asofts FROM p),
+        |b AS (
+        |  SELECT (ntile(5) OVER (ORDER BY asofts - lastts, e))::INTEGER AS r_bin,
+        |         (ntile(5) OVER (ORDER BY f DESC, e))::INTEGER AS f_bin,
+        |         (ntile(5) OVER (ORDER BY m DESC, e))::INTEGER AS m_bin,
+        |         m
+        |  FROM p CROSS JOIN a)
+        |SELECT r_bin, f_bin, m_bin, count(*)::BIGINT AS n_entities,
+        |       sum(m)::BIGINT AS cell_cents
+        |FROM b GROUP BY 1, 2, 3
+        |ORDER BY 1, 2, 3""".stripMargin,
+
+    "q_abc_parts" ->
+      """WITH p AS (
+        |  SELECT l_partkey AS i,
+        |         sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))::BIGINT AS v
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT sum(v)::HUGEINT AS tot FROM p),
+        |c AS (
+        |  SELECT v,
+        |         sum(v) OVER (ORDER BY v DESC, i
+        |            ROWS BETWEEN UNBOUNDED PRECEDING
+        |            AND CURRENT ROW)::HUGEINT AS cum,
+        |         tot
+        |  FROM p CROSS JOIN t),
+        |k AS (SELECT v, tot,
+        |             CASE WHEN cum * 100 <= tot * 80 THEN 'A'
+        |                  WHEN cum * 100 <= tot * 95 THEN 'B'
+        |                  ELSE 'C' END AS abc_class
+        |      FROM c)
+        |SELECT abc_class, count(*)::BIGINT AS n_items, sum(v)::BIGINT AS class_cents,
+        |       ((sum(v)::HUGEINT * 2000000 + max(tot))
+        |        // (max(tot) * 2))::BIGINT AS share_ppm
+        |FROM k GROUP BY 1
+        |ORDER BY 1""".stripMargin,
 
     "q_auc_source" ->
       """WITH d AS (

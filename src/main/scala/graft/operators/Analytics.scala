@@ -765,6 +765,85 @@ object Analytics {
       .withColumn("dev_ppm", col("obs_ppm") - col("exp_ppm"))
   }
 
+  /** RFM segmentation census — the classic customer-value grid (recency /
+    * frequency / monetary quintiles), the first thing a commerce or
+    * engagement team asks of an event log. Per entity: last-activity
+    * recency against the corpus max timestamp (a 1-row broadcast, so the
+    * census is a pure function of the data), activity count, and exact
+    * integer monetary cents; each dimension bins by `ntile(bins)` under a
+    * TOTAL tie-broken order (best first: most recent / most frequent /
+    * highest spend = bin 1 — ntile is deterministic once the order is
+    * total, the perplexityBuckets precedent). Output: one row per
+    * occupied (r, f, m) cell with entity count and cell monetary mass —
+    * ≤ bins³ rows.
+    *
+    * Scale: one hash agg to |entities| rows, then three ntile windows
+    * over that bounded table (shard-by-hash at extreme entity counts is
+    * the documented CCNet-bucket swap), one census agg.
+    */
+  def rfmCensus(
+      df: DataFrame,
+      entity: Column,
+      tsMicros: Column,
+      amountCents: Column,
+      bins: Int = 5): DataFrame = {
+    require(bins >= 2, "rfmCensus: bins >= 2")
+    val per = df.groupBy(entity.as("__e"))
+      .agg(max(tsMicros).as("__last"), count(lit(1)).as("__f"),
+        sum(amountCents).as("__m"))
+    val asOf = per.agg(max(col("__last")).as("__asof"))
+    val binned = per.crossJoin(broadcast(asOf))
+      .withColumn("__rec", col("__asof") - col("__last"))
+      .withColumn("r_bin", ntile(bins).over(
+        Window.orderBy(col("__rec"), col("__e"))))
+      .withColumn("f_bin", ntile(bins).over(
+        Window.orderBy(col("__f").desc, col("__e"))))
+      .withColumn("m_bin", ntile(bins).over(
+        Window.orderBy(col("__m").desc, col("__e"))))
+    binned.groupBy(col("r_bin"), col("f_bin"), col("m_bin"))
+      .agg(count(lit(1)).as("n_entities"), sum(col("__m")).as("cell_cents"))
+  }
+
+  /** ABC / Pareto census — the 80/95 concentration cut ("class A items
+    * carry 80% of the value") over per-item value mass. Items rank by
+    * exact cents under a total (value desc, item) order; an item's class
+    * comes from its INCLUSIVE cumulative share via cross-multiplied
+    * integer comparisons (cum·100 ≤ 80·total → A, ≤ 95·total → B, else
+    * C) — no percentage float ever exists. Output: ≤ 3 rows (abc_class,
+    * n_items, class_cents, share_ppm round-half-up).
+    *
+    * Scale: one corpus hash agg to |items| rows; the rank window runs
+    * over that bounded vocabulary table (the profiler/Benford "bounded
+    * artifact window" class — range-partition the sort if the vocabulary
+    * itself is huge). The corpus never sorts.
+    */
+  def abcCensus(
+      df: DataFrame,
+      itemCol: Column,
+      valueCents: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val per = df.groupBy(itemCol.as("__i")).agg(sum(valueCents).as("__v"))
+    val w = Window.orderBy(col("__v").desc, col("__i"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = sum(col("__v")).over(Window.partitionBy())
+    val classed = per
+      .withColumn("__cum", sum(col("__v")).over(w).cast(dec))
+      .withColumn("__tot", tot.cast(dec))
+      .withColumn("abc_class",
+        when(col("__cum") * 100 <= col("__tot") * 80, "A")
+          .when(col("__cum") * 100 <= col("__tot") * 95, "B")
+          .otherwise("C"))
+    classed.groupBy(col("abc_class"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(col("__v")).as("class_cents"),
+        max(col("__tot")).as("__t"))
+      .withColumn("share_ppm",
+        intDiv(col("class_cents").cast(dec) * 2000000L + col("__t"),
+          col("__t") * 2).cast("long"))
+      .drop("__t")
+  }
+
   /** AUC (area under the ROC curve) census per group — the
     * threshold-free "does this score separate the classes" metric, exact:
     * AUC is the Mann-Whitney statistic, so with the doubled average ranks

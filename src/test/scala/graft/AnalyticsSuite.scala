@@ -767,6 +767,35 @@ class AnalyticsSuite extends AnyFunSuite {
     assert(Analytics.aucCensus(mono, Seq(col("g")), col("s"), col("y")).count() === 0L)
   }
 
+  test("rfmCensus: aligned dimensions quintile cleanly; recency is against the corpus max") {
+    // entity i (1..10): i activity rows, last ts = i, 100 cents each ->
+    // all three dimensions rank identically, quintiles pair (10,9)(8,7)...
+    val rows = (1 to 10).flatMap(i => (1 to i).map(_ => (i.toLong, i.toLong, 100L)))
+      .toDF("e", "ts", "cents")
+    val out = Analytics.rfmCensus(rows, col("e"), col("ts"), col("cents"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> (r.getLong(3), r.getLong(4))).toMap
+    assert(out.keySet === (1 to 5).map(b => (b, b, b)).toSet,
+      s"aligned dims occupy only the diagonal cells: ${out.keySet}")
+    assert(out((1, 1, 1)) === ((2L, 1900L)), s"best cell: entities 10+9, 19 rows of 100c: $out")
+    assert(out((5, 5, 5)) === ((2L, 300L)), "worst cell: entities 2+1")
+  }
+
+  test("abcCensus: 80/95 inclusive boundaries classify exactly; ties break by item") {
+    val items = Seq(("p1", 80L), ("p2", 15L), ("p3", 5L)).toDF("i", "v")
+    val out = Analytics.abcCensus(items, col("i"), col("v"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out("A") === ((1L, 80L, 800000L)), s"cum 80 is INSIDE the 80% cut: $out")
+    assert(out("B") === ((1L, 15L, 150000L)), "cum 95 is inside the 95% cut")
+    assert(out("C") === ((1L, 5L, 50000L)))
+
+    // equal values: the (value desc, item) tie-break decides who straddles
+    val tied = Seq(("a", 50L), ("b", 50L)).toDF("i", "v")
+    val t = Analytics.abcCensus(tied, col("i"), col("v"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(t === Map("A" -> 1L, "C" -> 1L),
+      s"first of the tie lands at cum 50% (A), second at 100% (C): $t")
+  }
+
   test("winsorizedStatsApprox: sketch boundaries track the exact form within rank tolerance") {
     val ev = Tables.events(spark, sf)
     val exact = Analytics.winsorizedStats(ev, Seq(col("event_type")), col("value"))
