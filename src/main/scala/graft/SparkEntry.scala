@@ -756,6 +756,17 @@ object SparkEntry {
         .orderBy(col("state"))
     }),
 
+    // Multi-touch attribution census: which event types earn conversion
+    // credit under first-touch / last-touch / linear models at once.
+    // Exact integer ppm — the last touch absorbs the split remainder, so
+    // every converted window sums to exactly 1e6.
+    "events_attribution" -> ((s, dir) => {
+      Analytics.attributionCensus(events(s, dir), "user_id",
+          Seq(unix_micros(col("ts")), col("event_id")),
+          col("event_type"), convType = "purchase")
+        .orderBy(col("event_type"))
+    }),
+
     // RFM segmentation census: recency/frequency/monetary quintiles per
     // customer (best = bin 1), counted per occupied cell — the classic
     // customer-value grid, exact integers end to end (recency against the
@@ -4886,6 +4897,38 @@ object SparkEntry {
         |FROM d WHERE dur IS NOT NULL
         |GROUP BY state
         |ORDER BY state""".stripMargin,
+
+    "events_attribution" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, event_id, event_type,
+        |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, ts_us, event_id, event_type, conv,
+        |         sum(conv) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           - conv + 1 AS tgt,
+        |         sum(conv) OVER (PARTITION BY user_id) AS nc
+        |  FROM e),
+        |t AS (SELECT * FROM m WHERE conv = 0 AND tgt <= nc),
+        |r AS (
+        |  SELECT event_type,
+        |         row_number() OVER (PARTITION BY user_id, tgt
+        |                            ORDER BY ts_us, event_id) AS rn,
+        |         count(*) OVER (PARTITION BY user_id, tgt) AS n
+        |  FROM t),
+        |c AS (
+        |  SELECT event_type, rn, n,
+        |         1000000 // n + CASE WHEN rn = n
+        |                       THEN 1000000 - n * (1000000 // n)
+        |                       ELSE 0 END AS lin
+        |  FROM r)
+        |SELECT event_type,
+        |       sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS first_n,
+        |       sum(CASE WHEN rn = n THEN 1 ELSE 0 END)::BIGINT AS last_n,
+        |       sum(lin)::BIGINT AS linear_ppm
+        |FROM c GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     "q_rfm" ->
       """WITH p AS (

@@ -765,6 +765,55 @@ object Analytics {
       .withColumn("dev_ppm", col("obs_ppm") - col("exp_ppm"))
   }
 
+  /** Multi-touch attribution census — which event types get credit for
+    * conversions, under the three standard models at once: FIRST touch,
+    * LAST touch, and LINEAR (equal split). Each conversion event closes a
+    * window; every non-conversion event belongs to the window of the NEXT
+    * conversion in its user's stream (events after the last conversion
+    * earn nothing — they haven't converted anyone yet). Linear credit is
+    * exact integer ppm: each touch gets ⌊10⁶/n⌋ and the LAST touch absorbs
+    * the remainder (a deterministic convention, so Σ credit per converted
+    * window is exactly 10⁶ and the distributed run matches the oracle
+    * bit-for-bit).
+    *
+    * Output: (event_type, first_n, last_n, linear_ppm) — linear_ppm sums
+    * to 10⁶ × (windows with ≥ 1 touch). Scale: one shuffle on the user
+    * key for the window pass, a second keyed on (user, window ordinal)
+    * for the in-window ranks, then one small census agg. No self-joins.
+    */
+  def attributionCensus(
+      df: DataFrame,
+      userCol: String,
+      orderCols: Seq[Column],
+      typeCol: Column,
+      convType: String): DataFrame = {
+    val base = df.select(col(userCol).as("__u"), struct(orderCols: _*).as("__ord0"),
+      typeCol.as("__t"))
+    val wt = Window.partitionBy(col("__u")).orderBy(col("__ord0"))
+    val marked = base
+      .withColumn("__conv", when(col("__t") === convType, 1L).otherwise(0L))
+      .withColumn("__cb", sum(col("__conv")).over(
+        wt.rowsBetween(Window.unboundedPreceding, Window.currentRow)) - col("__conv"))
+      .withColumn("__nc", sum(col("__conv")).over(Window.partitionBy(col("__u"))))
+      .withColumn("__tgt", col("__cb") + 1)
+    val touches = marked
+      .filter(col("__conv") === 0 && col("__tgt") <= col("__nc"))
+    val ws = Window.partitionBy(col("__u"), col("__tgt")).orderBy(col("__ord0"))
+    val wsAll = Window.partitionBy(col("__u"), col("__tgt"))
+    val credited = touches
+      .withColumn("__rn", row_number().over(ws))
+      .withColumn("__n", count(lit(1)).over(wsAll))
+      .withColumn("__base", intDiv(lit(1000000L), col("__n")))
+      .withColumn("__lin",
+        col("__base") + when(col("__rn") === col("__n"),
+          lit(1000000L) - col("__n") * col("__base")).otherwise(lit(0L)))
+    credited.groupBy(col("__t").as("event_type"))
+      .agg(
+        sum(when(col("__rn") === 1, 1L).otherwise(0L)).as("first_n"),
+        sum(when(col("__rn") === col("__n"), 1L).otherwise(0L)).as("last_n"),
+        sum(col("__lin")).as("linear_ppm"))
+  }
+
   /** RFM segmentation census — the classic customer-value grid (recency /
     * frequency / monetary quintiles), the first thing a commerce or
     * engagement team asks of an event log. Per entity: last-activity

@@ -796,6 +796,28 @@ class AnalyticsSuite extends AnyFunSuite {
       s"first of the tie lands at cum 50% (A), second at 100% (C): $t")
   }
 
+  test("attributionCensus: first/last/linear credit with remainder-to-last; tail events earn nothing") {
+    // u1: a b c PURCHASE d  -> window 1 touches (a,b,c); d is post-conversion tail
+    // u2: x PURCHASE y PURCHASE -> window 1 = (x), window 2 = (y)
+    val ev = Seq(
+      ("u1", 1L, "a"), ("u1", 2L, "b"), ("u1", 3L, "c"), ("u1", 4L, "purchase"),
+      ("u1", 5L, "d"),
+      ("u2", 1L, "x"), ("u2", 2L, "purchase"), ("u2", 3L, "y"), ("u2", 4L, "purchase"))
+      .toDF("u", "i", "t")
+    val out = Analytics.attributionCensus(ev, "u", Seq(col("i")), col("t"), "purchase")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // a: first of 3-touch window -> 333333 ppm; c: last -> 333333 + remainder 1
+    assert(out("a") === ((1L, 0L, 333333L)), s"first touch floor share: $out")
+    assert(out("b") === ((0L, 0L, 333333L)))
+    assert(out("c") === ((0L, 1L, 333334L)), "last touch absorbs the split remainder")
+    assert(out("x") === ((1L, 1L, 1000000L)), "solo touch is first, last, and full credit")
+    assert(out("y") === ((1L, 1L, 1000000L)), "window 2 credits the post-conv pre-next event")
+    assert(!out.contains("d"), "events after the final conversion earn nothing")
+    assert(!out.contains("purchase"), "conversions themselves earn no credit")
+    // invariant: linear credit sums to 1e6 per converted window with touches
+    assert(out.values.map(_._3).sum === 3000000L)
+  }
+
   test("winsorizedStatsApprox: sketch boundaries track the exact form within rank tolerance") {
     val ev = Tables.events(spark, sf)
     val exact = Analytics.winsorizedStats(ev, Seq(col("event_type")), col("value"))
