@@ -756,6 +756,17 @@ object SparkEntry {
         .orderBy(col("state"))
     }),
 
+    // SAX symbolic discretization per user: 8 PAA segments, 4-symbol
+    // alphabet over the series' own nearest-rank quartile breakpoints —
+    // the time-series-to-word transform, bit-exact because breakpoints
+    // are data quantiles (exact integers), not Gaussian z-norm floats.
+    "events_sax" -> ((s, dir) => {
+      Timeseries.saxSymbols(events(s, dir), "user_id",
+          Seq(unix_micros(col("ts")), col("event_id")), col("value"),
+          buckets = 8, alphabet = 4)
+        .orderBy(col("user_id"), col("bucket"))
+    }),
+
     // Multi-touch attribution census: which event types earn conversion
     // credit under first-touch / last-touch / linear models at once.
     // Exact integer ppm — the last touch absorbs the split remainder, so
@@ -4897,6 +4908,35 @@ object SparkEntry {
         |FROM d WHERE dur IS NOT NULL
         |GROUP BY state
         |ORDER BY state""".stripMargin,
+
+    "events_sax" ->
+      """WITH e AS (
+        |  SELECT user_id AS k, epoch_ns(ts) // 1000 AS ts_us, event_id,
+        |         CAST(round(value * 10000, 0) AS BIGINT) AS v
+        |  FROM events),
+        |r AS (
+        |  SELECT k, v,
+        |         row_number() OVER (PARTITION BY k
+        |                            ORDER BY ts_us, event_id) AS rn,
+        |         row_number() OVER (PARTITION BY k
+        |                            ORDER BY v, ts_us, event_id) AS rv,
+        |         count(*) OVER (PARTITION BY k) AS n
+        |  FROM e),
+        |paa AS (
+        |  SELECT k, ((rn - 1) * 8) // n AS b,
+        |         count(*)::BIGINT AS c, sum(v)::BIGINT AS s
+        |  FROM r GROUP BY 1, 2),
+        |pa AS (SELECT k, b, (s * 2 + c) // (c * 2) AS paa_u FROM paa),
+        |bp AS (
+        |  SELECT k, v AS bpv FROM r
+        |  WHERE rv = (n * 1 + 3) // 4 OR rv = (n * 2 + 3) // 4
+        |     OR rv = (n * 3 + 3) // 4)
+        |SELECT pa.k AS user_id, pa.b AS bucket, pa.paa_u,
+        |       sum(CASE WHEN bp.bpv <= pa.paa_u THEN 1 ELSE 0 END)::BIGINT
+        |         AS symbol
+        |FROM pa LEFT JOIN bp ON pa.k = bp.k
+        |GROUP BY 1, 2, 3
+        |ORDER BY user_id, bucket""".stripMargin,
 
     "events_attribution" ->
       """WITH e AS (

@@ -376,6 +376,55 @@ object Timeseries {
           .cast("long"))
   }
 
+  /** SAX symbolic discretization (Lin et al. 2003) per key — the
+    * time-series-to-word transform behind motif mining and cheap series
+    * similarity: the series splits into `buckets` equal PAA segments
+    * (bucket of row i = ⌊i·buckets/n⌋ — pure integer), each segment takes
+    * its round-half-up mean, and the mean maps to a symbol. Deliberately
+    * NOT the paper's Gaussian breakpoints (they assume z-normalization —
+    * float mean/σ that no oracle can hash): breakpoints here are the
+    * series' OWN nearest-rank quantiles at i/alphabet (exact integers,
+    * the winsorize machinery), which is the standard data-adaptive SAX
+    * variant and makes the whole transform bit-exact. Symbol = how many
+    * breakpoints lie ≤ the segment mean; coinciding quantile ranks
+    * collapse (deterministically, both engines), so short series may skip
+    * symbol levels.
+    *
+    * Output: (key, bucket, paa_u — micro-unit mean, symbol). Scale: two
+    * window passes over one key shuffle (time rank + value rank), a PAA
+    * hash agg, and a join against the ≤ (alphabet−1)-row-per-key
+    * breakpoint table.
+    */
+  def saxSymbols(
+      df: DataFrame,
+      keyCol: String,
+      orderCols: Seq[Column],
+      value: Column,
+      buckets: Int = 8,
+      alphabet: Int = 4): DataFrame = {
+    require(buckets >= 2 && alphabet >= 2, "saxSymbols: buckets >= 2, alphabet >= 2")
+    val vu = round(value * 10000, 0).cast("long")
+    val base = df.select(col(keyCol), struct(orderCols: _*).as("__ord0"), vu.as("__v"))
+    val wk = Window.partitionBy(col(keyCol))
+    val rows = base
+      .withColumn("__rn", row_number().over(wk.orderBy(col("__ord0"))))
+      .withColumn("__rv", row_number().over(wk.orderBy(col("__v"), col("__ord0"))))
+      .withColumn("__n", count(lit(1)).over(wk))
+    val paa = rows
+      .withColumn("__b", intDiv((col("__rn") - 1) * buckets, col("__n")))
+      .groupBy(col(keyCol), col("__b"))
+      .agg(count(lit(1)).as("__c"), sum(col("__v")).as("__s"))
+      .withColumn("paa_u", intDiv(col("__s") * 2 + col("__c"), col("__c") * 2))
+    val isBp = (1 until alphabet)
+      .map(i => col("__rv") === intDiv(col("__n") * i + (alphabet - 1), lit(alphabet.toLong)))
+      .reduce(_ || _)
+    val bps = rows.filter(isBp).select(col(keyCol), col("__v").as("__bp"))
+    paa.join(bps, Seq(keyCol), "left")
+      .groupBy(col(keyCol), col("__b"), col("paa_u"))
+      .agg(sum(when(col("__bp") <= col("paa_u"), 1L).otherwise(0L)).as("symbol"))
+      .select(col(keyCol), col("__b").as("bucket"), col("paa_u"), col("symbol"))
+  }
+
   def seasonalIndex(
       df: DataFrame,
       key: Column,

@@ -818,6 +818,33 @@ class AnalyticsSuite extends AnyFunSuite {
     assert(out.values.map(_._3).sum === 3000000L)
   }
 
+  test("saxSymbols: a ramp spells the full alphabet; constants are uniform; short series collapse ranks") {
+    import graft.operators.Timeseries
+    val ramp = (1 to 16).map(i => ("k", i, i.toDouble)).toDF("k", "i", "v")
+    val out = Timeseries.saxSymbols(ramp, "k", Seq(col("i")), col("v"),
+        buckets = 4, alphabet = 4)
+      .collect().map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3))).toMap
+    // PAA means 2.5/6.5/10.5/14.5 in micro-units; quartile breakpoints at
+    // values 4, 8, 12 -> symbols 0,1,2,3
+    assert(out === Map(0L -> (25000L, 0L), 1L -> (65000L, 1L),
+      2L -> (105000L, 2L), 3L -> (145000L, 3L)), s"ramp SAX: $out")
+
+    val const = (1 to 8).map(i => ("c", i, 5.0)).toDF("k", "i", "v")
+    val c = Timeseries.saxSymbols(const, "k", Seq(col("i")), col("v"),
+        buckets = 4, alphabet = 4)
+      .collect().map(r => (r.getLong(2), r.getLong(3))).toSet
+    assert(c === Set((50000L, 3L)),
+      s"constant: all three (equal) breakpoints sit <= the mean everywhere: $c")
+
+    // n=2 with alphabet 4: quartile ranks 1,1,2 collapse to two breakpoints
+    val short = Seq(("s", 1, 1.0), ("s", 2, 9.0)).toDF("k", "i", "v")
+    val sh = Timeseries.saxSymbols(short, "k", Seq(col("i")), col("v"),
+        buckets = 2, alphabet = 4)
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    assert(sh === Map(0L -> 1L, 1L -> 2L),
+      s"collapsed ranks: low point clears one breakpoint, high point both: $sh")
+  }
+
   test("winsorizedStatsApprox: sketch boundaries track the exact form within rank tolerance") {
     val ev = Tables.events(spark, sf)
     val exact = Analytics.winsorizedStats(ev, Seq(col("event_type")), col("value"))
