@@ -767,6 +767,23 @@ object SparkEntry {
         .orderBy(col("user_id"), col("bucket"))
     }),
 
+    // SAX word census: each user's 8-symbol SAX word (segments in order)
+    // counted across the population — the motif table ("how many users
+    // share this activity shape"). Composition over events_sax; the word
+    // assembles from an ORDERED collect, deterministic on both engines.
+    "events_sax_words" -> ((s, dir) => {
+      Timeseries.saxSymbols(events(s, dir), "user_id",
+          Seq(unix_micros(col("ts")), col("event_id")), col("value"),
+          buckets = 8, alphabet = 4)
+        .groupBy(col("user_id"))
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("bucket"), col("symbol")))),
+          x => x.getField("symbol").cast("string")), "").as("sax_word"))
+        .groupBy(col("sax_word"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("sax_word"))
+    }),
+
     // Multi-touch attribution census: which event types earn conversion
     // credit under first-touch / last-touch / linear models at once.
     // Exact integer ppm — the last touch absorbs the split remainder, so
@@ -4937,6 +4954,41 @@ object SparkEntry {
         |FROM pa LEFT JOIN bp ON pa.k = bp.k
         |GROUP BY 1, 2, 3
         |ORDER BY user_id, bucket""".stripMargin,
+
+    "events_sax_words" ->
+      """WITH e AS (
+        |  SELECT user_id AS k, epoch_ns(ts) // 1000 AS ts_us, event_id,
+        |         CAST(round(value * 10000, 0) AS BIGINT) AS v
+        |  FROM events),
+        |r AS (
+        |  SELECT k, v,
+        |         row_number() OVER (PARTITION BY k
+        |                            ORDER BY ts_us, event_id) AS rn,
+        |         row_number() OVER (PARTITION BY k
+        |                            ORDER BY v, ts_us, event_id) AS rv,
+        |         count(*) OVER (PARTITION BY k) AS n
+        |  FROM e),
+        |paa AS (
+        |  SELECT k, ((rn - 1) * 8) // n AS b,
+        |         count(*)::BIGINT AS c, sum(v)::BIGINT AS s
+        |  FROM r GROUP BY 1, 2),
+        |pa AS (SELECT k, b, (s * 2 + c) // (c * 2) AS paa_u FROM paa),
+        |bp AS (
+        |  SELECT k, v AS bpv FROM r
+        |  WHERE rv = (n * 1 + 3) // 4 OR rv = (n * 2 + 3) // 4
+        |     OR rv = (n * 3 + 3) // 4),
+        |sym AS (
+        |  SELECT pa.k, pa.b,
+        |         sum(CASE WHEN bp.bpv <= pa.paa_u THEN 1 ELSE 0 END)::BIGINT
+        |           AS symbol
+        |  FROM pa LEFT JOIN bp ON pa.k = bp.k
+        |  GROUP BY 1, 2),
+        |words AS (
+        |  SELECT k, string_agg(symbol::VARCHAR, '' ORDER BY b) AS sax_word
+        |  FROM sym GROUP BY k)
+        |SELECT sax_word, count(*)::BIGINT AS n_users
+        |FROM words GROUP BY 1
+        |ORDER BY sax_word""".stripMargin,
 
     "events_attribution" ->
       """WITH e AS (
