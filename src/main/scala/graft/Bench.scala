@@ -111,8 +111,13 @@ object Bench {
     val externalMid = externalCpuLoad()
     System.gc()
     val pass2 = timedPass().toMap
+    // sampled again AFTER pass 2: a workload starting mid-pass-2 would
+    // otherwise inflate its times with contended=false and no third pass —
+    // exactly the blind spot that cost r10/r12 a triage round each
+    val externalEnd = externalCpuLoad()
     val contended =
-      loadPre > contentionThreshold || externalMid > contentionThreshold
+      loadPre > contentionThreshold || externalMid > contentionThreshold ||
+        externalEnd > contentionThreshold
     // A contended session gets a third pass: by the time it runs the
     // competing workload has often drained (sbt test sessions, compactions),
     // and min-of-3 then recovers the idle number instead of recording a
@@ -144,7 +149,7 @@ object Bench {
       val total = results.map(_._2).sum // total always covers ALL queries
       val loadFields =
         s""","load_pre":${fmt(loadPre)},"load_post":${fmt(loadPost)}""" +
-          s""","external_mid":${fmt(externalMid)},"contended":$contended""" +
+          s""","external_mid":${fmt(externalMid)},"external_end":${fmt(externalEnd)},"contended":$contended""" +
           s""","passes":${if (contended) 3 else 2}"""
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$om$fl$loadFields,"sf":"$sfDir"}"""
     }

@@ -3295,7 +3295,7 @@ object SparkEntry {
     "events_rolling_median" ->
       """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, event_id,
         |                  CAST(round(value * 10000, 0) AS BIGINT) AS vu
-        |           FROM events),
+        |           FROM events WHERE value IS NOT NULL),
         |f AS (SELECT user_id, vu,
         |        row_number() OVER w AS i,
         |        list(vu) OVER (w ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS arr
@@ -5326,11 +5326,13 @@ object SparkEntry {
         |  WINDOW w AS (PARTITION BY event_type ORDER BY ts_us, event_id)),
         |p AS (
         |  SELECT event_type, 1 AS lag, x::HUGEINT AS x, y1::HUGEINT AS y
-        |  FROM l WHERE y1 IS NOT NULL
+        |  FROM l WHERE y1 IS NOT NULL AND x IS NOT NULL
         |  UNION ALL
-        |  SELECT event_type, 2, x::HUGEINT, y2::HUGEINT FROM l WHERE y2 IS NOT NULL
+        |  SELECT event_type, 2, x::HUGEINT, y2::HUGEINT FROM l
+        |  WHERE y2 IS NOT NULL AND x IS NOT NULL
         |  UNION ALL
-        |  SELECT event_type, 3, x::HUGEINT, y3::HUGEINT FROM l WHERE y3 IS NOT NULL),
+        |  SELECT event_type, 3, x::HUGEINT, y3::HUGEINT FROM l
+        |  WHERE y3 IS NOT NULL AND x IS NOT NULL),
         |a AS (
         |  SELECT event_type, lag, count(*)::HUGEINT AS n,
         |         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,

@@ -204,7 +204,12 @@ object Analytics {
       "rollingMadCensus: frameRows odd >= 3, k >= 1")
     val mid = (frameRows + 1) / 2 // 1-based lower-median index
     val vu = round(value * 10000, 0).cast("long")
+    // null observations are skipped up front (mirrored in the oracle):
+    // Spark's collect_list drops nulls from the frame while DuckDB's
+    // list() keeps them — filtering first gives both engines the same
+    // frame contents
     val base = df.select(col(keyCol), struct(orderCols: _*).as("__ord0"), vu.as("__vu"))
+      .filter(col("__vu").isNotNull)
     val wOrd = Window.partitionBy(col(keyCol)).orderBy(col("__ord0"))
     val wFrame = wOrd.rowsBetween(-(frameRows - 1), Window.currentRow)
     val withArr = base
@@ -581,7 +586,9 @@ object Analytics {
       .withColumn("__ys", array(lags.map(l => lead(col("__x"), l).over(w)): _*))
       .select(col(keyCol), col("__x"),
         posexplode(col("__ys")).as(Seq("__p", "__y")))
-      .filter(col("__y").isNotNull)
+      // both sides of the pair must exist: a null value row would inflate
+      // the pair count while the moment sums skipped it
+      .filter(col("__y").isNotNull && col("__x").isNotNull)
       .withColumn("lag", element_at(array(lags.map(l => lit(l)): _*), col("__p") + 1))
     val x = col("__x").cast(dec)
     val y = col("__y").cast(dec)
@@ -976,7 +983,9 @@ object Analytics {
     def trail(k: Int) = wt.rowsBetween(-(k - 1), Window.currentRow)
     val n = count(lit(1)).over(wk)
     val s = sum(col("__v")).over(wk).cast(dec)
-    val q = sum((col("__v") * col("__v")).cast(dec)).over(wk)
+    // square in DECIMAL: a Long square wraps silently past |v| ~ 3e9 cents
+    // while the oracle's HUGEINT product stays exact
+    val q = sum(col("__v").cast(dec) * col("__v").cast(dec)).over(wk)
     val withStats = base
       .withColumn("__n", n)
       .withColumn("__dev", col("__v").cast(dec) * col("__n") - s)
@@ -1031,6 +1040,9 @@ object Analytics {
       df: DataFrame,
       groupCol: Column,
       value: Column): DataFrame = {
+    // pinned for its three downstream reads (totals / corpus grid / probe
+    // join); released by the ContextCleaner when the plan is dropped — the
+    // result is lazy, so an in-function unpersist would fire too early
     val counts = df.select(groupCol.as("__g"), value.cast("long").as("__v"))
       .groupBy(col("__g"), col("__v")).agg(count(lit(1)).as("__c"))
       .persist()
@@ -1136,6 +1148,8 @@ object Analytics {
     val dec = "decimal(38,0)"
     def ppm(num: Column, den: Column): Column =
       intDiv(num * 2000000L + den, den * 2).cast("long")
+    // pinned for the self-join's two sides + marginals; ContextCleaner
+    // reclaims (the lazy result outlives this function, like triangleCount)
     val b = df.select(basketCol.as("__bk"), itemCol.as("__it")).distinct().persist()
     val nBaskets = b.agg(countDistinct(col("__bk")).cast(dec).as("__N"))
     val itemN = b.groupBy(col("__it")).agg(count(lit(1)).cast(dec).as("__ni"))

@@ -324,6 +324,12 @@ object Incremental {
       completeVersions(spark, path).sorted(Ordering[Long].reverse).find { v =>
         val marker = new Path(s"$path/v=$v", BatchMarker)
         fs.exists(marker) && readSmallFile(fs, marker).trim == id
+      }.orElse {
+        // the version that folded this id may have been pruned — its id
+        // lives on in the ledger; the delta is already part of every
+        // surviving state, so answer with the newest one
+        if (ledgerIds(fs, path).contains(id)) latestVersion(spark, path)
+        else None
       }
     }
     alreadyFolded.getOrElse {
@@ -354,12 +360,32 @@ object Incremental {
     * `keep` states intact and readable. Incomplete directories (a
     * concurrent/crashed writer's tip, stale `.tmp-v=` dirs) are never
     * touched — they are invisible to readers and owned by the next
-    * `maintain`. Returns the deleted version numbers.
+    * `maintain`. Pruned versions' `_BATCH` ids are moved into the
+    * `_BATCH_HISTORY` ledger first, so [[maintain]]'s at-least-once
+    * dedup keeps rejecting a late retry of a batch whose folding version
+    * no longer exists. Returns the deleted version numbers.
     */
   def pruneVersions(spark: SparkSession, path: String, keep: Int): Seq[Long] = {
     require(keep >= 1, s"pruneVersions: keep must be >= 1, got $keep")
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val victims = completeVersions(spark, path).sorted.dropRight(keep)
+    // a victim's _BATCH marker dies with its directory, which would let a
+    // late at-least-once retry of that batch refold and double-count —
+    // move the ids into the ledger BEFORE deleting (crash between the two
+    // steps leaves duplicates, which are harmless)
+    val prunedIds = victims.flatMap { v =>
+      val marker = new Path(s"$path/v=$v", BatchMarker)
+      if (fs.exists(marker)) Some(readSmallFile(fs, marker).trim) else None
+    }
+    if (prunedIds.nonEmpty) {
+      val all = (ledgerIds(fs, path) ++ prunedIds).distinct
+      val tmp = new Path(path, s".tmp-$BatchLedger")
+      val out = fs.create(tmp, true)
+      try out.write(all.mkString("\n").getBytes("UTF-8")) finally out.close()
+      val dest = new Path(path, BatchLedger)
+      if (fs.exists(dest)) fs.delete(dest, false)
+      require(fs.rename(tmp, dest), s"pruneVersions: ledger rename failed")
+    }
     victims.foreach(v => fs.delete(new Path(s"$path/v=$v"), true))
     victims
   }
@@ -369,7 +395,15 @@ object Incremental {
     latestVersion(spark, path).map(v => spark.read.parquet(s"$path/v=$v"))
 
   private val BatchMarker = "_BATCH"
+  private val BatchLedger = "_BATCH_HISTORY"
   private val TmpPrefix = ".tmp-v="
+
+  /** Batch ids whose folding version has been pruned (one id per line). */
+  private def ledgerIds(fs: org.apache.hadoop.fs.FileSystem, path: String): Seq[String] = {
+    val p = new Path(path, BatchLedger)
+    if (!fs.exists(p)) Seq.empty
+    else readSmallFile(fs, p).split("\n").map(_.trim).filter(_.nonEmpty).toSeq
+  }
 
   private def readSmallFile(fs: org.apache.hadoop.fs.FileSystem, p: Path): String = {
     val in = fs.open(p)

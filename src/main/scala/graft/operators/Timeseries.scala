@@ -388,7 +388,10 @@ object Timeseries {
     * variant and makes the whole transform bit-exact. Symbol = how many
     * breakpoints lie ≤ the segment mean; coinciding quantile ranks
     * collapse (deterministically, both engines), so short series may skip
-    * symbol levels.
+    * symbol levels. `value` must quantize NON-NEGATIVE (the family's
+    * round-half-up integral division contract — a negative segment sum
+    * would floor on DuckDB but truncate on Spark); shift a signed series
+    * before discretizing.
     *
     * Output: (key, bucket, paa_u — micro-unit mean, symbol). Scale: two
     * window passes over one key shuffle (time rank + value rank), a PAA

@@ -161,6 +161,27 @@ class IncrementalSuite extends AnyFunSuite {
     assert(Incremental.pruneVersions(spark, path, keep = 2) === Seq.empty)
   }
 
+  test("pruneVersions moves _BATCH ids to the ledger: a late retry of a pruned batch cannot refold") {
+    val path = Files.createTempDirectory("graft-incr-ledger").toString + "/state"
+    val deltas = (0 until 4).map(i => rows(150, offset = i * 150))
+    deltas.zipWithIndex.foreach { case (d, i) =>
+      Incremental.maintain(spark, path, KeyNames, st(d), Some(s"b$i"))
+    }
+    assert(Incremental.pruneVersions(spark, path, keep = 1) === Seq(0L, 1L, 2L))
+    val before = finished(Incremental.latestState(spark, path).get)
+    // b0's folding version is gone — without the ledger this would refold
+    val v = Incremental.maintain(spark, path, KeyNames, st(deltas(0)), Some("b0"))
+    assert(v === 3L, "a pruned-but-folded batchId must answer with the newest version")
+    assert(finished(Incremental.latestState(spark, path).get) === before,
+      "…and must not touch the state")
+    // fresh work still advances, and a second prune keeps the ledger intact
+    assert(Incremental.maintain(spark, path, KeyNames,
+      st(rows(60, offset = 600)), Some("b4")) === 4L)
+    Incremental.pruneVersions(spark, path, keep = 1)
+    assert(Incremental.maintain(spark, path, KeyNames, st(deltas(1)), Some("b1")) === 4L,
+      "ledger survives re-pruning (b1 still refused)")
+  }
+
   test("top-k state: merged folds equal the one-shot recompute, bit-exactly") {
     val a = rows(500)
     val b = rows(400, offset = 500)
