@@ -376,6 +376,19 @@ object Timeseries {
           .cast("long"))
   }
 
+  /** [[dwellCensus]]'s aggregation tail over PRE-SEGMENTED stints — the
+    * serving step for [[graft.streaming.StreamingDwell]]'s emitted
+    * segments (state label + duration per stint), producing the identical
+    * (state, n_stints, total_us, mean_us) census.
+    */
+  def dwellCensusFromStints(df: DataFrame, state: Column, durUs: Column): DataFrame =
+    df.select(state.as("state"), durUs.as("__dur"))
+      .groupBy(col("state"))
+      .agg(count(lit(1)).as("n_stints"), sum(col("__dur")).as("total_us"))
+      .withColumn("mean_us",
+        intDiv(col("total_us") * 2 + col("n_stints"), col("n_stints") * 2)
+          .cast("long"))
+
   /** SAX symbolic discretization (Lin et al. 2003) per key — the
     * time-series-to-word transform behind motif mining and cheap series
     * similarity: the series splits into `buckets` equal PAA segments

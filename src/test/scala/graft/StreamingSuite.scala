@@ -935,6 +935,42 @@ class StreamingSuite extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dwell stints reproduce the batch census across a batch split") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    import graft.streaming.StreamingDwell
+    implicit val sqlCtx = spark.sqlContext
+    val obs = Seq(
+      StreamingDwell.Obs("u1", 0L, "a"), StreamingDwell.Obs("u1", 10L, "b"),
+      StreamingDwell.Obs("u1", 15L, "a"), StreamingDwell.Obs("u1", 40L, "c"),
+      StreamingDwell.Obs("u2", 100L, "a"), StreamingDwell.Obs("u2", 103L, "b"))
+    val input = MemoryStream[StreamingDwell.Obs]
+    val q = StreamingDwell.stints(input.toDS())
+      .writeStream.format("memory").queryName("graft_dwell")
+      .outputMode("append").start()
+    try {
+      // split so both users hold an open stint across the boundary
+      val (first, second) = obs.partition(_.ts_us <= 12)
+      input.addData(first)
+      q.processAllAvailable()
+      input.addData(second)
+      q.processAllAvailable()
+      val streamed = graft.operators.Timeseries
+        .dwellCensusFromStints(spark.table("graft_dwell"),
+          col("state"), col("dur_us"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      val batch = graft.operators.Timeseries.dwellCensus(
+          obs.toDF("k", "ts_us", "st"), "k", Seq(col("ts_us"), col("st")),
+          col("ts_us"), col("st"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      assert(streamed === batch,
+        s"streamed stints must reproduce the batch dwell census: $streamed vs $batch")
+      assert(batch("a") === ((3L, 38L, 13L)),
+        "a: stints 10 + 25 + 3, mean 38/3 rounds half-up to 13")
+    } finally q.stop()
+  }
+
   test("streaming SPC against frozen limits reproduces the batch census rule for rule") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions.{col, lit, sum, when, count}
