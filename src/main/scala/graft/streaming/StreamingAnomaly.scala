@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.Dataset
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.functions.{col, timestamp_seconds}
 
 /** Streaming analogue of [[graft.operators.Timeseries.rollingAnomalies]]:
   * per-key z-score flags over a trailing event-time window, maintained as
@@ -32,34 +32,38 @@ object StreamingAnomaly {
   case class Flag(key: String, ts_s: Long, v: Double, n_window: Long, is_anomaly: Boolean)
   case class Ring(obs: List[(Long, Double)])
 
+  /** @param maxIdleMs optional event-time state TTL (see [[TwinRunner]]):
+    *                   a key idle past the horizon is evicted; its ring
+    *                   re-fills cold on return.
+    */
   def flags(
       ds: Dataset[Obs],
       windowSeconds: Long,
       z: Double,
-      minN: Int = 10): Dataset[Flag] = {
+      minN: Int = 10,
+      maxIdleMs: Option[Long] = None): Dataset[Flag] = {
     require(windowSeconds > 0 && z > 0, "streaming anomalies: windowSeconds and z must be positive")
     import ds.sparkSession.implicits._
-    ds.groupByKey(_.key)
-      .flatMapGroupsWithState[Ring, Flag](OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (key: String, it: Iterator[Obs], state: GroupState[Ring]) =>
-          var ring = state.getOption.map(_.obs).getOrElse(Nil)
-          val out = Seq.newBuilder[Flag]
-          it.toSeq.sortBy(o => (o.ts_s, o.v)).foreach { o =>
-            ring = ((o.ts_s, o.v) :: ring).filter(_._1 >= o.ts_s - windowSeconds)
-            val n = ring.size
-            val anomaly = n >= minN && {
-              // two-pass mean/centered variance over the small ring: the
-              // numerically stable formulation, matching stddev_samp
-              val mean = ring.iterator.map(_._2).sum / n
-              val variance =
-                ring.iterator.map(t => (t._2 - mean) * (t._2 - mean)).sum / (n - 1)
-              val std = math.sqrt(variance)
-              std > 0 && math.abs(o.v - mean) > std * z
-            }
-            out += Flag(key, o.ts_s, o.v, n.toLong, anomaly)
+    TwinRunner.run[Obs, Ring, Flag](
+        ds, _.key, timestamp_seconds(col("ts_s")), _.ts_s * 1000L, maxIdleMs) {
+      (key, events, prior) =>
+        var ring = prior.map(_.obs).getOrElse(Nil)
+        val out = Seq.newBuilder[Flag]
+        events.sortBy(o => (o.ts_s, o.v)).foreach { o =>
+          ring = ((o.ts_s, o.v) :: ring).filter(_._1 >= o.ts_s - windowSeconds)
+          val n = ring.size
+          val anomaly = n >= minN && {
+            // two-pass mean/centered variance over the small ring: the
+            // numerically stable formulation, matching stddev_samp
+            val mean = ring.iterator.map(_._2).sum / n
+            val variance =
+              ring.iterator.map(t => (t._2 - mean) * (t._2 - mean)).sum / (n - 1)
+            val std = math.sqrt(variance)
+            std > 0 && math.abs(o.v - mean) > std * z
           }
-          state.update(Ring(ring))
-          out.result().iterator
-      }
+          out += Flag(key, o.ts_s, o.v, n.toLong, anomaly)
+        }
+        (out.result(), Some(Ring(ring)))
+    }
   }
 }

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.Dataset
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.functions.{col, timestamp_seconds}
 
 /** Streaming analogue of [[graft.operators.Analytics.bollingerCensus]]:
   * the rolling mean ± k·σ band monitor as per-key
@@ -34,33 +34,38 @@ object StreamingBollinger {
   case class Flag(key: String, ts_s: Long, i: Long, vu: Long, breach: Boolean)
   case class RingState(i: Long, ring: Seq[Long])
 
-  def flags(ds: Dataset[Obs], frameRows: Int, k: Int = 2): Dataset[Flag] = {
+  /** @param maxIdleMs optional event-time state TTL (see [[TwinRunner]]):
+    *                   an evicted key's frame re-fills cold on return (no
+    *                   flags until full again — the batch contract for a
+    *                   fresh key).
+    */
+  def flags(ds: Dataset[Obs], frameRows: Int, k: Int = 2,
+      maxIdleMs: Option[Long] = None): Dataset[Flag] = {
     require(frameRows >= 2 && k >= 1, "streaming bollinger: frameRows >= 2, k >= 1")
     import ds.sparkSession.implicits._
     val n = frameRows.toLong
     val k2 = k.toLong * k
-    ds.groupByKey(_.key)
-      .flatMapGroupsWithState[RingState, Flag](OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (key: String, it: Iterator[Obs], state: GroupState[RingState]) =>
-          var st = state.getOption.getOrElse(RingState(0L, Vector.empty))
-          val out = Seq.newBuilder[Flag]
-          it.toSeq.sortBy(o => (o.ts_s, o.v)).foreach { o =>
-            val vu = java.math.BigDecimal.valueOf(o.v * 10000)
-              .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
-            val window = (st.ring :+ vu).takeRight(frameRows)
-            val i1 = st.i + 1
-            if (window.length == frameRows) {
-              var sx = 0L
-              var sxx = 0L
-              window.foreach { x => sx += x; sxx += x * x }
-              val dev = vu * n - sx
-              val breach = dev * dev * (n - 1) > k2 * n * (n * sxx - sx * sx)
-              out += Flag(key, o.ts_s, i1, vu, breach)
-            }
-            st = RingState(i1, window.takeRight(frameRows - 1))
+    TwinRunner.run[Obs, RingState, Flag](
+        ds, _.key, timestamp_seconds(col("ts_s")), _.ts_s * 1000L, maxIdleMs) {
+      (key, events, prior) =>
+        var st = prior.getOrElse(RingState(0L, Vector.empty))
+        val out = Seq.newBuilder[Flag]
+        events.sortBy(o => (o.ts_s, o.v)).foreach { o =>
+          val vu = java.math.BigDecimal.valueOf(o.v * 10000)
+            .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+          val window = (st.ring :+ vu).takeRight(frameRows)
+          val i1 = st.i + 1
+          if (window.length == frameRows) {
+            var sx = 0L
+            var sxx = 0L
+            window.foreach { x => sx += x; sxx += x * x }
+            val dev = vu * n - sx
+            val breach = dev * dev * (n - 1) > k2 * n * (n * sxx - sx * sx)
+            out += Flag(key, o.ts_s, i1, vu, breach)
           }
-          state.update(st)
-          out.result().iterator
-      }
+          st = RingState(i1, window.takeRight(frameRows - 1))
+        }
+        (out.result(), Some(st))
+    }
   }
 }

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.Dataset
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.functions.{col, timestamp_seconds}
 
 /** Streaming analogue of [[graft.operators.Analytics.cusumCensus]]: the
   * ONLINE (tabular) CUSUM drift detector (Page 1954) as per-key
@@ -37,33 +37,38 @@ object StreamingCusum {
       s_pos: Double, s_neg: Double, alarm: Boolean)
   case class CusumState(n: Long, mean: Double, sPos: Double, sNeg: Double)
 
+  /** @param maxIdleMs optional event-time state TTL (see [[TwinRunner]]):
+    *                   an evicted key restarts its running-mean baseline
+    *                   cold on return (first post-eviction row never
+    *                   alarms, like any fresh key).
+    */
   def alarms(
       ds: Dataset[Obs],
       threshold: Double,
-      slack: Double = 0.0): Dataset[Alarm] = {
+      slack: Double = 0.0,
+      maxIdleMs: Option[Long] = None): Dataset[Alarm] = {
     require(threshold > 0 && slack >= 0, "streaming cusum: threshold > 0, slack >= 0")
     import ds.sparkSession.implicits._
-    ds.groupByKey(_.key)
-      .flatMapGroupsWithState[CusumState, Alarm](OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (key: String, it: Iterator[Obs], state: GroupState[CusumState]) =>
-          var st = state.getOption.getOrElse(CusumState(0L, 0.0, 0.0, 0.0))
-          val out = Seq.newBuilder[Alarm]
-          it.toSeq.sortBy(o => (o.ts_s, o.v)).foreach { o =>
-            val (sPos, sNeg) =
-              if (st.n == 0) (0.0, 0.0) // no baseline yet — never alarms
-              else (
-                math.max(0.0, st.sPos + (o.v - st.mean - slack)),
-                math.max(0.0, st.sNeg + (st.mean - o.v - slack)))
-            val alarm = st.n > 0 && (sPos > threshold || sNeg > threshold)
-            val n1 = st.n + 1
-            val mean1 = st.mean + (o.v - st.mean) / n1
-            st =
-              if (alarm) CusumState(n1, mean1, 0.0, 0.0) // restart after a hit
-              else CusumState(n1, mean1, sPos, sNeg)
-            out += Alarm(key, o.ts_s, o.v, n1, sPos, sNeg, alarm)
-          }
-          state.update(st)
-          out.result().iterator
-      }
+    TwinRunner.run[Obs, CusumState, Alarm](
+        ds, _.key, timestamp_seconds(col("ts_s")), _.ts_s * 1000L, maxIdleMs) {
+      (key, events, prior) =>
+        var st = prior.getOrElse(CusumState(0L, 0.0, 0.0, 0.0))
+        val out = Seq.newBuilder[Alarm]
+        events.sortBy(o => (o.ts_s, o.v)).foreach { o =>
+          val (sPos, sNeg) =
+            if (st.n == 0) (0.0, 0.0) // no baseline yet — never alarms
+            else (
+              math.max(0.0, st.sPos + (o.v - st.mean - slack)),
+              math.max(0.0, st.sNeg + (st.mean - o.v - slack)))
+          val alarm = st.n > 0 && (sPos > threshold || sNeg > threshold)
+          val n1 = st.n + 1
+          val mean1 = st.mean + (o.v - st.mean) / n1
+          st =
+            if (alarm) CusumState(n1, mean1, 0.0, 0.0) // restart after a hit
+            else CusumState(n1, mean1, sPos, sNeg)
+          out += Alarm(key, o.ts_s, o.v, n1, sPos, sNeg, alarm)
+        }
+        (out.result(), Some(st))
+    }
   }
 }

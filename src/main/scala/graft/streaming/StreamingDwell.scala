@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.Dataset
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.functions.{col, timestamp_micros}
 
 /** Streaming analogue of [[graft.operators.Timeseries.dwellCensus]]'s
   * segmentation — [[StreamingTwap]]'s holds-until-next state applied to a
@@ -11,30 +11,45 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * emitted (state, duration) stints are identical to the batch
   * segmentation whatever the micro-batch cuts, so a census aggregated
   * from them reproduces `dwellCensus` bit-for-bit (spec-pinned). All
-  * integer epoch-µs; arrivals within a batch process in (ts, state)
-  * order, the batch order-column contract.
+  * integer epoch-µs.
+  *
+  * Ordering contract: arrivals within a batch process in (ts_us, seq)
+  * order — `seq` is the batch census's tie-break column (the wired
+  * `events_dwell` orders by (ts, event_id)), so equal-timestamp events
+  * segment identically to the batch operator. Cross-batch LATE arrivals
+  * (event time before the key's open observation) are DROPPED, not
+  * spliced — the documented at-arrival delta every twin shares, and the
+  * guarantee that emitted durations are never negative.
   */
 object StreamingDwell {
 
-  case class Obs(key: String, ts_us: Long, state: String)
+  case class Obs(key: String, ts_us: Long, seq: Long, state: String)
   case class Stint(key: String, ts_us: Long, state: String, dur_us: Long)
   case class Open(ts_us: Long, state: String)
 
-  def stints(ds: Dataset[Obs]): Dataset[Stint] = {
+  /** @param maxIdleMs optional event-time state TTL (see [[TwinRunner]]):
+    *                   an evicted key's open stint dies unpublished —
+    *                   exactly the batch lead() drop of a key's final
+    *                   observation.
+    */
+  def stints(ds: Dataset[Obs], maxIdleMs: Option[Long] = None): Dataset[Stint] = {
     import ds.sparkSession.implicits._
-    ds.groupByKey(_.key)
-      .flatMapGroupsWithState[Open, Stint](OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (key: String, it: Iterator[Obs], state: GroupState[Open]) =>
-          var open = state.getOption
-          val out = Seq.newBuilder[Stint]
-          it.toSeq.sortBy(o => (o.ts_us, o.state)).foreach { o =>
-            open.foreach { p =>
-              out += Stint(key, p.ts_us, p.state, o.ts_us - p.ts_us)
-            }
-            open = Some(Open(o.ts_us, o.state))
+    TwinRunner.run[Obs, Open, Stint](
+        ds, _.key, timestamp_micros(col("ts_us")), _.ts_us / 1000L, maxIdleMs) {
+      (key, events, prior) =>
+        var open = prior
+        val out = Seq.newBuilder[Stint]
+        events.sortBy(o => (o.ts_us, o.seq)).foreach { o =>
+          open match {
+            case Some(p) if o.ts_us < p.ts_us => // late: drop, never splice
+            case _ =>
+              open.foreach { p =>
+                out += Stint(key, p.ts_us, p.state, o.ts_us - p.ts_us)
+              }
+              open = Some(Open(o.ts_us, o.state))
           }
-          open.foreach(state.update)
-          out.result().iterator
-      }
+        }
+        (out.result(), open)
+    }
   }
 }

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.Dataset
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.functions.{col, timestamp_seconds}
 
 /** Streaming analogue of [[graft.operators.Analytics.ewma]]: bounded-horizon
   * exponential smoothing as per-key `flatMapGroupsWithState` state. The
@@ -29,39 +29,44 @@ object StreamingEwma {
   case class Smoothed(key: String, ts_s: Long, i: Long, ewma: Double)
   case class RingState(i: Long, ring: Seq[Long])
 
-  def smooth(ds: Dataset[Obs], alpha: Double, horizon: Int = 8): Dataset[Smoothed] = {
+  /** @param maxIdleMs optional event-time state TTL (see [[TwinRunner]]):
+    *                   an evicted key restarts its smoothing window cold
+    *                   on return (first values average the shorter
+    *                   frame, like any fresh key).
+    */
+  def smooth(ds: Dataset[Obs], alpha: Double, horizon: Int = 8,
+      maxIdleMs: Option[Long] = None): Dataset[Smoothed] = {
     require(alpha > 0 && alpha < 1, s"alpha in (0,1), got $alpha")
     require(horizon >= 1, s"horizon >= 1, got $horizon")
     import ds.sparkSession.implicits._
     // same weight doubles as the batch column's lit(math.pow(1 - alpha, j))
     val weights = (0 until horizon).map(j => math.pow(1 - alpha, j)).toArray
-    ds.groupByKey(_.key)
-      .flatMapGroupsWithState[RingState, Smoothed](OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (key: String, it: Iterator[Obs], state: GroupState[RingState]) =>
-          var st = state.getOption.getOrElse(RingState(0L, Vector.empty))
-          val out = Seq.newBuilder[Smoothed]
-          it.toSeq.sortBy(o => (o.ts_s, o.v)).foreach { o =>
-            val vu = java.math.BigDecimal.valueOf(o.v * 10000)
-              .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
-            val window = (st.ring :+ vu).takeRight(horizon) // oldest..newest
-            // ascending j = newest..oldest, exactly the batch lag(x, j) terms
-            var num = 0.0
-            var den = 0.0
-            var j = 0
-            while (j < window.length) {
-              val w = weights(j)
-              num += w * window(window.length - 1 - j)
-              den += w
-              j += 1
-            }
-            val e = java.math.BigDecimal.valueOf(num / den / 10000.0)
-              .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
-            val i1 = st.i + 1
-            out += Smoothed(key, o.ts_s, i1, e)
-            st = RingState(i1, window.takeRight(horizon - 1))
+    TwinRunner.run[Obs, RingState, Smoothed](
+        ds, _.key, timestamp_seconds(col("ts_s")), _.ts_s * 1000L, maxIdleMs) {
+      (key, events, prior) =>
+        var st = prior.getOrElse(RingState(0L, Vector.empty))
+        val out = Seq.newBuilder[Smoothed]
+        events.sortBy(o => (o.ts_s, o.v)).foreach { o =>
+          val vu = java.math.BigDecimal.valueOf(o.v * 10000)
+            .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+          val window = (st.ring :+ vu).takeRight(horizon) // oldest..newest
+          // ascending j = newest..oldest, exactly the batch lag(x, j) terms
+          var num = 0.0
+          var den = 0.0
+          var j = 0
+          while (j < window.length) {
+            val w = weights(j)
+            num += w * window(window.length - 1 - j)
+            den += w
+            j += 1
           }
-          state.update(st)
-          out.result().iterator
-      }
+          val e = java.math.BigDecimal.valueOf(num / den / 10000.0)
+            .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+          val i1 = st.i + 1
+          out += Smoothed(key, o.ts_s, i1, e)
+          st = RingState(i1, window.takeRight(horizon - 1))
+        }
+        (out.result(), Some(st))
+    }
   }
 }

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.Dataset
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.functions.{col, timestamp_seconds}
 
 /** Streaming analogue of [[graft.operators.Analytics.rollingMadCensus]]:
   * the rolling median/MAD robust-outlier monitor as per-key
@@ -28,32 +28,36 @@ object StreamingRollingMedian {
   case class Flag(key: String, ts_s: Long, i: Long, vu: Long, outlier: Boolean)
   case class RingState(i: Long, ring: Seq[Long])
 
-  def flags(ds: Dataset[Obs], frameRows: Int, k: Int = 3): Dataset[Flag] = {
+  /** @param maxIdleMs optional event-time state TTL (see [[TwinRunner]]):
+    *                   an evicted key's frame re-fills cold on return (no
+    *                   flags until full again).
+    */
+  def flags(ds: Dataset[Obs], frameRows: Int, k: Int = 3,
+      maxIdleMs: Option[Long] = None): Dataset[Flag] = {
     require(frameRows >= 3 && frameRows % 2 == 1 && k >= 1,
       "streaming rolling median: frameRows odd >= 3, k >= 1")
     import ds.sparkSession.implicits._
     val mid = (frameRows - 1) / 2 // 0-based lower-median index
-    ds.groupByKey(_.key)
-      .flatMapGroupsWithState[RingState, Flag](OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (key: String, it: Iterator[Obs], state: GroupState[RingState]) =>
-          var st = state.getOption.getOrElse(RingState(0L, Vector.empty))
-          val out = Seq.newBuilder[Flag]
-          it.toSeq.sortBy(o => (o.ts_s, o.v)).foreach { o =>
-            val vu = java.math.BigDecimal.valueOf(o.v * 10000)
-              .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
-            val window = (st.ring :+ vu).takeRight(frameRows)
-            val i1 = st.i + 1
-            if (window.length == frameRows) {
-              val sorted = window.sorted
-              val med = sorted(mid)
-              val mad = window.map(x => math.abs(x - med)).sorted.apply(mid)
-              val outlier = math.abs(vu - med) > k.toLong * mad
-              out += Flag(key, o.ts_s, i1, vu, outlier)
-            }
-            st = RingState(i1, window.takeRight(frameRows - 1))
+    TwinRunner.run[Obs, RingState, Flag](
+        ds, _.key, timestamp_seconds(col("ts_s")), _.ts_s * 1000L, maxIdleMs) {
+      (key, events, prior) =>
+        var st = prior.getOrElse(RingState(0L, Vector.empty))
+        val out = Seq.newBuilder[Flag]
+        events.sortBy(o => (o.ts_s, o.v)).foreach { o =>
+          val vu = java.math.BigDecimal.valueOf(o.v * 10000)
+            .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+          val window = (st.ring :+ vu).takeRight(frameRows)
+          val i1 = st.i + 1
+          if (window.length == frameRows) {
+            val sorted = window.sorted
+            val med = sorted(mid)
+            val mad = window.map(x => math.abs(x - med)).sorted.apply(mid)
+            val outlier = math.abs(vu - med) > k.toLong * mad
+            out += Flag(key, o.ts_s, i1, vu, outlier)
           }
-          state.update(st)
-          out.result().iterator
-      }
+          st = RingState(i1, window.takeRight(frameRows - 1))
+        }
+        (out.result(), Some(st))
+    }
   }
 }

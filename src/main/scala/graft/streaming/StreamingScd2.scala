@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.Dataset
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.functions.{col, timestamp_seconds}
 
 /** Streaming analogue of [[graft.operators.Timeseries.changeIntervals]]:
   * SCD2 validity runs maintained as `flatMapGroupsWithState` state — the
@@ -32,26 +32,31 @@ object StreamingScd2 {
       valid_to: Long, n_events: Long)
   case class Run(value: Option[String], from: Long, n: Long)
 
-  def intervals(ds: Dataset[Change]): Dataset[Interval] = {
+  /** @param maxIdleMs optional event-time state TTL (see [[TwinRunner]]):
+    *                   an evicted key's OPEN run dies unpublished (the
+    *                   batch operator's open-interval row is likewise
+    *                   never a closed interval); the key's next change
+    *                   starts a fresh run.
+    */
+  def intervals(ds: Dataset[Change], maxIdleMs: Option[Long] = None): Dataset[Interval] = {
     import ds.sparkSession.implicits._
-    ds.groupByKey(_.key)
-      .flatMapGroupsWithState[Run, Interval](OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (key: String, it: Iterator[Change], state: GroupState[Run]) =>
-          var cur = state.getOption
-          val out = Seq.newBuilder[Interval]
-          it.toSeq.sortBy(c => (c.ts_s, c.seq)).foreach { c =>
-            cur match {
-              case Some(r) if r.value == Option(c.value) =>
-                cur = Some(r.copy(n = r.n + 1))
-              case Some(r) =>
-                out += Interval(key, r.value, r.from, c.ts_s, r.n)
-                cur = Some(Run(Option(c.value), c.ts_s, 1))
-              case None =>
-                cur = Some(Run(Option(c.value), c.ts_s, 1))
-            }
+    TwinRunner.run[Change, Run, Interval](
+        ds, _.key, timestamp_seconds(col("ts_s")), _.ts_s * 1000L, maxIdleMs) {
+      (key, events, prior) =>
+        var cur = prior
+        val out = Seq.newBuilder[Interval]
+        events.sortBy(c => (c.ts_s, c.seq)).foreach { c =>
+          cur match {
+            case Some(r) if r.value == Option(c.value) =>
+              cur = Some(r.copy(n = r.n + 1))
+            case Some(r) =>
+              out += Interval(key, r.value, r.from, c.ts_s, r.n)
+              cur = Some(Run(Option(c.value), c.ts_s, 1))
+            case None =>
+              cur = Some(Run(Option(c.value), c.ts_s, 1))
           }
-          cur.foreach(state.update)
-          out.result().iterator
-      }
+        }
+        (out.result(), cur)
+    }
   }
 }

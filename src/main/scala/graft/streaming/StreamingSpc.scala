@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.Dataset
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.functions.{col, timestamp_seconds}
 
 /** Streaming Western-Electric SPC monitor against FROZEN control limits —
   * the production deployment of [[graft.operators.Analytics.spcCensus]]:
@@ -35,46 +35,52 @@ object StreamingSpc {
       r1: Boolean, r2: Boolean, r3: Boolean, r4: Boolean)
   case class RingState(i: Long, ring: Seq[Long])
 
-  def flags(ds: Dataset[Obs], limits: Map[String, Limits]): Dataset[Flags] = {
+  /** @param maxIdleMs optional event-time state TTL (see [[TwinRunner]]):
+    *                   an evicted key restarts its trailing frame AND its
+    *                   arrival counter cold on return — rules 2–4 re-arm
+    *                   from the key's first post-eviction row, the same
+    *                   from-first-row pattern contract a fresh key has.
+    */
+  def flags(ds: Dataset[Obs], limits: Map[String, Limits],
+      maxIdleMs: Option[Long] = None): Dataset[Flags] = {
     import ds.sparkSession.implicits._
     val lim = ds.sparkSession.sparkContext.broadcast(limits)
-    ds.groupByKey(_.key)
-      .flatMapGroupsWithState[RingState, Flags](OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (key: String, it: Iterator[Obs], state: GroupState[RingState]) =>
-          lim.value.get(key) match {
-            case None => Iterator.empty // no baseline, nothing to judge
-            case Some(l) =>
-              val n = BigInt(l.n)
-              val vr = n * l.q - l.s * l.s
-              def dev(vu: Long): BigInt = BigInt(vu) * n - l.s
-              def beyond(d: BigInt, k: Long): Boolean =
-                d * d * (n - 1) > k * k * n * vr
-              var st = state.getOption.getOrElse(RingState(0L, Vector.empty))
-              val out = Seq.newBuilder[Flags]
-              it.toSeq.sortBy(o => (o.ts_s, o.v)).foreach { o =>
-                val vu = java.math.BigDecimal.valueOf(o.v * 100)
-                  .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
-                val window = (st.ring :+ vu).takeRight(8) // newest last
-                val i1 = st.i + 1
-                val devs = window.map(dev)
-                def cnt(k: Int, p: BigInt => Boolean): Int =
-                  devs.takeRight(k).count(p)
-                val d0 = devs.last
-                val r1 = beyond(d0, 3)
-                val r2 = i1 >= 3 &&
-                  (cnt(3, d => beyond(d, 2) && d > 0) >= 2 ||
-                   cnt(3, d => beyond(d, 2) && d < 0) >= 2)
-                val r3 = i1 >= 5 &&
-                  (cnt(5, d => beyond(d, 1) && d > 0) >= 4 ||
-                   cnt(5, d => beyond(d, 1) && d < 0) >= 4)
-                val r4 = i1 >= 8 &&
-                  (cnt(8, _ > 0) == 8 || cnt(8, _ < 0) == 8)
-                out += Flags(key, o.ts_s, i1, r1, r2, r3, r4)
-                st = RingState(i1, window.takeRight(7))
-              }
-              state.update(st)
-              out.result().iterator
-          }
-      }
+    TwinRunner.run[Obs, RingState, Flags](
+        ds, _.key, timestamp_seconds(col("ts_s")), _.ts_s * 1000L, maxIdleMs) {
+      (key, events, prior) =>
+        lim.value.get(key) match {
+          case None => (Seq.empty, None) // no baseline, nothing to judge
+          case Some(l) =>
+            val n = BigInt(l.n)
+            val vr = n * l.q - l.s * l.s
+            def dev(vu: Long): BigInt = BigInt(vu) * n - l.s
+            def beyond(d: BigInt, k: Long): Boolean =
+              d * d * (n - 1) > k * k * n * vr
+            var st = prior.getOrElse(RingState(0L, Vector.empty))
+            val out = Seq.newBuilder[Flags]
+            events.sortBy(o => (o.ts_s, o.v)).foreach { o =>
+              val vu = java.math.BigDecimal.valueOf(o.v * 100)
+                .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+              val window = (st.ring :+ vu).takeRight(8) // newest last
+              val i1 = st.i + 1
+              val devs = window.map(dev)
+              def cnt(k: Int, p: BigInt => Boolean): Int =
+                devs.takeRight(k).count(p)
+              val d0 = devs.last
+              val r1 = beyond(d0, 3)
+              val r2 = i1 >= 3 &&
+                (cnt(3, d => beyond(d, 2) && d > 0) >= 2 ||
+                 cnt(3, d => beyond(d, 2) && d < 0) >= 2)
+              val r3 = i1 >= 5 &&
+                (cnt(5, d => beyond(d, 1) && d > 0) >= 4 ||
+                 cnt(5, d => beyond(d, 1) && d < 0) >= 4)
+              val r4 = i1 >= 8 &&
+                (cnt(8, _ > 0) == 8 || cnt(8, _ < 0) == 8)
+              out += Flags(key, o.ts_s, i1, r1, r2, r3, r4)
+              st = RingState(i1, window.takeRight(7))
+            }
+            (out.result(), Some(st))
+        }
+    }
   }
 }

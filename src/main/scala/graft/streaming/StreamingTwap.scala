@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.Dataset
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.functions.{col, timestamp_micros}
 
 /** Streaming analogue of [[graft.operators.Timeseries.timeWeightedAvg]]'s
   * segmentation: holds-until-next stints as per-key
@@ -27,23 +27,27 @@ object StreamingTwap {
   case class Stint(key: String, ts_us: Long, dur_ms: Long, vu: Long)
   case class Open(ts_us: Long, vu: Long)
 
-  def stints(ds: Dataset[Obs]): Dataset[Stint] = {
+  /** @param maxIdleMs optional event-time state TTL (see [[TwinRunner]]):
+    *                   an evicted key's open stint dies unpublished —
+    *                   exactly the batch lead() drop of the key's final
+    *                   observation.
+    */
+  def stints(ds: Dataset[Obs], maxIdleMs: Option[Long] = None): Dataset[Stint] = {
     import ds.sparkSession.implicits._
-    ds.groupByKey(_.key)
-      .flatMapGroupsWithState[Open, Stint](OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (key: String, it: Iterator[Obs], state: GroupState[Open]) =>
-          var open = state.getOption
-          val out = Seq.newBuilder[Stint]
-          it.toSeq.sortBy(o => (o.ts_us, o.v)).foreach { o =>
-            val vu = java.math.BigDecimal.valueOf(o.v * 10000)
-              .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
-            open.foreach { p =>
-              out += Stint(key, p.ts_us, (o.ts_us - p.ts_us) / 1000L, p.vu)
-            }
-            open = Some(Open(o.ts_us, vu))
+    TwinRunner.run[Obs, Open, Stint](
+        ds, _.key, timestamp_micros(col("ts_us")), _.ts_us / 1000L, maxIdleMs) {
+      (key, events, prior) =>
+        var open = prior
+        val out = Seq.newBuilder[Stint]
+        events.sortBy(o => (o.ts_us, o.v)).foreach { o =>
+          val vu = java.math.BigDecimal.valueOf(o.v * 10000)
+            .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+          open.foreach { p =>
+            out += Stint(key, p.ts_us, (o.ts_us - p.ts_us) / 1000L, p.vu)
           }
-          open.foreach(state.update)
-          out.result().iterator
-      }
+          open = Some(Open(o.ts_us, vu))
+        }
+        (out.result(), open)
+    }
   }
 }

@@ -942,9 +942,9 @@ class StreamingSuite extends AnyFunSuite {
     import graft.streaming.StreamingDwell
     implicit val sqlCtx = spark.sqlContext
     val obs = Seq(
-      StreamingDwell.Obs("u1", 0L, "a"), StreamingDwell.Obs("u1", 10L, "b"),
-      StreamingDwell.Obs("u1", 15L, "a"), StreamingDwell.Obs("u1", 40L, "c"),
-      StreamingDwell.Obs("u2", 100L, "a"), StreamingDwell.Obs("u2", 103L, "b"))
+      StreamingDwell.Obs("u1", 0L, 1L, "a"), StreamingDwell.Obs("u1", 10L, 2L, "b"),
+      StreamingDwell.Obs("u1", 15L, 3L, "a"), StreamingDwell.Obs("u1", 40L, 4L, "c"),
+      StreamingDwell.Obs("u2", 100L, 5L, "a"), StreamingDwell.Obs("u2", 103L, 6L, "b"))
     val input = MemoryStream[StreamingDwell.Obs]
     val q = StreamingDwell.stints(input.toDS())
       .writeStream.format("memory").queryName("graft_dwell")
@@ -961,7 +961,7 @@ class StreamingSuite extends AnyFunSuite {
           col("state"), col("dur_us"))
         .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
       val batch = graft.operators.Timeseries.dwellCensus(
-          obs.toDF("k", "ts_us", "st"), "k", Seq(col("ts_us"), col("st")),
+          obs.toDF("k", "ts_us", "seq", "st"), "k", Seq(col("ts_us"), col("seq")),
           col("ts_us"), col("st"))
         .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
       assert(streamed === batch,
@@ -1113,6 +1113,109 @@ class StreamingSuite extends AnyFunSuite {
       // out-of-order arrivals resolved by EVENT order: k1 bucket 0 opens at
       // t=50 (9.0) and closes at t=3599 (2.0)
       assert(streamed.contains(("k1", 0L, 9.0, 9.0, 2.0, 2.0, 3L, 160000L)))
+    } finally q.stop()
+  }
+
+  test("twin state TTL evicts idle keys (state rows drop) and the key restarts cold") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    import graft.streaming.StreamingBollinger
+    implicit val sqlCtx = spark.sqlContext
+    // maxIdle 1h: key a (events at 1..4s) must be evicted once the
+    // event-time watermark (driven by key b, hours later) passes 4s + 1h
+    val input = MemoryStream[StreamingBollinger.Obs]
+    val q = StreamingBollinger.flags(input.toDS(), frameRows = 3, k = 2,
+        maxIdleMs = Some(3600L * 1000))
+      .writeStream.format("memory").queryName("graft_ttl_ring")
+      .outputMode("append").start()
+    try {
+      input.addData((1 to 4).map(t => StreamingBollinger.Obs("a", t.toLong, 10.0 + t)))
+      q.processAllAvailable() // a: full frames at i=3,4 -> 2 evaluated rows
+      input.addData(Seq(StreamingBollinger.Obs("b", 10000L, 1.0)))
+      q.processAllAvailable() // watermark -> 10000s after this batch
+      input.addData(Seq(StreamingBollinger.Obs("b", 10001L, 2.0)))
+      q.processAllAvailable() // a's timer (4s + 1h) fires; state removed
+      val total = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(total === 1L, s"idle key a must be evicted, only b's state remains: $total")
+      // a returns COLD: its old ring is gone, so this row has frame size 1
+      // and evaluates nothing (were the state alive, the frame would be
+      // full and a third evaluated row would appear)
+      input.addData(Seq(StreamingBollinger.Obs("a", 10002L, 500.0)))
+      q.processAllAvailable()
+      assert(spark.table("graft_ttl_ring").filter(col("key") === "a").count() === 2L,
+        "the returning key must re-fill its frame before evaluating again")
+    } finally q.stop()
+  }
+
+  test("twin state TTL: an evicted open stint dies unpublished, never spliced across the gap") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    import graft.streaming.StreamingTwap
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamingTwap.Obs]
+    val q = StreamingTwap.stints(input.toDS(), maxIdleMs = Some(3600L * 1000))
+      .writeStream.format("memory").queryName("graft_ttl_twap")
+      .outputMode("append").start()
+    try {
+      // a: two obs 1s apart -> one closed stint; the second stays open.
+      // (ts starts at 1s, not 0: the TTL path's watermark late-filter is
+      // `eventTime <= watermark` and the watermark starts at 0, so an
+      // epoch-0 row would be dropped before reaching the twin)
+      input.addData(Seq(StreamingTwap.Obs("a", 1000000L, 10.0),
+        StreamingTwap.Obs("a", 2000000L, 20.0)))
+      q.processAllAvailable()
+      // b drives the watermark hours ahead; a's open stint evicts
+      input.addData(Seq(StreamingTwap.Obs("b", 10000L * 1000000, 1.0)))
+      q.processAllAvailable()
+      input.addData(Seq(StreamingTwap.Obs("b", 10001L * 1000000, 1.0)))
+      q.processAllAvailable()
+      // a returns 3h after its last obs: were the open stint still alive, a
+      // giant 10800s-1s stint would emit — it must NOT (died unpublished)
+      input.addData(Seq(StreamingTwap.Obs("a", 10800L * 1000000, 30.0),
+        StreamingTwap.Obs("a", 10801L * 1000000, 40.0)))
+      q.processAllAvailable()
+      val aStints = spark.table("graft_ttl_twap").filter(col("key") === "a")
+        .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+      assert(aStints === Set((1000000L, 1000L), (10800L * 1000000, 1000L)),
+        s"exactly the pre-gap stint and the fresh post-gap stint: $aStints")
+    } finally q.stop()
+  }
+
+  test("a TTL longer than the series span is output-neutral (Bollinger parity holds with TTL on)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.{col, count, lit, sum, when}
+    import spark.implicits._
+    import graft.streaming.StreamingBollinger
+    implicit val sqlCtx = spark.sqlContext
+    val obs =
+      (1 to 40).map { t =>
+        val v = if (t == 40) 30.0 else 10.0 + (t % 2)
+        StreamingBollinger.Obs("noisy", t.toLong, v)
+      } ++ (1 to 40).map(t => StreamingBollinger.Obs("const", t.toLong, 42.0))
+    val input = MemoryStream[StreamingBollinger.Obs]
+    // horizon far beyond the 40 s series: no key can ever idle past it
+    val q = StreamingBollinger.flags(input.toDS(), frameRows = 20, k = 2,
+        maxIdleMs = Some(365L * 24 * 3600 * 1000))
+      .writeStream.format("memory").queryName("graft_ttl_parity")
+      .outputMode("append").start()
+    try {
+      val (first, second) = obs.partition(_.ts_s <= 30)
+      input.addData(first)
+      q.processAllAvailable()
+      input.addData(second)
+      q.processAllAvailable()
+      val streamed = spark.table("graft_ttl_parity")
+        .groupBy(col("key")).agg(count(lit(1)).as("n_eval"),
+          sum(when(col("breach"), 1L).otherwise(0L)).as("n_breaches"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+      val batch = graft.operators.Analytics.bollingerCensus(
+          obs.toDF("key", "ts_s", "v"), "key",
+          Seq(col("ts_s"), col("v")), col("v"), frameRows = 20, k = 2)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+      assert(streamed === batch,
+        s"an un-hit TTL must not change a single flag: $streamed vs $batch")
     } finally q.stop()
   }
 }
