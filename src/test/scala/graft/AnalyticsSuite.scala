@@ -720,6 +720,34 @@ class AnalyticsSuite extends AnyFunSuite {
     assert(z.values.forall(_ === 0L), s"identical distributions must score 0: $z")
   }
 
+  test("ksCensus enforces the bounded-grid contract: continuous values quantize or fail loudly") {
+    // 200 distinct raw micro-unit-ish values across two shifted groups
+    val wide = ((1 to 100).map(i => ("A", i * 1000L + i)) ++
+      (1 to 100).map(i => ("B", i * 1000L + i + 50000L))).toDF("g", "v")
+    // un-binned: the guard fires BEFORE the |groups| x |distinct| grid builds
+    val e = intercept[IllegalArgumentException] {
+      Analytics.ksCensus(wide, col("g"), col("v"), maxDistinct = 64L)
+    }
+    assert(e.getMessage.contains("bins"), s"guard must point at the bins remedy: ${e.getMessage}")
+    // binned: deterministic equi-width quantization, grid bounded by bins
+    val binned = Analytics.ksCensus(wide, col("g"), col("v"),
+        bins = Some(16), maxDistinct = 64L)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(3))).toMap
+    assert(binned("A")._1 === 100L && binned("B")._1 === 100L)
+    // the 50k shift moves ~half the span: a large distance must survive binning
+    assert(binned("A")._2 > 0L, s"shifted distributions must still register: $binned")
+    val again = Analytics.ksCensus(wide, col("g"), col("v"),
+        bins = Some(16), maxDistinct = 64L)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(3))).toMap
+    assert(binned === again, "binning is deterministic run to run")
+    // the discrete path is unchanged: same grid in = same census out
+    val ab = Seq(("A", 1L), ("A", 1L), ("A", 2L), ("B", 2L), ("B", 3L), ("B", 3L))
+      .toDF("g", "v")
+    val raw = Analytics.ksCensus(ab, col("g"), col("v")).collect()
+      .map(r => (r.getString(0), r.getLong(3), r.getLong(4))).toSet
+    assert(raw === Set(("A", 6L, 666667L), ("B", 6L, 666667L)))
+  }
+
   test("spcCensus: run rules fire on hand-computed patterns; constants are silent") {
     // 10 zeros then 10 tens: binary split sits just inside 1 sigma, so only
     // the same-side run rule fires — 8-in-a-row completes 3 times per side
@@ -843,6 +871,26 @@ class AnalyticsSuite extends AnyFunSuite {
       .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
     assert(sh === Map(0L -> 1L, 1L -> 2L),
       s"collapsed ranks: low point clears one breakpoint, high point both: $sh")
+  }
+
+  test("saxSymbols fails loudly on a signed series instead of diverging from the oracle") {
+    import graft.operators.Timeseries
+    // round-half-up integral division floors on DuckDB but truncates on
+    // Spark for negative sums — the contract is now enforced, not advisory
+    val signed = Seq(("k", 1, 1.0), ("k", 2, -3.5), ("k", 3, 2.0), ("k", 4, 4.0))
+      .toDF("k", "i", "v")
+    val e = intercept[Exception] {
+      Timeseries.saxSymbols(signed, "k", Seq(col("i")), col("v"),
+        buckets = 2, alphabet = 2).collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.getMessage).toSeq
+    assert(chain(e).exists(m => m != null && m.contains("shift the series")),
+      s"negative quantized values must raise the contract message: ${chain(e)}")
+    // a shifted copy of the same series runs clean
+    val ok = Timeseries.saxSymbols(signed.withColumn("v", col("v") + 10.0),
+      "k", Seq(col("i")), col("v"), buckets = 2, alphabet = 2).collect()
+    assert(ok.nonEmpty)
   }
 
   test("winsorizedStatsApprox: sketch boundaries track the exact form within rank tolerance") {

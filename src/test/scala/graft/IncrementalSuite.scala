@@ -182,6 +182,97 @@ class IncrementalSuite extends AnyFunSuite {
       "ledger survives re-pruning (b1 still refused)")
   }
 
+  test("ledger is append-only and crash-recoverable: no rewrite window, tmp junk and legacy file honored") {
+    val path = Files.createTempDirectory("graft-incr-ledger2").toString + "/state"
+    (0 until 3).foreach { i =>
+      Incremental.maintain(spark, path, KeyNames, st(rows(100, offset = i * 100)), Some(s"b$i"))
+    }
+    assert(Incremental.pruneVersions(spark, path, keep = 1) === Seq(0L, 1L))
+    val dir = new java.io.File(s"$path/_BATCH_HISTORY.d")
+    // skip Hadoop local-FS .crc siblings (hidden); the engine's own reader
+    // (ChecksumFileSystem.listStatus) never sees them
+    val firstEntries = dir.listFiles().filterNot(_.getName.startsWith("."))
+      .map(f => f.getName -> Files.readString(f.toPath)).toMap
+    assert(firstEntries.values.toSet === Set("b0", "b1"), s"one file per pruned id: $firstEntries")
+    // a crashed install leaves a .tmp- file: it must be ignored, not read
+    Files.writeString(java.nio.file.Paths.get(dir.getPath, ".tmp-deadbeef"), "bogus")
+    // a legacy single-file ledger from the old layout is still honored
+    Files.writeString(java.nio.file.Paths.get(path, "_BATCH_HISTORY"), "legacy0\n")
+    assert(Incremental.maintain(spark, path, KeyNames, st(rows(10, offset = 900)),
+      Some("legacy0")) === 2L, "legacy-file ids must still dedupe")
+    // another round of fold+prune APPENDS; the first prune's files are
+    // untouched byte-for-byte (there is no delete-then-rename window at all)
+    Incremental.maintain(spark, path, KeyNames, st(rows(50, offset = 500)), Some("b3"))
+    assert(Incremental.pruneVersions(spark, path, keep = 1).nonEmpty)
+    val after = dir.listFiles().filterNot(_.getName.startsWith("."))
+      .map(f => f.getName -> Files.readString(f.toPath)).toMap
+    firstEntries.foreach { case (name, content) =>
+      assert(after.get(name) === Some(content), s"prior ledger entry $name must survive verbatim")
+    }
+    // every previously pruned id still refuses to refold
+    val tip = Incremental.latestState(spark, path).get
+    val served = finished(tip)
+    Seq("b0", "b1").foreach { id =>
+      Incremental.maintain(spark, path, KeyNames, st(rows(100)), Some(id))
+      assert(finished(Incremental.latestState(spark, path).get) === served,
+        s"pruned id $id must stay refused after re-pruning")
+    }
+  }
+
+  test("streaming maintain via foreachBatch: a replayed micro-batch folds exactly once") {
+    val base = Files.createTempDirectory("graft-incr-e2e")
+    val path = base.toString + "/state"
+    val ckpt = base.toString + "/ckpt"
+    val srcDir = base.toString + "/src"
+    Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    // a FILE source (not MemoryStream): the source retains its batch 0
+    // files, so a forced replay re-reads the REAL delta — a sink without
+    // batchId dedup would genuinely double-count it
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("k string, v long, d long")
+    def writeRows(name: String, rows: Seq[(String, Long, Long)]): Unit =
+      Files.writeString(java.nio.file.Paths.get(srcDir, name),
+        rows.map { case (k, v, d) => s"""{"k":"$k","v":$v,"d":$d}""" }.mkString("\n"))
+    // the documented streaming usage: foreachBatch's REAL batchId is the
+    // delta's stable identity, so at-least-once replays dedupe at the sink
+    def start() = spark.readStream.schema(schema).json(srcDir)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        Incremental.maintain(spark, path, KeyNames,
+          st(batch), Some(batchId.toString)): Unit
+      }
+      .start()
+    val a = (1 to 200).map(i => (s"k${i % 3}", (i.toLong * 7) % 1000, i.toLong % 97))
+    val b = (201 to 300).map(i => (s"k${i % 3}", (i.toLong * 7) % 1000, i.toLong % 97))
+    writeRows("a.json", a)
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    // crash-after-sink-publish simulation: drop batch 0's commit marker so
+    // the restarted query REPLAYS batch 0 with the SAME batchId — Spark's
+    // contract makes sink-side idempotence the sink's job, which is
+    // exactly what maintain(batchId) provides. Delete through the Hadoop
+    // FS so the checksum sibling goes too.
+    val fs = new org.apache.hadoop.fs.Path(ckpt)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val commit0 = new org.apache.hadoop.fs.Path(s"$ckpt/commits/0")
+    assert(fs.exists(commit0), "batch 0 must have committed")
+    fs.delete(commit0, false)
+    val q2 = start()
+    try {
+      q2.processAllAvailable() // replays batch 0: must answer from the marker
+      writeRows("b.json", b)
+      q2.processAllAvailable() // batch 1 folds normally
+    } finally q2.stop()
+    val served = finished(Incremental.latestState(spark, path).get)
+    val oneShot = finished(st((a ++ b).toDF("k", "v", "d")))
+    assert(served === oneShot,
+      "replayed batch 0 must fold exactly once: state equals the one-shot recompute")
+    val vers = new java.io.File(path).listFiles().map(_.getName)
+      .filter(_.startsWith("v=")).toSet
+    assert(vers === Set("v=0", "v=1"),
+      s"the replay must not publish an extra version: $vers")
+  }
+
   test("top-k state: merged folds equal the one-shot recompute, bit-exactly") {
     val a = rows(500)
     val b = rows(400, offset = 500)

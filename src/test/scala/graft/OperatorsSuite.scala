@@ -612,8 +612,8 @@ class OperatorsSuite extends AnyFunSuite {
       TextAnalysis.langId(col("text")).as("fast"), declarative.as("slow"))
     assert(both.filter(col("fast") =!= col("slow")).count() === 0,
       "single-pass prediction must match the declarative formulation row-for-row")
-    assert(TextAnalysis.LangMarkers.size >= 40,
-      s"language table must stay wide, got ${TextAnalysis.LangMarkers.size}")
+    assert(TextAnalysis.LangMarkers.size >= 80,
+      s"language table must stay production-crawl wide, got ${TextAnalysis.LangMarkers.size}")
   }
 
   test("quality metrics are in sane ranges") {
