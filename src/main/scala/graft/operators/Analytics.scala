@@ -1191,31 +1191,32 @@ object Analytics {
     val dec = "decimal(38,0)"
     def ppm(num: Column, den: Column): Column =
       intDiv(num * 2000000L + den, den * 2).cast("long")
-    // pinned for the self-join's two sides + marginals; the min-support-cut
-    // result is localCheckpoint-materialized below so the pin can release
-    // HERE instead of leaking into the session's cache for its lifetime
-    val b = df.select(basketCol.as("__bk"), itemCol.as("__it")).distinct().persist()
-    try {
-      val nBaskets = b.agg(countDistinct(col("__bk")).cast(dec).as("__N"))
-      val itemN = b.groupBy(col("__it")).agg(count(lit(1)).cast(dec).as("__ni"))
-      val pairs = b.as("l")
-        .join(b.as("r"), col("l.__bk") === col("r.__bk") && col("l.__it") < col("r.__it"))
-        .select(col("l.__it").as("item_a"), col("r.__it").as("item_b"))
-        .groupBy(col("item_a"), col("item_b"))
-        .agg(count(lit(1)).cast(dec).as("__nab"))
-        .filter(col("__nab") >= minSupport)
-      pairs
-        .join(itemN.select(col("__it").as("item_a"), col("__ni").as("__na")), "item_a")
-        .join(itemN.select(col("__it").as("item_b"), col("__ni").as("__nb")), "item_b")
-        .crossJoin(broadcast(nBaskets))
-        .select(
-          col("item_a"), col("item_b"), col("__nab").cast("long").as("n_ab"),
-          ppm(col("__nab"), col("__N")).as("supp_ppm"),
-          ppm(col("__nab"), col("__na")).as("conf_ab_ppm"),
-          ppm(col("__nab"), col("__nb")).as("conf_ba_ppm"),
-          ppm(col("__nab") * col("__N"), col("__na") * col("__nb")).as("lift_ppm"))
-        .localCheckpoint(true)
-    } finally b.unpersist()
+    // NOT persisted: `b` is a cheap 2-column project+distinct whose two
+    // self-join sides share one exchange at runtime (AQE ReusedExchange —
+    // identical subtrees), and the marginal/count aggs are one-pass reads
+    // of the same pruned scan. At 100 TB pinning a distinct'd corpus in
+    // the cache is strictly worse than re-reading a 2-column parquet
+    // projection — and the pin either leaked for the session's lifetime
+    // or (unpersisted) cost every later pass its refill anyway.
+    val b = df.select(basketCol.as("__bk"), itemCol.as("__it")).distinct()
+    val nBaskets = b.agg(countDistinct(col("__bk")).cast(dec).as("__N"))
+    val itemN = b.groupBy(col("__it")).agg(count(lit(1)).cast(dec).as("__ni"))
+    val pairs = b.as("l")
+      .join(b.as("r"), col("l.__bk") === col("r.__bk") && col("l.__it") < col("r.__it"))
+      .select(col("l.__it").as("item_a"), col("r.__it").as("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).cast(dec).as("__nab"))
+      .filter(col("__nab") >= minSupport)
+    pairs
+      .join(itemN.select(col("__it").as("item_a"), col("__ni").as("__na")), "item_a")
+      .join(itemN.select(col("__it").as("item_b"), col("__ni").as("__nb")), "item_b")
+      .crossJoin(broadcast(nBaskets))
+      .select(
+        col("item_a"), col("item_b"), col("__nab").cast("long").as("n_ab"),
+        ppm(col("__nab"), col("__N")).as("supp_ppm"),
+        ppm(col("__nab"), col("__na")).as("conf_ab_ppm"),
+        ppm(col("__nab"), col("__nb")).as("conf_ba_ppm"),
+        ppm(col("__nab") * col("__N"), col("__na") * col("__nb")).as("lift_ppm"))
   }
 
   def transitionCensus(
