@@ -178,8 +178,7 @@ object Bench {
     // first-line, last-line, or tail-window parser all land on one
     // complete parseable JSON; humans and scripts read target/bench.json.
     println(fitted)
-    if (full != fitted) println(full)
-    println(fitted)
+    if (full != fitted) { println(full); println(fitted) }
     spark.stop()
   }
 }

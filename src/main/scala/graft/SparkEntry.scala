@@ -1698,11 +1698,21 @@ object SparkEntry {
     // exact term frequencies — which hands the whole native-aggregate
     // path (update/merge/serialize/eval tie-break) a DuckDB hash gate,
     // the generated-oracle trick that took BPE to oracle tier. The sketch
-    // regime above stays rows-tier by nature.
+    // regime above stays rows-tier by nature. The premise is ENFORCED in
+    // the plan: an assert_true filter on the distinct-token count raises
+    // loudly if a larger corpus ever outgrows the capacity, instead of
+    // failing the gate with a confusing undercount diff.
     "text_heavy_hitters_exact" -> ((s, dir) => {
-      documents(s, dir)
+      val toks = documents(s, dir)
         .select(explode(TextAnalysis.wordTokens(col("text"))).as("token"))
+      val guard = toks.agg(countDistinct(col("token")).as("__nd"))
+      toks
         .agg(FrequentItems.freqItems(col("token"), 4096, 4096).as("hh"))
+        .crossJoin(broadcast(guard))
+        .filter(assert_true(col("__nd") <= 4096,
+          lit("text_heavy_hitters_exact: vocabulary exceeds the exact-regime " +
+            "capacity (4096) — the MG sketch would decrement; raise the capacity " +
+            "or use text_heavy_hitters (sketch regime)")).isNull)
         .select(posexplode(col("hh")).as(Seq("rank0", "e")))
         .select((col("rank0") + 1).cast("long").as("rank"),
           col("e.item").as("token"), col("e.est_count").as("n"))

@@ -1035,17 +1035,20 @@ object Analytics {
     * values the group never takes), so `value` must be discrete or
     * quantized to a bounded grid — binned ECDFs are the standard KS form
     * at scale, and the census is EXACT on whatever grid it is given. The
-    * contract is ENFORCED, not advisory: with `bins = None` the census
-    * fails loudly if the distinct-value count exceeds `maxDistinct`
-    * (a raw continuous column can't silently detonate the grid); with
-    * `bins = Some(b)` values quantize to `b` equi-width buckets over the
-    * observed [min, max] — pure integer arithmetic (cross-engine
+    * contract is ENFORCED, not advisory — and IN the plan, so the census
+    * stays fully lazy (Explain audits the real plan; nothing executes at
+    * build time): with `bins = None` an `assert_true` filter on the 1-row
+    * grand aggregate raises at runtime if the distinct-value count
+    * exceeds `maxDistinct` (a raw continuous column can't silently
+    * detonate the grid); with `bins = Some(b)` values quantize to `b`
+    * equi-width buckets over the observed [min, max], the bounds riding
+    * in as a broadcast 1-row join — pure integer arithmetic (cross-engine
     * deterministic), the `d_num` axis then being bucket indices.
     *
-    * The census runs EAGERLY (the guard and the binning both need the
-    * collapsed counts) and returns a bounded |groups|-row result,
-    * localCheckpoint-materialized so the pinned intermediate can be
-    * released here rather than leaking into the session's cache.
+    * Not persisted: the collapsed counts subtree is IDENTICAL under its
+    * four consumers (totals / corpus / grand / probe), so its exchange
+    * computes once and is ReusedExchange'd at runtime — the same reason
+    * [[associationRules]] doesn't pin its basket table.
     */
   def ksCensus(
       df: DataFrame,
@@ -1058,64 +1061,60 @@ object Analytics {
     val dec = "decimal(38,0)"
     val raw = df.select(groupCol.as("__g"), value.cast("long").as("__v"))
       .groupBy(col("__g"), col("__v")).agg(count(lit(1)).as("__c"))
-      .persist()
-    try {
-      val counts = bins match {
-        case None =>
-          // loud guard: the grid below is |groups| × |distinct values| —
-          // a raw continuous column must quantize, not cross-join
-          val nDistinct = raw.select(col("__v")).distinct().count()
-          require(nDistinct <= maxDistinct,
-            s"ksCensus: $nDistinct distinct values exceed maxDistinct=$maxDistinct — " +
-              "the ECDF grid is |groups| x |distinct values|; pass bins=Some(b) to " +
-              "quantize to a bounded grid, or widen maxDistinct if the grid is intended")
-          raw
-        case Some(b) =>
-          // equi-width integer binning over the observed span: bucket =
-          // ((v - min) * b) / (span + 1), exact decimal products so no
-          // span x bins combination wraps; re-collapse on the bucket axis
-          val r = raw.agg(min(col("__v")).as("mn"), max(col("__v")).as("mx")).first()
-          if (r.isNullAt(0)) raw // empty input: grid below is empty too
-          else {
-            val (mn, mx) = (r.getLong(0), r.getLong(1))
-            val span = BigDecimal(mx) - BigDecimal(mn) + 1
-            raw.select(col("__g"),
-                intDiv((col("__v").cast(dec) - lit(mn).cast(dec)) * b,
-                  lit(span.toBigInt.toString).cast(dec)).cast("long").as("__v"),
-                col("__c"))
-              .groupBy(col("__g"), col("__v")).agg(sum(col("__c")).as("__c"))
-          }
-      }
-      val totals = counts.groupBy(col("__g")).agg(sum(col("__c")).as("__ng"))
-      val corpus = counts.groupBy(col("__v")).agg(sum(col("__c")).as("__call"))
-      val grand = counts.agg(sum(col("__c")).as("__nall"))
-      val grid = totals.crossJoin(corpus).crossJoin(broadcast(grand))
-      val w = Window.partitionBy(col("__g")).orderBy(col("__v"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val stepped = grid
-        .join(counts, Seq("__g", "__v"), "left")
-        .na.fill(0L, Seq("__c"))
-        .withColumn("__cumg", sum(col("__c")).over(w))
-        .withColumn("__cumall", sum(col("__call")).over(w))
-        .withColumn("__nr", col("__nall") - col("__ng"))
-        .withColumn("__dnum",
-          abs(col("__cumg") * col("__nr") - (col("__cumall") - col("__cumg")) * col("__ng")))
-      stepped.groupBy(col("__g"))
-        .agg(
-          max(col("__ng")).as("n_g"),
-          max(col("__nr")).as("n_rest"),
-          max(col("__dnum")).as("d_num"))
-        .filter(col("n_rest") > 0)
-        // ppm in decimal so d_num·2e6 can't wrap past int64 on huge corpora
-        .withColumn("d_ppm",
-          intDiv(col("d_num").cast(dec) * 2000000L
-              + col("n_g").cast(dec) * col("n_rest"),
-            col("n_g").cast(dec) * col("n_rest") * 2).cast("long"))
-        .select(col("__g").as("group"), col("n_g"), col("n_rest"),
-          col("d_num"), col("d_ppm"))
-        // bounded (one row per group): materialize so `raw` can release now
-        .localCheckpoint(true)
-    } finally raw.unpersist()
+    val counts = bins match {
+      case None => raw
+      case Some(b) =>
+        // equi-width integer binning over the observed span: bucket =
+        // ((v - min) * b) / (span + 1) in exact decimal products so no
+        // span x bins combination wraps; bounds join in as ONE broadcast
+        // row, then re-collapse on the bucket axis
+        val bounds = raw.agg(min(col("__v")).as("__mn"), max(col("__v")).as("__mx"))
+        raw.crossJoin(broadcast(bounds))
+          .select(col("__g"),
+            intDiv((col("__v").cast(dec) - col("__mn").cast(dec)) * b,
+              col("__mx").cast(dec) - col("__mn").cast(dec) + 1).cast("long").as("__v"),
+            col("__c"))
+          .groupBy(col("__g"), col("__v")).agg(sum(col("__c")).as("__c"))
+    }
+    val totals = counts.groupBy(col("__g")).agg(sum(col("__c")).as("__ng"))
+    val corpus = counts.groupBy(col("__v")).agg(sum(col("__c")).as("__call"))
+    val grand = counts.agg(sum(col("__c")).as("__nall"),
+      countDistinct(col("__v")).as("__nd"))
+    // the loud guard rides the grand row as a filter (never prunable):
+    // assert_true is NULL when the contract holds, raises otherwise
+    val grandGuarded =
+      if (bins.isDefined) grand.select(col("__nall")) // bounded by construction
+      else grand
+        .filter(assert_true(col("__nd") <= maxDistinct,
+          concat(lit("ksCensus: "), col("__nd").cast("string"),
+            lit(s" distinct values exceed maxDistinct=$maxDistinct — the ECDF grid " +
+              "is |groups| x |distinct values|; pass bins=Some(b) to quantize to a " +
+              "bounded grid, or widen maxDistinct if the grid is intended"))).isNull)
+        .select(col("__nall"))
+    val grid = totals.crossJoin(corpus).crossJoin(broadcast(grandGuarded))
+    val w = Window.partitionBy(col("__g")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val stepped = grid
+      .join(counts, Seq("__g", "__v"), "left")
+      .na.fill(0L, Seq("__c"))
+      .withColumn("__cumg", sum(col("__c")).over(w))
+      .withColumn("__cumall", sum(col("__call")).over(w))
+      .withColumn("__nr", col("__nall") - col("__ng"))
+      .withColumn("__dnum",
+        abs(col("__cumg") * col("__nr") - (col("__cumall") - col("__cumg")) * col("__ng")))
+    stepped.groupBy(col("__g"))
+      .agg(
+        max(col("__ng")).as("n_g"),
+        max(col("__nr")).as("n_rest"),
+        max(col("__dnum")).as("d_num"))
+      .filter(col("n_rest") > 0)
+      // ppm in decimal so d_num·2e6 can't wrap past int64 on huge corpora
+      .withColumn("d_ppm",
+        intDiv(col("d_num").cast(dec) * 2000000L
+            + col("n_g").cast(dec) * col("n_rest"),
+          col("n_g").cast(dec) * col("n_rest") * 2).cast("long"))
+      .select(col("__g").as("group"), col("n_g"), col("n_rest"),
+        col("d_num"), col("d_ppm"))
   }
 
   /** Pettitt changepoint census per key — the rank-based (distribution-free)

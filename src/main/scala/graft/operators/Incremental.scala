@@ -328,7 +328,7 @@ object Incremental {
         // the version that folded this id may have been pruned — its id
         // lives on in the ledger; the delta is already part of every
         // surviving state, so answer with the newest one
-        if (ledgerIds(fs, path).contains(id)) latestVersion(spark, path)
+        if (ledgerContains(fs, path, id)) latestVersion(spark, path)
         else None
       }
     }
@@ -413,26 +413,20 @@ object Incremental {
     java.security.MessageDigest.getInstance("SHA-1")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
-  /** Batch ids whose folding version has been pruned: the append-only
-    * per-id files under `_BATCH_HISTORY.d/` (in-flight `.tmp-` installs
-    * skipped), plus any legacy single-file `_BATCH_HISTORY` lines from
-    * before the layout became crash-recoverable.
+  /** Is `id` in the pruned-batch ledger? The append-only layout makes
+    * this ONE existence probe — file names are `sha1Hex(id)`, so no
+    * listing and no content reads however many batches have ever been
+    * pruned (a per-micro-batch cost on object stores) — plus one read of
+    * the legacy single-file `_BATCH_HISTORY` when it exists (pre-
+    * crash-recoverable layouts only).
     */
-  private def ledgerIds(fs: org.apache.hadoop.fs.FileSystem, path: String): Seq[String] = {
-    val legacy = {
-      val p = new Path(path, BatchLedger)
-      if (!fs.exists(p)) Seq.empty
-      else readSmallFile(fs, p).split("\n").map(_.trim).filter(_.nonEmpty).toSeq
+  private def ledgerContains(fs: org.apache.hadoop.fs.FileSystem, path: String,
+      id: String): Boolean =
+    fs.exists(new Path(new Path(path, BatchLedgerDir), sha1Hex(id))) || {
+      val legacy = new Path(path, BatchLedger)
+      fs.exists(legacy) &&
+        readSmallFile(fs, legacy).split("\n").map(_.trim).contains(id)
     }
-    val dir = new Path(path, BatchLedgerDir)
-    val appended =
-      if (!fs.exists(dir)) Seq.empty
-      else fs.listStatus(dir).toSeq
-        .filter(s => s.isFile && !s.getPath.getName.startsWith(".tmp-"))
-        .map(s => readSmallFile(fs, s.getPath).trim)
-        .filter(_.nonEmpty)
-    (legacy ++ appended).distinct
-  }
 
   private def readSmallFile(fs: org.apache.hadoop.fs.FileSystem, p: Path): String = {
     val in = fs.open(p)

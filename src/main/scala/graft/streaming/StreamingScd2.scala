@@ -15,9 +15,11 @@ import org.apache.spark.sql.functions.{col, timestamp_seconds}
   * append-mode closed-only emission is the natural contract. Deltas vs
   * batch, documented like every emitter's: events are processed in
   * (ts, seq) order WITHIN a micro-batch, so a cross-batch late event is
-  * judged against the run open at its arrival, not retroactively spliced.
-  * For in-order arrival the closed intervals are identical to the batch
-  * operator's (parity-spec-asserted).
+  * judged against the run open at its arrival, not retroactively spliced
+  * — and an event EARLIER than the open run's start is DROPPED outright
+  * (an inverted `[from, to)` interval must never emit). For in-order
+  * arrival the closed intervals are identical to the batch operator's
+  * (parity-spec-asserted).
   *
   * State is ONE fixed-size record per key — bounded by key cardinality,
   * not event rate or window span.
@@ -47,6 +49,7 @@ object StreamingScd2 {
         val out = Seq.newBuilder[Interval]
         events.sortBy(c => (c.ts_s, c.seq)).foreach { c =>
           cur match {
+            case Some(r) if c.ts_s < r.from => // late: drop, never an inverted interval
             case Some(r) if r.value == Option(c.value) =>
               cur = Some(r.copy(n = r.n + 1))
             case Some(r) =>

@@ -19,7 +19,9 @@ import org.apache.spark.sql.functions.{col, timestamp_micros}
   * (timestamps ascend, so values are non-negative and truncation ≡
   * floor); values quantize through the batch path's HALF_UP micro-units.
   * Arrivals within a batch process in (ts, v) order, the batch
-  * order-column contract.
+  * order-column contract; a cross-batch LATE arrival (event time before
+  * the open observation) is DROPPED, never spliced — durations are never
+  * negative.
   */
 object StreamingTwap {
 
@@ -42,10 +44,14 @@ object StreamingTwap {
         events.sortBy(o => (o.ts_us, o.v)).foreach { o =>
           val vu = java.math.BigDecimal.valueOf(o.v * 10000)
             .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
-          open.foreach { p =>
-            out += Stint(key, p.ts_us, (o.ts_us - p.ts_us) / 1000L, p.vu)
+          open match {
+            case Some(p) if o.ts_us < p.ts_us => // late: drop, never a negative stint
+            case _ =>
+              open.foreach { p =>
+                out += Stint(key, p.ts_us, (o.ts_us - p.ts_us) / 1000L, p.vu)
+              }
+              open = Some(Open(o.ts_us, vu))
           }
-          open = Some(Open(o.ts_us, vu))
         }
         (out.result(), open)
     }

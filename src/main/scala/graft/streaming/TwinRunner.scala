@@ -95,8 +95,14 @@ private[streaming] object TwinRunner {
                 next.foreach(state.update)
                 if (state.exists) {
                   val lastSeen = events.iterator.map(eventTimeMs).max
+                  // saturating add: a "never expire" TTL (maxIdleMs near
+                  // Long.MaxValue) must not wrap negative and evict on the
+                  // very next batch
+                  val deadline =
+                    try math.addExact(lastSeen, idle)
+                    catch { case _: ArithmeticException => Long.MaxValue }
                   state.setTimeoutTimestamp(
-                    math.max(lastSeen + idle, state.getCurrentWatermarkMs + 1))
+                    math.max(deadline, state.getCurrentWatermarkMs + 1))
                 }
                 out.iterator
               }

@@ -724,11 +724,15 @@ class AnalyticsSuite extends AnyFunSuite {
     // 200 distinct raw micro-unit-ish values across two shifted groups
     val wide = ((1 to 100).map(i => ("A", i * 1000L + i)) ++
       (1 to 100).map(i => ("B", i * 1000L + i + 50000L))).toDF("g", "v")
-    // un-binned: the guard fires BEFORE the |groups| x |distinct| grid builds
-    val e = intercept[IllegalArgumentException] {
-      Analytics.ksCensus(wide, col("g"), col("v"), maxDistinct = 64L)
+    // un-binned: the in-plan guard raises at execution (the census stays
+    // lazy — Explain audits the real plan), before the grid materializes
+    val e = intercept[Exception] {
+      Analytics.ksCensus(wide, col("g"), col("v"), maxDistinct = 64L).collect()
     }
-    assert(e.getMessage.contains("bins"), s"guard must point at the bins remedy: ${e.getMessage}")
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.getMessage).toSeq
+    assert(chain(e).exists(m => m != null && m.contains("bins")),
+      s"guard must point at the bins remedy: ${chain(e)}")
     // binned: deterministic equi-width quantization, grid bounded by bins
     val binned = Analytics.ksCensus(wide, col("g"), col("v"),
         bins = Some(16), maxDistinct = 64L)
