@@ -838,6 +838,23 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // The bins path of the same census on a genuinely CONTINUOUS column:
+    // events.value quantizes to ~6.6k distinct cents at sf0.01 — past the
+    // 4096 guard, so this query EXERCISES the enforced contract (un-binned
+    // it would raise) and gates the equi-width integer binning arithmetic
+    // cross-engine: bucket = ((v-min)·64)/(span+1), floor ≡ truncate on
+    // both engines because everything is non-negative.
+    "q_ks_binned" -> ((s, dir) => {
+      Analytics.ksCensus(
+          events(s, dir).select(col("event_type"),
+            round(col("value") * 100, 0).cast("long").as("vu")),
+          col("event_type"), col("vu"),
+          bins = Some(64), maxDistinct = 4096L)
+        .select(col("group").as("event_type"), col("n_g"), col("n_rest"),
+          col("d_num"), col("d_ppm"))
+        .orderBy(col("event_type"))
+    }),
+
     // Western-Electric SPC rule census per user over the user's own
     // control limits — the 1956 handbook run rules (beyond 3σ; 2-of-3
     // beyond 2σ same side; 4-of-5 beyond 1σ same side; 8 same side), all
@@ -5150,6 +5167,39 @@ object SparkEntry {
         |        // (ng::HUGEINT * nr * 2))::BIGINT AS d_ppm
         |FROM m WHERE nr > 0
         |ORDER BY source""".stripMargin,
+
+    // the bins path: same ECDF tail over equi-width integer buckets of the
+    // cents-quantized value (floor ≡ truncate: everything non-negative)
+    "q_ks_binned" ->
+      """WITH e AS (SELECT event_type AS g, round(value * 100)::BIGINT AS v
+        |           FROM events),
+        |c0 AS (SELECT g, v, count(*)::BIGINT AS c FROM e GROUP BY 1, 2),
+        |b AS (SELECT min(v) AS mn, max(v) AS mx FROM c0),
+        |c AS (SELECT g,
+        |             ((v - mn)::HUGEINT * 64 // (mx - mn + 1)::HUGEINT)::BIGINT AS v,
+        |             sum(c)::BIGINT AS c
+        |      FROM c0 CROSS JOIN b GROUP BY 1, 2),
+        |t AS (SELECT g, sum(c)::BIGINT AS ng FROM c GROUP BY 1),
+        |a AS (SELECT v, sum(c)::BIGINT AS call FROM c GROUP BY 1),
+        |gr AS (SELECT sum(c)::BIGINT AS nall FROM c),
+        |grid AS (SELECT t.g, t.ng, a.v, a.call, gr.nall
+        |         FROM t CROSS JOIN a CROSS JOIN gr),
+        |j AS (SELECT grid.g, grid.ng, grid.v, grid.call, grid.nall,
+        |             coalesce(c.c, 0) AS c
+        |      FROM grid LEFT JOIN c ON grid.g = c.g AND grid.v = c.v),
+        |st AS (SELECT g, ng, nall - ng AS nr,
+        |              sum(c) OVER w AS cumg, sum(call) OVER w AS cumall
+        |       FROM j WINDOW w AS (PARTITION BY g ORDER BY v
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |m AS (SELECT g, max(ng) AS ng, max(nr) AS nr,
+        |             max(abs(cumg * nr - (cumall - cumg) * ng)) AS dnum
+        |      FROM st GROUP BY g)
+        |SELECT g AS event_type, ng::BIGINT AS n_g, nr::BIGINT AS n_rest,
+        |       dnum::BIGINT AS d_num,
+        |       ((dnum::HUGEINT * 2000000 + ng::HUGEINT * nr)
+        |        // (ng::HUGEINT * nr * 2))::BIGINT AS d_ppm
+        |FROM m WHERE nr > 0
+        |ORDER BY event_type""".stripMargin,
 
     "events_spc" ->
       """WITH e AS (

@@ -42,7 +42,7 @@ object LangId {
     * ru/uk/ar/fa/he/el/hi/ur/bn/ko/th, diacritics stripped for vi.
     * Overlapping markers across sibling languages (da/no, id/ms,
     * hr/sr/bs, hi/ur, kk/ky) are fine: scoring counts every occurrence
-    * and the tie-break is deterministic on both engines. ~95 languages —
+    * and the tie-break is deterministic on both engines. 102 languages —
     * production-crawl breadth; the single-pass expression's cost is
     * measured independent of the table width, so widening further is
     * purely additive.
@@ -153,7 +153,14 @@ object LangId {
     "tg" -> Seq("va", "dar", "ba", "ki", "ast"),
     "ky" -> Seq("jana", "bul", "menen", "bar", "emes"),
     "tk" -> Seq("we", "bu", "bilen", "uchin", "bar"),
-    "tt" -> Seq("ham", "bu", "belen", "ochen", "bar"))
+    "tt" -> Seq("ham", "bu", "belen", "ochen", "bar"),
+    "as" -> Seq("aru", "ei", "moi", "hoy", "pora"),
+    "or" -> Seq("ebam", "ei", "mu", "heba", "pare"),
+    "ug" -> Seq("we", "bu", "bilen", "uchun", "bolsa"),
+    "bo" -> Seq("dang", "ni", "la", "yin", "red"),
+    "sm" -> Seq("le", "o", "i", "ma", "lea"),
+    "to" -> Seq("ko", "e", "i", "mo", "oe"),
+    "haw" -> Seq("ka", "o", "i", "ma", "na"))
 
   /** Language codes in ascending order — the argmax iteration order. */
   private val langs: Array[String] = Markers.keys.toArray.sorted

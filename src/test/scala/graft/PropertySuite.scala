@@ -536,4 +536,45 @@ class PropertySuite extends AnyFunSuite {
       assert(r.getAs[Long]("sum_u") === clamped, s"case $i sum")
     }
   }
+
+  test("property: streaming Bollinger equals the batch census for random series at random batch splits") {
+    // the twin family's exactness claim is "a mid-series micro-batch split
+    // cannot flip a flag" — so the split POSITION is the thing to randomize,
+    // not just the fixture the example specs pin
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    import graft.streaming.StreamingBollinger
+    implicit val sqlCtx = spark.sqlContext
+    val gen = for {
+      n <- Gen.chooseNum(8, 30)
+      vals <- Gen.listOfN(n, Gen.chooseNum(0, 100000))
+      split <- Gen.chooseNum(1, n - 1)
+    } yield (vals.map(_ / 1000.0), split)
+    for (((vals, split), i) <- samples(gen, 5).zipWithIndex) {
+      val obs = vals.zipWithIndex.map { case (v, t) =>
+        StreamingBollinger.Obs("k", (t + 1).toLong, v)
+      }
+      val input = MemoryStream[StreamingBollinger.Obs]
+      val q = StreamingBollinger.flags(input.toDS(), frameRows = 5, k = 2)
+        .writeStream.format("memory").queryName(s"graft_prop_boll_$i")
+        .outputMode("append").start()
+      try {
+        input.addData(obs.take(split))
+        q.processAllAvailable()
+        input.addData(obs.drop(split))
+        q.processAllAvailable()
+        val streamed = spark.table(s"graft_prop_boll_$i")
+          .collect().map(r => r.getLong(2) -> r.getBoolean(4)).toMap
+        val batch = graft.operators.Analytics.bollingerCensus(
+            obs.toDF("key", "ts_s", "v"), "key",
+            Seq(col("ts_s"), col("v")), col("v"), frameRows = 5, k = 2)
+          .collect()(0)
+        val (nB, breachesB) = (batch.getLong(1), batch.getLong(2))
+        assert(streamed.size.toLong === nB,
+          s"case $i (n=${vals.size}, split=$split): evaluated-row count")
+        assert(streamed.count(_._2).toLong === breachesB,
+          s"case $i (n=${vals.size}, split=$split): breach count")
+      } finally q.stop()
+    }
+  }
 }
