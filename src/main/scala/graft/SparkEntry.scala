@@ -1097,6 +1097,33 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // The SAME theta set algebra in its EXACT regime: below 2^lgK retained
+    // hashes a theta sketch stores EVERY distinct hash (theta = 1), so
+    // estimate == exact distinct count and union/intersection/difference
+    // are exact set operations — which hands the whole persisted-state
+    // serving path (sketch agg, intersection, AnotB, union, estimate) a
+    // DuckDB set-algebra oracle. The third generated-oracle conversion
+    // after BPE and Misra-Gries. The premise is ENFORCED in the plan: an
+    // assert on the true distinct-user count raises loudly if a corpus
+    // ever outgrows the exact range, instead of failing the gate with an
+    // estimate-vs-exact diff.
+    "events_user_overlap_exact" -> ((s, dir) => {
+      val e = events(s, dir)
+      val cut = lit("2024-01-16").cast("timestamp")
+      val keys = Seq(col("event_type"))
+      val guard = e.agg(countDistinct(col("user_id")).as("__nd"))
+      val a = Incremental.setState(e.filter(col("ts") < cut), keys, col("user_id"))
+      val b = Incremental.setState(e.filter(col("ts") >= cut), keys, col("user_id"))
+      Incremental.setOverlap(Seq("event_type"), a, b)
+        .crossJoin(broadcast(guard))
+        .filter(assert_true(col("__nd") <= 4096,
+          lit("events_user_overlap_exact: distinct users exceed the theta " +
+            "exact range (2^12 retained hashes) — estimates would diverge from " +
+            "the set oracle; use events_user_overlap (sketch regime)")).isNull)
+        .drop("__nd")
+        .orderBy(col("event_type"))
+    }),
+
     // Snapshot diff audit: synthetic "tomorrow" snapshot (every 97th doc
     // deleted, every 41st revised, every 89th re-added under a new id)
     // diffed against today's by md5 fingerprint — one full outer join
@@ -3387,6 +3414,32 @@ object SparkEntry {
         |       floor((sum_u::HUGEINT * tn)::DOUBLE / (n::HUGEINT * tsum)::DOUBLE
         |             * 10000 + 0.5) / 10000 AS idx
         |FROM t WHERE tsum > 0 ORDER BY 1, 2""".stripMargin,
+
+    // theta set algebra in its exact regime: plain set operations on the
+    // distinct (event_type, user_id) pairs of the two halves
+    "events_user_overlap_exact" ->
+      """WITH a AS (SELECT DISTINCT event_type, user_id FROM events
+        |           WHERE ts < TIMESTAMP '2024-01-16'),
+        |b AS (SELECT DISTINCT event_type, user_id FROM events
+        |      WHERE ts >= TIMESTAMP '2024-01-16'),
+        |ka AS (SELECT event_type, count(*)::BIGINT AS n_a FROM a GROUP BY 1),
+        |kb AS (SELECT event_type, count(*)::BIGINT AS n_b FROM b GROUP BY 1),
+        |nboth AS (SELECT event_type, count(*)::BIGINT AS n_both
+        |          FROM (SELECT * FROM a INTERSECT SELECT * FROM b) GROUP BY 1),
+        |neither AS (SELECT event_type, count(*)::BIGINT AS n_either
+        |            FROM (SELECT * FROM a UNION SELECT * FROM b) GROUP BY 1),
+        |nonly AS (SELECT event_type, count(*)::BIGINT AS n_only_a
+        |          FROM (SELECT * FROM a EXCEPT SELECT * FROM b) GROUP BY 1)
+        |SELECT ka.event_type, n_a, n_b,
+        |       coalesce(n_both, 0)::BIGINT AS n_both,
+        |       n_either,
+        |       coalesce(n_only_a, 0)::BIGINT AS n_only_a
+        |FROM ka
+        |JOIN kb USING (event_type)
+        |JOIN neither USING (event_type)
+        |LEFT JOIN nboth USING (event_type)
+        |LEFT JOIN nonly USING (event_type)
+        |ORDER BY event_type""".stripMargin,
 
     "corpus_diff" ->
       """WITH a AS (SELECT doc_id, md5(text) AS h FROM documents),
