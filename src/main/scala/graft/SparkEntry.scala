@@ -1124,6 +1124,44 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // The KLL quantile state in its EXACT regime: while a group's count
+    // stays ≤ k the sketch never compacts — no random coins, every item
+    // retained — so merged-state quantiles ARE order statistics, and the
+    // DataSketches INCLUSIVE rank rule (smallest item whose rank/n ≥ p)
+    // coincides with DuckDB's quantile_disc (probed: identical at n=4/5/8
+    // and through the merge path). That hands the whole maintenance path
+    // (agg → serialize → sorted pairwise merge fold → quantile eval) a
+    // SQL oracle — the fourth generated-oracle conversion after BPE,
+    // Misra-Gries, and theta. Probabilities are binary-exact (1/4, 1/2,
+    // 3/4, 7/8) so the ceil(p·n) boundary can't flip on float rounding in
+    // either engine; value is floored to micro-units in BOTH engines
+    // (DuckDB's double→BIGINT cast rounds where Spark's truncates — floor
+    // first makes the quantized longs identical). The premise is ENFORCED
+    // in the plan: an assert on the max per-group count raises loudly if
+    // a corpus outgrows the exact range, instead of failing the gate with
+    // a sketch-estimate-vs-exact diff.
+    "events_quantiles_exact" -> ((s, dir) => {
+      val e = events(s, dir)
+      val cut = lit("2024-01-16").cast("timestamp")
+      val k = 32768
+      val v = floor(col("value") * lit(1000000.0d)).cast("long")
+      val keys = Seq(col("event_type"))
+      val guard = e.groupBy(col("event_type")).count()
+        .agg(max(col("count")).as("__mx"))
+      val a = Incremental.quantileState(e.filter(col("ts") < cut), keys, v, k)
+      val b = Incremental.quantileState(e.filter(col("ts") >= cut), keys, v, k)
+      val m = Incremental.mergeQuantileStates(Seq("event_type"), a, b)
+      Incremental.finishQuantiles(m, Seq("event_type"),
+          Seq(0.25, 0.5, 0.75, 0.875))
+        .crossJoin(broadcast(guard))
+        .filter(assert_true(col("__mx") <= k,
+          lit("events_quantiles_exact: a group outgrew the KLL exact range " +
+            s"(k=$k retained items) — compaction would turn quantiles into " +
+            "sketch estimates; raise k or use the rank-error spec tier")).isNull)
+        .drop("__mx")
+        .orderBy(col("event_type"))
+    }),
+
     // Snapshot diff audit: synthetic "tomorrow" snapshot (every 97th doc
     // deleted, every 41st revised, every 89th re-added under a new id)
     // diffed against today's by md5 fingerprint — one full outer join
@@ -3440,6 +3478,19 @@ object SparkEntry {
         |LEFT JOIN nboth USING (event_type)
         |LEFT JOIN nonly USING (event_type)
         |ORDER BY event_type""".stripMargin,
+
+    // KLL quantile maintenance in its exact regime: the merged states
+    // retain every item, so the serving quantiles are plain inclusive
+    // order statistics — quantile_disc on the identically-quantized longs
+    "events_quantiles_exact" ->
+      """SELECT event_type,
+        |       quantile_disc(v, 0.25)  AS q_p25,
+        |       quantile_disc(v, 0.5)   AS q_p50,
+        |       quantile_disc(v, 0.75)  AS q_p75,
+        |       quantile_disc(v, 0.875) AS q_p88
+        |FROM (SELECT event_type, CAST(floor(value * 1000000) AS BIGINT) AS v
+        |      FROM events)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "corpus_diff" ->
       """WITH a AS (SELECT doc_id, md5(text) AS h FROM documents),
