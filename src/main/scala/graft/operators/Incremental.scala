@@ -316,9 +316,22 @@ object Incremental {
     * maintainers on one `path` are not coordinated (rename is atomic on
     * HDFS/local FS; object stores without atomic rename need an external
     * commit lock regardless). Returns the published version number.
+    *
+    * `mergeFn` selects the STATE FAMILY: it folds two complete state
+    * tables keyed by `keyNames` into one (must be associative on states,
+    * like every `merge*` in this object) and defaults to the scalar-agg
+    * [[merge]]. The versioning / batchId-dedup / prune machinery is
+    * family-agnostic, so the sketch families maintain through the same
+    * protocol — e.g.
+    * `(k, ss) => mergeQuantileStates(k, ss: _*)` (KLL percentiles),
+    * `(k, ss) => mergeTopK(k, 10, ss: _*)`,
+    * `(k, ss) => mergeSetStatesLgK(k, 12, ss: _*)` (theta distincts),
+    * `(k, ss) => mergeHeavyHitters(k, 64, ss: _*)` (Misra–Gries).
     */
   def maintain(spark: SparkSession, path: String, keyNames: Seq[String],
-      deltaState: DataFrame, batchId: Option[String] = None): Long = {
+      deltaState: DataFrame, batchId: Option[String] = None,
+      mergeFn: (Seq[String], Seq[DataFrame]) => DataFrame =
+        (k, ss) => merge(k, ss: _*)): Long = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val alreadyFolded = batchId.flatMap { id =>
       completeVersions(spark, path).sorted(Ordering[Long].reverse).find { v =>
@@ -335,7 +348,7 @@ object Incremental {
     alreadyFolded.getOrElse {
       val next = latestVersion(spark, path).map(_ + 1).getOrElse(0L)
       val merged = latestState(spark, path) match {
-        case Some(prev) => merge(keyNames, prev, deltaState)
+        case Some(prev) => mergeFn(keyNames, Seq(prev, deltaState))
         case None => deltaState
       }
       val tmp = new Path(s"$path/$TmpPrefix$next")

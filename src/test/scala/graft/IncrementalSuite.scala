@@ -130,6 +130,65 @@ class IncrementalSuite extends AnyFunSuite {
       Some("b2")) === 2L)
   }
 
+  test("maintain is family-generic: KLL / top-k / theta states fold through the same protocol") {
+    // the versioning machinery must not care WHAT the state is — each
+    // family plugs its own merge in and the versioned fold must equal the
+    // one-shot state over the union (exact regimes, so equality is exact)
+    val base = Files.createTempDirectory("graft-incr-family").toString
+    val deltas = Seq(rows(300), rows(300, offset = 300), rows(300, offset = 600))
+    val union = deltas.reduce(_.unionByName(_))
+
+    // KLL quantile states, k above every group size → exact order stats
+    val kllPath = s"$base/kll"
+    deltas.zipWithIndex.foreach { case (d, i) =>
+      Incremental.maintain(spark, kllPath, KeyNames,
+        Incremental.quantileState(d, Seq(col("k")), col("v"), k = 2048),
+        Some(s"b$i"), (kn, ss) => Incremental.mergeQuantileStates(kn, ss: _*))
+    }
+    def quants(st: DataFrame) =
+      Incremental.finishQuantiles(st, KeyNames, Seq(0.25, 0.5, 0.75))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq.sorted
+    assert(quants(Incremental.latestState(spark, kllPath).get) ===
+      quants(Incremental.quantileState(union, Seq(col("k")), col("v"), k = 2048)),
+      "versioned KLL folds must serve the one-shot exact quantiles")
+    // the batchId dedup machinery composes with a custom mergeFn
+    val retried = Incremental.maintain(spark, kllPath, KeyNames,
+      Incremental.quantileState(deltas.last, Seq(col("k")), col("v"), k = 2048),
+      Some("b2"), (kn, ss) => Incremental.mergeQuantileStates(kn, ss: _*))
+    assert(retried === 2L, "a folded batchId must dedup under any mergeFn")
+
+    // top-k states: merge ≡ one-shot is a total-order identity, bit-exact
+    val topkPath = s"$base/topk"
+    deltas.foreach { d =>
+      Incremental.maintain(spark, topkPath, KeyNames,
+        Incremental.topKState(d, Seq(col("k")), col("v"), col("d"), k = 5),
+        None, (kn, ss) => Incremental.mergeTopK(kn, 5, ss: _*))
+    }
+    def ranked(st: DataFrame) =
+      Incremental.finishTopK(st, KeyNames).collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .toSeq.sorted
+    assert(ranked(Incremental.latestState(spark, topkPath).get) ===
+      ranked(Incremental.topKState(union, Seq(col("k")), col("v"), col("d"), k = 5)),
+      "versioned top-k folds must serve the one-shot ranking")
+
+    // theta set states in the exact regime: union estimate == true distinct
+    val thetaPath = s"$base/theta"
+    deltas.foreach { d =>
+      Incremental.maintain(spark, thetaPath, KeyNames,
+        Incremental.setState(d, Seq(col("k")), col("d")),
+        None, (kn, ss) => Incremental.mergeSetStatesLgK(kn, 12, ss: _*))
+    }
+    val est = Incremental.latestState(spark, thetaPath).get
+      .select(col("k"), theta_sketch_estimate(col("theta")).cast("long").as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val truth = union.groupBy("k").agg(countDistinct(col("d")).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(est === truth,
+      "below capacity the maintained theta state must count distincts exactly")
+  }
+
   test("non-numeric v= junk is skipped, not fatal") {
     val path = Files.createTempDirectory("graft-incr-junk").toString + "/state"
     Incremental.maintain(spark, path, KeyNames, st(rows(100)))
