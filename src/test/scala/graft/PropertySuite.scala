@@ -577,4 +577,54 @@ class PropertySuite extends AnyFunSuite {
       } finally q.stop()
     }
   }
+
+  test("property: streaming SPC equals the batch census for random series at random batch splits") {
+    // same claim as the Bollinger property, for the twin with the most
+    // intricate state (arrival counter + 7-value ring + four run rules):
+    // a random mid-series micro-batch split must not flip any rule count
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    import graft.streaming.StreamingSpc
+    implicit val sqlCtx = spark.sqlContext
+    val gen = for {
+      n <- Gen.chooseNum(8, 30)
+      vals <- Gen.listOfN(n, Gen.chooseNum(0, 100000))
+      split <- Gen.chooseNum(1, n - 1)
+    } yield (vals.map(_ / 1000.0), split)
+    for (((vals, split), i) <- samples(gen, 5).zipWithIndex) {
+      val obs = vals.zipWithIndex.map { case (v, t) =>
+        StreamingSpc.Obs("k", (t + 1).toLong, v)
+      }
+      // frozen limits = the series' own full exact moments, like the
+      // pinned parity spec — that is what makes batch the oracle
+      val cents = obs.map(o => java.math.BigDecimal.valueOf(o.v * 100)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue())
+      val limits = Map("k" -> StreamingSpc.Limits(cents.size.toLong,
+        cents.map(BigInt(_)).sum, cents.map(c => BigInt(c) * c).sum))
+      val input = MemoryStream[StreamingSpc.Obs]
+      val q = StreamingSpc.flags(input.toDS(), limits)
+        .writeStream.format("memory").queryName(s"graft_prop_spc_$i")
+        .outputMode("append").start()
+      try {
+        input.addData(obs.take(split))
+        q.processAllAvailable()
+        input.addData(obs.drop(split))
+        q.processAllAvailable()
+        def cnt(c: org.apache.spark.sql.Column) = sum(when(c, 1L).otherwise(0L))
+        val streamed = spark.table(s"graft_prop_spc_$i")
+          .groupBy(col("key")).agg(count(lit(1)).as("n"),
+            cnt(col("r1")).as("r1"), cnt(col("r2")).as("r2"),
+            cnt(col("r3")).as("r3"), cnt(col("r4")).as("r4"))
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getLong(4), r.getLong(5))).toSeq.sorted
+        val batch = graft.operators.Analytics.spcCensus(
+            obs.toDF("key", "ts_s", "v"), "key",
+            Seq(col("ts_s"), col("v")), col("v"))
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getLong(4), r.getLong(5))).toSeq.sorted
+        assert(streamed === batch,
+          s"case $i (n=${vals.size}, split=$split): $streamed vs $batch")
+      } finally q.stop()
+    }
+  }
 }
