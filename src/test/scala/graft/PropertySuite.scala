@@ -627,4 +627,43 @@ class PropertySuite extends AnyFunSuite {
       } finally q.stop()
     }
   }
+
+  test("property: streaming rolling-median equals the batch census for random series at random batch splits") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    import graft.streaming.StreamingRollingMedian
+    implicit val sqlCtx = spark.sqlContext
+    val gen = for {
+      n <- Gen.chooseNum(10, 30)
+      vals <- Gen.listOfN(n, Gen.chooseNum(0, 100000))
+      split <- Gen.chooseNum(1, n - 1)
+    } yield (vals.map(_ / 1000.0), split)
+    for (((vals, split), i) <- samples(gen, 5).zipWithIndex) {
+      val obs = vals.zipWithIndex.map { case (v, t) =>
+        StreamingRollingMedian.Obs("k", (t + 1).toLong, v)
+      }
+      val input = MemoryStream[StreamingRollingMedian.Obs]
+      val q = StreamingRollingMedian.flags(input.toDS(), frameRows = 7, k = 3)
+        .writeStream.format("memory").queryName(s"graft_prop_rollmed_$i")
+        .outputMode("append").start()
+      try {
+        input.addData(obs.take(split))
+        q.processAllAvailable()
+        input.addData(obs.drop(split))
+        q.processAllAvailable()
+        val streamed = spark.table(s"graft_prop_rollmed_$i")
+          .collect().map(r => r.getLong(2) -> r.getBoolean(4)).toMap
+        val batch = graft.operators.Analytics.rollingMadCensus(
+            obs.toDF("key", "ts_s", "v"), "key",
+            Seq(col("ts_s"), col("v")), col("v"), frameRows = 7, k = 3)
+          .collect()(0)
+        val nB = batch.getAs[Long]("n_eval")
+        val flagsB = batch.getAs[Long]("n_outliers")
+        assert(streamed.size.toLong === nB,
+          s"case $i (n=${vals.size}, split=$split): evaluated-row count")
+        assert(streamed.count(_._2).toLong === flagsB,
+          s"case $i (n=${vals.size}, split=$split): outlier count")
+      } finally q.stop()
+    }
+  }
 }
