@@ -33,6 +33,12 @@ import org.apache.spark.sql.SparkSession
   * share of the cores, a THIRD timed pass runs and the per-query min is
   * taken over all three, so a contended session either self-corrects or is
   * at least flagged so nobody has to guess.
+  *
+  * Idle-session noise: even uncontended, a one-off stall (GC pause,
+  * page-cache miss burst) can survive min-of-2 as a query's reported time.
+  * Any non-trivial query whose two passes disagree by >1.3× is retimed
+  * individually (a handful of queries, not a full pass) and the extra
+  * sample folds into the min; `retimed` in the JSON records how many.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -124,10 +130,36 @@ object Bench {
     // contaminated total that costs a round of triage.
     val pass3: Map[String, Double] =
       if (contended) { System.gc(); timedPass().toMap } else Map.empty
+    // Per-query disagreement retime: min-of-2 on an IDLE box still lets a
+    // one-off stall (GC pause, page-cache miss burst) survive as a query's
+    // reported time — r13 recorded q_histogram_equidepth at 1.74× its idle
+    // cost with contended=false, and disproving it cost the next round an
+    // isolated re-run. When the two passes disagree by >1.3× on a
+    // non-trivial query the number is noisy by definition, so retime JUST
+    // those queries once more (a handful, not a full pass) and fold the
+    // third sample into the min. `retimed` in the JSON records how many.
+    val suspects: Seq[String] =
+      if (contended) Seq.empty // the full third pass already covers everyone
+      else pass1.collect { case (name, t1)
+          if !failed.contains(name) && {
+            val t2 = pass2.getOrElse(name, t1)
+            math.min(t1, t2) >= 0.3 && math.max(t1, t2) / math.min(t1, t2) > 1.3
+          } => name }
+    val retimed: Map[String, Double] = {
+      if (suspects.nonEmpty) System.gc()
+      suspects.map { name =>
+        val t0 = System.nanoTime()
+        try materialize(selected(name)(spark, sfDir))
+        catch { case _: Throwable => () }
+        name -> (System.nanoTime() - t0) / 1e9
+      }.toMap
+    }
     val results = pass1.map { case (name, t1) =>
       name -> math.min(
-        math.min(t1, pass2.getOrElse(name, t1)),
-        pass3.getOrElse(name, t1))
+        math.min(
+          math.min(t1, pass2.getOrElse(name, t1)),
+          pass3.getOrElse(name, t1)),
+        retimed.getOrElse(name, t1))
     }
     val loadPost = loadAvg()
     // The driver keeps only the LAST ~2000 chars of stdout. With 125
@@ -150,7 +182,7 @@ object Bench {
       val loadFields =
         s""","load_pre":${fmt(loadPre)},"load_post":${fmt(loadPost)}""" +
           s""","external_mid":${fmt(externalMid)},"external_end":${fmt(externalEnd)},"contended":$contended""" +
-          s""","passes":${if (contended) 3 else 2}"""
+          s""","passes":${if (contended) 3 else 2},"retimed":${retimed.size}"""
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$om$fl$loadFields,"sf":"$sfDir"}"""
     }
     val full = lineFor(results, 0)
