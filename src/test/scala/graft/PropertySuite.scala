@@ -666,4 +666,90 @@ class PropertySuite extends AnyFunSuite {
       } finally q.stop()
     }
   }
+
+  test("property: streaming EWMA equals the batch column bit-for-bit for random series at random batch splits") {
+    // scalar-recursion state shape (vs the ring twins above): every output
+    // replays the batch weights in the batch order, so equality is per-row
+    // and bit-exact, not aggregate
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    import graft.streaming.StreamingEwma
+    implicit val sqlCtx = spark.sqlContext
+    val gen = for {
+      n <- Gen.chooseNum(8, 30)
+      vals <- Gen.listOfN(n, Gen.chooseNum(0, 100000))
+      split <- Gen.chooseNum(1, n - 1)
+    } yield (vals.map(_ / 1000.0), split)
+    for (((vals, split), i) <- samples(gen, 5).zipWithIndex) {
+      val obs = vals.zipWithIndex.map { case (v, t) =>
+        StreamingEwma.Obs("k", (t + 1).toLong, v)
+      }
+      val input = MemoryStream[StreamingEwma.Obs]
+      val q = StreamingEwma.smooth(input.toDS(), alpha = 0.3, horizon = 8)
+        .writeStream.format("memory").queryName(s"graft_prop_ewma_$i")
+        .outputMode("append").start()
+      try {
+        input.addData(obs.take(split))
+        q.processAllAvailable()
+        input.addData(obs.drop(split))
+        q.processAllAvailable()
+        val streamed = spark.table(s"graft_prop_ewma_$i")
+          .collect().map(r => r.getLong(1) -> r.getDouble(3)).toMap
+        val batch = obs.toDF("key", "ts_s", "v")
+          .withColumn("e", graft.operators.Analytics.ewma("key",
+            Seq(col("ts_s"), col("v")), "v", 0.3, 8))
+          .collect().map(r => r.getLong(1) -> r.getDouble(3)).toMap
+        assert(streamed === batch,
+          s"case $i (n=${vals.size}, split=$split): per-row bit parity")
+      } finally q.stop()
+    }
+  }
+
+  test("property: streaming TWAP stints reproduce the batch average for random irregular series at random batch splits") {
+    // open-stint state shape: random gap lengths exercise the
+    // holds-until-next weighting, random splits the cross-batch stint close
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    import graft.streaming.StreamingTwap
+    implicit val sqlCtx = spark.sqlContext
+    val gen = for {
+      n <- Gen.chooseNum(5, 25)
+      gaps <- Gen.listOfN(n, Gen.chooseNum(1L, 2000000L))
+      vals <- Gen.listOfN(n, Gen.chooseNum(0, 100000))
+      split <- Gen.chooseNum(1, n - 1)
+    } yield (gaps, vals.map(_ / 1000.0), split)
+    for (((gaps, vals, split), i) <- samples(gen, 5).zipWithIndex) {
+      val ts = gaps.scanLeft(0L)(_ + _).tail // strictly increasing, >= 1
+      val obs = ts.zip(vals).map { case (t, v) => StreamingTwap.Obs("k", t, v) }
+      val input = MemoryStream[StreamingTwap.Obs]
+      val q = StreamingTwap.stints(input.toDS())
+        .writeStream.format("memory").queryName(s"graft_prop_twap_$i")
+        .outputMode("append").start()
+      try {
+        input.addData(obs.take(split))
+        q.processAllAvailable()
+        input.addData(obs.drop(split))
+        q.processAllAvailable()
+        // the pinned parity spec's tail math over the streamed stints
+        val streamed = spark.table(s"graft_prop_twap_$i")
+          .groupBy(col("key")).agg(
+            count(lit(1)).as("n_segments"),
+            sum(col("dur_ms")).as("dur_ms"),
+            sum(col("vu").cast("decimal(38,0)") * col("dur_ms")).as("num"))
+          .filter(col("dur_ms") > 0)
+          .select(col("key"), col("n_segments"), col("dur_ms"),
+            (floor(col("num").cast("double") / col("dur_ms").cast("double")
+              + 0.5d) / 10000d).as("twavg"))
+          .collect().map(r => r.getString(0) ->
+            (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+        val batch = graft.operators.Timeseries.timeWeightedAvg(
+            obs.toDF("key", "ts_us", "v"), col("key"), col("ts_us"),
+            Seq(col("ts_us"), col("v")), col("v"))
+          .collect().map(r => r.getString(0) ->
+            (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+        assert(streamed === batch,
+          s"case $i (n=${vals.size}, split=$split): $streamed vs $batch")
+      } finally q.stop()
+    }
+  }
 }
