@@ -118,5 +118,14 @@ object Explain {
         "3-arg levenshtein only on DISTINCT pairs, no cartesian fallback."),
     "graph_pagerank" ->
       ("per iteration ONE edges-ranks shuffle + one dst hash agg; rank table is |V| rows. " +
-        "Deep runs checkpoint every ~10 iters (lineage); scalar mass tables broadcast."))
+        "Deep runs checkpoint every ~10 iters (lineage); scalar mass tables broadcast."),
+    "q_rfm" ->
+      ("the three ntile windows run over the |entities| aggregate, not the corpus — but the " +
+        "order IS total, so each is a single-partition sort of |entities| rows. At extreme " +
+        "entity counts swap ntile for broadcast approx-percentile boundary assignment " +
+        "(the perplexityBucketsApprox / q_histogram_equidepth_scale pattern)."),
+    "q_abc_parts" ->
+      ("the cumulative-share rank window runs over the |items| aggregate under a total " +
+        "order — a single-partition sort of the item vocabulary, never the corpus. " +
+        "Range-partition the sort if the vocabulary itself is huge (scaladoc'd)."))
 }
