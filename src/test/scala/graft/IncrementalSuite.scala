@@ -187,6 +187,23 @@ class IncrementalSuite extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
     assert(est === truth,
       "below capacity the maintained theta state must count distincts exactly")
+
+    // Misra–Gries heavy hitters, capacity above the item domain (d < 97) →
+    // no decrements anywhere, maintained counts are exact frequencies
+    val mgPath = s"$base/mg"
+    deltas.foreach { d =>
+      Incremental.maintain(spark, mgPath, KeyNames,
+        Incremental.heavyHittersState(d, Seq(col("k")),
+          col("d").cast("string"), k = 128),
+        None, (kn, ss) => Incremental.mergeHeavyHitters(kn, 128, ss: _*))
+    }
+    val counts = Incremental.finishHeavyHitters(
+        Incremental.latestState(spark, mgPath).get, KeyNames, 128)
+      .collect().map(r => (r.getString(0), r.getString(2)) -> r.getLong(3)).toMap
+    val freqTruth = union.groupBy(col("k"), col("d").cast("string").as("d")).count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(counts === freqTruth,
+      "capacity above the domain: maintained MG counts must be exact frequencies")
   }
 
   test("non-numeric v= junk is skipped, not fatal") {
