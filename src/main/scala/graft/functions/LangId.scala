@@ -42,7 +42,7 @@ object LangId {
     * ru/uk/ar/fa/he/el/hi/ur/bn/ko/th, diacritics stripped for vi.
     * Overlapping markers across sibling languages (da/no, id/ms,
     * hr/sr/bs, hi/ur, kk/ky) are fine: scoring counts every occurrence
-    * and the tie-break is deterministic on both engines. 102 languages —
+    * and the tie-break is deterministic on both engines. 113 languages —
     * production-crawl breadth; the single-pass expression's cost is
     * measured independent of the table width, so widening further is
     * purely additive.
