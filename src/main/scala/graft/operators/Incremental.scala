@@ -245,6 +245,16 @@ object Incremental {
         .cast("long").as("n_only_a")): _*)
   }
 
+  /** Serve-time distinct counts off ONE persisted state table — the
+    * single-state common case ("distinct users per segment, from state,
+    * no rescan") that [[setOverlap]]'s two-sided algebra doesn't cover.
+    * Exact below the sketch's 2^lgK retained-hash capacity, the standard
+    * theta estimate above it. Input is |groups| state rows.
+    */
+  def finishSetCounts(state: DataFrame, keyNames: Seq[String]): DataFrame =
+    state.select(keyNames.map(col) :+
+      theta_sketch_estimate(col("theta")).cast("long").as("n_distinct"): _*)
+
   // ---- mergeable quantile states (KLL sketches) ---------------------------
   //
   // Percentiles are the classic non-mergeable aggregate (the exact answer

@@ -180,8 +180,8 @@ class IncrementalSuite extends AnyFunSuite {
         Incremental.setState(d, Seq(col("k")), col("d")),
         None, (kn, ss) => Incremental.mergeSetStatesLgK(kn, 12, ss: _*))
     }
-    val est = Incremental.latestState(spark, thetaPath).get
-      .select(col("k"), theta_sketch_estimate(col("theta")).cast("long").as("n"))
+    val est = Incremental.finishSetCounts(
+        Incremental.latestState(spark, thetaPath).get, KeyNames)
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
     val truth = union.groupBy("k").agg(countDistinct(col("d")).as("n"))
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
