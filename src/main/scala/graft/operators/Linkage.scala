@@ -22,10 +22,12 @@ import org.apache.spark.sql.functions._
   *      only; keep dist ≤ maxDist.
   *   4. resolve: best match per left record, total order (dist, right id).
   *
-  * Plan at 100 TB: gram explode (narrow) → hash-partition both sides on
-  * gram → pair dedup (hash agg) → per-pair scalar verify → per-left-id
-  * window for the argmin. No broadcast of either corpus, no all-pairs
-  * product anywhere; every exchange is keyed on gram or pair id.
+  * Plan at 100 TB: gram explode (narrow, ids + name lengths only) →
+  * hash-partition both sides on gram → pair dedup (hash agg on two id
+  * longs) → id-keyed name reattach → per-pair scalar verify →
+  * per-left-id window for the argmin. No broadcast of either corpus, no
+  * all-pairs product anywhere; every exchange is keyed on gram or pair
+  * id, and no fanout exchange carries a string payload.
   */
 object Linkage {
 
@@ -97,18 +99,14 @@ object Linkage {
       tailLen: Int = 8,
       maxGramFreq: Long = 200L,
       minSim: Double = 0.9): DataFrame = {
-    val pairs = candidatePairs(left, leftId, leftName, right, rightId, rightName,
-      gramWidth, tailLen, maxGramFreq, maxLenDiff = None)
     // jw ≤ 0.8 + 0.2·min/max (see scaladoc): below-ratio pairs can never
-    // reach minSim, so skip their verify. The 1e-9 slack keeps the float
-    // division from clipping an exactly-on-the-bound pair.
-    val pruned = if (minSim > 0.8) {
-      val lenL = length(col("__ln")).cast("double")
-      val lenR = length(col("__rn")).cast("double")
-      pairs.filter(
-        least(lenL, lenR) / greatest(lenL, lenR) >= lit((minSim - 0.8) / 0.2 - 1e-9))
-    } else pairs
-    val verified = pruned
+    // reach minSim, so they are pruned inside the BLOCK step (before the
+    // pair dedup — see candidatePairs) and never verified. The 1e-9 slack
+    // keeps the float division from clipping an exactly-on-the-bound pair.
+    val pairs = candidatePairs(left, leftId, leftName, right, rightId, rightName,
+      gramWidth, tailLen, maxGramFreq, maxLenDiff = None,
+      minLenRatio = if (minSim > 0.8) Some((minSim - 0.8) / 0.2 - 1e-9) else None)
+    val verified = pairs
       .withColumn("sim",
         round(graft.functions.JaroWinkler.jaroWinkler(col("__ln"), col("__rn")), 6))
       .filter(col("sim") >= minSim)
@@ -122,22 +120,33 @@ object Linkage {
   /** The shared BLOCK step: distinct candidate pairs
     * (left_id, __ln, right_id, __rn) from q-gram blocking with stop-gram
     * capping, optionally length-pruned for edit-bounded verifiers.
+    *
+    * The heavy exchanges — the per-gram fanout join and the pair-dedup
+    * hash agg — carry `(id, length(name))`, NEVER the name strings: the
+    * gram join's output is Σ(per-gram |L|·|R|) rows and the dedup keys
+    * hash far cheaper as two longs than as two longs plus two strings.
+    * Names re-attach AFTER the dedup via two id-keyed joins against the
+    * (|L|- and |R|-sized) name tables — broadcastable when a side is a
+    * dimension, plain shuffle-hash on id otherwise, either way touching
+    * |pairs| + |names| rows instead of widening every fanout row. The
+    * length prunes still run BEFORE the dedup (lengths ride the gram
+    * rows), so pruned pairs never reach the pair exchange at all.
     */
   private def candidatePairs(
       left: DataFrame, leftId: Column, leftName: Column,
       right: DataFrame, rightId: Column, rightName: Column,
       gramWidth: Int, tailLen: Int, maxGramFreq: Long,
-      maxLenDiff: Option[Int]): DataFrame = {
+      maxLenDiff: Option[Int], minLenRatio: Option[Double] = None): DataFrame = {
     val l = left.select(leftId.as("left_id"), lower(leftName).as("__ln"))
     val r = right.select(rightId.as("right_id"), lower(rightName).as("__rn"))
 
-    def explodeGrams(df: DataFrame, idCol: String, nameCol: String) =
-      df.select(col(idCol), col(nameCol),
+    def explodeGrams(df: DataFrame, idCol: String, nameCol: String, lenCol: String) =
+      df.select(col(idCol), length(col(nameCol)).as(lenCol),
           explode(tailGrams(col(nameCol), gramWidth, tailLen)).as("__g"))
         .dropDuplicates(idCol, "__g")
 
-    val lg = explodeGrams(l, "left_id", "__ln")
-    val rg = explodeGrams(r, "right_id", "__rn")
+    val lg = explodeGrams(l, "left_id", "__ln", "__ll")
+    val rg = explodeGrams(r, "right_id", "__rn", "__rl")
 
     // stop-gram removal: frequency measured on the reference side (the
     // side a production pipeline has profiled ahead of time)
@@ -148,12 +157,22 @@ object Linkage {
     val rgCold = rg.join(broadcast(hot), Seq("__g"), "left_anti")
 
     val joined = lgCold.join(rgCold, "__g")
-    val pruned = maxLenDiff match {
-      case Some(d) => joined.filter(abs(length(col("__ln")) - length(col("__rn"))) <= d)
+    val diffPruned = maxLenDiff match {
+      case Some(d) => joined.filter(abs(col("__ll") - col("__rl")) <= d)
       case None => joined
     }
+    val pruned = minLenRatio match {
+      case Some(ratio) =>
+        val lenL = col("__ll").cast("double")
+        val lenR = col("__rl").cast("double")
+        diffPruned.filter(least(lenL, lenR) / greatest(lenL, lenR) >= lit(ratio))
+      case None => diffPruned
+    }
     pruned
-      .select(col("left_id"), col("__ln"), col("right_id"), col("__rn"))
+      .select(col("left_id"), col("right_id"))
       .distinct()
+      .join(l, "left_id")
+      .join(r, "right_id")
+      .select(col("left_id"), col("__ln"), col("right_id"), col("__rn"))
   }
 }
