@@ -752,4 +752,173 @@ class PropertySuite extends AnyFunSuite {
       } finally q.stop()
     }
   }
+
+  test("property: streaming anomalies equal the batch RANGE frame for random in-order series at random batch splits") {
+    // in-order distinct-timestamp arrival is exactly the regime where the
+    // twin's ring IS the batch RANGE frame — so both the frame COUNT and
+    // the flag must match for any series and any micro-batch split
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    import graft.streaming.StreamingAnomaly
+    implicit val sqlCtx = spark.sqlContext
+    val gen = for {
+      n <- Gen.chooseNum(12, 30)
+      gaps <- Gen.listOfN(n, Gen.chooseNum(1, 50))      // distinct ts: gaps >= 1
+      vals <- Gen.listOfN(n, Gen.chooseNum(0, 100000))
+      split <- Gen.chooseNum(1, n - 1)
+    } yield (gaps.scanLeft(0L)(_ + _).tail, vals.map(_ / 1000.0), split)
+    for (((tss, vals, split), i) <- samples(gen, 5).zipWithIndex) {
+      val obs = tss.zip(vals).map { case (t, v) => StreamingAnomaly.Obs("k", t, v) }
+      val input = MemoryStream[StreamingAnomaly.Obs]
+      val q = StreamingAnomaly.flags(input.toDS(), windowSeconds = 120, z = 2.0, minN = 3)
+        .writeStream.format("memory").queryName(s"graft_prop_anom_$i")
+        .outputMode("append").start()
+      try {
+        input.addData(obs.take(split))
+        q.processAllAvailable()
+        input.addData(obs.drop(split))
+        q.processAllAvailable()
+        val streamed = spark.table(s"graft_prop_anom_$i")
+          .collect().map(r => r.getLong(1) -> (r.getLong(3), r.getBoolean(4))).toMap
+        val batch = graft.operators.Timeseries.rollingAnomalies(
+            obs.toDF("key", "ts", "v"), col("key"), col("ts"), col("v"),
+            windowSeconds = 120, z = 2.0, minN = 3)
+          .collect().map(r => r.getLong(1) -> (r.getLong(3), r.getBoolean(6))).toMap
+        assert(streamed === batch,
+          s"case $i (n=${vals.size}, split=$split): $streamed vs $batch")
+      } finally q.stop()
+    }
+  }
+
+  test("property: streaming CUSUM is split-invariant — any micro-batch cut yields the whole-series run bit-for-bit") {
+    // the online form intentionally diverges from the batch final-mean
+    // census (documented), so ITS exactness claim is state-carry: the
+    // alarm rows of a split run must equal the single-batch run exactly,
+    // floats included (same arithmetic in the same order)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    import graft.streaming.StreamingCusum
+    implicit val sqlCtx = spark.sqlContext
+    val gen = for {
+      n <- Gen.chooseNum(8, 30)
+      vals <- Gen.listOfN(n, Gen.chooseNum(0, 100000))
+      shiftAt <- Gen.chooseNum(2, n - 1)   // a level shift so alarms happen
+      split <- Gen.chooseNum(1, n - 1)
+    } yield (vals.zipWithIndex.map { case (v, t) =>
+      v / 1000.0 + (if (t >= shiftAt) 60.0 else 0.0) }, split)
+    for (((vals, split), i) <- samples(gen, 5).zipWithIndex) {
+      val obs = vals.zipWithIndex.map { case (v, t) =>
+        StreamingCusum.Obs("k", (t + 1).toLong, v)
+      }
+      def run(batches: Seq[Seq[StreamingCusum.Obs]], name: String): Set[(Long, Double, Long, Double, Double, Boolean)] = {
+        val input = MemoryStream[StreamingCusum.Obs]
+        val q = StreamingCusum.alarms(input.toDS(), threshold = 25.0, slack = 0.5)
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+        try {
+          batches.foreach { b => input.addData(b); q.processAllAvailable() }
+          spark.table(name).collect().map(r => (r.getLong(1), r.getDouble(2),
+            r.getLong(3), r.getDouble(4), r.getDouble(5), r.getBoolean(6))).toSet
+        } finally q.stop()
+      }
+      val whole = run(Seq(obs), s"graft_prop_cusum_w$i")
+      val cut = run(Seq(obs.take(split), obs.drop(split)), s"graft_prop_cusum_c$i")
+      assert(cut === whole,
+        s"case $i (n=${vals.size}, split=$split): split run diverged from whole run")
+      assert(whole.exists(_._6), s"case $i: the level shift must alarm at least once")
+    }
+  }
+
+  test("property: streaming dwell stints reproduce the batch census for random tied-timestamp series at random batch splits") {
+    // integer-exact end to end, and ts TIES are generated on purpose: the
+    // (ts_us, seq) tie-break must segment identically to the batch
+    // census's (ts, event_id) order whatever the micro-batch cut
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    import graft.streaming.StreamingDwell
+    implicit val sqlCtx = spark.sqlContext
+    val gen = for {
+      n <- Gen.chooseNum(6, 24)
+      gaps <- Gen.listOfN(n, Gen.chooseNum(0, 20))      // 0-gaps = ts ties
+      states <- Gen.listOfN(n, Gen.oneOf("a", "b", "c"))
+      split <- Gen.chooseNum(1, n - 1)
+    } yield (gaps.scanLeft(0L)(_ + _).tail, states, split)
+    for (((tss, states, i0), i) <- samples(gen, 5).zipWithIndex) {
+      val split = i0
+      val obs = tss.zip(states).zipWithIndex.map { case ((t, st), j) =>
+        StreamingDwell.Obs(if (j % 2 == 0) "u1" else "u2", t, j.toLong, st)
+      }
+      val input = MemoryStream[StreamingDwell.Obs]
+      val q = StreamingDwell.stints(input.toDS())
+        .writeStream.format("memory").queryName(s"graft_prop_dwell_$i")
+        .outputMode("append").start()
+      try {
+        input.addData(obs.take(split))
+        q.processAllAvailable()
+        input.addData(obs.drop(split))
+        q.processAllAvailable()
+        val streamed = graft.operators.Timeseries
+          .dwellCensusFromStints(spark.table(s"graft_prop_dwell_$i"),
+            col("state"), col("dur_us"))
+          .collect().map(r => r.getString(0) ->
+            (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+        val batch = graft.operators.Timeseries.dwellCensus(
+            obs.toDF("k", "ts_us", "seq", "st"), "k", Seq(col("ts_us"), col("seq")),
+            col("ts_us"), col("st"))
+          .collect().map(r => r.getString(0) ->
+            (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+        assert(streamed === batch,
+          s"case $i (n=${obs.size}, split=$split): $streamed vs $batch")
+      } finally q.stop()
+    }
+  }
+
+  test("property: streaming SCD2 closed intervals equal the batch operator for random change logs at random batch splits") {
+    // runs over a small value alphabet INCLUDING nulls (a null run is a
+    // run); the open run per key must never be emitted, the closed set
+    // must equal the batch gaps-and-islands derivation exactly
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    import graft.streaming.StreamingScd2
+    implicit val sqlCtx = spark.sqlContext
+    val gen = for {
+      n <- Gen.chooseNum(6, 24)
+      gaps <- Gen.listOfN(n, Gen.chooseNum(1L, 10L))
+      vals <- Gen.listOfN(n, Gen.oneOf("x", "y", null))
+      split <- Gen.chooseNum(1, n - 1)
+    } yield (gaps.scanLeft(0L)(_ + _).tail, vals, split)
+    for (((tss, vals, split), i) <- samples(gen, 5).zipWithIndex) {
+      val obs = tss.zip(vals).zipWithIndex.map { case ((t, v), j) =>
+        StreamingScd2.Change(if (j % 2 == 0) "k1" else "k2", t, j.toLong, v)
+      }
+      val input = MemoryStream[StreamingScd2.Change]
+      val q = StreamingScd2.intervals(input.toDS())
+        .writeStream.format("memory").queryName(s"graft_prop_scd2_$i")
+        .outputMode("append").start()
+      try {
+        input.addData(obs.take(split))
+        q.processAllAvailable()
+        input.addData(obs.drop(split))
+        q.processAllAvailable()
+        val streamed = spark.table(s"graft_prop_scd2_$i")
+          .collect().map(r => (r.getString(0), Option(r.getString(1)), r.getLong(2),
+            r.getLong(3), r.getLong(4))).toSet
+        val batchClosed = graft.operators.Timeseries.changeIntervals(
+            obs.toDF("key", "ts", "seq", "value"), col("key"), col("ts"),
+            col("seq"), col("value"))
+          .filter(col("valid_to").isNotNull)
+          .collect().map(r => (r.getString(0), Option(r.getString(1)), r.getLong(2),
+            r.getLong(4), r.getLong(3))).toSet
+        assert(streamed === batchClosed,
+          s"case $i (n=${obs.size}, split=$split):\n$streamed\nvs\n$batchClosed")
+        // the key's OPEN run never leaks: no emitted interval reaches the
+        // key's final event (its valid_to would have to lie beyond it)
+        Seq("k1", "k2").filter(k => obs.exists(_.key == k)).foreach { k =>
+          val lastTs = obs.filter(_.key == k).map(_.ts_s).max
+          assert(streamed.filter(_._1 == k).forall(_._4 <= lastTs),
+            s"case $i: an emitted interval for $k closes past the key's last event")
+        }
+      } finally q.stop()
+    }
+  }
 }
