@@ -770,7 +770,13 @@ class PropertySuite extends AnyFunSuite {
     for (((tss, vals, split), i) <- samples(gen, 5).zipWithIndex) {
       val obs = tss.zip(vals).map { case (t, v) => StreamingAnomaly.Obs("k", t, v) }
       val input = MemoryStream[StreamingAnomaly.Obs]
-      val q = StreamingAnomaly.flags(input.toDS(), windowSeconds = 120, z = 2.0, minN = 3)
+      // odd cases run under a far-beyond-the-series TTL: with strictly
+      // increasing ts the watermark never drops a row and no key idles
+      // past the horizon, so the EventTimeTimeout plan must be
+      // output-neutral — parity is asserted for BOTH TwinRunner paths
+      val ttl = if (i % 2 == 1) Some(365L * 24 * 3600 * 1000) else None
+      val q = StreamingAnomaly.flags(input.toDS(), windowSeconds = 120, z = 2.0, minN = 3,
+          maxIdleMs = ttl)
         .writeStream.format("memory").queryName(s"graft_prop_anom_$i")
         .outputMode("append").start()
       try {
@@ -810,9 +816,15 @@ class PropertySuite extends AnyFunSuite {
       val obs = vals.zipWithIndex.map { case (v, t) =>
         StreamingCusum.Obs("k", (t + 1).toLong, v)
       }
-      def run(batches: Seq[Seq[StreamingCusum.Obs]], name: String): Set[(Long, Double, Long, Double, Double, Boolean)] = {
+      // odd cases run the SPLIT side under a far-beyond-the-series TTL
+      // (strictly increasing ts — watermark-safe): the whole-series run
+      // stays TTL-off, so equality also proves the EventTimeTimeout plan
+      // is output-neutral when the horizon is never hit
+      def run(batches: Seq[Seq[StreamingCusum.Obs]], name: String,
+          ttl: Option[Long]): Set[(Long, Double, Long, Double, Double, Boolean)] = {
         val input = MemoryStream[StreamingCusum.Obs]
-        val q = StreamingCusum.alarms(input.toDS(), threshold = 25.0, slack = 0.5)
+        val q = StreamingCusum.alarms(input.toDS(), threshold = 25.0, slack = 0.5,
+            maxIdleMs = ttl)
           .writeStream.format("memory").queryName(name)
           .outputMode("append").start()
         try {
@@ -821,8 +833,9 @@ class PropertySuite extends AnyFunSuite {
             r.getLong(3), r.getDouble(4), r.getDouble(5), r.getBoolean(6))).toSet
         } finally q.stop()
       }
-      val whole = run(Seq(obs), s"graft_prop_cusum_w$i")
-      val cut = run(Seq(obs.take(split), obs.drop(split)), s"graft_prop_cusum_c$i")
+      val ttl = if (i % 2 == 1) Some(365L * 24 * 3600 * 1000) else None
+      val whole = run(Seq(obs), s"graft_prop_cusum_w$i", None)
+      val cut = run(Seq(obs.take(split), obs.drop(split)), s"graft_prop_cusum_c$i", ttl)
       assert(cut === whole,
         s"case $i (n=${vals.size}, split=$split): split run diverged from whole run")
       assert(whole.exists(_._6), s"case $i: the level shift must alarm at least once")
@@ -892,7 +905,11 @@ class PropertySuite extends AnyFunSuite {
         StreamingScd2.Change(if (j % 2 == 0) "k1" else "k2", t, j.toLong, v)
       }
       val input = MemoryStream[StreamingScd2.Change]
-      val q = StreamingScd2.intervals(input.toDS())
+      // odd cases: far-beyond-the-series TTL (strictly increasing ts —
+      // watermark-safe), asserting the EventTimeTimeout plan is
+      // output-neutral when no key idles past the horizon
+      val ttl = if (i % 2 == 1) Some(365L * 24 * 3600 * 1000) else None
+      val q = StreamingScd2.intervals(input.toDS(), maxIdleMs = ttl)
         .writeStream.format("memory").queryName(s"graft_prop_scd2_$i")
         .outputMode("append").start()
       try {
