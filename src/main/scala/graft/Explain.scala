@@ -115,7 +115,36 @@ object Explain {
     "linkage_blocked" ->
       ("candidate volume = sum over cold grams of |L_g|*|R_g|, bounded by the maxGramFreq " +
         "stop-gram cap (the skew guard). Audit: exchanges keyed on gram / pair, banded " +
-        "3-arg levenshtein only on DISTINCT pairs, no cartesian fallback."),
+        "3-arg levenshtein only on DISTINCT pairs, no cartesian fallback; the fanout and " +
+        "pair-dedup exchanges carry (id, length) only — names re-attach by id post-dedup."),
+    "linkage_jw" ->
+      ("same BLOCK shape as linkage_blocked (id+length-only fanout, names re-attach " +
+        "post-dedup); the minSim-derived length-RATIO prune runs pre-dedup, so " +
+        "never-verifiable pairs skip the pair exchange entirely."),
+    "graph_sssp" ->
+      ("frontier-restricted Bellman-Ford: edges hash-partitioned on src ONCE and persisted; " +
+        "per round one frontier-edges shuffle + per-dst min agg + full-outer label merge, " +
+        "lazy localCheckpoints with the improvement probe's count() as the ONLY action. " +
+        "Cost = fixed per-round overhead x rounds, not data; the label table is |V| rows."),
+    "graph_reach" ->
+      ("per hop one frontier-edges shuffle + dst dedup; the emptiness probe rides the " +
+        "checkpoint materialization (no extra job). Frontier shrinks monotonically; " +
+        "edges partitioned once."),
+    "events_rolling_corr" ->
+      ("one key shuffle + per-key sort; six DECIMAL(38,0) moment sums over a 20-row frame " +
+        "per row — exact integer moments chosen over the native double corr so the result " +
+        "is cross-engine checkable. Cost is per-row CPU in one window pass, no extra exchange."),
+    "basket_rules" ->
+      ("pair volume = sum of |basket|^2 over baskets (the self-join keys on the basket id), " +
+        "never |items|^2; marginals broadcast, grand total a 1-row broadcast. The basket " +
+        "table is NOT pinned — its two self-join sides share one exchange (ReusedExchange)."),
+    "similarity_knn_join_lsh" ->
+      ("both sides keyed on (table, bucket), nothing broadcast; pairs score BEFORE the " +
+        "dedup so the dedup exchange carries (query, neighbor, sim) scalars, not vectors."),
+    "dedup_minhash" ->
+      ("band buckets carry (doc_id, band, bucket) only; candidate pairs dedup on ids, " +
+        "sorted-hash shingle sets re-attach by id for the exact-Jaccard verify " +
+        "(codegen'd intersect on LONG arrays, not string shingles)."),
     "graph_pagerank" ->
       ("per iteration ONE edges-ranks shuffle + one dst hash agg; rank table is |V| rows. " +
         "Deep runs checkpoint every ~10 iters (lineage); scalar mass tables broadcast."),
