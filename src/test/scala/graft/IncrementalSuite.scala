@@ -130,6 +130,48 @@ class IncrementalSuite extends AnyFunSuite {
       Some("b2")) === 2L)
   }
 
+  test("property: maintain is exactly-once under any random interleave of folds, retries, and prunes") {
+    // protocol fuzz for the versioned-fold machinery: a random script of
+    // in-order folds with RETRIES of random already-folded batch ids
+    // injected anywhere (incl. after their folding version was pruned —
+    // the ledger case) and pruneVersions(keep) calls at random points.
+    // Whatever the interleave, the served state must equal the one-shot
+    // recompute over the UNIQUE batches folded so far: no double-count,
+    // no lost batch, prune never changes the answer. Fixed seeds, like
+    // PropertySuite's generators — deterministic, reproducible cases.
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val path = Files.createTempDirectory(s"graft-incr-fuzz$seed").toString + "/state"
+      val nB = 4 + rnd.nextInt(3)
+      val deltas = (0 until nB).map(i => rows(60, offset = i * 60))
+      var folded = Vector.empty[Int] // indices folded, in order, unique
+      deltas.indices.foreach { i =>
+        Incremental.maintain(spark, path, KeyNames, st(deltas(i)), Some(s"b$i"))
+        folded :+= i
+        if (rnd.nextBoolean()) { // retry a random already-folded id
+          val j = folded(rnd.nextInt(folded.size))
+          val before = finished(Incremental.latestState(spark, path).get)
+          Incremental.maintain(spark, path, KeyNames, st(deltas(j)), Some(s"b$j"))
+          assert(finished(Incremental.latestState(spark, path).get) === before,
+            s"seed=$seed: retry of b$j after ${folded.size} folds changed the state")
+        }
+        if (rnd.nextInt(3) == 0) { // prune at a random point
+          val keep = 1 + rnd.nextInt(2)
+          Incremental.pruneVersions(spark, path, keep)
+        }
+      }
+      // late retries of EVERY id ever folded — many of their versions are
+      // pruned by now, so this drives the ledger path too
+      rnd.shuffle(folded).foreach { j =>
+        Incremental.maintain(spark, path, KeyNames, st(deltas(j)), Some(s"b$j"))
+      }
+      val served = finished(Incremental.latestState(spark, path).get)
+      val oneShot = finished(st(deltas.reduce(_.unionByName(_))))
+      assert(served === oneShot,
+        s"seed=$seed (nB=$nB): served state diverged from the one-shot recompute")
+    }
+  }
+
   test("maintain is family-generic: KLL / top-k / theta states fold through the same protocol") {
     // the versioning machinery must not care WHAT the state is — each
     // family plugs its own merge in and the versioned fold must equal the
