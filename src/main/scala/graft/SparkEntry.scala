@@ -2087,6 +2087,21 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // The scale path of the kNN join: numPlanes = 0 → AUTO-sized from the
+    // corpus count so bucket occupancy stays ≈ 32 (Similarity.autoPlanes).
+    // The fixed-plane twin above measured 14.8× time at 10× data on the r14
+    // scale curve (fixed 2^6-bucket space → occupancy ∝ n → candidate pairs
+    // ∝ n²); this one pins occupancy and stays linear. At the oracle gate
+    // scales auto resolves to the same 6 planes (2,000 vectors / 32 = 63
+    // buckets), so the DuckDB replay — which recomputes the same
+    // integer-exact plane-count formula from count(*) — hash-checks the
+    // full auto path end to end.
+    "similarity_knn_join_lsh_scale" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      Similarity.lshTopK(emb, emb, "vec_id", "embedding", 3, numPlanes = 0, md5Family = true)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // The rewrite half of substring dedup (Lee et al. 2021 CUT the
     // duplicated spans): tokens covered by an earlier-owned 8-token run
     // are removed and the document rebuilt — dedup_exact_substr is the
@@ -4762,6 +4777,62 @@ object SparkEntry {
         |  SELECT 0::BIGINT AS flip
         |  UNION ALL
         |  SELECT (1::BIGINT << j) AS flip FROM range(0, 6) jj(j)
+        |),
+        |cand AS (
+        |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        |  FROM sig q
+        |  JOIN flips f ON true
+        |  JOIN sig c ON c.t = q.t AND c.bucket = xor(q.bucket, f.flip)
+        |  WHERE c.vec_id <> q.vec_id
+        |),
+        |scored AS (
+        |  SELECT cand.query_id, cand.neighbor_id,
+        |         list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS s
+        |  FROM cand
+        |  JOIN embeddings a ON a.vec_id = cand.query_id
+        |  JOIN embeddings b ON b.vec_id = cand.neighbor_id
+        |),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, s,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, round(s, 4) AS cos_sim, rank
+        |FROM ranked WHERE rank <= 3
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // the AUTO-plane twin: nplanes is recomputed from count(*) with the
+    // same integer-exact formula as Similarity.autoPlanes (smallest b >= 6
+    // with 2^b * 32 >= n, via binary-string length — never float log2,
+    // whose libm rounding could disagree across engines on exact powers of
+    // two). At this gate's scales it resolves to 6, so the result set
+    // equals similarity_knn_join_lsh — the point is that DuckDB replays
+    // the SIZING itself, not just the fixed-parameter LSH.
+    "similarity_knn_join_lsh_scale" ->
+      """WITH params AS (
+        |  SELECT greatest(6, length(bin((count(*) + 31) // 32 - 1))) AS nplanes
+        |  FROM embeddings
+        |),
+        |planes AS (
+        |  SELECT t, p, list(v ORDER BY d) AS plane
+        |  FROM (SELECT t, p, d,
+        |               (('0x' || substr(md5(t::VARCHAR || ':' || p::VARCHAR || ',' || d::VARCHAR), 1, 15))::BIGINT
+        |                  % 2001 - 1000)::DOUBLE AS v
+        |        FROM range(0, 4) tt(t), range(0, 48) pp(p), range(0, 64) dd(d)
+        |        WHERE p < (SELECT nplanes FROM params))
+        |  GROUP BY t, p
+        |),
+        |sig AS (
+        |  SELECT e.vec_id, pl.t,
+        |         sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], pl.plane) >= 0
+        |                  THEN (1::BIGINT << pl.p) ELSE 0 END)::BIGINT AS bucket
+        |  FROM embeddings e, planes pl
+        |  GROUP BY e.vec_id, pl.t
+        |),
+        |flips AS (
+        |  SELECT 0::BIGINT AS flip
+        |  UNION ALL
+        |  SELECT (1::BIGINT << j) AS flip FROM range(0, 48) jj(j)
+        |  WHERE j < (SELECT nplanes FROM params)
         |),
         |cand AS (
         |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id

@@ -57,6 +57,32 @@ object Similarity {
     (java.lang.Long.parseLong(hex.substring(0, 15), 16) % 2001 - 1000).toDouble
   }
 
+  /** Plane count that keeps expected LSH bucket occupancy ≈
+    * `targetOccupancy` at corpus size `n`: the smallest b ≥ 6 with
+    * 2^b · targetOccupancy ≥ n. Integer-exact on purpose — the formula is
+    * replayed by the DuckDB oracle (`length(bin((n + occ - 1) // occ - 1))`)
+    * and a float `ceil(log2(…))` can land on either side of an exact
+    * power-of-two boundary depending on the engine's libm.
+    *
+    * This is the knob that keeps the kNN join LINEAR in corpus size: with
+    * a fixed plane count the bucket space is fixed, per-bucket occupancy
+    * grows ∝ n, and candidate pairs grow ∝ n² — measured 14.8× time at
+    * 10× data on the r14 scale curve (SCALE.md). With occupancy pinned,
+    * per-query candidates stay ≈ numTables · (planes+1) · targetOccupancy
+    * and total work is O(n · log n). The recall trade is real and
+    * documented: finer buckets lower per-table collision probability for a
+    * FIXED similarity threshold (Charikar 2002: p = (1 − θ/π) per bit), so
+    * at constant numTables the recall target shifts toward nearer
+    * neighbors as n grows — the standard LSH regime (bits ≈ log₂ n,
+    * recall bought back with more tables, Andoni & Indyk 2008).
+    */
+  def autoPlanes(n: Long, targetOccupancy: Int = 32): Int = {
+    require(targetOccupancy > 0, "autoPlanes: targetOccupancy > 0")
+    val m = (n + targetOccupancy - 1) / targetOccupancy // ceil(n / occ)
+    val bits = if (m <= 1) 0 else 64 - java.lang.Long.numberOfLeadingZeros(m - 1)
+    math.min(48, math.max(6, bits))
+  }
+
   /** Sign-pattern bucket id: bit p set iff dot(vec, planes(p)) >= 0. */
   def hyperplaneSignature(vec: Column, planes: Seq[Seq[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
@@ -115,6 +141,15 @@ object Similarity {
     * no cross product. Recall < 1.0 by construction; measured against brute
     * force in tests. Tuning: more tables → recall; more planes → precision
     * (smaller buckets → less verification work).
+    *
+    * `numPlanes <= 0` means AUTO: size the plane count from the corpus row
+    * count so expected bucket occupancy stays ≈ `targetOccupancy`
+    * ([[autoPlanes]]) — the configuration that keeps candidate generation
+    * linear in corpus size instead of quadratic. The count is one
+    * column-less corpus scan at plan time (the same class of bounded
+    * plan-time action as the `dim` inference below); at any scale where
+    * auto-sizing matters, that scan is noise next to the quadratic blowup
+    * a fixed bucket space would cost.
     */
   def lshTopK(
       corpus: DataFrame,
@@ -126,7 +161,9 @@ object Similarity {
       numTables: Int = 4,
       seed: Long = 42L,
       dim: Int = -1,
-      md5Family: Boolean = false): DataFrame = {
+      md5Family: Boolean = false,
+      targetOccupancy: Int = 32): DataFrame = {
+    val effPlanes = if (numPlanes > 0) numPlanes else autoPlanes(corpus.count(), targetOccupancy)
     // dim <= 0 → sample the dimensionality from the (small) query side at
     // plan time; hyperplanes of the wrong length would throw in DotProduct.
     val planeDim =
@@ -139,8 +176,8 @@ object Similarity {
         sampled(0).getInt(0)
       }
     val tables = (0 until numTables).map(t =>
-      (t, if (md5Family) md5TablePlanes(t, numPlanes, planeDim)
-          else randomPlanes(numPlanes, planeDim, seed + t)))
+      (t, if (md5Family) md5TablePlanes(t, effPlanes, planeDim)
+          else randomPlanes(effPlanes, planeDim, seed + t)))
     // signatures are computed ONCE per table into a column, and the probe
     // structs reference that column — inlining the signature subtree (6
     // dots × 64-double literals) into each of the (1+numPlanes)·numTables
@@ -165,7 +202,7 @@ object Similarity {
       .select(col("query_id"), col("qvec"), col("qnorm"),
         explode(array(tables.flatMap { case (t, _) =>
           struct(lit(t).as("tbl"), col(s"__b$t").as("bucket")) +:
-            (0 until numPlanes).map(i =>
+            (0 until effPlanes).map(i =>
               struct(lit(t).as("tbl"), col(s"__b$t").bitwiseXOR(lit(1L << i)).as("bucket")))
         }: _*)).as("tb"))
       .select(col("query_id"), col("qvec"), col("qnorm"),

@@ -226,6 +226,58 @@ class OperatorsSuite extends AnyFunSuite {
     assert(recallMd5 >= 0.4, s"md5-family kNN-join recall too low: $recallMd5")
   }
 
+  test("autoPlanes: integer-exact occupancy sizing, floor 6, boundary-safe") {
+    // the formula the DuckDB oracle replays via length(bin(...)) — integer
+    // arithmetic on both engines, so exact power-of-two boundaries cannot
+    // split on libm rounding
+    assert(Similarity.autoPlanes(1, 32) === 6)
+    assert(Similarity.autoPlanes(200, 32) === 6) // sf0.01 gate scale
+    assert(Similarity.autoPlanes(2000, 32) === 6) // sf0.1 gate scale
+    assert(Similarity.autoPlanes(2048, 32) === 6) // exact boundary: 64 buckets suffice
+    assert(Similarity.autoPlanes(2049, 32) === 7) // one past it
+    assert(Similarity.autoPlanes(20000, 32) === 10) // the x10 curve scale
+    assert(Similarity.autoPlanes(1024, 4) === 8) // exact: 2^8 * 4 = 1024
+    assert(Similarity.autoPlanes(1025, 4) === 9)
+    assert(Similarity.autoPlanes(Long.MaxValue / 2, 32) === 48) // capped
+  }
+
+  test("lshTopK auto-plane mode: identical to fixed planes at gate scale, recall holds past the floor") {
+    // At the fixture scale auto resolves to the same 6 planes, so the
+    // similarity_knn_join_lsh_scale query is bit-identical to its fixed
+    // twin — the property the shared oracle hash relies on.
+    val fixed = Similarity.lshTopK(emb, emb, "vec_id", "embedding", 3, md5Family = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val auto = Similarity.lshTopK(emb, emb, "vec_id", "embedding", 3, numPlanes = 0,
+        md5Family = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(auto === fixed)
+
+    // Past the floor (1,024 vectors, targetOccupancy 4 → 8 planes): recall
+    // on a clustered corpus — 256 seeded gaussian bases × 4 small-noise
+    // clones, so each vector's true top-3 are its co-clones (clone cosine
+    // ≥ 0.97 vs cross-base ~N(0, 1/8)) — must survive the finer buckets;
+    // 1-bit multiprobe over 8 bits × 4 tables keeps the per-pair miss
+    // probability ≪ 1 at clone angles.
+    import spark.implicits._
+    val rng = new scala.util.Random(7L)
+    val bases = Array.fill(256)(Array.fill(64)(rng.nextGaussian()))
+    val clustered = (for {
+      b <- bases.indices
+      c <- 0 until 4
+    } yield {
+      val noise = Array.fill(64)(rng.nextGaussian() * 0.08)
+      ((b * 4 + c).toLong, bases(b).zip(noise).map { case (x, e) => x + e }.toSeq)
+    }).toDF("vec_id", "embedding")
+    val queries = clustered.filter(col("vec_id") % 16 === 0) // 64 probes
+    val brute = Similarity.bruteForceTopK(clustered, queries, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshTopK(clustered, queries, "vec_id", "embedding", 3,
+        numPlanes = 0, md5Family = true, targetOccupancy = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & lsh).size.toDouble / brute.size
+    assert(recall >= 0.8, s"auto-plane LSH recall too low past the floor: $recall")
+  }
+
   test("PQ/ADC top-k: byte-bounded codes, deterministic, reasonable recall vs brute force") {
     val queries = emb.filter(col("vec_id") < 10)
     val cb = Similarity.pqTrain(emb, "vec_id", "embedding", dim = 64, m = 16, ksub = 32, iters = 2)
