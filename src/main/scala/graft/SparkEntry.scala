@@ -2883,11 +2883,17 @@ object SparkEntry {
     // and the quantile gate scans its input twice, so without a barrier
     // the full upstream chain re-executes ~9×. A production pipeline
     // writes each stage to parquet and reads it back; inside one
-    // composed query the equivalent barrier is persist() on the reused
-    // stage outputs (decon, split) — same correctness, one execution of
-    // each stage, and the cached footprint is the post-filter corpus
-    // (already a fraction of the input), which spills to disk rather
-    // than OOMing when it outgrows storage memory.
+    // composed query the equivalent barrier is a LAZY localCheckpoint on
+    // the reused stage outputs (decon, split) — computed once at the
+    // first action, shared by every consumer, spills to executor disk
+    // (MEMORY_AND_DISK) when the stage outgrows storage memory, and the
+    // blocks are ContextCleaner-owned: released when the plan is GC'd.
+    // NOT persist(): the CacheManager holds a strong reference to cached
+    // plans until an unpersist() nobody here can issue (the stages are
+    // consumed lazily by the returned plan), so persist leaked the stage
+    // for the session AND let a later plan-equal invocation silently
+    // reuse the first invocation's cache — the basket_rules bench
+    // flattering class (BENCH_TRIAGE_r14).
     "pipeline_e2e" -> ((s, dir) => {
       val docs = documents(s, dir)
       val train = docs.filter(pmod(col("doc_id"), lit(50)) =!= 0)
@@ -2907,7 +2913,7 @@ object SparkEntry {
       val contaminated = Pipeline.contaminatedDocs(deduped, bench, "doc_id", "text", n = 5)
         .select(col("doc_id"))
       val decon = deduped.join(contaminated, Seq("doc_id"), "left_anti")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(false)
       // CCNet gate: the surviving corpus scored under its own bigram LM,
       // keep the most fluent half (quantile threshold, no corpus sort)
       val fluentIds = Pipeline.selectTopByScore(
@@ -2918,7 +2924,7 @@ object SparkEntry {
       val mixed = Pipeline.weightedSample(fluent, col("doc_id"), col("lang"),
         Map("en" -> 100, "de" -> 50, "fr" -> 50, "es" -> 25, "zh" -> 10))
       val split = Pipeline.deterministicSplit(mixed, col("doc_id"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(false)
       // ship as deduped CHUNKS: token windows, exact chunk dedup (lowest
       // (doc, idx) keeps the canonical copy), census per (lang, split)
       val chunks = Pipeline.chunkTokens(split, col("doc_id"), col("text"),

@@ -668,22 +668,23 @@ object Dedup {
     *
     * `expectedItems` sizes the filter; left at -1 it is taken from a
     * `count()` of the distinct corpus fingerprints. The distinct set is
-    * persisted for the duration of the call, so the corpus is scanned once
-    * (plus cached reads for the bloom build and residual anti join).
+    * lazy-localCheckpointed — materialized once by the bloom build, reused
+    * by the residual anti join, released by the ContextCleaner when the
+    * plan is dropped — so the corpus is scanned once in either mode.
     *
     * EXECUTION-SEMANTICS CAVEAT — `eager` (default true): the result is
     * materialized via `localCheckpoint()` BEFORE returning, so the call
     * runs a Spark job at call time (not lazily at the caller's first
-    * action) and the broadcast sketch + cache are released instead of
-    * leaking across the daily-ingest loop this operator targets. Local
+    * action) and the broadcast sketch is destroyed instead of leaking
+    * across the daily-ingest loop this operator targets. Local
     * checkpoints are NOT reliable storage: the materialized blocks live on
     * executor local disk/memory without replication, so losing an executor
     * after the call makes the result unrecoverable (acceptable in the
     * single-JVM and short-lived-batch cases this targets; rerun the gate on
     * failure). Pass `eager = false` to keep the classic lazy plan — the
-    * caller then owns the lifetime of the sketch broadcast and the corpus
-    * cache until its own first action, and the bloom filter is rebuilt on
-    * every downstream action that recomputes the plan.
+    * caller then owns the lifetime of the sketch broadcast until its own
+    * first action, and the bloom filter is rebuilt on every downstream
+    * action that recomputes the plan.
     */
   def incrementalBloom(
       newBatch: DataFrame,
@@ -693,28 +694,35 @@ object Dedup {
       expectedItems: Long = -1L,
       eager: Boolean = true): DataFrame = {
     require(fpp > 0 && fpp < 1, "incrementalBloom: fpp must be in (0, 1)")
-    val seen = corpus.select(fp.cast("string").as("fp")).distinct().persist()
-    try {
-      // the sketch build below is a Spark job either way — "lazy" mode only
-      // defers the RESULT's materialization, never the bloom construction
-      val n = if (expectedItems > 0) expectedItems else math.max(seen.count(), 1L)
-      val bloom = seen.stat.bloomFilter("fp", n, fpp)
-      val bc = newBatch.sparkSession.sparkContext.broadcast(bloom)
-      // a Scala UDF (not codegen'd) is acceptable here: one sketch probe
-      // per row, and the alternative — shipping the sketch into a custom
-      // Expression — buys nothing since the probe itself dominates
-      val mightContain = udf((s: String) => s != null && bc.value.mightContainString(s))
-      val tagged = newBatch.withColumn("__fp", fp.cast("string"))
-      val definiteNew = tagged.filter(!mightContain(col("__fp")))
-      val suspects = tagged.filter(mightContain(col("__fp")))
-        .join(seen.withColumnRenamed("fp", "__fp"), Seq("__fp"), "left_anti")
-      val out = definiteNew.unionByName(suspects).drop("__fp")
-      if (eager) {
-        // cut the lineage so bc/seen can be freed before return
-        try out.localCheckpoint()
-        finally bc.destroy()
-      } else out
-    } finally if (eager) seen.unpersist()
+    // lazy localCheckpoint, NOT persist: the bloom build below materializes
+    // it at call time either way, and in lazy mode the returned plan's
+    // anti-join re-reads it with no unpersist point — persist pinned the
+    // distinct set in the CacheManager for the session (the basket_rules
+    // leak class, BENCH_TRIAGE_r14). Checkpoint blocks are
+    // ContextCleaner-owned in both modes: freed when the plan is GC'd.
+    val seen = corpus.select(fp.cast("string").as("fp")).distinct()
+      .localCheckpoint(false)
+    // the sketch build below is a Spark job either way — "lazy" mode only
+    // defers the RESULT's materialization, never the bloom construction
+    val n = if (expectedItems > 0) expectedItems else math.max(seen.count(), 1L)
+    val bloom = seen.stat.bloomFilter("fp", n, fpp)
+    val bc = newBatch.sparkSession.sparkContext.broadcast(bloom)
+    // a Scala UDF (not codegen'd) is acceptable here: one sketch probe
+    // per row, and the alternative — shipping the sketch into a custom
+    // Expression — buys nothing since the probe itself dominates
+    val mightContain = udf((s: String) => s != null && bc.value.mightContainString(s))
+    val tagged = newBatch.withColumn("__fp", fp.cast("string"))
+    val definiteNew = tagged.filter(!mightContain(col("__fp")))
+    val suspects = tagged.filter(mightContain(col("__fp")))
+      .join(seen.withColumnRenamed("fp", "__fp"), Seq("__fp"), "left_anti")
+    val out = definiteNew.unionByName(suspects).drop("__fp")
+    if (eager) {
+      // cut the lineage so the sketch broadcast can be freed before return
+      // (the checkpointed `seen` is released by the ContextCleaner once the
+      // pre-checkpoint plan is unreachable)
+      try out.localCheckpoint()
+      finally bc.destroy()
+    } else out
   }
 
   /** Exact incremental NEAR-dup — the daily-ingest near-dup gate: keep
@@ -970,12 +978,20 @@ object Dedup {
     // consumers, each of which would otherwise re-run the k-means
     // assignment agg. A production SemDeDup writes the assignment table
     // out before pairing (it is the artifact the method is named after);
-    // in-plan, persist() is the single-job equivalent and spills to
-    // executor disk when the corpus outgrows storage memory.
+    // in-plan, a LAZY localCheckpoint is the single-job equivalent:
+    // computed once at the first action, shared by all three consumers,
+    // spills to executor disk (MEMORY_AND_DISK) when the corpus outgrows
+    // storage memory, and the blocks are ContextCleaner-owned — released
+    // when the returned plan is GC'd. NOT persist(): the CacheManager
+    // holds a strong reference until an unpersist() this function cannot
+    // issue (the stage is consumed lazily by the returned plan), so
+    // persist leaked the assignment table for the session and let
+    // plan-equal re-invocations silently reuse a stale-session cache
+    // (the basket_rules flattering class, BENCH_TRIAGE_r14).
     val v = emb.select(col(idCol).as("__id"), toDoubleArray(col(vecCol)).as("__vec"))
       .withColumn("__nrm", l2Norm(col("__vec")))
       .join(cells.select(col(idCol).as("__id"), col("cell")), Seq("__id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     val pairs = v.as("l").join(v.as("r"),
         col("l.cell") === col("r.cell") && col("l.__id") < col("r.__id"))
       .filter(dot(col("l.__vec"), col("r.__vec")) / (col("l.__nrm") * col("r.__nrm"))

@@ -48,28 +48,18 @@ object Graph {
     */
   def pageRank(edges: DataFrame, iters: Int = 3): DataFrame = {
     require(iters >= 1, "pageRank: iters must be >= 1")
-    if (iters > 5) {
-      // each step reads the previous ranks three times, so a LAZY deep
-      // composition grows the logical plan ~3^iters — the driver dies
-      // assembling it. Deep runs go through the checkpointed iterator
-      // (tol = -1 never stops early → exactly `iters` steps, identical
-      // recurrence, identical bits).
-      val (ranks, _) = pageRankConverged(edges, tolE12 = -1L, maxIters = iters)
-      return ranks
-    }
-    val g = Prepared(edges)
-    var ranks = g.initialRanks
-    var prev: DataFrame = null
-    for (_ <- 1 to iters) {
-      val next = g.step(ranks).persist()
-      if (prev != null) prev.unpersist()
-      prev = ranks
-      ranks = next
-    }
-    // ed/verts/deg stay persisted: the returned plan is LAZY and reads each
-    // of them several times when it finally executes (every step touches
-    // edges + both scalar tables); converged mode, which materializes per
-    // iteration, does clean up after itself
+    // All depths route through the checkpointed iterator (tol = -1 never
+    // stops early AND skips the residual probe → exactly `iters` steps,
+    // identical recurrence, identical bits — spec-pinned). Two reasons:
+    // (a) each step reads the previous ranks three times, so a LAZY
+    // composition grows the logical plan ~3^iters and the driver dies
+    // assembling deep runs; (b) the former shallow path left ed/verts/deg
+    // and the last two rank tables persisted with no unpersist anyone
+    // could issue (the stages were consumed lazily by the returned plan) —
+    // the CacheManager-leak class BENCH_TRIAGE_r14 measured on
+    // basket_rules. The iterator materializes per step, so it can and
+    // does clean up after itself.
+    val (ranks, _) = pageRankConverged(edges, tolE12 = -1L, maxIters = iters)
     ranks
   }
 
@@ -81,7 +71,10 @@ object Graph {
     * ranks make the convergence test exact: once the residual hits 0 the
     * iteration is a true fixpoint, not a float plateau.
     *
-    * Returns (ranks, iterations actually run).
+    * Returns (ranks, iterations actually run). A NEGATIVE `tolE12` runs
+    * exactly `maxIters` steps with the residual probe skipped entirely
+    * (fixed-depth mode — `pageRank`'s engine; one |V|-row join + collect
+    * saved per iteration).
     */
   def pageRankConverged(
       edges: DataFrame,
@@ -97,9 +90,10 @@ object Graph {
     var residual = Long.MaxValue
     while (done < maxIters && residual > tolE12) {
       val next = g.step(ranks).localCheckpoint(true)
-      residual = next.join(ranks.withColumnRenamed("rank_e12", "__old"), "vertex")
-        .agg(max(abs(col("rank_e12") - col("__old"))).as("r"))
-        .collect()(0).getLong(0)
+      if (tolE12 >= 0L)
+        residual = next.join(ranks.withColumnRenamed("rank_e12", "__old"), "vertex")
+          .agg(max(abs(col("rank_e12") - col("__old"))).as("r"))
+          .collect()(0).getLong(0)
       ranks.unpersist()
       ranks = next
       done += 1
@@ -218,7 +212,14 @@ object Graph {
         greatest(col("src"), col("dst")).as("hi"))
       .filter(col("lo") =!= col("hi"))
       .distinct()
-      .persist()
+      // lazy localCheckpoint, NOT persist: the returned 1-row plan reads
+      // this table from three consumers (degrees, orientation, edge
+      // count) but is consumed lazily, so no unpersist could ever be
+      // issued — persist left the table pinned in the CacheManager for
+      // the session (the basket_rules leak class, BENCH_TRIAGE_r14).
+      // Checkpoint blocks are ContextCleaner-owned: freed when the plan
+      // is GC'd.
+      .localCheckpoint(false)
     val deg = und.select(col("lo").as("v"))
       .union(und.select(col("hi").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("d"))
@@ -228,13 +229,15 @@ object Graph {
       .join(deg.select(col("v").as("hi"), col("d").as("dhi")), "hi")
     val loFirst = struct(col("dlo"), col("lo")) < struct(col("dhi"), col("hi"))
     // oriented is read three times (both wedge sides + the closing probe):
-    // persist it, not the raw edges
+    // checkpoint it, not the raw edges — lazy localCheckpoint for the same
+    // reason as `und` above (no unpersist point exists; CacheManager pins
+    // for the session, checkpoint blocks are ContextCleaner-owned)
     val oriented = withDeg.select(
       when(loFirst, col("lo")).otherwise(col("hi")).as("a"),
       when(loFirst, col("hi")).otherwise(col("lo")).as("b"),
       when(loFirst, struct(col("dhi").as("d"), col("hi").as("v")))
         .otherwise(struct(col("dlo").as("d"), col("lo").as("v"))).as("bkey"))
-      .persist()
+      .localCheckpoint(false)
     // wedges a→b, a→c with b before c in (deg, id) order — each triangle
     // has exactly one apex (the orientation is acyclic), and the closing
     // edge b→c is oriented exactly that way, so every triangle
