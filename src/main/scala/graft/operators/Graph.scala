@@ -21,10 +21,12 @@ import org.apache.spark.sql.graft.ColumnBridge
   * src (edges also carry out-degree, joined once up front), one hash agg on
   * dst, and a broadcast of the two scalar tables (vertex count, dangling
   * mass). The rank table is |V| rows — tiny next to |E| — and re-partitions
-  * consistently on vertex, so AQE reuses the exchange layout. For deep
-  * iteration counts, `persist` truncates each step (and a production loop
-  * would checkpoint every ~10 iters to cut lineage); the edge and vertex
-  * tables are persisted once and reused by every iteration.
+  * consistently on vertex, so AQE reuses the exchange layout. Shallow
+  * fixed-depth runs are one fully lazy plan (repeated subtrees collapse to
+  * ReusedExchange at runtime); deep runs iterate with per-step eager
+  * localCheckpoints to truncate lineage, sharing the edge/vertex/degree
+  * tables as checkpoint blocks (a production loop would reliable-checkpoint
+  * every ~10 iters).
   */
 object Graph {
 
@@ -50,15 +52,19 @@ object Graph {
     require(iters >= 1, "pageRank: iters must be >= 1")
     // All depths route through the checkpointed iterator (tol = -1 never
     // stops early AND skips the residual probe → exactly `iters` steps,
-    // identical recurrence, identical bits — spec-pinned). Two reasons:
-    // (a) each step reads the previous ranks three times, so a LAZY
-    // composition grows the logical plan ~3^iters and the driver dies
-    // assembling deep runs; (b) the former shallow path left ed/verts/deg
-    // and the last two rank tables persisted with no unpersist anyone
-    // could issue (the stages were consumed lazily by the returned plan) —
-    // the CacheManager-leak class BENCH_TRIAGE_r14 measured on
-    // basket_rules. The iterator materializes per step, so it can and
-    // does clean up after itself.
+    // identical recurrence, identical bits — spec-pinned). Per-step
+    // materialization is the scale-correct shape for iteration: a lazy
+    // composition embeds each step subtree ~3× in the next (contribs /
+    // dangling / merge reads), so the logical plan grows ~3^iters (the
+    // driver dies assembling deep runs) and the un-shared post-exchange
+    // tails recompute per copy — measured SLOWER than the iterator at
+    // sf0.1 under the honest noop-write bench even at depth 3. The former
+    // per-step persist() shape only ever LOOKED faster: its min-of-2
+    // numbers were cache-flattered — pass 2 rode pass 1's leaked
+    // CacheManager entry, the basket_rules leak class BENCH_TRIAGE_r14
+    // measured — and nothing could ever unpersist the stages the lazily
+    // returned plan consumed. The iterator's checkpoint blocks are
+    // ContextCleaner-owned instead: freed when the result is dropped.
     val (ranks, _) = pageRankConverged(edges, tolE12 = -1L, maxIters = iters)
     ranks
   }
@@ -81,11 +87,16 @@ object Graph {
       tolE12: Long = 1000L,
       maxIters: Int = 50): (DataFrame, Int) = {
     val g = Prepared(edges)
-    // localCheckpoint per iteration TRUNCATES lineage — each step reads the
-    // previous ranks three times (contribs, dangling, residual), so without
-    // truncation the logical plan grows ~3^iters and the driver dies
-    // assembling it long before the executors do any work
-    var ranks = g.initialRanks.localCheckpoint(true)
+    // EAGER localCheckpoint per iteration TRUNCATES lineage — each step
+    // reads the previous ranks three times (contribs, dangling, residual),
+    // so without truncation the logical plan grows ~3^iters and the driver
+    // dies assembling it long before the executors do any work. The
+    // iterator materializes per step regardless (the residual probe is an
+    // action), and checkpoint blocks are ContextCleaner-owned: freed when
+    // the superseded rank table drops out of scope. initialRanks is NOT
+    // checkpointed: it is a constant projection over the verts blocks, so
+    // step 1's two reads recompute only that projection.
+    var ranks = g.initialRanks
     var done = 0
     var residual = Long.MaxValue
     while (done < maxIters && residual > tolE12) {
@@ -94,45 +105,59 @@ object Graph {
         residual = next.join(ranks.withColumnRenamed("rank_e12", "__old"), "vertex")
           .agg(max(abs(col("rank_e12") - col("__old"))).as("r"))
           .collect()(0).getLong(0)
-      ranks.unpersist()
       ranks = next
       done += 1
     }
-    g.unpersist()
     (ranks, done)
   }
 
-  /** Shared per-iteration machinery: the persisted edge/vertex/degree
-    * tables and the exact-integer rank recurrence (one edges⋈ranks shuffle
-    * + one dst agg; scalar tables broadcast).
+  /** Shared per-iteration machinery: eagerly-checkpointed base tables and
+    * the exact-integer rank recurrence (one edges⋈ranks join + one dst agg
+    * per step; the 1-row dangling mass broadcast).
+    *
+    * Construction runs jobs: every base table is an EAGER localCheckpoint —
+    * computed once, shared by every step's job via its blocks, which are
+    * ContextCleaner-owned (freed when Prepared drops out of scope). NOT
+    * persist: the blocks' lifetime would then need an unpersist the
+    * lazy-returning callers can never issue (the basket_rules
+    * CacheManager-leak class, BENCH_TRIAGE_r14). The vertex count `n` is
+    * collected ONCE to a driver Long — it is loop-invariant, and folding it
+    * into literals deletes a count agg + broadcast from every step (Java
+    * Long division on the non-negative count matches IntegralDivide, so
+    * the recurrence stays bit-identical to the column form the oracle SQL
+    * replays).
     */
   private final case class Prepared(edges: DataFrame) {
-    val ed: DataFrame = edges.select(col("src"), col("dst")).distinct().persist()
+    val ed: DataFrame = edges.select(col("src"), col("dst")).distinct()
+      .localCheckpoint(true)
     val verts: DataFrame = ed.select(col("src").as("vertex"))
-      .union(ed.select(col("dst").as("vertex"))).distinct().persist()
-    val deg: DataFrame = ed.groupBy(col("src")).agg(count(lit(1)).as("outdeg")).persist()
-    val nRow: DataFrame = verts.agg(count(lit(1)).as("n"))
+      .union(ed.select(col("dst").as("vertex"))).distinct().localCheckpoint(true)
+    val deg: DataFrame = ed.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint(true)
+    // degree pre-joined once — each step then joins ONE table against the
+    // rank table instead of re-running edges⋈degree every iteration
+    val edc: DataFrame = ed.join(deg, "src").localCheckpoint(true)
+    val n: Long = verts.count()
 
-    def initialRanks: DataFrame = verts.crossJoin(broadcast(nRow))
-      .select(col("vertex"), intDiv(lit(Scale), col("n")).as("rank_e12"))
+    def initialRanks: DataFrame =
+      verts.select(col("vertex"), lit(Scale / n).as("rank_e12"))
 
     def step(ranks: DataFrame): DataFrame = {
-      val contribs = ed.join(deg, "src")
+      val contribs = edc
         .join(ranks.withColumnRenamed("vertex", "src"), "src")
         .select(col("dst"), intDiv(col("rank_e12"), col("outdeg")).as("__c"))
         .groupBy(col("dst")).agg(sum(col("__c")).as("__s"))
       val dangling = ranks
         .join(deg.select(col("src").as("vertex")), Seq("vertex"), "left_anti")
         .agg(coalesce(sum(col("rank_e12")), lit(0L)).as("__dmass"))
-      verts.crossJoin(broadcast(nRow)).crossJoin(broadcast(dangling))
+      verts.crossJoin(broadcast(dangling))
         .join(contribs, col("vertex") === col("dst"), "left")
         .select(col("vertex"),
-          (intDiv(intDiv(lit(15L * Scale), lit(100L)), col("n")) +
+          (lit((15L * Scale / 100L) / n) +
             intDiv(lit(85L) * (coalesce(col("__s"), lit(0L)) +
-              intDiv(col("__dmass"), col("n"))), lit(100L))).as("rank_e12"))
+              intDiv(col("__dmass"), lit(n))), lit(100L))).as("rank_e12"))
     }
 
-    def unpersist(): Unit = { ed.unpersist(); verts.unpersist(); deg.unpersist() }
   }
 
   /** Exact triangle count over an UNDIRECTED simple graph given as an edge
