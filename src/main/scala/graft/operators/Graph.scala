@@ -111,9 +111,10 @@ object Graph {
     (ranks, done)
   }
 
-  /** Shared per-iteration machinery: eagerly-checkpointed base tables and
-    * the exact-integer rank recurrence (one edges⋈ranks join + one dst agg
-    * per step; the 1-row dangling mass broadcast).
+  /** Shared per-iteration machinery: eagerly-checkpointed base tables
+    * (deduped edges, vertices, edges-with-degree) and the exact-integer
+    * rank recurrence (one ranks⟕edges fanout + one dst agg per step; the
+    * 1-row dangling mass broadcast).
     *
     * Construction runs jobs: every base table is an EAGER localCheckpoint —
     * computed once, shared by every step's job via its blocks, which are
@@ -132,26 +133,40 @@ object Graph {
       .localCheckpoint(true)
     val verts: DataFrame = ed.select(col("src").as("vertex"))
       .union(ed.select(col("dst").as("vertex"))).distinct().localCheckpoint(true)
-    val deg: DataFrame = ed.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-      .localCheckpoint(true)
     // degree pre-joined once — each step then joins ONE table against the
-    // rank table instead of re-running edges⋈degree every iteration
-    val edc: DataFrame = ed.join(deg, "src").localCheckpoint(true)
+    // rank table instead of re-running edges⋈degree every iteration (the
+    // degree table itself is transient: computed inside this checkpoint's
+    // job, never needed again — dangling detection rides the step's left
+    // join, not an anti join against the degree set)
+    val edc: DataFrame = ed
+      .join(ed.groupBy(col("src")).agg(count(lit(1)).as("outdeg")), "src")
+      .localCheckpoint(true)
     val n: Long = verts.count()
 
     def initialRanks: DataFrame =
       verts.select(col("vertex"), lit(Scale / n).as("rank_e12"))
 
     def step(ranks: DataFrame): DataFrame = {
-      val contribs = edc
-        .join(ranks.withColumnRenamed("vertex", "src"), "src")
-        .select(col("dst"), intDiv(col("rank_e12"), col("outdeg")).as("__c"))
+      // ONE pass over the rank table: ranks ⟕ edges fans each ranked
+      // vertex out to its out-edges (contribution rows), and vertices
+      // with NO out-edges survive as a single null-dst row carrying their
+      // full rank — so one shuffled aggregate produces BOTH the per-dst
+      // contribution sums and (as the null-dst group) the dangling mass.
+      // This replaces the former second consumer chain (ranks anti-join
+      // degree → global agg), halving the stages per iteration.
+      val sums = ranks
+        .join(edc.withColumnRenamed("src", "vertex"), Seq("vertex"), "left")
+        .select(col("dst"),
+          when(col("dst").isNull, col("rank_e12"))
+            .otherwise(intDiv(col("rank_e12"), col("outdeg"))).as("__c"))
         .groupBy(col("dst")).agg(sum(col("__c")).as("__s"))
-      val dangling = ranks
-        .join(deg.select(col("src").as("vertex")), Seq("vertex"), "left_anti")
-        .agg(coalesce(sum(col("rank_e12")), lit(0L)).as("__dmass"))
+      // 1-row aggregate over the (tiny, AQE-reused) sums stage — NOT a
+      // filter().crossJoin(), which would produce an empty result when no
+      // vertex is dangling
+      val dangling = sums.agg(coalesce(
+        sum(when(col("dst").isNull, col("__s"))), lit(0L)).as("__dmass"))
       verts.crossJoin(broadcast(dangling))
-        .join(contribs, col("vertex") === col("dst"), "left")
+        .join(sums.filter(col("dst").isNotNull), col("vertex") === col("dst"), "left")
         .select(col("vertex"),
           (lit((15L * Scale / 100L) / n) +
             intDiv(lit(85L) * (coalesce(col("__s"), lit(0L)) +
