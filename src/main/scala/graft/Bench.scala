@@ -147,11 +147,21 @@ object Bench {
           } => name }
     val retimed: Map[String, Double] = {
       if (suspects.nonEmpty) System.gc()
-      suspects.map { name =>
+      suspects.flatMap { name =>
         val t0 = System.nanoTime()
-        try materialize(selected(name)(spark, sfDir))
-        catch { case _: Throwable => () }
-        name -> (System.nanoTime() - t0) / 1e9
+        // a retime that FAILS must not fold its fast time-to-failure into
+        // the min as if it were a legitimate sample (the round-10
+        // failure-masquerading-as-fast class) — record the failure and
+        // drop the sample instead
+        try {
+          materialize(selected(name)(spark, sfDir))
+          Some(name -> (System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable =>
+            failed += name
+            System.err.println(s"[bench] $name failed on retime: ${e.getMessage}")
+            None
+        }
       }.toMap
     }
     val results = pass1.map { case (name, t1) =>

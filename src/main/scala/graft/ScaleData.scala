@@ -22,17 +22,31 @@ import graft.core.Tables
   *     (event_type, lang, source, brand) are NOT grown — at 100 TB the
   *     region table still has 5 rows.
   *   - TEXT columns (names, document text) are passed through a
-  *     per-replica Caesar substitution: every q-gram/shingle/token differs
-  *     across replicas while each replica's INTERNAL near-dup/linkage
-  *     structure is preserved exactly. Naive copy-with-new-ids would make
-  *     every document a near-duplicate of its clones and every name an
-  *     exact linkage match — candidate-pair counts would then grow
-  *     quadratically in the replica count, a workload the original data
-  *     does not have. Real corpus growth adds mostly-new content; the
-  *     substitution models that.
+  *     per-replica Caesar substitution: every LETTER q-gram/shingle/token
+  *     differs across replicas while each replica's INTERNAL
+  *     near-dup/linkage structure is preserved exactly. (Digits pass
+  *     through unchanged — id-suffixed name tails like `Customer#00042`
+  *     keep identical digit q-grams across replicas; those grams are
+  *     corpus-wide stop-grams, exactly the class the linkage
+  *     `maxGramFreq` cap absorbs, and the measured linkage curves in
+  *     SCALE.md analyze that transition explicitly.) Naive
+  *     copy-with-new-ids would make every document a near-duplicate of
+  *     its clones and every name an exact linkage match —
+  *     candidate-pair counts would then grow quadratically in the
+  *     replica count, a workload the original data does not have. Real
+  *     corpus growth adds mostly-new content; the substitution models
+  *     that.
   *   - EMBEDDINGS are cyclically rotated per replica — norms and
   *     within-replica distances are exactly preserved, cross-replica
   *     vectors land in new LSH/IVF regions.
+  *
+  * The transforms CYCLE: the embedding rotation repeats every 16 replicas
+  * (vectors are 16-dimensional) and the Caesar shift every 25, so a
+  * factor past the shortest cycle would mint bit-identical cross-replica
+  * twins — precisely the clone pathology the generator exists to avoid.
+  * `factor` is therefore capped at 16 (x16 of sf0.1 ≈ 1.6× sf1; big
+  * enough for any super-linearity hunt — the r14 kNN-join quadratic was
+  * unmissable at x10).
   *
   * Usage: runMain graft.ScaleData <srcSfDir> <destDir> <factor>
   */
@@ -54,6 +68,11 @@ object ScaleData {
     require(args.length == 3, "usage: ScaleData <srcSfDir> <destDir> <factor>")
     val (src, dest, factor) = (args(0), args(1), args(2).toInt)
     require(factor >= 1, "factor >= 1")
+    require(factor <= 16,
+      "factor <= 16: the per-replica transforms cycle (embedding rotation " +
+        "every 16, Caesar shift every 25) — a larger factor would mint " +
+        "bit-identical cross-replica twins and manufacture the clone " +
+        "quadratics this generator exists to avoid")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.operators.{Analytics, Dedup, Graph, Incremental, Linkage, Multimodal, Pipeline, Profile, QualityModel, Relational, Similarity, TextAnalysis, Timeseries, Web, WindowAssign}
+import graft.operators.{Analytics, Dedup, Graph, Guards, Incremental, Linkage, Multimodal, Pipeline, Profile, QualityModel, Relational, Similarity, TextAnalysis, Timeseries, Web, WindowAssign}
 import graft.functions.{FrequentItems, VectorFunctions}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -1114,13 +1114,12 @@ object SparkEntry {
       val guard = e.agg(countDistinct(col("user_id")).as("__nd"))
       val a = Incremental.setState(e.filter(col("ts") < cut), keys, col("user_id"))
       val b = Incremental.setState(e.filter(col("ts") >= cut), keys, col("user_id"))
-      Incremental.setOverlap(Seq("event_type"), a, b)
-        .crossJoin(broadcast(guard))
-        .filter(assert_true(col("__nd") <= 4096,
-          lit("events_user_overlap_exact: distinct users exceed the theta " +
+      Guards.inPlanAssert(
+          Incremental.setOverlap(Seq("event_type"), a, b),
+          guard, col("__nd") <= 4096,
+          "events_user_overlap_exact: distinct users exceed the theta " +
             "exact range (2^12 retained hashes) — estimates would diverge from " +
-            "the set oracle; use events_user_overlap (sketch regime)")).isNull)
-        .drop("__nd")
+            "the set oracle; use events_user_overlap (sketch regime)")
         .orderBy(col("event_type"))
     }),
 
@@ -1151,14 +1150,13 @@ object SparkEntry {
       val a = Incremental.quantileState(e.filter(col("ts") < cut), keys, v, k)
       val b = Incremental.quantileState(e.filter(col("ts") >= cut), keys, v, k)
       val m = Incremental.mergeQuantileStates(Seq("event_type"), a, b)
-      Incremental.finishQuantiles(m, Seq("event_type"),
-          Seq(0.25, 0.5, 0.75, 0.875))
-        .crossJoin(broadcast(guard))
-        .filter(assert_true(col("__mx") <= k,
-          lit("events_quantiles_exact: a group outgrew the KLL exact range " +
+      Guards.inPlanAssert(
+          Incremental.finishQuantiles(m, Seq("event_type"),
+            Seq(0.25, 0.5, 0.75, 0.875)),
+          guard, col("__mx") <= k,
+          "events_quantiles_exact: a group outgrew the KLL exact range " +
             s"(k=$k retained items) — compaction would turn quantiles into " +
-            "sketch estimates; raise k or use the rank-error spec tier")).isNull)
-        .drop("__mx")
+            "sketch estimates; raise k or use the rank-error spec tier")
         .orderBy(col("event_type"))
     }),
 
@@ -1788,13 +1786,12 @@ object SparkEntry {
       val toks = documents(s, dir)
         .select(explode(TextAnalysis.wordTokens(col("text"))).as("token"))
       val guard = toks.agg(countDistinct(col("token")).as("__nd"))
-      toks
-        .agg(FrequentItems.freqItems(col("token"), 4096, 4096).as("hh"))
-        .crossJoin(broadcast(guard))
-        .filter(assert_true(col("__nd") <= 4096,
-          lit("text_heavy_hitters_exact: vocabulary exceeds the exact-regime " +
+      Guards.inPlanAssert(
+          toks.agg(FrequentItems.freqItems(col("token"), 4096, 4096).as("hh")),
+          guard, col("__nd") <= 4096,
+          "text_heavy_hitters_exact: vocabulary exceeds the exact-regime " +
             "capacity (4096) — the MG sketch would decrement; raise the capacity " +
-            "or use text_heavy_hitters (sketch regime)")).isNull)
+            "or use text_heavy_hitters (sketch regime)")
         .select(posexplode(col("hh")).as(Seq("rank0", "e")))
         .select((col("rank0") + 1).cast("long").as("rank"),
           col("e.item").as("token"), col("e.est_count").as("n"))
@@ -2893,7 +2890,10 @@ object SparkEntry {
     // consumed lazily by the returned plan), so persist leaked the stage
     // for the session AND let a later plan-equal invocation silently
     // reuse the first invocation's cache — the basket_rules bench
-    // flattering class (BENCH_TRIAGE_r14).
+    // flattering class (BENCH_TRIAGE_r14). Trade: truncated lineage means
+    // executor loss after a barrier materializes fails the run where
+    // persist recomputed — the production answer is the real
+    // stage-to-parquet barrier; in one composed query, rerun on failure.
     "pipeline_e2e" -> ((s, dir) => {
       val docs = documents(s, dir)
       val train = docs.filter(pmod(col("doc_id"), lit(50)) =!= 0)

@@ -1081,7 +1081,10 @@ object Analytics {
     val grand = counts.agg(sum(col("__c")).as("__nall"),
       countDistinct(col("__v")).as("__nd"))
     // the loud guard rides the grand row as a filter (never prunable):
-    // assert_true is NULL when the contract holds, raises otherwise
+    // assert_true is NULL when the contract holds, raises otherwise.
+    // (Same idiom as [[Guards.inPlanAssert]]; inlined here because this
+    // guard row also CARRIES a payload column (__nall) the grid consumes
+    // downstream, where the helper drops its guard columns.)
     val grandGuarded =
       if (bins.isDefined) grand.select(col("__nall")) // bounded by construction
       else grand

@@ -700,6 +700,10 @@ object Dedup {
     // distinct set in the CacheManager for the session (the basket_rules
     // leak class, BENCH_TRIAGE_r14). Checkpoint blocks are
     // ContextCleaner-owned in both modes: freed when the plan is GC'd.
+    // Trade: the truncated lineage means executor loss after block
+    // materialization fails the lazy-mode plan where persist recomputed —
+    // same reliability class as the eager result's caveat below (rerun
+    // the gate on failure).
     val seen = corpus.select(fp.cast("string").as("fp")).distinct()
       .localCheckpoint(false)
     // the sketch build below is a Spark job either way — "lazy" mode only
@@ -987,7 +991,10 @@ object Dedup {
     // issue (the stage is consumed lazily by the returned plan), so
     // persist leaked the assignment table for the session and let
     // plan-equal re-invocations silently reuse a stale-session cache
-    // (the basket_rules flattering class, BENCH_TRIAGE_r14).
+    // (the basket_rules flattering class, BENCH_TRIAGE_r14). Trade: the
+    // truncated lineage means executor loss after materialization fails
+    // the plan where persist recomputed — a production SemDeDup's written
+    // assignment table is the durable answer; in-plan, rerun on failure.
     val v = emb.select(col(idCol).as("__id"), toDoubleArray(col(vecCol)).as("__vec"))
       .withColumn("__nrm", l2Norm(col("__vec")))
       .join(cells.select(col(idCol).as("__id"), col("cell")), Seq("__id"))

@@ -45,8 +45,16 @@ object Graph {
     * where D = Σ Rᵢ₋₁ over dangling vertices (no out-edges) — their mass
     * redistributes uniformly, the standard correction.
     *
-    * Duplicate edges are collapsed; callers wanting an undirected walk pass
-    * the symmetric closure. Output: (vertex, rank_e12) — exact BIGINTs.
+    * Duplicate edges are collapsed and edges with a NULL endpoint are
+    * dropped (a null is not a vertex); callers wanting an undirected walk
+    * pass the symmetric closure. Output: (vertex, rank_e12) — exact
+    * BIGINTs.
+    *
+    * EXECUTION-SEMANTICS CAVEAT (same class as Dedup.incrementalBloom's):
+    * this operator is EAGER — building the result runs the preparation
+    * and per-iteration jobs at call time, not lazily at the caller's
+    * first action. Plan auditors and callers that construct-but-discard
+    * pay full execution.
     */
   def pageRank(edges: DataFrame, iters: Int = 3): DataFrame = {
     require(iters >= 1, "pageRank: iters must be >= 1")
@@ -87,6 +95,10 @@ object Graph {
       tolE12: Long = 1000L,
       maxIters: Int = 50): (DataFrame, Int) = {
     val g = Prepared(edges)
+    // empty graph: no vertices, no ranks — return before the driver-side
+    // Scale / n division (n = 0) can throw
+    if (g.n == 0L)
+      return (g.verts.select(col("vertex"), lit(0L).as("rank_e12")), 0)
     // EAGER localCheckpoint per iteration TRUNCATES lineage — each step
     // reads the previous ranks three times (contribs, dangling, residual),
     // so without truncation the logical plan grows ~3^iters and the driver
@@ -129,7 +141,14 @@ object Graph {
     * replays).
     */
   private final case class Prepared(edges: DataFrame) {
-    val ed: DataFrame = edges.select(col("src"), col("dst")).distinct()
+    // NULL-endpoint edges are dropped up front: the fused step uses a null
+    // dst as the dangling-mass sentinel, so a literal null-dst input edge
+    // would route its source's FULL rank into dangling mass while still
+    // counting toward out-degree — inflating total mass. A null endpoint
+    // is not a vertex; it cannot receive or emit rank.
+    val ed: DataFrame = edges.select(col("src"), col("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
       .localCheckpoint(true)
     val verts: DataFrame = ed.select(col("src").as("vertex"))
       .union(ed.select(col("dst").as("vertex"))).distinct().localCheckpoint(true)
@@ -258,7 +277,10 @@ object Graph {
       // issued — persist left the table pinned in the CacheManager for
       // the session (the basket_rules leak class, BENCH_TRIAGE_r14).
       // Checkpoint blocks are ContextCleaner-owned: freed when the plan
-      // is GC'd.
+      // is GC'd. Trade (here and at every lazy-checkpoint site in this
+      // sweep): checkpointing truncates lineage, so an executor lost
+      // AFTER block materialization fails the job where persist would
+      // recompute — acceptable for a 1-row result that is simply rerun.
       .localCheckpoint(false)
     val deg = und.select(col("lo").as("v"))
       .union(und.select(col("hi").as("v")))

@@ -32,7 +32,11 @@ object StreamingAnomaly {
   case class Flag(key: String, ts_s: Long, v: Double, n_window: Long, is_anomaly: Boolean)
   case class Ring(obs: List[(Long, Double)])
 
-  /** @param maxIdleMs optional event-time state TTL (see [[TwinRunner]]):
+  /** @param maxIdleMs optional event-time state TTL (see [[TwinRunner]];
+    *                   also the lateness allowance: the TTL
+    *                   watermark drops rows more than maxIdleMs
+    *                   behind the stream's max event time).
+    *                   Eviction semantics:
     *                   a key idle past the horizon is evicted; its ring
     *                   re-fills cold on return.
     */

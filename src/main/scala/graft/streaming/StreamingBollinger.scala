@@ -34,7 +34,11 @@ object StreamingBollinger {
   case class Flag(key: String, ts_s: Long, i: Long, vu: Long, breach: Boolean)
   case class RingState(i: Long, ring: Seq[Long])
 
-  /** @param maxIdleMs optional event-time state TTL (see [[TwinRunner]]):
+  /** @param maxIdleMs optional event-time state TTL (see [[TwinRunner]];
+    *                   also the lateness allowance: the TTL
+    *                   watermark drops rows more than maxIdleMs
+    *                   behind the stream's max event time).
+    *                   Eviction semantics:
     *                   an evicted key's frame re-fills cold on return (no
     *                   flags until full again — the batch contract for a
     *                   fresh key).

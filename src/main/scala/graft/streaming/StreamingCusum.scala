@@ -37,7 +37,11 @@ object StreamingCusum {
       s_pos: Double, s_neg: Double, alarm: Boolean)
   case class CusumState(n: Long, mean: Double, sPos: Double, sNeg: Double)
 
-  /** @param maxIdleMs optional event-time state TTL (see [[TwinRunner]]):
+  /** @param maxIdleMs optional event-time state TTL (see [[TwinRunner]];
+    *                   also the lateness allowance: the TTL
+    *                   watermark drops rows more than maxIdleMs
+    *                   behind the stream's max event time).
+    *                   Eviction semantics:
     *                   an evicted key restarts its running-mean baseline
     *                   cold on return (first post-eviction row never
     *                   alarms, like any fresh key).

@@ -27,7 +27,11 @@ object StreamingDwell {
   case class Stint(key: String, ts_us: Long, state: String, dur_us: Long)
   case class Open(ts_us: Long, state: String)
 
-  /** @param maxIdleMs optional event-time state TTL (see [[TwinRunner]]):
+  /** @param maxIdleMs optional event-time state TTL (see [[TwinRunner]];
+    *                   also the lateness allowance: the TTL
+    *                   watermark drops rows more than maxIdleMs
+    *                   behind the stream's max event time).
+    *                   Eviction semantics:
     *                   an evicted key's open stint dies unpublished —
     *                   exactly the batch lead() drop of a key's final
     *                   observation.

@@ -29,7 +29,11 @@ object StreamingEwma {
   case class Smoothed(key: String, ts_s: Long, i: Long, ewma: Double)
   case class RingState(i: Long, ring: Seq[Long])
 
-  /** @param maxIdleMs optional event-time state TTL (see [[TwinRunner]]):
+  /** @param maxIdleMs optional event-time state TTL (see [[TwinRunner]];
+    *                   also the lateness allowance: the TTL
+    *                   watermark drops rows more than maxIdleMs
+    *                   behind the stream's max event time).
+    *                   Eviction semantics:
     *                   an evicted key restarts its smoothing window cold
     *                   on return (first values average the shorter
     *                   frame, like any fresh key).

@@ -34,7 +34,11 @@ object StreamingScd2 {
       valid_to: Long, n_events: Long)
   case class Run(value: Option[String], from: Long, n: Long)
 
-  /** @param maxIdleMs optional event-time state TTL (see [[TwinRunner]]):
+  /** @param maxIdleMs optional event-time state TTL (see [[TwinRunner]];
+    *                   also the lateness allowance: the TTL
+    *                   watermark drops rows more than maxIdleMs
+    *                   behind the stream's max event time).
+    *                   Eviction semantics:
     *                   an evicted key's OPEN run dies unpublished (the
     *                   batch operator's open-interval row is likewise
     *                   never a closed interval); the key's next change

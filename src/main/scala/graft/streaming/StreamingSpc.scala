@@ -35,7 +35,11 @@ object StreamingSpc {
       r1: Boolean, r2: Boolean, r3: Boolean, r4: Boolean)
   case class RingState(i: Long, ring: Seq[Long])
 
-  /** @param maxIdleMs optional event-time state TTL (see [[TwinRunner]]):
+  /** @param maxIdleMs optional event-time state TTL (see [[TwinRunner]];
+    *                   also the lateness allowance: the TTL
+    *                   watermark drops rows more than maxIdleMs
+    *                   behind the stream's max event time).
+    *                   Eviction semantics:
     *                   an evicted key restarts its trailing frame AND its
     *                   arrival counter cold on return — rules 2–4 re-arm
     *                   from the key's first post-eviction row, the same

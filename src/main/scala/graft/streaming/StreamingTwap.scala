@@ -29,7 +29,11 @@ object StreamingTwap {
   case class Stint(key: String, ts_us: Long, dur_ms: Long, vu: Long)
   case class Open(ts_us: Long, vu: Long)
 
-  /** @param maxIdleMs optional event-time state TTL (see [[TwinRunner]]):
+  /** @param maxIdleMs optional event-time state TTL (see [[TwinRunner]];
+    *                   also the lateness allowance: the TTL
+    *                   watermark drops rows more than maxIdleMs
+    *                   behind the stream's max event time).
+    *                   Eviction semantics:
     *                   an evicted key's open stint dies unpublished —
     *                   exactly the batch lead() drop of the key's final
     *                   observation.

@@ -21,29 +21,38 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *  - `maxIdleMs = None` (default): `GroupStateTimeout.NoTimeout`, no
   *    watermark attached — the exact plan every parity spec pinned
   *    before the TTL existed. Nothing changes.
-  *  - `maxIdleMs = Some(ms)`: a `0 ms`-delay watermark is derived from
-  *    the twin's own event-time column and the group runs under
+  *  - `maxIdleMs = Some(ms)`: a watermark with delay = `ms` is derived
+  *    from the twin's own event-time column and the group runs under
   *    `EventTimeTimeout`. After processing a batch, the key's timeout is
-  *    re-armed at `max(last event time + ms, watermark + 1)` (Spark
-  *    rejects timeouts at or behind the watermark; the clamp means a
-  *    very-late key lives one extra no-data batch, never less than its
-  *    horizon). On timeout the state is dropped and nothing is emitted —
-  *    open stints/runs (Twap/Dwell/Scd2) die unpublished, exactly like
-  *    the batch operators drop a key's final lead()-less row; ring twins
-  *    (Bollinger/RollingMedian/Ewma/Spc/Anomaly) restart cold and
-  *    re-fill their frame before flagging again; Cusum restarts its
-  *    baseline. A TTL longer than the stream's idle gaps is therefore
-  *    OUTPUT-NEUTRAL (parity specs re-assert with a horizon-sized TTL).
+  *    re-armed at `max(max event time EVER SEEN for the key + ms,
+  *    watermark + 1)` (Spark rejects timeouts at or behind the watermark;
+  *    the clamp means a very-late key lives one extra no-data batch,
+  *    never less than its horizon). The per-key max rides the state
+  *    tuple, NOT the current batch's max — an accepted out-of-order
+  *    arrival must never move the deadline BACKWARD and evict a key
+  *    short of its horizon. On timeout the state is dropped and nothing
+  *    is emitted — open stints/runs (Twap/Dwell/Scd2) die unpublished,
+  *    exactly like the batch operators drop a key's final lead()-less
+  *    row; ring twins (Bollinger/RollingMedian/Ewma/Spc/Anomaly) restart
+  *    cold and re-fill their frame before flagging again; Cusum restarts
+  *    its baseline. A TTL longer than the stream's idle gaps is
+  *    therefore OUTPUT-NEUTRAL (parity specs re-assert with a
+  *    horizon-sized TTL).
   *
   * Eviction fires on the micro-batch AFTER the watermark passes the
   * deadline (Structured Streaming's no-data batches run timeouts even
   * when no new rows arrive). One more delta vs the TTL-off path: under
   * `EventTimeTimeout` Spark drops rows AT or BEHIND the watermark before
   * they reach the twin (`WatermarkSupport`'s `eventTime <= watermark`
-  * late filter — note the `<=`: an epoch-0 event dies even in the first
-  * batch). TTL-off twins judge late rows at arrival; TTL-on twins never
-  * see them — the standard price of a watermark, and the right one for
-  * the key-churn deployments a TTL exists for.
+  * late filter). The watermark delay equals the TTL, so the lateness
+  * allowance is the retention horizon itself: a row more than
+  * `maxIdleMs` behind the stream's max event time is dropped before the
+  * twin sees it (its key's state is at most one horizon from eviction
+  * anyway), while cross-key event-time skew WITHIN the horizon loses
+  * nothing. TTL-off twins judge late rows at arrival; that path is
+  * untouched. This price is stated on every twin's `maxIdleMs` param —
+  * it is the standard cost of a watermark, and the right one for the
+  * key-churn deployments a TTL exists for.
   */
 private[streaming] object TwinRunner {
 
@@ -81,25 +90,40 @@ private[streaming] object TwinRunner {
         require(idle > 0, s"streaming twin: maxIdleMs must be positive, got $idle")
         val withWm = ds.toDF()
           .withColumn(EventTimeCol, eventTime)
-          .withWatermark(EventTimeCol, "0 milliseconds")
+          .withWatermark(EventTimeCol, s"$idle milliseconds")
           .as[V]
+        // state is (twin state, max event time ever seen for the key):
+        // the deadline must be armed from the all-time max, not the
+        // current batch's max — an accepted out-of-order arrival would
+        // otherwise move the deadline backward and evict early
+        implicit val tupleEnc: Encoder[(S, Long)] =
+          Encoders.tuple(es, Encoders.scalaLong)
         withWm.groupByKey(keyOf)(Encoders.STRING)
-          .flatMapGroupsWithState[S, O](OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-            (key: String, it: Iterator[V], state: GroupState[S]) =>
+          .flatMapGroupsWithState[(S, Long), O](OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+            (key: String, it: Iterator[V], state: GroupState[(S, Long)]) =>
               if (state.hasTimedOut) {
                 state.remove()
                 Iterator.empty
               } else {
                 val events = it.toSeq
-                val (out, next) = process(key, events, state.getOption)
-                next.foreach(state.update)
+                val prior = state.getOption
+                val (out, next) = process(key, events, prior.map(_._1))
+                val maxSeen = math.max(
+                  prior.map(_._2).getOrElse(Long.MinValue),
+                  events.iterator.map(eventTimeMs).max)
+                next match {
+                  case Some(s) => state.update((s, maxSeen))
+                  // "None = leave untouched" keeps the twin state; the
+                  // tracked max still advances
+                  case None if prior.isDefined => state.update((prior.get._1, maxSeen))
+                  case None => ()
+                }
                 if (state.exists) {
-                  val lastSeen = events.iterator.map(eventTimeMs).max
                   // saturating add: a "never expire" TTL (maxIdleMs near
                   // Long.MaxValue) must not wrap negative and evict on the
                   // very next batch
                   val deadline =
-                    try math.addExact(lastSeen, idle)
+                    try math.addExact(maxSeen, idle)
                     catch { case _: ArithmeticException => Long.MaxValue }
                   state.setTimeoutTimestamp(
                     math.max(deadline, state.getCurrentWatermarkMs + 1))

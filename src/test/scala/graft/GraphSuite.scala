@@ -109,6 +109,26 @@ class GraphSuite extends AnyFunSuite {
     assert(itersLoose <= iters)
   }
 
+  test("pageRank: empty edge table returns empty ranks, no divide-by-zero") {
+    val empty = Seq.empty[(String, String)].toDF("src", "dst")
+    assert(Graph.pageRank(empty, iters = 3).count() === 0L)
+    val (r, done) = Graph.pageRankConverged(empty, tolE12 = 5L, maxIters = 10)
+    assert(r.count() === 0L && done === 0)
+  }
+
+  test("pageRank: NULL-endpoint edges are dropped, never counted as dangling mass or degree") {
+    // (a, null) must not route a's full rank into dangling mass (the fused
+    // step's null-dst sentinel) nor count toward a's out-degree
+    val withNull = Seq(("a", "b"), ("b", "a"), ("a", null), (null, "b"))
+      .toDF("src", "dst")
+    val clean = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
+    val got = Graph.pageRank(withNull, iters = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = Graph.pageRank(clean, iters = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === want, s"null-endpoint edges must be invisible: $got vs $want")
+  }
+
   test("deterministic across repartitioning (integer sums are order-free)") {
     val edges = (1 to 40).map(i => (s"v${i % 7}", s"v${(i * 3) % 11}"))
       .filter { case (a, b) => a != b }

@@ -1148,6 +1148,41 @@ class StreamingSuite extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("twin state TTL: an accepted out-of-order arrival never shortens the horizon") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    import graft.streaming.StreamingBollinger
+    implicit val sqlCtx = spark.sqlContext
+    // maxIdle 1h, which is also the watermark delay (lateness allowance).
+    // Key a's max event time is 10000s; a LATE-but-accepted arrival at
+    // 7000s (above the 6400s watermark) must re-arm the deadline from the
+    // ALL-TIME max (10000s + 1h = 13600s), not the batch max (7000s + 1h
+    // = 10600s) — arming from the batch max would evict a once the
+    // watermark passes 10600s, an hour short of its documented horizon.
+    val input = MemoryStream[StreamingBollinger.Obs]
+    val q = StreamingBollinger.flags(input.toDS(), frameRows = 3, k = 2,
+        maxIdleMs = Some(3600L * 1000))
+      .writeStream.format("memory").queryName("graft_ttl_ooo")
+      .outputMode("append").start()
+    try {
+      input.addData(Seq(StreamingBollinger.Obs("a", 10000L, 1.0)))
+      q.processAllAvailable() // watermark -> 10000s - 1h = 6400s
+      input.addData(Seq(StreamingBollinger.Obs("a", 7000L, 2.0)))
+      q.processAllAvailable() // accepted (7000 > 6400); max stays 10000s
+      input.addData(Seq(StreamingBollinger.Obs("b", 14500L, 1.0)))
+      q.processAllAvailable() // watermark -> 10900s: past the batch-max
+      // deadline (10600s) but short of the all-time-max one (13600s)
+      val mid = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(mid === 2L,
+        s"key a must survive a watermark short of last-event + TTL: $mid")
+      input.addData(Seq(StreamingBollinger.Obs("b", 18000L, 1.0)))
+      q.processAllAvailable() // watermark -> 14400s > 13600s: a evicts
+      val fin = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(fin === 1L,
+        s"key a must still evict once truly idle past its horizon: $fin")
+    } finally q.stop()
+  }
+
   test("twin state TTL: an evicted open stint dies unpublished, never spliced across the gap") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions.col
