@@ -59,6 +59,13 @@ private[streaming] object TwinRunner {
   /** The derived watermark column (only present when a TTL is set). */
   val EventTimeCol = "__graft_event_time"
 
+  // State-format note: TTL mode stores (twin state, per-key max event
+  // time) as a tuple in the state store. Changing a twin's state shape —
+  // including toggling maxIdleMs on or off — is a state-schema change, so
+  // an existing streaming checkpoint cannot be resumed across it (restart
+  // from a fresh checkpoint, the standard Structured Streaming contract
+  // for stateful-operator schema changes).
+
   /** Run `process` per key with optional event-time TTL.
     *
     * @param eventTime   TimestampType column derived from `ds`'s own
