@@ -356,6 +356,178 @@ object Pipeline {
             sum(col("__c")), 4).as("avg_logp"))
   }
 
+  /** KenLM-grade fluency scoring: interpolated MODIFIED KNESER-NEY over
+    * trigrams (Kneser & Ney 1995; the Chen & Goodman 1998 "modified"
+    * three-discount variant; the estimator KenLM — Heafield 2011 —
+    * defaults to, and the LM CCNet actually trains). Replaces the
+    * add-alpha stand-in where fidelity to the published pipelines
+    * matters: add-alpha systematically over-penalizes unseen
+    * continuations of frequent contexts; KN's absolute discounting +
+    * continuation counts is the fix the literature settled on.
+    *
+    * The model, exactly as implemented (all counts from the REFERENCE):
+    *  - order 3 (raw counts): p3(w|uv) = (c(uvw) − D3[c])⁺ / c(uv·)
+    *      + γ3(uv)·p2(w|v), γ3(uv) = (D3₁·N1(uv·) + D3₂·N2(uv·) +
+    *      D3₃·N3+(uv·)) / c(uv·)
+    *  - order 2 (CONTINUATION counts from trigram types): ĉ(vw) =
+    *      |{u : c(uvw) > 0}|, p2(w|v) = (ĉ(vw) − D2[ĉ])⁺ / ĉ(v·)
+    *      + γ2(v)·p1(w)
+    *  - order 1: p1(w) = ĉ(w)/T with ĉ(w) = |{v : ĉ(vw) > 0}| and T the
+    *      number of bigram continuation types
+    *  - discounts per order from count-of-counts (t_k = #types with
+    *      count k): Y = t1/(t1+2t2); D₁ = 1 − 2Y·t2/t1; D₂ = 2 −
+    *      3Y·t3/t2; D₃ = 3 − 4Y·t4/t3. When an order's discounts are
+    *      INESTIMABLE (a t1..t3 of zero) or out of their [0, k] range
+    *      (either breaks the telescoping clamp), that order falls back
+    *      to D = 0.5/1.0/1.5 — exactly KenLM's `--discount_fallback`
+    *      defaults (without the flag KenLM refuses such corpora; a
+    *      pipeline operator prefers the documented fallback to a dead
+    *      run, and the fallback preserves the sum-to-1 invariant).
+    *
+    * The interpolation telescopes: Σ_w p3(w|uv) = 1 exactly over the
+    * continuation vocabulary (spec-asserted to 1e-9) — the property
+    * add-alpha only approximates and backoff-without-interpolation
+    * violates.
+    *
+    * Scale shape: the whole model collapses to ONE per-gram log-prob
+    * table built from the reference trigram TYPES (type-table joins on
+    * uv/vw/v/w + three broadcast 1-row discount tables) — KenLM's own
+    * layout — so the scored corpus pays a single hash join on the gram
+    * string. Grams unseen in the reference take the graded backoff path
+    * (an anti-join remainder, empty when raw == reference): missing
+    * trigram → discounted-0 + γ3·p2; missing context → p2; missing v →
+    * p1; a w outside the continuation vocabulary has no mass and the
+    * gram is dropped from the average (documented; KenLM gives <unk>
+    * explicit mass instead — feed a real unknown-token convention
+    * upstream if that is wanted). Documents shorter than 3 tokens drop
+    * (no trigrams), as in [[ngramLogLikelihood]].
+    *
+    * Output: (idCol, n_grams, avg_logp rounded to 4dp) — same contract
+    * as [[ngramLogLikelihood]] at n = 3.
+    */
+  def knTrigramLogLikelihood(
+      raw: DataFrame,
+      reference: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    // reference trigram types with their counts and key projections
+    val tri = reference
+      .select(explode(TextAnalysis.ngramsAll(col(textCol), 3)).as("__g"))
+      .groupBy(col("__g")).agg(count(lit(1)).as("__c3"))
+      .withColumn("__p", split(col("__g"), " "))
+      .withColumn("__uv", array_join(slice(col("__p"), 1, 2), " "))
+      .withColumn("__vw", array_join(slice(col("__p"), 2, 2), " "))
+      .withColumn("__v", element_at(col("__p"), 2))
+      .withColumn("__w", element_at(col("__p"), 3))
+      .drop("__p")
+    // per-context stats at order 3: total count + discount type counts
+    val ctx3 = tri.groupBy(col("__uv")).agg(
+      sum(col("__c3")).as("__ctot"),
+      sum(when(col("__c3") === 1, 1L).otherwise(0L)).as("__n1"),
+      sum(when(col("__c3") === 2, 1L).otherwise(0L)).as("__n2"),
+      sum(when(col("__c3") >= 3, 1L).otherwise(0L)).as("__n3"))
+    // bigram CONTINUATION types: tri rows are distinct grams, so the
+    // distinct-u count per (v, w) is a plain row count
+    val bg = tri.groupBy(col("__vw"), col("__v"), col("__w"))
+      .agg(count(lit(1)).as("__cc2"))
+    val ctx2 = bg.groupBy(col("__v")).agg(
+      sum(col("__cc2")).as("__cc2tot"),
+      sum(when(col("__cc2") === 1, 1L).otherwise(0L)).as("__m1"),
+      sum(when(col("__cc2") === 2, 1L).otherwise(0L)).as("__m2"),
+      sum(when(col("__cc2") >= 3, 1L).otherwise(0L)).as("__m3"))
+    val uni = bg.groupBy(col("__w")).agg(count(lit(1)).as("__cc1"))
+    val tRow = uni.agg(sum(col("__cc1")).cast("double").as("__T"))
+    // count-of-counts → the three modified discounts, per order
+    def coc(counts: DataFrame, c: Column, p: String): DataFrame = counts.agg(
+      sum(when(c === 1, 1L).otherwise(0L)).cast("double").as(s"__${p}t1"),
+      sum(when(c === 2, 1L).otherwise(0L)).cast("double").as(s"__${p}t2"),
+      sum(when(c === 3, 1L).otherwise(0L)).cast("double").as(s"__${p}t3"),
+      sum(when(c === 4, 1L).otherwise(0L)).cast("double").as(s"__${p}t4"))
+    def dRow(cocRow: DataFrame, p: String): DataFrame = {
+      val (t1, t2, t3, t4) = (col(s"__${p}t1"), col(s"__${p}t2"),
+        col(s"__${p}t3"), col(s"__${p}t4"))
+      // zero-guarded divisions (ANSI mode raises DIVIDE_BY_ZERO) — for
+      // estimable corpora every guard holds and the branch is the plain
+      // division, value-identical to the oracle's
+      def safe(num: Column, den: Column): Column =
+        when(den > 0.0, num / den).otherwise(lit(0.0))
+      val y = safe(t1, t1 + lit(2.0) * t2)
+      val d1e = lit(1.0) - lit(2.0) * y * safe(t2, t1)
+      val d2e = lit(2.0) - lit(3.0) * y * safe(t3, t2)
+      val d3e = lit(3.0) - lit(4.0) * y * safe(t4, t3)
+      // KenLM's --discount_fallback semantics: when an order's
+      // count-of-counts can't estimate the discounts (a t1..t3 of zero)
+      // or the estimates leave their [0, k] range (which breaks the
+      // telescoping clamp), that WHOLE ORDER uses the documented
+      // fallback discounts 0.5 / 1.0 / 1.5
+      val ok = t1 > 0.0 && t2 > 0.0 && t3 > 0.0 &&
+        d1e >= 0.0 && d1e <= 1.0 && d2e >= 0.0 && d2e <= 2.0 &&
+        d3e >= 0.0 && d3e <= 3.0
+      cocRow.select(
+        when(ok, d1e).otherwise(lit(0.5)).as(s"__${p}d1"),
+        when(ok, d2e).otherwise(lit(1.0)).as(s"__${p}d2"),
+        when(ok, d3e).otherwise(lit(1.5)).as(s"__${p}d3"))
+    }
+    val coc3 = coc(tri, col("__c3"), "k3")
+    val coc2 = coc(bg, col("__cc2"), "k2")
+    val d3 = dRow(coc3, "k3")
+    val d2 = dRow(coc2, "k2")
+    // the per-gram log-prob expression shared by the model table and the
+    // backoff path (missing levels coalesce per the scaladoc)
+    val p1 = col("__cc1").cast("double") / col("__T")
+    def d2sel(c: Column) = when(c === 1, col("__k2d1"))
+      .when(c === 2, col("__k2d2")).otherwise(col("__k2d3"))
+    def d3sel(c: Column) = when(c === 1, col("__k3d1"))
+      .when(c === 2, col("__k3d2")).otherwise(col("__k3d3"))
+    val gamma2 = (col("__k2d1") * col("__m1").cast("double") +
+      col("__k2d2") * col("__m2").cast("double") +
+      col("__k2d3") * col("__m3").cast("double")) / col("__cc2tot").cast("double")
+    val gamma3 = (col("__k3d1") * col("__n1").cast("double") +
+      col("__k3d2") * col("__n2").cast("double") +
+      col("__k3d3") * col("__n3").cast("double")) / col("__ctot").cast("double")
+    def p2Of(cc2: Column): Column = when(col("__cc2tot").isNotNull,
+      greatest(coalesce(cc2.cast("double"), lit(0.0)) - d2sel(coalesce(cc2, lit(0L))),
+        lit(0.0)) / col("__cc2tot").cast("double") + gamma2 * p1).otherwise(p1)
+    def p3Of(c3: Column, p2: Column): Column = when(col("__ctot").isNotNull,
+      greatest(coalesce(c3.cast("double"), lit(0.0)) - d3sel(coalesce(c3, lit(0L))),
+        lit(0.0)) / col("__ctot").cast("double") + gamma3 * p2).otherwise(p2)
+    // the model: one log-prob per reference trigram type (KenLM's layout)
+    val model = tri
+      .join(ctx3, "__uv")
+      .join(bg, Seq("__vw", "__v", "__w"))
+      .join(ctx2, "__v")
+      .join(uni, "__w")
+      .crossJoin(broadcast(d3)).crossJoin(broadcast(d2)).crossJoin(broadcast(tRow))
+      .select(col("__g"), log(p3Of(col("__c3"), p2Of(col("__cc2")))).as("__lp"))
+    // score: per-doc gram counts, one hash join against the model; the
+    // unseen remainder (empty when raw == reference) takes graded backoff
+    val docTri = raw
+      .select(col(idCol), explode(TextAnalysis.ngramsAll(col(textCol), 3)).as("__g"))
+      .groupBy(col(idCol), col("__g")).agg(count(lit(1)).as("__c"))
+    val seen = docTri.join(model, "__g")
+      .select(col(idCol), col("__c"), col("__lp"))
+    val unseen = docTri.join(model.select(col("__g")), Seq("__g"), "left_anti")
+      .withColumn("__p", split(col("__g"), " "))
+      .withColumn("__uv", array_join(slice(col("__p"), 1, 2), " "))
+      .withColumn("__vw", array_join(slice(col("__p"), 2, 2), " "))
+      .withColumn("__v", element_at(col("__p"), 2))
+      .withColumn("__w", element_at(col("__p"), 3))
+      .join(tri.select(col("__g"), col("__c3")), Seq("__g"), "left")
+      .join(ctx3, Seq("__uv"), "left")
+      .join(bg.select(col("__vw"), col("__cc2")), Seq("__vw"), "left")
+      .join(ctx2, Seq("__v"), "left")
+      .join(uni, Seq("__w"), "left")
+      .crossJoin(broadcast(d3)).crossJoin(broadcast(d2)).crossJoin(broadcast(tRow))
+      .select(col(idCol), col("__c"),
+        log(p3Of(col("__c3"), p2Of(col("__cc2")))).as("__lp"))
+      // a w outside the continuation vocabulary has no mass: drop the gram
+      .filter(col("__lp").isNotNull)
+    seen.unionByName(unseen)
+      .groupBy(col(idCol))
+      .agg(sum(col("__c")).as("n_grams"),
+        round(sum(col("__c") * col("__lp")) / sum(col("__c")), 4).as("avg_logp"))
+  }
+
   /** Data selection by score quantile: keep rows whose `score` is at or
     * above the corpus' `1 − keepFrac` quantile — the thresholding step that
     * turns [[importanceScores]] (or any quality/perplexity score) into an

@@ -363,6 +363,161 @@ class OperatorsSuite extends AnyFunSuite {
     assert(tri.values.forall(_ <= 0.0))
   }
 
+  // ---- modified Kneser-Ney: independent single-threaded reference ----
+  // The same estimator as Pipeline.knTrigramLogLikelihood, written as
+  // plain Scala maps and loops — a differential oracle for the
+  // distributed plumbing (the DuckDB gate covers the registered query;
+  // this covers arbitrary raw-vs-reference splits incl. backoff). It also
+  // ASSERTS the interpolation's telescoping invariant Σ_w p(w|ctx) = 1,
+  // the property that defines Kneser-Ney correctness.
+  private def knReference(
+      refDocs: Seq[(Long, String)],
+      rawDocs: Seq[(Long, String)]): Map[Long, (Long, Double)] = {
+    def grams(docs: Seq[(Long, String)]) = docs.flatMap { case (id, t) =>
+      t.split(" +").toSeq.sliding(3).filter(_.size == 3)
+        .map(g => (id, (g(0), g(1), g(2)))).toSeq
+    }
+    val c3 = grams(refDocs).groupBy(_._2).map { case (g, xs) => g -> xs.size.toLong }
+    val ctx3 = c3.toSeq.groupBy { case ((u, v, _), _) => (u, v) }.map { case (uv, m) =>
+      val cs = m.map(_._2)
+      uv -> (cs.sum, cs.count(_ == 1L), cs.count(_ == 2L), cs.count(_ >= 3L))
+    }
+    def disc(cs: Iterable[Long]): (Double, Double, Double) = {
+      val (t1, t2) = (cs.count(_ == 1L).toDouble, cs.count(_ == 2L).toDouble)
+      val (t3, t4) = (cs.count(_ == 3L).toDouble, cs.count(_ == 4L).toDouble)
+      // KenLM --discount_fallback rule, mirrored from the operator:
+      // inestimable or out-of-range orders use D = 0.5/1.0/1.5
+      val y = if (t1 + 2.0 * t2 > 0) t1 / (t1 + 2.0 * t2) else 0.0
+      val d1e = 1.0 - 2.0 * y * (if (t1 > 0) t2 / t1 else 0.0)
+      val d2e = 2.0 - 3.0 * y * (if (t2 > 0) t3 / t2 else 0.0)
+      val d3e = 3.0 - 4.0 * y * (if (t3 > 0) t4 / t3 else 0.0)
+      val ok = t1 > 0 && t2 > 0 && t3 > 0 &&
+        d1e >= 0.0 && d1e <= 1.0 && d2e >= 0.0 && d2e <= 2.0 &&
+        d3e >= 0.0 && d3e <= 3.0
+      if (ok) (d1e, d2e, d3e) else (0.5, 1.0, 1.5)
+    }
+    val (d31, d32, d33) = disc(c3.values)
+    val cc2 = c3.keys.toSeq.groupBy { case (_, v, w) => (v, w) }
+      .map { case (vw, us) => vw -> us.size.toLong }
+    val ctx2 = cc2.toSeq.groupBy(_._1._1).map { case (v, m) =>
+      val cs = m.map(_._2)
+      v -> (cs.sum, cs.count(_ == 1L), cs.count(_ == 2L), cs.count(_ >= 3L))
+    }
+    val (d21, d22, d23) = disc(cc2.values)
+    val cc1 = cc2.keys.toSeq.groupBy(_._2).map { case (w, vs) => w -> vs.size.toLong }
+    val bigT = cc1.values.sum.toDouble
+    def dsel(c: Long, d1: Double, d2: Double, d3: Double) =
+      if (c == 1L) d1 else if (c == 2L) d2 else d3
+    def p2(v: String, w: String): Option[Double] = cc1.get(w).map { c1 =>
+      val p1 = c1 / bigT
+      ctx2.get(v).map { case (tot, m1, m2, m3) =>
+        val c = cc2.getOrElse((v, w), 0L)
+        val g = (d21 * m1 + d22 * m2 + d23 * m3) / tot
+        math.max(c - dsel(c, d21, d22, d23), 0.0) / tot + g * p1
+      }.getOrElse(p1)
+    }
+    def p3(u: String, v: String, w: String): Option[Double] = p2(v, w).map { pl =>
+      ctx3.get((u, v)).map { case (tot, n1, n2, n3) =>
+        val c = c3.getOrElse((u, v, w), 0L)
+        val g = (d31 * n1 + d32 * n2 + d33 * n3) / tot
+        math.max(c - dsel(c, d31, d32, d33), 0.0) / tot + g * pl
+      }.getOrElse(pl)
+    }
+    // the telescoping invariant: over the continuation vocabulary, every
+    // seen context's interpolated distribution sums to exactly 1
+    // (.toSeq: a Set.map would collapse equal probabilities)
+    for (uv <- ctx3.keys) {
+      val s = cc1.keys.toSeq.map(w => p3(uv._1, uv._2, w).get).sum
+      assert(math.abs(s - 1.0) < 1e-9, s"sum-to-1 violated at $uv: $s")
+    }
+    grams(rawDocs).groupBy(_._1).flatMap { case (id, xs) =>
+      val lps = xs.flatMap { case (_, (u, v, w)) => p3(u, v, w).map(math.log) }
+      if (lps.isEmpty) None
+      else Some(id -> (lps.size.toLong, BigDecimal(lps.sum / lps.size)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }
+  }
+
+  /** Deterministic discount-estimable corpus: 40 docs × 12 tokens over an
+    * 8-token vocabulary via an LCG (high bits — the low bits cycle).
+    * Verified: count-of-counts t1..t4 > 0 at both orders.
+    */
+  private def knFixture: Seq[(Long, String)] = {
+    val vocab = "abcdefgh".map(_.toString)
+    var x = 1L
+    (0 until 40).map { i =>
+      val toks = (0 until 12).map { _ =>
+        x = (x * 1103515245L + 12345L) & 0x7fffffffL
+        vocab(((x >> 16) % 8).toInt)
+      }
+      i.toLong -> toks.mkString(" ")
+    }
+  }
+
+  test("modified KN trigram LM: distributed result equals the single-threaded reference; sum-to-1 holds") {
+    import spark.implicits._
+    val ref = knFixture
+    val want = knReference(ref, ref)
+    val got = Pipeline.knTrigramLogLikelihood(
+        ref.toDF("doc_id", "text"), ref.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got === want, s"distributed KN must equal the reference: " +
+      s"${got.toSeq.sorted.take(3)} vs ${want.toSeq.sorted.take(3)}")
+  }
+
+  test("modified KN trigram LM: graded backoff for unseen grams; unigram-OOV grams drop") {
+    import spark.implicits._
+    val ref = knFixture
+    // a context seen in the reference plus a continuation making the
+    // trigram unseen (the fixture covers ~272 of 512 types). The seen
+    // comparator must be the context's HIGHEST-count gram: KN can
+    // legitimately rank an unseen-but-frequent continuation above a
+    // once-seen rare one (that is the method's point), but never above
+    // the context's dominant gram.
+    val vocabT = "abcdefgh".map(_.toString)
+    val c3m = ref.flatMap(d => d._2.split(" ").toSeq.sliding(3).map(_.toSeq))
+      .groupBy(identity).map { case (g, xs) => g -> xs.size }
+    val (uvSel, ctxGrams) = c3m.toSeq.groupBy(g => (g._1(0), g._1(1))).toSeq
+      .filter { case (uv, _) =>
+        vocabT.exists(w => !c3m.contains(Seq(uv._1, uv._2, w))) }
+      .maxBy { case (_, gs) => gs.map(_._2).max }
+    val (u, v) = uvSel
+    val wSeen = ctxGrams.maxBy(_._2)._1(2)
+    val wUnseen = vocabT.find(w => !c3m.contains(Seq(u, v, w))).get
+    val raw = Seq(
+      100L -> s"$u $v $wSeen",   // fully seen trigram
+      101L -> s"$u $v $wUnseen", // unseen trigram, seen context -> backoff
+      102L -> "zz qq ww rr"      // every w outside the continuation vocab
+    )
+    val got = Pipeline.knTrigramLogLikelihood(
+        raw.toDF("doc_id", "text"), ref.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val want = knReference(ref, raw)
+    assert(got === want, s"backoff path must equal the reference: $got vs $want")
+    assert(got(100L)._2 > got(101L)._2,
+      "the context's dominant seen trigram must outscore a backed-off unseen one")
+    assert(!got.contains(102L), "a doc whose grams all have OOV continuations drops")
+  }
+
+  test("modified KN trigram LM: inestimable orders use KenLM's fallback discounts, sum-to-1 intact") {
+    import spark.implicits._
+    // every trigram appears exactly once -> t2 = 0 at order 3 -> the
+    // estimator is undefined; KenLM without --discount_fallback refuses,
+    // with it substitutes D = 0.5/1.0/1.5 — the operator does the latter
+    // (a pipeline prefers a documented fallback to a dead run). The
+    // reference implementation embeds the same rule AND re-asserts the
+    // telescoping invariant under the fallback discounts.
+    val degenerate = Seq(1L -> "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9",
+      2L -> "t2 t3 t4 t9 t0 t1")
+    val got = Pipeline.knTrigramLogLikelihood(
+        degenerate.toDF("doc_id", "text"), degenerate.toDF("doc_id", "text"),
+        "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val want = knReference(degenerate, degenerate)
+    assert(got === want, s"fallback-discount scores must match: $got vs $want")
+    assert(got.nonEmpty && got.values.forall(_._2 < 0.0))
+  }
+
   test("incremental near-dup gate: exact matches ground truth; LSH path never false-flags, recall floor") {
     // ground truth from the blocking-free exact pairs: a batch doc (>= 400)
     // is a near-dup iff it pairs with any corpus doc (< 400) at J >= 0.5
