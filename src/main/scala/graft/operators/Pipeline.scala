@@ -410,16 +410,20 @@ object Pipeline {
       reference: DataFrame,
       idCol: String,
       textCol: String): DataFrame = {
-    // reference trigram types with their counts and key projections
-    val tri = reference
-      .select(explode(TextAnalysis.ngramsAll(col(textCol), 3)).as("__g"))
-      .groupBy(col("__g")).agg(count(lit(1)).as("__c3"))
+    // gram-key projection shared by the reference type table and the
+    // unseen backoff path: context (uv), continuation bigram (vw), middle
+    // and final tokens
+    def withGramKeys(df: DataFrame): DataFrame = df
       .withColumn("__p", split(col("__g"), " "))
       .withColumn("__uv", array_join(slice(col("__p"), 1, 2), " "))
       .withColumn("__vw", array_join(slice(col("__p"), 2, 2), " "))
       .withColumn("__v", element_at(col("__p"), 2))
       .withColumn("__w", element_at(col("__p"), 3))
       .drop("__p")
+    // reference trigram types with their counts and key projections
+    val tri = withGramKeys(reference
+      .select(explode(TextAnalysis.ngramsAll(col(textCol), 3)).as("__g"))
+      .groupBy(col("__g")).agg(count(lit(1)).as("__c3")))
     // per-context stats at order 3: total count + discount type counts
     val ctx3 = tri.groupBy(col("__uv")).agg(
       sum(col("__c3")).as("__ctot"),
@@ -506,13 +510,15 @@ object Pipeline {
       .groupBy(col(idCol), col("__g")).agg(count(lit(1)).as("__c"))
     val seen = docTri.join(model, "__g")
       .select(col(idCol), col("__c"), col("__lp"))
-    val unseen = docTri.join(model.select(col("__g")), Seq("__g"), "left_anti")
-      .withColumn("__p", split(col("__g"), " "))
-      .withColumn("__uv", array_join(slice(col("__p"), 1, 2), " "))
-      .withColumn("__vw", array_join(slice(col("__p"), 2, 2), " "))
-      .withColumn("__v", element_at(col("__p"), 2))
-      .withColumn("__w", element_at(col("__p"), 3))
-      .join(tri.select(col("__g"), col("__c3")), Seq("__g"), "left")
+    // anti-join keys come from tri, not model: every model join is against
+    // an aggregate derived from tri, so the gram sets are identical by
+    // construction and the cheap single-agg table avoids replanning the
+    // whole 5-table model join just to produce keys. Surviving grams are
+    // by definition NOT reference trigrams, so their count is a constant
+    // null (p3Of coalesces it to the discounted-0 numerator) — no join.
+    val unseen = withGramKeys(
+        docTri.join(tri.select(col("__g")), Seq("__g"), "left_anti"))
+      .withColumn("__c3", lit(null).cast("long"))
       .join(ctx3, Seq("__uv"), "left")
       .join(bg.select(col("__vw"), col("__cc2")), Seq("__vw"), "left")
       .join(ctx2, Seq("__v"), "left")

@@ -501,8 +501,10 @@ class OperatorsSuite extends AnyFunSuite {
 
   test("modified KN trigram LM: inestimable orders use KenLM's fallback discounts, sum-to-1 intact") {
     import spark.implicits._
-    // every trigram appears exactly once -> t2 = 0 at order 3 -> the
-    // estimator is undefined; KenLM without --discount_fallback refuses,
+    // order-3 count-of-counts: t1 = 10, t2 = 1 (the trigram "t2 t3 t4"
+    // occurs in both docs), t3 = 0 -> the estimator is undefined (the ok
+    // gate needs t1..t3 all positive); KenLM without --discount_fallback
+    // refuses,
     // with it substitutes D = 0.5/1.0/1.5 — the operator does the latter
     // (a pipeline prefers a documented fallback to a dead run). The
     // reference implementation embeds the same rule AND re-asserts the
