@@ -40,10 +40,12 @@ import graft.core.Tables
   *     within-replica distances are exactly preserved, cross-replica
   *     vectors land in new LSH/IVF regions.
   *
-  * The transforms CYCLE: the embedding rotation repeats every 16 replicas
-  * (vectors are 16-dimensional) and the Caesar shift every 25, so a
-  * factor past the shortest cycle would mint bit-identical cross-replica
-  * twins — precisely the clone pathology the generator exists to avoid.
+  * The transforms COLLIDE past their periods: the embedding rotation
+  * repeats every 16 replicas (vectors are 16-dimensional) and the Caesar
+  * shift collides from replica 25 on (the never-identity fallback maps
+  * i = 25 to shift 7, the same text as replica 7), so a factor past the
+  * shortest period would mint bit-identical cross-replica twins —
+  * precisely the clone pathology the generator exists to avoid.
   * `factor` is therefore capped at 16 (x16 of sf0.1 ≈ 1.6× sf1; big
   * enough for any super-linearity hunt — the r14 kNN-join quadratic was
   * unmissable at x10).
@@ -69,10 +71,11 @@ object ScaleData {
     val (src, dest, factor) = (args(0), args(1), args(2).toInt)
     require(factor >= 1, "factor >= 1")
     require(factor <= 16,
-      "factor <= 16: the per-replica transforms cycle (embedding rotation " +
-        "every 16, Caesar shift every 25) — a larger factor would mint " +
-        "bit-identical cross-replica twins and manufacture the clone " +
-        "quadratics this generator exists to avoid")
+      "factor <= 16: the per-replica transforms repeat past their periods " +
+        "(embedding rotation every 16; Caesar shift collides from 25, its " +
+        "never-identity fallback mapping i=25 to shift 7) — a larger " +
+        "factor would mint bit-identical cross-replica twins and " +
+        "manufacture the clone quadratics this generator exists to avoid")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))

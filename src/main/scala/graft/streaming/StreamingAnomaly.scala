@@ -35,7 +35,10 @@ object StreamingAnomaly {
   /** @param maxIdleMs optional event-time state TTL (see [[TwinRunner]];
     *                   also the lateness allowance: the TTL
     *                   watermark drops rows more than maxIdleMs
-    *                   behind the stream's max event time).
+    *                   behind the stream's max event time, and a dead
+    *                   key's state survives ~2x maxIdleMs of stream
+    *                   advance before its watermark-relative horizon
+    *                   passes).
     *                   Eviction semantics:
     *                   a key idle past the horizon is evicted; its ring
     *                   re-fills cold on return.

@@ -37,7 +37,10 @@ object StreamingScd2 {
   /** @param maxIdleMs optional event-time state TTL (see [[TwinRunner]];
     *                   also the lateness allowance: the TTL
     *                   watermark drops rows more than maxIdleMs
-    *                   behind the stream's max event time).
+    *                   behind the stream's max event time, and a dead
+    *                   key's state survives ~2x maxIdleMs of stream
+    *                   advance before its watermark-relative horizon
+    *                   passes).
     *                   Eviction semantics:
     *                   an evicted key's OPEN run dies unpublished (the
     *                   batch operator's open-interval row is likewise

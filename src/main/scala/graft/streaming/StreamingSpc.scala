@@ -38,7 +38,10 @@ object StreamingSpc {
   /** @param maxIdleMs optional event-time state TTL (see [[TwinRunner]];
     *                   also the lateness allowance: the TTL
     *                   watermark drops rows more than maxIdleMs
-    *                   behind the stream's max event time).
+    *                   behind the stream's max event time, and a dead
+    *                   key's state survives ~2x maxIdleMs of stream
+    *                   advance before its watermark-relative horizon
+    *                   passes).
     *                   Eviction semantics:
     *                   an evicted key restarts its trailing frame AND its
     *                   arrival counter cold on return — rules 2–4 re-arm

@@ -47,11 +47,16 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * late filter). The watermark delay equals the TTL, so the lateness
   * allowance is the retention horizon itself: a row more than
   * `maxIdleMs` behind the stream's max event time is dropped before the
-  * twin sees it (its key's state is at most one horizon from eviction
-  * anyway), while cross-key event-time skew WITHIN the horizon loses
-  * nothing. TTL-off twins judge late rows at arrival; that path is
-  * untouched. This price is stated on every twin's `maxIdleMs` param —
-  * it is the standard cost of a watermark, and the right one for the
+  * twin sees it, while cross-key event-time skew WITHIN the horizon
+  * loses nothing. The eviction horizon is WATERMARK-relative (last
+  * event + maxIdleMs vs the watermark); since the watermark itself lags
+  * the stream max by the lateness allowance, a dead key's state
+  * survives until the stream advances ~2 × maxIdleMs past its last
+  * event — total state is still bounded by active keys, with a 2×
+  * constant, which is the deliberate trade for not dropping skewed
+  * keys' rows. TTL-off twins judge late rows at arrival; that path is
+  * untouched. Both prices are stated on every twin's `maxIdleMs` param —
+  * they are the standard cost of a watermark, and the right one for the
   * key-churn deployments a TTL exists for.
   */
 private[streaming] object TwinRunner {
@@ -95,9 +100,15 @@ private[streaming] object TwinRunner {
           }
       case Some(idle) =>
         require(idle > 0, s"streaming twin: maxIdleMs must be positive, got $idle")
+        // clamp the watermark delay: Spark's interval parser converts ms
+        // to µs with multiplyExact, so a "never expire" TTL near
+        // Long.MaxValue would throw at query definition — the clamp keeps
+        // that sentinel usable (the deadline arithmetic below saturates
+        // independently)
+        val delayMs = math.min(idle, Long.MaxValue / 1000)
         val withWm = ds.toDF()
           .withColumn(EventTimeCol, eventTime)
-          .withWatermark(EventTimeCol, s"$idle milliseconds")
+          .withWatermark(EventTimeCol, s"$delayMs milliseconds")
           .as[V]
         // state is (twin state, max event time ever seen for the key):
         // the deadline must be armed from the all-time max, not the

@@ -1133,9 +1133,9 @@ class StreamingSuite extends AnyFunSuite {
       input.addData((1 to 4).map(t => StreamingBollinger.Obs("a", t.toLong, 10.0 + t)))
       q.processAllAvailable() // a: full frames at i=3,4 -> 2 evaluated rows
       input.addData(Seq(StreamingBollinger.Obs("b", 10000L, 1.0)))
-      q.processAllAvailable() // watermark -> 10000s after this batch
+      q.processAllAvailable() // watermark -> 10000s - 1h delay = 6400s
       input.addData(Seq(StreamingBollinger.Obs("b", 10001L, 2.0)))
-      q.processAllAvailable() // a's timer (4s + 1h) fires; state removed
+      q.processAllAvailable() // a's timer (4s + 1h = 3604s < 6400s) fires
       val total = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
       assert(total === 1L, s"idle key a must be evicted, only b's state remains: $total")
       // a returns COLD: its old ring is gone, so this row has frame size 1
@@ -1145,6 +1145,30 @@ class StreamingSuite extends AnyFunSuite {
       q.processAllAvailable()
       assert(spark.table("graft_ttl_ring").filter(col("key") === "a").count() === 2L,
         "the returning key must re-fill its frame before evaluating again")
+    } finally q.stop()
+  }
+
+  test("twin state TTL: a never-expire TTL (Long.MaxValue) neither crashes nor evicts") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    import graft.streaming.StreamingBollinger
+    implicit val sqlCtx = spark.sqlContext
+    // Spark's interval parser multiplies the watermark delay ms -> us with
+    // multiplyExact, so an unclamped Long.MaxValue delay throws at query
+    // DEFINITION; the runner clamps the delay (the deadline arithmetic
+    // saturates independently), keeping the sentinel usable
+    val input = MemoryStream[StreamingBollinger.Obs]
+    val q = StreamingBollinger.flags(input.toDS(), frameRows = 2, k = 2,
+        maxIdleMs = Some(Long.MaxValue))
+      .writeStream.format("memory").queryName("graft_ttl_never")
+      .outputMode("append").start()
+    try {
+      input.addData(Seq(StreamingBollinger.Obs("a", 1L, 1.0)))
+      q.processAllAvailable()
+      input.addData(Seq(StreamingBollinger.Obs("b", 100000000L, 1.0)))
+      q.processAllAvailable()
+      val total = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(total === 2L, s"no key may ever evict under a never-expire TTL: $total")
     } finally q.stop()
   }
 
@@ -1201,7 +1225,8 @@ class StreamingSuite extends AnyFunSuite {
       input.addData(Seq(StreamingTwap.Obs("a", 1000000L, 10.0),
         StreamingTwap.Obs("a", 2000000L, 20.0)))
       q.processAllAvailable()
-      // b drives the watermark hours ahead; a's open stint evicts
+      // b drives the watermark hours ahead (10000s - 1h delay = 6400s,
+      // past a's 2s + 1h = 3602s deadline); a's open stint evicts
       input.addData(Seq(StreamingTwap.Obs("b", 10000L * 1000000, 1.0)))
       q.processAllAvailable()
       input.addData(Seq(StreamingTwap.Obs("b", 10001L * 1000000, 1.0)))
