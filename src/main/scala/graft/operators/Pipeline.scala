@@ -410,18 +410,107 @@ object Pipeline {
       reference: DataFrame,
       idCol: String,
       textCol: String): DataFrame = {
-    // gram-key projection shared by the reference type table and the
-    // unseen backoff path: context (uv), continuation bigram (vw), middle
-    // and final tokens
-    def withGramKeys(df: DataFrame): DataFrame = df
+    val kp = knParts(reference, textCol)
+    // score: per-doc gram counts, one hash join against the model; the
+    // unseen remainder (empty when raw == reference) takes graded backoff
+    val docTri = knDocTrigrams(raw, idCol, textCol)
+    val seen = docTri.join(kp.model, "__g")
+      .select(col(idCol), col("__c"), col("__lp"))
+    // anti-join keys come from tri, not model: every model join is against
+    // an aggregate derived from tri, so the gram sets are identical by
+    // construction and the cheap single-agg table avoids replanning the
+    // whole 5-table model join just to produce keys. Surviving grams are
+    // by definition NOT reference trigrams, so their count is a constant
+    // null (p3Of coalesces it to the discounted-0 numerator) — no join.
+    val unseen = knGramKeys(
+        docTri.join(kp.tri.select(col("__g")), Seq("__g"), "left_anti"))
+      .withColumn("__c3", lit(null).cast("long"))
+      .join(kp.ctx3, Seq("__uv"), "left")
+      .join(kp.bg.select(col("__vw"), col("__cc2")), Seq("__vw"), "left")
+      .join(kp.ctx2, Seq("__v"), "left")
+      .join(kp.uni, Seq("__w"), "left")
+      .crossJoin(broadcast(kp.d3)).crossJoin(broadcast(kp.d2))
+      .crossJoin(broadcast(kp.tRow))
+      .select(col(idCol), col("__c"),
+        log(kp.p3Of(col("__c3"), kp.p2Of(col("__cc2")))).as("__lp"))
+      // a w outside the continuation vocabulary has no mass: drop the gram
+      .filter(col("__lp").isNotNull)
+    knPerDoc(seen.unionByName(unseen), idCol)
+  }
+
+  /** The trained model as a persistable ARTIFACT: one row per reference
+    * trigram type, (gram STRING, logp DOUBLE) — the analog of KenLM's
+    * binarized model file. The published pipelines train ONCE (CCNet's
+    * KenLM is fit on Wikipedia) and score many crawl shards; writing this
+    * table to parquet and serving shards through
+    * [[knScoreAgainstModel]] is that shape — the model build (type-table
+    * joins over the reference) is paid once, not per shard.
+    */
+  def knTrigramModel(reference: DataFrame, textCol: String): DataFrame =
+    knParts(reference, textCol).model
+      .select(col("__g").as("gram"), col("__lp").as("logp"))
+
+  /** Score documents against a SAVED [[knTrigramModel]] artifact: one
+    * gram-keyed hash join, same output contract as
+    * [[knTrigramLogLikelihood]]. Grams absent from the model are DROPPED
+    * from the average — score-time graded backoff needs the full count
+    * tables, which only the self-contained composed operator keeps
+    * in-plan; a served corpus far outside the reference vocabulary should
+    * be scored with the composed form (or the model retrained). For
+    * in-vocabulary corpora the two paths are row-identical (spec-pinned
+    * through a parquet roundtrip).
+    */
+  def knScoreAgainstModel(
+      raw: DataFrame,
+      model: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame =
+    knPerDoc(
+      knDocTrigrams(raw, idCol, textCol)
+        .join(model.select(col("gram").as("__g"), col("logp").as("__lp")), "__g")
+        .select(col(idCol), col("__c"), col("__lp")),
+      idCol)
+
+  /** Per-doc distinct-gram occurrence counts — the corpus side of every
+    * KN scoring path.
+    */
+  private def knDocTrigrams(raw: DataFrame, idCol: String, textCol: String): DataFrame =
+    raw.select(col(idCol), explode(TextAnalysis.ngramsAll(col(textCol), 3)).as("__g"))
+      .groupBy(col(idCol), col("__g")).agg(count(lit(1)).as("__c"))
+
+  /** Per-doc average over scored gram occurrences — the serving tail of
+    * every KN scoring path.
+    */
+  private def knPerDoc(scoredGrams: DataFrame, idCol: String): DataFrame =
+    scoredGrams.groupBy(col(idCol))
+      .agg(sum(col("__c")).as("n_grams"),
+        round(sum(col("__c") * col("__lp")) / sum(col("__c")), 4).as("avg_logp"))
+
+  /** Gram-key projection shared by the reference type table and the
+    * unseen backoff path: context (uv), continuation bigram (vw), middle
+    * and final tokens.
+    */
+  private def knGramKeys(df: DataFrame): DataFrame = df
       .withColumn("__p", split(col("__g"), " "))
       .withColumn("__uv", array_join(slice(col("__p"), 1, 2), " "))
       .withColumn("__vw", array_join(slice(col("__p"), 2, 2), " "))
       .withColumn("__v", element_at(col("__p"), 2))
       .withColumn("__w", element_at(col("__p"), 3))
       .drop("__p")
+
+  /** Everything [[knTrigramLogLikelihood]]'s backoff path needs beyond
+    * the model itself: the reference type/stat tables, discount rows,
+    * and the shared probability expression builders.
+    */
+  private final case class KnParts(
+      model: DataFrame, tri: DataFrame, ctx3: DataFrame, bg: DataFrame,
+      ctx2: DataFrame, uni: DataFrame, d3: DataFrame, d2: DataFrame,
+      tRow: DataFrame, p2Of: Column => Column,
+      p3Of: (Column, Column) => Column)
+
+  private def knParts(reference: DataFrame, textCol: String): KnParts = {
     // reference trigram types with their counts and key projections
-    val tri = withGramKeys(reference
+    val tri = knGramKeys(reference
       .select(explode(TextAnalysis.ngramsAll(col(textCol), 3)).as("__g"))
       .groupBy(col("__g")).agg(count(lit(1)).as("__c3")))
     // per-context stats at order 3: total count + discount type counts
@@ -503,35 +592,7 @@ object Pipeline {
       .join(uni, "__w")
       .crossJoin(broadcast(d3)).crossJoin(broadcast(d2)).crossJoin(broadcast(tRow))
       .select(col("__g"), log(p3Of(col("__c3"), p2Of(col("__cc2")))).as("__lp"))
-    // score: per-doc gram counts, one hash join against the model; the
-    // unseen remainder (empty when raw == reference) takes graded backoff
-    val docTri = raw
-      .select(col(idCol), explode(TextAnalysis.ngramsAll(col(textCol), 3)).as("__g"))
-      .groupBy(col(idCol), col("__g")).agg(count(lit(1)).as("__c"))
-    val seen = docTri.join(model, "__g")
-      .select(col(idCol), col("__c"), col("__lp"))
-    // anti-join keys come from tri, not model: every model join is against
-    // an aggregate derived from tri, so the gram sets are identical by
-    // construction and the cheap single-agg table avoids replanning the
-    // whole 5-table model join just to produce keys. Surviving grams are
-    // by definition NOT reference trigrams, so their count is a constant
-    // null (p3Of coalesces it to the discounted-0 numerator) — no join.
-    val unseen = withGramKeys(
-        docTri.join(tri.select(col("__g")), Seq("__g"), "left_anti"))
-      .withColumn("__c3", lit(null).cast("long"))
-      .join(ctx3, Seq("__uv"), "left")
-      .join(bg.select(col("__vw"), col("__cc2")), Seq("__vw"), "left")
-      .join(ctx2, Seq("__v"), "left")
-      .join(uni, Seq("__w"), "left")
-      .crossJoin(broadcast(d3)).crossJoin(broadcast(d2)).crossJoin(broadcast(tRow))
-      .select(col(idCol), col("__c"),
-        log(p3Of(col("__c3"), p2Of(col("__cc2")))).as("__lp"))
-      // a w outside the continuation vocabulary has no mass: drop the gram
-      .filter(col("__lp").isNotNull)
-    seen.unionByName(unseen)
-      .groupBy(col(idCol))
-      .agg(sum(col("__c")).as("n_grams"),
-        round(sum(col("__c") * col("__lp")) / sum(col("__c")), 4).as("avg_logp"))
+    KnParts(model, tri, ctx3, bg, ctx2, uni, d3, d2, tRow, p2Of, p3Of)
   }
 
   /** Data selection by score quantile: keep rows whose `score` is at or

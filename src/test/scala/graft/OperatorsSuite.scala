@@ -499,6 +499,34 @@ class OperatorsSuite extends AnyFunSuite {
     assert(!got.contains(102L), "a doc whose grams all have OOV continuations drops")
   }
 
+  test("modified KN trigram LM: the model artifact roundtrips through parquet and serves identical scores") {
+    import spark.implicits._
+    import java.nio.file.Files
+    val ref = knFixture
+    val dir = Files.createTempDirectory("graft_kn_model").toString
+    // train once -> persist -> reload -> score (the CCNet shape: the
+    // model build is paid once, not per served shard)
+    Pipeline.knTrigramModel(ref.toDF("doc_id", "text"), "text")
+      .write.mode("overwrite").parquet(dir)
+    val served = Pipeline.knScoreAgainstModel(
+        ref.toDF("doc_id", "text"), spark.read.parquet(dir), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val composed = Pipeline.knTrigramLogLikelihood(
+        ref.toDF("doc_id", "text"), ref.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(served === composed,
+      "an in-vocabulary corpus must score identically through the artifact")
+    // the serving path has no backoff tables: an unseen gram is DROPPED
+    // (the composed operator backs it off instead) — n_grams shows it
+    val seenG = ref.head._2.split(" ").take(3).mkString(" ")
+    val raw = Seq(200L -> s"$seenG xx yy zz")
+    val servedRaw = Pipeline.knScoreAgainstModel(
+        raw.toDF("doc_id", "text"), spark.read.parquet(dir), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(servedRaw(200L) === 1L,
+      s"only the in-model gram may survive the serving path: $servedRaw")
+  }
+
   test("modified KN trigram LM: inestimable orders use KenLM's fallback discounts, sum-to-1 intact") {
     import spark.implicits._
     // order-3 count-of-counts: t1 = 10, t2 = 1 (the trigram "t2 t3 t4"
