@@ -2113,9 +2113,13 @@ object SparkEntry {
     // paraphrases text fingerprints miss (no SQL oracle: k-means-dependent;
     // totality, keeper invariants, in-cell recall = 1, and determinism
     // asserted in ScalaTest).
+    // nlist <= 0 = AUTO cell sizing (Similarity.autoCells): cells ∝ corpus
+    // size at ~250 expected occupancy, keeping in-cell pair cost linear —
+    // resolves to 8 cells at the sf0.1 bench corpus (2000 vectors), the
+    // same constant the fixed form ran through r14.
     "dedup_semantic" -> ((s, dir) => {
       Dedup.semanticDedup(embeddings(s, dir), "vec_id", "embedding",
-          nlist = 8, threshold = 0.3)
+          nlist = -1, threshold = 0.3)
         .orderBy(col("vec_id"))
     }),
 
@@ -2260,6 +2264,38 @@ object SparkEntry {
           round(percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)), 2).as("p50"),
           round(percentile_approx(col("o_totalprice"), lit(0.75), lit(10000)), 2).as("p75"),
           count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // percentile_approx in its EXACT regime: Greenwald-Khanna keeps every
+    // sample while 2·ε·n < 1 (compression can only drop a sample when the
+    // adjacent g/Δ sum stays under 2·ε·n, so with n ≤ accuracy/2 nothing is
+    // ever dropped, through the partial-merge path included) — the serving
+    // quantile is then the plain order statistic at rank ceil(p·n), which
+    // coincides with DuckDB's quantile_disc (probed: identical on uniform,
+    // tied, and price-like data through multi-partition merges). Same
+    // conversion as events_quantiles_exact, giving the whole
+    // ApproximatePercentile path (partial update → merge → query) a SQL
+    // oracle; the sketch-regime twin q_approx_percentiles stays rows-tier.
+    // The premise is ENFORCED in the plan: assert max per-group count stays
+    // within the no-drop bound instead of silently drifting to estimates.
+    "q_approx_percentiles_exact" -> ((s, dir) => {
+      val acc = 131072
+      val o = orders(s, dir)
+      val guard = o.groupBy(col("o_orderpriority")).count()
+        .agg(max(col("count")).as("__mx"))
+      Guards.inPlanAssert(
+          o.groupBy(col("o_orderpriority"))
+            .agg(
+              percentile_approx(col("o_totalprice"), lit(0.25), lit(acc)).as("p25"),
+              percentile_approx(col("o_totalprice"), lit(0.5), lit(acc)).as("p50"),
+              percentile_approx(col("o_totalprice"), lit(0.75), lit(acc)).as("p75"),
+              count(lit(1)).as("n_orders")),
+          guard, col("__mx") * 2 <= acc,
+          "q_approx_percentiles_exact: a group outgrew the GK exact range " +
+            s"(accuracy=$acc, no-drop bound n <= accuracy/2) — compression " +
+            "would turn quantiles into estimates; raise accuracy or use " +
+            "q_approx_percentiles (sketch regime)")
         .orderBy(col("o_orderpriority"))
     }),
 
@@ -5790,6 +5826,19 @@ object SparkEntry {
         |       CAST(round(quantile_cont(xc, 0.75) * 4, 0) AS BIGINT) / 400.0 AS p75,
         |       count(*) AS n_orders
         |FROM o
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    // GK percentile_approx in its exact regime: every sample retained, so
+    // the serving quantile is the order statistic at rank ceil(p·n) —
+    // DuckDB's quantile_disc rule
+    "q_approx_percentiles_exact" ->
+      """SELECT o_orderpriority,
+        |       quantile_disc(o_totalprice, 0.25) AS p25,
+        |       quantile_disc(o_totalprice, 0.5)  AS p50,
+        |       quantile_disc(o_totalprice, 0.75) AS p75,
+        |       count(*) AS n_orders
+        |FROM orders
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
 

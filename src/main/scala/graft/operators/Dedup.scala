@@ -967,6 +967,17 @@ object Dedup {
     * paper, near-duplicate RECALL is bounded by the clustering — a pair
     * split across two cells is never compared (measured against the exact
     * all-pairs ground truth in ScalaTest).
+    *
+    * `nlist <= 0` means AUTO: size the cell count from the corpus row
+    * count so expected cell occupancy stays ≈ `targetOccupancy`
+    * ([[Similarity.autoCells]]) — the configuration that keeps the in-cell
+    * pair cost LINEAR in corpus size instead of ∝ n²/nlist (a fixed cell
+    * count was the r14 scale curve's residual super-linear point, 3.4× at
+    * 10× data — the same defect class [[Similarity.autoPlanes]] fixed for
+    * the LSH kNN join). The count is one column-less corpus scan at plan
+    * time, noise next to the quadratic blowup a fixed cell space would
+    * cost. Recall trade as in the paper: more, smaller cells split more
+    * true pairs across cell boundaries for a fixed threshold.
     */
   def semanticDedup(
       emb: DataFrame,
@@ -974,9 +985,11 @@ object Dedup {
       vecCol: String,
       nlist: Int,
       threshold: Double,
-      iters: Int = 2): DataFrame = {
-    require(nlist > 0, "semanticDedup: nlist must be positive")
-    val cells = Similarity.kmeansCells(emb, idCol, vecCol, nlist, iters)
+      iters: Int = 2,
+      targetOccupancy: Int = 250): DataFrame = {
+    val effNlist =
+      if (nlist > 0) nlist else Similarity.autoCells(emb.count(), targetOccupancy)
+    val cells = Similarity.kmeansCells(emb, idCol, vecCol, effNlist, iters)
     // MATERIALIZED stage boundary: the (vec, norm, cell) assignment feeds
     // BOTH sides of the in-cell pair join and the final cluster join — 3
     // consumers, each of which would otherwise re-run the k-means

@@ -83,6 +83,29 @@ object Similarity {
     math.min(48, math.max(6, bits))
   }
 
+  /** k-means cell count that keeps expected cell occupancy ≈
+    * `targetOccupancy` at corpus size `n`: ceil(n / occ), integer-exact
+    * (same rationale as [[autoPlanes]] — a float ceil(n/occ) can land on
+    * either side of an exact multiple).
+    *
+    * This is [[autoPlanes]]' fix applied to the SemDeDup defect class: with
+    * a FIXED cell count the in-cell pair comparison costs Σ|cell|² ∝ n²/k —
+    * measured 3.4× time at 10× data on the r14 curve
+    * (SCALE.md) — while with occupancy pinned it is ∝ n·occ, linear. The
+    * trade moves into the ASSIGNMENT term instead: nearest-of-k over k ∝ n
+    * centroids is O(n·k·d) per pass, fine through millions of vectors and
+    * the reason the cap exists — past it (k = 2²⁰; a ~GB-scale f64 codebook
+    * at d ≈ 768, the broadcast bound) occupancy grows again and the paper's
+    * own posture applies (SemDeDup runs a fixed 50k clusters at web scale
+    * and pays growing cells on GPUs; [[kmeansCells]]' `trainSample` path
+    * plus IVF-style coarse quantization is the JVM answer there).
+    */
+  def autoCells(n: Long, targetOccupancy: Int = 250): Int = {
+    require(targetOccupancy > 0, "autoCells: targetOccupancy > 0")
+    val k = (n + targetOccupancy - 1) / targetOccupancy // ceil(n / occ)
+    math.min(1L << 20, math.max(1L, k)).toInt
+  }
+
   /** Sign-pattern bucket id: bit p set iff dot(vec, planes(p)) >= 0. */
   def hyperplaneSignature(vec: Column, planes: Seq[Seq[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>

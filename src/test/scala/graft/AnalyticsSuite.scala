@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.core.Tables
-import graft.operators.{Analytics, TextAnalysis}
+import graft.operators.{Analytics, Guards, TextAnalysis}
 
 /** Invariant specs for the analytic-statistics family (Analytics.scala) and
   * the compression-ratio signal (functions/DeflateSize.scala). The oracle
@@ -919,5 +919,37 @@ class AnalyticsSuite extends AnyFunSuite {
       assert(su >= (a.getAs[Double]("lo") * 10000).round * n &&
         su <= (a.getAs[Double]("hi") * 10000).round * n)
     }
+  }
+
+  test("percentile_approx exact regime: n <= accuracy/2 keeps every sample — quantiles are ceil(p*n) order statistics; guard trips when outgrown") {
+    import spark.implicits._
+    // shuffled distinct doubles across 4 partitions: exercises the GK
+    // partial update AND the summary merge path, not just a single buffer
+    val n = 1501
+    val vals = (1 to n).map(i => ((i * 7919) % n).toDouble + 0.25)
+    val df = vals.map(("g", _)).toDF("g", "v").repartition(4)
+    val acc = 4096 // n <= acc/2 => compression can never drop a sample
+    val got = df.groupBy("g").agg(
+        percentile_approx(col("v"), lit(0.25), lit(acc)).as("p25"),
+        percentile_approx(col("v"), lit(0.5), lit(acc)).as("p50"),
+        percentile_approx(col("v"), lit(0.75), lit(acc)).as("p75"),
+        percentile_approx(col("v"), lit(0.9), lit(acc)).as("p90"))
+      .collect()(0)
+    val sorted = vals.sorted
+    def os(p: Double) = sorted(math.ceil(p * n).toInt - 1)
+    assert(got.getDouble(1) === os(0.25))
+    assert(got.getDouble(2) === os(0.5))
+    assert(got.getDouble(3) === os(0.75))
+    assert(got.getDouble(4) === os(0.9))
+    // the q_approx_percentiles_exact contract guard: a group past the
+    // no-drop bound must raise loudly, not drift to estimates
+    val guard = df.groupBy("g").count().agg(max(col("count")).as("__mx"))
+    val guarded = Guards.inPlanAssert(
+      df.groupBy("g").agg(percentile_approx(col("v"), lit(0.5), lit(100)).as("p50")),
+      guard, col("__mx") * 2 <= 100, "exact-regime outgrown")
+    val e = intercept[Exception](guarded.collect())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("exact-regime outgrown")), s"got: $e")
   }
 }

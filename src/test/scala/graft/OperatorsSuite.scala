@@ -241,6 +241,16 @@ class OperatorsSuite extends AnyFunSuite {
     assert(Similarity.autoPlanes(Long.MaxValue / 2, 32) === 48) // capped
   }
 
+  test("autoCells: integer-exact ceil(n/occ), boundary-safe, capped") {
+    assert(Similarity.autoCells(1, 250) === 1)
+    assert(Similarity.autoCells(250, 250) === 1) // exact boundary: one cell suffices
+    assert(Similarity.autoCells(251, 250) === 2) // one past it
+    assert(Similarity.autoCells(500, 250) === 2) // sf0.001/sf0.01 gate scale
+    assert(Similarity.autoCells(2000, 250) === 8) // sf0.1 bench scale = r14's fixed 8
+    assert(Similarity.autoCells(20000, 250) === 80) // the x10 curve scale
+    assert(Similarity.autoCells(Long.MaxValue / 2, 250) === (1 << 20)) // capped
+  }
+
   test("lshTopK auto-plane mode: identical to fixed planes at gate scale, recall holds past the floor") {
     // At the fixture scale auto resolves to the same 6 planes, so the
     // similarity_knn_join_lsh_scale query is bit-identical to its fixed
@@ -632,6 +642,22 @@ class OperatorsSuite extends AnyFunSuite {
       assert(clusterOf(a) === clusterOf(b), s"in-cell pair ($a,$b) not co-clustered")
     }
     assert(run().toSeq === rows.toSeq, "deterministic end to end")
+  }
+
+  test("semantic dedup auto cell sizing: identical to the fixed form it resolves to") {
+    // nlist <= 0 derives the cell count from the corpus size (autoCells);
+    // at the fixture scale (500 vectors, occupancy 250) that is 2 cells, so
+    // the auto path must reproduce the fixed-nlist=2 run row for row —
+    // keeper set, labels, and cells all identical.
+    val n = emb.count()
+    val resolved = Similarity.autoCells(n, 250)
+    assert(resolved === 2, s"fixture sizing drifted: autoCells($n, 250) = $resolved")
+    def rowsOf(nl: Int) =
+      Dedup.semanticDedup(emb, "vec_id", "embedding", nlist = nl, threshold = 0.3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+        .sortBy(_._1).toSeq
+    assert(rowsOf(-1) === rowsOf(resolved),
+      "auto cell count must be plumbing only — same cells, clusters, keepers")
   }
 
   test("semantic decontamination agrees with the exact cross-pair set; a verbatim eval copy is flagged at cos 1") {
