@@ -2269,7 +2269,7 @@ object SparkEntry {
 
     // percentile_approx in its EXACT regime: Greenwald-Khanna keeps every
     // sample while 2·ε·n < 1 (compression can only drop a sample when the
-    // adjacent g/Δ sum stays under 2·ε·n, so with n ≤ accuracy/2 nothing is
+    // adjacent g/Δ sum stays under 2·ε·n, so with n < accuracy/2 nothing is
     // ever dropped, through the partial-merge path included) — the serving
     // quantile is then the plain order statistic at rank ceil(p·n), which
     // coincides with DuckDB's quantile_disc (probed: identical on uniform,
@@ -2291,9 +2291,12 @@ object SparkEntry {
               percentile_approx(col("o_totalprice"), lit(0.5), lit(acc)).as("p50"),
               percentile_approx(col("o_totalprice"), lit(0.75), lit(acc)).as("p75"),
               count(lit(1)).as("n_orders")),
-          guard, col("__mx") * 2 <= acc,
+          // STRICT bound, matching the invariant above: at n == accuracy/2
+          // the insert delta floor(2·ε·n) reaches 1 and exactness would
+          // rest on QuantileSummaries internals, not the documented premise
+          guard, col("__mx") * 2 < acc,
           "q_approx_percentiles_exact: a group outgrew the GK exact range " +
-            s"(accuracy=$acc, no-drop bound n <= accuracy/2) — compression " +
+            s"(accuracy=$acc, no-drop bound n < accuracy/2) — compression " +
             "would turn quantiles into estimates; raise accuracy or use " +
             "q_approx_percentiles (sketch regime)")
         .orderBy(col("o_orderpriority"))

@@ -921,14 +921,14 @@ class AnalyticsSuite extends AnyFunSuite {
     }
   }
 
-  test("percentile_approx exact regime: n <= accuracy/2 keeps every sample — quantiles are ceil(p*n) order statistics; guard trips when outgrown") {
+  test("percentile_approx exact regime: n < accuracy/2 keeps every sample — quantiles are ceil(p*n) order statistics; guard trips when outgrown") {
     import spark.implicits._
     // shuffled distinct doubles across 4 partitions: exercises the GK
     // partial update AND the summary merge path, not just a single buffer
     val n = 1501
     val vals = (1 to n).map(i => ((i * 7919) % n).toDouble + 0.25)
     val df = vals.map(("g", _)).toDF("g", "v").repartition(4)
-    val acc = 4096 // n <= acc/2 => compression can never drop a sample
+    val acc = 4096 // n < acc/2 => compression can never drop a sample
     val got = df.groupBy("g").agg(
         percentile_approx(col("v"), lit(0.25), lit(acc)).as("p25"),
         percentile_approx(col("v"), lit(0.5), lit(acc)).as("p50"),
@@ -946,7 +946,7 @@ class AnalyticsSuite extends AnyFunSuite {
     val guard = df.groupBy("g").count().agg(max(col("count")).as("__mx"))
     val guarded = Guards.inPlanAssert(
       df.groupBy("g").agg(percentile_approx(col("v"), lit(0.5), lit(100)).as("p50")),
-      guard, col("__mx") * 2 <= 100, "exact-regime outgrown")
+      guard, col("__mx") * 2 < 100, "exact-regime outgrown")
     val e = intercept[Exception](guarded.collect())
     def msgs(t: Throwable): Seq[String] =
       if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
