@@ -2793,6 +2793,24 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // The SERVED shape of the line above — the production CCNet setting
+    // (train the LM once on a reference, score every crawl shard): train
+    // on the even-doc_id half, score the WHOLE corpus through the
+    // persistable KnModel artifact. The odd half is partly
+    // out-of-vocabulary, so this query hash-gates the serve-time graded
+    // backoff (missing trigram → discounted-0 + γ3·p2; missing context →
+    // p2; missing v → p1; continuation-OOV grams drop) — the expression
+    // ladder the oracle replays term for term. Served ≡ composed is
+    // shared-code by construction (knScoreGraded); the parquet roundtrip
+    // of the artifact is spec-pinned.
+    "text_trigram_ppl_kn_served" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      val model = Pipeline.knTrainModel(
+        docs.filter(col("doc_id") % 2 === 0), "text")
+      Pipeline.knScoreAgainstModel(docs, model, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // The CCNet loop closed: fluency scoring composed with the quantile
     // threshold — keep the most reference-like half of the corpus. Same
     // composition shape as text_importance_select, over the LM score.
@@ -6358,6 +6376,128 @@ object SparkEntry {
         |FROM db JOIN mdl USING (g)
         |GROUP BY db.doc_id
         |ORDER BY db.doc_id""".stripMargin,
+
+    // The estimator above trained on the even-doc_id half only, scoring
+    // the whole corpus: in-model grams read mdl.lp; the OOV remainder
+    // replays the graded backoff ladder with the SAME float expression
+    // structure as the Spark side (0-numerator discounted top order +
+    // γ3·p2 under a seen context; p2 under a seen v; p1 otherwise;
+    // NULL continuation unigram → gram dropped).
+    "text_trigram_ppl_kn_served" ->
+      """WITH rtoks AS (SELECT doc_id, string_split_regex(text, ' +') AS t
+        |               FROM documents WHERE doc_id % 2 = 0),
+        |tg AS (SELECT doc_id, array_to_string(t[i:i+2], ' ') AS g
+        |       FROM rtoks, unnest(range(1, len(t) - 1)) u(i)),
+        |tri0 AS (SELECT g, count(*) AS c3 FROM tg GROUP BY g),
+        |tri AS (SELECT g, c3,
+        |               array_to_string(p[1:2], ' ') AS uv,
+        |               array_to_string(p[2:3], ' ') AS vw,
+        |               p[2] AS v, p[3] AS w
+        |        FROM (SELECT g, c3, string_split(g, ' ') AS p FROM tri0)),
+        |ctx3 AS (SELECT uv, sum(c3) AS ctot,
+        |                sum(CASE WHEN c3 = 1 THEN 1 ELSE 0 END) AS n1,
+        |                sum(CASE WHEN c3 = 2 THEN 1 ELSE 0 END) AS n2,
+        |                sum(CASE WHEN c3 >= 3 THEN 1 ELSE 0 END) AS n3
+        |         FROM tri GROUP BY uv),
+        |coc3 AS (SELECT sum(CASE WHEN c3 = 1 THEN 1 ELSE 0 END)::DOUBLE AS t1,
+        |                sum(CASE WHEN c3 = 2 THEN 1 ELSE 0 END)::DOUBLE AS t2,
+        |                sum(CASE WHEN c3 = 3 THEN 1 ELSE 0 END)::DOUBLE AS t3,
+        |                sum(CASE WHEN c3 = 4 THEN 1 ELSE 0 END)::DOUBLE AS t4
+        |         FROM tri),
+        |d3e AS (SELECT t1, t2, t3,
+        |               1.0 - 2.0 * (CASE WHEN t1 + 2.0 * t2 > 0.0 THEN t1 / (t1 + 2.0 * t2) ELSE 0.0 END)
+        |                         * (CASE WHEN t1 > 0.0 THEN t2 / t1 ELSE 0.0 END) AS d1e,
+        |               2.0 - 3.0 * (CASE WHEN t1 + 2.0 * t2 > 0.0 THEN t1 / (t1 + 2.0 * t2) ELSE 0.0 END)
+        |                         * (CASE WHEN t2 > 0.0 THEN t3 / t2 ELSE 0.0 END) AS d2e,
+        |               3.0 - 4.0 * (CASE WHEN t1 + 2.0 * t2 > 0.0 THEN t1 / (t1 + 2.0 * t2) ELSE 0.0 END)
+        |                         * (CASE WHEN t3 > 0.0 THEN t4 / t3 ELSE 0.0 END) AS d3e
+        |        FROM coc3),
+        |d3 AS (SELECT CASE WHEN ok THEN d1e ELSE 0.5 END AS d1,
+        |              CASE WHEN ok THEN d2e ELSE 1.0 END AS d2,
+        |              CASE WHEN ok THEN d3e ELSE 1.5 END AS d3
+        |       FROM (SELECT d1e, d2e, d3e,
+        |                    t1 > 0.0 AND t2 > 0.0 AND t3 > 0.0
+        |                    AND d1e >= 0.0 AND d1e <= 1.0 AND d2e >= 0.0 AND d2e <= 2.0
+        |                    AND d3e >= 0.0 AND d3e <= 3.0 AS ok FROM d3e)),
+        |bg AS (SELECT vw, v, w, count(*) AS cc2 FROM tri GROUP BY vw, v, w),
+        |ctx2 AS (SELECT v, sum(cc2) AS cc2tot,
+        |                sum(CASE WHEN cc2 = 1 THEN 1 ELSE 0 END) AS m1,
+        |                sum(CASE WHEN cc2 = 2 THEN 1 ELSE 0 END) AS m2,
+        |                sum(CASE WHEN cc2 >= 3 THEN 1 ELSE 0 END) AS m3
+        |         FROM bg GROUP BY v),
+        |coc2 AS (SELECT sum(CASE WHEN cc2 = 1 THEN 1 ELSE 0 END)::DOUBLE AS t1,
+        |                sum(CASE WHEN cc2 = 2 THEN 1 ELSE 0 END)::DOUBLE AS t2,
+        |                sum(CASE WHEN cc2 = 3 THEN 1 ELSE 0 END)::DOUBLE AS t3,
+        |                sum(CASE WHEN cc2 = 4 THEN 1 ELSE 0 END)::DOUBLE AS t4
+        |         FROM bg),
+        |d2e AS (SELECT t1, t2, t3,
+        |               1.0 - 2.0 * (CASE WHEN t1 + 2.0 * t2 > 0.0 THEN t1 / (t1 + 2.0 * t2) ELSE 0.0 END)
+        |                         * (CASE WHEN t1 > 0.0 THEN t2 / t1 ELSE 0.0 END) AS d1e,
+        |               2.0 - 3.0 * (CASE WHEN t1 + 2.0 * t2 > 0.0 THEN t1 / (t1 + 2.0 * t2) ELSE 0.0 END)
+        |                         * (CASE WHEN t2 > 0.0 THEN t3 / t2 ELSE 0.0 END) AS d2e,
+        |               3.0 - 4.0 * (CASE WHEN t1 + 2.0 * t2 > 0.0 THEN t1 / (t1 + 2.0 * t2) ELSE 0.0 END)
+        |                         * (CASE WHEN t3 > 0.0 THEN t4 / t3 ELSE 0.0 END) AS d3e
+        |        FROM coc2),
+        |d2 AS (SELECT CASE WHEN ok THEN d1e ELSE 0.5 END AS d1,
+        |              CASE WHEN ok THEN d2e ELSE 1.0 END AS d2,
+        |              CASE WHEN ok THEN d3e ELSE 1.5 END AS d3
+        |       FROM (SELECT d1e, d2e, d3e,
+        |                    t1 > 0.0 AND t2 > 0.0 AND t3 > 0.0
+        |                    AND d1e >= 0.0 AND d1e <= 1.0 AND d2e >= 0.0 AND d2e <= 2.0
+        |                    AND d3e >= 0.0 AND d3e <= 3.0 AS ok FROM d2e)),
+        |uni AS (SELECT w, count(*) AS cc1 FROM bg GROUP BY w),
+        |tt AS (SELECT sum(cc1)::DOUBLE AS tot FROM uni),
+        |mdl AS (SELECT tri.g,
+        |        ln(greatest(tri.c3::DOUBLE - (CASE WHEN tri.c3 = 1 THEN d3.d1 WHEN tri.c3 = 2 THEN d3.d2 ELSE d3.d3 END), 0.0) / ctx3.ctot::DOUBLE
+        |           + ((d3.d1 * ctx3.n1::DOUBLE + d3.d2 * ctx3.n2::DOUBLE + d3.d3 * ctx3.n3::DOUBLE) / ctx3.ctot::DOUBLE)
+        |             * (greatest(bg.cc2::DOUBLE - (CASE WHEN bg.cc2 = 1 THEN d2.d1 WHEN bg.cc2 = 2 THEN d2.d2 ELSE d2.d3 END), 0.0) / ctx2.cc2tot::DOUBLE
+        |                + ((d2.d1 * ctx2.m1::DOUBLE + d2.d2 * ctx2.m2::DOUBLE + d2.d3 * ctx2.m3::DOUBLE) / ctx2.cc2tot::DOUBLE)
+        |                  * (uni.cc1::DOUBLE / tt.tot))) AS lp
+        |        FROM tri JOIN ctx3 USING (uv) JOIN bg USING (vw)
+        |             JOIN ctx2 ON tri.v = ctx2.v JOIN uni ON tri.w = uni.w
+        |             CROSS JOIN d3 CROSS JOIN d2 CROSS JOIN tt),
+        |atoks AS (SELECT doc_id, string_split_regex(text, ' +') AS t FROM documents),
+        |atg AS (SELECT doc_id, array_to_string(t[i:i+2], ' ') AS g
+        |        FROM atoks, unnest(range(1, len(t) - 1)) u(i)),
+        |db AS (SELECT doc_id, g, count(*) AS c FROM atg GROUP BY doc_id, g),
+        |seen AS (SELECT db.doc_id, db.c, mdl.lp FROM db JOIN mdl USING (g)),
+        |un0 AS (SELECT db.doc_id, db.g, db.c FROM db LEFT JOIN mdl USING (g)
+        |        WHERE mdl.lp IS NULL),
+        |unk AS (SELECT doc_id, c,
+        |               array_to_string(p[1:2], ' ') AS uv,
+        |               array_to_string(p[2:3], ' ') AS vw,
+        |               p[2] AS v, p[3] AS w
+        |        FROM (SELECT doc_id, c, string_split(g, ' ') AS p FROM un0)),
+        |unb AS (SELECT unk.doc_id, unk.c,
+        |        ln(CASE WHEN ctx3.ctot IS NOT NULL THEN
+        |             greatest(0.0 - d3.d3, 0.0) / ctx3.ctot::DOUBLE
+        |             + ((d3.d1 * ctx3.n1::DOUBLE + d3.d2 * ctx3.n2::DOUBLE + d3.d3 * ctx3.n3::DOUBLE) / ctx3.ctot::DOUBLE)
+        |               * (CASE WHEN ctx2.cc2tot IS NOT NULL THEN
+        |                    greatest(COALESCE(bgs.cc2::DOUBLE, 0.0) - (CASE WHEN COALESCE(bgs.cc2, 0) = 1 THEN d2.d1 WHEN COALESCE(bgs.cc2, 0) = 2 THEN d2.d2 ELSE d2.d3 END), 0.0) / ctx2.cc2tot::DOUBLE
+        |                    + ((d2.d1 * ctx2.m1::DOUBLE + d2.d2 * ctx2.m2::DOUBLE + d2.d3 * ctx2.m3::DOUBLE) / ctx2.cc2tot::DOUBLE)
+        |                      * (uni.cc1::DOUBLE / tt.tot)
+        |                  ELSE uni.cc1::DOUBLE / tt.tot END)
+        |           ELSE
+        |             (CASE WHEN ctx2.cc2tot IS NOT NULL THEN
+        |                greatest(COALESCE(bgs.cc2::DOUBLE, 0.0) - (CASE WHEN COALESCE(bgs.cc2, 0) = 1 THEN d2.d1 WHEN COALESCE(bgs.cc2, 0) = 2 THEN d2.d2 ELSE d2.d3 END), 0.0) / ctx2.cc2tot::DOUBLE
+        |                + ((d2.d1 * ctx2.m1::DOUBLE + d2.d2 * ctx2.m2::DOUBLE + d2.d3 * ctx2.m3::DOUBLE) / ctx2.cc2tot::DOUBLE)
+        |                  * (uni.cc1::DOUBLE / tt.tot)
+        |              ELSE uni.cc1::DOUBLE / tt.tot END)
+        |           END) AS lp
+        |        FROM unk
+        |        LEFT JOIN ctx3 USING (uv)
+        |        LEFT JOIN (SELECT vw, cc2 FROM bg) bgs USING (vw)
+        |        LEFT JOIN ctx2 ON unk.v = ctx2.v
+        |        LEFT JOIN uni ON unk.w = uni.w
+        |        CROSS JOIN d3 CROSS JOIN d2 CROSS JOIN tt),
+        |alls AS (SELECT doc_id, c, lp FROM seen
+        |         UNION ALL
+        |         SELECT doc_id, c, lp FROM unb WHERE lp IS NOT NULL)
+        |SELECT doc_id, sum(c)::BIGINT AS n_grams,
+        |       round(sum(c * lp) / sum(c), 4) AS avg_logp
+        |FROM alls
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     "text_fluency_select" ->
       """WITH toks AS (SELECT doc_id, string_split_regex(text, ' +') AS t FROM documents),

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -411,28 +411,52 @@ object Pipeline {
       idCol: String,
       textCol: String): DataFrame = {
     val kp = knParts(reference, textCol)
-    // score: per-doc gram counts, one hash join against the model; the
-    // unseen remainder (empty when raw == reference) takes graded backoff
-    val docTri = knDocTrigrams(raw, idCol, textCol)
-    val seen = docTri.join(kp.model, "__g")
-      .select(col(idCol), col("__c"), col("__lp"))
     // anti-join keys come from tri, not model: every model join is against
     // an aggregate derived from tri, so the gram sets are identical by
     // construction and the cheap single-agg table avoids replanning the
-    // whole 5-table model join just to produce keys. Surviving grams are
-    // by definition NOT reference trigrams, so their count is a constant
-    // null (p3Of coalesces it to the discounted-0 numerator) — no join.
-    val unseen = knGramKeys(
-        docTri.join(kp.tri.select(col("__g")), Seq("__g"), "left_anti"))
+    // whole 5-table model join just to produce keys.
+    knScoreGraded(knDocTrigrams(raw, idCol, textCol), idCol,
+      kp.model, kp.tri.select(col("__g")), kp.ctx3,
+      kp.bg.select(col("__vw"), col("__cc2")), kp.ctx2, kp.uni,
+      kp.d3, kp.d2, kp.tRow)
+  }
+
+  /** The serving tail shared by the composed operator and the persisted-
+    * artifact path — BOTH KN scoring shapes are this one function, so
+    * served ≡ composed holds by construction, not by parallel maintenance.
+    * Seen grams pay one hash join against the per-gram log-prob table; the
+    * unseen remainder (empty when raw == reference) takes the graded
+    * backoff: missing trigram → discounted-0 + γ3·p2; missing context →
+    * p2; missing v → p1; a w outside the continuation vocabulary has no
+    * mass and the gram drops from the average.
+    */
+  private def knScoreGraded(
+      docTri: DataFrame,
+      idCol: String,
+      model: DataFrame,     // (__g, __lp) per reference trigram type
+      modelKeys: DataFrame, // (__g) — same gram set as model, cheapest plan
+      ctx3: DataFrame,
+      bgSlim: DataFrame,    // (__vw, __cc2)
+      ctx2: DataFrame,
+      uni: DataFrame,
+      d3: DataFrame,
+      d2: DataFrame,
+      tRow: DataFrame): DataFrame = {
+    val seen = docTri.join(model, "__g")
+      .select(col(idCol), col("__c"), col("__lp"))
+    // surviving grams are by definition NOT reference trigrams, so their
+    // count is a constant null (knP3Of coalesces it to the discounted-0
+    // numerator) — no join needed for c3.
+    val unseen = knGramKeys(docTri.join(modelKeys, Seq("__g"), "left_anti"))
       .withColumn("__c3", lit(null).cast("long"))
-      .join(kp.ctx3, Seq("__uv"), "left")
-      .join(kp.bg.select(col("__vw"), col("__cc2")), Seq("__vw"), "left")
-      .join(kp.ctx2, Seq("__v"), "left")
-      .join(kp.uni, Seq("__w"), "left")
-      .crossJoin(broadcast(kp.d3)).crossJoin(broadcast(kp.d2))
-      .crossJoin(broadcast(kp.tRow))
+      .join(ctx3, Seq("__uv"), "left")
+      .join(bgSlim, Seq("__vw"), "left")
+      .join(ctx2, Seq("__v"), "left")
+      .join(uni, Seq("__w"), "left")
+      .crossJoin(broadcast(d3)).crossJoin(broadcast(d2))
+      .crossJoin(broadcast(tRow))
       .select(col(idCol), col("__c"),
-        log(kp.p3Of(col("__c3"), kp.p2Of(col("__cc2")))).as("__lp"))
+        log(knP3Of(col("__c3"), knP2Of(col("__cc2")))).as("__lp"))
       // a w outside the continuation vocabulary has no mass: drop the gram
       .filter(col("__lp").isNotNull)
     knPerDoc(seen.unionByName(unseen), idCol)
@@ -453,12 +477,12 @@ object Pipeline {
   /** Score documents against a SAVED [[knTrigramModel]] artifact: one
     * gram-keyed hash join, same output contract as
     * [[knTrigramLogLikelihood]]. Grams absent from the model are DROPPED
-    * from the average — score-time graded backoff needs the full count
-    * tables, which only the self-contained composed operator keeps
-    * in-plan; a served corpus far outside the reference vocabulary should
-    * be scored with the composed form (or the model retrained). For
-    * in-vocabulary corpora the two paths are row-identical (spec-pinned
-    * through a parquet roundtrip).
+    * from the average — this slim (gram, logp) slice has no backoff
+    * state. It is the right artifact ONLY when the served corpus is known
+    * in-vocabulary (spec-pinned row-identical to the composed form there);
+    * the production train-once/score-many shape is always partly OOV —
+    * serve that through [[knTrainModel]]/[[KnModel]], whose full artifact
+    * replays the same graded backoff as the composed operator.
     */
   def knScoreAgainstModel(
       raw: DataFrame,
@@ -470,6 +494,102 @@ object Pipeline {
         .join(model.select(col("gram").as("__g"), col("logp").as("__lp")), "__g")
         .select(col(idCol), col("__c"), col("__lp")),
       idCol)
+
+  /** A trained modified-KN trigram model with its FULL backoff state —
+    * the analog of a KenLM .arpa/.binary file rather than the bare
+    * top-order probability table. The production serving shape (CCNet:
+    * train on Wikipedia ONCE, score every crawl shard — Wenzek et al.
+    * 2020's own setting) is always partly out-of-vocabulary, and an OOV
+    * gram must BACK OFF through the lower orders, not silently drop from
+    * the average. This bundle carries everything the graded backoff
+    * needs: the per-gram log-prob table plus the order-3 context stats,
+    * bigram continuation counts, order-2 context stats, unigram
+    * continuation counts, and the three 1-row discount/total tables.
+    * Every table is bounded by reference trigram TYPES (the model's own
+    * size), so the artifact costs ~2× the slim (gram, logp) slice — and
+    * the served backoff evaluates the IDENTICAL expression tree as the
+    * composed operator ([[knScoreGraded]] is shared code), so served ≡
+    * composed bit-for-bit, OOV grams included (spec-pinned through a
+    * parquet roundtrip).
+    *
+    * Frames are kept in the internal join-ready layout; [[KnModel.save]]
+    * writes them under `dir/{grams,ctx3,bigrams,ctx2,unigrams,disc3,
+    * disc2,total}` with clean public column names and [[KnModel.load]]
+    * restores the internal layout.
+    */
+  final case class KnModel(
+      grams: DataFrame,  // (__g, __lp) one row per reference trigram type
+      ctx3: DataFrame,   // (__uv, __ctot, __n1, __n2, __n3)
+      bg: DataFrame,     // (__vw, __cc2) bigram continuation counts
+      ctx2: DataFrame,   // (__v, __cc2tot, __m1, __m2, __m3)
+      uni: DataFrame,    // (__w, __cc1) unigram continuation counts
+      d3: DataFrame,     // (__k3d1, __k3d2, __k3d3) 1 row
+      d2: DataFrame,     // (__k2d1, __k2d2, __k2d3) 1 row
+      tRow: DataFrame) { // (__T) 1 row
+    def save(dir: String): Unit = {
+      def w(df: DataFrame, name: String): Unit =
+        df.write.mode("overwrite").parquet(s"$dir/$name")
+      w(grams.select(col("__g").as("gram"), col("__lp").as("logp")), "grams")
+      w(ctx3.select(col("__uv").as("ctx"), col("__ctot").as("ctot"),
+        col("__n1").as("n1"), col("__n2").as("n2"), col("__n3").as("n3")), "ctx3")
+      w(bg.select(col("__vw").as("bigram"), col("__cc2").as("cc2")), "bigrams")
+      w(ctx2.select(col("__v").as("v"), col("__cc2tot").as("cc2tot"),
+        col("__m1").as("m1"), col("__m2").as("m2"), col("__m3").as("m3")), "ctx2")
+      w(uni.select(col("__w").as("w"), col("__cc1").as("cc1")), "unigrams")
+      w(d3.select(col("__k3d1").as("d1"), col("__k3d2").as("d2"),
+        col("__k3d3").as("d3")), "disc3")
+      w(d2.select(col("__k2d1").as("d1"), col("__k2d2").as("d2"),
+        col("__k2d3").as("d3")), "disc2")
+      w(tRow.select(col("__T").as("t")), "total")
+    }
+  }
+
+  object KnModel {
+    def load(spark: SparkSession, dir: String): KnModel = {
+      def r(name: String) = spark.read.parquet(s"$dir/$name")
+      KnModel(
+        r("grams").select(col("gram").as("__g"), col("logp").as("__lp")),
+        r("ctx3").select(col("ctx").as("__uv"), col("ctot").as("__ctot"),
+          col("n1").as("__n1"), col("n2").as("__n2"), col("n3").as("__n3")),
+        r("bigrams").select(col("bigram").as("__vw"), col("cc2").as("__cc2")),
+        r("ctx2").select(col("v").as("__v"), col("cc2tot").as("__cc2tot"),
+          col("m1").as("__m1"), col("m2").as("__m2"), col("m3").as("__m3")),
+        r("unigrams").select(col("w").as("__w"), col("cc1").as("__cc1")),
+        r("disc3").select(col("d1").as("__k3d1"), col("d2").as("__k3d2"),
+          col("d3").as("__k3d3")),
+        r("disc2").select(col("d1").as("__k2d1"), col("d2").as("__k2d2"),
+          col("d3").as("__k2d3")),
+        r("total").select(col("t").as("__T")))
+    }
+  }
+
+  /** Train the full-backoff KN artifact ([[KnModel]]) — the train-once
+    * half of the train-once/score-many serving shape. Same estimator as
+    * [[knTrigramLogLikelihood]] (shared [[knParts]]); the scoring half is
+    * the [[KnModel]] overload of [[knScoreAgainstModel]].
+    */
+  def knTrainModel(reference: DataFrame, textCol: String): KnModel = {
+    val kp = knParts(reference, textCol)
+    KnModel(kp.model, kp.ctx3, kp.bg.select(col("__vw"), col("__cc2")),
+      kp.ctx2, kp.uni, kp.d3, kp.d2, kp.tRow)
+  }
+
+  /** Score documents against a trained/loaded [[KnModel]] with FULL
+    * graded backoff — row-identical (bit-for-bit, OOV grams included) to
+    * running [[knTrigramLogLikelihood]] against the training reference,
+    * because both paths are the same [[knScoreGraded]] plan: in-model
+    * grams pay one gram-keyed hash join; the OOV remainder anti-joins out
+    * and backs off through the persisted count tables (trigram →
+    * discounted-0 + γ3·p2 → p2 → p1; continuation-OOV grams drop).
+    */
+  def knScoreAgainstModel(
+      raw: DataFrame,
+      model: KnModel,
+      idCol: String,
+      textCol: String): DataFrame =
+    knScoreGraded(knDocTrigrams(raw, idCol, textCol), idCol,
+      model.grams, model.grams.select(col("__g")), model.ctx3, model.bg,
+      model.ctx2, model.uni, model.d3, model.d2, model.tRow)
 
   /** Per-doc distinct-gram occurrence counts — the corpus side of every
     * KN scoring path.
@@ -498,15 +618,45 @@ object Pipeline {
       .withColumn("__w", element_at(col("__p"), 3))
       .drop("__p")
 
+  /** The interpolated KN probability expressions, over the post-join
+    * column layout every scoring path produces (__ctot, __n1-3, __k3d1-3
+    * from ctx3+d3; __cc2tot, __m1-3, __k2d1-3 from ctx2+d2; __cc1, __T
+    * from uni+tRow; missing levels coalesce per the scaladoc). Static
+    * column-name
+    * expressions so the composed plan, the model build, and the
+    * parquet-served backoff all evaluate the IDENTICAL tree.
+    */
+  private def knP1: Column = col("__cc1").cast("double") / col("__T")
+
+  private def knP2Of(cc2: Column): Column = {
+    def d2sel(c: Column) = when(c === 1, col("__k2d1"))
+      .when(c === 2, col("__k2d2")).otherwise(col("__k2d3"))
+    val gamma2 = (col("__k2d1") * col("__m1").cast("double") +
+      col("__k2d2") * col("__m2").cast("double") +
+      col("__k2d3") * col("__m3").cast("double")) / col("__cc2tot").cast("double")
+    when(col("__cc2tot").isNotNull,
+      greatest(coalesce(cc2.cast("double"), lit(0.0)) - d2sel(coalesce(cc2, lit(0L))),
+        lit(0.0)) / col("__cc2tot").cast("double") + gamma2 * knP1).otherwise(knP1)
+  }
+
+  private def knP3Of(c3: Column, p2: Column): Column = {
+    def d3sel(c: Column) = when(c === 1, col("__k3d1"))
+      .when(c === 2, col("__k3d2")).otherwise(col("__k3d3"))
+    val gamma3 = (col("__k3d1") * col("__n1").cast("double") +
+      col("__k3d2") * col("__n2").cast("double") +
+      col("__k3d3") * col("__n3").cast("double")) / col("__ctot").cast("double")
+    when(col("__ctot").isNotNull,
+      greatest(coalesce(c3.cast("double"), lit(0.0)) - d3sel(coalesce(c3, lit(0L))),
+        lit(0.0)) / col("__ctot").cast("double") + gamma3 * p2).otherwise(p2)
+  }
+
   /** Everything [[knTrigramLogLikelihood]]'s backoff path needs beyond
-    * the model itself: the reference type/stat tables, discount rows,
-    * and the shared probability expression builders.
+    * the model itself: the reference type/stat tables and discount rows.
     */
   private final case class KnParts(
       model: DataFrame, tri: DataFrame, ctx3: DataFrame, bg: DataFrame,
       ctx2: DataFrame, uni: DataFrame, d3: DataFrame, d2: DataFrame,
-      tRow: DataFrame, p2Of: Column => Column,
-      p3Of: (Column, Column) => Column)
+      tRow: DataFrame)
 
   private def knParts(reference: DataFrame, textCol: String): KnParts = {
     // reference trigram types with their counts and key projections
@@ -565,25 +715,6 @@ object Pipeline {
     val coc2 = coc(bg, col("__cc2"), "k2")
     val d3 = dRow(coc3, "k3")
     val d2 = dRow(coc2, "k2")
-    // the per-gram log-prob expression shared by the model table and the
-    // backoff path (missing levels coalesce per the scaladoc)
-    val p1 = col("__cc1").cast("double") / col("__T")
-    def d2sel(c: Column) = when(c === 1, col("__k2d1"))
-      .when(c === 2, col("__k2d2")).otherwise(col("__k2d3"))
-    def d3sel(c: Column) = when(c === 1, col("__k3d1"))
-      .when(c === 2, col("__k3d2")).otherwise(col("__k3d3"))
-    val gamma2 = (col("__k2d1") * col("__m1").cast("double") +
-      col("__k2d2") * col("__m2").cast("double") +
-      col("__k2d3") * col("__m3").cast("double")) / col("__cc2tot").cast("double")
-    val gamma3 = (col("__k3d1") * col("__n1").cast("double") +
-      col("__k3d2") * col("__n2").cast("double") +
-      col("__k3d3") * col("__n3").cast("double")) / col("__ctot").cast("double")
-    def p2Of(cc2: Column): Column = when(col("__cc2tot").isNotNull,
-      greatest(coalesce(cc2.cast("double"), lit(0.0)) - d2sel(coalesce(cc2, lit(0L))),
-        lit(0.0)) / col("__cc2tot").cast("double") + gamma2 * p1).otherwise(p1)
-    def p3Of(c3: Column, p2: Column): Column = when(col("__ctot").isNotNull,
-      greatest(coalesce(c3.cast("double"), lit(0.0)) - d3sel(coalesce(c3, lit(0L))),
-        lit(0.0)) / col("__ctot").cast("double") + gamma3 * p2).otherwise(p2)
     // the model: one log-prob per reference trigram type (KenLM's layout)
     val model = tri
       .join(ctx3, "__uv")
@@ -591,8 +722,8 @@ object Pipeline {
       .join(ctx2, "__v")
       .join(uni, "__w")
       .crossJoin(broadcast(d3)).crossJoin(broadcast(d2)).crossJoin(broadcast(tRow))
-      .select(col("__g"), log(p3Of(col("__c3"), p2Of(col("__cc2")))).as("__lp"))
-    KnParts(model, tri, ctx3, bg, ctx2, uni, d3, d2, tRow, p2Of, p3Of)
+      .select(col("__g"), log(knP3Of(col("__c3"), knP2Of(col("__cc2")))).as("__lp"))
+    KnParts(model, tri, ctx3, bg, ctx2, uni, d3, d2, tRow)
   }
 
   /** Data selection by score quantile: keep rows whose `score` is at or

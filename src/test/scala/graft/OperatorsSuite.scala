@@ -537,6 +537,45 @@ class OperatorsSuite extends AnyFunSuite {
       s"only the in-model gram may survive the serving path: $servedRaw")
   }
 
+  test("modified KN trigram LM: the FULL artifact serves OOV corpora with graded backoff — served ≡ composed through a parquet roundtrip") {
+    import spark.implicits._
+    import java.nio.file.Files
+    val ref = knFixture
+    // the production corpus shape (CCNet: train Wikipedia, score crawl):
+    // partly in-model, partly backing off at EVERY level of the ladder
+    val vocabT = "abcdefgh".map(_.toString)
+    val c3m = ref.flatMap(d => d._2.split(" ").toSeq.sliding(3).map(_.toSeq)).toSet
+    // a seen context with an unseen continuation (missing trigram -> γ3·p2)
+    val (u, v, wUnseen) = (for {
+      g <- c3m.toSeq; w <- vocabT if !c3m.contains(Seq(g(0), g(1), w))
+    } yield (g(0), g(1), w)).head
+    val raw = ref.map { case (id, t) => (id + 1000L) -> t } ++ Seq(
+      2001L -> s"$u $v $wUnseen",  // unseen trigram, seen context
+      2002L -> s"zz $u $v",        // unseen context, seen bigram/v -> p2
+      2003L -> s"$u zz $v",        // OOV middle token -> p1 ladder floor
+      2004L -> "x0 x1 x2 x3")      // every w continuation-OOV -> doc drops
+    val dir = Files.createTempDirectory("graft_kn_full").toString
+    Pipeline.knTrainModel(ref.toDF("doc_id", "text"), "text").save(dir)
+    val loaded = Pipeline.KnModel.load(spark, dir)
+    val served = Pipeline.knScoreAgainstModel(
+        raw.toDF("doc_id", "text"), loaded, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val composed = Pipeline.knTrigramLogLikelihood(
+        raw.toDF("doc_id", "text"), ref.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(served === composed,
+      "the full artifact must serve the graded backoff the composed form computes")
+    // ... and against the independent single-threaded reference
+    assert(served === knReference(ref, raw))
+    // the OOV docs are SCORED (the slim (gram, logp) artifact would drop
+    // their grams and with them docs 2002/2003 entirely)
+    assert(served.contains(2001L) && served(2001L)._1 === 1L)
+    assert(served.contains(2002L) && served.contains(2003L))
+    assert(!served.contains(2004L), "continuation-OOV-only docs must drop")
+    // backoff mass is a real probability: every served score is negative
+    assert(served.values.forall(_._2 < 0.0), s"log-probs must be negative: $served")
+  }
+
   test("modified KN trigram LM: inestimable orders use KenLM's fallback discounts, sum-to-1 intact") {
     import spark.implicits._
     // order-3 count-of-counts: t1 = 10, t2 = 1 (the trigram "t2 t3 t4"
