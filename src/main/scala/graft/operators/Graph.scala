@@ -141,25 +141,31 @@ object Graph {
     * replays).
     */
   private final case class Prepared(edges: DataFrame) {
+    // degree pre-joined once — each step then joins ONE table against the
+    // rank table instead of re-running edges⋈degree every iteration. The
+    // deduped edge table is NOT separately checkpointed: edc's inner join
+    // on src preserves every deduped edge row (every src has outdeg ≥ 1),
+    // so edc IS the deduped edge set and the whole construction is ONE
+    // job — the distinct's exchange is shared across the self-join's two
+    // sides via ReusedExchange inside that job. (r16: folding the former
+    // `ed` checkpoint away cuts a fixed job + a full edge materialization
+    // from every pageRank call; row multiset unchanged, ranks bit-green.)
+    //
     // NULL-endpoint edges are dropped up front: the fused step uses a null
     // dst as the dangling-mass sentinel, so a literal null-dst input edge
     // would route its source's FULL rank into dangling mass while still
     // counting toward out-degree — inflating total mass. A null endpoint
     // is not a vertex; it cannot receive or emit rank.
-    val ed: DataFrame = edges.select(col("src"), col("dst"))
-      .filter(col("src").isNotNull && col("dst").isNotNull)
-      .distinct()
-      .localCheckpoint(true)
-    val verts: DataFrame = ed.select(col("src").as("vertex"))
-      .union(ed.select(col("dst").as("vertex"))).distinct().localCheckpoint(true)
-    // degree pre-joined once — each step then joins ONE table against the
-    // rank table instead of re-running edges⋈degree every iteration (the
-    // degree table itself is transient: computed inside this checkpoint's
-    // job, never needed again — dangling detection rides the step's left
-    // join, not an anti join against the degree set)
-    val edc: DataFrame = ed
-      .join(ed.groupBy(col("src")).agg(count(lit(1)).as("outdeg")), "src")
-      .localCheckpoint(true)
+    val edc: DataFrame = {
+      val ed = edges.select(col("src"), col("dst"))
+        .filter(col("src").isNotNull && col("dst").isNotNull)
+        .distinct()
+      ed.join(ed.groupBy(col("src")).agg(count(lit(1)).as("outdeg")), "src")
+        .localCheckpoint(true)
+    }
+    // vertices read edc's checkpoint blocks, not the raw edges
+    val verts: DataFrame = edc.select(col("src").as("vertex"))
+      .union(edc.select(col("dst").as("vertex"))).distinct().localCheckpoint(true)
     val n: Long = verts.count()
 
     def initialRanks: DataFrame =
