@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.BloomProbe
 import graft.functions.VectorFunctions._
 
 /** Deduplication operators for training-data pipelines.
@@ -709,24 +710,24 @@ object Dedup {
     // the sketch build below is a Spark job either way — "lazy" mode only
     // defers the RESULT's materialization, never the bloom construction
     val n = if (expectedItems > 0) expectedItems else math.max(seen.count(), 1L)
-    val bloom = seen.stat.bloomFilter("fp", n, fpp)
-    val bc = newBatch.sparkSession.sparkContext.broadcast(bloom)
-    // a Scala UDF (not codegen'd) is acceptable here: one sketch probe
-    // per row, and the alternative — shipping the sketch into a custom
-    // Expression — buys nothing since the probe itself dominates
-    val mightContain = udf((s: String) => s != null && bc.value.mightContainString(s))
+    // native codegen'd probe (graft.functions.BloomProbe): the sketch is
+    // built over xxhash64 of the fingerprints and probed with Spark's own
+    // BloomFilterMightContain over a binary literal — the runtime-filter
+    // layout — so the gate stays inside whole-stage codegen. The hash
+    // switch only moves WHICH keys false-positive; positives are exact-
+    // checked by the anti-join below, so the result is unchanged.
+    val bloom = seen.select(BloomProbe.hashed(col("fp")).as("h"))
+      .stat.bloomFilter("h", n, fpp)
+    val sketch = BloomProbe.serialize(bloom)
+    def mightContain(c: Column): Column = BloomProbe.mightContainHashed(sketch, c)
     val tagged = newBatch.withColumn("__fp", fp.cast("string"))
     val definiteNew = tagged.filter(!mightContain(col("__fp")))
     val suspects = tagged.filter(mightContain(col("__fp")))
       .join(seen.withColumnRenamed("fp", "__fp"), Seq("__fp"), "left_anti")
     val out = definiteNew.unionByName(suspects).drop("__fp")
-    if (eager) {
-      // cut the lineage so the sketch broadcast can be freed before return
-      // (the checkpointed `seen` is released by the ContextCleaner once the
-      // pre-checkpoint plan is unreachable)
-      try out.localCheckpoint()
-      finally bc.destroy()
-    } else out
+    // eager mode cuts the lineage (the checkpointed `seen` is released by
+    // the ContextCleaner once the pre-checkpoint plan is unreachable)
+    if (eager) out.localCheckpoint() else out
   }
 
   /** Exact incremental NEAR-dup — the daily-ingest near-dup gate: keep

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.BloomProbe
+
 /** Relational operators Spark lacks as single calls, composed scalably. */
 object Relational {
 
@@ -197,12 +199,11 @@ object Relational {
     * (pre-aggregations, unions) the rewrite won't look through.
     *
     * At 100 TB: the sketch is one pass over the (already filtered) dim
-    * keys and broadcasts at bits-per-key cost; the fact side never
-    * shuffles its non-matching rows. The sketch probe is a Scala UDF for
-    * the same reason as the incremental-dedup Bloom gate
-    * (Dedup.incrementalBloom): Spark's BloomFilterMightContain expression
-    * is optimizer-internal, and one probe per row dominates any codegen
-    * delta.
+    * keys and ships at bits-per-key cost; the fact side never shuffles
+    * its non-matching rows. The probe is Spark's own codegen'd
+    * `BloomFilterMightContain` over a serialized-sketch literal
+    * ([[graft.functions.BloomProbe]]) — same expression the runtime
+    * rewrite injects, so the gate stays inside whole-stage codegen.
     */
   def bloomPrunedJoin(
       fact: DataFrame,
@@ -215,11 +216,14 @@ object Relational {
     val keys = dim.select(dimKey.cast("string").as("__k")).distinct().persist()
     try {
       val n = if (expectedItems > 0) expectedItems else math.max(keys.count(), 1L)
-      val bloom = keys.stat.bloomFilter("__k", n, fpp)
-      val bc = fact.sparkSession.sparkContext.broadcast(bloom)
-      val mightContain =
-        udf((s: String) => s != null && bc.value.mightContainString(s))
-      fact.filter(mightContain(factKey.cast("string"))).join(dim, factKey === dimKey)
+      // native codegen'd probe over xxhash64'd keys (see BloomProbe): a
+      // different probe hash only moves WHICH fact rows false-positive
+      // into the join, where they drop — result ≡ plain join either way
+      val bloom = keys.select(BloomProbe.hashed(col("__k")).as("h"))
+        .stat.bloomFilter("h", n, fpp)
+      val sketch = BloomProbe.serialize(bloom)
+      fact.filter(BloomProbe.mightContainHashed(sketch, factKey.cast("string")))
+        .join(dim, factKey === dimKey)
     } finally keys.unpersist()
   }
 }

@@ -2489,11 +2489,15 @@ class OperatorsSuite extends AnyFunSuite {
     // can never drop a matching row (no false negatives)
     val total = fact.count()
     val matching = plain.size.toLong
+    // the operator's own gate: xxhash64'd keys through the native
+    // codegen'd BloomFilterMightContain probe (graft.functions.BloomProbe)
+    import graft.functions.BloomProbe
     val keys = dim.select(col("o_orderkey").cast("string").as("__k")).distinct()
-    val bloom = keys.stat.bloomFilter("__k", math.max(keys.count(), 1L), 0.01)
-    val bc = spark.sparkContext.broadcast(bloom)
-    val gate = udf((s: String) => s != null && bc.value.mightContainString(s))
-    val passed = fact.filter(gate(col("l_orderkey").cast("string"))).count()
+    val bloom = keys.select(BloomProbe.hashed(col("__k")).as("h"))
+      .stat.bloomFilter("h", math.max(keys.count(), 1L), 0.01)
+    val sketch = BloomProbe.serialize(bloom)
+    val passed = fact.filter(
+      BloomProbe.mightContainHashed(sketch, col("l_orderkey").cast("string"))).count()
     assert(passed < total, s"sketch gate pruned nothing: $passed of $total")
     assert(passed >= matching, "sketch gate dropped a matching fact row")
   }
