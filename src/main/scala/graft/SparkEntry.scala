@@ -2821,6 +2821,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // The same CCNet selection loop on the estimator CCNet actually
+    // trains (KenLM-grade modified Kneser-Ney, text_trigram_ppl_kn)
+    // instead of the add-alpha stand-in: score every doc with the KN
+    // trigram LM, keep the most reference-like half via the broadcast
+    // quantile threshold. Oracle = the full KN estimator SQL composed
+    // with the select tail — both halves already hash-gated standalone,
+    // composed here so the production filter is gated end-to-end.
+    "text_fluency_select_kn" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      val scored = Pipeline.knTrigramLogLikelihood(docs, docs, "doc_id", "text")
+      Pipeline.selectTopByScore(scored, col("avg_logp"), keepFrac = 0.5)
+        .orderBy(col("doc_id"))
+    }),
+
     // CCNet's other half: the head/middle/tail split. Per-language ntile
     // over the bigram-LM score (desc, doc_id tiebreak) — equal-thirds by
     // construction, and the ntile deal is SQL-standard on both engines so
@@ -6497,6 +6511,96 @@ object SparkEntry {
         |       round(sum(c * lp) / sum(c), 4) AS avg_logp
         |FROM alls
         |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    // The KN estimator SQL composed with the quantile-select tail
+    // (the sq/thr form text_fluency_select uses) -- the CCNet filter on
+    // the estimator CCNet actually trains, gated end-to-end.
+    "text_fluency_select_kn" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(text, ' +') AS t FROM documents),
+        |tg AS (SELECT doc_id, array_to_string(t[i:i+2], ' ') AS g
+        |       FROM toks, unnest(range(1, len(t) - 1)) u(i)),
+        |tri0 AS (SELECT g, count(*) AS c3 FROM tg GROUP BY g),
+        |tri AS (SELECT g, c3,
+        |               array_to_string(p[1:2], ' ') AS uv,
+        |               array_to_string(p[2:3], ' ') AS vw,
+        |               p[2] AS v, p[3] AS w
+        |        FROM (SELECT g, c3, string_split(g, ' ') AS p FROM tri0)),
+        |ctx3 AS (SELECT uv, sum(c3) AS ctot,
+        |                sum(CASE WHEN c3 = 1 THEN 1 ELSE 0 END) AS n1,
+        |                sum(CASE WHEN c3 = 2 THEN 1 ELSE 0 END) AS n2,
+        |                sum(CASE WHEN c3 >= 3 THEN 1 ELSE 0 END) AS n3
+        |         FROM tri GROUP BY uv),
+        |coc3 AS (SELECT sum(CASE WHEN c3 = 1 THEN 1 ELSE 0 END)::DOUBLE AS t1,
+        |                sum(CASE WHEN c3 = 2 THEN 1 ELSE 0 END)::DOUBLE AS t2,
+        |                sum(CASE WHEN c3 = 3 THEN 1 ELSE 0 END)::DOUBLE AS t3,
+        |                sum(CASE WHEN c3 = 4 THEN 1 ELSE 0 END)::DOUBLE AS t4
+        |         FROM tri),
+        |d3e AS (SELECT t1, t2, t3,
+        |               1.0 - 2.0 * (CASE WHEN t1 + 2.0 * t2 > 0.0 THEN t1 / (t1 + 2.0 * t2) ELSE 0.0 END)
+        |                         * (CASE WHEN t1 > 0.0 THEN t2 / t1 ELSE 0.0 END) AS d1e,
+        |               2.0 - 3.0 * (CASE WHEN t1 + 2.0 * t2 > 0.0 THEN t1 / (t1 + 2.0 * t2) ELSE 0.0 END)
+        |                         * (CASE WHEN t2 > 0.0 THEN t3 / t2 ELSE 0.0 END) AS d2e,
+        |               3.0 - 4.0 * (CASE WHEN t1 + 2.0 * t2 > 0.0 THEN t1 / (t1 + 2.0 * t2) ELSE 0.0 END)
+        |                         * (CASE WHEN t3 > 0.0 THEN t4 / t3 ELSE 0.0 END) AS d3e
+        |        FROM coc3),
+        |d3 AS (SELECT CASE WHEN ok THEN d1e ELSE 0.5 END AS d1,
+        |              CASE WHEN ok THEN d2e ELSE 1.0 END AS d2,
+        |              CASE WHEN ok THEN d3e ELSE 1.5 END AS d3
+        |       FROM (SELECT d1e, d2e, d3e,
+        |                    t1 > 0.0 AND t2 > 0.0 AND t3 > 0.0
+        |                    AND d1e >= 0.0 AND d1e <= 1.0 AND d2e >= 0.0 AND d2e <= 2.0
+        |                    AND d3e >= 0.0 AND d3e <= 3.0 AS ok FROM d3e)),
+        |bg AS (SELECT vw, v, w, count(*) AS cc2 FROM tri GROUP BY vw, v, w),
+        |ctx2 AS (SELECT v, sum(cc2) AS cc2tot,
+        |                sum(CASE WHEN cc2 = 1 THEN 1 ELSE 0 END) AS m1,
+        |                sum(CASE WHEN cc2 = 2 THEN 1 ELSE 0 END) AS m2,
+        |                sum(CASE WHEN cc2 >= 3 THEN 1 ELSE 0 END) AS m3
+        |         FROM bg GROUP BY v),
+        |coc2 AS (SELECT sum(CASE WHEN cc2 = 1 THEN 1 ELSE 0 END)::DOUBLE AS t1,
+        |                sum(CASE WHEN cc2 = 2 THEN 1 ELSE 0 END)::DOUBLE AS t2,
+        |                sum(CASE WHEN cc2 = 3 THEN 1 ELSE 0 END)::DOUBLE AS t3,
+        |                sum(CASE WHEN cc2 = 4 THEN 1 ELSE 0 END)::DOUBLE AS t4
+        |         FROM bg),
+        |d2e AS (SELECT t1, t2, t3,
+        |               1.0 - 2.0 * (CASE WHEN t1 + 2.0 * t2 > 0.0 THEN t1 / (t1 + 2.0 * t2) ELSE 0.0 END)
+        |                         * (CASE WHEN t1 > 0.0 THEN t2 / t1 ELSE 0.0 END) AS d1e,
+        |               2.0 - 3.0 * (CASE WHEN t1 + 2.0 * t2 > 0.0 THEN t1 / (t1 + 2.0 * t2) ELSE 0.0 END)
+        |                         * (CASE WHEN t2 > 0.0 THEN t3 / t2 ELSE 0.0 END) AS d2e,
+        |               3.0 - 4.0 * (CASE WHEN t1 + 2.0 * t2 > 0.0 THEN t1 / (t1 + 2.0 * t2) ELSE 0.0 END)
+        |                         * (CASE WHEN t3 > 0.0 THEN t4 / t3 ELSE 0.0 END) AS d3e
+        |        FROM coc2),
+        |d2 AS (SELECT CASE WHEN ok THEN d1e ELSE 0.5 END AS d1,
+        |              CASE WHEN ok THEN d2e ELSE 1.0 END AS d2,
+        |              CASE WHEN ok THEN d3e ELSE 1.5 END AS d3
+        |       FROM (SELECT d1e, d2e, d3e,
+        |                    t1 > 0.0 AND t2 > 0.0 AND t3 > 0.0
+        |                    AND d1e >= 0.0 AND d1e <= 1.0 AND d2e >= 0.0 AND d2e <= 2.0
+        |                    AND d3e >= 0.0 AND d3e <= 3.0 AS ok FROM d2e)),
+        |uni AS (SELECT w, count(*) AS cc1 FROM bg GROUP BY w),
+        |tt AS (SELECT sum(cc1)::DOUBLE AS tot FROM uni),
+        |mdl AS (SELECT tri.g,
+        |        ln(greatest(tri.c3::DOUBLE - (CASE WHEN tri.c3 = 1 THEN d3.d1 WHEN tri.c3 = 2 THEN d3.d2 ELSE d3.d3 END), 0.0) / ctx3.ctot::DOUBLE
+        |           + ((d3.d1 * ctx3.n1::DOUBLE + d3.d2 * ctx3.n2::DOUBLE + d3.d3 * ctx3.n3::DOUBLE) / ctx3.ctot::DOUBLE)
+        |             * (greatest(bg.cc2::DOUBLE - (CASE WHEN bg.cc2 = 1 THEN d2.d1 WHEN bg.cc2 = 2 THEN d2.d2 ELSE d2.d3 END), 0.0) / ctx2.cc2tot::DOUBLE
+        |                + ((d2.d1 * ctx2.m1::DOUBLE + d2.d2 * ctx2.m2::DOUBLE + d2.d3 * ctx2.m3::DOUBLE) / ctx2.cc2tot::DOUBLE)
+        |                  * (uni.cc1::DOUBLE / tt.tot))) AS lp
+        |        FROM tri JOIN ctx3 USING (uv) JOIN bg USING (vw)
+        |             JOIN ctx2 ON tri.v = ctx2.v JOIN uni ON tri.w = uni.w
+        |             CROSS JOIN d3 CROSS JOIN d2 CROSS JOIN tt),
+        |db AS (SELECT doc_id, g, count(*) AS c FROM tg GROUP BY doc_id, g),
+        |scored AS (SELECT db.doc_id, sum(db.c)::BIGINT AS n_grams,
+        |                  round(sum(db.c * mdl.lp) / sum(db.c), 4) AS avg_logp
+        |           FROM db JOIN mdl USING (g)
+        |           GROUP BY db.doc_id),
+        |sq AS (SELECT doc_id, n_grams, avg_logp,
+        |              CAST(round(avg_logp * 10000, 0) AS BIGINT) AS scq
+        |       FROM scored),
+        |thr AS (SELECT CAST(round(quantile_cont(scq, 0.5) * 4, 0) AS BIGINT) AS tq
+        |        FROM sq)
+        |SELECT doc_id, n_grams, avg_logp
+        |FROM sq, thr
+        |WHERE scq * 4 >= tq
         |ORDER BY doc_id""".stripMargin,
 
     "text_fluency_select" ->
