@@ -529,6 +529,80 @@ class ConnectorsSuite extends AnyFunSuite {
     assert(kept === Seq(10L, 12L), s"fluency gate kept the wrong docs: $kept")
   }
 
+  test("streaming KN gate: windows scored against a frozen KnModel artifact with serve-time graded backoff") {
+    import graft.operators.Pipeline
+    // the PRODUCTION CCNet serving shape inside the emitter loop: the
+    // modified-KN model is trained ONCE and persisted as the full-backoff
+    // KnModel artifact (nightly-job style), the loop loads it and scores
+    // every window through knScoreAgainstModel — so OOV grams in streamed
+    // docs BACK OFF through the persisted count tables instead of
+    // dropping (the slim (gram, logp) artifact would mis-score every
+    // partly-OOV window; a crawl stream is always partly OOV).
+    val mb = Minibatch(spark, freshRoot())
+    val st = mb.stream("kn_ingest")
+    val keptDir = freshRoot() + "/kept_kn"
+    val modelDir = freshRoot() + "/kn_model"
+    val ref = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog sat on the rug"),
+      (3L, "a cat sat on a rug"),
+      (4L, "the dog ran to the mat"))
+    val refDf = spark.createDataFrame(ref).toDF("doc_id", "text")
+    Pipeline.knTrainModel(refDf, "text").save(modelDir)
+    val model = Pipeline.KnModel.load(spark, modelDir)
+    // threshold = the reference's own floor THROUGH THE SERVING PATH
+    val thr = Pipeline.knScoreAgainstModel(refDf, model, "doc_id", "text")
+      .agg(min(col("avg_logp"))).head().getDouble(0)
+    val scoredDir = freshRoot() + "/kn_scores"
+    def drainInto(): Unit =
+      mb.streaming("kn_ingest").size(1).emit((_, df) => {
+        val batch = df.select(
+          get_json_object(col("data"), "$.id").cast("long").as("doc_id"),
+          get_json_object(col("data"), "$.t").as("text"))
+        val scores = Pipeline.knScoreAgainstModel(batch, model, "doc_id", "text")
+        scores.write.mode("append").parquet(scoredDir)
+        batch.join(scores.filter(col("avg_logp") >= thr).select("doc_id"),
+            Seq("doc_id"), "left_semi")
+          .write.mode("append").parquet(keptDir)
+      }).run()
+    // doc 10 = a reference doc verbatim (scores that doc's own value, so
+    // >= the floor by construction); doc 11 is alien vocabulary (every
+    // continuation w is OOV -> all grams drop -> the doc is never scored)
+    st.appendAll(Seq(
+      """{"id":10,"t":"the cat sat on the mat"}""",
+      """{"id":11,"t":"zebra quark flux nonce blip"}"""))
+    drainInto()
+    // a second window: "the cat ran to the mat" — 4 trigrams, 2 unseen
+    // ("the cat ran": seen context, backoff; "cat ran to": unseen context,
+    // seen continuation bigram) but every continuation w IS in the model's
+    // unigram vocabulary, so ALL 4 grams score via the graded ladder
+    st.appendAll(Seq("""{"id":12,"t":"the cat ran to the mat"}"""))
+    drainInto()
+    val scored = spark.read.parquet(scoredDir)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_grams"), r.getAs[Double]("avg_logp"))).toMap
+    assert(scored.contains(10L) && !scored.contains(11L),
+      s"alien-vocab doc must drop from scoring entirely: $scored")
+    assert(scored(12L)._1 === 4L,
+      s"serve-time backoff must score ALL 4 grams of the partly-OOV doc " +
+        s"(the slim artifact would keep 2): $scored")
+    val kept = spark.read.parquet(keptDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.contains(10L) && !kept.contains(11L),
+      s"KN gate kept the wrong docs: $kept")
+    // the streaming gate's decisions equal the batch census over the same
+    // docs through the same frozen artifact (the twin property)
+    val all = spark.createDataFrame(Seq(
+      (10L, "the cat sat on the mat"),
+      (11L, "zebra quark flux nonce blip"),
+      (12L, "the cat ran to the mat"))).toDF("doc_id", "text")
+    val batchKept = Pipeline.knScoreAgainstModel(all, model, "doc_id", "text")
+      .filter(col("avg_logp") >= thr)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === batchKept,
+      s"streaming gate must equal the batch census: $kept vs $batchKept")
+  }
+
   test("streaming classifier gate: windows scored with a frozen model; noise dropped across windows") {
     import graft.operators.QualityModel
     // the model-based analogue of the fluency gate: the classifier is
