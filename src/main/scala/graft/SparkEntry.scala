@@ -1856,6 +1856,24 @@ object SparkEntry {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // Directional containment C(A→B) = |A∩B|/|A| — the asymmetric near-dup
+    // shape (short doc pasted inside a long one) Jaccard structurally
+    // misses. Blocked on lang, NOT len_bucket: cross-size pairs are the
+    // whole point, so a size-derived blocking key would be wrong here.
+    "dedup_containment" -> ((s, dir) => {
+      Dedup.containmentPairs(documents(s, dir), "doc_id", "text",
+          Seq(col("lang")), shingleSize = 3, threshold = 0.8)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // Same semantics via asymmetric (SSJoin-style) prefix filtering — probe
+    // side prefixed, container side fully indexed; shares the exact oracle.
+    "dedup_containment_prefix" -> ((s, dir) => {
+      Dedup.containmentPairsPrefix(documents(s, dir), "doc_id", "text",
+          Seq(col("lang")), shingleSize = 3, threshold = 0.8)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // Near-dup clusters over the exact-Jaccard pairs: connected components
     // (iterative min-label propagation) + keep-one-per-cluster selection —
     // the dedup decision a training pipeline actually applies. Oracle:
@@ -4481,6 +4499,52 @@ object SparkEntry {
         |  FROM s l JOIN s r
         |    ON l.len_bucket = r.len_bucket AND l.doc_id < r.doc_id)
         |WHERE raw_j >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // directional: l is the contained doc (denominator |A| = len(l.sh)),
+    // r the container; lang blocking, no size blocking (cross-size pairs
+    // are the point of containment). Docs under shingleSize tokens have
+    // sh = [] and contribute no inverted-index rows on the Spark side —
+    // the len(sh) > 0 guard mirrors that (and keeps the division total).
+    "dedup_containment" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang,
+        |         list_distinct([array_to_string(toks[i:i+2], ' ')
+        |                        for i in range(1, len(toks) - 1)]) AS sh
+        |  FROM (SELECT doc_id, lang, string_split_regex(text, ' +') AS toks
+        |        FROM documents)
+        |)
+        |SELECT doc_a, doc_b, containment FROM (
+        |  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+        |         round(len(list_intersect(l.sh, r.sh))::DOUBLE
+        |               / len(l.sh), 4) AS containment,
+        |         len(list_intersect(l.sh, r.sh))::DOUBLE
+        |               / len(l.sh) AS raw_c
+        |  FROM s l JOIN s r
+        |    ON l.lang = r.lang AND l.doc_id <> r.doc_id
+        |  WHERE len(l.sh) > 0)
+        |WHERE raw_c >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // identical oracle: prefix filtering must not change the result set
+    "dedup_containment_prefix" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang,
+        |         list_distinct([array_to_string(toks[i:i+2], ' ')
+        |                        for i in range(1, len(toks) - 1)]) AS sh
+        |  FROM (SELECT doc_id, lang, string_split_regex(text, ' +') AS toks
+        |        FROM documents)
+        |)
+        |SELECT doc_a, doc_b, containment FROM (
+        |  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+        |         round(len(list_intersect(l.sh, r.sh))::DOUBLE
+        |               / len(l.sh), 4) AS containment,
+        |         len(list_intersect(l.sh, r.sh))::DOUBLE
+        |               / len(l.sh) AS raw_c
+        |  FROM s l JOIN s r
+        |    ON l.lang = r.lang AND l.doc_id <> r.doc_id
+        |  WHERE len(l.sh) > 0)
+        |WHERE raw_c >= 0.8
         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "dedup_clusters" ->

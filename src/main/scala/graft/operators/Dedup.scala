@@ -397,8 +397,15 @@ object Dedup {
           blockingKeys: _*)
       .withColumn("n_sh", size(col("sh")))
       .withColumn("hs", sort_array(transform(col("sh"), s => xxhash64(s))))
+      // + 2, one MORE than the classical n − ⌈t·n⌉ + 1: the theorem's
+      // ⌈t·n⌉ is exact-rational, but this ceil and the verify filter both
+      // run fl(·) double arithmetic, and their ±ulp disagreement at integer
+      // boundaries (fl(5·0.8) = 4.0000000000000002 → ceil 5, yet
+      // fl(4/(5+5-4)) can still pass a 0.4 verify) could under-prefix and
+      // drop a boundary pair; one extra indexed shingle per doc absorbs
+      // the whole ±1 integer ambiguity (see [[containmentPairsPrefix]]).
       .withColumn("plen",
-        (col("n_sh") - ceil(col("n_sh") * lit(threshold)) + 1).cast("int"))
+        (col("n_sh") - ceil(col("n_sh") * lit(threshold)) + 2).cast("int"))
     val prefixes = base.select(
       col("doc_id") +: col("n_sh") +:
         explode(slice(col("hs"), lit(1), col("plen"))).as("h") +:
@@ -430,6 +437,135 @@ object Dedup {
         col("common").cast("double") / (col("n_a") + col("n_b") - col("common")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Directional CONTAINMENT pairs: C(A→B) = |A∩B| / |A| over distinct
+    * n-gram shingles ≥ `threshold`, emitted as (doc_a = contained doc,
+    * doc_b = container). The ASYMMETRIC near-dup shape Jaccard misses:
+    * a short document pasted inside a long one (quoted reposts,
+    * boilerplate-wrapped copies — the crawl-dedup case in Broder 1997's
+    * original resemblance/containment pair) has high containment but
+    * Jaccard ≈ |A|/|B|, far below any sane threshold, so
+    * [[ngramJaccardPairs]] never flags it. Mutual containment yields both
+    * ordered pairs; self-pairs are excluded.
+    *
+    * Same inverted-index shape and cost argument as [[ngramJaccardPairs]]
+    * (Σ_shingle freq² within blocks, shuffles hash-partitioned on
+    * (shingle, block) / (doc_a, doc_b)). The AllPairs length filter
+    * adapts to the asymmetric measure: C ≥ t forces |B| ≥ t·|A| (the
+    * overlap can't exceed |B|), with NO upper bound on |B| — that missing
+    * upper bound is exactly why the symmetric length filter (and the
+    * len-bucket blocking the Jaccard queries use) would be WRONG here.
+    * Division form for the boundary-rounding reason documented at
+    * [[ngramJaccardPairs]].
+    */
+  def containmentPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockingKeys: Seq[Column],
+      shingleSize: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    require(threshold > 0.0, "inverted-index containment needs threshold > 0")
+    val keyNames = blockingKeys.map(_.toString)
+    val base = df.select(
+      col(idCol).as("doc_id") +:
+        TextAnalysis.shingles(col(textCol), shingleSize).as("sh") +:
+        blockingKeys: _*)
+    val inv = base
+      .withColumn("n_sh", size(col("sh")))
+      .select(col("doc_id") +: col("n_sh") +: explode(col("sh")).as("shingle") +:
+        keyNames.map(col): _*)
+    val lengthCompatible =
+      col("r.n_sh").cast("double") / col("l.n_sh") >= lit(threshold)
+    inv.as("l")
+      .join(inv.as("r"),
+        keyNames.map(k => col(s"l.$k") === col(s"r.$k"))
+          .foldLeft(col("l.shingle") === col("r.shingle"))(_ && _) &&
+          col("l.doc_id") =!= col("r.doc_id") && lengthCompatible)
+      .groupBy(
+        col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+        col("l.n_sh").as("n_a"))
+      .agg(count(lit(1)).as("common"))
+      .withColumn("containment", col("common").cast("double") / col("n_a"))
+      .filter(col("containment") >= threshold)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("containment"), 4).as("containment"))
+  }
+
+  /** Prefix-filtered exact containment — same results as
+    * [[containmentPairs]], built for corpora with heavy-hitter shingles.
+    *
+    * The asymmetric (SSJoin-style) prefix scheme: only the PROBE side
+    * (the contained-candidate A, whose size determines the required
+    * overlap ⌈t·|A|⌉) can be prefix-truncated; the container side B must
+    * index ALL its shingles, because B's theoretical prefix bound
+    * |B| − ⌈t·|A|⌉ + 1 depends on the PARTNER'S size, unknown at index
+    * time. Theorem (probe side): if |A∩B| ≥ ⌈t·|A|⌉ ≥ 1, the smallest
+    * common shingle in the canonical (sorted-hash) order sits within A's
+    * first |A| − ⌈t·|A|⌉ + 1 positions — were it later, fewer than
+    * ⌈t·|A|⌉ elements of A would remain at-or-after it, yet every common
+    * element is at-or-after the smallest one. B being fully indexed, the
+    * candidate join on that shingle cannot miss the pair — exact recall,
+    * verified on the full hashed shingle sets exactly as
+    * [[ngramJaccardPairsPrefix]] does.
+    *
+    * The prefix length uses `+ 2`, one MORE than the classical
+    * n − ⌈t·n⌉ + 1: the theorem's ⌈t·n⌉ speaks about exact rationals,
+    * while both this ceil and the verify filter run fl(·) double
+    * arithmetic whose ±ulp disagreement at integer boundaries (e.g.
+    * fl(5·0.8) = 4.0000000000000002, ceil → 5, yet fl(4/5) ≥ 0.8 passes
+    * verify) could otherwise under-prefix and drop a boundary pair. One
+    * extra indexed shingle per document absorbs the entire ±1 integer
+    * ambiguity: any overlap m that passes the fl verify satisfies
+    * m ≥ ⌈fl(n·t)⌉ − 1, so a prefix of n − (⌈fl(n·t)⌉ − 1) + 1 suffices.
+    */
+  def containmentPairsPrefix(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockingKeys: Seq[Column],
+      shingleSize: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    require(threshold > 0.0, "prefix filtering needs threshold > 0")
+    val keyNames = blockingKeys.map(_.toString)
+    val base = df
+      .select(
+        col(idCol).as("doc_id") +:
+          TextAnalysis.shingles(col(textCol), shingleSize).as("sh") +:
+          blockingKeys: _*)
+      .withColumn("n_sh", size(col("sh")))
+      .withColumn("hs", sort_array(transform(col("sh"), s => xxhash64(s))))
+      .withColumn("plen",
+        (col("n_sh") - ceil(col("n_sh") * lit(threshold)) + 2).cast("int"))
+    val probe = base.select(
+      col("doc_id") +: col("n_sh") +:
+        explode(slice(col("hs"), lit(1), col("plen"))).as("h") +:
+        keyNames.map(col): _*)
+    val full = base.select(
+      col("doc_id") +: col("n_sh") +: explode(col("hs")).as("h") +:
+        keyNames.map(col): _*)
+    val lengthCompatible =
+      col("r.n_sh").cast("double") / col("l.n_sh") >= lit(threshold)
+    val candidates = probe.as("l")
+      .join(full.as("r"),
+        keyNames.map(k => col(s"l.$k") === col(s"r.$k"))
+          .foldLeft(col("l.h") === col("r.h"))(_ && _) &&
+          col("l.doc_id") =!= col("r.doc_id") && lengthCompatible)
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .distinct()
+    val sets = base.select(col("doc_id"), col("hs"), col("n_sh"))
+    candidates
+      .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"),
+        col("n_sh").as("n_a")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")),
+        Seq("doc_b"))
+      .withColumn("common",
+        graft.functions.IntersectCountSorted.intersectCountSorted(col("hs_a"), col("hs_b")))
+      .withColumn("containment", col("common").cast("double") / col("n_a"))
+      .filter(col("containment") >= threshold)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("containment"), 4).as("containment"))
   }
 
   /** Near-dup CLUSTERS from a pair list: connected components by iterative

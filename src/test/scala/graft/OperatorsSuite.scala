@@ -832,6 +832,47 @@ class OperatorsSuite extends AnyFunSuite {
     assert(pre === inv, s"prefix filtering must be exact; diff=${pre.diff(inv) ++ inv.diff(pre)}")
   }
 
+  test("containment: asymmetric, directional, and prefix-filtered form is exact") {
+    def normalize(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // corpus fixture: prefix formulation must reproduce the inverted index
+    val inv = normalize(Dedup.containmentPairs(
+      docs, "doc_id", "text", Seq(col("lang")), 3, 0.8))
+    val pre = normalize(Dedup.containmentPairsPrefix(
+      docs, "doc_id", "text", Seq(col("lang")), 3, 0.8))
+    assert(inv.nonEmpty, "fixture should contain containment pairs")
+    assert(pre === inv, s"prefix containment must be exact; diff=${pre.diff(inv) ++ inv.diff(pre)}")
+
+    // hand corpus: A's 3 shingles all inside B (C(A→B)=1), but C(B→A)=0.5
+    // and J(A,B)=0.5 — containment flags the pasted-copy pair Jaccard
+    // structurally cannot; only the (contained, container) direction emits
+    val micro = spark.createDataFrame(Seq(
+      (1L, "a b c d e", "en"),
+      (2L, "a b c d e f g h", "en"),
+      (3L, "q r s t u v w", "en")
+    )).toDF("doc_id", "text", "lang")
+    val pairs = normalize(Dedup.containmentPairs(
+      micro, "doc_id", "text", Seq(col("lang")), 3, 0.8))
+    assert(pairs === Set((1L, 2L, 1.0)), s"expected only A⊂B, got $pairs")
+    val jac = Dedup.ngramJaccardPairs(
+      micro.withColumn("blk", lit(0)), "doc_id", "text", Seq(col("blk")), 3, 0.8)
+    assert(jac.count() === 0, "Jaccard at the same threshold must miss the pasted copy")
+
+    // exact boundary C = 4/5 = threshold 0.8: both formulations must emit
+    // it (this is the ±ulp case the prefix length's +2 hardening absorbs:
+    // fl(5·0.8) = 4.0000000000000002 so the classical n−⌈t·n⌉+1 prefix
+    // would shrink to 1 indexed shingle while fl(4/5) ≥ 0.8 passes verify)
+    val edge = spark.createDataFrame(Seq(
+      (10L, "t1 t2 t3 t4 t5 t6 t7", "en"),
+      (11L, "t1 t2 t3 t4 t5 t6 x8", "en")
+    )).toDF("doc_id", "text", "lang")
+    val einv = normalize(Dedup.containmentPairs(edge, "doc_id", "text", Seq(col("lang")), 3, 0.8))
+    val epre = normalize(Dedup.containmentPairsPrefix(edge, "doc_id", "text", Seq(col("lang")), 3, 0.8))
+    assert(einv === Set((10L, 11L, 0.8), (11L, 10L, 0.8)),
+      s"boundary pair must pass exactly at threshold, got $einv")
+    assert(epre === einv, "prefix form must keep the fl-boundary pair")
+  }
+
   test("IVF top-k achieves reasonable recall vs brute force and prunes cells") {
     val queries = emb.filter(col("vec_id") < 10)
     val brute = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
