@@ -733,6 +733,18 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // Zipf-exponent census per source: OLS slope of ln(freq) on ln(rank)
+    // over the top-200 terms — natural text sits near −1; templated or
+    // synthetic partitions flatten/steepen it. Bounded-heap top-K, no
+    // vocabulary sort; tie-invariant so the heap's hash tiebreak and the
+    // oracle's (freq DESC, term ASC) row_number see the same multiset.
+    "text_zipf" -> ((s, dir) => {
+      TextAnalysis.zipfCensus(documents(s, dir), Seq(col("source")), col("text"))
+        .select(col("source"), col("n_tokens"), col("vocab"),
+          col("n_top"), col("zipf_slope"))
+        .orderBy(col("source"))
+    }),
+
     // Char-mass midpoint per source: the lower WEIGHTED median of document
     // length weighted by length — "half this source's bytes live in docs
     // shorter than this". Exact integers: total-order cumsum, suffix test
@@ -5283,6 +5295,31 @@ object SparkEntry {
         |       ((sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000 * 2
         |         + count(*)) // (count(*) * 2))::BIGINT AS hapax_ppm
         |FROM c GROUP BY source
+        |ORDER BY source""".stripMargin,
+
+    "text_zipf" ->
+      """WITH t AS (
+        |  SELECT source, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT source, term, count(*)::BIGINT AS c FROM t GROUP BY 1, 2),
+        |stats AS (
+        |  SELECT source, sum(c)::BIGINT AS n_tokens, count(*)::BIGINT AS vocab
+        |  FROM tf GROUP BY 1),
+        |top AS (
+        |  SELECT source, ln(r::DOUBLE) AS x, ln(c::DOUBLE) AS y
+        |  FROM (SELECT source, c, row_number() OVER (
+        |          PARTITION BY source ORDER BY c DESC, term) AS r
+        |        FROM tf)
+        |  WHERE r <= 200),
+        |ols AS (
+        |  SELECT source, count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
+        |         sum(x * y) AS sxy, sum(x * x) AS sxx
+        |  FROM top GROUP BY 1)
+        |SELECT s.source, s.n_tokens, s.vocab, n::BIGINT AS n_top,
+        |       CASE WHEN n >= 2
+        |            THEN round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+        |       END AS zipf_slope
+        |FROM stats s JOIN ols USING (source)
         |ORDER BY source""".stripMargin,
 
     "q_wmedian_source" ->

@@ -475,6 +475,59 @@ object TextAnalysis {
         halfUp(col("n_hapax") * 1000000L, col("n_terms")).cast("long"))
   }
 
+  /** Zipf census per group: vocabulary size, token mass, and the Zipf
+    * exponent — the OLS slope of ln(freq) on ln(rank) over the `topK`
+    * most frequent terms. The standard corpus-QA scan: natural text sits
+    * near slope −1 (Zipf 1949); boilerplate-heavy, templated, or
+    * synthetic corpora flatten or steepen it, so a per-source slope
+    * census flags degenerate crawl partitions before they reach training.
+    *
+    * Scale shape: one hash agg to (group, term) counts — the exchange
+    * carries one row per distinct term, never token occurrences — then a
+    * bounded-heap top-K ([[graft.functions.TopKPairs]], map-side partial,
+    * no per-group vocabulary sort) and an OLS pass over ≤ topK rows per
+    * group. The heap needs a Long id but the census is TIE-INVARIANT:
+    * equal frequencies swap ranks only among themselves, so the
+    * (rank, freq) multiset — all the OLS sees — is identical under any
+    * tiebreak, the hash id never surfaces, and the DuckDB oracle's
+    * (freq DESC, term ASC) row_number replays the same multiset. Float
+    * surface: ln/×/Σ over ≤ topK values per group ahead of a 6-decimal
+    * round — the accepted summation-noise class (see SCALE.md).
+    */
+  def zipfCensus(
+      df: DataFrame,
+      groupKeys: Seq[Column],
+      textCol: Column,
+      topK: Int = 200): DataFrame = {
+    require(topK >= 2, "zipfCensus: the OLS needs at least 2 ranks")
+    val keyNames = groupKeys.map(_.toString)
+    val keys = keyNames.map(col)
+    val tf = df
+      .select(groupKeys :+ explode(wordTokens(textCol)).as("term"): _*)
+      .groupBy(keys :+ col("term"): _*)
+      .agg(count(lit(1)).as("c"))
+    val stats = tf.groupBy(keys: _*)
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("vocab"))
+    val ranked = tf.groupBy(keys: _*)
+      .agg(graft.functions.TopKPairs.topK(
+        col("c").cast("double"), xxhash64(col("term")), topK).as("t"))
+      .select(keys :+ posexplode(col("t")).as(Seq("pos0", "p")): _*)
+      .select(keys :+ log(col("pos0") + 1).as("x") :+ log(col("p.score")).as("y"): _*)
+    val ols = ranked.groupBy(keys: _*)
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      // n ≥ 2 ⇒ ranks 1 and 2 present ⇒ Σx² strictly dominates (Σx)²/n,
+      // denominator > 0; a single-term vocabulary has no slope (NULL, not
+      // a 0/0 whose NaN-vs-NULL spelling differs between engines)
+      .withColumn("zipf_slope",
+        when(col("n") >= 2,
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")), 6)))
+      .select(keys :+ col("n").cast("long").as("n_top") :+ col("zipf_slope"): _*)
+    stats.join(ols, keyNames)
+  }
+
   def noveltyCensus(
       df: DataFrame,
       idCol: String,

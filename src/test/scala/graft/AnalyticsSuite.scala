@@ -681,6 +681,36 @@ class AnalyticsSuite extends AnyFunSuite {
     assert(!out.contains("e"), "token-less group vanishes")
   }
 
+  test("zipfCensus: exact −1 slope on a perfect power law; tie-invariant; 1-term group NULL") {
+    import spark.implicits._
+    // freqs 24/r at ranks 1..4: ln f = ln 24 − ln r exactly linear → OLS
+    // slope −1 to machine precision, −1.0 after the 6-decimal round
+    val power = (Seq.fill(24)("w1") ++ Seq.fill(12)("w2") ++
+        Seq.fill(8)("w3") ++ Seq.fill(6)("w4"))
+      .map(w => ("p", w)).toDF("source", "text")
+    // four terms ALL tied at freq 3 → every rank assignment is a
+    // permutation of the same (rank, freq) multiset; slope must be the
+    // flat 0.0 regardless of which term the heap's hash tiebreak ranks
+    // where (ln f constant ⇒ OLS slope exactly 0)
+    val tied = Seq.fill(3)(Seq("t1", "t2", "t3", "t4")).flatten
+      .map(w => ("t", w)).toDF("source", "text")
+    // single-term vocabulary: no slope — NULL, not NaN
+    val mono = Seq.fill(5)(("m", "only")).toDF("source", "text")
+    val out = TextAnalysis.zipfCensus(power.union(tied).union(mono),
+        Seq(col("source")), col("text"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+    assert(out("p").copy(_4 = None) === ((50L, 4L, 4L, None)), s"power counts: $out")
+    assert(out("p")._4.exists(s => math.abs(s - (-1.0)) < 1e-9),
+      s"perfect 24/r law must fit slope −1: $out")
+    assert(out("t").copy(_4 = None) === ((12L, 4L, 4L, None)), s"tied counts: $out")
+    assert(out("t")._4.exists(s => math.abs(s) < 1e-9),
+      s"all-tied frequencies: flat slope under any tiebreak: $out")
+    assert(out("m") === ((5L, 1L, 1L, None)),
+      s"mono vocabulary has no slope: $out")
+  }
+
   test("bm25Scores: idf favors rare terms, tf saturates, length normalizes, no-hit scores 0") {
     // 'rare' appears in 1 of 6 docs, 'common' in 5 of 6
     val docs = Seq(
