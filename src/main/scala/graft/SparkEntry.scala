@@ -2591,6 +2591,21 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // Cluster-balanced selection: select_domain_cap's quota shape over a
+    // LEARNED key — top-5 docs by n_chars per k-means cell of the
+    // embedding space (auto-sized cells), the diversity-preserving
+    // downsample when one topic dominates. No SQL oracle (k-means cells);
+    // spec-tier: nlist=1 ≡ global top-k anchor, per-cell top-score
+    // identity, salted ≡ unsalted, determinism.
+    "select_cluster_balanced" -> ((s, dir) => {
+      val docs = documents(s, dir).select(col("doc_id"), col("source"), col("n_chars"))
+      val emb = embeddings(s, dir).select(col("vec_id").as("doc_id"), col("embedding"))
+      Pipeline.selectClusterBalanced(docs, emb, "doc_id", "embedding", "n_chars",
+          nlist = -1, maxPerCluster = 5, targetOccupancy = 50)
+        .select(col("doc_id"), col("cell"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Deterministic training-order shuffle: epoch-seeded md5 of the doc id
     // is the sort key, so every engine/run/cluster size derives the SAME
     // permutation, and a new epoch string is a fresh permutation with zero

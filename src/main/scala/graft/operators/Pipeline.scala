@@ -1051,6 +1051,49 @@ object Pipeline {
   /** 0–9999: the basis-point-rate form ([[temperatureSample]]). */
   private def md5Bucket10k(key: Column): Column = md5Bucket(key, 8, 10000)
 
+  /** Cluster-balanced selection: cap the kept documents per SEMANTIC
+    * CLUSTER (k-means over an embedding column) instead of per metadata
+    * domain — the diversity-preserving downsampling a pretraining mix
+    * runs when one topic dominates the crawl (the cluster-quota shape of
+    * SemDeDup-style pipelines; [[capPerKey]] with a learned key). Within
+    * each cluster the keepers are the top `maxPerCluster` by
+    * (`scoreCol` desc, id asc) — highest-quality representatives, ties
+    * deterministic.
+    *
+    * Returns `docs`' columns plus the `cell` assignment. Clustering
+    * reuses [[Similarity.kmeansCells]] (deterministic md5 seeds,
+    * broadcast-codebook map-side argmin assignment); `nlist <= 0` sizes
+    * the cell count by expected occupancy ([[Similarity.autoCells]] — one
+    * column-less count at plan time, the documented auto-sizing
+    * carve-out from build-time laziness). The per-cluster cut is
+    * [[capPerKey]]: with `saltBuckets > 1` a hot cluster pre-caps in
+    * (cell, salt) slices so no single task sorts a mega-cluster.
+    *
+    * With `nlist = 1` every document lands in one cell and this IS the
+    * global top-`maxPerCluster` cut — the exact-regime anchor the spec
+    * pins, the same pattern as IVF's full-probe ≡ brute-force gate.
+    */
+  def selectClusterBalanced(
+      docs: DataFrame,
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      scoreCol: String,
+      nlist: Int,
+      maxPerCluster: Int,
+      iters: Int = 2,
+      targetOccupancy: Int = 250,
+      saltBuckets: Int = 1): DataFrame = {
+    val effNlist =
+      if (nlist > 0) nlist
+      else Similarity.autoCells(emb.count(), targetOccupancy)
+    val cells = Similarity.kmeansCells(emb, idCol, vecCol, effNlist, iters)
+    val assigned = docs.join(cells.select(col(idCol), col("cell")), Seq(idCol))
+    capPerKey(assigned, col("cell"),
+      Seq(col(scoreCol).desc, col(idCol).asc), maxPerCluster,
+      col(idCol), saltBuckets)
+  }
+
   /** Per-key quota cap: keep at most `maxPerKey` rows per `key`, choosing
     * the FIRST `maxPerKey` under `order` — the domain-frequency cap of
     * web-crawl curation ("no domain contributes more than N documents"),

@@ -2418,6 +2418,40 @@ class OperatorsSuite extends AnyFunSuite {
     assert(d === expect)
   }
 
+  test("selectClusterBalanced: per-cell top-score quota; nlist=1 is the global cut; salted identical") {
+    val d = docs.select(col("doc_id"), col("n_chars"))
+    val e = emb.select(col("vec_id").as("doc_id"), col("embedding"))
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val out = Pipeline.selectClusterBalanced(d, e, "doc_id", "embedding", "n_chars",
+      nlist = 4, maxPerCluster = 3)
+    val rows = out.select(col("doc_id"), col("n_chars"), col("cell"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // kept per cell = EXACTLY the top-3 by (n_chars desc, doc_id asc) of
+    // that cell's members (assignment recomputed — kmeansCells is
+    // deterministic)
+    val cells = Similarity.kmeansCells(e, "doc_id", "embedding", 4, iters = 2)
+      .join(d, Seq("doc_id"))
+      .select(col("cell"), col("n_chars"), col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expect = cells.groupBy(_._1).values
+      .flatMap(_.sortBy(t => (-t._2, t._3)).take(3))
+      .map(t => (t._3, t._2, t._1)).toSet
+    assert(rows.toSet === expect, "per-cell keepers must be the cell's top-3 by score")
+    assert(rows.groupBy(_._3).values.forall(_.length <= 3), "quota respected")
+    // nlist = 1: one cell → the global top-k cut, the exact-regime anchor
+    val one = Pipeline.selectClusterBalanced(d, e, "doc_id", "embedding", "n_chars",
+      nlist = 1, maxPerCluster = 5)
+    val globalTop = d.join(e.select(col("doc_id")), Seq("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(t => (-t._2, t._1)).take(5).map(_._1).toSet
+    assert(ids(one) === globalTop, "single cell must reduce to the global top-k")
+    // salted two-phase plan keeps identical rows
+    val salted = Pipeline.selectClusterBalanced(d, e, "doc_id", "embedding", "n_chars",
+      nlist = 4, maxPerCluster = 3, saltBuckets = 8)
+    assert(ids(salted) === rows.map(_._1).toSet, "salted cut must be row-identical")
+  }
+
   test("native word tokenizer ≡ regexp_extract_all on the corpus and on unicode edge cases") {
     import spark.implicits._
     val edge = Seq(
