@@ -1735,6 +1735,31 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // Unigram-LM (SentencePiece) tokenizer census — the other half of the
+    // subword family next to text_bpe_tokens: EM-fitted piece table over
+    // the word-frequency head, Viterbi encode on executors. vocabSize 64
+    // over the ~31-word synthetic vocabulary keeps rare words split into
+    // pieces. Oracle: the trained table is the embedded model artifact and
+    // the Viterbi DP is INDEPENDENTLY re-run in SQL (unigramOracleSql).
+    "text_unigram_tokens" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      val pieces = graft.operators.Unigram.train(docs, col("text"),
+        vocabSize = 64, maxWords = 20000)
+      unigramTrainedPieces = pieces
+      unigramMaxWordLen = docs
+        .select(explode(graft.functions.Tokenize.wordTokens(col("text"))).as("w"))
+        .agg(coalesce(max(length(col("w"))), lit(1)).as("m"))
+        .collect()(0).getInt(0).max(1)
+      docs.select(col("source"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("ws"),
+          graft.operators.Unigram.tokenCount(col("text"), pieces).cast("long").as("uni"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ws")).as("ws_tokens"),
+          sum(col("uni")).as("uni_tokens"))
+        .orderBy(col("source"))
+    }),
+
     // TPC-H Q5 shape: 6-way join across the full star schema. Fact-fact
     // joins (orders⋈lineitem, ⋈customer) shuffle on their keys; nation/
     // region/supplier are dims — Catalyst/AQE picks broadcast at any scale
@@ -3189,6 +3214,8 @@ object SparkEntry {
     * literals always describe the same table the Spark plan encoded with.
     */
   @volatile private var bpeTrainedMerges: Seq[(String, String)] = Seq.empty
+  @volatile private var unigramTrainedPieces: Seq[(String, Double)] = Seq.empty
+  @volatile private var unigramMaxWordLen: Int = 1
 
   /** DuckDB replay of greedy BPE encoding under [[bpeTrainedMerges]].
     *
@@ -3229,6 +3256,75 @@ object SparkEntry {
        |SELECT base.source, count(*)::BIGINT AS n_docs,
        |       sum(base.ws)::BIGINT AS ws_tokens,
        |       sum(coalesce(perdoc.bpe, 0))::BIGINT AS bpe_tokens
+       |FROM base LEFT JOIN perdoc
+       |  ON base.source = perdoc.source AND base.doc_id = perdoc.doc_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** DuckDB replay of unigram-LM Viterbi segmentation under
+    * [[unigramTrainedPieces]]: the trained piece table is the embedded
+    * model artifact (the bpe-merge/ewma-weight literal pattern) and the
+    * DP itself is INDEPENDENTLY re-run in SQL — one unrolled stage per
+    * word position, each taking the lexicographic max of
+    * (score, piece_len, count) over candidate pieces, OOV single chars as
+    * regular nodes at the kernel's min−10 unk score. The hash gate
+    * compares integer token counts; a count flip would need two EM-fitted
+    * double path sums exactly equal AND different segment counts — the
+    * accepted measure-zero class (and the (score, len) tiebreak mirrors
+    * the kernel's longest-piece rule regardless).
+    */
+  private def unigramOracleSql(pieces: Seq[(String, Double)], maxWordLen: Int): String = {
+    // oracleSql is dumped after Verify runs the queries, so the trained
+    // table is populated; the placeholder only guards a pre-run access
+    if (pieces.isEmpty) return "SELECT 'queries not yet run' AS placeholder"
+    val maxPieceLen = pieces.map(_._1.length).max
+    def dlit(d: Double) = s"CAST('${java.lang.Double.toString(d)}' AS DOUBLE)"
+    val unk = dlit(pieces.map(_._2).min - 10.0)
+    val vals = pieces
+      .map { case (p, lp) => s"('${p.replace("'", "''")}', ${dlit(lp)})" }
+      .mkString(",\n    ")
+    val stages = (1 to maxWordLen).map { i =>
+      val cands = (1 to math.min(maxPieceLen, i)).map { k =>
+        val j = i - k
+        if (k == 1)
+          s"""    SELECT d.w, d.best + COALESCE(p.lp, $unk) AS nb, 1 AS k, d.cnt + 1 AS nc
+             |    FROM dp$j d LEFT JOIN pieces p ON p.p = substr(d.w, $i, 1)
+             |    WHERE length(d.w) >= $i""".stripMargin
+        else
+          s"""    SELECT d.w, d.best + p.lp AS nb, $k AS k, d.cnt + 1 AS nc
+             |    FROM dp$j d JOIN pieces p ON p.p = substr(d.w, ${j + 1}, $k)
+             |    WHERE length(d.w) >= $i""".stripMargin
+      }.mkString("\n    UNION ALL\n")
+      s"""dp$i AS (
+         |  SELECT w, m['b'] AS best, m['c'] AS cnt FROM (
+         |    SELECT w, max(struct_pack(b := nb, k := k, c := nc)) AS m FROM (
+         |$cands
+         |    ) GROUP BY w)
+         |)""".stripMargin
+    }.mkString(",\n")
+    val finals = (1 to maxWordLen)
+      .map(i => s"  SELECT w, cnt FROM dp$i WHERE length(w) = $i")
+      .mkString("\n  UNION ALL\n")
+    s"""WITH pieces(p, lp) AS (VALUES
+       |    $vals),
+       |dw AS (
+       |  SELECT source, doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS w
+       |  FROM documents),
+       |words AS (SELECT DISTINCT w FROM dw),
+       |dp0 AS (SELECT w, CAST(0.0 AS DOUBLE) AS best, 0 AS cnt FROM words),
+       |$stages,
+       |wcnt AS (
+       |$finals),
+       |perdoc AS (
+       |  SELECT source, doc_id, sum(cnt)::BIGINT AS uni
+       |  FROM dw JOIN wcnt USING (w) GROUP BY 1, 2),
+       |base AS (
+       |  SELECT source, doc_id,
+       |         len(regexp_extract_all(text, '[a-z0-9]+'))::BIGINT AS ws
+       |  FROM documents)
+       |SELECT base.source, count(*)::BIGINT AS n_docs,
+       |       sum(base.ws)::BIGINT AS ws_tokens,
+       |       sum(coalesce(perdoc.uni, 0))::BIGINT AS uni_tokens
        |FROM base LEFT JOIN perdoc
        |  ON base.source = perdoc.source AND base.doc_id = perdoc.doc_id
        |GROUP BY 1 ORDER BY 1""".stripMargin
@@ -3504,6 +3600,8 @@ object SparkEntry {
         |FROM r WHERE rank <= 5 ORDER BY 1, 2""".stripMargin,
 
     "text_bpe_tokens" -> bpeOracleSql(bpeTrainedMerges),
+    "text_unigram_tokens" ->
+      unigramOracleSql(unigramTrainedPieces, unigramMaxWordLen),
 
     "graph_components" ->
       """WITH RECURSIVE v AS (SELECT c_custkey AS id FROM customer),

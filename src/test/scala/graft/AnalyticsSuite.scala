@@ -208,6 +208,79 @@ class AnalyticsSuite extends AnyFunSuite {
     }
   }
 
+  test("unigram: Viterbi kernel exact on hand lattices; unk total; ties take the longest piece") {
+    import graft.functions.UnigramEncode
+    val table = new java.util.HashMap[String, java.lang.Double]()
+    Seq("a" -> -1.0, "b" -> -1.2, "ab" -> -1.5, "abc" -> -2.0)
+      .foreach { case (p, lp) => table.put(p, lp) }
+    def enc(w: String) = UnigramEncode.encodeWord(w, table, 3, -12.0).toSeq
+    assert(enc("ab") === Seq("ab"), "-1.5 beats a+b = -2.2")
+    assert(enc("ba") === Seq("b", "a"))
+    assert(enc("abc") === Seq("abc"), "-2.0 beats ab+? and a+?")
+    assert(enc("axb") === Seq("a", "x", "b"), "unknown char segments as itself")
+    assert(enc("") === Seq.empty)
+    // exact score tie (ab+c = a+bc = -3.0): the longest LAST piece wins
+    val tie = new java.util.HashMap[String, java.lang.Double]()
+    Seq("a" -> -1.0, "bc" -> -2.0, "ab" -> -2.0, "c" -> -1.0, "b" -> -9.0)
+      .foreach { case (p, lp) => tie.put(p, lp) }
+    assert(UnigramEncode.encodeWord("abc", tie, 3, -19.0).toSeq === Seq("a", "bc"))
+    // unk is a REGULAR lattice node, not a stuck-only fallback: the unk
+    // path abc+⟨d⟩ = -0.1-30 beats the all-piece path a+bcd = -35
+    val unkComp = new java.util.HashMap[String, java.lang.Double]()
+    Seq("abc" -> -0.1, "bcd" -> -20.0, "a" -> -15.0, "b" -> -15.0, "c" -> -15.0)
+      .foreach { case (p, lp) => unkComp.put(p, lp) }
+    assert(UnigramEncode.encodeWord("abcd", unkComp, 3, -30.0).toSeq === Seq("abc", "d"))
+  }
+
+  test("unigram: EM never decreases corpus likelihood; dominant word collapses; probs normalize") {
+    import graft.operators.Unigram
+    val corpus = Seq("training" -> 1000L, "data" -> 50L, "rate" -> 30L, "gain" -> 20L)
+    // no-prune regime (vocabSize >= seed size): emIters=k is exactly k EM
+    // passes on the same seed vocabulary -> textbook monotonicity applies
+    val v1 = Unigram.trainLocal(corpus, vocabSize = 10000, emIters = 1)
+    val v2 = Unigram.trainLocal(corpus, vocabSize = 10000, emIters = 2)
+    val ll1 = Unigram.corpusLogLikelihood(corpus, v1)
+    val ll2 = Unigram.corpusLogLikelihood(corpus, v2)
+    assert(ll2 >= ll1 - 1e-9, s"EM pass must not decrease likelihood: $ll1 -> $ll2")
+    Seq(v1, v2).foreach { v =>
+      val tot = v.map { case (_, lp) => math.exp(lp) }.sum
+      assert(math.abs(tot - 1.0) < 1e-9, s"piece probs must normalize: $tot")
+    }
+    // after pruning to a tight vocab, the dominant word IS a piece and
+    // encodes to a single token
+    val pruned = Unigram.trainLocal(corpus, vocabSize = 30, emIters = 2)
+    assert(pruned.map(_._1).contains("training"), s"dominant word must survive: $pruned")
+    val k = new graft.functions.UnigramEncode.Kernel(pruned.toArray)
+    assert(k.encodeCount(org.apache.spark.unsafe.types.UTF8String.fromString("training")) === 1)
+    // determinism end to end
+    assert(Unigram.trainLocal(corpus, vocabSize = 30, emIters = 2) === pruned)
+  }
+
+  test("unigram: executor encode matches the driver reference on the corpus fixture") {
+    import graft.operators.Unigram
+    val docs = Tables.documents(spark, sf).limit(40).cache()
+    val pieces = Unigram.train(docs, col("text"), vocabSize = 64, maxWords = 5000)
+    assert(pieces.nonEmpty)
+    val table = new java.util.HashMap[String, java.lang.Double]()
+    pieces.foreach { case (p, lp) => table.put(p, lp) }
+    val maxLen = pieces.map(_._1.length).max
+    val unk = pieces.map(_._2).min - 10.0
+    val got = docs.select(col("text"),
+        Unigram.tokens(col("text"), pieces).as("toks"),
+        Unigram.tokenCount(col("text"), pieces).as("n"),
+        graft.operators.TextAnalysis.tokenCount(col("text")).as("nws"))
+      .collect()
+    got.foreach { r =>
+      val text = r.getAs[String]("text")
+      val ref = "[a-z0-9]+".r.findAllIn(text).flatMap(w =>
+        graft.functions.UnigramEncode.encodeWord(w, table, maxLen, unk)).toSeq
+      assert(r.getAs[Seq[String]]("toks") === ref, "executor unigram != driver reference")
+      assert(r.getAs[Int]("n") === ref.size)
+      assert(r.getAs[Int]("n") >= r.getAs[Int]("nws"),
+        "subword pieces are at least as many as whitespace words")
+    }
+  }
+
   test("deflateSize: matches a driver-side java.util.zip reference and is deterministic") {
     val docs = Tables.documents(spark, sf).limit(50)
     val got = docs.select(col("doc_id"), col("text"),
