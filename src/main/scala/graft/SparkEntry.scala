@@ -2397,6 +2397,26 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // Content-defined chunk dedup census over the binary media payloads:
+    // gear-CDC chunks (min 32 / avg 64 / max 256 bytes at this blob scale),
+    // duplicate-chunk mass per media type. No SQL oracle (rolling-hash
+    // chunker); spec-tier: partition/bounds/determinism and the
+    // shift-invariance property fixed-size chunking lacks.
+    "dedup_cdc_chunks" -> ((s, dir) => {
+      val media = Multimodal.syntheticMedia(documents(s, dir), "doc_id", "text")
+      Dedup.cdcChunkTable(media, "media_id", "content", 32, 64, 256)
+        .join(media.select(col("media_id").as("blob_id"), col("media_type")),
+          Seq("blob_id"))
+        .groupBy(col("media_type"))
+        .agg(countDistinct(col("blob_id")).as("n_blobs"),
+          count(lit(1)).as("n_chunks"),
+          countDistinct(col("chunk_hash")).as("n_distinct_chunks"),
+          sum(col("len")).as("chunk_bytes"))
+        .withColumn("dup_ratio", TextAnalysis.ratio4(
+          col("n_chunks") - col("n_distinct_chunks"), col("n_chunks")))
+        .orderBy(col("media_type"))
+    }),
+
     // Resize planning: aspect-preserving fit into a 256px box, integer math.
     "multimodal_resize" -> ((s, dir) => {
       val media = Multimodal.syntheticMedia(documents(s, dir), "doc_id", "text")

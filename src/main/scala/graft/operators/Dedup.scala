@@ -568,6 +568,31 @@ object Dedup {
         round(col("containment"), 4).as("containment"))
   }
 
+  /** Content-defined chunk table of a BINARY column: one (blob_id, off,
+    * len, chunk_hash) row per gear-CDC chunk
+    * ([[graft.functions.GearChunks]] — Xia et al. 2014/2016, public).
+    * The storage-dedup primitive for opaque media payloads: chunk-level
+    * exact dedup (`exactByKey` on chunk_hash), cross-blob shared-content
+    * census, and delta-friendly layout all start from this table, and the
+    * content-defined boundaries keep chunk identity stable under the
+    * insertions/edits that shatter fixed-size chunking.
+    *
+    * Scale shape: the chunker is per-row codegen'd CPU; the only shuffle
+    * is whatever the consumer aggregates on (typically chunk_hash — and
+    * bodies never ride that exchange, only 24-byte chunk records).
+    */
+  def cdcChunkTable(
+      df: DataFrame,
+      idCol: String,
+      binCol: String,
+      minSize: Int = 2048,
+      avgSize: Int = 4096,
+      maxSize: Int = 16384): DataFrame =
+    df.select(col(idCol).as("blob_id"),
+        explode(graft.functions.GearChunks.cdcChunks(col(binCol), minSize, avgSize, maxSize)).as("c"))
+      .select(col("blob_id"), col("c.off").as("off"),
+        col("c.len").as("len"), col("c.hash").as("chunk_hash"))
+
   /** Near-dup CLUSTERS from a pair list: connected components by iterative
     * min-label propagation, then `keep = (doc_id == cluster_id)` — the
     * "keep one document per duplicate cluster" selection every training

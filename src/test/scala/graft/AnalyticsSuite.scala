@@ -281,6 +281,61 @@ class AnalyticsSuite extends AnyFunSuite {
     }
   }
 
+  test("gear CDC: exact partition, size bounds, and single-insert chunk-hash resync") {
+    import graft.functions.GearChunks
+    // aperiodic junk: concatenated md5(counter) digests (an LCG byte
+    // stream was near-periodic at ~4100 and made chunk CONTENTS repeat,
+    // which turns the set-intersection assertions below into undercounts)
+    val b: Array[Byte] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      (0 until 512).flatMap(i => md.digest(i.toString.getBytes).toSeq).toArray
+    }
+    val t = GearChunks.chunks(b, 32, 64, 256)
+    val n = t.length / 3
+    assert(n > 8, "fixture should produce many chunks")
+    // chunks partition the blob exactly
+    var expectOff = 0L
+    for (i <- 0 until n) {
+      assert(t(i * 3) === expectOff, s"chunk $i offset")
+      expectOff += t(i * 3 + 1)
+    }
+    assert(expectOff === b.length.toLong, "chunks must cover the blob")
+    // size bounds: every chunk in [min, max] except possibly the final tail
+    for (i <- 0 until n) {
+      val len = t(i * 3 + 1)
+      assert(len <= 256, s"chunk $i exceeds maxSize")
+      assert(len >= 32 || i == n - 1, s"non-final chunk $i under minSize")
+    }
+    // deterministic
+    assert(GearChunks.chunks(b, 32, 64, 256).toSeq === t.toSeq)
+    // hash identity: each chunk hash is FNV of its own bytes
+    for (i <- 0 until math.min(n, 5))
+      assert(t(i * 3 + 2) ===
+        GearChunks.fnv64(b, t(i * 3).toInt, t(i * 3 + 1).toInt))
+    // THE CDC property, isolated (minSize = 1, so cuts = exactly the
+    // content-defined candidate set): the gear context is 64 bytes, so a
+    // 7-byte prepend leaves every boundary in the shared suffix intact —
+    // all but the first chunk or two survive by hash
+    val b2 = Array.tabulate(7)(i => (i + 1).toByte) ++ b
+    def hashes(tr: Array[Long]) = (0 until tr.length / 3).map(i => tr(i * 3 + 2)).toSet
+    val p1 = GearChunks.chunks(b, 1, 64, 8192)
+    val p2 = GearChunks.chunks(b2, 1, 64, 8192)
+    val pn = hashes(p1).size
+    assert((hashes(p1) & hashes(p2)).size >= pn - 2,
+      s"pure CDC must preserve every suffix boundary: ${(hashes(p1) & hashes(p2)).size} of $pn")
+    // with production min/max bounds the min-size coupling delays (but
+    // does not prevent) re-sync: a solid majority of chunks still survive,
+    // while fixed-size chunking of the same pair shares nothing
+    val t2 = GearChunks.chunks(b2, 32, 64, 256)
+    val shared = (hashes(t) & hashes(t2)).size
+    assert(shared > n / 2,
+      s"bounded CDC must re-sync after an insert: $shared of $n chunk hashes survive")
+    def fixedHashes(bytes: Array[Byte]) =
+      bytes.grouped(64).map(g => GearChunks.fnv64(g, 0, g.length)).toSet
+    assert((fixedHashes(b) & fixedHashes(b2)).size <= 1,
+      "fixed-size chunking shatters under the same insert (why CDC exists)")
+  }
+
   test("deflateSize: matches a driver-side java.util.zip reference and is deterministic") {
     val docs = Tables.documents(spark, sf).limit(50)
     val got = docs.select(col("doc_id"), col("text"),
