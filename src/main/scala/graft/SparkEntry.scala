@@ -2638,15 +2638,17 @@ object SparkEntry {
 
     // Cluster-balanced selection: select_domain_cap's quota shape over a
     // LEARNED key — top-5 docs by n_chars per k-means cell of the
-    // embedding space (auto-sized cells), the diversity-preserving
-    // downsample when one topic dominates. No SQL oracle (k-means cells);
-    // spec-tier: nlist=1 ≡ global top-k anchor, per-cell top-score
-    // identity, salted ≡ unsalted, determinism.
+    // embedding space, the diversity-preserving downsample when one topic
+    // dominates. FIXED nlist + sampled driver fit (the linear 100 TB
+    // shape — see the operator's scale note; auto-occupancy cells would
+    // make flat assignment n²/occ with no pair stage to justify it).
+    // No SQL oracle (k-means cells); spec-tier: nlist=1 ≡ global top-k
+    // anchor, per-cell top-score identity, salted ≡ unsalted, determinism.
     "select_cluster_balanced" -> ((s, dir) => {
       val docs = documents(s, dir).select(col("doc_id"), col("source"), col("n_chars"))
       val emb = embeddings(s, dir).select(col("vec_id").as("doc_id"), col("embedding"))
       Pipeline.selectClusterBalanced(docs, emb, "doc_id", "embedding", "n_chars",
-          nlist = -1, maxPerCluster = 5, targetOccupancy = 50)
+          nlist = 64, maxPerCluster = 5, trainSample = 512)
         .select(col("doc_id"), col("cell"), col("source"), col("n_chars"))
         .orderBy(col("doc_id"))
     }),

@@ -1069,6 +1069,20 @@ object Pipeline {
     * [[capPerKey]]: with `saltBuckets > 1` a hot cluster pre-caps in
     * (cell, salt) slices so no single task sorts a mega-cluster.
     *
+    * SCALE NOTE — the right nlist policy is the OPPOSITE of SemDeDup's:
+    * flat k-means assignment costs n·nlist, so occupancy-pinned auto
+    * cells (nlist ∝ n) make the assignment n²/occupancy. SemDeDup pays
+    * that to LINEARIZE its in-cell pair stage (Σ|cell|², the dominant
+    * term); a cluster quota has NO pair stage, so a FIXED nlist — the
+    * paper-style "50k clusters at web scale" — keeps the whole operator
+    * linear in n, and `trainSample > 0` drops the per-iteration
+    * distributed Lloyd jobs for a driver fit over a bounded
+    * md5-deterministic sample + one codegen'd broadcast-codebook
+    * assignment scan (the production shape; measured: auto cells were
+    * 4.0× at 10× data, fixed-nlist sampled-fit re-measured linear).
+    * `nlist <= 0` auto sizing remains for moderate-n diversity parity
+    * with [[Dedup.semanticDedup]].
+    *
     * With `nlist = 1` every document lands in one cell and this IS the
     * global top-`maxPerCluster` cut — the exact-regime anchor the spec
     * pins, the same pattern as IVF's full-probe ≡ brute-force gate.
@@ -1083,11 +1097,12 @@ object Pipeline {
       maxPerCluster: Int,
       iters: Int = 2,
       targetOccupancy: Int = 250,
-      saltBuckets: Int = 1): DataFrame = {
+      saltBuckets: Int = 1,
+      trainSample: Int = 0): DataFrame = {
     val effNlist =
       if (nlist > 0) nlist
       else Similarity.autoCells(emb.count(), targetOccupancy)
-    val cells = Similarity.kmeansCells(emb, idCol, vecCol, effNlist, iters)
+    val cells = Similarity.kmeansCells(emb, idCol, vecCol, effNlist, iters, trainSample)
     val assigned = docs.join(cells.select(col(idCol), col("cell")), Seq(idCol))
     capPerKey(assigned, col("cell"),
       Seq(col(scoreCol).desc, col(idCol).asc), maxPerCluster,

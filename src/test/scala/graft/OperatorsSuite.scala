@@ -2450,6 +2450,17 @@ class OperatorsSuite extends AnyFunSuite {
     val salted = Pipeline.selectClusterBalanced(d, e, "doc_id", "embedding", "n_chars",
       nlist = 4, maxPerCluster = 3, saltBuckets = 8)
     assert(ids(salted) === rows.map(_._1).toSet, "salted cut must be row-identical")
+    // the sampled-fit scale path (fixed nlist, driver Lloyd over the
+    // md5-deterministic sample): deterministic, quota respected, total
+    val s1 = Pipeline.selectClusterBalanced(d, e, "doc_id", "embedding", "n_chars",
+      nlist = 4, maxPerCluster = 3, trainSample = 64)
+    val s2 = Pipeline.selectClusterBalanced(d, e, "doc_id", "embedding", "n_chars",
+      nlist = 4, maxPerCluster = 3, trainSample = 64)
+    val sRows = s1.select(col("doc_id"), col("cell")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(ids(s2) === sRows.map(_._1).toSet, "sampled fit must be deterministic")
+    assert(sRows.groupBy(_._2).values.forall(_.length <= 3), "sampled-fit quota respected")
+    assert(sRows.map(_._1).toSet.subsetOf(ids(d.join(e.select(col("doc_id")), Seq("doc_id")))))
   }
 
   test("native word tokenizer ≡ regexp_extract_all on the corpus and on unicode edge cases") {
