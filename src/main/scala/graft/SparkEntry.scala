@@ -745,6 +745,20 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // Blocklist filter census (C4 badwords drop rule): ONE Aho-Corasick
+    // pass per doc over the whole phrase list — the list includes a
+    // pattern nested inside another ("merge" ⊂ "merge batch", exercising
+    // the dictionary-suffix collapse) and an absent phrase. Oracle: plain
+    // per-pattern strpos in DuckDB — doc-level distinct-pattern semantics
+    // keep it exact.
+    "text_blocklist" -> ((s, dir) => {
+      TextAnalysis.blocklistCensus(documents(s, dir), Seq(col("source")),
+          col("text"), SparkEntry.blocklistPatterns)
+        .select(col("source"), col("n_docs"), col("n_flagged"),
+          col("n_kept"), col("pattern_hits"))
+        .orderBy(col("source"))
+    }),
+
     // Char-mass midpoint per source: the lower WEIGHTED median of document
     // length weighted by length — "half this source's bytes live in docs
     // shorter than this". Exact integers: total-order cumsum, suffix test
@@ -3239,6 +3253,13 @@ object SparkEntry {
   @volatile private var unigramTrainedPieces: Seq[(String, Double)] = Seq.empty
   @volatile private var unigramMaxWordLen: Int = 1
 
+  /** Blocklist for `text_blocklist` — fixed phrases (the bounded-artifact
+    * pattern), shared verbatim by the query and its oracle SQL. "merge" is
+    * nested inside "merge batch" and "quantum flux" never occurs.
+    */
+  private[graft] val blocklistPatterns: Seq[String] = Seq(
+    "merge batch", "merge", "slow scan", "row fast", "vector", "quantum flux")
+
   /** DuckDB replay of greedy BPE encoding under [[bpeTrainedMerges]].
     *
     * Equivalence: [[graft.functions.BpeEncode.encodeWord]] merges the
@@ -5430,6 +5451,21 @@ object SparkEntry {
         |       ((sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000 * 2
         |         + count(*)) // (count(*) * 2))::BIGINT AS hapax_ppm
         |FROM c GROUP BY source
+        |ORDER BY source""".stripMargin,
+
+    "text_blocklist" ->
+      s"""WITH p(pat) AS (VALUES
+        |    ${blocklistPatterns.map(p => s"('${p.replace("'", "''")}')").mkString(", ")}),
+        |hits AS (
+        |  SELECT d.source, d.doc_id,
+        |         sum(CASE WHEN strpos(d.text, p.pat) > 0 THEN 1 ELSE 0 END) AS h
+        |  FROM documents d CROSS JOIN p
+        |  GROUP BY 1, 2)
+        |SELECT source, count(*)::BIGINT AS n_docs,
+        |       sum(CASE WHEN h > 0 THEN 1 ELSE 0 END)::BIGINT AS n_flagged,
+        |       sum(CASE WHEN h > 0 THEN 0 ELSE 1 END)::BIGINT AS n_kept,
+        |       sum(h)::BIGINT AS pattern_hits
+        |FROM hits GROUP BY source
         |ORDER BY source""".stripMargin,
 
     "text_zipf" ->

@@ -475,6 +475,30 @@ object TextAnalysis {
         halfUp(col("n_hapax") * 1000000L, col("n_terms")).cast("long"))
   }
 
+  /** Blocklist census per group: how many documents contain any of the
+    * `patterns` (the doc-level drop rule of C4's badwords filter — Raffel
+    * et al. 2020 §2.2) and how many distinct patterns each flagged doc
+    * hits, aggregated. ONE Aho-Corasick pass per document regardless of
+    * pattern count ([[graft.functions.AhoCorasick]]), so a
+    * thousands-strong blocklist costs the same scan as one `contains`.
+    * Emits per group: n_docs, n_flagged, n_kept, pattern_hits
+    * (Σ distinct patterns per doc — 4-decimal-free exact longs).
+    */
+  def blocklistCensus(
+      df: DataFrame,
+      groupKeys: Seq[Column],
+      textCol: Column,
+      patterns: Seq[String]): DataFrame = {
+    val keys = groupKeys.map(_.toString).map(col)
+    df.select(groupKeys :+
+        graft.functions.AhoCorasick.acDistinctMatches(textCol, patterns).as("__hits"): _*)
+      .groupBy(keys: _*)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__hits") > 0, 1L).otherwise(0L)).as("n_flagged"),
+        sum(when(col("__hits") > 0, 0L).otherwise(1L)).as("n_kept"),
+        sum(col("__hits").cast("long")).as("pattern_hits"))
+  }
+
   /** Zipf census per group: vocabulary size, token mass, and the Zipf
     * exponent — the OLS slope of ln(freq) on ln(rank) over the `topK`
     * most frequent terms. The standard corpus-QA scan: natural text sits

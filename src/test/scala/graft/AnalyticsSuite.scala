@@ -281,6 +281,36 @@ class AnalyticsSuite extends AnyFunSuite {
     }
   }
 
+  test("aho-corasick: nested/overlapping patterns, early exit, and executor == naive reference") {
+    import graft.functions.AhoCorasick
+    // nested ("b" ⊂ "ab" ⊂ "abc") and overlapping ("bc") patterns: the
+    // dictionary-suffix collapse must surface ALL of them from one scan
+    val k1 = new AhoCorasick.Kernel(Array("ab", "b", "bc", "abc", "zz"))
+    def dm(k: AhoCorasick.Kernel, s: String) =
+      k.distinctMatches(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+    def am(k: AhoCorasick.Kernel, s: String) =
+      k.anyMatch(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+    assert(dm(k1, "abc") === 4, "ab, b, bc, abc all present")
+    assert(dm(k1, "ba") === 1)
+    assert(dm(k1, "xyx") === 0)
+    assert(dm(k1, "") === 0)
+    assert(am(k1, "xzzx") && !am(k1, "xzx"))
+    // executor expression ≡ naive per-pattern contains on the corpus
+    val pats = Seq("merge batch", "merge", "slow scan", "row fast", "vector", "quantum flux")
+    val docs = Tables.documents(spark, sf)
+    val got = docs.limit(60).select(col("text"),
+        AhoCorasick.acDistinctMatches(col("text"), pats).as("hits"),
+        AhoCorasick.acAnyMatch(col("text"), pats).as("any"))
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val t = r.getAs[String]("text")
+      val ref = pats.count(t.contains)
+      assert(r.getAs[Int]("hits") === ref, s"automaton != naive contains for: ${t.take(60)}")
+      assert(r.getAs[Boolean]("any") === (ref > 0))
+    }
+  }
+
   test("gear CDC: exact partition, size bounds, and single-insert chunk-hash resync") {
     import graft.functions.GearChunks
     // aperiodic junk: concatenated md5(counter) digests (an LCG byte
