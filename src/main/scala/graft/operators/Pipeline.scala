@@ -574,6 +574,162 @@ object Pipeline {
       kp.ctx2, kp.uni, kp.d3, kp.d2, kp.tRow)
   }
 
+  /** Export a [[KnModel]] to the standard ARPA n-gram format (Stolcke
+    * 2002, SRILM; the interchange format KenLM reads and writes) — the
+    * interop path OUT of this engine: a model trained here loads into
+    * any ARPA consumer. Interpolated KN is written in ARPA's
+    * backoff parameterization, the standard equivalence: the listed
+    * trigram probs are already interpolated, bigram entries carry
+    * log10 γ3(uv) as their backoff weight, unigram entries carry
+    * log10 γ2(v), and an unlisted context backs off freely (weight 1 —
+    * ARPA's omitted-field default). Entries that exist only to carry a
+    * backoff weight (a trigram context never observed as a continuation)
+    * get the SRILM placeholder prob −99. Standard-scoring equivalence —
+    * score(ARPA roundtrip) ≡ [[knScoreAgainstModel]] per row — is
+    * spec-pinned on an OOV corpus.
+    *
+    * Shape: all three sections assemble as DataFrames (one global sort
+    * on (order, gram) into a single text part — an export of a
+    * model-bounded artifact, the documented bounded-output class); the
+    * three header counts are 1-row aggregates. Probabilities print
+    * through Spark's shortest-round-trip double repr, so import parses
+    * the identical bits back.
+    */
+  def knExportArpa(model: KnModel, dir: String): Unit = {
+    val ln10 = math.log(10.0)
+    val spark = model.grams.sparkSession
+    import org.apache.spark.sql.functions.{log => slog}
+    // γ expressions over the persisted stat tables (same algebra knP3Of/
+    // knP2Of embed)
+    val gamma3 = (col("__k3d1") * col("__n1").cast("double") +
+      col("__k3d2") * col("__n2").cast("double") +
+      col("__k3d3") * col("__n3").cast("double")) / col("__ctot").cast("double")
+    val gamma2 = (col("__k2d1") * col("__m1").cast("double") +
+      col("__k2d2") * col("__m2").cast("double") +
+      col("__k2d3") * col("__m3").cast("double")) / col("__cc2tot").cast("double")
+    def log10(c: Column): Column = slog(c) / ln10
+    def num(c: Column): Column = c.cast("string")
+    // ---- 3-gram section: every reference trigram type, interpolated prob
+    val sec3 = model.grams.select(lit(3).as("__ord"), col("__g").as("__key"),
+      concat(num(col("__lp") / ln10), lit("\t"), col("__g")).as("__line"))
+    // ---- 2-gram section: observed continuation bigrams ∪ trigram contexts
+    val keys2 = model.bg.select(col("__vw").as("__b"))
+      .union(model.ctx3.select(col("__uv").as("__b"))).distinct()
+    val sec2base = keys2
+      .withColumn("__p", split(col("__b"), " "))
+      .withColumn("__a", element_at(col("__p"), 1))
+      .withColumn("__w2", element_at(col("__p"), 2))
+      .drop("__p")
+      .join(model.bg.select(col("__vw").as("__b"), col("__cc2")), Seq("__b"), "left")
+      .join(model.ctx2.withColumnRenamed("__v", "__a"), Seq("__a"), "left")
+      .join(model.uni.withColumnRenamed("__w", "__w2"), Seq("__w2"), "left")
+      .join(model.ctx3.withColumnRenamed("__uv", "__b"), Seq("__b"), "left")
+      .crossJoin(broadcast(model.d2)).crossJoin(broadcast(model.d3))
+      .crossJoin(broadcast(model.tRow))
+    val p2log = log10(knP2Of(col("__cc2")))
+    val bo3 = when(col("__ctot").isNotNull, log10(gamma3))
+    val sec2 = sec2base.select(lit(2).as("__ord"), col("__b").as("__key"),
+      concat(
+        coalesce(num(p2log), lit("-99.0")), lit("\t"), col("__b"),
+        when(bo3.isNotNull, concat(lit("\t"), num(bo3))).otherwise(lit(""))
+      ).as("__line"))
+    // ---- 1-gram section: every token of every trigram type
+    val words = model.grams
+      .select(explode(split(col("__g"), " ")).as("__w1")).distinct()
+      .join(model.uni.withColumnRenamed("__w", "__w1"), Seq("__w1"), "left")
+      .join(model.ctx2.withColumnRenamed("__v", "__w1"), Seq("__w1"), "left")
+      .crossJoin(broadcast(model.d2)).crossJoin(broadcast(model.tRow))
+    val p1log = log10(col("__cc1").cast("double") / col("__T"))
+    val bo2 = when(col("__cc2tot").isNotNull, log10(gamma2))
+    val sec1 = words.select(lit(1).as("__ord"), col("__w1").as("__key"),
+      concat(
+        coalesce(num(p1log), lit("-99.0")), lit("\t"), col("__w1"),
+        when(bo2.isNotNull, concat(lit("\t"), num(bo2))).otherwise(lit(""))
+      ).as("__line"))
+    // ---- headers / markers, then one globally-ordered text part
+    val (n1, n2, n3) = (words.count(), keys2.count(), model.grams.count())
+    def fixed(rows: (Int, String, String)*): DataFrame = {
+      import spark.implicits._
+      rows.toSeq.toDF("__ord", "__key", "__line")
+    }
+    val header = fixed(
+      (0, "0", "\\data\\"),
+      (0, "1", s"ngram 1=$n1"), (0, "2", s"ngram 2=$n2"), (0, "3", s"ngram 3=$n3"),
+      (0, "4", ""), (0, "5", "\\1-grams:"))
+    val mark2 = fixed((1, "￿", ""), (1, "￿0", "\\2-grams:"))
+    val mark3 = fixed((2, "￿", ""), (2, "￿0", "\\3-grams:"))
+    val tail = fixed((3, "￿", ""), (3, "￿0", "\\end\\"))
+    header.unionByName(sec1).unionByName(mark2).unionByName(sec2)
+      .unionByName(mark3).unionByName(sec3).unionByName(tail)
+      .orderBy(col("__ord"), col("__key"))
+      .select(col("__line"))
+      .coalesce(1)
+      .write.mode("overwrite").text(dir)
+  }
+
+  /** An ARPA trigram model parsed back into join-ready tables. Orders
+    * are recovered from the gram's token count, so section markers need
+    * no stateful parse; probs ≤ −98.5 are the SRILM "placeholder only"
+    * convention and count as absent.
+    */
+  final case class ArpaModel(uni: DataFrame, bi: DataFrame, tri: DataFrame)
+
+  def knImportArpa(spark: SparkSession, dir: String): ArpaModel = {
+    val lines = spark.read.text(dir)
+      .filter(length(col("value")) > 0 &&
+        !col("value").startsWith("\\") && !col("value").startsWith("ngram "))
+      .withColumn("__f", split(col("value"), "\t"))
+      .select(
+        element_at(col("__f"), 2).as("__g"),
+        element_at(col("__f"), 1).cast("double").as("__lp10"),
+        when(size(col("__f")) >= 3, element_at(col("__f"), 3).cast("double"))
+          .as("__bo10"))
+      .withColumn("__n", size(split(col("__g"), " ")))
+      .withColumn("__lp10",
+        when(col("__lp10") <= -98.5, lit(null).cast("double")).otherwise(col("__lp10")))
+    ArpaModel(
+      uni = lines.filter(col("__n") === 1).select(col("__g"), col("__lp10"), col("__bo10")),
+      bi = lines.filter(col("__n") === 2).select(col("__g"), col("__lp10"), col("__bo10")),
+      tri = lines.filter(col("__n") === 3).select(col("__g"), col("__lp10")))
+  }
+
+  /** Score documents against an imported [[ArpaModel]] with STANDARD
+    * ARPA backoff semantics (Katz-style lookup: listed n-gram prob, else
+    * context backoff weight × the (n−1)-gram's prob, weight 1 when the
+    * context is unlisted) — the reference implementation every ARPA
+    * consumer runs. Same output contract as [[knScoreAgainstModel]];
+    * grams whose final word has no real unigram prob drop from the
+    * average (this engine's documented continuation-OOV rule). The spec
+    * pins score(export → import → this) ≈ the native graded-backoff
+    * serve on an OOV corpus — the external-interop loop closed end to
+    * end.
+    */
+  def knScoreArpa(
+      raw: DataFrame,
+      arpa: ArpaModel,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val ln10 = math.log(10.0)
+    val keyed = knGramKeys(knDocTrigrams(raw, idCol, textCol))
+      .join(arpa.tri.select(col("__g"), col("__lp10").as("__t3")), Seq("__g"), "left")
+      .join(arpa.bi.select(col("__g").as("__vw"), col("__lp10").as("__p2")),
+        Seq("__vw"), "left")
+      .join(arpa.bi.select(col("__g").as("__uv"), col("__bo10").as("__bo3")),
+        Seq("__uv"), "left")
+      .join(arpa.uni.select(col("__g").as("__v"), col("__bo10").as("__bo2")),
+        Seq("__v"), "left")
+      .join(arpa.uni.select(col("__g").as("__w"), col("__lp10").as("__p1")),
+        Seq("__w"), "left")
+    val p2fallback = coalesce(col("__p2"),
+      coalesce(col("__bo2"), lit(0.0)) + col("__p1"))
+    val lp10 = coalesce(col("__t3"),
+      coalesce(col("__bo3"), lit(0.0)) + p2fallback)
+    knPerDoc(
+      keyed.select(col(idCol), col("__c"), (lp10 * ln10).as("__lp"))
+        .filter(col("__lp").isNotNull),
+      idCol)
+  }
+
   /** Score documents against a trained/loaded [[KnModel]] with FULL
     * graded backoff — row-identical (bit-for-bit, OOV grams included) to
     * running [[knTrigramLogLikelihood]] against the training reference,

@@ -576,6 +576,54 @@ class OperatorsSuite extends AnyFunSuite {
     assert(served.values.forall(_._2 < 0.0), s"log-probs must be negative: $served")
   }
 
+  test("ARPA roundtrip: export → import → standard backoff scoring ≡ the native serve, OOV included") {
+    import spark.implicits._
+    import java.nio.file.Files
+    val ref = knFixture
+    val vocabT = "abcdefgh".map(_.toString)
+    val c3m = ref.flatMap(d => d._2.split(" ").toSeq.sliding(3).map(_.toSeq)).toSet
+    val (u, v, wUnseen) = (for {
+      g <- c3m.toSeq; w <- vocabT if !c3m.contains(Seq(g(0), g(1), w))
+    } yield (g(0), g(1), w)).head
+    val raw = ref.map { case (id, t) => (id + 1000L) -> t } ++ Seq(
+      2001L -> s"$u $v $wUnseen",  // missing trigram, seen context → γ3·p2
+      2002L -> s"zz $u $v",        // unlisted context → backoff weight 1
+      2003L -> s"$u zz $v",        // OOV middle → p1 ladder floor
+      2004L -> "x0 x1 x2 x3")      // continuation-OOV everywhere → drops
+    val model = Pipeline.knTrainModel(ref.toDF("doc_id", "text"), "text")
+    val dir = Files.createTempDirectory("graft_arpa").toString
+    Pipeline.knExportArpa(model, dir)
+    // format invariants: header counts match section line counts; every
+    // data line is log10prob<TAB>gram[<TAB>log10backoff]
+    val lines = spark.read.text(dir).collect().map(_.getString(0))
+    val declared = lines.filter(_.startsWith("ngram "))
+      .map(l => l.split("=")(1).toLong)
+    val byOrder = lines.filter(l => l.nonEmpty && !l.startsWith("\\") && !l.startsWith("ngram "))
+      .groupBy(l => l.split("\t")(1).split(" ").length)
+    assert(declared.toSeq === Seq(1, 2, 3).map(n => byOrder(n).length.toLong),
+      "ngram k=N headers must match section sizes")
+    assert(lines.head === "\\data\\" && lines.last === "\\end\\")
+    // the trigram context "u v" must carry a backoff weight field
+    assert(byOrder(2).exists(l => l.split("\t")(1) == s"$u $v" && l.split("\t").length == 3),
+      "a trigram context needs its γ3 backoff field")
+    // roundtrip scoring: standard ARPA backoff lookup ≡ native graded serve
+    val arpa = Pipeline.knImportArpa(spark, dir)
+    val viaArpa = Pipeline.knScoreArpa(raw.toDF("doc_id", "text"), arpa, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val native = Pipeline.knScoreAgainstModel(raw.toDF("doc_id", "text"), model, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(viaArpa.keySet === native.keySet, "same docs survive both paths")
+    viaArpa.foreach { case (id, (n, lp)) =>
+      assert(n === native(id)._1, s"doc $id: gram count must match")
+      // the ln↔log10 text roundtrip reassociates a few float ops; the
+      // 4-dp rounded averages may differ by at most one final ulp-tick
+      assert(math.abs(lp - native(id)._2) <= 1.0001e-4,
+        s"doc $id: $lp vs native ${native(id)._2}")
+    }
+    assert(viaArpa.contains(2001L) && viaArpa.contains(2002L) && viaArpa.contains(2003L))
+    assert(!viaArpa.contains(2004L), "continuation-OOV-only docs drop in both paths")
+  }
+
   test("modified KN trigram LM: inestimable orders use KenLM's fallback discounts, sum-to-1 intact") {
     import spark.implicits._
     // order-3 count-of-counts: t1 = 10, t2 = 1 (the trigram "t2 t3 t4"
