@@ -485,6 +485,25 @@ object SparkEntry {
         .orderBy(col("purchase_id"))
     }),
 
+    // NEAREST as-of with tolerance (pandas merge_asof direction='nearest'):
+    // every click matched to its time-closest purchase within 1h, either
+    // direction, nulls when none. Two RANGE-window passes over one
+    // key-hash shuffle — never a per-row probe join; all ties
+    // deterministic and mirrored in the oracle's ORDER BY.
+    "q_asof_join_nearest" -> ((s, dir) => {
+      val ev = events(s, dir).withColumn("ts_us", unix_micros(col("ts")))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us").as("p_ts_us"), col("value"))
+      Relational.nearestAsOf(clicks, purchases, "user_id",
+          col("ts_us"), col("p_ts_us"), col("value"), tolerance = 3600000000L)
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("matched_v").as("purchase_value"),
+          col("matched_t").as("purchase_ts_us"), col("dist"))
+        .orderBy(col("event_id"))
+    }),
+
     // Range/interval join against broadcast value tiers (theta join).
     "q_range_join" -> ((s, dir) => {
       import s.implicits._
@@ -4588,6 +4607,36 @@ object SparkEntry {
         |      FROM events)
         |WHERE event_type = 'purchase'
         |ORDER BY purchase_id""".stripMargin,
+
+    // tie mirror of Relational.nearestAsOf: equal distance → earlier
+    // (backward) candidate; equal time backward → larger value, forward →
+    // smaller (the CASE sign flip)
+    "q_asof_join_nearest" ->
+      """WITH l AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us
+        |  FROM events WHERE event_type = 'click'),
+        |r AS (
+        |  SELECT user_id, epoch_us(ts) AS p_ts, value
+        |  FROM events WHERE event_type = 'purchase'),
+        |m AS (
+        |  SELECT l.event_id, l.user_id, l.ts_us, r.value AS pv, r.p_ts,
+        |         abs(r.p_ts - l.ts_us) AS dist,
+        |         row_number() OVER (PARTITION BY l.event_id
+        |           ORDER BY abs(r.p_ts - l.ts_us), r.p_ts,
+        |                    CASE WHEN r.p_ts <= l.ts_us THEN -r.value
+        |                         ELSE r.value END) AS rn
+        |  FROM l JOIN r ON l.user_id = r.user_id
+        |  WHERE abs(r.p_ts - l.ts_us) <= 3600000000)
+        |SELECT event_id, user_id, ts_us, pv AS purchase_value,
+        |       p_ts AS purchase_ts_us, dist
+        |FROM m WHERE rn = 1
+        |UNION ALL
+        |SELECT l.event_id, l.user_id, l.ts_us, NULL, NULL, NULL
+        |FROM l
+        |WHERE NOT EXISTS (SELECT 1 FROM r
+        |                  WHERE r.user_id = l.user_id
+        |                    AND abs(r.p_ts - l.ts_us) <= 3600000000)
+        |ORDER BY event_id""".stripMargin,
 
     "q_range_join" ->
       """SELECT tier, count(*) AS n_events, round(sum(value), 2) AS sum_value

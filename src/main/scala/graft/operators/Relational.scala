@@ -27,6 +27,68 @@ object Relational {
       last(when(isMatch, carryCol), ignoreNulls = true).over(w))
   }
 
+  /** NEAREST as-of join with tolerance: for every left row, the right row
+    * (same key) whose time is CLOSEST — before or after — within
+    * `tolerance`, or nulls when none qualifies. The other half of the
+    * as-of family next to [[lastMatchAsOf]]'s backward-only carry: sensor
+    * alignment, trade-vs-quote midpoints, click-to-conversion matching
+    * all want nearest-in-time, and a tolerance bound, not a one-sided
+    * carry (the pandas `merge_asof(direction='nearest', tolerance=...)`
+    * contract).
+    *
+    * Shape: both sides union into one (key, time)-sorted stream; a
+    * backward RANGE window takes the max (t, v) candidate struct and a
+    * forward one the min, so each left row sees its nearest neighbor on
+    * each side in TWO window passes over ONE key-hash shuffle — never a
+    * per-row probe join. Every tie is deterministic and mirrored by the
+    * oracle: equal distance prefers the earlier (backward) candidate;
+    * equal time on the backward side prefers the larger carry, on the
+    * forward side the smaller (the struct orderings); a right row at
+    * exactly the left time is distance 0 via the backward frame. RANGE
+    * (not ROWS) frames make same-timestamp visibility exact instead of
+    * physical-order-dependent.
+    */
+  def nearestAsOf(
+      left: DataFrame,
+      right: DataFrame,
+      keyName: String,
+      leftTime: Column,
+      rightTime: Column,
+      carry: Column,
+      tolerance: Long): DataFrame = {
+    require(tolerance >= 0, "nearestAsOf: tolerance must be >= 0")
+    val carryType = right.select(carry).schema.head.dataType
+    val lu = left
+      .withColumn("__t", leftTime.cast("long"))
+      .select(col(keyName).as("__k"), col("__t"),
+        lit(null).cast(carryType).as("__rv"), lit(false).as("__isr"),
+        struct(left.columns.map(col): _*).as("__lrow"))
+    val lrowType = lu.select(col("__lrow")).schema.head.dataType
+    val ru = right
+      .withColumn("__t", rightTime.cast("long"))
+      .select(col(keyName).as("__k"), col("__t"), carry.as("__rv"),
+        lit(true).as("__isr"), lit(null).cast(lrowType).as("__lrow"))
+    val wb = Window.partitionBy(col("__k")).orderBy(col("__t"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy(col("__k")).orderBy(col("__t"))
+      .rangeBetween(Window.currentRow, Window.unboundedFollowing)
+    val cand = when(col("__isr"), struct(col("__t").as("t"), col("__rv").as("v")))
+    val marked = lu.unionByName(ru)
+      .withColumn("__prev", max(cand).over(wb))
+      .withColumn("__next", min(cand).over(wf))
+      .filter(!col("__isr"))
+    val db = col("__t") - col("__prev.t")
+    val df = col("__next.t") - col("__t")
+    val prevOk = col("__prev").isNotNull && db <= tolerance
+    val nextOk = col("__next").isNotNull && df <= tolerance
+    val pick = when(prevOk && (!nextOk || db <= df), col("__prev"))
+      .when(nextOk, col("__next"))
+    marked.select(col("__lrow.*") +:
+      pick.getField("v").as("matched_v") +:
+      pick.getField("t").as("matched_t") +:
+      when(pick.isNotNull, abs(col("__t") - pick.getField("t"))).as("dist") +: Nil: _*)
+  }
+
   /** Range (interval) join of facts against a small set of ranges — the
     * ranges side is broadcast so the theta-join is a single pass over the
     * facts (BroadcastNestedLoopJoin), no shuffle of the big side.

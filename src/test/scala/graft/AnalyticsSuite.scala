@@ -167,6 +167,28 @@ class AnalyticsSuite extends AnyFunSuite {
     assert(b2 === 0L)
   }
 
+  test("nearestAsOf: closest side within tolerance, deterministic ties, unmatched nulls") {
+    import spark.implicits._
+    import graft.operators.Relational
+    val left = Seq((1L, "A", 12L), (2L, "A", 16L), (3L, "A", 15L),
+      (4L, "A", 100L), (5L, "B", 10L), (6L, "C", 7L)).toDF("id", "k", "t")
+    val right = Seq(("A", 10L, 1.0), ("A", 20L, 2.0),
+      ("B", 10L, 5.0), ("B", 10L, 9.0)).toDF("k", "rt", "v")
+    val out = Relational.nearestAsOf(left, right, "k",
+        col("t"), col("rt"), col("v"), tolerance = 30L)
+      .collect().map { r =>
+        r.getLong(0) -> (if (r.isNullAt(3)) None else Some((r.getDouble(3), r.getLong(4), r.getLong(5))))
+      }.toMap
+    assert(out(1L) === Some((1.0, 10L, 2L)), "backward nearer: 12-10=2 beats 20-12=8")
+    assert(out(2L) === Some((2.0, 20L, 4L)), "forward nearer: 20-16=4 beats 16-10=6")
+    assert(out(3L) === Some((1.0, 10L, 5L)), "equal distance prefers the earlier candidate")
+    assert(out(4L) === None, "nothing within tolerance")
+    assert(out(5L) === Some((9.0, 10L, 0L)),
+      "same-time rights are distance-0 backward; value tie takes the larger carry")
+    assert(out(6L) === None, "key with no right side at all")
+    assert(out.size === 6, "every left row survives (left-outer semantics)")
+  }
+
   test("bpe: textbook merge order on the Sennrich corpus, and greedy encode applies it") {
     import graft.operators.Bpe
     // the NMT-subword paper's worked example: {low:5, lower:2, newest:6, widest:3}

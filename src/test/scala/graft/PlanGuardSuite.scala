@@ -50,14 +50,10 @@ class PlanGuardSuite extends AnyFunSuite {
     "similarity_pq_topk" ->
       "per-query LUT broadcast — |queries| x 16-subspace table, ANN serving contract",
     "decontaminate_semantic" ->
-      "eval-suite broadcast into the NLJ probe — eval sets bounded by contract; n-gram decontaminate is the equi-join scale path",
-    "select_cluster_balanced" ->
-      ("k-means centroid table broadcast into the assignment NLJ — bounded " +
-        "by nlist (auto-occupancy sizing caps it at 2^20 rows; the paper " +
-        "runs 50k cells at web scale). dedup_semantic runs the IDENTICAL " +
-        "join but hides it from this static scan behind kmeansCells' " +
-        "localCheckpoint LogicalRDD; named here instead of checkpointing " +
-        "solely to dodge the guard"))
+      "eval-suite broadcast into the NLJ probe — eval sets bounded by contract; n-gram decontaminate is the equi-join scale path")
+  // (select_cluster_balanced briefly needed an entry for the distributed-
+  // Lloyd centroid NLJ; its shipped query now uses the sampled-fit path —
+  // single codegen'd broadcast-codebook assignment, no NLJ in the plan)
 
   private def boundedSide(p: SparkPlan): Boolean = {
     p.exists {
