@@ -1936,6 +1936,17 @@ object SparkEntry {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // TF-IDF cosine near-dup pairs — the WEIGHTED measure: rare shared
+    // terms count, ubiquitous ones don't (df = N terms have idf exactly 0
+    // and drop from the index — the heavy-hitter guard that keeps the
+    // inverted self-join cold, result-set unchanged). Lang-blocked like
+    // containment; cosine normalizes, so size blocking would be wrong.
+    "dedup_tfidf_cosine" -> ((s, dir) => {
+      Dedup.tfidfCosinePairs(documents(s, dir), "doc_id", "text",
+          Seq(col("lang")), threshold = 0.85)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // Same semantics via asymmetric (SSJoin-style) prefix filtering — probe
     // side prefixed, container side fully indexed; shares the exact oracle.
     "dedup_containment_prefix" -> ((s, dir) => {
@@ -4741,6 +4752,33 @@ object SparkEntry {
         |    ON l.lang = r.lang AND l.doc_id <> r.doc_id
         |  WHERE len(l.sh) > 0)
         |WHERE raw_c >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // df < N mirrors the engine's exact idf-0 prune; round-4 on the final
+    // cosine is the accepted summation-noise class (nearest corpus value
+    // sits 3e-5 from the threshold, measured)
+    "dedup_tfidf_cosine" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, lang, term, count(*)::BIGINT AS c FROM t GROUP BY 1, 2, 3),
+        |dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+        |w AS (
+        |  SELECT tf.doc_id, tf.lang, tf.term, tf.c * ln(n.n / dfreq.df) AS w
+        |  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n
+        |  WHERE dfreq.df < n.n),
+        |nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY 1),
+        |dots AS (
+        |  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, sum(l.w * r.w) AS dot
+        |  FROM w l JOIN w r
+        |    ON l.term = r.term AND l.lang = r.lang AND l.doc_id < r.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, round(c, 4) AS cos FROM (
+        |  SELECT doc_a, doc_b, dot / (na.nrm * nb.nrm) AS c
+        |  FROM dots JOIN nrm na ON doc_a = na.doc_id
+        |            JOIN nrm nb ON doc_b = nb.doc_id)
+        |WHERE c >= 0.85
         |ORDER BY doc_a, doc_b""".stripMargin,
 
     // identical oracle: prefix filtering must not change the result set

@@ -568,6 +568,59 @@ object Dedup {
         round(col("containment"), 4).as("containment"))
   }
 
+  /** TF-IDF weighted cosine near-dup pairs — the WEIGHTED similarity the
+    * set-based measures miss: Jaccard/containment treat "the the the" and
+    * a rare technical term as equal evidence, while tf-idf cosine is the
+    * classic newswire/near-template dedup (Salton's vector model; the
+    * pairwise shape of standard near-dup evaluation suites). Emits
+    * (doc_a < doc_b, cos) for pairs with cosine ≥ `threshold` over
+    * unigram tf·ln(N/df) weights.
+    *
+    * Same inverted-index skeleton as [[ngramJaccardPairs]] (cost
+    * Σ_term df² within blocks, every shuffle hash-partitioned), with one
+    * weighted-model twist that doubles as the heavy-hitter guard:
+    * corpus-ubiquitous terms (df = N) have idf EXACTLY ln(1) = 0, so
+    * their dot-product contribution is identically zero and they are
+    * dropped from the index before the self-join — the hottest terms
+    * never generate a candidate row, and the result set is unchanged
+    * (mirrored in the oracle's `df < N`). Norms run over the same
+    * weighted vectors, so the cut is exact, not an approximation.
+    */
+  def tfidfCosinePairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockingKeys: Seq[Column],
+      threshold: Double): DataFrame = {
+    require(threshold > 0.0, "inverted-index cosine needs threshold > 0")
+    val keyNames = blockingKeys.map(_.toString)
+    val tf = df
+      .select(col(idCol).as("doc_id") +:
+        explode(TextAnalysis.wordTokens(col(textCol))).as("term") +: blockingKeys: _*)
+      .groupBy(col("doc_id") +: col("term") +: keyNames.map(col): _*)
+      .agg(count(lit(1)).as("c"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nRow = broadcast(df.agg(count(lit(1)).cast("double").as("__n")))
+    val w = tf.join(dfreq, "term").crossJoin(nRow)
+      .filter(col("df") < col("__n"))
+      .withColumn("w", col("c") * log(col("__n") / col("df")))
+      .select(col("doc_id") +: col("term") +: col("w") +: keyNames.map(col): _*)
+    val nrm = w.groupBy(col("doc_id"))
+      .agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+    w.as("l")
+      .join(w.as("r"),
+        keyNames.map(k => col(s"l.$k") === col(s"r.$k"))
+          .foldLeft(col("l.term") === col("r.term"))(_ && _) &&
+          col("l.doc_id") < col("r.doc_id"))
+      .groupBy(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .agg(sum(col("l.w") * col("r.w")).as("dot"))
+      .join(nrm.select(col("doc_id").as("doc_a"), col("nrm").as("na")), Seq("doc_a"))
+      .join(nrm.select(col("doc_id").as("doc_b"), col("nrm").as("nb")), Seq("doc_b"))
+      .withColumn("cos", col("dot") / (col("na") * col("nb")))
+      .filter(col("cos") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("cos"), 4).as("cos"))
+  }
+
   /** Content-defined chunk table of a BINARY column: one (blob_id, off,
     * len, chunk_hash) row per gear-CDC chunk
     * ([[graft.functions.GearChunks]] — Xia et al. 2014/2016, public).

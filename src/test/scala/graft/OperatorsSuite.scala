@@ -880,6 +880,32 @@ class OperatorsSuite extends AnyFunSuite {
     assert(pre === inv, s"prefix filtering must be exact; diff=${pre.diff(inv) ++ inv.diff(pre)}")
   }
 
+  test("tfidfCosinePairs: exact duplicates score 1.0; ubiquitous-only overlap scores 0") {
+    import spark.implicits._
+    // 'common' appears in EVERY doc → idf exactly 0 → pairs sharing only
+    // it never surface (the result-preserving heavy-hitter prune); docs 1
+    // and 2 are verbatim duplicates → cosine exactly 1.0 (identical
+    // weight vectors: dot = ‖a‖² = ‖a‖·‖b‖)
+    val micro = Seq(
+      (1L, "common alpha beta gamma", "en"),
+      (2L, "common alpha beta gamma", "en"),
+      (3L, "common delta epsilon", "en"),
+      (4L, "common zeta eta", "en")
+    ).toDF("doc_id", "text", "lang")
+    val pairs = Dedup.tfidfCosinePairs(micro, "doc_id", "text", Seq(col("lang")), 0.001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs.get((1L, 2L)).contains(1.0), s"verbatim duplicate must score 1.0: $pairs")
+    assert(!pairs.contains((3L, 4L)),
+      s"a pair sharing only the idf-0 ubiquitous term must not surface: $pairs")
+    assert(pairs.keySet.forall { case (a, b) => a < b }, "ordered pairs only")
+    // corpus fixture: nonempty at the shipped threshold and deterministic
+    val c1 = Dedup.tfidfCosinePairs(docs, "doc_id", "text", Seq(col("lang")), 0.85)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val c2 = Dedup.tfidfCosinePairs(docs, "doc_id", "text", Seq(col("lang")), 0.85)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(c1.nonEmpty && c1 === c2, "deterministic rerun")
+  }
+
   test("containment: asymmetric, directional, and prefix-filtered form is exact") {
     def normalize(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
