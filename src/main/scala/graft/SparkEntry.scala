@@ -1938,12 +1938,16 @@ object SparkEntry {
 
     // TF-IDF cosine near-dup pairs — the WEIGHTED measure: rare shared
     // terms count, ubiquitous ones don't (df = N terms have idf exactly 0
-    // and drop from the index — the heavy-hitter guard that keeps the
-    // inverted self-join cold, result-set unchanged). Lang-blocked like
-    // containment; cosine normalizes, so size blocking would be wrong.
+    // and drop from the index — a result-preserving prune). Blocked on
+    // (lang, source), the same block-size-bounding choice as the Jaccard
+    // family's len_bucket: the inverted self-join costs Σ df² WITHIN
+    // blocks, and this synthetic corpus's ~30-word vocabulary makes every
+    // term a heavy hitter (measured 50 s at sf0.1 lang-only — SCALE.md);
+    // a natural Zipf corpus de-fangs that, and Bayardo 2007 prefix
+    // pruning is the published unblocked path.
     "dedup_tfidf_cosine" -> ((s, dir) => {
       Dedup.tfidfCosinePairs(documents(s, dir), "doc_id", "text",
-          Seq(col("lang")), threshold = 0.85)
+          Seq(col("lang"), col("source")), threshold = 0.85)
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
@@ -4759,20 +4763,24 @@ object SparkEntry {
     // sits 3e-5 from the threshold, measured)
     "dedup_tfidf_cosine" ->
       """WITH t AS (
-        |  SELECT doc_id, lang, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS term
+        |  SELECT doc_id, lang, source,
+        |         unnest(regexp_extract_all(text, '[a-z0-9]+')) AS term
         |  FROM documents),
-        |tf AS (SELECT doc_id, lang, term, count(*)::BIGINT AS c FROM t GROUP BY 1, 2, 3),
+        |tf AS (SELECT doc_id, lang, source, term, count(*)::BIGINT AS c
+        |       FROM t GROUP BY 1, 2, 3, 4),
         |dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
         |n AS (SELECT count(*)::DOUBLE AS n FROM documents),
         |w AS (
-        |  SELECT tf.doc_id, tf.lang, tf.term, tf.c * ln(n.n / dfreq.df) AS w
+        |  SELECT tf.doc_id, tf.lang, tf.source, tf.term,
+        |         tf.c * ln(n.n / dfreq.df) AS w
         |  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n
         |  WHERE dfreq.df < n.n),
         |nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY 1),
         |dots AS (
         |  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, sum(l.w * r.w) AS dot
         |  FROM w l JOIN w r
-        |    ON l.term = r.term AND l.lang = r.lang AND l.doc_id < r.doc_id
+        |    ON l.term = r.term AND l.lang = r.lang AND l.source = r.source
+        |       AND l.doc_id < r.doc_id
         |  GROUP BY 1, 2)
         |SELECT doc_a, doc_b, round(c, 4) AS cos FROM (
         |  SELECT doc_a, doc_b, dot / (na.nrm * nb.nrm) AS c
