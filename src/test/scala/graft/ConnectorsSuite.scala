@@ -603,6 +603,46 @@ class ConnectorsSuite extends AnyFunSuite {
       s"streaming gate must equal the batch census: $kept vs $batchKept")
   }
 
+  test("streaming blocklist gate: one-pass Aho-Corasick drop rule inside the emitter loop") {
+    import graft.functions.AhoCorasick
+    // the C4 badwords drop rule running where production runs it — at
+    // INGEST: the automaton (a frozen driver artifact, like the KN model
+    // and classifier gates above) rides the expression into every window;
+    // gate decisions must equal the batch census over the same docs
+    val mb = Minibatch(spark, freshRoot())
+    val st = mb.stream("bl_ingest")
+    val keptDir = freshRoot() + "/kept_bl"
+    val pats = Seq("bad phrase", "bad", "zz top")
+    def drainInto(): Unit =
+      mb.streaming("bl_ingest").size(1).emit((_, df) => {
+        val batch = df.select(
+          get_json_object(col("data"), "$.id").cast("long").as("doc_id"),
+          get_json_object(col("data"), "$.t").as("text"))
+        batch.filter(!AhoCorasick.acAnyMatch(col("text"), pats))
+          .write.mode("append").parquet(keptDir)
+      }).run()
+    st.appendAll(Seq(
+      """{"id":1,"t":"a perfectly clean document"}""",
+      """{"id":2,"t":"contains the bad phrase here"}""",
+      """{"id":3,"t":"nested badness counts too"}"""))
+    drainInto()
+    st.appendAll(Seq("""{"id":4,"t":"another clean one"}"""))
+    drainInto()
+    val kept = spark.read.parquet(keptDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 4L),
+      s"blocklist gate kept the wrong docs (3 contains nested 'bad'): $kept")
+    // twin property: the streaming decisions equal the batch census
+    val all = spark.createDataFrame(Seq(
+      (1L, "a perfectly clean document"),
+      (2L, "contains the bad phrase here"),
+      (3L, "nested badness counts too"),
+      (4L, "another clean one"))).toDF("doc_id", "text")
+    val batchKept = all.filter(!AhoCorasick.acAnyMatch(col("text"), pats))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === batchKept, s"streaming gate must equal the batch census")
+  }
+
   test("streaming classifier gate: windows scored with a frozen model; noise dropped across windows") {
     import graft.operators.QualityModel
     // the model-based analogue of the fluency gate: the classifier is
