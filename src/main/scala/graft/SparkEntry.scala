@@ -2701,6 +2701,26 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Whole-document BFD bin packing (docs never straddle sequences —
+    // instruction-tuning / doc-masked pretraining shape) per source at a
+    // 512-whitespace-token budget. No SQL oracle (sequential bin state);
+    // spec-tier: budgets exact, totality, textbook BFD assignment on a
+    // hand case, salted ≡ valid, oversize singletons.
+    "pack_bins" -> ((s, dir) => {
+      val docs = documents(s, dir)
+        .withColumn("n_tok", TextAnalysis.tokenCount(col("text")).cast("long"))
+      Pipeline.packBinsBFD(docs, "source", "doc_id", col("n_tok"), budget = 512L)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("bin_id")).as("n_bins"),
+          sum(col("n_tok")).as("sum_tok"),
+          max(col("n_tok")).as("max_tok"),
+          sum(when(col("oversize"), 1L).otherwise(0L)).as("n_oversize"))
+        .withColumn("fill_ratio", TextAnalysis.ratio4(
+          col("sum_tok"), col("n_bins") * 512L))
+        .orderBy(col("source"))
+    }),
+
     // Deterministic training-order shuffle: epoch-seeded md5 of the doc id
     // is the sort key, so every engine/run/cluster size derives the SAME
     // permutation, and a new epoch string is a fresh permutation with zero

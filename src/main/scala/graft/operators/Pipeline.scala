@@ -37,6 +37,87 @@ object Pipeline {
         floor((sum(col("n_tok")).over(w) - col("n_tok")) / lit(budget)).cast("long"))
   }
 
+  /** Whole-document bin packing, best-fit-decreasing — the OTHER packing
+    * shape next to [[packSequences]]: when documents must not straddle
+    * sequence boundaries (instruction tuning, document-attention-masked
+    * pretraining), each doc goes whole into one bin of capacity `budget`
+    * and the packer minimizes bins. BFD: docs sorted by (tokens desc,
+    * id asc), each placed into the fullest bin that still fits (ties →
+    * oldest bin), else a new bin — the textbook 11/9·OPT + 6/9 guarantee
+    * (Johnson 1973; Dósa 2007 tightness). Docs larger than the budget
+    * get a SINGLETON bin flagged `oversize` (truncation is the caller's
+    * policy, silently dropping data is not this operator's).
+    *
+    * Scale shape: one hash shuffle on the stratum key, then packing runs
+    * per stratum in one task over the stratum's (id, tokens) pairs — 16
+    * bytes per doc, NOT the documents (a 10M-doc stratum is 160 MB of
+    * task state; production strata are date×source shards, bounded by
+    * construction). The bin search is a TreeMap keyed by remaining
+    * capacity (best fit = ceiling lookup, O(log bins) per doc). With
+    * `saltBuckets > 1` a mega-stratum pre-splits by a deterministic md5
+    * bucket of the id: every slice packs independently (budgets still
+    * hold exactly; bin count is only additively worse by ≤ saltBuckets−1
+    * per stratum) and bin ids are salt-prefixed — the documented
+    * optimality-for-parallelism lever, same discipline as
+    * [[capPerKey]]'s salted cut.
+    *
+    * Returns (strataName, idName, n_tok, bin_id, oversize).
+    */
+  def packBinsBFD(
+      df: DataFrame,
+      strataName: String,
+      idName: String,
+      tokensCol: Column,
+      budget: Long,
+      saltBuckets: Int = 1): DataFrame = {
+    require(budget > 0, "packBinsBFD: budget must be positive")
+    require(saltBuckets >= 1, "packBinsBFD: saltBuckets must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val salted = df.select(
+      col(strataName).cast("string").as("__s"),
+      (if (saltBuckets == 1) lit(0L)
+       else md5Bucket(col(idName), 4, saltBuckets).cast("long")).as("__salt"),
+      col(idName).cast("long").as("__id"),
+      tokensCol.cast("long").as("__n"))
+      .as[(String, Long, Long, Long)]
+    val packed = salted
+      .groupByKey(t => (t._1, t._2))
+      .flatMapGroups { (key: (String, Long), it: Iterator[(String, Long, Long, Long)]) =>
+        val (s, salt) = key
+        val docs = it.toArray.sortBy(t => (-t._4, t._3))
+        val byRemaining = new java.util.TreeMap[Long, java.util.ArrayDeque[Long]]()
+        var nextBin = 0L
+        def newBin(): Long = { val b = nextBin; nextBin += 1; b }
+        def park(rem: Long, bin: Long): Unit =
+          if (rem > 0) {
+            var q = byRemaining.get(rem)
+            if (q == null) { q = new java.util.ArrayDeque[Long](); byRemaining.put(rem, q) }
+            q.addLast(bin)
+          }
+        docs.iterator.map { case (_, _, id, n) =>
+          if (n > budget) {
+            (s, id, n, (salt << 32) | newBin(), true)
+          } else {
+            val e = byRemaining.ceilingEntry(n)
+            val bin =
+              if (e == null) { val b = newBin(); park(budget - n, b); b }
+              else {
+                val q = e.getValue
+                val b = q.pollFirst()
+                if (q.isEmpty) byRemaining.remove(e.getKey)
+                park(e.getKey - n, b)
+                b
+              }
+            (s, id, n, (salt << 32) | bin, false)
+          }
+        }
+      }
+    packed.toDF("__s", "__id", "n_tok", "bin_id", "oversize")
+      .withColumnRenamed("__s", strataName)
+      .withColumnRenamed("__id", idName)
+  }
+
   /** Deterministic train/valid/test split by hash bucket of a stable key:
     * the same row lands in the same split on every engine, run, partition
     * layout, and cluster size — no RNG at execution time, so eval sets

@@ -880,6 +880,49 @@ class OperatorsSuite extends AnyFunSuite {
     assert(pre === inv, s"prefix filtering must be exact; diff=${pre.diff(inv) ++ inv.diff(pre)}")
   }
 
+  test("packBinsBFD: budgets exact, textbook assignment, oversize singletons, salted stays valid") {
+    import spark.implicits._
+    // hand case, budget 10, sizes desc [6,5,4,3,2]: BFD packs {6,4} and
+    // {5,3,2} — two full bins, the optimum
+    val hand = Seq((1L, "s", 6L), (2L, "s", 5L), (3L, "s", 4L),
+      (4L, "s", 3L), (5L, "s", 2L)).toDF("doc_id", "source", "n")
+    val out = Pipeline.packBinsBFD(hand, "source", "doc_id", col("n"), budget = 10L)
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    assert(out(1L) === out(3L), "6 and 4 share a bin")
+    assert(out(2L) === out(4L) && out(4L) === out(5L), "5, 3, 2 share a bin")
+    assert(out.values.toSet.size === 2, s"two optimal bins: $out")
+    // corpus: every bin within budget, totality, oversize flagged singleton
+    val docs2 = docs.withColumn("n_tok",
+      graft.operators.TextAnalysis.tokenCount(col("text")).cast("long"))
+    val packed = Pipeline.packBinsBFD(docs2, "source", "doc_id", col("n_tok"), budget = 64L)
+    val fills = packed.groupBy(col("source"), col("bin_id"))
+      .agg(sum(when(!col("oversize"), col("n_tok")).otherwise(0L)).as("fill"),
+        sum(when(col("oversize"), 1L).otherwise(0L)).as("n_over"),
+        count(lit(1)).as("n"))
+      .collect()
+    assert(fills.forall(r => r.getLong(2) <= 64L), "no non-oversize bin exceeds the budget")
+    assert(fills.filter(_.getLong(3) > 0).forall(r => r.getLong(4) === 1L),
+      "oversize docs are singleton bins")
+    assert(packed.count() === docs2.count(), "every doc is assigned")
+    // BFD bound sanity per stratum: bins ≤ 2·ceil(total/budget) + oversize
+    val perStratum = packed.filter(!col("oversize"))
+      .groupBy(col("source"))
+      .agg(countDistinct(col("bin_id")).as("bins"), sum(col("n_tok")).as("tot"))
+      .collect()
+    perStratum.foreach { r =>
+      val lb = (r.getLong(2) + 63) / 64
+      assert(r.getLong(1) <= 2 * lb,
+        s"${r.getString(0)}: ${r.getLong(1)} bins vs lower bound $lb")
+    }
+    // salted path: budgets still exact and totality holds
+    val salted = Pipeline.packBinsBFD(docs2, "source", "doc_id", col("n_tok"),
+      budget = 64L, saltBuckets = 4)
+    val sFills = salted.filter(!col("oversize"))
+      .groupBy(col("source"), col("bin_id")).agg(sum(col("n_tok")).as("fill")).collect()
+    assert(sFills.forall(_.getLong(2) <= 64L), "salted bins respect the budget")
+    assert(salted.count() === docs2.count(), "salted totality")
+  }
+
   test("tfidfCosinePairs: exact duplicates score 1.0; ubiquitous-only overlap scores 0") {
     import spark.implicits._
     // 'common' appears in EVERY doc → idf exactly 0 → pairs sharing only
