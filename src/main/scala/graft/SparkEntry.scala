@@ -2465,6 +2465,28 @@ object SparkEntry {
         .orderBy(col("media_type"))
     }),
 
+    // Incremental CDC dedup: new blobs vs the corpus chunk store. The new
+    // batch = lightly-edited copies of even-id media (3 prepended bytes —
+    // the file hash changes, the chunk mass doesn't) + odd-id media as
+    // fresh arrivals; the edited copies must drop, the fresh ones stay.
+    // No SQL oracle (rolling-hash chunker); spec-tier.
+    "dedup_incremental_cdc" -> ((s, dir) => {
+      val media = Multimodal.syntheticMedia(documents(s, dir), "doc_id", "text")
+      val corpus = media.filter(pmod(col("media_id"), lit(2)) === 0)
+      val edited = corpus
+        .select((col("media_id") + 1000000L).as("media_id"),
+          concat(lit(Array[Byte](1, 2, 3)), col("content")).as("content"))
+      val fresh = media.filter(pmod(col("media_id"), lit(2)) === 1)
+        .select(col("media_id"), col("content"))
+      // 32-byte average chunks: these payloads are small (200–3000 B), so
+      // coarser chunking would let a 3-byte edit damage a large FRACTION
+      // of a tiny blob's chunks (measured: 64/250 slipped at avg 64 vs
+      // 19/250 at avg 32 — the honest small-blob granularity trade)
+      val kept = Dedup.incrementalCdcNew(edited.unionByName(fresh), corpus,
+        "media_id", "content", 16, 32, 128)
+      kept.select(col("media_id")).orderBy(col("media_id"))
+    }),
+
     // Resize planning: aspect-preserving fit into a 256px box, integer math.
     "multimodal_resize" -> ((s, dir) => {
       val media = Multimodal.syntheticMedia(documents(s, dir), "doc_id", "text")

@@ -646,6 +646,47 @@ object Dedup {
       .select(col("blob_id"), col("c.off").as("off"),
         col("c.len").as("len"), col("c.hash").as("chunk_hash"))
 
+  /** Incremental CDC dedup for BINARY payloads: drop new blobs whose
+    * chunk mass mostly already exists in the corpus chunk store — the
+    * backup/storage-dedup shape of the incremental family, and the
+    * binary analogue of [[incrementalJaccardNew]]: a lightly-edited
+    * re-upload shares almost all its content-defined chunks with the
+    * original (the [[graft.functions.GearChunks]] shift-invariance), so
+    * its duplicate-byte ratio flags it even though its file hash differs.
+    *
+    * Returns the new batch MINUS blobs with
+    * dup_bytes / total_bytes > `maxDupRatio`. Scale shape: the corpus
+    * side reduces to its DISTINCT chunk-hash set (the persisted artifact
+    * a production ingest loop maintains); the only join is new-batch
+    * chunk hashes against it (left-semi, 8-byte keys) — blob bodies
+    * never shuffle.
+    */
+  def incrementalCdcNew(
+      newBatch: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      binCol: String,
+      minSize: Int = 2048,
+      avgSize: Int = 4096,
+      maxSize: Int = 16384,
+      maxDupRatio: Double = 0.5): DataFrame = {
+    require(maxDupRatio >= 0.0 && maxDupRatio <= 1.0,
+      "incrementalCdcNew: maxDupRatio must be in [0, 1]")
+    val corpusChunks = cdcChunkTable(corpus, idCol, binCol, minSize, avgSize, maxSize)
+      .select(col("chunk_hash")).distinct()
+    val newChunks = cdcChunkTable(newBatch, idCol, binCol, minSize, avgSize, maxSize)
+    val totals = newChunks.groupBy(col("blob_id"))
+      .agg(sum(col("len")).as("__tot"))
+    val dup = newChunks
+      .join(corpusChunks, Seq("chunk_hash"), "left_semi")
+      .groupBy(col("blob_id"))
+      .agg(sum(col("len")).as("__dup"))
+    val flagged = totals.join(dup, Seq("blob_id"))
+      .filter(col("__dup").cast("double") / col("__tot") > maxDupRatio)
+      .select(col("blob_id"))
+    newBatch.join(flagged, newBatch(idCol) === flagged("blob_id"), "left_anti")
+  }
+
   /** Near-dup CLUSTERS from a pair list: connected components by iterative
     * min-label propagation, then `keep = (doc_id == cluster_id)` — the
     * "keep one document per duplicate cluster" selection every training

@@ -923,6 +923,31 @@ class OperatorsSuite extends AnyFunSuite {
     assert(salted.count() === docs2.count(), "salted totality")
   }
 
+  test("incrementalCdcNew: edited re-uploads drop by chunk mass; fresh blobs and batch totality kept") {
+    import spark.implicits._
+    def junk(seed: Int, n: Int): Array[Byte] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      (0 until n / 16).flatMap(i => md.digest(s"$seed:$i".getBytes).toSeq).toArray
+    }
+    val b1 = junk(1, 8192)
+    val b2 = junk(2, 8192)
+    val corpus = Seq((1L, b1), (2L, b2)).toDF("id", "bin")
+    val batch = Seq(
+      (101L, Array[Byte](9, 9, 9, 9, 9, 9, 9) ++ b1), // edited re-upload → drop
+      (102L, junk(3, 8192)),                          // fresh → keep
+      (103L, b2)                                      // byte-identical → drop
+    ).toDF("id", "bin")
+    val kept = Dedup.incrementalCdcNew(batch, corpus, "id", "bin", 32, 64, 256)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(kept === Set(102L),
+      s"edited and identical re-uploads must drop, fresh must stay: $kept")
+    // an empty corpus keeps everything (no chunk can be a duplicate)
+    val all = Dedup.incrementalCdcNew(batch, corpus.filter(col("id") < 0),
+        "id", "bin", 32, 64, 256)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(all === Set(101L, 102L, 103L), "empty corpus drops nothing")
+  }
+
   test("tfidfCosinePairs: exact duplicates score 1.0; ubiquitous-only overlap scores 0") {
     import spark.implicits._
     // 'common' appears in EVERY doc → idf exactly 0 → pairs sharing only
