@@ -1951,6 +1951,7 @@ object SparkEntry {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+
     // Same semantics via asymmetric (SSJoin-style) prefix filtering — probe
     // side prefixed, container side fully indexed; shares the exact oracle.
     "dedup_containment_prefix" -> ((s, dir) => {

@@ -646,6 +646,92 @@ object Dedup {
       .select(col("blob_id"), col("c.off").as("off"),
         col("c.len").as("len"), col("c.hash").as("chunk_hash"))
 
+  /** Prefix-pruned exact tf-idf cosine — same results as
+    * [[tfidfCosinePairs]], built for corpora where blocking can't bound
+    * the inverted self-join (the published unblocked path: Bayardo,
+    * Ma & Srikant 2007, "Scaling Up All Pairs Similarity Search", WWW —
+    * the all-pairs index-pruning scheme).
+    *
+    * The prune: with vectors normalized (v = w/‖w‖, so cos = Σ v_a·v_b),
+    * fix a global term order and let mw(term) = the block's max
+    * normalized weight. Each document SKIPS indexing its maximal prefix
+    * whose running Σ v·mw stays below the threshold: a pair all of whose
+    * shared terms are skipped by one side has
+    * cos ≤ Σ_{skipped side} v·mw < t, so probing the FULL vectors
+    * against the pruned index keeps exact recall. Heavy-hitter terms
+    * carry tiny normalized weights in long documents and tiny mw bounds,
+    * so exactly the rows that explode the plain index are the ones
+    * pruned. Candidates verify with the exact dot over per-document
+    * sorted (term-hash, weight) arrays
+    * ([[graft.functions.DotSortedPairs]] — one merge scan per pair, the
+    * same discipline as the prefix-Jaccard verify), normalized by the
+    * stored norms so the arithmetic class matches [[tfidfCosinePairs]].
+    *
+    * The skip test uses `threshold − 1e-9`: the running bound is a float
+    * sum whose ±few-ulp error must never under-index (same boundary
+    * discipline as the Jaccard prefix's +2).
+    */
+  def tfidfCosinePairsPrefix(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockingKeys: Seq[Column],
+      threshold: Double): DataFrame = {
+    require(threshold > 0.0, "prefix-pruned cosine needs threshold > 0")
+    val keyNames = blockingKeys.map(_.toString)
+    val keys = keyNames.map(col)
+    val tf = df
+      .select(col(idCol).as("doc_id") +:
+        explode(TextAnalysis.wordTokens(col(textCol))).as("term") +: blockingKeys: _*)
+      .groupBy(col("doc_id") +: col("term") +: keys: _*)
+      .agg(count(lit(1)).as("c"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nRow = broadcast(df.agg(count(lit(1)).cast("double").as("__n")))
+    val w = tf.join(dfreq, "term").crossJoin(nRow)
+      .filter(col("df") < col("__n"))
+      .withColumn("w", col("c") * log(col("__n") / col("df")))
+      .select(col("doc_id") +: col("term") +: col("w") +: keys: _*)
+    val nrm = w.groupBy(col("doc_id"))
+      .agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+    val v = w.join(nrm, "doc_id").withColumn("v", col("w") / col("nrm"))
+    val mw = v.groupBy(col("term") +: keys: _*).agg(max(col("v")).as("mw"))
+    // global order = (mw asc, term): the skipped prefix then concentrates
+    // the SMALL-bound terms — which are exactly the block's heavy hitters
+    // (ubiquitous terms have small idf weights everywhere, hence small
+    // max) — so the hot rows leave the index first and candidate
+    // generation runs on the rare, informative tail (Bayardo's maxweight
+    // feature ordering; any fixed order is CORRECT, this one is the fast
+    // one). The order must be identical across docs: mw is a per-(term,
+    // block) constant, so it is.
+    val wnd = Window.partitionBy(col("doc_id")).orderBy(col("mw"), col("term"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bounded = v.join(mw, "term" +: keyNames)
+      .withColumn("__cum", sum(col("v") * col("mw")).over(wnd))
+    val indexed = bounded.filter(col("__cum") >= threshold - 1e-9)
+    val candidates = bounded.as("l")
+      .join(indexed.as("r"),
+        keyNames.map(k => col(s"l.$k") === col(s"r.$k"))
+          .foldLeft(col("l.term") === col("r.term"))(_ && _) &&
+          col("l.doc_id") =!= col("r.doc_id"))
+      .select(least(col("l.doc_id"), col("r.doc_id")).as("doc_a"),
+        greatest(col("l.doc_id"), col("r.doc_id")).as("doc_b"))
+      .distinct()
+    val ps = w.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(
+        struct(xxhash64(col("term")).as("h"), col("w").as("w")))).as("ps"))
+      .join(nrm, "doc_id")
+    candidates
+      .join(ps.select(col("doc_id").as("doc_a"), col("ps").as("ps_a"),
+        col("nrm").as("na")), Seq("doc_a"))
+      .join(ps.select(col("doc_id").as("doc_b"), col("ps").as("ps_b"),
+        col("nrm").as("nb")), Seq("doc_b"))
+      .withColumn("cos",
+        graft.functions.DotSortedPairs.dotSortedPairs(col("ps_a"), col("ps_b")) /
+          (col("na") * col("nb")))
+      .filter(col("cos") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("cos"), 4).as("cos"))
+  }
+
   /** Incremental CDC dedup for BINARY payloads: drop new blobs whose
     * chunk mass mostly already exists in the corpus chunk store — the
     * backup/storage-dedup shape of the incremental family, and the

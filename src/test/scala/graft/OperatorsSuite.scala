@@ -974,6 +974,28 @@ class OperatorsSuite extends AnyFunSuite {
     assert(c1.nonEmpty && c1 === c2, "deterministic rerun")
   }
 
+  test("tfidfCosinePairsPrefix: Bayardo index pruning keeps exact recall vs the plain index") {
+    def byPair(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // the DENSE shape (lang-only blocking) is exactly where the plain
+    // index explodes and the prune earns its keep — recall must be exact
+    for (t <- Seq(0.5, 0.85)) {
+      val plain = byPair(Dedup.tfidfCosinePairs(
+        docs, "doc_id", "text", Seq(col("lang")), t))
+      val pruned = byPair(Dedup.tfidfCosinePairsPrefix(
+        docs, "doc_id", "text", Seq(col("lang")), t))
+      assert(plain.nonEmpty, s"fixture should have pairs at $t")
+      assert(pruned.keySet === plain.keySet,
+        s"prefix pruning must be exact at $t; diff=${
+          (pruned.keySet diff plain.keySet) ++ (plain.keySet diff pruned.keySet)}")
+      // dot computed by merge scan vs hash agg: association differs by
+      // ulps; the 4-dp rounded values may differ by at most one tick
+      plain.foreach { case (k, c) =>
+        assert(math.abs(pruned(k) - c) <= 1.0001e-4, s"$k: ${pruned(k)} vs $c")
+      }
+    }
+  }
+
   test("containment: asymmetric, directional, and prefix-filtered form is exact") {
     def normalize(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
