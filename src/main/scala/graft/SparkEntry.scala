@@ -2482,9 +2482,15 @@ object SparkEntry {
       // 32-byte average chunks: these payloads are small (200–3000 B), so
       // coarser chunking would let a 3-byte edit damage a large FRACTION
       // of a tiny blob's chunks (measured: 64/250 slipped at avg 64 vs
-      // 19/250 at avg 32 — the honest small-blob granularity trade)
+      // 19/250 at avg 32). The minBlobBytes=256 tier closes most of THAT
+      // residue too: blobs under it re-test at avg-16 fine chunking
+      // against the corpus's own tiny blobs (measured: slips 19 → 5,
+      // fresh false-positives +1 — the floor on fine chunk size is what
+      // keeps common short byte sequences from colliding across
+      // genuinely-different blobs; see the operator's scaladoc)
       val kept = Dedup.incrementalCdcNew(edited.unionByName(fresh), corpus,
-        "media_id", "content", 16, 32, 128)
+        "media_id", "content", 16, 32, 128, maxDupRatio = 0.5,
+        minBlobBytes = 256)
       kept.select(col("media_id")).orderBy(col("media_id"))
     }),
 
@@ -2721,6 +2727,24 @@ object SparkEntry {
       Pipeline.selectClusterBalanced(docs, emb, "doc_id", "embedding", "n_chars",
           nlist = 64, maxPerCluster = 5, trainSample = 512)
         .select(col("doc_id"), col("cell"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // The nlist=1 EXACT regime of cluster-balanced selection: one cell
+    // makes the per-cluster quota IDENTICAL to the global top-k cut, which
+    // is plain SQL — so the DuckDB oracle hash-gates the ENTIRE
+    // selectClusterBalanced pipeline (k-means fit, assignment join, salted
+    // quota window included) in its degenerate-exact regime. Same
+    // oracle-conversion trick as IVF's full-probe ≡ brute-force gate; the
+    // nlist=64 production shape above stays rows-tier with this entry as
+    // its in-family exact anchor.
+    "select_cluster_balanced_exact" -> ((s, dir) => {
+      val docs = documents(s, dir).select(col("doc_id"), col("source"), col("n_chars"))
+      val emb = embeddings(s, dir).select(col("vec_id").as("doc_id"), col("embedding"))
+      Pipeline.selectClusterBalanced(docs, emb, "doc_id", "embedding", "n_chars",
+          nlist = 1, maxPerCluster = 100, trainSample = 512)
+        .select(col("doc_id"), col("cell").cast("long").as("cell"),
+          col("source"), col("n_chars"))
         .orderBy(col("doc_id"))
     }),
 
@@ -4457,6 +4481,15 @@ object SparkEntry {
         |WHERE rk <= 10
         |GROUP BY source
         |ORDER BY source""".stripMargin,
+
+    "select_cluster_balanced_exact" ->
+      """SELECT doc_id, CAST(0 AS BIGINT) AS cell, source, n_chars
+        |FROM (SELECT d.doc_id, d.source, d.n_chars,
+        |             row_number() OVER (ORDER BY d.n_chars DESC, d.doc_id) AS rk
+        |      FROM documents d
+        |      JOIN embeddings e ON e.vec_id = d.doc_id)
+        |WHERE rk <= 100
+        |ORDER BY doc_id""".stripMargin,
 
     "q_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,

@@ -35,9 +35,14 @@ object AhoCorasick {
     * it, including via suffix links, so the scan never walks fail chains
     * at match time.
     */
-  final class Kernel(patterns: Array[String]) extends Serializable {
-    require(patterns.nonEmpty, "AhoCorasick: empty pattern list")
-    require(patterns.forall(_.nonEmpty), "AhoCorasick: empty pattern")
+  final class Kernel(patterns0: Array[String]) extends Serializable {
+    require(patterns0.nonEmpty, "AhoCorasick: empty pattern list")
+    require(patterns0.forall(_.nonEmpty), "AhoCorasick: empty pattern")
+
+    // a repeated pattern would get two ids ending at the same trie node and
+    // distinctMatches would count it twice — dedupe preserves the
+    // per-DISTINCT-pattern semantics the oracle's per-pattern strpos encodes
+    private val patterns: Array[String] = patterns0.distinct
 
     val numPatterns: Int = patterns.length
 

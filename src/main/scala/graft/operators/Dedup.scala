@@ -746,6 +746,22 @@ object Dedup {
     * a production ingest loop maintains); the only join is new-batch
     * chunk hashes against it (left-semi, 8-byte keys) — blob bodies
     * never shuffle.
+    *
+    * TINY-BLOB TIER (`minBlobBytes > 0`): a blob spanning only 1–2 chunks
+    * degenerates the ratio test — a 3-byte edit damages a LARGE fraction
+    * of a tiny blob's chunk mass, so edited re-uploads of tiny blobs slip
+    * (measured: 19/250 at sf0.01 with avg-32 chunks). Exact full-blob
+    * hashing would NOT close this (the edit changes the full hash too);
+    * what closes it is chunk resolution proportional to blob size: blobs
+    * under `minBlobBytes` ALSO run the same ratio test at 8× finer
+    * chunking against the corpus's OWN tiny blobs, and a blob flagged by
+    * EITHER tier drops. The fine corpus store is bounded — every
+    * contributing blob is < minBlobBytes — and fresh tiny blobs survive
+    * both tiers (novel content shares no chunks at any resolution).
+    * Cross-tier fragments (a tiny new blob copied out of the middle of a
+    * LARGE corpus blob) are only caught when CDC boundaries align, as
+    * before — fragment search is substring dedup's job, not ingest
+    * dedup's.
     */
   def incrementalCdcNew(
       newBatch: DataFrame,
@@ -755,21 +771,47 @@ object Dedup {
       minSize: Int = 2048,
       avgSize: Int = 4096,
       maxSize: Int = 16384,
-      maxDupRatio: Double = 0.5): DataFrame = {
+      maxDupRatio: Double = 0.5,
+      minBlobBytes: Int = 0): DataFrame = {
     require(maxDupRatio >= 0.0 && maxDupRatio <= 1.0,
       "incrementalCdcNew: maxDupRatio must be in [0, 1]")
-    val corpusChunks = cdcChunkTable(corpus, idCol, binCol, minSize, avgSize, maxSize)
-      .select(col("chunk_hash")).distinct()
-    val newChunks = cdcChunkTable(newBatch, idCol, binCol, minSize, avgSize, maxSize)
-    val totals = newChunks.groupBy(col("blob_id"))
-      .agg(sum(col("len")).as("__tot"))
-    val dup = newChunks
-      .join(corpusChunks, Seq("chunk_hash"), "left_semi")
-      .groupBy(col("blob_id"))
-      .agg(sum(col("len")).as("__dup"))
-    val flagged = totals.join(dup, Seq("blob_id"))
-      .filter(col("__dup").cast("double") / col("__tot") > maxDupRatio)
-      .select(col("blob_id"))
+    def flaggedDups(nb: DataFrame, cp: DataFrame, mn: Int, av: Int, mx: Int): DataFrame = {
+      val corpusChunks = cdcChunkTable(cp, idCol, binCol, mn, av, mx)
+        .select(col("chunk_hash")).distinct()
+      val newChunks = cdcChunkTable(nb, idCol, binCol, mn, av, mx)
+      val totals = newChunks.groupBy(col("blob_id"))
+        .agg(sum(col("len")).as("__tot"))
+      val dup = newChunks
+        .join(corpusChunks, Seq("chunk_hash"), "left_semi")
+        .groupBy(col("blob_id"))
+        .agg(sum(col("len")).as("__dup"))
+      totals.join(dup, Seq("blob_id"))
+        .filter(col("__dup").cast("double") / col("__tot") > maxDupRatio)
+        .select(col("blob_id"))
+    }
+    val coarse = flaggedDups(newBatch, corpus, minSize, avgSize, maxSize)
+    val flagged =
+      if (minBlobBytes <= 0) coarse
+      else {
+        // /8 keeps avg a power of two (GearChunks invariant) and puts ~8+
+        // chunks on any blob near the floor, so one damaged chunk is a
+        // small fraction again. The 16-byte floor on the fine average is
+        // load-bearing: below it, chunks stop being content IDENTITY and
+        // start being content VOCABULARY — measured on the synthetic text
+        // payloads, avg-4 fine chunks flagged 72 genuinely-fresh tiny
+        // blobs as duplicates (common short byte sequences collide across
+        // unrelated blobs), while avg-16 flagged 1 and cut the edited-
+        // re-upload slips 19 → 5 (the residue is blobs small enough that
+        // even 16-byte grains put most of their mass in the damaged head)
+        val fineAvg = math.max(16, avgSize / 8)
+        val fineMin = math.max(1, fineAvg / 2)
+        val fineMax = math.max(fineAvg * 4, maxSize / 8)
+        val fine = flaggedDups(
+          newBatch.filter(length(newBatch(binCol)) < minBlobBytes),
+          corpus.filter(length(corpus(binCol)) < minBlobBytes),
+          fineMin, fineAvg, fineMax)
+        coarse.unionByName(fine).distinct()
+      }
     newBatch.join(flagged, newBatch(idCol) === flagged("blob_id"), "left_anti")
   }
 

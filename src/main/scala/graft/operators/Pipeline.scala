@@ -72,6 +72,17 @@ object Pipeline {
       saltBuckets: Int = 1): DataFrame = {
     require(budget > 0, "packBinsBFD: budget must be positive")
     require(saltBuckets >= 1, "packBinsBFD: saltBuckets must be >= 1")
+    // fail loudly on ids the long cast cannot represent: a silent NULL here
+    // would corrupt the output id column AND the (tokens desc, id asc)
+    // tie-break that makes the packing deterministic. String ids should be
+    // pre-hashed (e.g. xxhash64) by the caller — same posture as
+    // Dedup.dupClusters' checkedId.
+    locally {
+      import org.apache.spark.sql.types._
+      val idType = df.select(col(idName)).schema.head.dataType
+      require(Seq[DataType](ByteType, ShortType, IntegerType, LongType).contains(idType),
+        s"packBinsBFD: id column '$idName' must be integral, got $idType")
+    }
     val spark = df.sparkSession
     import spark.implicits._
     val salted = df.select(
@@ -744,6 +755,11 @@ object Pipeline {
       .unionByName(mark3).unionByName(sec3).unionByName(tail)
       .orderBy(col("__ord"), col("__key"))
       .select(col("__line"))
+      // BOUNDED ARTIFACT: the model tables are bounded by n-gram TYPES
+      // (not corpus size), and ARPA is a single-file interchange format by
+      // definition — the one-task write is the contract, not a scale
+      // bottleneck. Same discipline as the other driver-side artifact
+      // sites; a model too big for one task is a model too big for ARPA.
       .coalesce(1)
       .write.mode("overwrite").text(dir)
   }

@@ -43,7 +43,9 @@ object Relational {
     * per-row probe join. Every tie is deterministic and mirrored by the
     * oracle: equal distance prefers the earlier (backward) candidate;
     * equal time on the backward side prefers the larger carry, on the
-    * forward side the smaller (the struct orderings); a right row at
+    * forward side the smaller (the struct orderings); a NULL carry loses
+    * any same-timestamp tie on either side (NULLS-LAST, via the null-rank
+    * struct field); a right row at
     * exactly the left time is distance 0 via the backward frame. RANGE
     * (not ROWS) frames make same-timestamp visibility exact instead of
     * physical-order-dependent.
@@ -72,10 +74,21 @@ object Relational {
       .rangeBetween(Window.unboundedPreceding, Window.currentRow)
     val wf = Window.partitionBy(col("__k")).orderBy(col("__t"))
       .rangeBetween(Window.currentRow, Window.unboundedFollowing)
-    val cand = when(col("__isr"), struct(col("__t").as("t"), col("__rv").as("v")))
+    // A NULL carry must lose a same-timestamp tie on BOTH sides (the
+    // oracle's ORDER BY is NULLS LAST): a boolean null-rank field sits
+    // between t and v, oriented per side so the extreme the window takes
+    // always prefers the non-null candidate — under max, isNotNull=true
+    // sorts highest; under min, isNull=false sorts lowest. Without it a
+    // bare struct(t, v) under min sorts the null v FIRST and a null carry
+    // would WIN the forward-side tie. Same field name/type on both sides
+    // so the pick chain below unifies the struct types.
+    val candB = when(col("__isr"),
+      struct(col("__t").as("t"), col("__rv").isNotNull.as("nn"), col("__rv").as("v")))
+    val candF = when(col("__isr"),
+      struct(col("__t").as("t"), col("__rv").isNull.as("nn"), col("__rv").as("v")))
     val marked = lu.unionByName(ru)
-      .withColumn("__prev", max(cand).over(wb))
-      .withColumn("__next", min(cand).over(wf))
+      .withColumn("__prev", max(candB).over(wb))
+      .withColumn("__next", min(candF).over(wf))
       .filter(!col("__isr"))
     val db = col("__t") - col("__prev.t")
     val df = col("__next.t") - col("__t")

@@ -153,6 +153,13 @@ object Unigram {
       var expected: mutable.HashMap[String, Double] = null
       while (it < emIters) {
         expected = emPass()
+        // totality floor: a single character whose expected count
+        // underflows to 0.0 (emPass keeps only posterior > 0) must not
+        // silently drop from the vocabulary — encode would then stay total
+        // only via the unk fallback, changing scores. Re-insert at a floor
+        // count before normalizing so "single chars are never pruned"
+        // holds through the M-step too, not just the prune step.
+        for (c <- chars) if (!expected.contains(c)) expected.update(c, 1e-12)
         // M-step in sorted-key order (float sums must not depend on hash
         // iteration order)
         val keys = expected.keysIterator.toArray.sorted

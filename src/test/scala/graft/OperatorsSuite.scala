@@ -948,6 +948,42 @@ class OperatorsSuite extends AnyFunSuite {
     assert(all === Set(101L, 102L, 103L), "empty corpus drops nothing")
   }
 
+  test("incrementalCdcNew tiny-blob tier: fine chunking catches edited tiny re-uploads; routing boundary pinned") {
+    import spark.implicits._
+    def junk(seed: Int, n: Int): Array[Byte] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      (0 until (n + 15) / 16).flatMap(i => md.digest(s"tb$seed:$i".getBytes).toSeq)
+        .take(n).toArray
+    }
+    val tiny = junk(1, 64) // 1–2 coarse chunks at min 32 / avg 64
+    val big = junk(2, 8192)
+    val corpus = Seq((1L, tiny), (2L, big)).toDF("id", "bin")
+    val batch = Seq(
+      (201L, Array[Byte](9, 9, 9) ++ tiny), // edited tiny re-upload
+      (202L, junk(3, 64))                   // fresh tiny
+    ).toDF("id", "bin")
+    // Without the tier the edited tiny blob SLIPS: at avg-64 chunking a
+    // 67-byte blob is 1–2 chunks and the 3-byte prepend damages most of
+    // its chunk mass — the documented degeneracy the tier exists for.
+    val noTier = Dedup.incrementalCdcNew(batch, corpus, "id", "bin", 32, 64, 256)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(noTier.contains(201L), s"expected the coarse-only slip to reproduce: $noTier")
+    // With the tier the edited tiny blob re-tests at 8/16/64 chunking
+    // (~4–8 chunks) where the edit damages only the head — caught; the
+    // fresh tiny blob shares no chunks at ANY resolution — kept.
+    val tiered = Dedup.incrementalCdcNew(batch, corpus, "id", "bin", 32, 64, 256,
+        maxDupRatio = 0.5, minBlobBytes = 128)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(tiered === Set(202L), s"tiered: edited tiny drops, fresh tiny stays: $tiered")
+    // ROUTING BOUNDARY: length >= minBlobBytes stays coarse-only. The same
+    // edited pair with the floor AT the new blob's length (67) must not
+    // enter the fine tier — behavior identical to no tier.
+    val atBoundary = Dedup.incrementalCdcNew(batch, corpus, "id", "bin", 32, 64, 256,
+        maxDupRatio = 0.5, minBlobBytes = 67)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(atBoundary === noTier, s"length >= minBlobBytes must route coarse-only: $atBoundary")
+  }
+
   test("tfidfCosinePairs: exact duplicates score 1.0; ubiquitous-only overlap scores 0") {
     import spark.implicits._
     // 'common' appears in EVERY doc → idf exactly 0 → pairs sharing only
