@@ -1951,6 +1951,17 @@ object SparkEntry {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // Same semantics via l2-prefix index pruning (Bayardo 2007 framework,
+    // L2AP/WWW'14 Cauchy–Schwarz prefix bound) — the unblocked path a
+    // natural-Zipf crawl needs (measured sub-linear on the ZipfData
+    // fixture, SCALE.md); shares the exact oracle: pruning must not
+    // change the result set.
+    "dedup_tfidf_cosine_prefix" -> ((s, dir) => {
+      Dedup.tfidfCosinePairsPrefix(documents(s, dir), "doc_id", "text",
+          Seq(col("lang"), col("source")), threshold = 0.85)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
 
     // Same semantics via asymmetric (SSJoin-style) prefix filtering — probe
     // side prefixed, container side fully indexed; shares the exact oracle.
@@ -2224,6 +2235,19 @@ object SparkEntry {
     "dedup_semantic" -> ((s, dir) => {
       Dedup.semanticDedup(embeddings(s, dir), "vec_id", "embedding",
           nlist = -1, threshold = 0.3)
+        .orderBy(col("vec_id"))
+    }),
+
+    // SemDeDup's EXACT regime: nlist = 1 puts every vector in one cell, so
+    // the in-cell pair stage IS global all-pairs cosine and the whole
+    // pipeline (assignment, pair join, connected components, keep-one)
+    // becomes DuckDB-expressible — the same full-probe trick as
+    // similarity_ivf_full_topk / select_cluster_balanced_exact. The
+    // k-means-dependent auto-cells form above stays the scale path;
+    // this entry hash-gates the machinery end to end.
+    "dedup_semantic_exact" -> ((s, dir) => {
+      Dedup.semanticDedup(embeddings(s, dir), "vec_id", "embedding",
+          nlist = 1, threshold = 0.3)
         .orderBy(col("vec_id"))
     }),
 
@@ -4865,6 +4889,35 @@ object SparkEntry {
         |WHERE c >= 0.85
         |ORDER BY doc_a, doc_b""".stripMargin,
 
+    // identical oracle to dedup_tfidf_cosine: l2-prefix pruning is exact
+    "dedup_tfidf_cosine_prefix" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, source,
+        |         unnest(regexp_extract_all(text, '[a-z0-9]+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, lang, source, term, count(*)::BIGINT AS c
+        |       FROM t GROUP BY 1, 2, 3, 4),
+        |dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+        |w AS (
+        |  SELECT tf.doc_id, tf.lang, tf.source, tf.term,
+        |         tf.c * ln(n.n / dfreq.df) AS w
+        |  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n
+        |  WHERE dfreq.df < n.n),
+        |nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY 1),
+        |dots AS (
+        |  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, sum(l.w * r.w) AS dot
+        |  FROM w l JOIN w r
+        |    ON l.term = r.term AND l.lang = r.lang AND l.source = r.source
+        |       AND l.doc_id < r.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, round(c, 4) AS cos FROM (
+        |  SELECT doc_a, doc_b, dot / (na.nrm * nb.nrm) AS c
+        |  FROM dots JOIN nrm na ON doc_a = na.doc_id
+        |            JOIN nrm nb ON doc_b = nb.doc_id)
+        |WHERE c >= 0.85
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
     // identical oracle: prefix filtering must not change the result set
     "dedup_containment_prefix" ->
       """WITH s AS (
@@ -5354,6 +5407,36 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, round(s, 4) AS cos_sim, rank
         |FROM ranked WHERE rank <= 3
         |ORDER BY query_id, rank""".stripMargin,
+
+    // nlist = 1 ⇒ one cell (cell 0), pairs = global all-pairs cosine,
+    // clusters = recursive-CTE closure, keeper = min id; vectors with no
+    // pair keep themselves (the operator's left-join + coalesce)
+    "dedup_semantic_exact" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.3
+        |),
+        |edges AS (
+        |  SELECT vec_a AS u, vec_b AS v FROM pairs
+        |  UNION
+        |  SELECT vec_b AS u, vec_a AS v FROM pairs
+        |),
+        |reach AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+        |  WHERE e.v <> r.u
+        |),
+        |clusters AS (
+        |  SELECT u AS vec_id, LEAST(u, MIN(v)) AS cluster_id
+        |  FROM reach GROUP BY u
+        |)
+        |SELECT e.vec_id AS vec_id, 0 AS cell,
+        |       coalesce(c.cluster_id, e.vec_id) AS cluster_id,
+        |       coalesce(e.vec_id = c.cluster_id, TRUE) AS keep
+        |FROM embeddings e LEFT JOIN clusters c ON e.vec_id = c.vec_id
+        |ORDER BY e.vec_id""".stripMargin,
 
     "embedding_neardup" ->
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -648,27 +648,38 @@ object Dedup {
 
   /** Prefix-pruned exact tf-idf cosine — same results as
     * [[tfidfCosinePairs]], built for corpora where blocking can't bound
-    * the inverted self-join (the published unblocked path: Bayardo,
-    * Ma & Srikant 2007, "Scaling Up All Pairs Similarity Search", WWW —
-    * the all-pairs index-pruning scheme).
+    * the inverted self-join (the published unblocked path: the all-pairs
+    * prefix-index framework of Bayardo, Ma & Srikant 2007, "Scaling Up
+    * All Pairs Similarity Search", WWW, with the l2-norm prefix bound of
+    * Anastasiu & Karypis 2014, "L2AP: Fast Exact All-Pairs Similarity
+    * Search", WWW).
     *
     * The prune: with vectors normalized (v = w/‖w‖, so cos = Σ v_a·v_b),
-    * fix a global term order and let mw(term) = the block's max
-    * normalized weight. Each document SKIPS indexing its maximal prefix
-    * whose running Σ v·mw stays below the threshold: a pair all of whose
-    * shared terms are skipped by one side has
-    * cos ≤ Σ_{skipped side} v·mw < t, so probing the FULL vectors
-    * against the pruned index keeps exact recall. Heavy-hitter terms
-    * carry tiny normalized weights in long documents and tiny mw bounds,
-    * so exactly the rows that explode the plain index are the ones
-    * pruned. Candidates verify with the exact dot over per-document
-    * sorted (term-hash, weight) arrays
+    * fix a per-document term order and let each document SKIP indexing
+    * its maximal prefix whose L2 norm stays below the threshold
+    * (running Σ v² < t²). A pair ALL of whose shared terms fall in one
+    * side's skipped prefix has, by Cauchy–Schwarz,
+    * cos = Σ_shared v_a·v_b ≤ ‖a restricted to its prefix‖·‖b‖ < t·1,
+    * so probing the FULL vectors against the pruned index keeps exact
+    * recall. The bound is PER-DOCUMENT — unlike Bayardo's original
+    * Σ v·maxweight(term) running bound, no global per-term statistic
+    * appears, so one bursty outlier document cannot inflate a
+    * mid-frequency term's bound for the whole corpus (measured on the
+    * Zipf fixture: the maxweight bound left 26% of rows indexed and 19%
+    * of ALL pairs as candidates at 20k docs; the l2 bound collapses the
+    * mid band — SCALE.md records both curves). Documents order their
+    * terms by (df desc, term), putting the heavy hitters — the rows
+    * whose df² explodes the plain index — at the front where they are
+    * skipped first; any fixed order is CORRECT (the Cauchy–Schwarz
+    * argument uses one side's own prefix only), df-desc is the fast one.
+    * Candidates verify with the exact dot over per-document sorted
+    * (term-hash, weight) arrays
     * ([[graft.functions.DotSortedPairs]] — one merge scan per pair, the
     * same discipline as the prefix-Jaccard verify), normalized by the
     * stored norms so the arithmetic class matches [[tfidfCosinePairs]].
     *
-    * The skip test uses `threshold − 1e-9`: the running bound is a float
-    * sum whose ±few-ulp error must never under-index (same boundary
+    * The skip test uses `t² − 1e-9`: the running bound is a float sum
+    * whose ±few-ulp error must never under-index (same boundary
     * discipline as the Jaccard prefix's +2).
     */
   def tfidfCosinePairsPrefix(
@@ -690,24 +701,17 @@ object Dedup {
     val w = tf.join(dfreq, "term").crossJoin(nRow)
       .filter(col("df") < col("__n"))
       .withColumn("w", col("c") * log(col("__n") / col("df")))
-      .select(col("doc_id") +: col("term") +: col("w") +: keys: _*)
+      .select(col("doc_id") +: col("term") +: col("w") +: col("df") +: keys: _*)
     val nrm = w.groupBy(col("doc_id"))
       .agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
     val v = w.join(nrm, "doc_id").withColumn("v", col("w") / col("nrm"))
-    val mw = v.groupBy(col("term") +: keys: _*).agg(max(col("v")).as("mw"))
-    // global order = (mw asc, term): the skipped prefix then concentrates
-    // the SMALL-bound terms — which are exactly the block's heavy hitters
-    // (ubiquitous terms have small idf weights everywhere, hence small
-    // max) — so the hot rows leave the index first and candidate
-    // generation runs on the rare, informative tail (Bayardo's maxweight
-    // feature ordering; any fixed order is CORRECT, this one is the fast
-    // one). The order must be identical across docs: mw is a per-(term,
-    // block) constant, so it is.
-    val wnd = Window.partitionBy(col("doc_id")).orderBy(col("mw"), col("term"))
+    // running prefix ‖·‖²: df-desc order concentrates the heavy hitters
+    // in the skipped prefix (df rides along from the weighting join — no
+    // extra shuffle, and no per-term max statistic at all)
+    val wnd = Window.partitionBy(col("doc_id")).orderBy(col("df").desc, col("term"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val bounded = v.join(mw, "term" +: keyNames)
-      .withColumn("__cum", sum(col("v") * col("mw")).over(wnd))
-    val indexed = bounded.filter(col("__cum") >= threshold - 1e-9)
+    val bounded = v.withColumn("__cum", sum(col("v") * col("v")).over(wnd))
+    val indexed = bounded.filter(col("__cum") >= threshold * threshold - 1e-9)
     val candidates = bounded.as("l")
       .join(indexed.as("r"),
         keyNames.map(k => col(s"l.$k") === col(s"r.$k"))

@@ -1010,7 +1010,7 @@ class OperatorsSuite extends AnyFunSuite {
     assert(c1.nonEmpty && c1 === c2, "deterministic rerun")
   }
 
-  test("tfidfCosinePairsPrefix: Bayardo index pruning keeps exact recall vs the plain index") {
+  test("tfidfCosinePairsPrefix: l2-prefix index pruning keeps exact recall vs the plain index") {
     def byPair(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     // the DENSE shape (lang-only blocking) is exactly where the plain
@@ -1030,6 +1030,36 @@ class OperatorsSuite extends AnyFunSuite {
         assert(math.abs(pruned(k) - c) <= 1.0001e-4, s"$k: ${pruned(k)} vs $c")
       }
     }
+    // SPARSE Zipf-ish shape — the corpus class the l2 bound was adopted
+    // for (rare tails carry the weight; the skip region must cover the
+    // head/mid band, and candidates must stay far below all-pairs while
+    // recall stays exact). Deterministic hash-built corpus: 300 docs of
+    // 40 tokens over a rank ∝ exp(u·ln V) Zipf draw, every 11th doc a
+    // ~10%-mutated copy of an earlier one.
+    val zipfish = {
+      import spark.implicits._
+      val vocab = 4000
+      def tok(seed: Long, p: Int): String = {
+        val h = java.lang.Long.remainderUnsigned(
+          scala.util.hashing.MurmurHash3.stringHash(s"$seed:$p").toLong & 0xffffffffL, 1 << 20)
+        val u = (h + 0.5) / (1 << 20)
+        "t" + math.min(vocab, math.pow(vocab + 1.0, u).toLong)
+      }
+      (0L until 300L).map { id =>
+        val dup = id % 11 == 4 && id >= 11
+        val seed = if (dup) id - 7 else id
+        val toks = (0 until 40).map { p =>
+          if (dup && (id * 41 + p) % 10 == 0) tok(id + 1000000L, p) else tok(seed, p)
+        }
+        (id, toks.mkString(" "), "en")
+      }.toDF("doc_id", "text", "lang")
+    }
+    val plainZ = byPair(Dedup.tfidfCosinePairs(zipfish, "doc_id", "text", Seq(col("lang")), 0.8))
+    val prunedZ = byPair(Dedup.tfidfCosinePairsPrefix(zipfish, "doc_id", "text", Seq(col("lang")), 0.8))
+    assert(plainZ.nonEmpty, "planted near-dups must surface on the sparse fixture")
+    assert(prunedZ.keySet === plainZ.keySet,
+      s"l2 pruning must be exact on the sparse shape; diff=${
+        (prunedZ.keySet diff plainZ.keySet) ++ (plainZ.keySet diff prunedZ.keySet)}")
   }
 
   test("containment: asymmetric, directional, and prefix-filtered form is exact") {
