@@ -2244,7 +2244,9 @@ object SparkEntry {
     // becomes DuckDB-expressible — the same full-probe trick as
     // similarity_ivf_full_topk / select_cluster_balanced_exact. The
     // k-means-dependent auto-cells form above stays the scale path;
-    // this entry hash-gates the machinery end to end.
+    // this entry hash-gates the machinery end to end. ORACLE-DUTY
+    // QUADRATIC (86 s at x10 vs the auto-cells twin's 2.3x ratio,
+    // SCALE.md) — same class as embedding_neardup, never the scale form.
     "dedup_semantic_exact" -> ((s, dir) => {
       Dedup.semanticDedup(embeddings(s, dir), "vec_id", "embedding",
           nlist = 1, threshold = 0.3)
@@ -2660,6 +2662,22 @@ object SparkEntry {
         .groupBy(col("lang"), col("split"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
         .orderBy(col("lang"), col("split"))
+    }),
+
+    // Leakage-safe split: near-dup clusters (exact-Jaccard pairs, the
+    // dedup_clusters graph) land WHOLE in one split — the doc-keyed split
+    // above would put near-identical docs on both sides of the train/test
+    // boundary and contaminate every downstream eval. Per-doc output
+    // (doc_id, split) so the oracle hash-checks the assignment itself,
+    // not just a census.
+    "sample_split_leakage_safe" -> ((s, dir) => {
+      val docs = documents(s, dir)
+        .withColumn("len_bucket", floor(col("n_chars") / 100))
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        Seq(col("len_bucket")), shingleSize = 3, threshold = 0.5)
+      Pipeline.splitLeakageSafe(docs, "doc_id", pairs, "doc_a", "doc_b")
+        .select(col("doc_id"), col("lang"), col("split"))
+        .orderBy(col("doc_id"))
     }),
 
     // Domain-mixture sampling: per-language keep rates (the pretraining
@@ -6527,6 +6545,49 @@ object SparkEntry {
         |            FROM documents))
         |GROUP BY lang, split
         |ORDER BY lang, split""".stripMargin,
+
+    // same closure as dedup_clusters; split key = the cluster's min-id
+    // representative (singletons: the doc itself), same md5 bucketing as
+    // sample_split — the assignment itself is hash-checked per doc
+    "sample_split_leakage_safe" ->
+      """WITH RECURSIVE s AS (
+        |  SELECT doc_id, n_chars // 100 AS len_bucket,
+        |         list_distinct([array_to_string(toks[i:i+2], ' ')
+        |                        for i in range(1, len(toks) - 1)]) AS sh
+        |  FROM (SELECT doc_id, n_chars, string_split_regex(text, ' +') AS toks
+        |        FROM documents)
+        |),
+        |pairs AS (
+        |  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b
+        |  FROM s l JOIN s r
+        |    ON l.len_bucket = r.len_bucket AND l.doc_id < r.doc_id
+        |  WHERE len(list_intersect(l.sh, r.sh))::DOUBLE
+        |          / len(list_distinct(l.sh || r.sh)) >= 0.5
+        |),
+        |edges AS (
+        |  SELECT doc_a AS u, doc_b AS v FROM pairs
+        |  UNION
+        |  SELECT doc_b AS u, doc_a AS v FROM pairs
+        |),
+        |reach AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+        |  WHERE e.v <> r.u
+        |),
+        |clusters AS (
+        |  SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
+        |  FROM reach GROUP BY u
+        |)
+        |SELECT d.doc_id AS doc_id, d.lang AS lang,
+        |       CASE WHEN b < 80 THEN 'train'
+        |            WHEN b < 90 THEN 'valid'
+        |            ELSE 'test' END AS split
+        |FROM (SELECT d.doc_id, d.lang,
+        |        ('0x' || substr(md5(coalesce(c.cluster_id, d.doc_id)::VARCHAR), 1, 4))::BIGINT
+        |          % 100 AS b
+        |      FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id) d
+        |ORDER BY doc_id""".stripMargin,
 
     "sample_shuffle" ->
       """SELECT row_number() OVER (ORDER BY shuffle_key, doc_id)::INTEGER AS position,

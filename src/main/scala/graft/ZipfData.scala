@@ -44,21 +44,13 @@ import org.apache.spark.sql.functions._
   * (doc_id BIGINT, text, lang, source, n_chars BIGINT).
   */
 object ZipfData {
-  def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: ZipfData <destDir> <nDocs> [vocab]")
-    val dest = args(0)
-    val nDocs = args(1).toLong
-    val vocab: Long = if (args.length > 2) args(2).toLong else 15L * nDocs
+
+  /** The corpus as a plan (pure expressions — bit-reproducible at any
+    * parallelism; main() writes it, specs assert on it directly).
+    */
+  def corpus(spark: SparkSession, nDocs: Long, vocabOpt: Option[Long] = None): org.apache.spark.sql.DataFrame = {
+    val vocab: Long = vocabOpt.getOrElse(15L * nDocs)
     require(nDocs > 17 && vocab > 1, "need nDocs > 17 (dup plant) and vocab > 1")
-
-    val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
-      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-
     // u in (0, 1): 30 hash bits, offset half a step so u is never 0
     def u(cols: Column*): Column =
       (pmod(xxhash64(cols: _*), lit(1L << 30)).cast("double") + 0.5) / (1L << 30).toDouble
@@ -67,7 +59,7 @@ object ZipfData {
       least(lit(vocab), floor(pow(lit(vocab + 1.0), uu)).cast("long"))
 
     val isDup = col("doc_id") % 17 === 5 && col("doc_id") >= 17
-    val docs = spark.range(0, nDocs, 1, 32).select(col("id").as("doc_id"))
+    spark.range(0, nDocs, 1, 32).select(col("id").as("doc_id"))
       .withColumn("__seed", when(isDup, col("doc_id") - 13).otherwise(col("doc_id")))
       .withColumn("__len", (lit(60) + pmod(xxhash64(lit("len"), col("__seed")), lit(120))).cast("int"))
       .withColumn("__toks", transform(sequence(lit(0), col("__len") - 1), p => {
@@ -80,9 +72,26 @@ object ZipfData {
         element_at(array(lit("web"), lit("news"), lit("wiki"), lit("forum")),
           (pmod(xxhash64(lit("src"), col("doc_id")), lit(4)) + 1).cast("int")).as("source"),
         length(col("text")).cast("long").as("n_chars"))
+  }
 
-    docs.repartition(32).write.mode("overwrite").parquet(s"$dest/documents.parquet")
-    println(s"[zipfdata] $dest/documents.parquet written: nDocs=$nDocs vocab=$vocab")
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: ZipfData <destDir> <nDocs> [vocab]")
+    val dest = args(0)
+    val nDocs = args(1).toLong
+    val vocab: Option[Long] = if (args.length > 2) Some(args(2).toLong) else None
+
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    corpus(spark, nDocs, vocab)
+      .repartition(32).write.mode("overwrite").parquet(s"$dest/documents.parquet")
+    println(s"[zipfdata] $dest/documents.parquet written: nDocs=$nDocs " +
+      s"vocab=${vocab.getOrElse(15L * nDocs)}")
     spark.stop()
   }
 }

@@ -151,6 +151,48 @@ object Pipeline {
         .otherwise("test"))
   }
 
+  /** Leakage-safe deterministic split: near-duplicates must never straddle
+    * the train/eval boundary — a doc-keyed split ([[deterministicSplit]])
+    * puts two near-identical documents in train and test with probability
+    * 2·p·(1−p), silently contaminating every evaluation downstream (the
+    * published failure mode train/test-overlap decontamination audits
+    * exist for; Lee et al. 2021 §6 measure it directly). The fix is
+    * structural: the split key is the CLUSTER, not the document — every
+    * member of a near-dup cluster (connected component of `pairs`,
+    * labeled by [[Dedup.dupClusters]]' min-id representative) inherits
+    * the md5 bucket of its representative, so a cluster lands whole in
+    * exactly one split. Singletons are their own representative: with no
+    * pairs this IS [[deterministicSplit]], and split fractions stay
+    * ≈ requested because representatives hash uniformly.
+    *
+    * Scale shape: min-label propagation (O(cluster diameter) rounds, one
+    * hash-partitioned label-table shuffle per round — near-dup clusters
+    * are shallow) + ONE left join of the corpus against the labels
+    * (pair-member rows only, a small fraction of the corpus) + a
+    * per-row md5 expression. The corpus never shuffles on anything but
+    * the label join key.
+    */
+  def splitLeakageSafe(
+      df: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      trainPct: Int = 80,
+      validPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && validPct >= 0 && trainPct + validPct <= 100,
+      s"splitLeakageSafe: bad percentages train=$trainPct valid=$validPct")
+    val labels = Dedup.dupClusters(pairs, aCol, bCol)
+      .select(col("doc_id").as("__split_member"), col("cluster_id").as("__split_rep"))
+    val rep = coalesce(col("__split_rep"), col(idCol))
+    df.join(labels, col(idCol) === col("__split_member"), "left")
+      .withColumn("split",
+        when(md5Bucket(rep) < trainPct, "train")
+          .when(md5Bucket(rep) < trainPct + validPct, "valid")
+          .otherwise("test"))
+      .drop("__split_member", "__split_rep")
+  }
+
   /** Deterministic bucket from a stable key: the first `hexChars` hex
     * digits of md5, mod `buckets` — reproducible on any engine with md5
     * (the cross-engine hash; DuckDB spells it

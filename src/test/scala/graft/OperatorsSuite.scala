@@ -1353,6 +1353,65 @@ class OperatorsSuite extends AnyFunSuite {
     assert(counts.getOrElse("test", 0L) / n < 0.2, s"split skewed: $counts")
   }
 
+  test("splitLeakageSafe: clusters never straddle splits; no pairs ≡ deterministicSplit") {
+    import spark.implicits._
+    val d = docs.withColumn("len_bucket", floor(col("n_chars") / 100))
+    val pairs = Dedup.ngramJaccardPairs(d, "doc_id", "text",
+      Seq(col("len_bucket")), shingleSize = 3, threshold = 0.5)
+    val out = Pipeline.splitLeakageSafe(d, "doc_id", pairs, "doc_a", "doc_b")
+      .select(col("doc_id"), col("split"))
+    // totality: every doc exactly once
+    assert(out.count() === docs.count(), "one split row per document")
+    // THE property: every near-dup cluster is entirely inside one split
+    val labels = Dedup.dupClusters(pairs, "doc_a", "doc_b")
+      .select(col("doc_id"), col("cluster_id"))
+    val straddling = out.join(labels, "doc_id")
+      .groupBy(col("cluster_id")).agg(countDistinct(col("split")).as("nsplits"))
+      .filter(col("nsplits") > 1).count()
+    assert(straddling === 0L, "a near-dup cluster straddles the split boundary")
+    // the doc-keyed split DOES straddle on this corpus (the failure mode
+    // is real here, not vacuously absent)
+    val naive = Pipeline.deterministicSplit(d, col("doc_id"))
+      .select(col("doc_id"), col("split"))
+    val naiveStraddling = naive.join(labels, "doc_id")
+      .groupBy(col("cluster_id")).agg(countDistinct(col("split")).as("nsplits"))
+      .filter(col("nsplits") > 1).count()
+    assert(naiveStraddling > 0L,
+      "fixture must exhibit the doc-keyed straddle the operator exists to prevent")
+    // degenerate regime: no pairs → identical to the doc-keyed split
+    val emptyPairs = pairs.filter(lit(false))
+    val same = Pipeline.splitLeakageSafe(d, "doc_id", emptyPairs, "doc_a", "doc_b")
+      .select(col("doc_id"), col("split"))
+    assert(same.except(naive).count() === 0 && naive.except(same).count() === 0,
+      "singleton-only corpus must reduce to deterministicSplit")
+  }
+
+  test("ZipfData corpus: deterministic, Zipf-shaped, planted near-dups recoverable") {
+    val c1 = graft.ZipfData.corpus(spark, 300)
+    val c2 = graft.ZipfData.corpus(spark, 300)
+    assert(c1.count() === 300)
+    assert(c1.except(c2).count() === 0 && c2.except(c1).count() === 0,
+      "generator must be bit-reproducible")
+    // Zipf head: the most document-frequent term must appear in a large
+    // fraction of docs while the median term is rare (the shape the
+    // dense testdata vocabulary lacks)
+    val dfreq = c1.select(col("doc_id"),
+        explode(array_distinct(TextAnalysis.wordTokens(col("text")))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val (maxDf, medDf) = {
+      val r = dfreq.agg(max(col("df")), expr("percentile(df, 0.5)")).head()
+      (r.getLong(0), r.getDouble(1))
+    }
+    assert(maxDf > 250, s"head term must be near-ubiquitous: $maxDf")
+    assert(medDf <= 3.0, s"median term must be rare: $medDf")
+    // planted near-dups: doc 22 is a ~5%-mutated copy of doc 9 — the pair
+    // query finds every planted pair and nothing else at t=0.8
+    val pairs = Dedup.tfidfCosinePairsPrefix(c1, "doc_id", "text", Seq(col("lang")), 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = (17L until 300L).filter(id => id % 17 == 5).map(id => (id - 13, id)).toSet
+    assert(pairs === planted, s"diff=${(pairs diff planted) ++ (planted diff pairs)}")
+  }
+
   test("incremental dedup: new-batch rows with a corpus fingerprint are dropped") {
     import spark.implicits._
     val corpus = Seq((1L, "Hello World"), (2L, "foo bar")).toDF("doc_id", "text")
