@@ -58,6 +58,17 @@ object Explain {
     "embedding_neardup" ->
       ("ORACLE SHAPE: deliberate O(n^2) cross join, kept as the correctness reference. " +
         "Scale path: embedding_neardup_lsh (hyperplane bucket join)."),
+    "dedup_semantic_exact" ->
+      ("ORACLE SHAPE: nlist=1 puts the whole corpus in one k-means cell, so the in-cell " +
+        "pair stage is deliberate global all-pairs cosine (86 s at x10, SCALE.md) — kept " +
+        "because it makes the full SemDeDup pipeline DuckDB-checkable. " +
+        "Scale path: dedup_semantic (auto-sized cells, occupancy-pinned, 2.3x at x10)."),
+    "dedup_tfidf_cosine_prefix" ->
+      ("l2-prefix (L2AP) index pruning: right plan for NATURAL-ZIPF vocabularies " +
+        "(sub-linear on the ZipfData fixture where the plain index OOMs at x10). On THIS " +
+        "dense synthetic corpus every pair shares indexed terms, so the prune pays window+" +
+        "verify overhead for nothing (5.0x at x10 vs blocked plain's 2.3x) — corpus shape " +
+        "picks the operator; dedup_tfidf_cosine (blocked) is the dense-corpus form."),
     "q_profile" ->
       ("ORACLE SHAPE: exact multi-countDistinct plans via Expand (scan rows replicated " +
         "once per profiled column before the partial agg). " +

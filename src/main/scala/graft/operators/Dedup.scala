@@ -698,19 +698,35 @@ object Dedup {
       .agg(count(lit(1)).as("c"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nRow = broadcast(df.agg(count(lit(1)).cast("double").as("__n")))
+    // MATERIALIZED stage boundary (the semanticDedup pattern): the
+    // weighted postings table feeds FOUR consumers — nrm, the bounded
+    // window (probe AND index sides of the candidate join), and the
+    // per-doc verify arrays — and the slightly-different projections
+    // defeat exchange reuse (measured: 29 parquet scans / 12 reused
+    // exchanges in the executed plan without the boundary). A production
+    // all-pairs run materializes exactly this table (it is L2AP's index
+    // input); in-plan, a LAZY localCheckpoint computes it once at the
+    // first action. NOT persist(): CacheManager would hold the blocks
+    // past this plan's lifetime (the session-cache leak class,
+    // BENCH_TRIAGE_r14).
     val w = tf.join(dfreq, "term").crossJoin(nRow)
       .filter(col("df") < col("__n"))
       .withColumn("w", col("c") * log(col("__n") / col("df")))
       .select(col("doc_id") +: col("term") +: col("w") +: col("df") +: keys: _*)
+      .localCheckpoint(false)
     val nrm = w.groupBy(col("doc_id"))
       .agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
     val v = w.join(nrm, "doc_id").withColumn("v", col("w") / col("nrm"))
     // running prefix ‖·‖²: df-desc order concentrates the heavy hitters
     // in the skipped prefix (df rides along from the weighting join — no
-    // extra shuffle, and no per-term max statistic at all)
+    // extra shuffle, and no per-term max statistic at all). Checkpointed
+    // too: both sides of the candidate join read it (the probe side whole,
+    // the index side filtered), and the window would otherwise re-sort
+    // per side.
     val wnd = Window.partitionBy(col("doc_id")).orderBy(col("df").desc, col("term"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val bounded = v.withColumn("__cum", sum(col("v") * col("v")).over(wnd))
+      .localCheckpoint(false)
     val indexed = bounded.filter(col("__cum") >= threshold * threshold - 1e-9)
     val candidates = bounded.as("l")
       .join(indexed.as("r"),
