@@ -2664,6 +2664,24 @@ object SparkEntry {
         .orderBy(col("lang"), col("split"))
     }),
 
+    // Incremental leakage-safe split — the daily-ingest form: a new doc
+    // (>= 400) near-duplicating an already-split corpus doc (< 400, md5
+    // splits as the given artifact) INHERITS that doc's split (smallest
+    // matching corpus id); unmatched new docs get the ordinary md5 split.
+    // The per-doc assignment is hash-checked.
+    "sample_split_incremental" -> ((s, dir) => {
+      val d = documents(s, dir)
+        .withColumn("len_bucket", floor(col("n_chars") / 100))
+      val corpus = Pipeline.deterministicSplit(
+        d.filter(col("doc_id") < 400), col("doc_id"))
+      Pipeline.splitLeakageSafeIncremental(
+          d.filter(col("doc_id") >= 400), corpus,
+          "doc_id", "text", "split", Seq("len_bucket"),
+          shingleSize = 3, threshold = 0.5)
+        .select(col("doc_id"), col("lang"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Leakage-safe split: near-dup clusters (exact-Jaccard pairs, the
     // dedup_clusters graph) land WHOLE in one split — the doc-keyed split
     // above would put near-identical docs on both sides of the train/test
@@ -6545,6 +6563,45 @@ object SparkEntry {
         |            FROM documents))
         |GROUP BY lang, split
         |ORDER BY lang, split""".stripMargin,
+
+    // corpus split = md5 CASE on doc_id (< 400, the given artifact); a new
+    // doc (>= 400) inherits the split of its SMALLEST block-Jaccard match,
+    // else its own md5 bucket — same shingle/Jaccard math as
+    // dedup_incremental_jaccard
+    "sample_split_incremental" ->
+      """WITH s AS (
+        |  SELECT doc_id, n_chars // 100 AS len_bucket,
+        |         list_distinct([array_to_string(toks[i:i+2], ' ')
+        |                        for i in range(1, len(toks) - 1)]) AS sh
+        |  FROM (SELECT doc_id, n_chars, string_split_regex(text, ' +') AS toks
+        |        FROM documents)),
+        |corpus_split AS (
+        |  SELECT doc_id,
+        |         CASE WHEN b < 80 THEN 'train'
+        |              WHEN b < 90 THEN 'valid'
+        |              ELSE 'test' END AS split
+        |  FROM (SELECT doc_id,
+        |          ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 100 AS b
+        |        FROM documents WHERE doc_id < 400)),
+        |inherited AS (
+        |  SELECT b.doc_id, min(c.doc_id) AS corpus_id
+        |  FROM s b JOIN s c ON b.len_bucket = c.len_bucket
+        |  WHERE b.doc_id >= 400 AND c.doc_id < 400
+        |    AND len(list_intersect(b.sh, c.sh))::DOUBLE
+        |          / len(list_distinct(b.sh || c.sh)) >= 0.5
+        |  GROUP BY b.doc_id)
+        |SELECT d.doc_id AS doc_id, d.lang AS lang,
+        |       coalesce(cs.split,
+        |         CASE WHEN ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 4))::BIGINT % 100 < 80
+        |                THEN 'train'
+        |              WHEN ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 4))::BIGINT % 100 < 90
+        |                THEN 'valid'
+        |              ELSE 'test' END) AS split
+        |FROM documents d
+        |LEFT JOIN inherited i ON d.doc_id = i.doc_id
+        |LEFT JOIN corpus_split cs ON i.corpus_id = cs.doc_id
+        |WHERE d.doc_id >= 400
+        |ORDER BY d.doc_id""".stripMargin,
 
     // same closure as dedup_clusters; split key = the cluster's min-id
     // representative (singletons: the doc itself), same md5 bucketing as

@@ -193,6 +193,76 @@ object Pipeline {
       .drop("__split_member", "__split_rep")
   }
 
+  /** Incremental leakage-safe split: the daily-ingest form of
+    * [[splitLeakageSafe]]. A new document that near-duplicates an
+    * already-split corpus document MUST inherit that document's split —
+    * assigning it independently (md5 of its own id) puts a near-copy of a
+    * train document into test with probability 1−p, quietly contaminating
+    * every later evaluation. New docs with no corpus match get the
+    * ordinary deterministic md5 split.
+    *
+    * `corpusWithSplit` is the persisted ingest artifact (id, text,
+    * blocking keys, `splitCol`) — how its splits were assigned is the
+    * caller's contract ([[splitLeakageSafe]] at bootstrap, this function
+    * thereafter). Matching is exact block-Jaccard at `threshold` (the
+    * [[Dedup.incrementalJaccardNew]] machinery: distinct-shingle inverted
+    * index, division-form length filter, count-common verify); a new doc
+    * matching several corpus docs inherits from the SMALLEST corpus id —
+    * deterministic under any execution order.
+    *
+    * Scale shape: every exchange's probe side is the new batch, never the
+    * corpus; the corpus inverted index is the precomputed ingest artifact.
+    * Returns `newBatch` + `split`.
+    */
+  def splitLeakageSafeIncremental(
+      newBatch: DataFrame,
+      corpusWithSplit: DataFrame,
+      idCol: String,
+      textCol: String,
+      splitCol: String,
+      blockingKeys: Seq[String],
+      shingleSize: Int = 3,
+      threshold: Double = 0.5,
+      trainPct: Int = 80,
+      validPct: Int = 10): DataFrame = {
+    require(threshold > 0.0, "splitLeakageSafeIncremental: threshold must be > 0")
+    require(trainPct > 0 && validPct >= 0 && trainPct + validPct <= 100,
+      s"splitLeakageSafeIncremental: bad percentages train=$trainPct valid=$validPct")
+    def inv(df: DataFrame) = df
+      .select(col(idCol).as("doc_id") +:
+        TextAnalysis.shingles(col(textCol), shingleSize).as("sh") +: blockingKeys.map(col): _*)
+      .withColumn("n_sh", size(col("sh")))
+      .select(col("doc_id") +: col("n_sh") +: explode(col("sh")).as("shingle") +:
+        blockingKeys.map(col): _*)
+    // division-form length filter — see ngramJaccardPairs for why not t·max
+    val lengthCompatible =
+      least(col("l.n_sh"), col("r.n_sh")).cast("double") /
+        greatest(col("l.n_sh"), col("r.n_sh")) >= lit(threshold)
+    val matched = inv(newBatch).as("l")
+      .join(inv(corpusWithSplit).as("r"),
+        blockingKeys.map(k => col(s"l.$k") === col(s"r.$k"))
+          .foldLeft(col("l.shingle") === col("r.shingle"))(_ && _) && lengthCompatible)
+      .groupBy(
+        col("l.doc_id").as("__new_id"), col("r.doc_id").as("__corpus_id"),
+        col("l.n_sh").as("n_a"), col("r.n_sh").as("n_b"))
+      .agg(count(lit(1)).as("common"))
+      .filter(col("common").cast("double") / (col("n_a") + col("n_b") - col("common"))
+        >= threshold)
+      // smallest matching corpus id wins — deterministic inheritance
+      .groupBy(col("__new_id"))
+      .agg(min(col("__corpus_id")).as("__corpus_id"))
+      .join(corpusWithSplit.select(col(idCol).as("__corpus_id"),
+        col(splitCol).as("__inherited")), Seq("__corpus_id"))
+      .select(col("__new_id"), col("__inherited"))
+    newBatch.join(matched, col(idCol) === col("__new_id"), "left")
+      .withColumn("split",
+        coalesce(col("__inherited"),
+          when(md5Bucket(col(idCol)) < trainPct, "train")
+            .when(md5Bucket(col(idCol)) < trainPct + validPct, "valid")
+            .otherwise("test")))
+      .drop("__new_id", "__inherited")
+  }
+
   /** Deterministic bucket from a stable key: the first `hexChars` hex
     * digits of md5, mod `buckets` — reproducible on any engine with md5
     * (the cross-engine hash; DuckDB spells it

@@ -1386,6 +1386,47 @@ class OperatorsSuite extends AnyFunSuite {
       "singleton-only corpus must reduce to deterministicSplit")
   }
 
+  test("splitLeakageSafeIncremental: matches inherit the corpus split, fresh docs get md5") {
+    import spark.implicits._
+    val d = docs.withColumn("len_bucket", floor(col("n_chars") / 100))
+    val corpus = Pipeline.deterministicSplit(
+      d.filter(col("doc_id") < 400), col("doc_id"))
+    val batch = d.filter(col("doc_id") >= 400)
+    val out = Pipeline.splitLeakageSafeIncremental(
+      batch, corpus, "doc_id", "text", "split", Seq("len_bucket"),
+      shingleSize = 3, threshold = 0.5)
+    assert(out.count() === batch.count(), "one split row per new document")
+    // ground truth: per new doc, the smallest corpus match at J >= 0.5
+    val pairs = Dedup.ngramJaccardPairs(d, "doc_id", "text",
+        Seq(col("len_bucket")), shingleSize = 3, threshold = 0.5)
+      .select(explode(array(
+        struct(col("doc_a").as("x"), col("doc_b").as("y")),
+        struct(col("doc_b").as("x"), col("doc_a").as("y")))).as("e"))
+      .select(col("e.x").as("new_id"), col("e.y").as("corpus_id"))
+      .filter(col("new_id") >= 400 && col("corpus_id") < 400)
+      .groupBy(col("new_id")).agg(min(col("corpus_id")).as("corpus_id"))
+    val matches = pairs.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(matches.nonEmpty, "fixture must contain cross-boundary near-dups")
+    val corpusSplit = corpus.select(col("doc_id"), col("split"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val naive = Pipeline.deterministicSplit(batch, col("doc_id"))
+      .select(col("doc_id"), col("split"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = out.select(col("doc_id"), col("split"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    got.foreach { case (id, split) =>
+      matches.get(id) match {
+        case Some(cid) => assert(split === corpusSplit(cid),
+          s"doc $id must inherit corpus $cid's split")
+        case None => assert(split === naive(id), s"fresh doc $id must use its md5 split")
+      }
+    }
+    // the property is live, not vacuous: at least one match INHERITS a
+    // split its own md5 bucket would not have produced
+    assert(matches.exists { case (id, cid) => corpusSplit(cid) != naive(id) },
+      "fixture must contain an inheritance that differs from the doc-keyed split")
+  }
+
   test("ZipfData corpus: deterministic, Zipf-shaped, planted near-dups recoverable") {
     val c1 = graft.ZipfData.corpus(spark, 300)
     val c2 = graft.ZipfData.corpus(spark, 300)
