@@ -601,10 +601,16 @@ object Dedup {
       .agg(count(lit(1)).as("c"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nRow = broadcast(df.agg(count(lit(1)).cast("double").as("__n")))
+    // MATERIALIZED stage boundary (the semanticDedup pattern, also in the
+    // prefix form): the weighted postings feed three consumers (both
+    // self-join sides and the norms agg) — measured 16 parquet scans / 6
+    // reused exchanges without the boundary. Lazy localCheckpoint, never
+    // persist() (the session-cache leak class, BENCH_TRIAGE_r14).
     val w = tf.join(dfreq, "term").crossJoin(nRow)
       .filter(col("df") < col("__n"))
       .withColumn("w", col("c") * log(col("__n") / col("df")))
       .select(col("doc_id") +: col("term") +: col("w") +: keyNames.map(col): _*)
+      .localCheckpoint(false)
     val nrm = w.groupBy(col("doc_id"))
       .agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
     w.as("l")
