@@ -418,7 +418,12 @@ object SparkEntry {
     }),
 
     // HLL approximate distinct — no DuckDB oracle (sketch-dependent);
-    // accuracy asserted against exact counts in ScalaTest.
+    // accuracy asserted against exact counts in ScalaTest. Spark's HLL++
+    // has NO exact regime (register estimation approximates at any
+    // cardinality), so this entry stays rows-tier BY NATURE, not by gap —
+    // the distinct-count sketch with an exact regime is the theta path
+    // (Incremental.setState: k-smallest-hashes IS the distinct set below
+    // 2^lgK), hash-gated end to end in events_user_overlap_exact.
     "q_approx_distinct" -> ((s, dir) => {
       lineitem(s, dir)
         .groupBy(col("l_returnflag"))
@@ -2158,6 +2163,25 @@ object SparkEntry {
       // every vector
       Similarity.pqTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
           dim = 64, k = 5, m = 16, ksub = 32, trainSample = 1024)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // PQ in the EXACT regime: corpus bounded to 200 vectors, ksub = 256 ≥
+    // corpus size, trainSample covers the whole corpus, iters = 0 — the
+    // driver Lloyd's init seeds every sampled sub-vector as its own
+    // centroid verbatim, so encoding is lossless (each sub-vector's code
+    // points at an exact copy of itself), the per-query LUT holds exact
+    // dot(q_sub, x_sub), and ADC ≡ the exact cosine of the unit vectors.
+    // Shares similarity_topk's DuckDB SQL restricted to the same corpus —
+    // a hard hash gate on the PQ encode / LUT / ADC kernels themselves
+    // (same exact-regime upgrade as similarity_ivf_full_topk /
+    // dedup_semantic_exact). Oracle-duty: the bounded corpus is the
+    // point; the scale path is similarity_pq_topk above.
+    "similarity_pq_topk_exact" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      Similarity.pqTopK(emb.filter(col("vec_id") < 200), emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", dim = 64, k = 5, m = 16, ksub = 256, iters = 0,
+          trainSample = 256)
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -5316,6 +5340,24 @@ object SparkEntry {
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
         |           FROM embeddings WHERE vec_id < 5),
         |     c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+        |     scored AS (
+        |       SELECT query_id, neighbor_id, list_cosine_similarity(qv, cv) AS s
+        |       FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
+        |     ranked AS (
+        |       SELECT query_id, neighbor_id, s,
+        |              row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rank
+        |       FROM scored)
+        |SELECT query_id, neighbor_id, round(s, 4) AS cos_sim, rank
+        |FROM ranked WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // PQ exact regime (ksub ≥ corpus, lossless encode, ADC ≡ exact dot) —
+    // similarity_topk's SQL with the corpus bounded to the same 200 vectors
+    "similarity_pq_topk_exact" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |           FROM embeddings WHERE vec_id < 5),
+        |     c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+        |           FROM embeddings WHERE vec_id < 200),
         |     scored AS (
         |       SELECT query_id, neighbor_id, list_cosine_similarity(qv, cv) AS s
         |       FROM q CROSS JOIN c WHERE query_id <> neighbor_id),

@@ -211,8 +211,12 @@ object Pipeline {
     * deterministic under any execution order.
     *
     * Scale shape: every exchange's probe side is the new batch, never the
-    * corpus; the corpus inverted index is the precomputed ingest artifact.
-    * Returns `newBatch` + `split`.
+    * corpus. This in-plan form recomputes the corpus shingle index per
+    * run (same posture as [[Dedup.incrementalJaccardNew]]); an ingest
+    * loop should persist that index once and reuse it, the way
+    * [[Dedup.incrementalMinhashNewAgainstTable]] does for signatures.
+    * Returns `newBatch` + `splitCol` (a pre-existing `splitCol` column
+    * on `newBatch` is replaced — the inherited assignment wins).
     */
   def splitLeakageSafeIncremental(
       newBatch: DataFrame,
@@ -255,7 +259,7 @@ object Pipeline {
         col(splitCol).as("__inherited")), Seq("__corpus_id"))
       .select(col("__new_id"), col("__inherited"))
     newBatch.join(matched, col(idCol) === col("__new_id"), "left")
-      .withColumn("split",
+      .withColumn(splitCol,
         coalesce(col("__inherited"),
           when(md5Bucket(col(idCol)) < trainPct, "train")
             .when(md5Bucket(col(idCol)) < trainPct + validPct, "valid")

@@ -444,6 +444,67 @@ class ConnectorsSuite extends AnyFunSuite {
     assert(kept === Seq(1L, 2L, 4L), s"kept corpus wrong: $kept")
   }
 
+  test("streaming leakage-safe split gate: micro-batches inherit splits from the frozen corpus artifact") {
+    import graft.operators.Pipeline
+    // splitLeakageSafeIncremental inside the emitter loop: every drained
+    // window of new docs is split against the FROZEN already-split corpus
+    // parquet — a near-dup of a train doc must land in train no matter
+    // which micro-batch carries it, and the per-window decisions must be
+    // identical to running the batch operator over all new docs at once
+    // (matching is only ever batch-vs-corpus, so windowing cannot change
+    // the assignment).
+    val mb = Minibatch(spark, freshRoot())
+    val st = mb.stream("split_ingest")
+    val corpusDir = freshRoot() + "/corpus_split"
+    val outDir = freshRoot() + "/batch_splits"
+    val base1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val base2 = "one two three four five six seven eight nine ten"
+    import spark.implicits._
+    Seq((1L, base1, "train"), (2L, base2, "test"))
+      .toDF("doc_id", "text", "split")
+      .withColumn("b", lit(0L))
+      .write.mode("overwrite").parquet(corpusDir)
+    def drainInto(): Unit =
+      mb.streaming("split_ingest").size(1).emit((_, df) => {
+        val batch = df.select(
+            get_json_object(col("data"), "$.id").cast("long").as("doc_id"),
+            get_json_object(col("data"), "$.t").as("text"))
+          .withColumn("b", lit(0L))
+        Pipeline.splitLeakageSafeIncremental(batch, spark.read.parquet(corpusDir),
+            "doc_id", "text", "split", Seq("b"), shingleSize = 2, threshold = 0.5)
+          .write.mode("append").parquet(outDir)
+      }).run()
+    // window 1: doc 10 edits one word of corpus doc 1 (train); doc 11 fresh
+    st.appendAll(Seq(
+      s"""{"id":10,"t":"${base1.replace("epsilon", "EDITED")}"}""",
+      """{"id":11,"t":"red orange yellow green blue indigo violet black white gray"}"""))
+    drainInto()
+    // window 2: doc 12 edits one word of corpus doc 2 (test); doc 13 fresh
+    st.appendAll(Seq(
+      s"""{"id":12,"t":"${base2.replace("seven", "EDITED")}"}""",
+      """{"id":13,"t":"do re mi fa sol la si do re mi"}"""))
+    drainInto()
+    val streamed = spark.read.parquet(outDir)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(streamed(10L) === "train", "near-dup of a train corpus doc must inherit train")
+    assert(streamed(12L) === "test", "near-dup of a test corpus doc must inherit test")
+    // gate decisions ≡ the batch operator over all new docs at once
+    val allNew = Seq(
+      (10L, base1.replace("epsilon", "EDITED")),
+      (11L, "red orange yellow green blue indigo violet black white gray"),
+      (12L, base2.replace("seven", "EDITED")),
+      (13L, "do re mi fa sol la si do re mi"))
+      .toDF("doc_id", "text").withColumn("b", lit(0L))
+    val batchMap = Pipeline.splitLeakageSafeIncremental(allNew,
+        spark.read.parquet(corpusDir), "doc_id", "text", "split", Seq("b"),
+        shingleSize = 2, threshold = 0.5)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(streamed === batchMap,
+      s"streamed split decisions must equal the batch operator: $streamed vs $batchMap")
+  }
+
   test("streaming ingest chunks docs and dedups chunks against the kept corpus") {
     import graft.operators.{Dedup, Pipeline}
     // the LLM-pipeline ops inside the emitter loop, not just as batch

@@ -316,6 +316,22 @@ class OperatorsSuite extends AnyFunSuite {
     assert(again === got)
   }
 
+  test("PQ exact regime: ksub >= corpus + iters=0 makes encoding lossless and ADC == brute force") {
+    val corpus = emb.filter(col("vec_id") < 200)
+    val queries = emb.filter(col("vec_id") < 5)
+    // every sampled sub-vector seeds its own centroid verbatim (iters=0,
+    // trainSample covers the corpus, ksub >= corpus size) → codes point at
+    // exact copies, LUT entries are exact dot(q_sub, x_sub), ADC == cosine
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getInt(3))).toSeq.sortBy(t => (t._1, t._4))
+    val exact = rows(Similarity.pqTopK(corpus, queries, "vec_id", "embedding",
+      dim = 64, k = 5, m = 16, ksub = 256, iters = 0, trainSample = 256))
+    val brute = rows(Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", 5))
+    assert(exact === brute,
+      "exact-regime PQ must reproduce brute-force ids, ranks, AND rounded scores")
+  }
+
   test("unicode normalization: composed == decomposed after NFC; NFKC folds compatibility forms") {
     import spark.implicits._
     val rows = Seq(
