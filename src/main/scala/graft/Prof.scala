@@ -72,6 +72,153 @@ object Prof {
       xcheck("cprefix", "cplain", Seq("doc_a", "doc_b", "containment"))
       spark.stop(); return
     }
+    if (args.headOption.contains("linkzipf")) {
+      // The r17 VERDICT's #2 ask: stress linkage's GLOBAL maxGramFreq
+      // stop-gram cap on a corpus whose name-gram frequencies grow with N
+      // (the testdata customer names have near-unique digit tails, so the
+      // cap never bites there). Zipf-token names: "t<r1> t<r2>" with ranks
+      // from the same continuous Zipf(s=1) inverse CDF as graft.ZipfData,
+      // vocabulary V = 15·n (Heaps growth); the dirty side is one
+      // deterministic single-char edit per record (substitute / delete /
+      // insert — the linkage_blocked scheme). As n grows, head-token tails
+      // push more grams past the fixed cap.
+      // Usage: runMain graft.Prof linkzipf <n> [maxGramFreq]
+      // Reports: wall time (min-of-2), coverage (dirty records that found
+      // ANY match at dist <= 2 — each has its origin at dist 1, so a
+      // perfect blocker gives n), and the all-hot diagnostic (records
+      // whose ENTIRE gram set is above the cap — unblockable, recall rot).
+      import graft.operators.Linkage
+      val n = args(1).toLong
+      val cap = if (args.length > 2) args(2).toLong else 200L
+      val vocab = 15L * n
+      def u(cols: org.apache.spark.sql.Column*): org.apache.spark.sql.Column =
+        (pmod(xxhash64(cols: _*), lit(1L << 30)).cast("double") + 0.5) / (1L << 30).toDouble
+      def rank(uu: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        least(lit(vocab), floor(pow(lit(vocab + 1.0), uu)).cast("long"))
+      val clean = spark.range(0, n, 1, 32)
+        .select(col("id").as("c_id"),
+          concat(lit("t"), rank(u(lit("a"), col("id"))),
+            lit(" t"), rank(u(lit("b"), col("id")))).as("c_name"))
+        .localCheckpoint()
+      val pos = lit(2) + pmod(col("c_id"), lit(3)) // 1-based, inside every name (len >= 5)
+      val m3 = pmod(col("c_id"), lit(3))
+      val dirty = clean.select(col("c_id").as("d_id"),
+        when(m3 === 0,
+            concat(col("c_name").substr(lit(1), pos - 1), lit("x"),
+              col("c_name").substr(pos + 1, lit(100))))
+          .when(m3 === 1,
+            concat(col("c_name").substr(lit(1), pos - 1),
+              col("c_name").substr(pos + 1, lit(100))))
+          .otherwise(
+            concat(col("c_name").substr(lit(1), pos - 1), lit("z"),
+              col("c_name").substr(pos, lit(100)))).as("d_name"))
+        .localCheckpoint()
+      println(s"[prof] linkzipf: n=$n vocab=$vocab cap=$cap")
+      // all-hot diagnostic: replicate the operator's tail-gram + cap steps
+      def grams(df: org.apache.spark.sql.DataFrame, id: String, name: String) = {
+        val nm = lower(col(name))
+        val tail = nm.substr(greatest(length(nm) - 7, lit(1)), lit(8))
+        df.select(col(id),
+            explode(transform(sequence(lit(1), greatest(length(tail) - 3, lit(1))),
+              i => tail.substr(i, lit(4)))).as("__g"))
+          .dropDuplicates(id, "__g")
+      }
+      val rg = grams(clean, "c_id", "c_name").localCheckpoint()
+      val hot = rg.groupBy(col("__g")).agg(count(lit(1)).as("__f"))
+        .filter(col("__f") > cap).select(col("__g")).localCheckpoint()
+      println(s"[prof] hot grams: ${hot.count()} of ${rg.select(col("__g")).distinct().count()} distinct")
+      val allHotRef = clean.count() -
+        rg.join(hot, Seq("__g"), "left_anti").select(col("c_id")).distinct().count()
+      val dg = grams(dirty, "d_id", "d_name")
+      val allHotDirty = dirty.count() -
+        dg.join(hot, Seq("__g"), "left_anti").select(col("d_id")).distinct().count()
+      println(s"[prof] all-hot records (unblockable under the bare cap; floored now): " +
+        s"ref=$allHotRef dirty=$allHotDirty of $n")
+      def run() = Linkage.bestMatch(
+        dirty, col("d_id"), col("d_name"),
+        clean, col("c_id"), col("c_name"), maxGramFreq = cap)
+      run().limit(1).write.format("noop").mode("overwrite").save()
+      (1 to 2).foreach { round =>
+        time(s"bestMatch round $round")(run().write.format("noop").mode("overwrite").save())
+      }
+      val matched = run().count()
+      println(f"[prof] coverage: $matched of $n (${matched * 100.0 / n}%.2f%%)")
+      spark.stop(); return
+    }
+    if (args.headOption.contains("linkstage")) {
+      // stage replica of Linkage.candidatePairs on the sf0.1 customer
+      // workload — where does the r18 block-step rework spend its time?
+      import org.apache.spark.sql.DataFrame
+      import org.apache.spark.sql.expressions.Window
+      val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+      val nameL = lower(col("c_name"))
+      val pos = lit(10) + pmod(col("c_custkey"), lit(9))
+      val m3 = pmod(col("c_custkey"), lit(3))
+      val dirtyName = when(m3 === 0,
+          concat(nameL.substr(lit(1), pos - 1), lit("x"), nameL.substr(pos + 1, lit(100))))
+        .when(m3 === 1,
+          concat(nameL.substr(lit(1), pos - 1), nameL.substr(pos + 1, lit(100))))
+        .otherwise(
+          concat(nameL.substr(lit(1), pos - 1), lit("z"), nameL.substr(pos, lit(100))))
+      val l = cust.select(col("c_custkey").as("left_id"), lower(dirtyName).as("__ln"))
+      val r = cust.select(col("c_custkey").as("right_id"), lower(col("c_name")).as("__rn"))
+      val rDedup = r.groupBy(col("__rn")).agg(min(col("right_id")).as("right_id"))
+        .select(col("right_id"), col("__rn"))
+      def tailGrams(name: org.apache.spark.sql.Column) = {
+        val tail = name.substr(greatest(length(name) - 7, lit(1)), lit(8))
+        transform(sequence(lit(1), greatest(length(tail) - 3, lit(1))),
+          i => tail.substr(i, lit(4)))
+      }
+      def explodeGrams(df: DataFrame, idCol: String, nameCol: String, lenCol: String) =
+        df.select(col(idCol), length(col(nameCol)).as(lenCol),
+            explode(tailGrams(col(nameCol))).as("__g"))
+          .dropDuplicates(idCol, "__g")
+      val lg = explodeGrams(l, "left_id", "__ln", "__ll").localCheckpoint()
+      val rg = explodeGrams(rDedup, "right_id", "__rn", "__rl").localCheckpoint()
+      println(s"[prof] lg=${time("lg")(lg.count())} rg=${time("rg")(rg.count())}")
+      val dfreq = rg.groupBy(col("__g")).agg(count(lit(1)).as("__f")).localCheckpoint()
+      println(s"[prof] dfreq=${time("dfreq")(dfreq.count())}")
+      def kept(g: DataFrame, idCol: String) = { // mirrors Linkage.candidatePairs' kept()
+        val withF = g.join(broadcast(dfreq), Seq("__g"))
+        val cold = withF.filter(col("__f") <= 200).drop("__f")
+        val allHot = withF.groupBy(col(idCol)).agg(min(col("__f")).as("__minf"))
+          .filter(col("__minf") > 200).select(col(idCol))
+        val w = Window.partitionBy(col(idCol)).orderBy(col("__f"), col("__g"))
+        val floor = withF.join(allHot, Seq(idCol))
+          .withColumn("__rk", row_number().over(w))
+          .filter(col("__rk") <= 2)
+          .withColumn("__bc", count(lit(1)).over(Window.partitionBy(col("__g"))))
+          .filter(col("__bc") <= 128)
+          .drop("__f", "__rk", "__bc")
+        cold.unionByName(floor)
+      }
+      val lk = kept(lg, "left_id").localCheckpoint()
+      val rk = kept(rg, "right_id").localCheckpoint()
+      println(s"[prof] lk=${time("lk")(lk.count())} rk=${time("rk")(rk.count())}")
+      val joined = lk.as("l").join(rk.as("r"), "__g")
+        .filter(abs(col("__ll") - col("__rl")) <= 2)
+      println(s"[prof] joinrows=${time("join")(joined.count())}")
+      val pairs = joined.select(col("left_id"), col("right_id")).distinct().localCheckpoint()
+      println(s"[prof] pairs=${time("pairs distinct")(pairs.count())}")
+      val withNames = pairs.join(l, "left_id").join(r, "right_id")
+      val verified = withNames
+        .withColumn("dist", levenshtein(col("__ln"), col("__rn"), 2))
+        .filter(col("dist") >= 0 && col("dist") <= 2)
+      println(s"[prof] verified=${time("verify")(verified.count())}")
+      val w2 = Window.partitionBy(col("left_id")).orderBy(col("dist"), col("right_id"))
+      val best = verified.withColumn("__rk", row_number().over(w2))
+        .filter(col("__rk") === 1)
+      println(s"[prof] best=${time("resolve")(best.count())}")
+      // the real operator, end to end, twice (the bench shape)
+      def full() = graft.operators.Linkage.bestMatch(
+        cust.select(col("c_custkey").as("d_id"), dirtyName.as("d_name")),
+        col("d_id"), col("d_name"),
+        cust.select(col("c_custkey"), col("c_name")), col("c_custkey"), col("c_name"))
+      (1 to 2).foreach { round =>
+        time(s"full bestMatch round $round")(full().write.format("noop").mode("overwrite").save())
+      }
+      spark.stop(); return
+    }
     if (args.headOption.contains("tfidfzipf")) {
       // Bayardo prefix prune vs plain inverted index on a natural-Zipf
       // corpus (generated by graft.ZipfData) — the measurement SCALE.md's

@@ -4108,15 +4108,37 @@ object SparkEntry {
         |       FROM dirty),
         |lg AS (SELECT DISTINCT left_id, ln, substr(tail, i, 4) AS g
         |       FROM lt, unnest(range(1, greatest(length(tail) - 3, 1) + 1)) u(i)),
+        |rd AS (SELECT min(right_id) AS right_id, rn FROM cl GROUP BY rn),
         |rt AS (SELECT right_id, rn, substr(rn, greatest(length(rn) - 7, 1), 8) AS tail
-        |       FROM cl),
+        |       FROM rd),
         |rg AS (SELECT DISTINCT right_id, rn, substr(tail, i, 4) AS g
         |       FROM rt, unnest(range(1, greatest(length(tail) - 3, 1) + 1)) u(i)),
-        |hot AS (SELECT g FROM (SELECT g, count(*) AS f FROM rg GROUP BY 1) WHERE f > 200),
+        |dfr AS (SELECT g, count(*) AS f FROM rg GROUP BY 1),
+        |lwf AS (SELECT lg.left_id, lg.ln, lg.g, d.f,
+        |               min(d.f) OVER (PARTITION BY lg.left_id) AS minf,
+        |               row_number() OVER (PARTITION BY lg.left_id
+        |                                  ORDER BY d.f, lg.g) AS rk
+        |        FROM lg JOIN dfr d USING (g)),
+        |lk AS (SELECT left_id, ln, g FROM lwf WHERE f <= 200
+        |       UNION ALL
+        |       SELECT left_id, ln, g FROM (
+        |         SELECT left_id, ln, g, count(*) OVER (PARTITION BY g) AS bc
+        |         FROM lwf WHERE minf > 200 AND rk <= 2)
+        |       WHERE bc <= 128),
+        |rwf AS (SELECT rg.right_id, rg.rn, rg.g, d.f,
+        |               min(d.f) OVER (PARTITION BY rg.right_id) AS minf,
+        |               row_number() OVER (PARTITION BY rg.right_id
+        |                                  ORDER BY d.f, rg.g) AS rk
+        |        FROM rg JOIN dfr d USING (g)),
+        |rk2 AS (SELECT right_id, rn, g FROM rwf WHERE f <= 200
+        |       UNION ALL
+        |       SELECT right_id, rn, g FROM (
+        |         SELECT right_id, rn, g, count(*) OVER (PARTITION BY g) AS bc
+        |         FROM rwf WHERE minf > 200 AND rk <= 2)
+        |       WHERE bc <= 128),
         |pairs AS (
         |  SELECT DISTINCT left_id, ln, right_id, rn
-        |  FROM (SELECT * FROM lg WHERE g NOT IN (SELECT g FROM hot)) l
-        |  JOIN (SELECT * FROM rg WHERE g NOT IN (SELECT g FROM hot)) r USING (g)),
+        |  FROM lk JOIN rk2 USING (g)),
         |ver AS (SELECT left_id, right_id, dist FROM
         |          (SELECT left_id, right_id, levenshtein(ln, rn) AS dist FROM pairs)
         |        WHERE dist <= 2),
@@ -4144,15 +4166,37 @@ object SparkEntry {
         |       FROM dirty),
         |lg AS (SELECT DISTINCT left_id, ln, substr(tail, i, 4) AS g
         |       FROM lt, unnest(range(1, greatest(length(tail) - 3, 1) + 1)) u(i)),
+        |rd AS (SELECT min(right_id) AS right_id, rn FROM cl GROUP BY rn),
         |rt AS (SELECT right_id, rn, substr(rn, greatest(length(rn) - 7, 1), 8) AS tail
-        |       FROM cl),
+        |       FROM rd),
         |rg AS (SELECT DISTINCT right_id, rn, substr(tail, i, 4) AS g
         |       FROM rt, unnest(range(1, greatest(length(tail) - 3, 1) + 1)) u(i)),
-        |hot AS (SELECT g FROM (SELECT g, count(*) AS f FROM rg GROUP BY 1) WHERE f > 200),
+        |dfr AS (SELECT g, count(*) AS f FROM rg GROUP BY 1),
+        |lwf AS (SELECT lg.left_id, lg.ln, lg.g, d.f,
+        |               min(d.f) OVER (PARTITION BY lg.left_id) AS minf,
+        |               row_number() OVER (PARTITION BY lg.left_id
+        |                                  ORDER BY d.f, lg.g) AS rk
+        |        FROM lg JOIN dfr d USING (g)),
+        |lk AS (SELECT left_id, ln, g FROM lwf WHERE f <= 200
+        |       UNION ALL
+        |       SELECT left_id, ln, g FROM (
+        |         SELECT left_id, ln, g, count(*) OVER (PARTITION BY g) AS bc
+        |         FROM lwf WHERE minf > 200 AND rk <= 2)
+        |       WHERE bc <= 128),
+        |rwf AS (SELECT rg.right_id, rg.rn, rg.g, d.f,
+        |               min(d.f) OVER (PARTITION BY rg.right_id) AS minf,
+        |               row_number() OVER (PARTITION BY rg.right_id
+        |                                  ORDER BY d.f, rg.g) AS rk
+        |        FROM rg JOIN dfr d USING (g)),
+        |rk2 AS (SELECT right_id, rn, g FROM rwf WHERE f <= 200
+        |       UNION ALL
+        |       SELECT right_id, rn, g FROM (
+        |         SELECT right_id, rn, g, count(*) OVER (PARTITION BY g) AS bc
+        |         FROM rwf WHERE minf > 200 AND rk <= 2)
+        |       WHERE bc <= 128),
         |pairs AS (
         |  SELECT DISTINCT left_id, ln, right_id, rn
-        |  FROM (SELECT * FROM lg WHERE g NOT IN (SELECT g FROM hot)) l
-        |  JOIN (SELECT * FROM rg WHERE g NOT IN (SELECT g FROM hot)) r USING (g)),
+        |  FROM lk JOIN rk2 USING (g)),
         |ver AS (SELECT left_id, right_id, sim FROM
         |          (SELECT left_id, right_id,
         |                  round(jaro_winkler_similarity(ln, rn), 6) AS sim

@@ -13,11 +13,18 @@ import org.apache.spark.sql.functions._
   *   1. q-gram blocking: each name emits the q-grams of its tail; records
   *      sharing any gram land in one candidate block. A single edit
   *      disturbs at most q grams, so near matches almost always share one.
-  *   2. frequency capping: grams more common than `maxGramFreq` (the
-  *      '0000'-style stop-grams) are dropped BEFORE the join — this is the
-  *      skew guard: without it one hot gram turns the block join into a
-  *      quadratic straggler. The cap bounds per-gram fanout at
-  *      |L|·maxGramFreq.
+  *   2. frequency capping with a per-record floor: grams more common than
+  *      `maxGramFreq` (the '0000'-style stop-grams) are dropped BEFORE the
+  *      join — the skew guard: without it one hot gram turns the block
+  *      join into a quadratic straggler. The cap bounds per-gram fanout at
+  *      |L|·maxGramFreq. Because the cap is a GLOBAL threshold it would
+  *      rot recall as the corpus grows (more records become all-hot and
+  *      lose every block key — measured on a Zipf-name fixture, SCALE.md
+  *      r18), so a record whose every reference-present gram is hot keeps
+  *      its rarest `floorGrams` hot grams instead of going unindexed, and
+  *      the reference side is first deduped by NAME (min-id
+  *      representative — output-preserving under the resolve total order)
+  *      so floored-gram fanout counts distinct names, not records.
   *   3. verify: codegen'd `levenshtein` on the DISTINCT candidate pairs
   *      only; keep dist ≤ maxDist.
   *   4. resolve: best match per left record, total order (dist, right id).
@@ -56,12 +63,15 @@ object Linkage {
       gramWidth: Int = 4,
       tailLen: Int = 8,
       maxGramFreq: Long = 200L,
-      maxDist: Int = 2): DataFrame = {
+      maxDist: Int = 2,
+      floorGrams: Int = 2,
+      floorBlockCap: Long = 128L): DataFrame = {
     // length filter: levenshtein(a,b) >= |len(a)-len(b)|, so pairs whose
     // lengths differ by more than maxDist can never verify — pruning them
     // BEFORE the distinct shrinks the pair-dedup exchange (output-neutral)
     val pairs = candidatePairs(left, leftId, leftName, right, rightId, rightName,
-      gramWidth, tailLen, maxGramFreq, maxLenDiff = Some(maxDist))
+      gramWidth, tailLen, maxGramFreq, maxLenDiff = Some(maxDist),
+      floorGrams = floorGrams, floorBlockCap = floorBlockCap)
     // 3-arg levenshtein runs the BANDED O(maxDist·n) DP and bails with -1
     // past the threshold — the verify step's cost tracks the budget, not
     // the name length; kept rows carry the exact distance either way
@@ -98,14 +108,17 @@ object Linkage {
       gramWidth: Int = 4,
       tailLen: Int = 8,
       maxGramFreq: Long = 200L,
-      minSim: Double = 0.9): DataFrame = {
+      minSim: Double = 0.9,
+      floorGrams: Int = 2,
+      floorBlockCap: Long = 128L): DataFrame = {
     // jw ≤ 0.8 + 0.2·min/max (see scaladoc): below-ratio pairs can never
     // reach minSim, so they are pruned inside the BLOCK step (before the
     // pair dedup — see candidatePairs) and never verified. The 1e-9 slack
     // keeps the float division from clipping an exactly-on-the-bound pair.
     val pairs = candidatePairs(left, leftId, leftName, right, rightId, rightName,
       gramWidth, tailLen, maxGramFreq, maxLenDiff = None,
-      minLenRatio = if (minSim > 0.8) Some((minSim - 0.8) / 0.2 - 1e-9) else None)
+      minLenRatio = if (minSim > 0.8) Some((minSim - 0.8) / 0.2 - 1e-9) else None,
+      floorGrams = floorGrams, floorBlockCap = floorBlockCap)
     val verified = pairs
       .withColumn("sim",
         round(graft.functions.JaroWinkler.jaroWinkler(col("__ln"), col("__rn")), 6))
@@ -136,25 +149,109 @@ object Linkage {
       left: DataFrame, leftId: Column, leftName: Column,
       right: DataFrame, rightId: Column, rightName: Column,
       gramWidth: Int, tailLen: Int, maxGramFreq: Long,
-      maxLenDiff: Option[Int], minLenRatio: Option[Double] = None): DataFrame = {
+      maxLenDiff: Option[Int], minLenRatio: Option[Double] = None,
+      floorGrams: Int = 2, floorBlockCap: Long = 128L): DataFrame = {
     val l = left.select(leftId.as("left_id"), lower(leftName).as("__ln"))
     val r = right.select(rightId.as("right_id"), lower(rightName).as("__rn"))
+
+    // Reference NAME-dedup — an output-preserving collapse: the resolve
+    // step's total order is (dist/sim, right_id), and identical names
+    // produce identical grams and identical verify scores, so for any
+    // candidate (l, id) its name's min-id twin (l, min_id) is also a
+    // candidate with the same score and min_id ≤ id — the winner is
+    // ALWAYS a min-id representative. Verifying against distinct names
+    // only is therefore exact, and it is what keeps the rarest-gram floor
+    // below bounded: on a corpus where many records share few popular
+    // names (the Zipf-name shape), per-gram fanout counts DISTINCT names,
+    // not records.
+    val rDedup = r.groupBy(col("__rn")).agg(min(col("right_id")).as("right_id"))
+      .select(col("right_id"), col("__rn"))
 
     def explodeGrams(df: DataFrame, idCol: String, nameCol: String, lenCol: String) =
       df.select(col(idCol), length(col(nameCol)).as(lenCol),
           explode(tailGrams(col(nameCol), gramWidth, tailLen)).as("__g"))
         .dropDuplicates(idCol, "__g")
 
-    val lg = explodeGrams(l, "left_id", "__ln", "__ll")
-    val rg = explodeGrams(r, "right_id", "__rn", "__rl")
+    // Lazy stage boundaries (localCheckpoint(false), never persist() — the
+    // session-cache leak class): rg feeds both the df census and its own
+    // kept-set pass, dfreq feeds BOTH sides' kept passes, and exchange
+    // reuse does not fire across their differing projections — without
+    // the boundaries the gram explode + dedup subtree re-executes per
+    // consumer (measured: 10 customer scans / 10 Window nodes / 2 reused
+    // exchanges at sf0.1, 10.4 s vs the 2.5 s r17 plan).
+    val lg = explodeGrams(l, "left_id", "__ln", "__ll").localCheckpoint(false)
+    val rg = explodeGrams(rDedup, "right_id", "__rn", "__rl").localCheckpoint(false)
 
-    // stop-gram removal: frequency measured on the reference side (the
-    // side a production pipeline has profiled ahead of time)
-    val hot = rg.groupBy(col("__g")).agg(count(lit(1)).as("__f"))
-      .filter(col("__f") > maxGramFreq)
-      .select(col("__g"))
-    val lgCold = lg.join(broadcast(hot), Seq("__g"), "left_anti")
-    val rgCold = rg.join(broadcast(hot), Seq("__g"), "left_anti")
+    // Gram document frequencies, measured on the (deduped) reference side
+    // — the side a production pipeline has profiled ahead of time.
+    val dfreq = rg.groupBy(col("__g")).agg(count(lit(1)).as("__f"))
+      .localCheckpoint(false)
+
+    // Per-record kept set = all COLD grams (1 ≤ df ≤ cap — the unchanged
+    // fast path) PLUS, for records having NO cold gram at all, their
+    // `floorGrams` rarest hot grams. The Zipf-name measurement (SCALE.md
+    // r18) showed why the bare cap rots: it is a GLOBAL threshold, so as
+    // the corpus grows more records consist entirely of above-cap grams
+    // and silently lose every block key (coverage 90% → 83% from ×1 to
+    // ×30 while the all-hot record fraction grew 0% → 6%). The floor is
+    // the per-record repair, and its CONDITION must be judged against the
+    // reference df, not the record's raw gram set: a single-edit dirty
+    // copy of an all-hot name gains a few NOVEL grams (absent from the
+    // reference — they match nothing), and counting those as "cold" would
+    // suppress the floor exactly where it is needed. The inner df join
+    // below settles both at once: reference-absent grams drop out (they
+    // cannot produce a candidate — removing them only shrinks the probe
+    // index), and the floor triggers precisely when a record has zero
+    // reference-present under-cap grams. Both sides rank by the same
+    // reference df, so a floored pair's kept grams coincide unless the
+    // edit disturbed exactly the rarest zone. Cost: records with any cold
+    // gram keep EXACTLY their old kept set (on gram-diverse corpora like
+    // the digit-tailed testdata names the floor never fires and the plan
+    // cost is the old cap's), floored mass is bounded by the all-hot
+    // populations, and the name-dedup above keeps reference-side floor
+    // fanout counted in distinct names. (An UNCONDITIONAL rarest-hot
+    // floor was tried first and re-admitted every barely-hot digit gram
+    // for thousands of testdata records each — a measured hang at sf0.1;
+    // the condition is load-bearing.)
+    def kept(g: DataFrame, idCol: String) = {
+      // The cold fast path is a pure broadcast-join + filter — no
+      // per-record window over the full gram table (a first cut windowed
+      // everything and paid an id-exchange + sort per side for a floor
+      // that fires on a vanishing fraction of records). "Zero cold grams"
+      // ⟺ min df over the record > cap: a map-combinable min agg whose
+      // exchange carries one row per record, then the rarest-`floorGrams`
+      // window runs over ONLY the all-hot records' grams (empty on
+      // gram-diverse corpora like the testdata digit tails — AQE sees an
+      // empty/small build side and the floor branch costs nothing).
+      val withF = g.join(broadcast(dfreq), Seq("__g"))
+      val cold = withF.filter(col("__f") <= maxGramFreq).drop("__f")
+      val allHot = withF.groupBy(col(idCol)).agg(min(col("__f")).as("__minf"))
+        .filter(col("__minf") > maxGramFreq)
+        .select(col(idCol))
+      val w = Window.partitionBy(col(idCol)).orderBy(col("__f"), col("__g"))
+      val floor = withF.join(allHot, Seq(idCol))
+        .withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") <= floorGrams)
+        // Floor-block cap — the provable fanout bound. On a corpus where
+        // entire tails repeat ∝ N (the ScaleData digit tails: every
+        // replica shares them), ALL records go all-hot together and even
+        // their rarest grams are shared by ∝ N floorers — the floor join
+        // would be quadratic (measured: ×10 linkage_blocked 10.9 → 29.8 s
+        // for matches an 8-char all-digit tail cannot discriminate
+        // anyway). A floored gram kept by more than `floorBlockCap`
+        // records on a side carries too little signal to be worth B²
+        // verify pairs; past that the honest fix is a wider tailLen, not
+        // a bigger join. Bound: floor pairs ≤ floorBlockCap² per gram,
+        // and the rescue keeps working wherever rarest grams are shared
+        // by small cohorts (the Zipf-name fixture's all-hot class —
+        // coverage measured unchanged with the cap in place).
+        .withColumn("__bc", count(lit(1)).over(Window.partitionBy(col("__g"))))
+        .filter(col("__bc") <= floorBlockCap)
+        .drop("__f", "__rk", "__bc")
+      cold.unionByName(floor)
+    }
+    val lgCold = kept(lg, "left_id")
+    val rgCold = kept(rg, "right_id")
 
     val joined = lgCold.join(rgCold, "__g")
     val diffPruned = maxLenDiff match {

@@ -59,6 +59,25 @@ class LinkageSuite extends AnyFunSuite {
     assert(self > out.length * 0.7, s"self-match rate too low: $self/${out.length}")
   }
 
+  test("stop-gram floor: all-hot records stay blockable; reference name-dedup resolves to min id") {
+    // 30 DISTINCT reference names share one 8-char tail (" waxwing"), so
+    // every tail gram has df=30 > cap=5 — under the bare global cap a
+    // 1-edit dirty copy would lose every shared block key (its own novel
+    // grams match nothing on the reference) and silently go unmatched.
+    // The rarest-hot floor keeps both sides blockable: ties on df break
+    // on the gram string, identically for the pair's shared grams.
+    val clean = ((1 to 30).map(i => (i.toLong, s"bird$i waxwing")) :+
+      (99L, "unique flycatcher")).toDF("id", "name")
+    val dirty = Seq((101L, "bird1 waxwinq"), (102L, "unique flycatcherr")).toDF("id", "name")
+    val m = Linkage.bestMatch(
+        dirty, col("id"), col("name"), clean, col("id"), col("name"),
+        maxGramFreq = 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(m.get(101L) === Some((1L, 1)),
+      s"all-hot dirty record must still block to its origin via floored grams: $m")
+    assert(m.get(102L) === Some((99L, 1)), s"cold-path record must still match: $m")
+  }
+
   test("plan: no cartesian / broadcast-nested-loop anywhere (block join only)") {
     val clean = (1 to 50).map(i => (i.toLong, f"Record#$i%06d")).toDF("id", "name")
     val dirty = (1 to 50).map(i => (i.toLong + 1000, f"Record#$i%06d")).toDF("id", "name")

@@ -49,6 +49,8 @@ class PlanGuardSuite extends AnyFunSuite {
       "query batch broadcast into the corpus probe — bounded by the ANN serving contract (batch << corpus); the corpus side never broadcasts",
     "similarity_pq_topk" ->
       "per-query LUT broadcast — |queries| x 16-subspace table, ANN serving contract",
+    "similarity_pq_topk_exact" ->
+      "same per-query LUT broadcast as similarity_pq_topk; oracle-duty exact regime, corpus bounded to 200 vectors by construction",
     "decontaminate_semantic" ->
       "eval-suite broadcast into the NLJ probe — eval sets bounded by contract; n-gram decontaminate is the equi-join scale path")
   // (select_cluster_balanced briefly needed an entry for the distributed-
