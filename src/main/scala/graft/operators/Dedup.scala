@@ -1023,7 +1023,7 @@ object Dedup {
     * [[incrementalExactAgainstTable]] for why attempt-and-catch beats an
     * exists-then-read check.
     */
-  private def tableOrEmpty(newBatch: DataFrame, corpusPath: String): DataFrame =
+  private[operators] def tableOrEmpty(newBatch: DataFrame, corpusPath: String): DataFrame =
     try newBatch.sparkSession.read.parquet(corpusPath)
     catch {
       // match the stable error class (Spark 4 getCondition), with a

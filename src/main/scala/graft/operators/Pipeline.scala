@@ -267,6 +267,38 @@ object Pipeline {
       .drop("__new_id", "__inherited")
   }
 
+  /** [[splitLeakageSafeIncremental]] against the split-corpus artifact
+    * stored as a parquet table, tolerating a not-yet-existing artifact —
+    * the daily-ingest form: read the persisted
+    * (id, text, blocking keys, `splitCol`) table once per batch, assign
+    * splits, and append the augmented batch back to the same table so
+    * tomorrow's batch inherits from today's decisions too. At bootstrap
+    * (no artifact yet) there is nothing to inherit and every document
+    * gets the ordinary deterministic md5 split — exactly
+    * [[splitLeakageSafe]]'s no-pairs degenerate case. Same contract and
+    * concurrency caveat as [[Dedup.incrementalExactAgainstTable]] (one
+    * writer; the read-assign-append cycle is the caller's transaction).
+    */
+  def splitLeakageSafeIncrementalAgainstTable(
+      newBatch: DataFrame,
+      corpusPath: String,
+      idCol: String,
+      textCol: String,
+      splitCol: String,
+      blockingKeys: Seq[String],
+      shingleSize: Int = 3,
+      threshold: Double = 0.5,
+      trainPct: Int = 80,
+      validPct: Int = 10): DataFrame = {
+    val corpus0 = Dedup.tableOrEmpty(newBatch, corpusPath)
+    // bootstrap fallback returns newBatch.limit(0), which lacks splitCol
+    val corpus =
+      if (corpus0.columns.contains(splitCol)) corpus0
+      else corpus0.withColumn(splitCol, lit(null).cast("string"))
+    splitLeakageSafeIncremental(newBatch, corpus, idCol, textCol, splitCol,
+      blockingKeys, shingleSize, threshold, trainPct, validPct)
+  }
+
   /** Deterministic bucket from a stable key: the first `hexChars` hex
     * digits of md5, mod `buckets` — reproducible on any engine with md5
     * (the cross-engine hash; DuckDB spells it

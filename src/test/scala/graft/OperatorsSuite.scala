@@ -1443,6 +1443,42 @@ class OperatorsSuite extends AnyFunSuite {
       "fixture must contain an inheritance that differs from the doc-keyed split")
   }
 
+  test("splitLeakageSafeIncrementalAgainstTable: bootstrap md5 split, then ingest-loop inheritance") {
+    import java.nio.file.Files
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_split_artifact").toString + "/corpus"
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    def batchDf(rows: (Long, String)*) =
+      rows.toSeq.toDF("doc_id", "text").withColumn("b", lit(0L))
+    // bootstrap: artifact path does not exist yet → pure md5 split
+    val b1 = batchDf(1L -> base, 2L -> "one two three four five six seven eight nine ten")
+    val out1 = Pipeline.splitLeakageSafeIncrementalAgainstTable(
+      b1, dir, "doc_id", "text", "split", Seq("b"), shingleSize = 2, threshold = 0.5)
+    val naive = Pipeline.deterministicSplit(b1, col("doc_id"))
+      .select(col("doc_id"), col("split"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got1 = out1.select(col("doc_id"), col("split"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got1 === naive, "bootstrap (no artifact) must reduce to the md5 split")
+    out1.write.mode("append").parquet(dir)
+    // ingest loop: a near-dup of doc 1 inherits doc 1's persisted split
+    val b2 = batchDf(10L -> base.replace("epsilon", "EDITED"))
+    val out2 = Pipeline.splitLeakageSafeIncrementalAgainstTable(
+      b2, dir, "doc_id", "text", "split", Seq("b"), shingleSize = 2, threshold = 0.5)
+    val got2 = out2.collect().map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    assert(got2(10L) === got1(1L), "ingest batch must inherit the ARTIFACT's split")
+    out2.write.mode("append").parquet(dir)
+    // transitivity through the loop: a near-dup of doc 10 (itself an
+    // inheritor, now part of the artifact) inherits the same split
+    val b3 = batchDf(20L -> base.replace("epsilon", "EDITED").replace("kappa", "ALSO"))
+    val got3 = Pipeline.splitLeakageSafeIncrementalAgainstTable(
+        b3, dir, "doc_id", "text", "split", Seq("b"), shingleSize = 2, threshold = 0.5)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    assert(got3(20L) === got1(1L),
+      "a near-dup of an inherited doc must land in the same split as the chain's root")
+  }
+
   test("ZipfData corpus: deterministic, Zipf-shaped, planted near-dups recoverable") {
     val c1 = graft.ZipfData.corpus(spark, 300)
     val c2 = graft.ZipfData.corpus(spark, 300)
