@@ -2201,6 +2201,22 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // IVF-PQ in the EXACT regime — the COMPOSED path's hash gate: full
+    // probe (nprobe = nlist) makes the IVF layer prune nothing, and the
+    // PQ exact regime (corpus ≤ ksub, trainSample covers it, iters = 0 —
+    // see similarity_pq_topk_exact) makes ADC the exact cosine, so cell
+    // routing + per-cell code scan + LUT scoring must reproduce brute
+    // force bit-for-bit after rounding. Shares the PQ exact twin's DuckDB
+    // SQL (eighth exact-regime oracle conversion). Oracle-duty: the
+    // bounded corpus is the point; the scale path is similarity_ivfpq_topk.
+    "similarity_ivfpq_topk_exact" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      Similarity.ivfPqTopK(emb.filter(col("vec_id") < 200), emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", dim = 64, k = 5, nlist = 4, nprobe = 4, m = 16,
+          ksub = 256, iters = 0, trainSample = 256)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // k-NN JOIN: every vector against the whole corpus (not just 5 query
     // rows) — the semdedup / kNN-graph shape. Exact brute force is the
     // oracle tier; it broadcasts the query side, so corpus-as-queries only
@@ -5384,6 +5400,24 @@ object SparkEntry {
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
         |           FROM embeddings WHERE vec_id < 5),
         |     c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+        |     scored AS (
+        |       SELECT query_id, neighbor_id, list_cosine_similarity(qv, cv) AS s
+        |       FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
+        |     ranked AS (
+        |       SELECT query_id, neighbor_id, s,
+        |              row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rank
+        |       FROM scored)
+        |SELECT query_id, neighbor_id, round(s, 4) AS cos_sim, rank
+        |FROM ranked WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // IVF-PQ exact regime (full probe + lossless PQ) — same bounded-corpus
+    // brute-force SQL as similarity_pq_topk_exact
+    "similarity_ivfpq_topk_exact" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |           FROM embeddings WHERE vec_id < 5),
+        |     c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+        |           FROM embeddings WHERE vec_id < 200),
         |     scored AS (
         |       SELECT query_id, neighbor_id, list_cosine_similarity(qv, cv) AS s
         |       FROM q CROSS JOIN c WHERE query_id <> neighbor_id),

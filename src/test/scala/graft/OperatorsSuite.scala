@@ -330,6 +330,13 @@ class OperatorsSuite extends AnyFunSuite {
     val brute = rows(Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", 5))
     assert(exact === brute,
       "exact-regime PQ must reproduce brute-force ids, ranks, AND rounded scores")
+    // the COMPOSED path: full probe (nprobe = nlist) + the same lossless
+    // PQ regime — cell routing + per-cell ADC must also equal brute force
+    val ivfpq = rows(Similarity.ivfPqTopK(corpus, queries, "vec_id", "embedding",
+      dim = 64, k = 5, nlist = 4, nprobe = 4, m = 16, ksub = 256, iters = 0,
+      trainSample = 256))
+    assert(ivfpq === brute,
+      "exact-regime IVF-PQ at full probe must reproduce brute force")
   }
 
   test("unicode normalization: composed == decomposed after NFC; NFKC folds compatibility forms") {
