@@ -2532,6 +2532,32 @@ object SparkEntry {
         .orderBy(col("media_type"))
     }),
 
+    // CDC chunk census in the EXACT regime: min = avg = max = 1 MiB ≫ any
+    // blob, so the gear loop can never cut (the min-size gate suppresses
+    // mask hits, the max-size force never triggers) and every blob is
+    // exactly ONE chunk covering its whole payload — n_chunks = n_blobs,
+    // the FNV-64 chunk hash is injective-on-the-fixture content identity
+    // (distinct chunk hashes ≡ distinct texts), and chunk_bytes is the
+    // plain byte length. The whole chunk-table plumbing — explode, struct
+    // fields, census aggregation, ratio4 — gets a DuckDB hash gate (ninth
+    // exact-regime conversion); the gear BOUNDARY behavior itself stays
+    // spec-tier (shift-invariance / resync specs). Oracle-duty twin of
+    // dedup_cdc_chunks above.
+    "dedup_cdc_chunks_exact" -> ((s, dir) => {
+      val media = Multimodal.syntheticMedia(documents(s, dir), "doc_id", "text")
+      Dedup.cdcChunkTable(media, "media_id", "content", 1 << 20, 1 << 20, 1 << 20)
+        .join(media.select(col("media_id").as("blob_id"), col("media_type")),
+          Seq("blob_id"))
+        .groupBy(col("media_type"))
+        .agg(countDistinct(col("blob_id")).as("n_blobs"),
+          count(lit(1)).as("n_chunks"),
+          countDistinct(col("chunk_hash")).as("n_distinct_chunks"),
+          sum(col("len")).as("chunk_bytes"))
+        .withColumn("dup_ratio", TextAnalysis.ratio4(
+          col("n_chunks") - col("n_distinct_chunks"), col("n_chunks")))
+        .orderBy(col("media_type"))
+    }),
+
     // Incremental CDC dedup: new blobs vs the corpus chunk store. The new
     // batch = lightly-edited copies of even-id media (3 prepended bytes —
     // the file hash changes, the chunk mass doesn't) + odd-id media as
@@ -7481,6 +7507,26 @@ object SparkEntry {
         |FROM c LEFT JOIN k ON c.chunk_uid = k.chunk_uid
         |GROUP BY c.doc_id
         |ORDER BY c.doc_id""".stripMargin,
+
+    // whole-blob regime: one chunk per blob, distinct chunk hashes ≡
+    // distinct texts (FNV-64 content identity), chunk_bytes = byte length
+    "dedup_cdc_chunks_exact" ->
+      """WITH m AS (SELECT doc_id AS blob_id,
+        |                 CASE (doc_id % 3) WHEN 0 THEN 'image'
+        |                                   WHEN 1 THEN 'audio'
+        |                                   ELSE 'video' END AS media_type,
+        |                 text
+        |          FROM documents)
+        |SELECT media_type,
+        |       count(DISTINCT blob_id)::BIGINT AS n_blobs,
+        |       count(*)::BIGINT AS n_chunks,
+        |       count(DISTINCT md5(text))::BIGINT AS n_distinct_chunks,
+        |       sum(strlen(text))::BIGINT AS chunk_bytes,
+        |       ((20000 * (count(*) - count(DISTINCT md5(text))) + count(*))
+        |          // (2 * count(*))) / 10000.0 AS dup_ratio
+        |FROM m
+        |GROUP BY media_type
+        |ORDER BY media_type""".stripMargin,
 
     "dedup_substr_rewrite" ->
       """WITH t AS (SELECT doc_id, string_split_regex(text, ' +') AS toks FROM documents),

@@ -386,6 +386,13 @@ class AnalyticsSuite extends AnyFunSuite {
       bytes.grouped(64).map(g => GearChunks.fnv64(g, 0, g.length)).toSet
     assert((fixedHashes(b) & fixedHashes(b2)).size <= 1,
       "fixed-size chunking shatters under the same insert (why CDC exists)")
+    // degenerate whole-blob regime (min = avg = max >> blob): exactly one
+    // chunk covering the payload, hash = FNV of all bytes — the regime the
+    // dedup_cdc_chunks_exact oracle hash-gates end to end
+    val whole = GearChunks.chunks(b, 1 << 20, 1 << 20, 1 << 20)
+    assert(whole.length === 3, "oversized bounds must yield one chunk")
+    assert(whole(0) === 0L && whole(1) === b.length.toLong)
+    assert(whole(2) === GearChunks.fnv64(b, 0, b.length))
   }
 
   test("deflateSize: matches a driver-side java.util.zip reference and is deterministic") {
