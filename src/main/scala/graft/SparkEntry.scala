@@ -2894,6 +2894,23 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // BFD packing in the EXACT regime: sizes padded by 100000 with budget
+    // 150000 — every doc fits a bin alone (n_chars ≪ 50000) but no two
+    // docs ever share one (2×100000 > budget), so best-fit-decreasing
+    // degenerates to "each doc opens the next bin in scan order" and
+    // bin_id IS the per-stratum rank by (size desc, id asc) — pure SQL.
+    // Hash-gates the packer's scan order, bin numbering, no-fit branch,
+    // and the integral-id guard per DOCUMENT (tenth exact-regime
+    // conversion); the true packing quality stays spec-tier (textbook
+    // assignment + budget-exactness specs). Oracle-duty twin of
+    // pack_bins above.
+    "pack_bins_exact" -> ((s, dir) => {
+      val docs = documents(s, dir)
+        .withColumn("n_pad", col("n_chars") + lit(100000L))
+      Pipeline.packBinsBFD(docs, "source", "doc_id", col("n_pad"), budget = 150000L)
+        .orderBy(col("source"), col("bin_id"))
+    }),
+
     // Deterministic training-order shuffle: epoch-seeded md5 of the doc id
     // is the sort key, so every engine/run/cluster size derives the SAME
     // permutation, and a new epoch string is a fresh permutation with zero
@@ -7507,6 +7524,17 @@ object SparkEntry {
         |FROM c LEFT JOIN k ON c.chunk_uid = k.chunk_uid
         |GROUP BY c.doc_id
         |ORDER BY c.doc_id""".stripMargin,
+
+    // singleton-bin regime: every doc opens the next bin in BFD scan
+    // order, so bin_id = per-stratum rank by (size desc, id asc)
+    "pack_bins_exact" ->
+      """SELECT source, doc_id,
+        |       (n_chars + 100000)::BIGINT AS n_tok,
+        |       (row_number() OVER (PARTITION BY source
+        |                           ORDER BY n_chars DESC, doc_id) - 1)::BIGINT AS bin_id,
+        |       false AS oversize
+        |FROM documents
+        |ORDER BY source, bin_id""".stripMargin,
 
     // whole-blob regime: one chunk per blob, distinct chunk hashes ≡
     // distinct texts (FNV-64 content identity), chunk_bytes = byte length
