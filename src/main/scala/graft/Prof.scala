@@ -89,7 +89,8 @@ object Prof {
       // whose ENTIRE gram set is above the cap — unblockable, recall rot).
       import graft.operators.Linkage
       val n = args(1).toLong
-      val cap = if (args.length > 2) args(2).toLong else 200L
+      val cap = if (args.length > 2) args(2).toLong
+        else graft.operators.Linkage.DefaultMaxGramFreq
       val vocab = 15L * n
       def u(cols: org.apache.spark.sql.Column*): org.apache.spark.sql.Column =
         (pmod(xxhash64(cols: _*), lit(1L << 30)).cast("double") + 0.5) / (1L << 30).toDouble
@@ -165,9 +166,11 @@ object Prof {
       val rDedup = r.groupBy(col("__rn")).agg(min(col("right_id")).as("right_id"))
         .select(col("right_id"), col("__rn"))
       def tailGrams(name: org.apache.spark.sql.Column) = {
-        val tail = name.substr(greatest(length(name) - 7, lit(1)), lit(8))
-        transform(sequence(lit(1), greatest(length(tail) - 3, lit(1))),
-          i => tail.substr(i, lit(4)))
+        val gw = graft.operators.Linkage.DefaultGramWidth
+        val tl = graft.operators.Linkage.DefaultTailLen
+        val tail = name.substr(greatest(length(name) - (tl - 1), lit(1)), lit(tl))
+        transform(sequence(lit(1), greatest(length(tail) - (gw - 1), lit(1))),
+          i => tail.substr(i, lit(gw)))
       }
       def explodeGrams(df: DataFrame, idCol: String, nameCol: String, lenCol: String) =
         df.select(col(idCol), length(col(nameCol)).as(lenCol),
@@ -178,17 +181,23 @@ object Prof {
       println(s"[prof] lg=${time("lg")(lg.count())} rg=${time("rg")(rg.count())}")
       val dfreq = rg.groupBy(col("__g")).agg(count(lit(1)).as("__f")).localCheckpoint()
       println(s"[prof] dfreq=${time("dfreq")(dfreq.count())}")
-      def kept(g: DataFrame, idCol: String) = { // mirrors Linkage.candidatePairs' kept()
-        val withF = g.join(broadcast(dfreq), Seq("__g"))
-        val cold = withF.filter(col("__f") <= 200).drop("__f")
+      // mirrors Linkage.candidatePairs' kept() — parameters come from the
+      // operator's shared defaults so this replica cannot silently drift;
+      // if kept()'s LOGIC changes in Linkage, this block must track it.
+      val cap = graft.operators.Linkage.DefaultMaxGramFreq
+      val nFloor = graft.operators.Linkage.DefaultFloorGrams
+      val blockCap = graft.operators.Linkage.DefaultFloorBlockCap
+      def kept(g: DataFrame, idCol: String) = {
+        val withF = g.join(dfreq, Seq("__g"))
+        val cold = withF.filter(col("__f") <= cap).drop("__f")
         val allHot = withF.groupBy(col(idCol)).agg(min(col("__f")).as("__minf"))
-          .filter(col("__minf") > 200).select(col(idCol))
+          .filter(col("__minf") > cap).select(col(idCol))
         val w = Window.partitionBy(col(idCol)).orderBy(col("__f"), col("__g"))
         val floor = withF.join(allHot, Seq(idCol))
           .withColumn("__rk", row_number().over(w))
-          .filter(col("__rk") <= 2)
+          .filter(col("__rk") <= nFloor)
           .withColumn("__bc", count(lit(1)).over(Window.partitionBy(col("__g"))))
-          .filter(col("__bc") <= 128)
+          .filter(col("__bc") <= blockCap)
           .drop("__f", "__rk", "__bc")
         cold.unionByName(floor)
       }

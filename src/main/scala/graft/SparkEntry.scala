@@ -2907,6 +2907,17 @@ object SparkEntry {
     "pack_bins_exact" -> ((s, dir) => {
       val docs = documents(s, dir)
         .withColumn("n_pad", col("n_chars") + lit(100000L))
+      // FIXTURE INVARIANT the regime rests on: every doc must have
+      // n_chars ≤ 50000 (padded size ≤ budget), or oversize flips and the
+      // oracle's hardcoded `false AS oversize` breaks as an opaque hash
+      // mismatch. Asserted here so a regenerated fixture fails LOUDLY at
+      // the query instead. One scalar agg over an already-read column —
+      // negligible next to the pack itself.
+      val maxChars = docs.agg(max(col("n_chars")).cast("long")).head.getLong(0)
+      require(maxChars <= 50000L,
+        s"pack_bins_exact: fixture max n_chars = $maxChars > 50000 — the " +
+          "singleton-bin regime (pad 100000, budget 150000) no longer holds; " +
+          "raise the pad/budget together to restore size+pad <= budget < 2*pad")
       Pipeline.packBinsBFD(docs, "source", "doc_id", col("n_pad"), budget = 150000L)
         .orderBy(col("source"), col("bin_id"))
     }),

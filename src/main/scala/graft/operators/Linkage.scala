@@ -32,11 +32,29 @@ import org.apache.spark.sql.functions._
   * Plan at 100 TB: gram explode (narrow, ids + name lengths only) →
   * hash-partition both sides on gram → pair dedup (hash agg on two id
   * longs) → id-keyed name reattach → per-pair scalar verify →
-  * per-left-id window for the argmin. No broadcast of either corpus, no
-  * all-pairs product anywhere; every exchange is keyed on gram or pair
-  * id, and no fanout exchange carries a string payload.
+  * per-left-id window for the argmin. No broadcast of either corpus and
+  * no all-pairs product anywhere; the one corpus-DERIVED table both
+  * sides consult is the reference gram-frequency census `dfreq` (one
+  * row per distinct tail gram — bounded by alphabet^gramWidth, ~2M for
+  * ASCII q=4, NOT by record count), joined WITHOUT a broadcast hint:
+  * the planner/AQE broadcasts it at runtime when it is census-sized and
+  * falls back to a gram-keyed shuffle join when a non-ASCII alphabet or
+  * a caller-raised gramWidth/tailLen makes it corpus-sized — the same
+  * exchange class as the block join itself, never a driver OOM. Every
+  * exchange is keyed on gram or pair id, and no fanout exchange carries
+  * a string payload (dfreq rows are gram+count; the fanout rows are
+  * ids + lengths).
   */
 object Linkage {
+
+  /** Shared defaults — referenced by the `graft.Prof linkstage` stage
+    * replica so the profiler cannot silently drift from the operator.
+    */
+  val DefaultGramWidth = 4
+  val DefaultTailLen = 8
+  val DefaultMaxGramFreq = 200L
+  val DefaultFloorGrams = 2
+  val DefaultFloorBlockCap = 128L
 
   /** Q-grams of the last `tailLen` chars of `name` (the discriminative
     * zone for id-suffixed names; pass the whole string by raising
@@ -60,12 +78,12 @@ object Linkage {
   def bestMatch(
       left: DataFrame, leftId: Column, leftName: Column,
       right: DataFrame, rightId: Column, rightName: Column,
-      gramWidth: Int = 4,
-      tailLen: Int = 8,
-      maxGramFreq: Long = 200L,
+      gramWidth: Int = DefaultGramWidth,
+      tailLen: Int = DefaultTailLen,
+      maxGramFreq: Long = DefaultMaxGramFreq,
       maxDist: Int = 2,
-      floorGrams: Int = 2,
-      floorBlockCap: Long = 128L): DataFrame = {
+      floorGrams: Int = DefaultFloorGrams,
+      floorBlockCap: Long = DefaultFloorBlockCap): DataFrame = {
     // length filter: levenshtein(a,b) >= |len(a)-len(b)|, so pairs whose
     // lengths differ by more than maxDist can never verify — pruning them
     // BEFORE the distinct shrinks the pair-dedup exchange (output-neutral)
@@ -105,12 +123,12 @@ object Linkage {
   def bestMatchJw(
       left: DataFrame, leftId: Column, leftName: Column,
       right: DataFrame, rightId: Column, rightName: Column,
-      gramWidth: Int = 4,
-      tailLen: Int = 8,
-      maxGramFreq: Long = 200L,
+      gramWidth: Int = DefaultGramWidth,
+      tailLen: Int = DefaultTailLen,
+      maxGramFreq: Long = DefaultMaxGramFreq,
       minSim: Double = 0.9,
-      floorGrams: Int = 2,
-      floorBlockCap: Long = 128L): DataFrame = {
+      floorGrams: Int = DefaultFloorGrams,
+      floorBlockCap: Long = DefaultFloorBlockCap): DataFrame = {
     // jw ≤ 0.8 + 0.2·min/max (see scaladoc): below-ratio pairs can never
     // reach minSim, so they are pruned inside the BLOCK step (before the
     // pair dedup — see candidatePairs) and never verified. The 1e-9 slack
@@ -150,7 +168,8 @@ object Linkage {
       right: DataFrame, rightId: Column, rightName: Column,
       gramWidth: Int, tailLen: Int, maxGramFreq: Long,
       maxLenDiff: Option[Int], minLenRatio: Option[Double] = None,
-      floorGrams: Int = 2, floorBlockCap: Long = 128L): DataFrame = {
+      floorGrams: Int = DefaultFloorGrams,
+      floorBlockCap: Long = DefaultFloorBlockCap): DataFrame = {
     val l = left.select(leftId.as("left_id"), lower(leftName).as("__ln"))
     val r = right.select(rightId.as("right_id"), lower(rightName).as("__rn"))
 
@@ -214,16 +233,23 @@ object Linkage {
     // for thousands of testdata records each — a measured hang at sf0.1;
     // the condition is load-bearing.)
     def kept(g: DataFrame, idCol: String) = {
-      // The cold fast path is a pure broadcast-join + filter — no
-      // per-record window over the full gram table (a first cut windowed
-      // everything and paid an id-exchange + sort per side for a floor
-      // that fires on a vanishing fraction of records). "Zero cold grams"
-      // ⟺ min df over the record > cap: a map-combinable min agg whose
-      // exchange carries one row per record, then the rarest-`floorGrams`
-      // window runs over ONLY the all-hot records' grams (empty on
-      // gram-diverse corpora like the testdata digit tails — AQE sees an
-      // empty/small build side and the floor branch costs nothing).
-      val withF = g.join(broadcast(dfreq), Seq("__g"))
+      // The cold fast path is a single df-join + filter — no per-record
+      // window over the full gram table (a first cut windowed everything
+      // and paid an id-exchange + sort per side for a floor that fires on
+      // a vanishing fraction of records). "Zero cold grams" ⟺ min df over
+      // the record > cap: a map-combinable min agg whose exchange carries
+      // one row per record, then the rarest-`floorGrams` window runs over
+      // ONLY the all-hot records' grams (empty on gram-diverse corpora
+      // like the testdata digit tails — AQE sees an empty/small build
+      // side and the floor branch costs nothing). The dfreq join carries
+      // NO broadcast hint on purpose: dfreq is normally census-sized
+      // (≤ alphabet^gramWidth rows) and AQE converts to a runtime
+      // broadcast for free, but a non-ASCII alphabet or caller-raised
+      // gramWidth/tailLen can make it track distinct reference names —
+      // a forced broadcast there is a driver OOM, while the planner's
+      // fallback is a gram-keyed shuffle join (the exchange class this
+      // operator already lives in).
+      val withF = g.join(dfreq, Seq("__g"))
       val cold = withF.filter(col("__f") <= maxGramFreq).drop("__f")
       val allHot = withF.groupBy(col(idCol)).agg(min(col("__f")).as("__minf"))
         .filter(col("__minf") > maxGramFreq)
