@@ -2586,6 +2586,38 @@ object SparkEntry {
       kept.select(col("media_id")).orderBy(col("media_id"))
     }),
 
+    // Incremental CDC dedup in the EXACT regime: min = avg = max = 1 MiB ≫
+    // any blob (the dedup_cdc_chunks_exact recipe), so every blob is ONE
+    // whole-payload chunk and incrementalCdcNew degenerates to exact
+    // content-identity incremental dedup — dup ratio is 1 iff the whole
+    // payload already exists in the corpus (> 0.5 → drop), else 0 (keep).
+    // Batch: 3-byte-edited re-uploads of the even-id corpus (share NO
+    // whole-blob chunk → ALL kept; note the fine-chunking production form
+    // above drops them — the regime inverts that decision on purpose,
+    // hash-gating the ARITHMETIC: chunk semi-join, per-blob census, ratio
+    // threshold, anti-join), byte-IDENTICAL re-uploads of every 4th even
+    // blob (ratio 1 → ALL dropped — the drop branch fires at every sf),
+    // and odd-id fresh arrivals (kept unless their text coincides with an
+    // even-id text — 0 such at sf0.01, 4 at sf0.1). The oracle's
+    // edited-kept claim rests on corpus texts never starting with byte
+    // 0x01 (synthetic word text; min length 44+). Eleventh exact-regime
+    // conversion; oracle-duty twin of dedup_incremental_cdc above.
+    "dedup_incremental_cdc_exact" -> ((s, dir) => {
+      val media = Multimodal.syntheticMedia(documents(s, dir), "doc_id", "text")
+      val corpus = media.filter(pmod(col("media_id"), lit(2)) === 0)
+      val edited = corpus
+        .select((col("media_id") + 1000000L).as("media_id"),
+          concat(lit(Array[Byte](1, 2, 3)), col("content")).as("content"))
+      val reup = corpus.filter(pmod(col("media_id"), lit(4)) === 0)
+        .select((col("media_id") + 2000000L).as("media_id"), col("content"))
+      val fresh = media.filter(pmod(col("media_id"), lit(2)) === 1)
+        .select(col("media_id"), col("content"))
+      val kept = Dedup.incrementalCdcNew(
+        edited.unionByName(fresh).unionByName(reup), corpus,
+        "media_id", "content", 1 << 20, 1 << 20, 1 << 20, maxDupRatio = 0.5)
+      kept.select(col("media_id")).orderBy(col("media_id"))
+    }),
+
     // Resize planning: aspect-preserving fit into a 256px box, integer math.
     "multimodal_resize" -> ((s, dir) => {
       val media = Multimodal.syntheticMedia(documents(s, dir), "doc_id", "text")
@@ -7566,6 +7598,20 @@ object SparkEntry {
         |FROM m
         |GROUP BY media_type
         |ORDER BY media_type""".stripMargin,
+
+    // whole-blob regime: drop iff the exact payload exists in the even-id
+    // corpus — edited re-uploads (3-byte prefix) all kept, byte-identical
+    // re-uploads all dropped, odd arrivals kept unless their text equals
+    // an even-id text
+    "dedup_incremental_cdc_exact" ->
+      """WITH ev AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 2 = 0)
+        |SELECT media_id FROM (
+        |  SELECT doc_id + 1000000 AS media_id FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id AS media_id FROM documents
+        |  WHERE doc_id % 2 = 1 AND md5(text) NOT IN (SELECT h FROM ev)
+        |) t
+        |ORDER BY media_id""".stripMargin,
 
     "dedup_substr_rewrite" ->
       """WITH t AS (SELECT doc_id, string_split_regex(text, ' +') AS toks FROM documents),
