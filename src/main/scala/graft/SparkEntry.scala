@@ -2641,6 +2641,77 @@ object SparkEntry {
         .orderBy(col("media_type"))
     }),
 
+    // Image perceptual-hash near-dup in the EXACT regime: the fixture is
+    // deterministic NOISE BMPs rendered from the md5 chain of each text
+    // (identical texts ⇒ byte-identical images; distinct texts ⇒
+    // independent 72-byte grids, dHash collision ~n²/2⁶⁵ — none here), a
+    // fifth of the docs re-keyed as byte-identical duplicate uploads.
+    // BMP is lossless, so at Hamming 0 the REAL pipeline — BMP encode,
+    // ImageIO decode, 9×8 grid luminance, dHash, pigeonhole banding,
+    // exact verify — must return exactly the identical-TEXT pairs, which
+    // IS SQL: the whole decode+hash+band path gets a DuckDB hash gate
+    // (the lossless-re-encode analogue of the PQ iters=0 trick; twelfth
+    // exact-regime conversion). The near-dup (Hamming > 0) behavior
+    // stays with `image_neardup` below + the JPEG/upscale specs.
+    "image_neardup_exact" -> ((s, dir) => {
+      val docs = documents(s, dir).select(col("doc_id"), col("text"))
+      val dupes = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val media = Multimodal.syntheticImages(docs.unionByName(dupes), "doc_id", "text")
+      Dedup.imageNearDupPairs(media, maxHamming = 0)
+        .orderBy(col("media_a"), col("media_b"))
+    }),
+
+    // The Hamming band-join stage of image near-dup on SQL-recomputable
+    // hash columns (the dedup_simhash oracle pattern, aimed at the
+    // GENERIC hammingBandPairs layout imageNearDupPairs uses): 60-bit
+    // base hash per id-group from md5, XOR a doc-keyed nibble at a
+    // doc-keyed position — within a group distances span 0..8, so the
+    // maxHamming = 6 cut exercises both branches, and the 7-band layout
+    // over 60 bits has UNEVEN widths (4×9 + 3×8 — the remainder path the
+    // simhash queries' even layouts never touch). The oracle is the
+    // brute-force all-pairs bit_count(xor) ≤ 6 census — equality proves
+    // the pigeonhole banding is complete and the verify exact.
+    "image_neardup_banded" -> ((s, dir) => {
+      val hashed = documents(s, dir).select(col("doc_id"),
+        conv(substring(md5(pmod(col("doc_id"), lit(40)).cast("string")), 1, 15), 16, 10)
+          .cast("long")
+          .bitwiseXOR(call_function("shiftleft",
+            pmod(col("doc_id"), lit(16)),
+            (pmod(col("doc_id"), lit(15)) * 4).cast("int"))).as("h"))
+      Dedup.hammingBandPairs(hashed, "doc_id", "h", maxHamming = 6, bits = 60,
+          aOut = "media_a", bOut = "media_b")
+        .orderBy(col("media_a"), col("media_b"))
+    }),
+
+    // Image near-dup, the production shape: smooth synthetic stills plus
+    // REAL JPEG re-encodes (quality 0.75) of half of them — the dominant
+    // duplicate class in crawled image corpora (same picture, different
+    // bytes: invisible to CDC/content-hash dedup) — through decode →
+    // dHash → banding at Hamming ≤ 10. Census output: every re-encode
+    // must link to its original (n_reencode_links — spec-asserted equal
+    // to the variant count), link distances stay small. No SQL oracle
+    // (JPEG DCT has no DuckDB form); exact-regime anchor:
+    // image_neardup_exact above gates the identical pipeline losslessly.
+    "image_neardup" -> ((s, dir) => {
+      // lazy stage boundary: the rendered-BMP fixture feeds TWO consumers
+      // (the union side and the JPEG re-encode input) with different
+      // downstream projections — without it the 5k-image synth runs twice
+      val base = Multimodal.syntheticSmoothImages(documents(s, dir), "doc_id", "text")
+        .localCheckpoint(false)
+      val variants = Multimodal.reencodeJpeg(
+          base.filter(pmod(col("media_id"), lit(2)) === 0), quality = 0.75f)
+        .select((col("media_id") + 1000000L).as("media_id"),
+          col("media_type"), col("content"))
+      val pairs = Dedup.imageNearDupPairs(base.unionByName(variants), maxHamming = 10)
+      val isLink = col("media_b") === col("media_a") + 1000000L
+      pairs.agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(isLink, 1L).otherwise(0L)).as("n_reencode_links"),
+        round(avg(when(isLink, col("hamming"))), 4).as("avg_link_hamming"),
+        max(when(isLink, col("hamming"))).as("max_link_hamming"))
+    }),
+
     // True winnowing (Schleimer et al. 2003) fingerprint sets, grouped by
     // fingerprint → shared-fingerprint candidate groups, the plagiarism/
     // near-dup candidate index. md5 hash family: the distinct fingerprint
@@ -5355,6 +5426,31 @@ object SparkEntry {
         |  ON l.b = r.b AND l.v = r.v AND l.doc_id < r.doc_id
         |WHERE bit_count(xor(l.sh60, r.sh60)) <= 3
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // lossless-BMP regime: perceptual pairs at Hamming 0 ≡ identical-text
+    // pairs (the fixture's images are byte-determined by the text)
+    "image_neardup_exact" ->
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0)
+        |SELECT l.doc_id AS media_a, r.doc_id AS media_b, 0::INTEGER AS hamming
+        |FROM d l JOIN d r ON md5(l.text) = md5(r.text) AND l.doc_id < r.doc_id
+        |ORDER BY media_a, media_b""".stripMargin,
+
+    // brute-force all-pairs Hamming census — the banded Spark plan must
+    // reproduce it exactly (pigeonhole completeness + exact verify)
+    "image_neardup_banded" ->
+      """WITH hv AS (
+        |  SELECT doc_id,
+        |         xor(('0x' || substr(md5((doc_id % 40)::VARCHAR), 1, 15))::BIGINT,
+        |             (doc_id % 16) << (4 * (doc_id % 15))) AS h
+        |  FROM documents)
+        |SELECT l.doc_id AS media_a, r.doc_id AS media_b,
+        |       bit_count(xor(l.h, r.h))::INTEGER AS hamming
+        |FROM hv l JOIN hv r ON l.doc_id < r.doc_id
+        |WHERE bit_count(xor(l.h, r.h)) <= 6
+        |ORDER BY media_a, media_b""".stripMargin,
 
     // md5 winnowing (TextAnalysis.winnowFingerprintsMd5): per-doc distinct
     // window minima over 3-gram md5-int hashes, window w=4 (rows frame

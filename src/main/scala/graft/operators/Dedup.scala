@@ -205,33 +205,108 @@ object Dedup {
   def simhash64(text: Column, shingleSize: Int = 3): Column =
     graft.functions.TextHashes.simhash64(TextAnalysis.shingles(text, shingleSize))
 
-  /** SimHash near-dup candidates: split the 64-bit hash into 4 16-bit
-    * blocks; by pigeonhole, any pair with Hamming distance ≤ 3 shares at
-    * least one intact block → bucket-join on (block_idx, block_value),
-    * then exact Hamming verification.
+  /** The generic Hamming-band pair step shared by SimHash text dedup and
+    * perceptual-hash image dedup: split a `bits`-wide hash into
+    * `maxHamming + 1` contiguous bands (widths as even as floor division
+    * allows; earlier bands take the remainder bits) — by pigeonhole, any
+    * pair within Hamming ≤ `maxHamming` shares at least one INTACT band —
+    * bucket-join on (band_idx, band_value), verify with the exact
+    * `bit_count(xor)`, keep pairs ≤ the bound, dedup.
+    *
+    * Input: one row per item with a long id (`idCol`) and the hash
+    * (`hashCol`, a non-negative long using the low `bits` bits). Output:
+    * (`aOut`, `bOut`, hamming) with aOut < bOut.
+    *
+    * Scale shape: the only exchanges are the (band, value) bucket hash
+    * join and the pair-distinct hash agg, both on fixed-width keys — the
+    * payloads the hashes were computed FROM never shuffle. Band-bucket
+    * skew is the operator's honest limit: a bucket of B identical band
+    * values yields B² candidate rows (the SimHash analogue of a hot
+    * shingle), so near-duplicate-saturated corpora should raise bands'
+    * selectivity by hashing longer inputs, not by raising `maxHamming`.
     */
-  def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
-    val hashed = df.select(col(idCol).as("doc_id"), simhash64(col(textCol)).as("sh64"))
-    val blocks = hashed.select(
-      col("doc_id"), col("sh64"),
-      explode(
-        transform(sequence(lit(0), lit(3)),
-          b => struct(b.as("blk"),
-            call_function("shiftright", col("sh64"), b * 16)
-              .bitwiseAND(0xFFFFL).as("v")))).as("b"))
-      .select(col("doc_id"), col("sh64"), col("b.blk").as("blk"), col("b.v").as("v"))
+  def hammingBandPairs(
+      hashed: DataFrame,
+      idCol: String,
+      hashCol: String,
+      maxHamming: Int,
+      bits: Int = 64,
+      aOut: String = "doc_a",
+      bOut: String = "doc_b"): DataFrame = {
+    val nBands = maxHamming + 1
+    require(bits >= 1 && bits <= 64, s"hammingBandPairs: bits must be in [1, 64], got $bits")
+    require(maxHamming >= 0 && nBands <= bits,
+      s"hammingBandPairs: need 0 <= maxHamming and maxHamming + 1 <= bits " +
+        s"(got maxHamming=$maxHamming, bits=$bits)")
+    val base = bits / nBands
+    val rem = bits % nBands
+    // band b: width base+1 for the first `rem` bands, else base; offsets
+    // accumulate — any partition into nBands non-empty bands satisfies
+    // the pigeonhole bound, even widths just balance bucket selectivity
+    val layout = {
+      var off = 0
+      (0 until nBands).map { b =>
+        val w = base + (if (b < rem) 1 else 0)
+        val e = (b, off, w); off += w; e
+      }
+    }
+    val h = col("__hbp_h")
+    val blocks = hashed
+      .select(col(idCol).as("__hbp_id"), col(hashCol).cast("long").as("__hbp_h"))
+      .select(col("__hbp_id"), h,
+        explode(array(layout.map { case (b, off, w) =>
+          struct(lit(b).as("blk"),
+            (if (w >= 64) h
+             else shiftright(h, off).bitwiseAND(lit((1L << w) - 1))).as("v"))
+        }: _*)).as("b"))
+      .select(col("__hbp_id"), h, col("b.blk").as("blk"), col("b.v").as("v"))
     blocks.as("l")
       .join(blocks.as("r"),
         col("l.blk") === col("r.blk") && col("l.v") === col("r.v") &&
-          col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
-        bit_count(col("l.sh64").bitwiseXOR(col("r.sh64"))).as("hamming"))
+          col("l.__hbp_id") < col("r.__hbp_id"))
+      .select(col("l.__hbp_id").as(aOut), col("r.__hbp_id").as(bOut),
+        bit_count(col("l.__hbp_h").bitwiseXOR(col("r.__hbp_h"))).as("hamming"))
       // filter BEFORE the dedup aggregate: pairs failing the Hamming bound
       // never enter the distinct's shuffle (a pair bucketed by k blocks is
       // emitted k times — dropping failures first shrinks that by the miss
       // rate, which dominates in a non-duplicated corpus)
       .filter(col("hamming") <= maxHamming)
       .distinct()
+  }
+
+  /** SimHash near-dup candidates: [[hammingBandPairs]] over the 64-bit
+    * [[simhash64]] fingerprint (at the default Hamming ≤ 3 that is the
+    * classic 4 × 16-bit block layout).
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
+    val hashed = df.select(col(idCol).as("doc_id"), simhash64(col(textCol)).as("sh64"))
+    hammingBandPairs(hashed, "doc_id", "sh64", maxHamming, bits = 64)
+  }
+
+  /** Image near-duplicate candidate pairs — the modality CDC chunking
+    * (different bytes) and text dedup are structurally blind to: a
+    * re-encoded / resized / brightness-shifted copy of the same picture.
+    * [[graft.operators.Multimodal.perceptualHashes]] decodes each payload
+    * and computes the 64-bit dHash (monotone-pixel-map and
+    * integer-upscale invariant); [[hammingBandPairs]] generates
+    * candidates by Hamming pigeonhole banding and verifies exactly.
+    * Output: (media_a, media_b, hamming), media_a < media_b, one row per
+    * pair of decodable images within `maxHamming`.
+    *
+    * Scale shape: decode is partition-local (payloads never shuffle);
+    * everything after the decode moves 16 bytes per image. The band join
+    * is complete for the bound (pigeonhole over maxHamming + 1 bands),
+    * so recall is 100% OF THE HASH — misses are dHash's, not the join's.
+    */
+  def imageNearDupPairs(
+      media: DataFrame,
+      idCol: String = "media_id",
+      binCol: String = "content",
+      maxHamming: Int = 6): DataFrame = {
+    val hashed = Multimodal.perceptualHashes(
+      media.select(col(idCol).as("media_id"), col(binCol).as("content")))
+    hammingBandPairs(hashed, "media_id", "dhash", maxHamming, bits = 64,
+      aOut = "media_a", bOut = "media_b")
   }
 
   /** DuckDB-recomputable SimHash: 60-bit fingerprint whose per-shingle
@@ -293,22 +368,7 @@ object Dedup {
       shingleSize: Int = 3,
       maxHamming: Int = 3): DataFrame = {
     val hashed = simhashTableMd5(df, idCol, textCol, shingleSize)
-    val blocks = hashed.select(
-      col("doc_id"), col("sh60"),
-      explode(
-        transform(sequence(lit(0), lit(3)),
-          b => struct(b.as("blk"),
-            call_function("shiftright", col("sh60"), b * 15)
-              .bitwiseAND(lit(32767L)).as("v")))).as("b"))
-      .select(col("doc_id"), col("sh60"), col("b.blk").as("blk"), col("b.v").as("v"))
-    blocks.as("l")
-      .join(blocks.as("r"),
-        col("l.blk") === col("r.blk") && col("l.v") === col("r.v") &&
-          col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
-        bit_count(col("l.sh60").bitwiseXOR(col("r.sh60"))).as("hamming"))
-      .filter(col("hamming") <= maxHamming)
-      .distinct()
+    hammingBandPairs(hashed, "doc_id", "sh60", maxHamming, bits = 60)
   }
 
   /** Exact n-gram Jaccard within blocking groups (same lang/source/size

@@ -226,20 +226,22 @@ object Multimodal {
       } finally ais.close()
     } catch { case scala.util.control.NonFatal(_) => None }
 
-  /** 4×4 grid mean luminance (Rec. 601 weights), row-major, each in [0, 1]
-    * — the classic cheap perceptual thumbnail feature. FeatureDim = 16.
+  /** gw×gh grid mean luminance (Rec. 601 weights), row-major, each in
+    * [0, 1] — the classic cheap perceptual thumbnail feature. The 4×4
+    * form is the FeatureDim = 16 feature vector; the 9×8 / 8×8 forms
+    * feed [[dhash64]] / [[ahash64]].
     */
-  private def gridLuminance(img: java.awt.image.BufferedImage): Array[Float] = {
-    val g = 4
+  private def gridLuminance(
+      img: java.awt.image.BufferedImage, gw: Int, gh: Int): Array[Float] = {
     val w = img.getWidth
     val h = img.getHeight
-    val out = new Array[Float](FeatureDim)
+    val out = new Array[Float](gw * gh)
     var gy = 0
-    while (gy < g) {
+    while (gy < gh) {
       var gx = 0
-      while (gx < g) {
-        val x0 = gx * w / g; val x1 = math.max(x0 + 1, (gx + 1) * w / g)
-        val y0 = gy * h / g; val y1 = math.max(y0 + 1, (gy + 1) * h / g)
+      while (gx < gw) {
+        val x0 = gx * w / gw; val x1 = math.max(x0 + 1, (gx + 1) * w / gw)
+        val y0 = gy * h / gh; val y1 = math.max(y0 + 1, (gy + 1) * h / gh)
         var acc = 0.0
         var n = 0
         var y = y0
@@ -255,12 +257,85 @@ object Multimodal {
           }
           y += 1
         }
-        out(gy * g + gx) = if (n == 0) 0.0f else (acc / n).toFloat
+        out(gy * gw + gx) = if (n == 0) 0.0f else (acc / n).toFloat
         gx += 1
       }
       gy += 1
     }
     out
+  }
+
+  /** 64-bit difference hash (dHash — Krawetz's "Kind of Like That",
+    * 2013; public domain family with aHash/pHash): 9×8 grid luminance,
+    * bit (y·8 + x) set iff cell (x, y) is brighter than its RIGHT
+    * neighbor. Comparing adjacent cells makes the hash invariant to any
+    * monotone global pixel map (brightness/contrast shifts, gamma) and
+    * to integer upscales (grid cells average identical pixel blocks),
+    * and robust to mild re-encode noise on natural images — exactly the
+    * re-encoded/resized duplicate class CDC chunking (different bytes)
+    * and text dedup are structurally blind to.
+    */
+  private[graft] def dhash64(img: java.awt.image.BufferedImage): Long = {
+    val g = gridLuminance(img, 9, 8)
+    var h = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (g(y * 9 + x) > g(y * 9 + x + 1)) h |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    h
+  }
+
+  /** 64-bit average hash (aHash): 8×8 grid luminance, bit i set iff cell
+    * i is brighter than the grid mean. Coarser than [[dhash64]] (a global
+    * brightness shift near the mean can flip many bits) but cheap and a
+    * useful second signal for band-verify ensembles.
+    */
+  private[graft] def ahash64(img: java.awt.image.BufferedImage): Long = {
+    val g = gridLuminance(img, 8, 8)
+    var mean = 0.0
+    var i = 0
+    while (i < 64) { mean += g(i); i += 1 }
+    mean /= 64.0
+    var h = 0L
+    i = 0
+    while (i < 64) {
+      if (g(i) > mean) h |= 1L << i
+      i += 1
+    }
+    h
+  }
+
+  /** Perceptual hashes over media rows: (media_id, dhash, ahash), one row
+    * per payload that DECODES as an image (still image, or the first
+    * MJPEG-AVI frame — the video-thumbnail convention); undecodable rows
+    * yield no row (decoded truth only, like [[decodeFrames]] — audit them
+    * through [[extractFeatures]]'s fallback). Same scale shape as
+    * [[extractFeatures]]: mapPartitions, one reader registry per
+    * partition, 16 bytes of hash per row through the exchange — the
+    * binary payloads never shuffle. Pair generation over the hash column
+    * is [[graft.operators.Dedup.imageNearDupPairs]].
+    */
+  def perceptualHashes(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("dhash", LongType, nullable = false),
+      StructField("ahash", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    media.select(col("media_id"), col("content"))
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.flatMap { r =>
+          val bytes = r.getAs[Array[Byte]](1)
+          tryDecodeImage(bytes)
+            .orElse(aviJpegFrames(bytes, 1).headOption.flatMap(tryDecodeImage))
+            .map(img => Row(r.getLong(0), dhash64(img), ahash64(img)))
+        }
+      }(enc)
   }
 
   /** Feature extraction over media rows: partition-local, batched — one
@@ -294,7 +369,7 @@ object Multimodal {
               .orElse(aviJpegFrames(bytes, 1).headOption.flatMap(tryDecodeImage)) match {
               case Some(img) =>
                 Row(r.getLong(0), r.getString(1), img.getWidth, img.getHeight,
-                  gridLuminance(img).toSeq)
+                  gridLuminance(img, 4, 4).toSeq)
               case None =>
                 val feat = tryDecodeAudio(bytes).getOrElse(byteStrideFeatures(bytes))
                 Row(r.getLong(0), r.getString(1), null, null, feat.toSeq)
@@ -342,7 +417,7 @@ object Multimodal {
               .flatMap(tryDecodeImage)
               .zipWithIndex
               .map { case (img, i) =>
-                Row(id, i, img.getWidth, img.getHeight, gridLuminance(img).toSeq)
+                Row(id, i, img.getWidth, img.getHeight, gridLuminance(img, 4, 4).toSeq)
               }
           } else if (!looksLikeImage(bytes)) Iterator.empty
           else {
@@ -358,7 +433,7 @@ object Multimodal {
                 // materialize before dispose: the rows outlive the reader
                 (0 until n).map { i =>
                   val img = reader.read(i)
-                  Row(id, i, img.getWidth, img.getHeight, gridLuminance(img).toSeq)
+                  Row(id, i, img.getWidth, img.getHeight, gridLuminance(img, 4, 4).toSeq)
                 }.iterator
               } catch {
                 case scala.util.control.NonFatal(_) => Iterator.empty
@@ -387,4 +462,159 @@ object Multimodal {
       .select(col("media_id"), col("width"), col("height"),
         (col("width") * col("scale_num") / col("scale_den")).cast("int").as("out_width"),
         (col("height") * col("scale_num") / col("scale_den")).cast("int").as("out_height"))
+
+  private def md5Bytes(seed: Array[Byte], extra: Byte): Array[Byte] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(seed)
+    md.update(extra)
+    md.digest()
+  }
+
+  private def writeBmp(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", baos)
+    baos.toByteArray
+  }
+
+  /** Deterministic NOISE-image fixture from any (id, text) source: an
+    * 18×16 24-bit grayscale BMP whose 9×8 grid of 2×2 cells takes gray
+    * values from the md5 chain of the TEXT (md5(text), md5(text‖0x01),
+    * …) — identical texts yield byte-identical images; distinct texts
+    * yield independent 72-byte cell vectors, so dHash collisions across
+    * distinct texts are ~n²/2⁶⁵ (none on any fixture here, and the
+    * oracle gate would catch one loudly). BMP is lossless, so the whole
+    * encode → ImageIO decode → grid-luminance → dHash path is exactly
+    * reproducible — the image analogue of [[syntheticMedia]], built for
+    * the exact-regime oracle (`image_neardup_exact`): perceptual pairs
+    * over this fixture at Hamming 0 ≡ identical-text pairs, which IS
+    * SQL. Test/oracle fixture path, not a production operator.
+    */
+  def syntheticImages(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("media_type", StringType, nullable = false),
+      StructField("content", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { r =>
+          val seed = r.getString(1).getBytes("UTF-8")
+          // 5 chained digests = 80 bytes ≥ 72 grid cells
+          val chain = Array.tabulate(5)(i => md5Bytes(seed, i.toByte)).flatten
+          val img = new java.awt.image.BufferedImage(
+            18, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var cy = 0
+          while (cy < 8) {
+            var cx = 0
+            while (cx < 9) {
+              val v = chain(cy * 9 + cx) & 0xFF
+              val rgb = (v << 16) | (v << 8) | v
+              img.setRGB(cx * 2, cy * 2, rgb); img.setRGB(cx * 2 + 1, cy * 2, rgb)
+              img.setRGB(cx * 2, cy * 2 + 1, rgb); img.setRGB(cx * 2 + 1, cy * 2 + 1, rgb)
+              cx += 1
+            }
+            cy += 1
+          }
+          Row(r.getLong(0), "image", writeBmp(img))
+        }
+      }(enc)
+  }
+
+  /** Deterministic SMOOTH-image fixture: a 72×64 grayscale sinusoid
+    * plaid whose frequencies/phases derive from the md5 of the text —
+    * the natural-image stand-in for perceptual-hash robustness work
+    * (adjacent dHash grid cells differ by a real luminance gradient, so
+    * JPEG quantization noise doesn't flip the comparisons the way it
+    * does on per-pixel noise). Grid cells are 8×8 px = exactly one JPEG
+    * block. Test fixture path.
+    */
+  def syntheticSmoothImages(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("media_type", StringType, nullable = false),
+      StructField("content", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { r =>
+          val d = md5Bytes(r.getString(1).getBytes("UTF-8"), 0.toByte)
+          def u(i: Int) = ((d(i) & 0xFF) * 256 + (d(i + 1) & 0xFF)) / 65536.0
+          val fx = 0.5 + 2.5 * u(0); val fy = 0.5 + 2.5 * u(2)
+          val ph = 2.0 * math.Pi * u(4)
+          val fx2 = 0.5 + 2.5 * u(6); val ph2 = 2.0 * math.Pi * u(8)
+          val img = new java.awt.image.BufferedImage(
+            72, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < 64) {
+            var x = 0
+            while (x < 72) {
+              val s = math.sin(2.0 * math.Pi * (fx * x / 72.0 + fy * y / 64.0) + ph) +
+                0.5 * math.sin(2.0 * math.Pi * (fx2 * (x + y) / 72.0) + ph2)
+              val v = math.max(0, math.min(255, (128 + 84 * s).toInt))
+              img.setRGB(x, y, (v << 16) | (v << 8) | v)
+              x += 1
+            }
+            y += 1
+          }
+          Row(r.getLong(0), "image", writeBmp(img))
+        }
+      }(enc)
+  }
+
+  /** REAL JPEG re-encode: decode each image payload, re-encode at
+    * `quality` ∈ (0, 1], emit (media_id, media_type, content) with the
+    * new bytes — the format-normalization step real image-ingest
+    * pipelines run, and the generator of the dominant near-duplicate
+    * class in crawled image corpora (same picture, different bytes —
+    * invisible to CDC/content-hash dedup, caught by
+    * [[graft.operators.Dedup.imageNearDupPairs]]). Rows that don't
+    * decode as images are dropped (decoded truth only). mapPartitions,
+    * one writer per partition batch; the JDK's JPEG codec is
+    * deterministic for fixed input+quality.
+    */
+  def reencodeJpeg(media: DataFrame, quality: Float = 0.75f): DataFrame = {
+    require(quality > 0f && quality <= 1f, "reencodeJpeg: quality must be in (0, 1]")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("media_type", StringType, nullable = false),
+      StructField("content", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    media.select(col("media_id"), col("content"))
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+        val param = writer.getDefaultWriteParam
+        param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+        param.setCompressionQuality(quality)
+        val it = rows.flatMap { r =>
+          val bytes = r.getAs[Array[Byte]](1)
+          tryDecodeImage(bytes).map { img =>
+            // JPEG writer wants no alpha channel
+            val rgb =
+              if (img.getType == java.awt.image.BufferedImage.TYPE_INT_RGB) img
+              else {
+                val c = new java.awt.image.BufferedImage(
+                  img.getWidth, img.getHeight,
+                  java.awt.image.BufferedImage.TYPE_INT_RGB)
+                val g = c.createGraphics()
+                g.drawImage(img, 0, 0, null)
+                g.dispose()
+                c
+              }
+            val baos = new java.io.ByteArrayOutputStream()
+            val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+            writer.setOutput(ios)
+            writer.write(null, new javax.imageio.IIOImage(rgb, null, null), param)
+            ios.close()
+            Row(r.getLong(0), "image", baos.toByteArray)
+          }
+        }
+        // writer.dispose() after the iterator drains: wrap with a
+        // completion hook — Iterator has no close, so rely on task end;
+        // ImageWriter instances are cheap and partition-scoped.
+        it
+      }(enc)
+  }
 }

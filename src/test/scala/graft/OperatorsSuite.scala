@@ -126,6 +126,116 @@ class OperatorsSuite extends AnyFunSuite {
     assert(truth.nonEmpty, "expected at least one simhash near-dup pair in testdata")
   }
 
+  test("hammingBandPairs: complete vs brute force — uneven 60-bit/7-band, 64-bit " +
+    "with negative hashes, full-width single band") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(4711)
+    // clustered fixture: 30 random bases, each with variants at 0..7
+    // flipped bits plus one exact duplicate (hamming-0 pairs exist for
+    // the maxHamming = 0 single-band case)
+    def fixture(bits: Int): Seq[(Long, Long)] = {
+      val mask = if (bits >= 64) -1L else (1L << bits) - 1
+      Seq.fill(30)(rnd.nextLong() & mask).zipWithIndex.flatMap { case (b, i) =>
+        val variants = (0 until 8).map { k =>
+          var h = b
+          (0 until k).foreach(j => h ^= 1L << ((i * 13 + j * 7) % bits))
+          h
+        } :+ b
+        variants.zipWithIndex.map { case (h, k) => ((i * 9 + k).toLong, h) }
+      }
+    }
+    for ((bits, maxH) <- Seq((60, 6), (64, 3), (64, 0))) {
+      val rows = fixture(bits)
+      val truth = (for {
+        (ida, ha) <- rows; (idb, hb) <- rows if ida < idb
+        if java.lang.Long.bitCount(ha ^ hb) <= maxH
+      } yield (ida, idb, java.lang.Long.bitCount(ha ^ hb))).toSet
+      val got = Dedup.hammingBandPairs(rows.toDF("id", "h"), "id", "h", maxH, bits)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(truth.nonEmpty, s"degenerate fixture at bits=$bits maxH=$maxH")
+      assert(got === truth,
+        s"bits=$bits maxH=$maxH missing=${truth -- got} extra=${got -- truth}")
+    }
+  }
+
+  private def smoothImg(fx: Double, fy: Double, phase: Double): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(
+      72, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 64; x <- 0 until 72) {
+      val s = math.sin(2.0 * math.Pi * (fx * x / 72.0 + fy * y / 64.0) + phase)
+      val v = (128 + 84 * s).toInt
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    img
+  }
+
+  test("dhash64: invariant to brightness shift and integer upscale, near-invariant " +
+    "to JPEG re-encode, far for distinct images") {
+    def enc(img: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+      val baos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, baos), s"JDK must encode $fmt")
+      baos.toByteArray
+    }
+    def dec(b: Array[Byte]) =
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+    val a = smoothImg(1.7, 1.2, 0.3)
+    val ha = Multimodal.dhash64(a)
+
+    // JPEG re-encode (the dominant crawled-image duplicate class): smooth
+    // luminance gradients dominate the DCT quantization noise
+    val jpegHam = java.lang.Long.bitCount(ha ^ Multimodal.dhash64(dec(enc(a, "jpg"))))
+    assert(jpegHam <= 8, s"JPEG re-encode drifted $jpegHam bits")
+
+    // 2× integer upscale: grid cells average replicated pixel blocks — exact
+    val up = new java.awt.image.BufferedImage(
+      144, 128, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 128; x <- 0 until 144) up.setRGB(x, y, a.getRGB(x / 2, y / 2))
+    assert(Multimodal.dhash64(up) === ha, "integer upscale must be dHash-exact")
+
+    // global brightness shift (no clipping: values stay in [44+15, 212+15])
+    // is a strictly monotone pixel map — every neighbor comparison preserved
+    val bright = new java.awt.image.BufferedImage(
+      72, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 64; x <- 0 until 72) {
+      val v = (a.getRGB(x, y) & 0xFF) + 15
+      bright.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    assert(Multimodal.dhash64(bright) === ha, "brightness shift must be dHash-exact")
+
+    // a different image is far — the threshold has headroom on both sides
+    val hb = Multimodal.dhash64(smoothImg(2.6, 0.7, 2.9))
+    assert(java.lang.Long.bitCount(ha ^ hb) >= 12,
+      s"distinct images too close: ${java.lang.Long.bitCount(ha ^ hb)}")
+  }
+
+  test("imageNearDupPairs e2e: every JPEG re-encode links to its original; " +
+    "undecodable payloads yield no hash row") {
+    val base = Multimodal.syntheticSmoothImages(docs.limit(40), "doc_id", "text")
+    val variants = Multimodal.reencodeJpeg(base, quality = 0.75f)
+      .select((col("media_id") + 1000L).as("media_id"), col("media_type"), col("content"))
+    val pairs = Dedup.imageNearDupPairs(base.unionByName(variants), maxHamming = 10)
+      .collect()
+    val links = pairs.collect {
+      case r if r.getLong(1) === r.getLong(0) + 1000L => r.getLong(0)
+    }.toSet
+    val baseIds = base.select("media_id").collect().map(_.getLong(0)).toSet
+    assert(links === baseIds,
+      s"re-encodes not linked to originals: ${baseIds -- links}")
+
+    // decoded truth only: a non-image payload produces NO hash row
+    val rows = Seq(org.apache.spark.sql.Row(99L, "image",
+      "not an image at all".getBytes("UTF-8")))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("media_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("media_type",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("content",
+        org.apache.spark.sql.types.BinaryType, nullable = false)))
+    val garbage = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    assert(Multimodal.perceptualHashes(garbage).count() === 0L)
+  }
+
   test("TopKPairs heap agg: window-rank parity, tie order, null skip, bounded size, merge across partitions") {
     import spark.implicits._
     // 200 (query, neighbor, score) rows per query with deliberate score
