@@ -225,14 +225,16 @@ object Dedup {
     * shingle), so near-duplicate-saturated corpora should raise bands'
     * selectivity by hashing longer inputs, not by raising `maxHamming`.
     */
-  def hammingBandPairs(
-      hashed: DataFrame,
-      idCol: String,
-      hashCol: String,
-      maxHamming: Int,
-      bits: Int = 64,
-      aOut: String = "doc_a",
-      bOut: String = "doc_b"): DataFrame = {
+  /** The banded projection shared by [[hammingBandPairs]] and the
+    * incremental image gate: (id, hash, band index, band value), one row
+    * per (item, band). Band b has width bits/(maxHamming+1), the first
+    * bits % (maxHamming+1) bands one bit wider; offsets accumulate — any
+    * partition into maxHamming+1 non-empty bands satisfies the pigeonhole
+    * bound, even widths just balance bucket selectivity.
+    */
+  private def bandBlocks(
+      hashed: DataFrame, idCol: String, hashCol: String,
+      maxHamming: Int, bits: Int): DataFrame = {
     val nBands = maxHamming + 1
     require(bits >= 1 && bits <= 64, s"hammingBandPairs: bits must be in [1, 64], got $bits")
     require(maxHamming >= 0 && nBands <= bits,
@@ -240,9 +242,6 @@ object Dedup {
         s"(got maxHamming=$maxHamming, bits=$bits)")
     val base = bits / nBands
     val rem = bits % nBands
-    // band b: width base+1 for the first `rem` bands, else base; offsets
-    // accumulate — any partition into nBands non-empty bands satisfies
-    // the pigeonhole bound, even widths just balance bucket selectivity
     val layout = {
       var off = 0
       (0 until nBands).map { b =>
@@ -251,7 +250,7 @@ object Dedup {
       }
     }
     val h = col("__hbp_h")
-    val blocks = hashed
+    hashed
       .select(col(idCol).as("__hbp_id"), col(hashCol).cast("long").as("__hbp_h"))
       .select(col("__hbp_id"), h,
         explode(array(layout.map { case (b, off, w) =>
@@ -260,6 +259,17 @@ object Dedup {
              else shiftright(h, off).bitwiseAND(lit((1L << w) - 1))).as("v"))
         }: _*)).as("b"))
       .select(col("__hbp_id"), h, col("b.blk").as("blk"), col("b.v").as("v"))
+  }
+
+  def hammingBandPairs(
+      hashed: DataFrame,
+      idCol: String,
+      hashCol: String,
+      maxHamming: Int,
+      bits: Int = 64,
+      aOut: String = "doc_a",
+      bOut: String = "doc_b"): DataFrame = {
+    val blocks = bandBlocks(hashed, idCol, hashCol, maxHamming, bits)
     blocks.as("l")
       .join(blocks.as("r"),
         col("l.blk") === col("r.blk") && col("l.v") === col("r.v") &&
@@ -1113,6 +1123,64 @@ object Dedup {
       threshold: Double = 0.5): DataFrame =
     incrementalMinhashNew(newBatch, tableOrEmpty(newBatch, corpusPath),
       idCol, textCol, shingleSize, numHashes, bands, threshold)
+
+  /** Incremental IMAGE near-dup gate — the daily/streaming image-ingest
+    * shape: drop new-batch rows whose decoded dHash lands within
+    * `maxHamming` of ANY hash in `corpusHashes` (the persisted
+    * (media_id, dhash) artifact an ingest loop maintains — 16 bytes per
+    * kept image; corpus image BYTES are never re-read or shuffled).
+    * New-batch payloads decode partition-locally
+    * ([[graft.operators.Multimodal.perceptualHashes]]); both sides band
+    * by Hamming pigeonhole and one fixed-width-key join probes the
+    * corpus; exact `bit_count` verify before the flagged-id distinct.
+    * Rows that do not decode as images PASS the gate (decoded truth
+    * only — an image gate has no opinion on non-images; screen those
+    * with the content-hash gates).
+    *
+    * Batch-INTERNAL duplicates are deliberately not dropped (same
+    * contract as [[incrementalExact]]: the gate screens against the
+    * corpus; intra-batch dedup is [[imageNearDupPairs]] + clustering).
+    */
+  def incrementalImageNew(
+      newBatch: DataFrame,
+      corpusHashes: DataFrame,
+      idCol: String = "media_id",
+      binCol: String = "content",
+      maxHamming: Int = 6): DataFrame = {
+    val newHashes = Multimodal.perceptualHashes(
+      newBatch.select(col(idCol).as("media_id"), col(binCol).as("content")))
+      // two consumers with different projections (band probe + the final
+      // anti join would re-decode every payload); the hash table is 16
+      // bytes/row — the cheapest possible boundary
+      .localCheckpoint(false)
+    val nb = bandBlocks(newHashes, "media_id", "dhash", maxHamming, bits = 64)
+    val cb = bandBlocks(corpusHashes.select(col("media_id"), col("dhash")),
+      "media_id", "dhash", maxHamming, bits = 64)
+    val flagged = nb.as("l")
+      .join(cb.as("r"), col("l.blk") === col("r.blk") && col("l.v") === col("r.v"))
+      .filter(bit_count(col("l.__hbp_h").bitwiseXOR(col("r.__hbp_h"))) <= maxHamming)
+      .select(col("l.__hbp_id").as("media_id"))
+      .distinct()
+    newBatch.join(flagged, newBatch(idCol) === flagged("media_id"), "left_anti")
+  }
+
+  /** [[incrementalImageNew]] against a dHash table persisted as parquet at
+    * `corpusHashPath`, tolerating a not-yet-existing table (first run of
+    * an ingest loop — same contract and concurrency caveat as
+    * [[incrementalExactAgainstTable]]). The ingest loop's append side is
+    * `Multimodal.perceptualHashes(keptRows)` written to the same path.
+    */
+  def incrementalImageNewAgainstTable(
+      newBatch: DataFrame,
+      corpusHashPath: String,
+      idCol: String = "media_id",
+      binCol: String = "content",
+      maxHamming: Int = 6): DataFrame = {
+    val proto = Multimodal.perceptualHashes(newBatch.limit(0)
+      .select(col(idCol).as("media_id"), col(binCol).as("content")))
+    incrementalImageNew(newBatch, tableOrEmpty(proto, corpusHashPath),
+      idCol, binCol, maxHamming)
+  }
 
   /** [[incrementalExact]] with a Bloom prefilter — the daily-ingest shape
     * at corpus scale.

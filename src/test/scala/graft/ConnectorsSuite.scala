@@ -444,6 +444,75 @@ class ConnectorsSuite extends AnyFunSuite {
     assert(kept === Seq(1L, 2L, 4L), s"kept corpus wrong: $kept")
   }
 
+  test("streaming image-ingest gate: JPEG re-posts of kept images are dropped against the persisted hash table") {
+    import graft.operators.{Dedup, Multimodal}
+    // the incremental perceptual-hash gate inside the emitter loop: each
+    // window decodes its payloads, probes the persisted dHash table of
+    // everything kept so far, and appends the keepers' hashes — a JPEG
+    // re-encode of an earlier keeper (same picture, different bytes: the
+    // dominant crawled-image duplicate class) is still dropped, while a
+    // genuinely new picture and a NON-image payload pass
+    val mb = Minibatch(spark, freshRoot())
+    val st = mb.stream("image_ingest")
+    val root = freshRoot()
+    val hashDir = root + "/kept_image_hashes"
+    val keptDir = root + "/kept_images"
+    def drainInto(): Unit =
+      mb.streaming("image_ingest").size(1).emit((_, df) => {
+        val batch = df.select(
+          get_json_object(col("data"), "$.id").cast("long").as("media_id"),
+          lit("image").as("media_type"),
+          unbase64(get_json_object(col("data"), "$.b64")).as("content"))
+        val kept = Dedup.incrementalImageNewAgainstTable(
+          batch, hashDir, maxHamming = 10)
+        kept.write.mode("append").parquet(keptDir)
+        Multimodal.perceptualHashes(kept)
+          .write.mode("append").parquet(hashDir)
+      }).run()
+    def b64(bytes: Array[Byte]) =
+      java.util.Base64.getEncoder.encodeToString(bytes)
+    def smoothBmp(id: Long, fx: Double, fy: Double, ph: Double): String = {
+      val img = new java.awt.image.BufferedImage(
+        72, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 64; x <- 0 until 72) {
+        val s = math.sin(2.0 * math.Pi * (fx * x / 72.0 + fy * y / 64.0) + ph)
+        val v = (128 + 84 * s).toInt
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "bmp", baos)
+      s"""{"id":$id,"b64":"${b64(baos.toByteArray)}"}"""
+    }
+    def jpegRepost(id: Long, fx: Double, fy: Double, ph: Double): String = {
+      val img = new java.awt.image.BufferedImage(
+        72, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 64; x <- 0 until 72) {
+        val s = math.sin(2.0 * math.Pi * (fx * x / 72.0 + fy * y / 64.0) + ph)
+        val v = (128 + 84 * s).toInt
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", baos)
+      s"""{"id":$id,"b64":"${b64(baos.toByteArray)}"}"""
+    }
+    st.appendAll(Seq(smoothBmp(1L, 1.7, 1.2, 0.3), smoothBmp(2L, 2.6, 0.7, 2.9)))
+    drainInto()
+    // 3 = JPEG re-post of keeper 1 (different bytes, same picture: drop);
+    // 4 = new picture (keep); 5 = non-image payload (image gate passes it)
+    st.appendAll(Seq(
+      jpegRepost(3L, 1.7, 1.2, 0.3),
+      smoothBmp(4L, 0.9, 2.2, 1.1),
+      s"""{"id":5,"b64":"${b64("not an image".getBytes("UTF-8"))}"}"""))
+    drainInto()
+    val kept = spark.read.parquet(keptDir)
+      .select("media_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept === Seq(1L, 2L, 4L, 5L), s"kept corpus wrong: $kept")
+    // the persisted artifact holds hashes only for rows that DECODED
+    val hashed = spark.read.parquet(hashDir)
+      .select("media_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(hashed === Seq(1L, 2L, 4L), s"hash table wrong: $hashed")
+  }
+
   test("streaming leakage-safe split gate: micro-batches inherit splits from the frozen corpus artifact") {
     import graft.operators.Pipeline
     // splitLeakageSafeIncremental inside the emitter loop: every drained
