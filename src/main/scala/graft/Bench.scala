@@ -240,6 +240,20 @@ object Bench {
     }
     java.nio.file.Files.write(java.nio.file.Paths.get("target/bench_passes.json"),
       (passesJson + "\n").getBytes("UTF-8"))
+    // FULL-SUITE sessions additionally archive both artifacts into the
+    // git-tracked bench/ dir: target/ is uncommitted and single-query
+    // iteration runs overwrite it, which is exactly how the r18 recorded
+    // session's raw samples were lost before the r19 triage could re-read
+    // them. Single-query runs (args non-empty) never touch the archive.
+    if (args.isEmpty) {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get("bench"))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("bench/fullsuite_last.json"),
+        (full + "\n").getBytes("UTF-8"))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("bench/fullsuite_last_passes.json"),
+        (passesJson + "\n").getBytes("UTF-8"))
+    }
     val budget = 1600 // leaves headroom for sbt's closing lines in the tail
     val fitted =
       if (full.length <= budget) full

@@ -2654,7 +2654,13 @@ object SparkEntry {
     // exact-regime conversion). The near-dup (Hamming > 0) behavior
     // stays with `image_neardup` below + the JPEG/upscale specs.
     "image_neardup_exact" -> ((s, dir) => {
+      // repartition BEFORE the per-row codec work: the sf fixtures are a
+      // single dense parquet file → one scan partition, which would pin
+      // the whole render+decode stage to one core; 5k text rows through
+      // one cheap exchange buys 32-way parallel image work (real media
+      // tables arrive multi-file and skip this)
       val docs = documents(s, dir).select(col("doc_id"), col("text"))
+        .repartition(32)
       val dupes = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
         .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
       val media = Multimodal.syntheticImages(docs.unionByName(dupes), "doc_id", "text")
@@ -2697,7 +2703,8 @@ object SparkEntry {
       // lazy stage boundary: the rendered-BMP fixture feeds TWO consumers
       // (the union side and the JPEG re-encode input) with different
       // downstream projections — without it the 5k-image synth runs twice
-      val base = Multimodal.syntheticSmoothImages(documents(s, dir), "doc_id", "text")
+      val base = Multimodal.syntheticSmoothImages(
+          documents(s, dir).repartition(32), "doc_id", "text")
         .localCheckpoint(false)
       val variants = Multimodal.reencodeJpeg(
           base.filter(pmod(col("media_id"), lit(2)) === 0), quality = 0.75f)

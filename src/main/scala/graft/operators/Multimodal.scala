@@ -541,9 +541,15 @@ object Multimodal {
         rows.map { r =>
           val d = md5Bytes(r.getString(1).getBytes("UTF-8"), 0.toByte)
           def u(i: Int) = ((d(i) & 0xFF) * 256 + (d(i + 1) & 0xFF)) / 65536.0
-          val fx = 0.5 + 2.5 * u(0); val fy = 0.5 + 2.5 * u(2)
+          // three plaid components from 16 hash bytes: enough parameter
+          // entropy that two DISTINCT texts land within dHash radius only
+          // at real-corpus rates (a 2-component first cut measured 0.5%
+          // of all cross pairs inside Hamming ≤ 10 — a fixture-density
+          // artifact that turned the band join's ×10 curve quadratic)
+          val fx = 0.7 + 3.8 * u(0); val fy = 0.7 + 3.8 * u(2)
           val ph = 2.0 * math.Pi * u(4)
-          val fx2 = 0.5 + 2.5 * u(6); val ph2 = 2.0 * math.Pi * u(8)
+          val fx2 = 0.7 + 3.8 * u(6); val ph2 = 2.0 * math.Pi * u(8)
+          val fd = 0.7 + 3.8 * u(10); val ph3 = 2.0 * math.Pi * u(12)
           val img = new java.awt.image.BufferedImage(
             72, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
           var y = 0
@@ -551,8 +557,9 @@ object Multimodal {
             var x = 0
             while (x < 72) {
               val s = math.sin(2.0 * math.Pi * (fx * x / 72.0 + fy * y / 64.0) + ph) +
-                0.5 * math.sin(2.0 * math.Pi * (fx2 * (x + y) / 72.0) + ph2)
-              val v = math.max(0, math.min(255, (128 + 84 * s).toInt))
+                0.6 * math.sin(2.0 * math.Pi * (fx2 * (x + y) / 72.0) + ph2) +
+                0.45 * math.sin(2.0 * math.Pi * (fd * (x - 2 * y) / 64.0) + ph3)
+              val v = math.max(0, math.min(255, (128 + 62 * s).toInt))
               img.setRGB(x, y, (v << 16) | (v << 8) | v)
               x += 1
             }

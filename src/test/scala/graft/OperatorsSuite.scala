@@ -206,6 +206,14 @@ class OperatorsSuite extends AnyFunSuite {
     val hb = Multimodal.dhash64(smoothImg(2.6, 0.7, 2.9))
     assert(java.lang.Long.bitCount(ha ^ hb) >= 12,
       s"distinct images too close: ${java.lang.Long.bitCount(ha ^ hb)}")
+
+    // aHash (the second signal): deterministic on identical pixels, and
+    // JPEG noise moves few bits relative to the 8×8 grid mean
+    val aa = Multimodal.ahash64(a)
+    assert(Multimodal.ahash64(dec(enc(a, "bmp"))) === aa,
+      "aHash must survive a lossless re-encode exactly")
+    val aJpegHam = java.lang.Long.bitCount(aa ^ Multimodal.ahash64(dec(enc(a, "jpg"))))
+    assert(aJpegHam <= 10, s"aHash JPEG re-encode drifted $aJpegHam bits")
   }
 
   test("imageNearDupPairs e2e: every JPEG re-encode links to its original; " +
