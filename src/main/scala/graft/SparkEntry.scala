@@ -2668,6 +2668,23 @@ object SparkEntry {
         .orderBy(col("media_a"), col("media_b"))
     }),
 
+    // Keep-one-per-duplicate-image-cluster — the selection step an image
+    // corpus runs after pair generation, composed from the exact-regime
+    // pairs above (lossless BMP fixture: clusters over Hamming-0 pairs ≡
+    // identical-text groups of size > 1 with min-id representatives — a
+    // plain SQL grouping, so the dupClusters min-label/union-find
+    // machinery gains a hash-checked oracle consumer on an IMAGE pair
+    // list, the dedup_minhash_clusters pattern).
+    "image_neardup_clusters" -> ((s, dir) => {
+      val docs = documents(s, dir).select(col("doc_id"), col("text"))
+      val dupes = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val media = Multimodal.syntheticImages(docs.unionByName(dupes), "doc_id", "text")
+      val pairs = Dedup.imageNearDupPairs(media, maxHamming = 0)
+      Dedup.dupClusters(pairs, "media_a", "media_b")
+        .orderBy(col("doc_id"))
+    }),
+
     // The Hamming band-join stage of image near-dup on SQL-recomputable
     // hash columns (the dedup_simhash oracle pattern, aimed at the
     // GENERIC hammingBandPairs layout imageNearDupPairs uses): 60-bit
@@ -5444,6 +5461,20 @@ object SparkEntry {
         |SELECT l.doc_id AS media_a, r.doc_id AS media_b, 0::INTEGER AS hamming
         |FROM d l JOIN d r ON md5(l.text) = md5(r.text) AND l.doc_id < r.doc_id
         |ORDER BY media_a, media_b""".stripMargin,
+
+    // clusters over Hamming-0 pairs on the lossless fixture ≡ equal-text
+    // groups of size > 1, min-id representative
+    "image_neardup_clusters" ->
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0),
+        |g AS (SELECT doc_id, md5(text) AS h FROM d),
+        |c AS (SELECT h, min(doc_id) AS cid, count(*) AS n FROM g GROUP BY h)
+        |SELECT g.doc_id, c.cid AS cluster_id, (g.doc_id = c.cid) AS keep
+        |FROM g JOIN c USING (h)
+        |WHERE c.n > 1
+        |ORDER BY doc_id""".stripMargin,
 
     // brute-force all-pairs Hamming census — the banded Spark plan must
     // reproduce it exactly (pigeonhole completeness + exact verify)
