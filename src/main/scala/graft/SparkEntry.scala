@@ -2685,6 +2685,51 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Audio perceptual-hash near-dup in the EXACT regime — the image
+    // recipe on the third modality: deterministic PCM WAVs seeded from
+    // the md5 of each text (WAV is LOSSLESS, so identical texts yield
+    // byte-identical payloads and the encode → javax.sound decode →
+    // 65-segment RMS envelope → difference-hash path is exactly
+    // reproducible), a fifth of the docs re-keyed as byte-identical
+    // re-uploads. Hamming-0 pairs ≡ identical-text pairs — SQL. The
+    // near-dup (μ-law re-encode) behavior stays with audio_neardup
+    // below + the gain/transcode specs.
+    "audio_neardup_exact" -> ((s, dir) => {
+      val docs = documents(s, dir).select(col("doc_id"), col("text"))
+        .repartition(32)
+      val dupes = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val media = Multimodal.syntheticAudioWav(docs.unionByName(dupes), "doc_id", "text")
+      Dedup.audioNearDupPairs(media, maxHamming = 0)
+        .orderBy(col("media_a"), col("media_b"))
+    }),
+
+    // Audio near-dup, the production shape: PCM WAVs plus REAL μ-law
+    // re-encodes (the JDK's own telephony transcode — same clip, half
+    // the bit depth, different bytes) of half of them, through decode →
+    // envelope hash → banding at Hamming ≤ 10. Census: every re-encode
+    // must link to its original (spec-asserted); link distances stay
+    // small because μ-law quantization noise averages out of segment
+    // RMS. No SQL oracle (the companding curve has no DuckDB form);
+    // exact-regime anchor: audio_neardup_exact gates the identical
+    // pipeline losslessly.
+    "audio_neardup" -> ((s, dir) => {
+      val base = Multimodal.syntheticAudioWav(
+          documents(s, dir).repartition(32), "doc_id", "text")
+        .localCheckpoint(false)
+      val variants = Multimodal.reencodeUlaw(
+          base.filter(pmod(col("media_id"), lit(2)) === 0))
+        .select((col("media_id") + 1000000L).as("media_id"),
+          col("media_type"), col("content"))
+      val pairs = Dedup.audioNearDupPairs(base.unionByName(variants), maxHamming = 10)
+      val isLink = col("media_b") === col("media_a") + 1000000L
+      pairs.agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(isLink, 1L).otherwise(0L)).as("n_reencode_links"),
+        round(avg(when(isLink, col("hamming"))), 4).as("avg_link_hamming"),
+        max(when(isLink, col("hamming"))).as("max_link_hamming"))
+    }),
+
     // The Hamming band-join stage of image near-dup on SQL-recomputable
     // hash columns (the dedup_simhash oracle pattern, aimed at the
     // GENERIC hammingBandPairs layout imageNearDupPairs uses): 60-bit
@@ -5454,6 +5499,17 @@ object SparkEntry {
     // lossless-BMP regime: perceptual pairs at Hamming 0 ≡ identical-text
     // pairs (the fixture's images are byte-determined by the text)
     "image_neardup_exact" ->
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0)
+        |SELECT l.doc_id AS media_a, r.doc_id AS media_b, 0::INTEGER AS hamming
+        |FROM d l JOIN d r ON md5(l.text) = md5(r.text) AND l.doc_id < r.doc_id
+        |ORDER BY media_a, media_b""".stripMargin,
+
+    // lossless-WAV regime: envelope-hash pairs at Hamming 0 ≡
+    // identical-text pairs (payloads are byte-determined by the text)
+    "audio_neardup_exact" ->
       """WITH d AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL

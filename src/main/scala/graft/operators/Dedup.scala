@@ -319,6 +319,27 @@ object Dedup {
       aOut = "media_a", bOut = "media_b")
   }
 
+  /** Audio near-duplicate candidate pairs — the telephony/re-encode
+    * duplicate class (same clip at a different bit depth or gain):
+    * [[graft.operators.Multimodal.perceptualAudioHashes]] decodes each
+    * payload into the 64-bit envelope-difference hash (positive-gain and
+    * lossless-re-encode invariant), then the same [[hammingBandPairs]]
+    * machinery as text SimHash and image dHash. Output:
+    * (media_a, media_b, hamming). Scale shape identical to
+    * [[imageNearDupPairs]]: partition-local decode, 8 bytes per row
+    * through the exchanges.
+    */
+  def audioNearDupPairs(
+      media: DataFrame,
+      idCol: String = "media_id",
+      binCol: String = "content",
+      maxHamming: Int = 6): DataFrame = {
+    val hashed = Multimodal.perceptualAudioHashes(
+      media.select(col(idCol).as("media_id"), col(binCol).as("content")))
+    hammingBandPairs(hashed, "media_id", "audio_hash", maxHamming, bits = 64,
+      aOut = "media_a", bOut = "media_b")
+  }
+
   /** DuckDB-recomputable SimHash: 60-bit fingerprint whose per-shingle
     * hash is the first 15 hex chars of md5 read as an integer — both
     * engines get the identical value (`conv(hex,16,10)` here,

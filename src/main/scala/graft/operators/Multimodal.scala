@@ -175,6 +175,13 @@ object Multimodal {
     * byte-stride fallback.
     */
   private[graft] def tryDecodeAudio(bytes: Array[Byte]): Option[Array[Float]] =
+    tryDecodeAudioSegs(bytes, FeatureDim)
+
+  /** [[tryDecodeAudio]] with a caller-chosen segment count — the 65-segment
+    * form feeds [[audioHash64]] (64 adjacent-RMS comparisons), the
+    * FeatureDim form the feature vector.
+    */
+  private[graft] def tryDecodeAudioSegs(bytes: Array[Byte], nSegs: Int): Option[Array[Float]] =
     if (!looksLikeWav(bytes)) None
     else try {
       val ais0 = javax.sound.sampled.AudioSystem.getAudioInputStream(
@@ -202,11 +209,11 @@ object Multimodal {
           val n = data.length / 2
           if (n == 0) None
           else {
-            val out = new Array[Float](FeatureDim)
+            val out = new Array[Float](nSegs)
             var s = 0
-            while (s < FeatureDim) {
-              val i0 = s * n / FeatureDim
-              val i1 = math.max(i0 + 1, (s + 1) * n / FeatureDim)
+            while (s < nSegs) {
+              val i0 = s * n / nSegs
+              val i1 = math.max(i0 + 1, (s + 1) * n / nSegs)
               var acc = 0.0
               var i = i0
               while (i < i1 && i < n) {
@@ -622,6 +629,140 @@ object Multimodal {
         // completion hook — Iterator has no close, so rely on task end;
         // ImageWriter instances are cheap and partition-scoped.
         it
+      }(enc)
+  }
+
+  /** 64-bit audio envelope-difference hash (the dHash idea on the time
+    * axis): the clip is cut into 65 equal segments; bit i is set iff
+    * segment i's RMS amplitude exceeds segment i+1's. Comparing ADJACENT
+    * segments makes the hash invariant to any positive gain (all RMS
+    * values scale together) and to lossless re-encodes, and robust to
+    * transcodes whose error is small next to real envelope variation —
+    * the μ-law/a-law telephony re-encodes the JDK can actually produce
+    * (quantization noise averages out of a segment's RMS).
+    */
+  private[graft] def audioHash64(env: Array[Float]): Long = {
+    require(env.length == 65, s"audioHash64: need 65 segments, got ${env.length}")
+    var h = 0L
+    var i = 0
+    while (i < 64) {
+      if (env(i) > env(i + 1)) h |= 1L << i
+      i += 1
+    }
+    h
+  }
+
+  /** Perceptual hashes for audio rows: (media_id, audio_hash), one row
+    * per payload the in-JDK audio stack decodes (WAV/PCM incl. the
+    * μ-law/a-law/8-bit transcodes); undecodable rows yield no row
+    * (decoded truth only — the audio twin of [[perceptualHashes]]).
+    * Same scale shape: partition-local decode, 8 bytes of hash per row
+    * through the exchange. Pair generation is
+    * [[graft.operators.Dedup.audioNearDupPairs]].
+    */
+  def perceptualAudioHashes(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("audio_hash", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    media.select(col("media_id"), col("content"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          tryDecodeAudioSegs(r.getAs[Array[Byte]](1), 65)
+            .map(env => Row(r.getLong(0), audioHash64(env)))
+        }
+      }(enc)
+  }
+
+  /** Deterministic PCM-WAV fixture from any (id, text) source: 2080
+    * mono 16-bit samples at 8 kHz seeded from the md5 of the TEXT
+    * (java.util.Random's LCG is pinned by its javadoc, so the bytes are
+    * cross-JVM deterministic); every sample is EVEN, so an exact half
+    * gain stays integer (the gain-invariance spec asserts hash
+    * EQUALITY, not a bound). WAV is lossless: identical texts yield
+    * byte-identical payloads and the whole encode → javax.sound decode
+    * → envelope → hash path is exactly reproducible — the audio
+    * analogue of [[syntheticImages]], built for the exact-regime oracle
+    * (`audio_neardup_exact`). Test/oracle fixture path.
+    */
+  def syntheticAudioWav(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("media_type", StringType, nullable = false),
+      StructField("content", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val d = md5Bytes(r.getString(1).getBytes("UTF-8"), 0.toByte)
+          var seed = 0L
+          var i = 0
+          while (i < 8) { seed = (seed << 8) | (d(i) & 0xFFL); i += 1 }
+          val rnd = new java.util.Random(seed)
+          val n = 2080 // 65 segments × 32 samples
+          val data = new Array[Byte](n * 2)
+          var s = 0
+          while (s < n) {
+            val v = (rnd.nextInt(30000) - 15000) * 2 // even, |v| < 2^15
+            data(2 * s) = (v & 0xFF).toByte
+            data(2 * s + 1) = ((v >> 8) & 0xFF).toByte
+            s += 1
+          }
+          Row(r.getLong(0), "audio", writeWav(data, n))
+        }
+      }(enc)
+  }
+
+  private def writeWav(pcmLe16: Array[Byte], nSamples: Int): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcmLe16), fmt, nSamples.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
+  /** REAL μ-law re-encode: decode each WAV payload, transcode to 8-bit
+    * μ-law through the JDK's conversion chain, emit the re-encoded WAV —
+    * the telephony-path duplicate class (same clip, different bytes and
+    * HALF the bit depth: invisible to content-hash dedup, caught by
+    * [[graft.operators.Dedup.audioNearDupPairs]] because μ-law
+    * quantization noise averages out of segment RMS). Rows the audio
+    * stack can't decode are dropped (decoded truth only) — the audio
+    * twin of [[reencodeJpeg]].
+    */
+  def reencodeUlaw(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("media_type", StringType, nullable = false),
+      StructField("content", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    media.select(col("media_id"), col("content"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val bytes = r.getAs[Array[Byte]](1)
+          if (!looksLikeWav(bytes)) None
+          else try {
+            val src = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            try {
+              val ulaw = new javax.sound.sampled.AudioFormat(
+                javax.sound.sampled.AudioFormat.Encoding.ULAW,
+                src.getFormat.getSampleRate, 8, src.getFormat.getChannels,
+                src.getFormat.getChannels, src.getFormat.getSampleRate, false)
+              if (!javax.sound.sampled.AudioSystem.isConversionSupported(ulaw, src.getFormat))
+                None
+              else {
+                val conv = javax.sound.sampled.AudioSystem.getAudioInputStream(ulaw, src)
+                val baos = new java.io.ByteArrayOutputStream()
+                javax.sound.sampled.AudioSystem.write(
+                  conv, javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+                Some(Row(r.getLong(0), "audio", baos.toByteArray))
+              }
+            } finally src.close()
+          } catch { case scala.util.control.NonFatal(_) => None }
+        }
       }(enc)
   }
 }

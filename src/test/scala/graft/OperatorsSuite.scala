@@ -216,6 +216,66 @@ class OperatorsSuite extends AnyFunSuite {
     assert(aJpegHam <= 10, s"aHash JPEG re-encode drifted $aJpegHam bits")
   }
 
+  test("audioHash64: exact under half gain and lossless re-encode, near under " +
+    "u-law transcode, far for distinct clips") {
+    import graft.operators.Multimodal
+    // raw PCM16 mono fixture: EVEN samples so integer half-gain is exact
+    def wav(seed: Long, gainShift: Int): Array[Byte] = {
+      val rnd = new java.util.Random(seed)
+      val n = 2080
+      val data = new Array[Byte](n * 2)
+      for (s <- 0 until n) {
+        val v = ((rnd.nextInt(30000) - 15000) * 2) >> gainShift
+        data(2 * s) = (v & 0xFF).toByte
+        data(2 * s + 1) = ((v >> 8) & 0xFF).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+      baos.toByteArray
+    }
+    def hash(bytes: Array[Byte]): Long =
+      Multimodal.audioHash64(Multimodal.tryDecodeAudioSegs(bytes, 65).get)
+    val ha = hash(wav(42L, 0))
+    // exact half gain: every even sample halves exactly → all RMS halve →
+    // every adjacent comparison preserved → IDENTICAL hash
+    assert(hash(wav(42L, 1)) === ha, "half gain must be hash-exact")
+    // lossless WAV re-encode of identical PCM is byte-deterministic
+    assert(hash(wav(42L, 0)) === ha)
+    // u-law transcode: quantization noise averages out of segment RMS
+    val spark0 = spark
+    import spark0.implicits._
+    val media = Seq((1L, "audio", wav(42L, 0))).toDF("media_id", "media_type", "content")
+    val ulawBytes = Multimodal.reencodeUlaw(media).collect()(0).getAs[Array[Byte]]("content")
+    val uHam = java.lang.Long.bitCount(ha ^ hash(ulawBytes))
+    assert(uHam <= 8, s"u-law transcode drifted $uHam bits")
+    // distinct clips are far
+    val hb = hash(wav(4711L, 0))
+    assert(java.lang.Long.bitCount(ha ^ hb) >= 16,
+      s"distinct clips too close: ${java.lang.Long.bitCount(ha ^ hb)}")
+  }
+
+  test("audioNearDupPairs e2e: every u-law re-encode links to its original; " +
+    "non-audio payloads yield no hash row") {
+    import graft.operators.Multimodal
+    val base = Multimodal.syntheticAudioWav(docs.limit(30), "doc_id", "text")
+    val variants = Multimodal.reencodeUlaw(base)
+      .select((col("media_id") + 1000L).as("media_id"), col("media_type"), col("content"))
+    val pairs = Dedup.audioNearDupPairs(base.unionByName(variants), maxHamming = 10)
+      .collect()
+    val links = pairs.collect {
+      case r if r.getLong(1) === r.getLong(0) + 1000L => r.getLong(0)
+    }.toSet
+    val baseIds = base.select("media_id").collect().map(_.getLong(0)).toSet
+    assert(links === baseIds, s"re-encodes not linked: ${baseIds -- links}")
+    val garbage = Multimodal.syntheticMedia(docs.limit(5), "doc_id", "text")
+    assert(Multimodal.perceptualAudioHashes(garbage).count() === 0L,
+      "text payloads must yield no audio hash row")
+  }
+
   test("imageNearDupPairs e2e: every JPEG re-encode links to its original; " +
     "undecodable payloads yield no hash row") {
     val base = Multimodal.syntheticSmoothImages(docs.limit(40), "doc_id", "text")
