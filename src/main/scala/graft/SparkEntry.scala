@@ -2641,6 +2641,28 @@ object SparkEntry {
         .orderBy(col("media_type"))
     }),
 
+    // extractFeatures in the EXACT regime (fourteenth conversion —
+    // previously a by-nature rows-tier family): on utf-8 TEXT payloads
+    // every row takes the deterministic byte-stride fallback, and feature
+    // j is (Σ bytes at positions j, j+16, …) % 1000 / 1000 — for a pure
+    // ASCII fixture (asserted: max codepoint 121, byte len = strlen at
+    // every sf) that is ord()-arithmetic DuckDB recomputes exactly. The
+    // float step is inverted before comparison: round(f·1000) recovers
+    // the exact integer stride sum (float32 error ≤ 6e-5 ≪ 0.5), so the
+    // oracle compares pure BIGINTs — no float-tie risk. n_undecoded
+    // additionally pins that NO text payload slips into the image-decode
+    // branch. Oracle-duty twin of multimodal_features above.
+    "multimodal_features_exact" -> ((s, dir) => {
+      val media = Multimodal.syntheticMedia(documents(s, dir), "doc_id", "text")
+      Multimodal.extractFeatures(media)
+        .groupBy(col("media_type"))
+        .agg(count(lit(1)).as("n_media"),
+          sum(when(col("decoded_width").isNull, 1L).otherwise(0L)).as("n_undecoded"),
+          sum(round(element_at(col("features"), 1) * 1000).cast("long")).as("sum_f0"),
+          sum(round(element_at(col("features"), 16) * 1000).cast("long")).as("sum_f15"))
+        .orderBy(col("media_type"))
+    }),
+
     // Image perceptual-hash near-dup in the EXACT regime: the fixture is
     // deterministic NOISE BMPs rendered from the md5 chain of each text
     // (identical texts ⇒ byte-identical images; distinct texts ⇒
@@ -5506,6 +5528,28 @@ object SparkEntry {
         |SELECT l.doc_id AS media_a, r.doc_id AS media_b, 0::INTEGER AS hamming
         |FROM d l JOIN d r ON md5(l.text) = md5(r.text) AND l.doc_id < r.doc_id
         |ORDER BY media_a, media_b""".stripMargin,
+
+    // byte-stride fallback on ASCII text payloads: feature j · 1000 =
+    // (Σ bytes at stride j) % 1000, exact integer arithmetic both sides
+    "multimodal_features_exact" ->
+      """WITH m AS (SELECT doc_id,
+        |                 CASE (doc_id % 3) WHEN 0 THEN 'image'
+        |                                   WHEN 1 THEN 'audio'
+        |                                   ELSE 'video' END AS media_type,
+        |                 text
+        |          FROM documents),
+        |b AS (SELECT doc_id, media_type, i, ord(substr(text, i, 1)) AS byte
+        |      FROM m, unnest(range(1, strlen(text) + 1)) u(i)),
+        |f AS (SELECT doc_id, media_type,
+        |             sum(byte) FILTER (WHERE (i - 1) % 16 = 0) % 1000 AS f0,
+        |             sum(byte) FILTER (WHERE (i - 1) % 16 = 15) % 1000 AS f15
+        |      FROM b GROUP BY doc_id, media_type)
+        |SELECT media_type, count(*)::BIGINT AS n_media,
+        |       count(*)::BIGINT AS n_undecoded,
+        |       sum(f0)::BIGINT AS sum_f0, sum(f15)::BIGINT AS sum_f15
+        |FROM f
+        |GROUP BY media_type
+        |ORDER BY media_type""".stripMargin,
 
     // lossless-WAV regime: envelope-hash pairs at Hamming 0 ≡
     // identical-text pairs (payloads are byte-determined by the text)
