@@ -228,6 +228,36 @@ object Prof {
       }
       spark.stop(); return
     }
+    if (args.headOption.contains("audiostage")) {
+      // where does audio_neardup spend its time? Stage split: WAV synth
+      // alone (xxhash64 of bytes forces materialization without decode),
+      // synth + javax.sound decode + envelope hash, u-law transcode.
+      // Usage: runMain graft.Prof audiostage
+      import graft.operators.{Dedup, Multimodal}
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("text")).repartition(32).localCheckpoint()
+      println(s"[prof] ${docs.count()} docs")
+      def synth() = Multimodal.syntheticAudioWav(docs, "doc_id", "text")
+      (1 to 2).foreach { r =>
+        time(s"synth only round $r")(
+          synth().select(xxhash64(col("content")).as("h"))
+            .agg(count(lit(1))).head)
+      }
+      (1 to 2).foreach { r =>
+        time(s"synth + decode + hash round $r")(
+          Multimodal.perceptualAudioHashes(synth()).agg(count(lit(1))).head)
+      }
+      (1 to 2).foreach { r =>
+        time(s"synth + ulaw transcode round $r")(
+          Multimodal.reencodeUlaw(synth())
+            .select(xxhash64(col("content")).as("h")).agg(count(lit(1))).head)
+      }
+      (1 to 2).foreach { r =>
+        time(s"full audioNearDupPairs round $r")(
+          Dedup.audioNearDupPairs(synth(), maxHamming = 0).agg(count(lit(1))).head)
+      }
+      spark.stop(); return
+    }
     if (args.headOption.contains("tfidfzipf")) {
       // Bayardo prefix prune vs plain inverted index on a natural-Zipf
       // corpus (generated by graft.ZipfData) — the measurement SCALE.md's

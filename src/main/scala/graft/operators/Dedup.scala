@@ -313,8 +313,15 @@ object Dedup {
       idCol: String = "media_id",
       binCol: String = "content",
       maxHamming: Int = 6): DataFrame = {
+    // lazy stage boundary on the 16-byte/row hash table: the band
+    // self-join consumes the subtree on BOTH sides through different
+    // exchange types (broadcast build vs probe), so without it the
+    // partition-local DECODE runs twice — and unlike the simhash path
+    // (whose signature agg ends in a reusable shuffle exchange), a
+    // mapPartitions decode has no exchange for ReusedExchange to grab
     val hashed = Multimodal.perceptualHashes(
       media.select(col(idCol).as("media_id"), col(binCol).as("content")))
+      .localCheckpoint(false)
     hammingBandPairs(hashed, "media_id", "dhash", maxHamming, bits = 64,
       aOut = "media_a", bOut = "media_b")
   }
@@ -334,8 +341,12 @@ object Dedup {
       idCol: String = "media_id",
       binCol: String = "content",
       maxHamming: Int = 6): DataFrame = {
+    // same decode-once stage boundary as imageNearDupPairs (8-byte hash
+    // per clip through the boundary; measured 1.5 s of the 3.0 s full
+    // run at sf0.1 was the second decode pass, Prof audiostage)
     val hashed = Multimodal.perceptualAudioHashes(
       media.select(col(idCol).as("media_id"), col(binCol).as("content")))
+      .localCheckpoint(false)
     hammingBandPairs(hashed, "media_id", "audio_hash", maxHamming, bits = 64,
       aOut = "media_a", bOut = "media_b")
   }
