@@ -2707,6 +2707,27 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Video near-dup in the EXACT regime — the fourth modality on the
+    // same recipe: deterministic 3-frame MJPEG-AVIs whose frame JPEGs
+    // derive from the md5 chain of text‖frame_idx (the JDK JPEG codec is
+    // deterministic for fixed input, so identical texts yield
+    // byte-identical videos and identical per-frame dHashes), a fifth of
+    // the docs re-keyed as byte-identical re-uploads. At Hamming 0 a
+    // video pair's matched_frames is exactly 3 iff the texts are equal
+    // (noise frames make cross-text frame collisions ~n²·3²/2⁶⁴) — SQL.
+    // Gates the RIFF-walk frame extraction, per-frame JPEG decode,
+    // dHash, packed-id banding, and the distinct-frame census
+    // (fifteenth exact-regime conversion).
+    "video_neardup_exact" -> ((s, dir) => {
+      val docs = documents(s, dir).select(col("doc_id"), col("text"))
+        .repartition(32)
+      val dupes = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val media = Multimodal.syntheticVideos(docs.unionByName(dupes), "doc_id", "text")
+      Dedup.videoNearDupPairs(media, maxHamming = 0, minFrames = 3)
+        .orderBy(col("media_a"), col("media_b"))
+    }),
+
     // Audio perceptual-hash near-dup in the EXACT regime — the image
     // recipe on the third modality: deterministic PCM WAVs seeded from
     // the md5 of each text (WAV is LOSSLESS, so identical texts yield
@@ -5550,6 +5571,18 @@ object SparkEntry {
         |FROM f
         |GROUP BY media_type
         |ORDER BY media_type""".stripMargin,
+
+    // deterministic-codec regime: videos are byte-determined by the
+    // text, so all-3-frames-matched pairs at Hamming 0 ≡ identical-text
+    // pairs
+    "video_neardup_exact" ->
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0)
+        |SELECT l.doc_id AS media_a, r.doc_id AS media_b, 3::BIGINT AS matched_frames
+        |FROM d l JOIN d r ON md5(l.text) = md5(r.text) AND l.doc_id < r.doc_id
+        |ORDER BY media_a, media_b""".stripMargin,
 
     // lossless-WAV regime: envelope-hash pairs at Hamming 0 ≡
     // identical-text pairs (payloads are byte-determined by the text)

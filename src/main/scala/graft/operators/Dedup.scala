@@ -397,6 +397,56 @@ object Dedup {
           .reduce(_ + _).as("sh60"))
   }
 
+  /** Video near-duplicate candidate pairs — frame-level perceptual
+    * matching over the engine's real multi-frame decode path (MJPEG-AVI
+    * stream chunks / animated GIF):
+    * [[graft.operators.Multimodal.perceptualFrameHashes]] emits one
+    * dHash per decoded frame; frames band-join by Hamming pigeonhole
+    * across videos; a video pair qualifies when at least `minFrames`
+    * DISTINCT frames of the LEFT video land within `maxHamming` of some
+    * frame of the right one. Output:
+    * (media_a, media_b, matched_frames), media_a < media_b.
+    *
+    * Scale shape: decode partition-local; frame ids pack into one long
+    * (media_id · 1024 + frame_idx — maxFrames is capped at 1024) so the
+    * band join stays on fixed-width keys; exchanges carry ≤ maxFrames ×
+    * 12 bytes per video; the per-pair census is one hash agg. Hot-frame
+    * skew (a black frame shared by everything) is the honest limit —
+    * same class as the simhash band-bucket note on
+    * [[hammingBandPairs]].
+    */
+  def videoNearDupPairs(
+      media: DataFrame,
+      idCol: String = "media_id",
+      binCol: String = "content",
+      maxHamming: Int = 6,
+      minFrames: Int = 2,
+      maxFrames: Int = 32): DataFrame = {
+    require(minFrames >= 1, "videoNearDupPairs: minFrames must be >= 1")
+    // decode-once stage boundary: same rationale as imageNearDupPairs
+    // (12 bytes per frame through the boundary, payloads never shuffle)
+    val frames = Multimodal.perceptualFrameHashes(
+      media.select(col(idCol).as("media_id"), col(binCol).as("content")), maxFrames)
+      .localCheckpoint(false)
+    val packed = frames.select(
+      (col("media_id") * 1024L + col("frame_idx")).as("fid"), col("dhash"))
+    val fb = bandBlocks(packed, "fid", "dhash", maxHamming, bits = 64)
+    fb.as("l")
+      .join(fb.as("r"),
+        col("l.blk") === col("r.blk") && col("l.v") === col("r.v") &&
+          col("l.__hbp_id").divide(1024L).cast("long") <
+            col("r.__hbp_id").divide(1024L).cast("long"))
+      .filter(bit_count(col("l.__hbp_h").bitwiseXOR(col("r.__hbp_h"))) <= maxHamming)
+      .select(
+        (col("l.__hbp_id") / 1024L).cast("long").as("media_a"),
+        (col("r.__hbp_id") / 1024L).cast("long").as("media_b"),
+        pmod(col("l.__hbp_id"), lit(1024L)).as("fa"))
+      .distinct()
+      .groupBy(col("media_a"), col("media_b"))
+      .agg(count(lit(1)).as("matched_frames"))
+      .filter(col("matched_frames") >= minFrames)
+  }
+
   /** [[simhashPairs]] on the md5 family: 60-bit hash, 4 blocks of 15 bits
     * (pigeonhole at Hamming ≤ 3 needs ≥ 4 intact-block candidates — same
     * bound as the 64-bit/4×16 layout). Oracle-tier: every step is plain

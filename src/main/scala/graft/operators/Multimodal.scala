@@ -632,6 +632,110 @@ object Multimodal {
       }(enc)
   }
 
+  /** Per-FRAME perceptual hashes for multi-frame media: one row
+    * (media_id, frame_idx, dhash) per actually-decoded frame — MJPEG-AVI
+    * stream chunks, animated-GIF frames, or a single row for stills;
+    * undecodable payloads yield no rows (decoded truth only, the
+    * [[decodeFrames]] contract with a dHash instead of the feature
+    * vector). Feeds [[graft.operators.Dedup.videoNearDupPairs]]: video
+    * near-dup = enough frames within Hamming radius of the other video's
+    * frames. Scale shape: partition-local decode, ≤ maxFrames × 12 bytes
+    * per video through the exchanges.
+    */
+  def perceptualFrameHashes(media: DataFrame, maxFrames: Int = 32): DataFrame = {
+    require(maxFrames > 0 && maxFrames <= 1024,
+      "perceptualFrameHashes: maxFrames must be in [1, 1024]")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("dhash", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    media.select(col("media_id"), col("content"))
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          if (looksLikeAvi(bytes))
+            aviJpegFrames(bytes, maxFrames).iterator.flatMap(tryDecodeImage)
+              .zipWithIndex.map { case (img, i) => Row(id, i, dhash64(img)) }
+          else if (!looksLikeImage(bytes)) Iterator.empty
+          else tryDecodeImage(bytes).iterator.map(img => Row(id, 0, dhash64(img)))
+        }
+      }(enc)
+  }
+
+  /** Minimal MJPEG-AVI container: RIFF('AVI ', LIST('movi', one `00dc`
+    * chunk per JPEG frame)). Enough structure for [[aviJpegFrames]]'
+    * chunk walk (headers are optional to it by design — it keys on the
+    * `##dc` + JPEG-SOI signature); real players want an hdrl, but the
+    * fixture's consumer is this engine's own decode path. Word-aligned
+    * chunks per the RIFF rule.
+    */
+  private[graft] def buildMjpegAvi(frames: Seq[Array[Byte]]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def u32(v: Int): Unit = {
+      out.write(v & 0xFF); out.write((v >> 8) & 0xFF)
+      out.write((v >> 16) & 0xFF); out.write((v >> 24) & 0xFF)
+    }
+    def ascii(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    val chunksSize = frames.map(f => 8 + f.length + (f.length & 1)).sum
+    val listSize = 4 + chunksSize // 'movi' + chunks
+    ascii("RIFF"); u32(4 + 8 + listSize); ascii("AVI ")
+    ascii("LIST"); u32(listSize); ascii("movi")
+    frames.foreach { f =>
+      ascii("00dc"); u32(f.length); out.write(f)
+      if ((f.length & 1) == 1) out.write(0) // word alignment pad
+    }
+    out.toByteArray
+  }
+
+  /** Deterministic MJPEG-AVI fixture from any (id, text) source:
+    * `nFrames` noise frames per video, frame i's pixels from the md5
+    * chain of text‖i, JPEG-encoded and wrapped by [[buildMjpegAvi]].
+    * The JDK's JPEG codec is deterministic for fixed input, so identical
+    * texts yield byte-identical videos and identical per-frame dHashes —
+    * the video analogue of [[syntheticImages]], built for the
+    * exact-regime oracle (`video_neardup_exact`). Test/oracle fixture.
+    */
+  def syntheticVideos(
+      df: DataFrame, idCol: String, textCol: String, nFrames: Int = 3): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("media_type", StringType, nullable = false),
+      StructField("content", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { r =>
+          val text = r.getString(1)
+          val frames = (0 until nFrames).map { fi =>
+            val seed = (text + " " + fi).getBytes("UTF-8")
+            val chain = Array.tabulate(5)(i => md5Bytes(seed, i.toByte)).flatten
+            val img = new java.awt.image.BufferedImage(
+              18, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var cy = 0
+            while (cy < 8) {
+              var cx = 0
+              while (cx < 9) {
+                val v = chain(cy * 9 + cx) & 0xFF
+                val rgb = (v << 16) | (v << 8) | v
+                img.setRGB(cx * 2, cy * 2, rgb); img.setRGB(cx * 2 + 1, cy * 2, rgb)
+                img.setRGB(cx * 2, cy * 2 + 1, rgb); img.setRGB(cx * 2 + 1, cy * 2 + 1, rgb)
+                cx += 1
+              }
+              cy += 1
+            }
+            val baos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "jpg", baos)
+            baos.toByteArray
+          }
+          Row(r.getLong(0), "video", buildMjpegAvi(frames))
+        }
+      }(enc)
+  }
+
   /** 64-bit audio envelope-difference hash (the dHash idea on the time
     * axis): the clip is cut into 65 equal segments; bit i is set iff
     * segment i's RMS amplitude exceeds segment i+1's. Comparing ADJACENT

@@ -216,6 +216,58 @@ class OperatorsSuite extends AnyFunSuite {
     assert(aJpegHam <= 10, s"aHash JPEG re-encode drifted $aJpegHam bits")
   }
 
+  test("videoNearDupPairs: re-encoded-quality twin matches all frames, " +
+    "single-shared-frame video gated by minFrames, frame extraction exact") {
+    import graft.operators.Multimodal
+    def jpg(img: java.awt.image.BufferedImage, q: Float): Array[Byte] = {
+      val w = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+      val p = w.getDefaultWriteParam
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionQuality(q)
+      val baos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+      w.setOutput(ios); w.write(null, new javax.imageio.IIOImage(img, null, null), p)
+      ios.close(); w.dispose()
+      baos.toByteArray
+    }
+    val srcs = Seq(smoothImg(1.7, 1.2, 0.3), smoothImg(0.9, 2.2, 1.1), smoothImg(2.6, 0.7, 2.9))
+    val far = Seq(smoothImg(3.1, 1.9, 4.1), smoothImg(1.1, 3.2, 5.3))
+    val rows = Seq(
+      org.apache.spark.sql.Row(1L, "video", Multimodal.buildMjpegAvi(srcs.map(jpg(_, 0.9f)))),
+      // same pictures, different JPEG quality: the re-encoded upload
+      org.apache.spark.sql.Row(2L, "video", Multimodal.buildMjpegAvi(srcs.map(jpg(_, 0.6f)))),
+      // shares exactly ONE source frame with video 1
+      org.apache.spark.sql.Row(3L, "video",
+        Multimodal.buildMjpegAvi((srcs.take(1) ++ far).map(jpg(_, 0.9f)))),
+      org.apache.spark.sql.Row(4L, "video", "garbage bytes".getBytes("UTF-8")))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("media_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("media_type",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("content",
+        org.apache.spark.sql.types.BinaryType, nullable = false)))
+    val media = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+
+    // frame extraction: 3 rows per decodable video, none for garbage
+    val fh = Multimodal.perceptualFrameHashes(media)
+      .groupBy("media_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fh === Map(1L -> 3L, 2L -> 3L, 3L -> 3L))
+
+    val pairs = Dedup.videoNearDupPairs(media, maxHamming = 10, minFrames = 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // the quality twin matches on all 3 frames; the one-shared-frame
+    // video is below minFrames against both (dropped from the output)
+    assert(pairs === Map((1L, 2L) -> 3L), s"pairs wrong: $pairs")
+    // at minFrames = 1 the single shared frame (re-encoded at the same
+    // quality) surfaces against video 1 and its quality twin
+    val loose = Dedup.videoNearDupPairs(media, maxHamming = 10, minFrames = 1)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(loose((1L, 3L)) === 1L && loose((2L, 3L)) === 1L && loose((1L, 2L)) === 3L,
+      s"loose pairs wrong: $loose")
+  }
+
   test("audioHash64: exact under half gain and lossless re-encode, near under " +
     "u-law transcode, far for distinct clips") {
     import graft.operators.Multimodal
