@@ -1228,22 +1228,71 @@ object Dedup {
       corpusHashes: DataFrame,
       idCol: String = "media_id",
       binCol: String = "content",
-      maxHamming: Int = 6): DataFrame = {
-    val newHashes = Multimodal.perceptualHashes(
-      newBatch.select(col(idCol).as("media_id"), col(binCol).as("content")))
-      // two consumers with different projections (band probe + the final
-      // anti join would re-decode every payload); the hash table is 16
-      // bytes/row — the cheapest possible boundary
-      .localCheckpoint(false)
-    val nb = bandBlocks(newHashes, "media_id", "dhash", maxHamming, bits = 64)
-    val cb = bandBlocks(corpusHashes.select(col("media_id"), col("dhash")),
-      "media_id", "dhash", maxHamming, bits = 64)
+      maxHamming: Int = 6): DataFrame =
+    incrementalHashGate(newBatch,
+      Multimodal.perceptualHashes(
+        newBatch.select(col(idCol).as("media_id"), col(binCol).as("content"))),
+      corpusHashes, "dhash", idCol, maxHamming)
+
+  /** The shared probe core of the perceptual ingest gates: band both hash
+    * tables by Hamming pigeonhole, one fixed-width-key join flags new ids
+    * within `maxHamming` of any corpus hash, anti-join drops them. The
+    * new-batch hash table gets a lazy stage boundary — it feeds the band
+    * probe while the anti join re-reads the batch, and without it the
+    * partition-local decode would run twice.
+    */
+  private def incrementalHashGate(
+      newBatch: DataFrame,
+      newHashes: DataFrame,
+      corpusHashes: DataFrame,
+      hashCol: String,
+      idCol: String,
+      maxHamming: Int): DataFrame = {
+    val nh = newHashes.localCheckpoint(false)
+    val nb = bandBlocks(nh, "media_id", hashCol, maxHamming, bits = 64)
+    val cb = bandBlocks(corpusHashes.select(col("media_id"), col(hashCol)),
+      "media_id", hashCol, maxHamming, bits = 64)
     val flagged = nb.as("l")
       .join(cb.as("r"), col("l.blk") === col("r.blk") && col("l.v") === col("r.v"))
       .filter(bit_count(col("l.__hbp_h").bitwiseXOR(col("r.__hbp_h"))) <= maxHamming)
       .select(col("l.__hbp_id").as("media_id"))
       .distinct()
     newBatch.join(flagged, newBatch(idCol) === flagged("media_id"), "left_anti")
+  }
+
+  /** Incremental AUDIO near-dup gate — [[incrementalImageNew]]'s contract
+    * on the audio modality: drop new-batch rows whose envelope hash
+    * ([[graft.operators.Multimodal.perceptualAudioHashes]]) lands within
+    * `maxHamming` of the persisted (media_id, audio_hash) artifact —
+    * catches gain-shifted and μ-law/a-law re-encoded re-posts of kept
+    * clips. Non-audio rows PASS (decoded truth only); batch-internal
+    * duplicates deferred to [[audioNearDupPairs]] + clustering.
+    */
+  def incrementalAudioNew(
+      newBatch: DataFrame,
+      corpusHashes: DataFrame,
+      idCol: String = "media_id",
+      binCol: String = "content",
+      maxHamming: Int = 6): DataFrame =
+    incrementalHashGate(newBatch,
+      Multimodal.perceptualAudioHashes(
+        newBatch.select(col(idCol).as("media_id"), col(binCol).as("content"))),
+      corpusHashes, "audio_hash", idCol, maxHamming)
+
+  /** [[incrementalAudioNew]] against an envelope-hash table persisted as
+    * parquet (first-run tolerant — the [[incrementalImageNewAgainstTable]]
+    * contract; append side is `perceptualAudioHashes(keptRows)`).
+    */
+  def incrementalAudioNewAgainstTable(
+      newBatch: DataFrame,
+      corpusHashPath: String,
+      idCol: String = "media_id",
+      binCol: String = "content",
+      maxHamming: Int = 6): DataFrame = {
+    val proto = Multimodal.perceptualAudioHashes(newBatch.limit(0)
+      .select(col(idCol).as("media_id"), col(binCol).as("content")))
+    incrementalAudioNew(newBatch, tableOrEmpty(proto, corpusHashPath),
+      idCol, binCol, maxHamming)
   }
 
   /** [[incrementalImageNew]] against a dHash table persisted as parquet at

@@ -513,6 +513,72 @@ class ConnectorsSuite extends AnyFunSuite {
     assert(hashed === Seq(1L, 2L, 4L), s"hash table wrong: $hashed")
   }
 
+  test("streaming audio-ingest gate: u-law re-posts of kept clips are dropped against the persisted hash table") {
+    import graft.operators.{Dedup, Multimodal}
+    // the audio twin of the image-ingest gate: a μ-law TRANSCODE of an
+    // earlier keeper (same clip, half the bit depth, different bytes) is
+    // dropped by the envelope-hash probe; new clips and non-audio pass
+    val mb = Minibatch(spark, freshRoot())
+    val st = mb.stream("audio_ingest")
+    val root = freshRoot()
+    val hashDir = root + "/kept_audio_hashes"
+    val keptDir = root + "/kept_audio"
+    def drainInto(): Unit =
+      mb.streaming("audio_ingest").size(1).emit((_, df) => {
+        val batch = df.select(
+          get_json_object(col("data"), "$.id").cast("long").as("media_id"),
+          lit("audio").as("media_type"),
+          unbase64(get_json_object(col("data"), "$.b64")).as("content"))
+        val kept = Dedup.incrementalAudioNewAgainstTable(
+          batch, hashDir, maxHamming = 10)
+        kept.write.mode("append").parquet(keptDir)
+        Multimodal.perceptualAudioHashes(kept)
+          .write.mode("append").parquet(hashDir)
+      }).run()
+    def b64(bytes: Array[Byte]) = java.util.Base64.getEncoder.encodeToString(bytes)
+    def pcmWav(seed: Long): Array[Byte] = {
+      val rnd = new java.util.Random(seed)
+      val n = 2080
+      val data = new Array[Byte](n * 2)
+      for (s <- 0 until n) {
+        val v = (rnd.nextInt(30000) - 15000) * 2
+        data(2 * s) = (v & 0xFF).toByte
+        data(2 * s + 1) = ((v >> 8) & 0xFF).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+      baos.toByteArray
+    }
+    def ulawOf(bytes: Array[Byte]): Array[Byte] = {
+      import spark.implicits._
+      Multimodal.reencodeUlaw(
+          Seq((0L, "audio", bytes)).toDF("media_id", "media_type", "content"))
+        .collect()(0).getAs[Array[Byte]]("content")
+    }
+    val clip1 = pcmWav(42L); val clip2 = pcmWav(77L)
+    st.appendAll(Seq(
+      s"""{"id":1,"b64":"${b64(clip1)}"}""",
+      s"""{"id":2,"b64":"${b64(clip2)}"}"""))
+    drainInto()
+    // 3 = u-law re-post of keeper 1 (drop); 4 = new clip (keep);
+    // 5 = non-audio payload (the audio gate passes it)
+    st.appendAll(Seq(
+      s"""{"id":3,"b64":"${b64(ulawOf(clip1))}"}""",
+      s"""{"id":4,"b64":"${b64(pcmWav(4711L))}"}""",
+      s"""{"id":5,"b64":"${b64("not audio".getBytes("UTF-8"))}"}"""))
+    drainInto()
+    val kept = spark.read.parquet(keptDir)
+      .select("media_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept === Seq(1L, 2L, 4L, 5L), s"kept corpus wrong: $kept")
+    val hashed = spark.read.parquet(hashDir)
+      .select("media_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(hashed === Seq(1L, 2L, 4L), s"hash table wrong: $hashed")
+  }
+
   test("streaming leakage-safe split gate: micro-batches inherit splits from the frozen corpus artifact") {
     import graft.operators.Pipeline
     // splitLeakageSafeIncremental inside the emitter loop: every drained
