@@ -408,7 +408,9 @@ object Dedup {
     * (media_a, media_b, matched_frames), media_a < media_b.
     *
     * Scale shape: decode partition-local; frame ids pack into one long
-    * (media_id · 1024 + frame_idx — maxFrames is capped at 1024) so the
+    * (media_id · 1024 + frame_idx — maxFrames is capped at 1024, and
+    * media_id must fit |id| ≤ 2^53 − 1, enforced by an in-plan fail-loud
+    * guard; pre-hash wider id spaces into that range first) so the
     * band join stays on fixed-width keys; exchanges carry ≤ maxFrames ×
     * 12 bytes per video; the per-pair census is one hash agg. Hot-frame
     * skew (a black frame shared by everything) is the honest limit —
@@ -428,18 +430,33 @@ object Dedup {
     val frames = Multimodal.perceptualFrameHashes(
       media.select(col(idCol).as("media_id"), col(binCol).as("content")), maxFrames)
       .localCheckpoint(false)
+    // packing bound, enforced per row IN the plan: |media_id| ≤ 2^53 − 1
+    // keeps media_id · 1024 + frame_idx inside a long (the fail-loud
+    // checkedId posture from dupClusters — a silent wrap would corrupt
+    // every downstream pair)
+    val maxPackId = Long.MaxValue >> 10
+    val guardedId = when(
+      col("media_id") > maxPackId || col("media_id") < -maxPackId,
+      raise_error(concat(
+        lit(s"videoNearDupPairs: media_id outside the ±$maxPackId packing range: "),
+        col("media_id").cast("string"))))
+      .otherwise(col("media_id"))
     val packed = frames.select(
-      (col("media_id") * 1024L + col("frame_idx")).as("fid"), col("dhash"))
+      (guardedId * 1024L + col("frame_idx")).as("fid"), col("dhash"))
     val fb = bandBlocks(packed, "fid", "dhash", maxHamming, bits = 64)
+    // integral unpack: 1024 = 2^10, so arithmetic shiftright by 10 IS
+    // floor division — consistent with pmod's non-negative remainder on
+    // negative ids, and exact where a double-typed divide().cast("long")
+    // would truncate toward zero and lose integer precision past 2^53
+    def mediaOf(fid: Column): Column = shiftright(fid, 10)
     fb.as("l")
       .join(fb.as("r"),
         col("l.blk") === col("r.blk") && col("l.v") === col("r.v") &&
-          col("l.__hbp_id").divide(1024L).cast("long") <
-            col("r.__hbp_id").divide(1024L).cast("long"))
+          mediaOf(col("l.__hbp_id")) < mediaOf(col("r.__hbp_id")))
       .filter(bit_count(col("l.__hbp_h").bitwiseXOR(col("r.__hbp_h"))) <= maxHamming)
       .select(
-        (col("l.__hbp_id") / 1024L).cast("long").as("media_a"),
-        (col("r.__hbp_id") / 1024L).cast("long").as("media_b"),
+        mediaOf(col("l.__hbp_id")).as("media_a"),
+        mediaOf(col("r.__hbp_id")).as("media_b"),
         pmod(col("l.__hbp_id"), lit(1024L)).as("fa"))
       .distinct()
       .groupBy(col("media_a"), col("media_b"))
@@ -1248,6 +1265,20 @@ object Dedup {
       hashCol: String,
       idCol: String,
       maxHamming: Int): DataFrame = {
+    // the corpus side is the PERSISTED ARTIFACT and its schema is the
+    // contract: (media_id, <hashCol>). Validate up front with a clear
+    // error instead of letting the select throw a bare AnalysisException
+    // — or, worse, bind to a wrong same-named column in a wider table.
+    require(corpusHashes.columns.contains("media_id"),
+      s"incremental hash gate: corpus hash table must carry the persisted-artifact " +
+        s"schema (media_id, $hashCol) but has no media_id column " +
+        s"(got [${corpusHashes.columns.mkString(", ")}]); select/rename the " +
+        "artifact columns before passing it")
+    require(corpusHashes.columns.contains(hashCol),
+      s"incremental hash gate: corpus hash table must carry the persisted-artifact " +
+        s"schema (media_id, $hashCol) but has no $hashCol column " +
+        s"(got [${corpusHashes.columns.mkString(", ")}]); select/rename the " +
+        "artifact columns before passing it")
     val nh = newHashes.localCheckpoint(false)
     val nb = bandBlocks(nh, "media_id", hashCol, maxHamming, bits = 64)
     val cb = bandBlocks(corpusHashes.select(col("media_id"), col(hashCol)),

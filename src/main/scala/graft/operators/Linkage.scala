@@ -162,6 +162,17 @@ object Linkage {
     * |pairs| + |names| rows instead of widening every fanout row. The
     * length prunes still run BEFORE the dedup (lengths ride the gram
     * rows), so pruned pairs never reach the pair exchange at all.
+    *
+    * AQE dependency (deliberate): the gram-frequency join carries NO
+    * broadcast hint — dfreq is normally census-sized (≤ alphabet^gramWidth
+    * rows) and AQE converts it to a runtime broadcast for free, while a
+    * FORCED hint is a driver OOM when a non-ASCII alphabet or raised
+    * gramWidth/tailLen makes dfreq track distinct names. The flip side:
+    * with `spark.sql.adaptive.enabled=false` (or a tiny
+    * `autoBroadcastJoinThreshold`) every gram-fanout row pays a full
+    * gram-keyed shuffle join — correct, same exchange class the operator
+    * already lives in, but slower; re-enable AQE (the engine default)
+    * rather than re-adding the hint.
     */
   private def candidatePairs(
       left: DataFrame, leftId: Column, leftName: Column,

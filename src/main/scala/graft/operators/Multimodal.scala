@@ -711,7 +711,7 @@ object Multimodal {
         rows.map { r =>
           val text = r.getString(1)
           val frames = (0 until nFrames).map { fi =>
-            val seed = (text + " " + fi).getBytes("UTF-8")
+            val seed = (text + "\u0000" + fi).getBytes("UTF-8")
             val chain = Array.tabulate(5)(i => md5Bytes(seed, i.toByte)).flatten
             val img = new java.awt.image.BufferedImage(
               18, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)

@@ -528,4 +528,23 @@ class IncrementalSuite extends AnyFunSuite {
     assert(served === full,
       "micro-batch folds through foreachBatch must equal the full recompute")
   }
+
+  test("perceptual ingest gates validate the corpus artifact schema up front") {
+    import graft.operators.Dedup
+    val batch = Seq((1L, "x".getBytes("UTF-8"))).toDF("media_id", "content")
+    // wrong id column name and wrong hash column name each fail LOUDLY at
+    // plan-build time with the artifact convention in the message — not a
+    // bare AnalysisException from the internal select (or a silent bind
+    // to a same-named column in a wider table)
+    val badId = Seq((1L, 0L)).toDF("image_id", "dhash")
+    val e1 = intercept[IllegalArgumentException] {
+      Dedup.incrementalImageNew(batch, badId)
+    }
+    assert(e1.getMessage.contains("media_id") && e1.getMessage.contains("artifact"))
+    val badHash = Seq((1L, 0L)).toDF("media_id", "hash64")
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.incrementalAudioNew(batch, badHash)
+    }
+    assert(e2.getMessage.contains("audio_hash") && e2.getMessage.contains("artifact"))
+  }
 }

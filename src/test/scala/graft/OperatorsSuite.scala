@@ -268,6 +268,47 @@ class OperatorsSuite extends AnyFunSuite {
       s"loose pairs wrong: $loose")
   }
 
+  test("videoNearDupPairs: integral frame-id unpack is exact for huge and " +
+    "negative media ids, packing-range guard raises") {
+    import graft.operators.Multimodal
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("media_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("media_type",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("content",
+        org.apache.spark.sql.types.BinaryType, nullable = false)))
+    def mediaOf(ids: Seq[Long]): org.apache.spark.sql.DataFrame = {
+      val clip = Multimodal.buildMjpegAvi(
+        Seq(smoothImg(1.7, 1.2, 0.3), smoothImg(0.9, 2.2, 1.1)).map { img =>
+          val baos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "jpg", baos)
+          baos.toByteArray
+        })
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          ids.map(org.apache.spark.sql.Row(_, "video", clip)), 2), schema)
+    }
+    // adjacent ids near 2^52 pack to fids near 2^62, where a double's ulp
+    // is 1024 — the old float divide path could cross a media boundary;
+    // negative ids exercise floor-vs-truncate. Identical clips ⇒ every
+    // ordered pair links with matched_frames = 2.
+    val huge = (1L << 52) - 1
+    val got = Dedup.videoNearDupPairs(mediaOf(Seq(huge, huge + 1, -7L, -6L)), minFrames = 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val want = Seq(-7L, -6L, huge, huge + 1).combinations(2)
+      .map { case Seq(a, b) => (a, b) -> 2L }.toMap
+    assert(got === want, s"unpacked pairs wrong: $got")
+
+    val ex = intercept[Exception] {
+      Dedup.videoNearDupPairs(mediaOf(Seq(1L, Long.MaxValue))).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("packing range")),
+      s"expected the packing-range guard, got: ${msgs(ex).take(3)}")
+  }
+
   test("audioHash64: exact under half gain and lossless re-encode, near under " +
     "u-law transcode, far for distinct clips") {
     import graft.operators.Multimodal
