@@ -258,6 +258,34 @@ object Prof {
       }
       spark.stop(); return
     }
+    if (args.headOption.contains("hotbucket")) {
+      // the degenerate-corpus melt: N rows, ONE shared hash (all-black
+      // thumbnails) — every band bucket holds the full population and the
+      // ungated band self-join emits (maxHamming+1) * N^2/2 candidate
+      // rows. Usage: runMain graft.Prof hotbucket [n ...]
+      import graft.operators.Dedup
+      val ns = if (args.length > 1) args.drop(1).toSeq.map(_.toInt)
+               else Seq(5000, 10000, 20000)
+      for (n <- ns) {
+        val hashed = spark.range(n.toLong)
+          .select(col("id").as("doc_id"), lit(0x5a5a17a9L).as("h"))
+          .localCheckpoint()
+        time(s"ungated n=$n")(
+          Dedup.hammingBandPairs(hashed, "doc_id", "h", maxHamming = 6)
+            .agg(count(lit(1))).head)
+        time(s"guarded n=$n (raises)")(
+          try {
+            Dedup.hammingBandPairs(hashed, "doc_id", "h", maxHamming = 6,
+                maxBucket = Some(1000L))
+              .agg(count(lit(1))).head
+            println(s"[prof] n=$n guard DID NOT raise (bug)")
+          } catch {
+            case e: Exception =>
+              println(s"[prof] n=$n guard raised: ${e.getMessage.take(100)}")
+          })
+      }
+      spark.stop(); return
+    }
     if (args.headOption.contains("tfidfzipf")) {
       // Bayardo prefix prune vs plain inverted index on a natural-Zipf
       // corpus (generated by graft.ZipfData) — the measurement SCALE.md's

@@ -261,6 +261,39 @@ object Dedup {
       .select(col("__hbp_id"), h, col("b.blk").as("blk"), col("b.v").as("v"))
   }
 
+  /** Hot-bucket bound for the pigeonhole band joins — the linkage
+    * `maxGramFreq`/`floorBlockCap` discipline applied to Hamming banding:
+    * a degenerate corpus that collapses onto one hash (all-black
+    * thumbnails, silent clips, an empty-string epidemic) puts its entire
+    * population into EVERY band bucket and the self-join goes n² silently
+    * (measured: see SCALE.md's hot-bucket table). With `maxBucket = Some(cap)`
+    * a one-row max-bucket aggregate rides the blocks as an in-plan
+    * fail-loud filter ([[Guards.inPlanAssert]]): the join stage raises
+    * with the observed bucket size BEFORE the quadratic output
+    * materializes, instead of melting. Raising (not capping) is
+    * deliberate — dropping a hot bucket silently loses RECALL on exactly
+    * the rows most likely to be duplicates; the operator forces the
+    * caller to pre-screen the degenerate class (e.g. content-hash exact
+    * dedup, a min-entropy filter) and keeps the band join complete.
+    */
+  private def boundedBlocks(
+      blocks: DataFrame, maxBucket: Option[Long], op: String): DataFrame =
+    maxBucket match {
+      case None => blocks
+      case Some(cap) =>
+        require(cap >= 1, s"$op: maxBucket must be >= 1, got $cap")
+        val hot = blocks.groupBy(col("blk"), col("v"))
+          .agg(count(lit(1)).as("__bn"))
+          .agg(coalesce(max(col("__bn")), lit(0L)).as("__maxbn"))
+        Guards.inPlanAssert(blocks, hot, col("__maxbn") <= cap,
+          concat(lit(s"$op: hottest band bucket holds "),
+            col("__maxbn").cast("string"),
+            lit(s" hashes > maxBucket = $cap — a degenerate hash class " +
+              "(uniform thumbnails / silent clips / empty docs) would make " +
+              "the band self-join quadratic; pre-screen it (exact dedup, " +
+              "min-entropy filter) or raise maxBucket")))
+    }
+
   def hammingBandPairs(
       hashed: DataFrame,
       idCol: String,
@@ -268,8 +301,11 @@ object Dedup {
       maxHamming: Int,
       bits: Int = 64,
       aOut: String = "doc_a",
-      bOut: String = "doc_b"): DataFrame = {
-    val blocks = bandBlocks(hashed, idCol, hashCol, maxHamming, bits)
+      bOut: String = "doc_b",
+      maxBucket: Option[Long] = None): DataFrame = {
+    val blocks = boundedBlocks(
+      bandBlocks(hashed, idCol, hashCol, maxHamming, bits),
+      maxBucket, "hammingBandPairs")
     blocks.as("l")
       .join(blocks.as("r"),
         col("l.blk") === col("r.blk") && col("l.v") === col("r.v") &&
@@ -312,7 +348,8 @@ object Dedup {
       media: DataFrame,
       idCol: String = "media_id",
       binCol: String = "content",
-      maxHamming: Int = 6): DataFrame = {
+      maxHamming: Int = 6,
+      maxBucket: Option[Long] = None): DataFrame = {
     // lazy stage boundary on the 16-byte/row hash table: the band
     // self-join consumes the subtree on BOTH sides through different
     // exchange types (broadcast build vs probe), so without it the
@@ -323,7 +360,7 @@ object Dedup {
       media.select(col(idCol).as("media_id"), col(binCol).as("content")))
       .localCheckpoint(false)
     hammingBandPairs(hashed, "media_id", "dhash", maxHamming, bits = 64,
-      aOut = "media_a", bOut = "media_b")
+      aOut = "media_a", bOut = "media_b", maxBucket = maxBucket)
   }
 
   /** Audio near-duplicate candidate pairs — the telephony/re-encode
@@ -340,7 +377,8 @@ object Dedup {
       media: DataFrame,
       idCol: String = "media_id",
       binCol: String = "content",
-      maxHamming: Int = 6): DataFrame = {
+      maxHamming: Int = 6,
+      maxBucket: Option[Long] = None): DataFrame = {
     // same decode-once stage boundary as imageNearDupPairs (8-byte hash
     // per clip through the boundary; measured 1.5 s of the 3.0 s full
     // run at sf0.1 was the second decode pass, Prof audiostage)
@@ -348,7 +386,7 @@ object Dedup {
       media.select(col(idCol).as("media_id"), col(binCol).as("content")))
       .localCheckpoint(false)
     hammingBandPairs(hashed, "media_id", "audio_hash", maxHamming, bits = 64,
-      aOut = "media_a", bOut = "media_b")
+      aOut = "media_a", bOut = "media_b", maxBucket = maxBucket)
   }
 
   /** DuckDB-recomputable SimHash: 60-bit fingerprint whose per-shingle
@@ -423,7 +461,8 @@ object Dedup {
       binCol: String = "content",
       maxHamming: Int = 6,
       minFrames: Int = 2,
-      maxFrames: Int = 32): DataFrame = {
+      maxFrames: Int = 32,
+      maxBucket: Option[Long] = None): DataFrame = {
     require(minFrames >= 1, "videoNearDupPairs: minFrames must be >= 1")
     // decode-once stage boundary: same rationale as imageNearDupPairs
     // (12 bytes per frame through the boundary, payloads never shuffle)
@@ -443,7 +482,9 @@ object Dedup {
       .otherwise(col("media_id"))
     val packed = frames.select(
       (guardedId * 1024L + col("frame_idx")).as("fid"), col("dhash"))
-    val fb = bandBlocks(packed, "fid", "dhash", maxHamming, bits = 64)
+    val fb = boundedBlocks(
+      bandBlocks(packed, "fid", "dhash", maxHamming, bits = 64),
+      maxBucket, "videoNearDupPairs")
     // integral unpack: 1024 = 2^10, so arithmetic shiftright by 10 IS
     // floor division — consistent with pmod's non-negative remainder on
     // negative ids, and exact where a double-typed divide().cast("long")

@@ -33,10 +33,21 @@ object Guards {
       result: DataFrame,
       guard: DataFrame,
       cond: Column,
-      msg: String): DataFrame = {
+      msg: String): DataFrame =
+    inPlanAssert(result, guard, cond, lit(msg))
+
+  /** [[inPlanAssert]] with a COLUMN message — for guards whose error
+    * should carry the observed contract quantity (build it with `concat`
+    * over the guard columns; it only evaluates on violation).
+    */
+  def inPlanAssert(
+      result: DataFrame,
+      guard: DataFrame,
+      cond: Column,
+      msg: Column): DataFrame = {
     val guardCols = guard.columns.toSeq
     result.crossJoin(broadcast(guard))
-      .filter(assert_true(cond, lit(msg)).isNull)
+      .filter(assert_true(cond, msg).isNull)
       .drop(guardCols: _*)
   }
 }

@@ -158,6 +158,57 @@ class OperatorsSuite extends AnyFunSuite {
     }
   }
 
+  test("hammingBandPairs: maxBucket guard raises on a degenerate one-hash corpus, " +
+    "is output-neutral under the cap") {
+    import spark.implicits._
+    // the all-black-thumbnail shape: every row shares one hash, so every
+    // band bucket holds the whole population and the ungated self-join
+    // is n^2 (measured in SCALE.md's hot-bucket table; Prof hotbucket)
+    val hot = (0L until 500L).map((_, 0x5a5a17a9L)).toDF("id", "h")
+    val ex = intercept[Exception] {
+      Dedup.hammingBandPairs(hot, "id", "h", maxHamming = 6,
+        maxBucket = Some(100L)).count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(m => m.contains("hottest band bucket") && m.contains("500")),
+      s"expected the hot-bucket guard with the observed size, got: ${msgs(ex).take(3)}")
+
+    // under the cap the guard is a pass-through filter: pairs identical
+    // to the ungated run on a diverse fixture (same clustered shape as
+    // the completeness spec)
+    val rnd = new scala.util.Random(97)
+    val rows = Seq.fill(40)(rnd.nextLong()).zipWithIndex.flatMap { case (b, i) =>
+      (0 until 4).map { k =>
+        var h = b
+        (0 until k).foreach(j => h ^= 1L << ((i * 11 + j * 5) % 64))
+        ((i * 4 + k).toLong, h)
+      }
+    }.toDF("id", "h")
+    def collectPairs(mb: Option[Long]) =
+      Dedup.hammingBandPairs(rows, "id", "h", maxHamming = 3, maxBucket = mb)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val ungated = collectPairs(None)
+    assert(ungated.nonEmpty)
+    assert(collectPairs(Some(1000L)) === ungated,
+      "a satisfied maxBucket guard must be output-neutral")
+
+    // the guard threads through the modality pair generators
+    val clip = {
+      val img = smoothImg(1.1, 0.7, 0.2)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "bmp", baos)
+      baos.toByteArray
+    }
+    val media = (0L until 50L).map(i => (i, "image", clip))
+      .toDF("media_id", "media_type", "content")
+    val imgEx = intercept[Exception] {
+      Dedup.imageNearDupPairs(media, maxHamming = 0, maxBucket = Some(10L)).count()
+    }
+    assert(msgs(imgEx).exists(_.contains("hottest band bucket")),
+      s"imageNearDupPairs must thread maxBucket, got: ${msgs(imgEx).take(3)}")
+  }
+
   private def smoothImg(fx: Double, fy: Double, phase: Double): java.awt.image.BufferedImage = {
     val img = new java.awt.image.BufferedImage(
       72, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
