@@ -2773,6 +2773,68 @@ object SparkEntry {
         max(when(isLink, col("hamming"))).as("max_link_hamming"))
     }),
 
+    // Keep-one-per-duplicate-audio-cluster — the selection step composed
+    // from the exact-regime WAV pairs (lossless codec: clusters over
+    // Hamming-0 pairs ≡ identical-text groups of size > 1 with min-id
+    // representatives — plain SQL), so dupClusters gains a hash-checked
+    // oracle consumer on an AUDIO pair list (the image_neardup_clusters
+    // pattern on the third modality).
+    "audio_neardup_clusters" -> ((s, dir) => {
+      val docs = documents(s, dir).select(col("doc_id"), col("text"))
+      val dupes = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val media = Multimodal.syntheticAudioWav(docs.unionByName(dupes), "doc_id", "text")
+      val pairs = Dedup.audioNearDupPairs(media, maxHamming = 0)
+      Dedup.dupClusters(pairs, "media_a", "media_b")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Video near-dup, the production shape — the audio_neardup census on
+    // the fourth modality: smooth 3-frame MJPEG-AVIs plus REAL per-frame
+    // JPEG re-encodes (quality 0.6, container rebuilt — same footage,
+    // different bytes: invisible to content-hash dedup) of half of them,
+    // through the RIFF frame walk → per-frame dHash → packed-id banding
+    // at Hamming ≤ 10. Census: every re-encode must link to its original
+    // on ALL 3 frames (spec-asserted). No SQL oracle (JPEG DCT has no
+    // DuckDB form); exact-regime anchor: video_neardup_exact gates the
+    // identical pipeline on the deterministic-codec fixture.
+    "video_neardup" -> ((s, dir) => {
+      // lazy stage boundary: the synth feeds TWO consumers (union side
+      // and re-encode input) — without it the 3-frame render runs twice
+      val base = Multimodal.syntheticSmoothVideos(
+          documents(s, dir).repartition(32), "doc_id", "text")
+        .localCheckpoint(false)
+      val variants = Multimodal.reencodeVideo(
+          base.filter(pmod(col("media_id"), lit(2)) === 0), quality = 0.6f)
+        .select((col("media_id") + 1000000L).as("media_id"),
+          col("media_type"), col("content"))
+      val pairs = Dedup.videoNearDupPairs(base.unionByName(variants),
+        maxHamming = 10, minFrames = 2)
+      val isLink = col("media_b") === col("media_a") + 1000000L
+      pairs.agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(isLink, 1L).otherwise(0L)).as("n_reencode_links"),
+        sum(when(isLink && col("matched_frames") === 3, 1L).otherwise(0L))
+          .as("n_full_links"),
+        min(when(isLink, col("matched_frames"))).as("min_link_frames"))
+    }),
+
+    // Keep-one-per-duplicate-video-cluster — dupClusters over the
+    // exact-regime video pairs (deterministic codec: all-3-frame matches
+    // at Hamming 0 ≡ identical-text pairs), completing the modality row:
+    // pairs → clusters → keep-one, all oracle-tier (the
+    // image_neardup_clusters pattern on the fourth modality).
+    "video_neardup_clusters" -> ((s, dir) => {
+      val docs = documents(s, dir).select(col("doc_id"), col("text"))
+        .repartition(32)
+      val dupes = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val media = Multimodal.syntheticVideos(docs.unionByName(dupes), "doc_id", "text")
+      val pairs = Dedup.videoNearDupPairs(media, maxHamming = 0, minFrames = 3)
+      Dedup.dupClusters(pairs, "media_a", "media_b")
+        .orderBy(col("doc_id"))
+    }),
+
     // The Hamming band-join stage of image near-dup on SQL-recomputable
     // hash columns (the dedup_simhash oracle pattern, aimed at the
     // GENERIC hammingBandPairs layout imageNearDupPairs uses): 60-bit
@@ -5594,6 +5656,35 @@ object SparkEntry {
         |SELECT l.doc_id AS media_a, r.doc_id AS media_b, 0::INTEGER AS hamming
         |FROM d l JOIN d r ON md5(l.text) = md5(r.text) AND l.doc_id < r.doc_id
         |ORDER BY media_a, media_b""".stripMargin,
+
+    // clusters over Hamming-0 envelope-hash pairs on the lossless WAV
+    // fixture ≡ equal-text groups of size > 1, min-id representative
+    "audio_neardup_clusters" ->
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0),
+        |g AS (SELECT doc_id, md5(text) AS h FROM d),
+        |c AS (SELECT h, min(doc_id) AS cid, count(*) AS n FROM g GROUP BY h)
+        |SELECT g.doc_id, c.cid AS cluster_id, (g.doc_id = c.cid) AS keep
+        |FROM g JOIN c USING (h)
+        |WHERE c.n > 1
+        |ORDER BY doc_id""".stripMargin,
+
+    // clusters over all-3-frame Hamming-0 video pairs on the
+    // deterministic-codec fixture ≡ equal-text groups of size > 1,
+    // min-id representative
+    "video_neardup_clusters" ->
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0),
+        |g AS (SELECT doc_id, md5(text) AS h FROM d),
+        |c AS (SELECT h, min(doc_id) AS cid, count(*) AS n FROM g GROUP BY h)
+        |SELECT g.doc_id, c.cid AS cluster_id, (g.doc_id = c.cid) AS keep
+        |FROM g JOIN c USING (h)
+        |WHERE c.n > 1
+        |ORDER BY doc_id""".stripMargin,
 
     // clusters over Hamming-0 pairs on the lossless fixture ≡ equal-text
     // groups of size > 1, min-id representative

@@ -455,6 +455,32 @@ object Dedup {
     * same class as the simhash band-bucket note on
     * [[hammingBandPairs]].
     */
+  /** Pack a (media_id, frame_idx, dhash) frame table onto one fixed-width
+    * band-join key: fid = media_id · 1024 + frame_idx. The packing bound
+    * |media_id| ≤ 2^53 − 1 is enforced per row IN the plan (the fail-loud
+    * checkedId posture from [[dupClusters]] — a silent wrap would corrupt
+    * every downstream pair); pre-hash wider id spaces into range first.
+    */
+  private def packedFrameIds(frames: DataFrame, op: String): DataFrame = {
+    val maxPackId = Long.MaxValue >> 10
+    val guardedId = when(
+      col("media_id") > maxPackId || col("media_id") < -maxPackId,
+      raise_error(concat(
+        lit(s"$op: media_id outside the ±$maxPackId packing range: "),
+        col("media_id").cast("string"))))
+      .otherwise(col("media_id"))
+    frames.select(
+      (guardedId * 1024L + col("frame_idx")).as("fid"), col("dhash"))
+  }
+
+  /** Integral unpack of [[packedFrameIds]]' media component: 1024 = 2^10,
+    * so arithmetic shiftright by 10 IS floor division — consistent with
+    * pmod's non-negative remainder on negative ids, and exact where a
+    * double-typed divide().cast("long") would truncate toward zero and
+    * lose integer precision past 2^53.
+    */
+  private def mediaOf(fid: Column): Column = shiftright(fid, 10)
+
   def videoNearDupPairs(
       media: DataFrame,
       idCol: String = "media_id",
@@ -469,27 +495,10 @@ object Dedup {
     val frames = Multimodal.perceptualFrameHashes(
       media.select(col(idCol).as("media_id"), col(binCol).as("content")), maxFrames)
       .localCheckpoint(false)
-    // packing bound, enforced per row IN the plan: |media_id| ≤ 2^53 − 1
-    // keeps media_id · 1024 + frame_idx inside a long (the fail-loud
-    // checkedId posture from dupClusters — a silent wrap would corrupt
-    // every downstream pair)
-    val maxPackId = Long.MaxValue >> 10
-    val guardedId = when(
-      col("media_id") > maxPackId || col("media_id") < -maxPackId,
-      raise_error(concat(
-        lit(s"videoNearDupPairs: media_id outside the ±$maxPackId packing range: "),
-        col("media_id").cast("string"))))
-      .otherwise(col("media_id"))
-    val packed = frames.select(
-      (guardedId * 1024L + col("frame_idx")).as("fid"), col("dhash"))
+    val packed = packedFrameIds(frames, "videoNearDupPairs")
     val fb = boundedBlocks(
       bandBlocks(packed, "fid", "dhash", maxHamming, bits = 64),
       maxBucket, "videoNearDupPairs")
-    // integral unpack: 1024 = 2^10, so arithmetic shiftright by 10 IS
-    // floor division — consistent with pmod's non-negative remainder on
-    // negative ids, and exact where a double-typed divide().cast("long")
-    // would truncate toward zero and lose integer precision past 2^53
-    def mediaOf(fid: Column): Column = shiftright(fid, 10)
     fb.as("l")
       .join(fb.as("r"),
         col("l.blk") === col("r.blk") && col("l.v") === col("r.v") &&
@@ -1365,6 +1374,85 @@ object Dedup {
       .select(col(idCol).as("media_id"), col(binCol).as("content")))
     incrementalAudioNew(newBatch, tableOrEmpty(proto, corpusHashPath),
       idCol, binCol, maxHamming)
+  }
+
+  /** Incremental VIDEO near-dup gate — the streaming video-ingest shape:
+    * drop new-batch rows when at least `minFrames` DISTINCT frames of the
+    * new video land within `maxHamming` of frames of ONE corpus video
+    * (the [[videoNearDupPairs]] qualification applied against the
+    * persisted (media_id, frame_idx, dhash) artifact an ingest loop
+    * maintains — 12 bytes per kept frame; corpus video BYTES are never
+    * re-read or shuffled). New-batch payloads decode partition-locally
+    * ([[graft.operators.Multimodal.perceptualFrameHashes]]); both sides
+    * pack onto the fid key ([[packedFrameIds]]), band by Hamming
+    * pigeonhole, one fixed-width-key join probes the corpus, exact
+    * `bit_count` verify, then the distinct-frame census gates on
+    * `minFrames`. Rows that do not decode as multi-frame media PASS
+    * (decoded truth only); batch-internal duplicates deferred to
+    * [[videoNearDupPairs]] + clustering — the [[incrementalImageNew]]
+    * contract on the fourth modality.
+    */
+  def incrementalVideoNew(
+      newBatch: DataFrame,
+      corpusFrameHashes: DataFrame,
+      idCol: String = "media_id",
+      binCol: String = "content",
+      maxHamming: Int = 6,
+      minFrames: Int = 2,
+      maxFrames: Int = 32): DataFrame = {
+    require(minFrames >= 1, "incrementalVideoNew: minFrames must be >= 1")
+    Seq("media_id", "frame_idx", "dhash").foreach { c =>
+      require(corpusFrameHashes.columns.contains(c),
+        s"incrementalVideoNew: corpus frame-hash table must carry the " +
+          s"persisted-artifact schema (media_id, frame_idx, dhash) but has " +
+          s"no $c column (got [${corpusFrameHashes.columns.mkString(", ")}]); " +
+          "select/rename the artifact columns before passing it")
+    }
+    // decode-once stage boundary: the frame-hash table feeds the band
+    // probe while the anti join re-reads the batch (the shared gate
+    // rationale — 12 bytes/frame through the boundary)
+    val nh = Multimodal.perceptualFrameHashes(
+      newBatch.select(col(idCol).as("media_id"), col(binCol).as("content")), maxFrames)
+      .localCheckpoint(false)
+    val nb = bandBlocks(
+      packedFrameIds(nh, "incrementalVideoNew"), "fid", "dhash", maxHamming, bits = 64)
+    val cb = bandBlocks(
+      packedFrameIds(
+        corpusFrameHashes.select(col("media_id"), col("frame_idx"), col("dhash")),
+        "incrementalVideoNew"),
+      "fid", "dhash", maxHamming, bits = 64)
+    val flagged = nb.as("l")
+      .join(cb.as("r"), col("l.blk") === col("r.blk") && col("l.v") === col("r.v"))
+      .filter(bit_count(col("l.__hbp_h").bitwiseXOR(col("r.__hbp_h"))) <= maxHamming)
+      .select(mediaOf(col("l.__hbp_id")).as("media_id"),
+        mediaOf(col("r.__hbp_id")).as("corpus_id"),
+        pmod(col("l.__hbp_id"), lit(1024L)).as("fa"))
+      .distinct()
+      .groupBy(col("media_id"), col("corpus_id"))
+      .agg(count(lit(1)).as("__mf"))
+      .filter(col("__mf") >= minFrames)
+      .select(col("media_id"))
+      .distinct()
+    newBatch.join(flagged, newBatch(idCol) === flagged("media_id"), "left_anti")
+  }
+
+  /** [[incrementalVideoNew]] against a frame-hash table persisted as
+    * parquet (first-run tolerant — the [[incrementalImageNewAgainstTable]]
+    * contract; the ingest loop's append side is
+    * `perceptualFrameHashes(keptRows)` written to the same path).
+    */
+  def incrementalVideoNewAgainstTable(
+      newBatch: DataFrame,
+      corpusHashPath: String,
+      idCol: String = "media_id",
+      binCol: String = "content",
+      maxHamming: Int = 6,
+      minFrames: Int = 2,
+      maxFrames: Int = 32): DataFrame = {
+    val proto = Multimodal.perceptualFrameHashes(newBatch.limit(0)
+      .select(col(idCol).as("media_id"), col(binCol).as("content")), maxFrames)
+    incrementalVideoNew(newBatch, tableOrEmpty(proto, corpusHashPath),
+      idCol, binCol, maxHamming, minFrames, maxFrames)
   }
 
   /** [[incrementalImageNew]] against a dHash table persisted as parquet at

@@ -547,34 +547,42 @@ object Multimodal {
         javax.imageio.ImageIO.setUseCache(false)
         rows.map { r =>
           val d = md5Bytes(r.getString(1).getBytes("UTF-8"), 0.toByte)
-          def u(i: Int) = ((d(i) & 0xFF) * 256 + (d(i + 1) & 0xFF)) / 65536.0
-          // three plaid components from 16 hash bytes: enough parameter
-          // entropy that two DISTINCT texts land within dHash radius only
-          // at real-corpus rates (a 2-component first cut measured 0.5%
-          // of all cross pairs inside Hamming ≤ 10 — a fixture-density
-          // artifact that turned the band join's ×10 curve quadratic)
-          val fx = 0.7 + 3.8 * u(0); val fy = 0.7 + 3.8 * u(2)
-          val ph = 2.0 * math.Pi * u(4)
-          val fx2 = 0.7 + 3.8 * u(6); val ph2 = 2.0 * math.Pi * u(8)
-          val fd = 0.7 + 3.8 * u(10); val ph3 = 2.0 * math.Pi * u(12)
-          val img = new java.awt.image.BufferedImage(
-            72, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
-          var y = 0
-          while (y < 64) {
-            var x = 0
-            while (x < 72) {
-              val s = math.sin(2.0 * math.Pi * (fx * x / 72.0 + fy * y / 64.0) + ph) +
-                0.6 * math.sin(2.0 * math.Pi * (fx2 * (x + y) / 72.0) + ph2) +
-                0.45 * math.sin(2.0 * math.Pi * (fd * (x - 2 * y) / 64.0) + ph3)
-              val v = math.max(0, math.min(255, (128 + 62 * s).toInt))
-              img.setRGB(x, y, (v << 16) | (v << 8) | v)
-              x += 1
-            }
-            y += 1
-          }
-          Row(r.getLong(0), "image", writeBmp(img))
+          Row(r.getLong(0), "image", writeBmp(smoothPlaid(d)))
         }
       }(enc)
+  }
+
+  /** The shared 72×64 sinusoid-plaid renderer behind the smooth fixtures:
+    * three plaid components parameterized by 16 digest bytes — enough
+    * parameter entropy that two DISTINCT digests land within dHash radius
+    * only at real-corpus rates (a 2-component first cut measured 0.5% of
+    * all cross pairs inside Hamming ≤ 10 — a fixture-density artifact
+    * that turned the band join's ×10 curve quadratic). Each dHash grid
+    * cell spans exactly one 8×8 JPEG block, so quantization noise doesn't
+    * flip neighbor comparisons the way it does on per-pixel noise.
+    */
+  private def smoothPlaid(d: Array[Byte]): java.awt.image.BufferedImage = {
+    def u(i: Int) = ((d(i) & 0xFF) * 256 + (d(i + 1) & 0xFF)) / 65536.0
+    val fx = 0.7 + 3.8 * u(0); val fy = 0.7 + 3.8 * u(2)
+    val ph = 2.0 * math.Pi * u(4)
+    val fx2 = 0.7 + 3.8 * u(6); val ph2 = 2.0 * math.Pi * u(8)
+    val fd = 0.7 + 3.8 * u(10); val ph3 = 2.0 * math.Pi * u(12)
+    val img = new java.awt.image.BufferedImage(
+      72, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < 64) {
+      var x = 0
+      while (x < 72) {
+        val s = math.sin(2.0 * math.Pi * (fx * x / 72.0 + fy * y / 64.0) + ph) +
+          0.6 * math.sin(2.0 * math.Pi * (fx2 * (x + y) / 72.0) + ph2) +
+          0.45 * math.sin(2.0 * math.Pi * (fd * (x - 2 * y) / 64.0) + ph3)
+        val v = math.max(0, math.min(255, (128 + 62 * s).toInt))
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    img
   }
 
   /** REAL JPEG re-encode: decode each image payload, re-encode at
@@ -590,45 +598,109 @@ object Multimodal {
     */
   def reencodeJpeg(media: DataFrame, quality: Float = 0.75f): DataFrame = {
     require(quality > 0f && quality <= 1f, "reencodeJpeg: quality must be in (0, 1]")
-    val outSchema = StructType(Seq(
-      StructField("media_id", LongType, nullable = false),
-      StructField("media_type", StringType, nullable = false),
-      StructField("content", BinaryType, nullable = false)))
-    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(mediaSchema)
     media.select(col("media_id"), col("content"))
       .mapPartitions { rows =>
         javax.imageio.ImageIO.setUseCache(false)
-        val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
-        val param = writer.getDefaultWriteParam
-        param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
-        param.setCompressionQuality(quality)
-        val it = rows.flatMap { r =>
-          val bytes = r.getAs[Array[Byte]](1)
-          tryDecodeImage(bytes).map { img =>
-            // JPEG writer wants no alpha channel
-            val rgb =
-              if (img.getType == java.awt.image.BufferedImage.TYPE_INT_RGB) img
-              else {
-                val c = new java.awt.image.BufferedImage(
-                  img.getWidth, img.getHeight,
-                  java.awt.image.BufferedImage.TYPE_INT_RGB)
-                val g = c.createGraphics()
-                g.drawImage(img, 0, 0, null)
-                g.dispose()
-                c
-              }
-            val baos = new java.io.ByteArrayOutputStream()
-            val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
-            writer.setOutput(ios)
-            writer.write(null, new javax.imageio.IIOImage(rgb, null, null), param)
-            ios.close()
-            Row(r.getLong(0), "image", baos.toByteArray)
-          }
+        val encode = jpegEncoderFor(quality)
+        rows.flatMap { r =>
+          tryDecodeImage(r.getAs[Array[Byte]](1))
+            .map(img => Row(r.getLong(0), "image", encode(img)))
         }
-        // writer.dispose() after the iterator drains: wrap with a
-        // completion hook — Iterator has no close, so rely on task end;
-        // ImageWriter instances are cheap and partition-scoped.
-        it
+        // the writer inside `encode` is partition-scoped and never
+        // disposed explicitly: Iterator has no close hook, ImageWriter
+        // instances are cheap, and the task end reclaims them.
+      }(enc)
+  }
+
+  private val mediaSchema = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("media_type", StringType, nullable = false),
+    StructField("content", BinaryType, nullable = false)))
+
+  /** Partition-scoped JPEG encoder at an explicit `quality`: ONE JDK
+    * ImageWriter reused across the partition's rows (writer creation is
+    * the expensive part of the codec setup), alpha stripped because the
+    * JPEG writer rejects ARGB. Shared by the still and video re-encode
+    * paths.
+    */
+  private def jpegEncoderFor(
+      quality: Float): java.awt.image.BufferedImage => Array[Byte] = {
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(quality)
+    img => {
+      val rgb =
+        if (img.getType == java.awt.image.BufferedImage.TYPE_INT_RGB) img
+        else {
+          val c = new java.awt.image.BufferedImage(
+            img.getWidth, img.getHeight,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = c.createGraphics()
+          g.drawImage(img, 0, 0, null)
+          g.dispose()
+          c
+        }
+      val baos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(rgb, null, null), param)
+      ios.close()
+      baos.toByteArray
+    }
+  }
+
+  /** REAL video re-encode: walk each MJPEG-AVI payload's frames
+    * ([[aviJpegFrames]]), decode, re-encode every frame's JPEG at
+    * `quality`, rebuild the container ([[buildMjpegAvi]]) — the
+    * normalization/transcode step that generates the dominant video
+    * near-duplicate class (same footage, different bytes: invisible to
+    * content-hash dedup, caught by
+    * [[graft.operators.Dedup.videoNearDupPairs]]). Rows that are not
+    * decodable MJPEG-AVI, or decode to zero frames, are dropped (decoded
+    * truth only — the [[reencodeJpeg]] contract on the video container).
+    */
+  def reencodeVideo(
+      media: DataFrame, quality: Float = 0.75f, maxFrames: Int = 32): DataFrame = {
+    require(quality > 0f && quality <= 1f, "reencodeVideo: quality must be in (0, 1]")
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(mediaSchema)
+    media.select(col("media_id"), col("content"))
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        val encode = jpegEncoderFor(quality)
+        rows.flatMap { r =>
+          val frames = aviJpegFrames(r.getAs[Array[Byte]](1), maxFrames)
+            .flatMap(tryDecodeImage).map(encode)
+          if (frames.isEmpty) None
+          else Some(Row(r.getLong(0), "video", buildMjpegAvi(frames)))
+        }
+      }(enc)
+  }
+
+  /** Deterministic SMOOTH-video fixture: `nFrames` 72×64 sinusoid-plaid
+    * frames per video ([[smoothPlaid]] — JPEG-robust luminance gradients,
+    * one 8×8 JPEG block per dHash grid cell), frame i's plaid parameters
+    * from the md5 of the text salted with i, JPEG-encoded and wrapped by
+    * [[buildMjpegAvi]]. The production-shape fixture for the video
+    * re-encode census (`video_neardup`); the exact-regime oracle stays on
+    * the noise fixture [[syntheticVideos]], whose per-pixel noise is
+    * byte-reproducible but NOT quality-shift robust.
+    */
+  def syntheticSmoothVideos(
+      df: DataFrame, idCol: String, textCol: String, nFrames: Int = 3): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(mediaSchema)
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        val encode = jpegEncoderFor(0.9f)
+        rows.map { r =>
+          val text = r.getString(1)
+          val frames = (0 until nFrames).map { fi =>
+            encode(smoothPlaid(md5Bytes(text.getBytes("UTF-8"), fi.toByte)))
+          }
+          Row(r.getLong(0), "video", buildMjpegAvi(frames))
+        }
       }(enc)
   }
 

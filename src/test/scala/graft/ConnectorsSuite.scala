@@ -579,6 +579,79 @@ class ConnectorsSuite extends AnyFunSuite {
     assert(hashed === Seq(1L, 2L, 4L), s"hash table wrong: $hashed")
   }
 
+  test("streaming video-ingest gate: re-encoded re-posts of kept videos are dropped against the persisted frame-hash table") {
+    import graft.operators.{Dedup, Multimodal}
+    import spark.implicits._
+    // the video twin of the image-ingest gate: a per-frame JPEG re-encode
+    // of an earlier keeper (same footage, rebuilt container, different
+    // bytes) is dropped by the packed-fid frame-hash probe when >= 2 of
+    // its frames match ONE corpus video; a video sharing only a single
+    // frame, a new video, and a non-video payload all pass
+    val mb = Minibatch(spark, freshRoot())
+    val st = mb.stream("video_ingest")
+    val root = freshRoot()
+    val hashDir = root + "/kept_video_frame_hashes"
+    val keptDir = root + "/kept_videos"
+    def drainInto(): Unit =
+      mb.streaming("video_ingest").size(1).emit((_, df) => {
+        val batch = df.select(
+          get_json_object(col("data"), "$.id").cast("long").as("media_id"),
+          lit("video").as("media_type"),
+          unbase64(get_json_object(col("data"), "$.b64")).as("content"))
+        val kept = Dedup.incrementalVideoNewAgainstTable(
+          batch, hashDir, maxHamming = 10, minFrames = 2)
+        kept.write.mode("append").parquet(keptDir)
+        Multimodal.perceptualFrameHashes(kept)
+          .write.mode("append").parquet(hashDir)
+      }).run()
+    def b64(bytes: Array[Byte]) = java.util.Base64.getEncoder.encodeToString(bytes)
+    def smoothFrame(fx: Double, fy: Double, ph: Double): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(
+        72, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 64; x <- 0 until 72) {
+        val s = math.sin(2.0 * math.Pi * (fx * x / 72.0 + fy * y / 64.0) + ph)
+        val v = (128 + 84 * s).toInt
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      img
+    }
+    def avi(frames: Seq[java.awt.image.BufferedImage]): Array[Byte] =
+      Multimodal.buildMjpegAvi(frames.map { img =>
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "jpg", baos)
+        baos.toByteArray
+      })
+    val clipA = Seq(smoothFrame(1.7, 1.2, 0.3), smoothFrame(0.9, 2.2, 1.1),
+      smoothFrame(2.6, 0.7, 2.9))
+    val clipB = Seq(smoothFrame(3.1, 1.9, 4.1), smoothFrame(1.1, 3.2, 5.3),
+      smoothFrame(2.2, 2.8, 0.9))
+    st.appendAll(Seq(
+      s"""{"id":1,"b64":"${b64(avi(clipA))}"}""",
+      s"""{"id":2,"b64":"${b64(avi(clipB))}"}"""))
+    drainInto()
+    // 3 = quality-0.6 re-encode of keeper 1 (all 3 frames match: drop);
+    // 4 = shares only ONE frame with keeper 1 (below minFrames: keep);
+    // 5 = non-video payload (the video gate passes it)
+    val repost = Multimodal.reencodeVideo(
+        Seq((0L, "video", avi(clipA))).toDF("media_id", "media_type", "content"),
+        quality = 0.6f)
+      .collect()(0).getAs[Array[Byte]]("content")
+    st.appendAll(Seq(
+      s"""{"id":3,"b64":"${b64(repost)}"}""",
+      s"""{"id":4,"b64":"${b64(avi(Seq(clipA.head,
+        smoothFrame(4.2, 0.8, 1.7), smoothFrame(0.8, 4.1, 3.3))))}"}""",
+      s"""{"id":5,"b64":"${b64("not a video".getBytes("UTF-8"))}"}"""))
+    drainInto()
+    val kept = spark.read.parquet(keptDir)
+      .select("media_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept === Seq(1L, 2L, 4L, 5L), s"kept corpus wrong: $kept")
+    // the artifact holds one row per DECODED frame of each keeper
+    val hashed = spark.read.parquet(hashDir)
+      .groupBy("media_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hashed === Map(1L -> 3L, 2L -> 3L, 4L -> 3L), s"hash table wrong: $hashed")
+  }
+
   test("streaming leakage-safe split gate: micro-batches inherit splits from the frozen corpus artifact") {
     import graft.operators.Pipeline
     // splitLeakageSafeIncremental inside the emitter loop: every drained
