@@ -258,6 +258,37 @@ object Prof {
       }
       spark.stop(); return
     }
+    if (args.headOption.contains("videodensity")) {
+      // fixture-density probe for the video_neardup census: pair/link
+      // counts per (maxHamming, minFrames) — the image_neardup lesson
+      // (smooth-fixture hash entropy makes cross-pair OUTPUT ∝ n²) needs
+      // the measurement BEFORE the census parameters ship.
+      // Usage: runMain graft.Prof videodensity [sfDir]
+      import graft.operators.{Dedup, Multimodal}
+      val dir = if (args.length > 1) args(1) else sfDir
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text")).repartition(32)
+      val base = Multimodal.syntheticSmoothVideos(docs, "doc_id", "text")
+        .localCheckpoint(false)
+      val variants = Multimodal.reencodeVideo(
+          base.filter(pmod(col("media_id"), lit(2)) === 0), quality = 0.6f)
+        .select((col("media_id") + 1000000L).as("media_id"),
+          col("media_type"), col("content"))
+      val media = base.unionByName(variants).localCheckpoint(false)
+      println(s"[prof] ${docs.count()} docs")
+      for (maxH <- Seq(10, 6, 4); minF <- Seq(2, 3)) {
+        val pairs = Dedup.videoNearDupPairs(media, maxHamming = maxH, minFrames = minF)
+        val isLink = col("media_b") === col("media_a") + 1000000L
+        val r = time(s"census maxH=$maxH minF=$minF")(
+          pairs.agg(count(lit(1)).as("n"),
+            sum(when(isLink, 1L).otherwise(0L)).as("links"),
+            sum(when(isLink && col("matched_frames") === 3, 1L).otherwise(0L))
+              .as("full")).head)
+        println(s"[prof] maxH=$maxH minF=$minF pairs=${r.getLong(0)} " +
+          s"links=${r.getLong(1)} full=${r.getLong(2)}")
+      }
+      spark.stop(); return
+    }
     if (args.headOption.contains("hotbucket")) {
       // the degenerate-corpus melt: N rows, ONE shared hash (all-black
       // thumbnails) — every band bucket holds the full population and the

@@ -2793,11 +2793,18 @@ object SparkEntry {
     // the fourth modality: smooth 3-frame MJPEG-AVIs plus REAL per-frame
     // JPEG re-encodes (quality 0.6, container rebuilt — same footage,
     // different bytes: invisible to content-hash dedup) of half of them,
-    // through the RIFF frame walk → per-frame dHash → packed-id banding
-    // at Hamming ≤ 10. Census: every re-encode must link to its original
-    // on ALL 3 frames (spec-asserted). No SQL oracle (JPEG DCT has no
-    // DuckDB form); exact-regime anchor: video_neardup_exact gates the
-    // identical pipeline on the deterministic-codec fixture.
+    // through the RIFF frame walk → per-frame dHash → packed-id banding.
+    // Census: every re-encode must link to its original on ALL 3 frames
+    // (spec-asserted). Parameters are MEASURED, not guessed (the
+    // image_neardup fixture-density lesson, Prof videodensity at ×3):
+    // Hamming ≤ 10 / minFrames 2 admitted n²-growing cross-text pairs
+    // (12.3k at ×3, 132k at ×10 — smooth-plaid frame hashes land within
+    // 10 bits at ~1e-3 rates); Hamming ≤ 6 + minFrames 3 keeps 7500/7500
+    // re-encode links (all full, with a 2-bit margin: radius 4 loses its
+    // first 5 links) and cuts the cross noise to 45 — 5.3× faster, and
+    // the pair output is link-dominated (linear) again. No SQL oracle
+    // (JPEG DCT has no DuckDB form); exact-regime anchor:
+    // video_neardup_exact gates the identical pipeline losslessly.
     "video_neardup" -> ((s, dir) => {
       // lazy stage boundary: the synth feeds TWO consumers (union side
       // and re-encode input) — without it the 3-frame render runs twice
@@ -2809,7 +2816,7 @@ object SparkEntry {
         .select((col("media_id") + 1000000L).as("media_id"),
           col("media_type"), col("content"))
       val pairs = Dedup.videoNearDupPairs(base.unionByName(variants),
-        maxHamming = 10, minFrames = 2)
+        maxHamming = 6, minFrames = 3)
       val isLink = col("media_b") === col("media_a") + 1000000L
       pairs.agg(
         count(lit(1)).as("n_pairs"),
