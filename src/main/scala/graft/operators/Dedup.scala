@@ -1295,11 +1295,12 @@ object Dedup {
       corpusHashes: DataFrame,
       idCol: String = "media_id",
       binCol: String = "content",
-      maxHamming: Int = 6): DataFrame =
+      maxHamming: Int = 6,
+      maxBucket: Option[Long] = None): DataFrame =
     incrementalHashGate(newBatch,
       Multimodal.perceptualHashes(
         newBatch.select(col(idCol).as("media_id"), col(binCol).as("content"))),
-      corpusHashes, "dhash", idCol, maxHamming)
+      corpusHashes, "dhash", idCol, maxHamming, maxBucket)
 
   /** The shared probe core of the perceptual ingest gates: band both hash
     * tables by Hamming pigeonhole, one fixed-width-key join flags new ids
@@ -1314,7 +1315,8 @@ object Dedup {
       corpusHashes: DataFrame,
       hashCol: String,
       idCol: String,
-      maxHamming: Int): DataFrame = {
+      maxHamming: Int,
+      maxBucket: Option[Long] = None): DataFrame = {
     // the corpus side is the PERSISTED ARTIFACT and its schema is the
     // contract: (media_id, <hashCol>). Validate up front with a clear
     // error instead of letting the select throw a bare AnalysisException
@@ -1331,8 +1333,13 @@ object Dedup {
         "artifact columns before passing it")
     val nh = newHashes.localCheckpoint(false)
     val nb = bandBlocks(nh, "media_id", hashCol, maxHamming, bits = 64)
-    val cb = bandBlocks(corpusHashes.select(col("media_id"), col(hashCol)),
-      "media_id", hashCol, maxHamming, bits = 64)
+    // the hot-bucket guard watches the CORPUS side: the persisted hash
+    // table is where a degenerate class accumulates batch over batch
+    // (each gated batch is bounded; the corpus is not)
+    val cb = boundedBlocks(
+      bandBlocks(corpusHashes.select(col("media_id"), col(hashCol)),
+        "media_id", hashCol, maxHamming, bits = 64),
+      maxBucket, "incremental hash gate (corpus side)")
     val flagged = nb.as("l")
       .join(cb.as("r"), col("l.blk") === col("r.blk") && col("l.v") === col("r.v"))
       .filter(bit_count(col("l.__hbp_h").bitwiseXOR(col("r.__hbp_h"))) <= maxHamming)
@@ -1354,11 +1361,12 @@ object Dedup {
       corpusHashes: DataFrame,
       idCol: String = "media_id",
       binCol: String = "content",
-      maxHamming: Int = 6): DataFrame =
+      maxHamming: Int = 6,
+      maxBucket: Option[Long] = None): DataFrame =
     incrementalHashGate(newBatch,
       Multimodal.perceptualAudioHashes(
         newBatch.select(col(idCol).as("media_id"), col(binCol).as("content"))),
-      corpusHashes, "audio_hash", idCol, maxHamming)
+      corpusHashes, "audio_hash", idCol, maxHamming, maxBucket)
 
   /** [[incrementalAudioNew]] against an envelope-hash table persisted as
     * parquet (first-run tolerant — the [[incrementalImageNewAgainstTable]]
@@ -1399,7 +1407,8 @@ object Dedup {
       binCol: String = "content",
       maxHamming: Int = 6,
       minFrames: Int = 2,
-      maxFrames: Int = 32): DataFrame = {
+      maxFrames: Int = 32,
+      maxBucket: Option[Long] = None): DataFrame = {
     require(minFrames >= 1, "incrementalVideoNew: minFrames must be >= 1")
     Seq("media_id", "frame_idx", "dhash").foreach { c =>
       require(corpusFrameHashes.columns.contains(c),
@@ -1416,11 +1425,15 @@ object Dedup {
       .localCheckpoint(false)
     val nb = bandBlocks(
       packedFrameIds(nh, "incrementalVideoNew"), "fid", "dhash", maxHamming, bits = 64)
-    val cb = bandBlocks(
-      packedFrameIds(
-        corpusFrameHashes.select(col("media_id"), col("frame_idx"), col("dhash")),
-        "incrementalVideoNew"),
-      "fid", "dhash", maxHamming, bits = 64)
+    // corpus-side hot-bucket guard: same rationale as the shared gate
+    // (the persisted artifact is where a degenerate frame class grows)
+    val cb = boundedBlocks(
+      bandBlocks(
+        packedFrameIds(
+          corpusFrameHashes.select(col("media_id"), col("frame_idx"), col("dhash")),
+          "incrementalVideoNew"),
+        "fid", "dhash", maxHamming, bits = 64),
+      maxBucket, "incrementalVideoNew (corpus side)")
     val flagged = nb.as("l")
       .join(cb.as("r"), col("l.blk") === col("r.blk") && col("l.v") === col("r.v"))
       .filter(bit_count(col("l.__hbp_h").bitwiseXOR(col("r.__hbp_h"))) <= maxHamming)

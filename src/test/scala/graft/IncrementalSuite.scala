@@ -547,4 +547,36 @@ class IncrementalSuite extends AnyFunSuite {
     }
     assert(e2.getMessage.contains("audio_hash") && e2.getMessage.contains("artifact"))
   }
+
+  test("perceptual ingest gates: corpus-side hot-bucket guard raises on a degenerate hash table") {
+    import graft.operators.Dedup
+    // a persisted corpus that collapsed onto one hash (all-black
+    // thumbnails accumulated batch over batch) would make every gate
+    // probe n^2 in corpus size — with maxBucket set, the corpus band
+    // side raises with the observed bucket size instead
+    val bmp = {
+      val img = new java.awt.image.BufferedImage(
+        16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "bmp", baos)
+      baos.toByteArray
+    }
+    val batch = Seq((1L, bmp)).toDF("media_id", "content")
+    val hotCorpus = (0L until 300L).map((_, 0L)).toDF("media_id", "dhash")
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    val ex = intercept[Exception] {
+      Dedup.incrementalImageNew(batch, hotCorpus, maxBucket = Some(100L)).count()
+    }
+    assert(msgs(ex).exists(m => m.contains("hottest band bucket") && m.contains("300")),
+      s"expected the corpus-side hot-bucket guard, got: ${msgs(ex).take(3)}")
+    // under the cap the gate is unchanged: the sole batch row survives a
+    // diverse corpus probe
+    // ids start at 1: the all-black batch image hashes to dHash 0, and
+    // corpus id 0 would hash to 0 too — a real (if accidental) match
+    val okCorpus = (1L to 300L).map(i => (i, i * 0x9E3779B97F4A7C15L))
+      .toDF("media_id", "dhash")
+    assert(Dedup.incrementalImageNew(batch, okCorpus, maxBucket = Some(100L))
+      .count() === 1L)
+  }
 }
