@@ -426,25 +426,9 @@ object Multimodal {
               .map { case (img, i) =>
                 Row(id, i, img.getWidth, img.getHeight, gridLuminance(img, 4, 4).toSeq)
               }
-          } else if (!looksLikeImage(bytes)) Iterator.empty
-          else {
-            val iis = javax.imageio.ImageIO.createImageInputStream(
-              new java.io.ByteArrayInputStream(bytes))
-            val readers = javax.imageio.ImageIO.getImageReaders(iis)
-            if (!readers.hasNext) { iis.close(); Iterator.empty }
-            else {
-              val reader = readers.next()
-              try {
-                reader.setInput(iis)
-                val n = math.min(reader.getNumImages(true), maxFrames)
-                // materialize before dispose: the rows outlive the reader
-                (0 until n).map { i =>
-                  val img = reader.read(i)
-                  Row(id, i, img.getWidth, img.getHeight, gridLuminance(img, 4, 4).toSeq)
-                }.iterator
-              } catch {
-                case scala.util.control.NonFatal(_) => Iterator.empty
-              } finally { reader.dispose(); iis.close() }
+          } else {
+            imageReaderFrames(bytes, maxFrames).zipWithIndex.map { case (img, i) =>
+              Row(id, i, img.getWidth, img.getHeight, gridLuminance(img, 4, 4).toSeq)
             }
           }
         }
@@ -704,6 +688,31 @@ object Multimodal {
       }(enc)
   }
 
+  /** All frames the JDK image stack can decode from one payload — the
+    * multi-image reader loop (animated GIF: one BufferedImage per stored
+    * frame; stills: exactly one), capped at `maxFrames`; empty on
+    * non-image/corrupt bytes (decoded truth only). Shared by
+    * [[decodeFrames]] and [[perceptualFrameHashes]] so BOTH frame
+    * consumers see animated GIFs frame-by-frame, not just frame 0.
+    */
+  private def imageReaderFrames(
+      bytes: Array[Byte], maxFrames: Int): Iterator[java.awt.image.BufferedImage] = {
+    if (!looksLikeImage(bytes)) return Iterator.empty
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val readers = javax.imageio.ImageIO.getImageReaders(iis)
+    if (!readers.hasNext) { iis.close(); return Iterator.empty }
+    val reader = readers.next()
+    try {
+      reader.setInput(iis)
+      val n = math.min(reader.getNumImages(true), maxFrames)
+      // materialize before dispose: the frames outlive the reader
+      (0 until n).map(reader.read).iterator
+    } catch {
+      case scala.util.control.NonFatal(_) => Iterator.empty
+    } finally { reader.dispose(); iis.close() }
+  }
+
   /** Per-FRAME perceptual hashes for multi-frame media: one row
     * (media_id, frame_idx, dhash) per actually-decoded frame — MJPEG-AVI
     * stream chunks, animated-GIF frames, or a single row for stills;
@@ -728,11 +737,11 @@ object Multimodal {
         rows.flatMap { r =>
           val id = r.getLong(0)
           val bytes = r.getAs[Array[Byte]](1)
-          if (looksLikeAvi(bytes))
-            aviJpegFrames(bytes, maxFrames).iterator.flatMap(tryDecodeImage)
-              .zipWithIndex.map { case (img, i) => Row(id, i, dhash64(img)) }
-          else if (!looksLikeImage(bytes)) Iterator.empty
-          else tryDecodeImage(bytes).iterator.map(img => Row(id, 0, dhash64(img)))
+          val frames =
+            if (looksLikeAvi(bytes))
+              aviJpegFrames(bytes, maxFrames).iterator.flatMap(tryDecodeImage)
+            else imageReaderFrames(bytes, maxFrames)
+          frames.zipWithIndex.map { case (img, i) => Row(id, i, dhash64(img)) }
         }
       }(enc)
   }

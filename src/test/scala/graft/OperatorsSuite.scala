@@ -319,6 +319,56 @@ class OperatorsSuite extends AnyFunSuite {
       s"loose pairs wrong: $loose")
   }
 
+  test("perceptualFrameHashes: animated GIF decodes frame-by-frame and " +
+    "cross-container (GIF vs MJPEG-AVI) near-dup links") {
+    import graft.operators.Multimodal
+    def gif(frames: Seq[java.awt.image.BufferedImage]): Array[Byte] = {
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      val baos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach { img =>
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(img, null, null), writer.getDefaultWriteParam)
+      }
+      writer.endWriteSequence(); ios.close(); writer.dispose()
+      baos.toByteArray
+    }
+    def avi(frames: Seq[java.awt.image.BufferedImage]): Array[Byte] =
+      Multimodal.buildMjpegAvi(frames.map { img =>
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "jpg", baos)
+        baos.toByteArray
+      })
+    val srcs = Seq(smoothImg(1.7, 1.2, 0.3), smoothImg(0.9, 2.2, 1.1),
+      smoothImg(2.6, 0.7, 2.9))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("media_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("media_type",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("content",
+        org.apache.spark.sql.types.BinaryType, nullable = false)))
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(1L, "video", gif(srcs)),
+        org.apache.spark.sql.Row(2L, "video", avi(srcs)),
+        org.apache.spark.sql.Row(3L, "image", gif(srcs.take(1)))), 2), schema)
+    // one dHash row per stored GIF frame (the decodeFrames reader loop,
+    // now shared) — a still stays a single row
+    val counts = Multimodal.perceptualFrameHashes(media)
+      .groupBy("media_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts === Map(1L -> 3L, 2L -> 3L, 3L -> 1L), s"frame counts wrong: $counts")
+    // same footage shipped as animated GIF vs MJPEG-AVI links across the
+    // container boundary: GIF is palette-quantized and AVI frames are
+    // JPEG, so per-frame hashes are near, not equal
+    val pairs = Dedup.videoNearDupPairs(media, maxHamming = 10, minFrames = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(pairs.get((1L, 2L)) === Some(3L), s"cross-container link missing: $pairs")
+  }
+
   test("videoNearDupPairs: integral frame-id unpack is exact for huge and " +
     "negative media ids, packing-range guard raises") {
     import graft.operators.Multimodal
