@@ -279,11 +279,13 @@ object Prof {
       for (maxH <- Seq(10, 6, 4); minF <- Seq(2, 3)) {
         val pairs = Dedup.videoNearDupPairs(media, maxHamming = maxH, minFrames = minF)
         val isLink = col("media_b") === col("media_a") + 1000000L
+        // coalesce: sums are NULL on an empty pair set (a strict enough
+        // parameter combination is exactly what the probe measures)
         val r = time(s"census maxH=$maxH minF=$minF")(
           pairs.agg(count(lit(1)).as("n"),
-            sum(when(isLink, 1L).otherwise(0L)).as("links"),
-            sum(when(isLink && col("matched_frames") === 3, 1L).otherwise(0L))
-              .as("full")).head)
+            coalesce(sum(when(isLink, 1L).otherwise(0L)), lit(0L)).as("links"),
+            coalesce(sum(when(isLink && col("matched_frames") === 3, 1L)
+              .otherwise(0L)), lit(0L)).as("full")).head)
         println(s"[prof] maxH=$maxH minF=$minF pairs=${r.getLong(0)} " +
           s"links=${r.getLong(1)} full=${r.getLong(2)}")
       }

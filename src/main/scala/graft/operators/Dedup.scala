@@ -282,10 +282,15 @@ object Dedup {
       case None => blocks
       case Some(cap) =>
         require(cap >= 1, s"$op: maxBucket must be >= 1, got $cap")
-        val hot = blocks.groupBy(col("blk"), col("v"))
+        // stage boundary: with the guard on, the blocks subtree gains a
+        // THIRD consumer (the hot aggregate, besides the two self-join
+        // sides) — checkpoint the bounded ~20-byte/row band table so the
+        // caller's hash plan (decode, simhash) still evaluates once
+        val b = blocks.localCheckpoint(false)
+        val hot = b.groupBy(col("blk"), col("v"))
           .agg(count(lit(1)).as("__bn"))
           .agg(coalesce(max(col("__bn")), lit(0L)).as("__maxbn"))
-        Guards.inPlanAssert(blocks, hot, col("__maxbn") <= cap,
+        Guards.inPlanAssert(b, hot, col("__maxbn") <= cap,
           concat(lit(s"$op: hottest band bucket holds "),
             col("__maxbn").cast("string"),
             lit(s" hashes > maxBucket = $cap — a degenerate hash class " +
@@ -463,14 +468,28 @@ object Dedup {
     */
   private def packedFrameIds(frames: DataFrame, op: String): DataFrame = {
     val maxPackId = Long.MaxValue >> 10
+    // BOTH packed components are guarded (media_id range/null AND
+    // frame_idx ∈ [0, 1024)/null): perceptualFrameHashes emits in-range
+    // values by construction, but the corpus side of the incremental gate
+    // is a user-persisted artifact — a foreign writer's frame_idx = 2000
+    // would silently bleed into the NEXT media id's fid space (splitting
+    // a true duplicate's census below minFrames), and a NULL in either
+    // column would null the fid and silently vanish from the band join.
     val guardedId = when(
-      col("media_id") > maxPackId || col("media_id") < -maxPackId,
+      col("media_id").isNull || col("media_id") > maxPackId ||
+        col("media_id") < -maxPackId,
       raise_error(concat(
-        lit(s"$op: media_id outside the ±$maxPackId packing range: "),
-        col("media_id").cast("string"))))
+        lit(s"$op: media_id null or outside the ±$maxPackId packing range: "),
+        coalesce(col("media_id").cast("string"), lit("NULL")))))
       .otherwise(col("media_id"))
+    val guardedIdx = when(
+      col("frame_idx").isNull || col("frame_idx") < 0 || col("frame_idx") >= 1024,
+      raise_error(concat(
+        lit(s"$op: frame_idx null or outside [0, 1024): "),
+        coalesce(col("frame_idx").cast("string"), lit("NULL")))))
+      .otherwise(col("frame_idx"))
     frames.select(
-      (guardedId * 1024L + col("frame_idx")).as("fid"), col("dhash"))
+      (guardedId * 1024L + guardedIdx).as("fid"), col("dhash"))
   }
 
   /** Integral unpack of [[packedFrameIds]]' media component: 1024 = 2^10,
@@ -1321,16 +1340,16 @@ object Dedup {
     // contract: (media_id, <hashCol>). Validate up front with a clear
     // error instead of letting the select throw a bare AnalysisException
     // — or, worse, bind to a wrong same-named column in a wider table.
-    require(corpusHashes.columns.contains("media_id"),
-      s"incremental hash gate: corpus hash table must carry the persisted-artifact " +
-        s"schema (media_id, $hashCol) but has no media_id column " +
-        s"(got [${corpusHashes.columns.mkString(", ")}]); select/rename the " +
-        "artifact columns before passing it")
-    require(corpusHashes.columns.contains(hashCol),
-      s"incremental hash gate: corpus hash table must carry the persisted-artifact " +
-        s"schema (media_id, $hashCol) but has no $hashCol column " +
-        s"(got [${corpusHashes.columns.mkString(", ")}]); select/rename the " +
-        "artifact columns before passing it")
+    // case-INSENSITIVE match, mirroring Spark's default column resolution
+    // (a `Media_Id` artifact that the select below resolves fine should
+    // not be rejected here)
+    Seq("media_id", hashCol).foreach { c =>
+      require(corpusHashes.columns.exists(_.equalsIgnoreCase(c)),
+        s"incremental hash gate: corpus hash table must carry the persisted-artifact " +
+          s"schema (media_id, $hashCol) but has no $c column " +
+          s"(got [${corpusHashes.columns.mkString(", ")}]); select/rename the " +
+          "artifact columns before passing it")
+    }
     val nh = newHashes.localCheckpoint(false)
     val nb = bandBlocks(nh, "media_id", hashCol, maxHamming, bits = 64)
     // the hot-bucket guard watches the CORPUS side: the persisted hash
@@ -1377,11 +1396,12 @@ object Dedup {
       corpusHashPath: String,
       idCol: String = "media_id",
       binCol: String = "content",
-      maxHamming: Int = 6): DataFrame = {
+      maxHamming: Int = 6,
+      maxBucket: Option[Long] = None): DataFrame = {
     val proto = Multimodal.perceptualAudioHashes(newBatch.limit(0)
       .select(col(idCol).as("media_id"), col(binCol).as("content")))
     incrementalAudioNew(newBatch, tableOrEmpty(proto, corpusHashPath),
-      idCol, binCol, maxHamming)
+      idCol, binCol, maxHamming, maxBucket)
   }
 
   /** Incremental VIDEO near-dup gate — the streaming video-ingest shape:
@@ -1411,7 +1431,8 @@ object Dedup {
       maxBucket: Option[Long] = None): DataFrame = {
     require(minFrames >= 1, "incrementalVideoNew: minFrames must be >= 1")
     Seq("media_id", "frame_idx", "dhash").foreach { c =>
-      require(corpusFrameHashes.columns.contains(c),
+      // case-insensitive, mirroring default resolution (see the shared gate)
+      require(corpusFrameHashes.columns.exists(_.equalsIgnoreCase(c)),
         s"incrementalVideoNew: corpus frame-hash table must carry the " +
           s"persisted-artifact schema (media_id, frame_idx, dhash) but has " +
           s"no $c column (got [${corpusFrameHashes.columns.mkString(", ")}]); " +
@@ -1461,11 +1482,12 @@ object Dedup {
       binCol: String = "content",
       maxHamming: Int = 6,
       minFrames: Int = 2,
-      maxFrames: Int = 32): DataFrame = {
+      maxFrames: Int = 32,
+      maxBucket: Option[Long] = None): DataFrame = {
     val proto = Multimodal.perceptualFrameHashes(newBatch.limit(0)
       .select(col(idCol).as("media_id"), col(binCol).as("content")), maxFrames)
     incrementalVideoNew(newBatch, tableOrEmpty(proto, corpusHashPath),
-      idCol, binCol, maxHamming, minFrames, maxFrames)
+      idCol, binCol, maxHamming, minFrames, maxFrames, maxBucket)
   }
 
   /** [[incrementalImageNew]] against a dHash table persisted as parquet at
@@ -1479,11 +1501,12 @@ object Dedup {
       corpusHashPath: String,
       idCol: String = "media_id",
       binCol: String = "content",
-      maxHamming: Int = 6): DataFrame = {
+      maxHamming: Int = 6,
+      maxBucket: Option[Long] = None): DataFrame = {
     val proto = Multimodal.perceptualHashes(newBatch.limit(0)
       .select(col(idCol).as("media_id"), col(binCol).as("content")))
     incrementalImageNew(newBatch, tableOrEmpty(proto, corpusHashPath),
-      idCol, binCol, maxHamming)
+      idCol, binCol, maxHamming, maxBucket)
   }
 
   /** [[incrementalExact]] with a Bloom prefilter — the daily-ingest shape

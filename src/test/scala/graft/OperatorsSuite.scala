@@ -193,7 +193,8 @@ class OperatorsSuite extends AnyFunSuite {
     assert(collectPairs(Some(1000L)) === ungated,
       "a satisfied maxBucket guard must be output-neutral")
 
-    // the guard threads through the modality pair generators
+    // the guard threads through ALL THREE modality pair generators
+    // (identical payloads = one shared hash = the degenerate bucket)
     val clip = {
       val img = smoothImg(1.1, 0.7, 0.2)
       val baos = new java.io.ByteArrayOutputStream()
@@ -207,6 +208,43 @@ class OperatorsSuite extends AnyFunSuite {
     }
     assert(msgs(imgEx).exists(_.contains("hottest band bucket")),
       s"imageNearDupPairs must thread maxBucket, got: ${msgs(imgEx).take(3)}")
+    val wav = {
+      val rnd2 = new java.util.Random(7L)
+      val n = 2080
+      val data = new Array[Byte](n * 2)
+      for (s <- 0 until n) {
+        val v = rnd2.nextInt(30000) - 15000
+        data(2 * s) = (v & 0xFF).toByte
+        data(2 * s + 1) = ((v >> 8) & 0xFF).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+      baos.toByteArray
+    }
+    val audioMedia = (0L until 50L).map(i => (i, "audio", wav))
+      .toDF("media_id", "media_type", "content")
+    val audEx = intercept[Exception] {
+      Dedup.audioNearDupPairs(audioMedia, maxHamming = 0, maxBucket = Some(10L)).count()
+    }
+    assert(msgs(audEx).exists(_.contains("hottest band bucket")),
+      s"audioNearDupPairs must thread maxBucket, got: ${msgs(audEx).take(3)}")
+    val avi = Multimodal.buildMjpegAvi(Seq({
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(smoothImg(1.1, 0.7, 0.2), "jpg", baos)
+      baos.toByteArray
+    }))
+    val videoMedia = (0L until 50L).map(i => (i, "video", avi))
+      .toDF("media_id", "media_type", "content")
+    val vidEx = intercept[Exception] {
+      Dedup.videoNearDupPairs(videoMedia, maxHamming = 0, minFrames = 1,
+        maxBucket = Some(10L)).count()
+    }
+    assert(msgs(vidEx).exists(_.contains("hottest band bucket")),
+      s"videoNearDupPairs must thread maxBucket, got: ${msgs(vidEx).take(3)}")
   }
 
   private def smoothImg(fx: Double, fy: Double, phase: Double): java.awt.image.BufferedImage = {
