@@ -458,7 +458,8 @@ object Dedup {
     * 12 bytes per video; the per-pair census is one hash agg. Hot-frame
     * skew (a black frame shared by everything) is the honest limit —
     * same class as the simhash band-bucket note on
-    * [[hammingBandPairs]].
+    * [[hammingBandPairs]]; `maxBucket` turns it into an in-plan
+    * fail-loud bound ([[boundedBlocks]]).
     */
   /** Pack a (media_id, frame_idx, dhash) frame table onto one fixed-width
     * band-join key: fid = media_id · 1024 + frame_idx. The packing bound
