@@ -2842,6 +2842,24 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // video_neardup_exact on the ANIMATED-GIF container: the same
+    // deterministic-codec trick (the JDK GIF sequence writer is
+    // deterministic for fixed input, so identical texts yield
+    // byte-identical payloads and identical per-frame dHashes) through
+    // the multi-IMAGE reader decode path — the frame branch the AVI
+    // fixture cannot exercise (RIFF walk vs getNumImages loop). At
+    // Hamming 0 / minFrames 3 pairs ≡ identical-text pairs — SQL.
+    // Completes oracle coverage of BOTH multi-frame decode branches.
+    "video_neardup_gif_exact" -> ((s, dir) => {
+      val docs = documents(s, dir).select(col("doc_id"), col("text"))
+        .repartition(32)
+      val dupes = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val media = Multimodal.syntheticGifVideos(docs.unionByName(dupes), "doc_id", "text")
+      Dedup.videoNearDupPairs(media, maxHamming = 0, minFrames = 3)
+        .orderBy(col("media_a"), col("media_b"))
+    }),
+
     // The Hamming band-join stage of image near-dup on SQL-recomputable
     // hash columns (the dedup_simhash oracle pattern, aimed at the
     // GENERIC hammingBandPairs layout imageNearDupPairs uses): 60-bit
@@ -5677,6 +5695,17 @@ object SparkEntry {
         |FROM g JOIN c USING (h)
         |WHERE c.n > 1
         |ORDER BY doc_id""".stripMargin,
+
+    // deterministic-GIF regime: payloads byte-determined by the text, so
+    // all-3-frames-matched pairs at Hamming 0 ≡ identical-text pairs
+    "video_neardup_gif_exact" ->
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0)
+        |SELECT l.doc_id AS media_a, r.doc_id AS media_b, 3::BIGINT AS matched_frames
+        |FROM d l JOIN d r ON md5(l.text) = md5(r.text) AND l.doc_id < r.doc_id
+        |ORDER BY media_a, media_b""".stripMargin,
 
     // clusters over all-3-frame Hamming-0 video pairs on the
     // deterministic-codec fixture ≡ equal-text groups of size > 1,

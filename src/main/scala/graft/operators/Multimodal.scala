@@ -781,38 +781,79 @@ object Multimodal {
     */
   def syntheticVideos(
       df: DataFrame, idCol: String, textCol: String, nFrames: Int = 3): DataFrame = {
-    val outSchema = StructType(Seq(
-      StructField("media_id", LongType, nullable = false),
-      StructField("media_type", StringType, nullable = false),
-      StructField("content", BinaryType, nullable = false)))
-    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(mediaSchema)
     df.select(col(idCol).cast("long"), col(textCol).cast("string"))
       .mapPartitions { rows =>
         javax.imageio.ImageIO.setUseCache(false)
         rows.map { r =>
           val text = r.getString(1)
           val frames = (0 until nFrames).map { fi =>
-            val seed = (text + "\u0000" + fi).getBytes("UTF-8")
-            val chain = Array.tabulate(5)(i => md5Bytes(seed, i.toByte)).flatten
-            val img = new java.awt.image.BufferedImage(
-              18, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
-            var cy = 0
-            while (cy < 8) {
-              var cx = 0
-              while (cx < 9) {
-                val v = chain(cy * 9 + cx) & 0xFF
-                val rgb = (v << 16) | (v << 8) | v
-                img.setRGB(cx * 2, cy * 2, rgb); img.setRGB(cx * 2 + 1, cy * 2, rgb)
-                img.setRGB(cx * 2, cy * 2 + 1, rgb); img.setRGB(cx * 2 + 1, cy * 2 + 1, rgb)
-                cx += 1
-              }
-              cy += 1
-            }
             val baos = new java.io.ByteArrayOutputStream()
-            javax.imageio.ImageIO.write(img, "jpg", baos)
+            javax.imageio.ImageIO.write(noiseFrame(text, fi), "jpg", baos)
             baos.toByteArray
           }
           Row(r.getLong(0), "video", buildMjpegAvi(frames))
+        }
+      }(enc)
+  }
+
+  /** Frame i of the deterministic noise-video fixtures: an 18×16
+    * grayscale grid (2×2 pixel blocks) whose values come from the md5
+    * chain of text‖i — byte-reproducible per (text, frame) and
+    * independent across distinct texts (full dHash entropy, so
+    * cross-text collisions stay at n²/2⁶⁴ rates). Shared by the AVI and
+    * animated-GIF fixture builders.
+    */
+  private def noiseFrame(text: String, fi: Int): java.awt.image.BufferedImage = {
+    val seed = (text + "\u0000" + fi).getBytes("UTF-8")
+    val chain = Array.tabulate(5)(i => md5Bytes(seed, i.toByte)).flatten
+    val img = new java.awt.image.BufferedImage(
+      18, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var cy = 0
+    while (cy < 8) {
+      var cx = 0
+      while (cx < 9) {
+        val v = chain(cy * 9 + cx) & 0xFF
+        val rgb = (v << 16) | (v << 8) | v
+        img.setRGB(cx * 2, cy * 2, rgb); img.setRGB(cx * 2 + 1, cy * 2, rgb)
+        img.setRGB(cx * 2, cy * 2 + 1, rgb); img.setRGB(cx * 2 + 1, cy * 2 + 1, rgb)
+        cx += 1
+      }
+      cy += 1
+    }
+    img
+  }
+
+  /** [[syntheticVideos]] on the ANIMATED-GIF container: the same
+    * deterministic noise frames written through the JDK GIF sequence
+    * writer (prepareWriteSequence/writeToSequence — each frame stored
+    * whole, no delta coding). The GIF writer is deterministic for fixed
+    * input, so identical texts yield byte-identical payloads — the
+    * exact-regime oracle fixture for the multi-IMAGE reader decode path
+    * (`video_neardup_gif_exact`), the container [[buildMjpegAvi]] cannot
+    * exercise.
+    */
+  def syntheticGifVideos(
+      df: DataFrame, idCol: String, textCol: String, nFrames: Int = 3): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(mediaSchema)
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+        rows.map { r =>
+          val text = r.getString(1)
+          val baos = new java.io.ByteArrayOutputStream()
+          val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+          writer.setOutput(ios)
+          writer.prepareWriteSequence(null)
+          (0 until nFrames).foreach { fi =>
+            writer.writeToSequence(
+              new javax.imageio.IIOImage(noiseFrame(text, fi), null, null),
+              writer.getDefaultWriteParam)
+          }
+          writer.endWriteSequence()
+          ios.close()
+          Row(r.getLong(0), "video", baos.toByteArray)
         }
       }(enc)
   }
