@@ -228,6 +228,106 @@ object Prof {
       }
       spark.stop(); return
     }
+    if (args.headOption.contains("graphstage")) {
+      // where do the iterative graph queries spend their time? Depth sweep:
+      // pageRank at iters 1/2/3 (marginal = per-step cost, intercept =
+      // Prepared construction), shortestHops at 0/1/3 hops, plus the raw
+      // edge-prep subtree alone. Usage: runMain graft.Prof graphstage
+      import graft.operators.Graph
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val ord = spark.read.parquet(s"$sfDir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"))
+      def e0 = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("s"), col("l_suppkey").cast("string")).as("src"),
+          concat(lit("c"), col("o_custkey").cast("string")).as("dst"))
+        .distinct()
+      def sym = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = spark.read.parquet(s"$sfDir/supplier.parquet")
+        .filter(pmod(col("s_suppkey"), lit(10)) === 0)
+        .select(concat(lit("s"), col("s_suppkey").cast("string")).as("vertex"))
+      // warmup
+      Graph.pageRank(sym, 1).write.format("noop").mode("overwrite").save()
+      (1 to 2).foreach { r =>
+        time(s"edge prep alone round $r")(
+          sym.write.format("noop").mode("overwrite").save())
+        for (it <- Seq(1, 2, 3))
+          time(s"pageRank iters=$it round $r")(
+            Graph.pageRank(sym, it).write.format("noop").mode("overwrite").save())
+        for (h <- Seq(0, 1, 3))
+          time(s"shortestHops maxHops=$h round $r")(
+            Graph.shortestHops(sym, seeds, h).write.format("noop").mode("overwrite").save())
+      }
+      spark.stop(); return
+    }
+    if (args.headOption.contains("audiomicro")) {
+      // single-threaded micro-split of the JDK audio stack on one
+      // fixture-class clip: where do the per-clip milliseconds go?
+      // Usage: runMain graft.Prof audiomicro [reps]
+      val reps = if (args.length > 1) args(1).toInt else 2000
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val n = 2080
+      val rnd = new java.util.Random(42L)
+      val pcm = new Array[Byte](n * 2)
+      rnd.nextBytes(pcm)
+      def mkWav(): Array[Byte] = {
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(
+          ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+        baos.toByteArray
+      }
+      val wav = mkWav()
+      def bench(label: String)(f: => Unit): Unit = {
+        var i = 0; while (i < reps / 10) { f; i += 1 } // warmup
+        val t0 = System.nanoTime()
+        i = 0; while (i < reps) { f; i += 1 }
+        println(f"[prof] $label: ${(System.nanoTime() - t0) / 1e3 / reps}%.1f us/op")
+      }
+      bench("writeWav (AudioSystem.write)")(mkWav())
+      bench("getAudioInputStream(wav)")({
+        val a = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(wav)); a.close()
+      })
+      bench("decode: open+readAllBytes")({
+        val a = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(wav))
+        a.readAllBytes(); a.close()
+      })
+      val ulawFmt = new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.ULAW, 8000f, 8, 1, 1, 8000f, false)
+      bench("ulaw transcode chain (convert+write)")({
+        val src = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(wav))
+        val conv = javax.sound.sampled.AudioSystem.getAudioInputStream(ulawFmt, src)
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(
+          conv, javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+        src.close()
+      })
+      val ulawWav = {
+        val src = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(wav))
+        val conv = javax.sound.sampled.AudioSystem.getAudioInputStream(ulawFmt, src)
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(
+          conv, javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+        baos.toByteArray
+      }
+      bench("ulaw decode via conversion chain")({
+        val a0 = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(ulawWav))
+        val f0 = a0.getFormat
+        val target = new javax.sound.sampled.AudioFormat(
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          f0.getSampleRate, 16, f0.getChannels,
+          f0.getChannels * 2, f0.getSampleRate, false)
+        val a = javax.sound.sampled.AudioSystem.getAudioInputStream(target, a0)
+        a.readAllBytes(); a.close()
+      })
+      spark.stop(); return
+    }
     if (args.headOption.contains("audiostage")) {
       // where does audio_neardup spend its time? Stage split: WAV synth
       // alone (xxhash64 of bytes forces materialization without decode),

@@ -166,6 +166,12 @@ object Dedup {
       shingleSize: Int,
       numHashes: Int,
       md5Family: Boolean = false): DataFrame = {
+    // NOTE (r21 measured): the signature agg's pruned copies re-run per
+    // consumer (band buckets keep `sig`, the verify sides keep `hs`), but
+    // a localCheckpoint(false) boundary on this table measured SLOWER at
+    // sf0.1 (array-heavy block write vs parallel recompute) — recompute
+    // is deliberate; an ingest loop persists the signature table as its
+    // artifact instead (incrementalMinhashNew's corpus side).
     val base = df.select(col(idCol).as("doc_id"),
         TextAnalysis.shingles(col(textCol), shingleSize).as("sh"))
     if (!md5Family)
@@ -572,10 +578,16 @@ object Dedup {
       threshold: Double = 0.2): DataFrame = {
     require(threshold > 0.0, "inverted-index Jaccard needs threshold > 0")
     val keyNames = blockingKeys.map(_.toString)
+    // lazy stage boundary: the self-join consumes the shingled table on
+    // BOTH sides, and when AQE broadcasts one side there is no exchange
+    // for ReusedExchange to grab — without the boundary the scan +
+    // shingle string-build runs twice per plan (the imageNearDupPairs
+    // decode-once rationale on the text path)
     val base = df.select(
       col(idCol).as("doc_id") +:
         TextAnalysis.shingles(col(textCol), shingleSize).as("sh") +:
         blockingKeys: _*)
+      .localCheckpoint(false)
     val inv = base
       .withColumn("n_sh", size(col("sh")))
       .select(col("doc_id") +: col("n_sh") +: explode(col("sh")).as("shingle") +:
@@ -629,6 +641,9 @@ object Dedup {
       threshold: Double = 0.2): DataFrame = {
     require(threshold > 0.0, "prefix filtering needs threshold > 0")
     val keyNames = blockingKeys.map(_.toString)
+    // lazy stage boundary: base feeds FOUR subtrees (both candidate-join
+    // sides + both verify re-attach sides), each pruned differently below
+    // its exchange — scan + shingle + hash-sort once per plan, not 4×
     val base = df
       .select(
         col(idCol).as("doc_id") +:
@@ -636,6 +651,7 @@ object Dedup {
           blockingKeys: _*)
       .withColumn("n_sh", size(col("sh")))
       .withColumn("hs", sort_array(transform(col("sh"), s => xxhash64(s))))
+      .localCheckpoint(false)
       // + 2, one MORE than the classical n − ⌈t·n⌉ + 1: the theorem's
       // ⌈t·n⌉ is exact-rational, but this ceil and the verify filter both
       // run fl(·) double arithmetic, and their ±ulp disagreement at integer
@@ -707,10 +723,13 @@ object Dedup {
       threshold: Double = 0.8): DataFrame = {
     require(threshold > 0.0, "inverted-index containment needs threshold > 0")
     val keyNames = blockingKeys.map(_.toString)
+    // lazy stage boundary — same self-join double-execution rationale as
+    // [[ngramJaccardPairs]]
     val base = df.select(
       col(idCol).as("doc_id") +:
         TextAnalysis.shingles(col(textCol), shingleSize).as("sh") +:
         blockingKeys: _*)
+      .localCheckpoint(false)
     val inv = base
       .withColumn("n_sh", size(col("sh")))
       .select(col("doc_id") +: col("n_sh") +: explode(col("sh")).as("shingle") +:
@@ -768,6 +787,8 @@ object Dedup {
       threshold: Double = 0.8): DataFrame = {
     require(threshold > 0.0, "prefix filtering needs threshold > 0")
     val keyNames = blockingKeys.map(_.toString)
+    // lazy stage boundary — same 4-consumer rationale as
+    // [[ngramJaccardPairsPrefix]] (probe, full, both verify sides)
     val base = df
       .select(
         col(idCol).as("doc_id") +:
@@ -777,6 +798,7 @@ object Dedup {
       .withColumn("hs", sort_array(transform(col("sh"), s => xxhash64(s))))
       .withColumn("plen",
         (col("n_sh") - ceil(col("n_sh") * lit(threshold)) + 2).cast("int"))
+      .localCheckpoint(false)
     val probe = base.select(
       col("doc_id") +: col("n_sh") +:
         explode(slice(col("hs"), lit(1), col("plen"))).as("h") +:
@@ -1730,9 +1752,13 @@ object Dedup {
     */
   def exactSubstringDups(docs: DataFrame, idCol: String, textCol: String, k: Int = 8): DataFrame = {
     require(k > 0, "exactSubstringDups: k must be positive")
+    // lazy stage boundary: grams feeds the min-owner agg AND the join
+    // back — the agg's copy sits below its own exchange, so the scan +
+    // k-gram build ran twice per plan; 16-byte rows, computed once
     val grams = docs.select(col(idCol).as("__doc"),
         explode(TextAnalysis.shingles(col(textCol), k)).as("__gs"))
       .select(col("__doc"), xxhash64(col("__gs")).as("__g"))
+      .localCheckpoint(false)
     val owner = grams.groupBy(col("__g")).agg(min(col("__doc")).as("__first"))
     grams.join(owner, "__g")
       .filter(col("__doc") > col("__first"))

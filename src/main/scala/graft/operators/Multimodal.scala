@@ -90,8 +90,71 @@ object Multimodal {
   /** Real image decode via the JDK's ImageIO: None when the bytes are not
     * a recognizable image (magic-byte mismatch, ImageIO returns null) or
     * the decode throws.
+    *
+    * Per-task-work fast path (r21, guide §1.2 step 2): `ImageIO.read`
+    * consults the provider registry and creates + disposes a fresh
+    * ImageReader per call — measurable constant cost per payload that
+    * also contends on shared registry state across 32 task threads.
+    * Readers are thread-confined (ThreadLocal, one per format per task
+    * thread — the jpegEncoderFor reuse pattern on the decode side) and
+    * reused via setInput; selection still goes through
+    * `ImageIO.getImageReaders` on first use, so WHICH reader decodes is
+    * unchanged, and the read call replicates `ImageIO.read`'s exact
+    * invocation (setInput(iis, true, true) + read(0, defaultParam)) —
+    * pixel-identity is spec-pinned against ImageIO.read in
+    * OperatorsSuite. A reader that throws is disposed and re-created on
+    * the next payload of its format; reader count is bounded by
+    * threads × formats (the acknowledged task-end-reclaim class).
     */
-  private def tryDecodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+  private val threadReaders =
+    new ThreadLocal[java.util.HashMap[String, javax.imageio.ImageReader]] {
+      override def initialValue(): java.util.HashMap[String, javax.imageio.ImageReader] =
+        new java.util.HashMap()
+    }
+
+  private def imageFormatOf(bytes: Array[Byte]): String = {
+    val b0 = bytes(0) & 0xFF
+    if (b0 == 0x89) "png"
+    else if (b0 == 0xFF) "jpeg"
+    else if (b0 == 0x47) "gif"
+    else "bmp"
+  }
+
+  private[graft] def tryDecodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    if (!looksLikeImage(bytes)) None
+    else {
+      val fmt = imageFormatOf(bytes)
+      val cache = threadReaders.get()
+      // setUseCache(false) call sites make ImageIO.createImageInputStream
+      // return exactly this class; constructing it directly skips one
+      // registry consult per payload
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        var r = cache.get(fmt)
+        if (r == null) {
+          val it = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!it.hasNext) return None
+          r = it.next()
+          cache.put(fmt, r)
+        }
+        r.setInput(iis, true, true)
+        Option(r.read(0, r.getDefaultReadParam))
+      } catch {
+        case scala.util.control.NonFatal(_) =>
+          Option(cache.remove(fmt)).foreach { rr =>
+            try rr.dispose() catch { case scala.util.control.NonFatal(_) => () }
+          }
+          None
+      } finally {
+        try iis.close() catch { case scala.util.control.NonFatal(_) => () }
+      }
+    }
+
+  /** The one-shot `ImageIO.read` form — the pixel-identity spec's
+    * reference implementation, not on any query path.
+    */
+  private[graft] def tryDecodeImageJdk(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
     if (!looksLikeImage(bytes)) None
     else try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
     catch { case scala.util.control.NonFatal(_) => None }
@@ -177,13 +240,168 @@ object Multimodal {
   private[graft] def tryDecodeAudio(bytes: Array[Byte]): Option[Array[Float]] =
     tryDecodeAudioSegs(bytes, FeatureDim)
 
+  /** Parsed canonical-WAV layout: fmt fields + the first data chunk.
+    * Conservative by design — anything non-canonical (missing/short fmt,
+    * extensible format, truncated chunk headers) returns None and the
+    * caller falls back to the JDK's own reader, so the fast paths below
+    * can never CHANGE a decode, only skip the `AudioSystem` overhead on
+    * the well-formed common case.
+    */
+  private[graft] final case class WavInfo(
+      format: Int, channels: Int, sampleRate: Float, bits: Int,
+      dataOff: Int, dataLen: Int)
+
+  private def u16le(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8)
+
+  private[graft] def parseWav(bytes: Array[Byte]): Option[WavInfo] = {
+    if (!looksLikeWav(bytes)) return None
+    val end = math.min(bytes.length.toLong, 8L + u32le(bytes, 4)).toInt
+    var off = 12
+    var fmtCode = -1
+    var channels = 0
+    var rate = 0f
+    var bits = 0
+    while (off + 8 <= end) {
+      val size = u32le(bytes, off + 4)
+      val body = off + 8
+      if (size < 0 || body + size > bytes.length.toLong) {
+        // truncated chunk: only a data chunk may be short (readers clamp
+        // it to EOF); anything else is non-canonical → fall back
+        if (fmtCode >= 0 && bytes(off) == 'd' && bytes(off + 1) == 'a' &&
+            bytes(off + 2) == 't' && bytes(off + 3) == 'a')
+          return Some(WavInfo(fmtCode, channels, rate, bits, body,
+            math.max(0, bytes.length - body)))
+        return None
+      }
+      val sz = size.toInt
+      if (bytes(off) == 'f' && bytes(off + 1) == 'm' &&
+          bytes(off + 2) == 't' && bytes(off + 3) == ' ') {
+        if (sz < 16) return None
+        fmtCode = u16le(bytes, body)
+        channels = u16le(bytes, body + 2)
+        rate = u32le(bytes, body + 4).toFloat
+        bits = u16le(bytes, body + 14)
+        if (channels <= 0 || rate <= 0f) return None
+      } else if (bytes(off) == 'd' && bytes(off + 1) == 'a' &&
+          bytes(off + 2) == 't' && bytes(off + 3) == 'a') {
+        if (fmtCode < 0) return None
+        return Some(WavInfo(fmtCode, channels, rate, bits, body, sz))
+      }
+      off = body + sz + (sz & 1)
+    }
+    None
+  }
+
+  /** μ-law → signed-16-bit lookup, derived at first use by running the
+    * JDK's OWN conversion chain over all 256 code points — bit-identical
+    * to `AudioSystem`'s decode by construction (G.711 companding is
+    * memoryless per sample), so the table-driven fast path cannot drift
+    * from the fallback it replaces. One 256-sample conversion per JVM.
+    */
+  private lazy val ulawToPcm: Array[Short] = {
+    val src = new Array[Byte](256)
+    var i = 0
+    while (i < 256) { src(i) = i.toByte; i += 1 }
+    val ulawFmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.ULAW, 8000f, 8, 1, 1, 8000f, false)
+    val target = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED, 8000f, 16, 1, 2, 8000f, false)
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(target,
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(src), ulawFmt, 256L))
+    val out = try ais.readAllBytes() finally ais.close()
+    Array.tabulate(256)(j => ((out(2 * j + 1).toInt << 8) | (out(2 * j) & 0xFF)).toShort)
+  }
+
+  /** signed-16-bit → μ-law lookup (index = sample + 32768), derived the
+    * same way from the JDK's own encoder over all 65536 sample values —
+    * one 128 KiB conversion per JVM, bit-identical by construction.
+    */
+  private lazy val pcmToUlaw: Array[Byte] = {
+    val src = new Array[Byte](65536 * 2)
+    var s = 0
+    while (s < 65536) {
+      val v = s - 32768
+      src(2 * s) = (v & 0xFF).toByte
+      src(2 * s + 1) = ((v >> 8) & 0xFF).toByte
+      s += 1
+    }
+    val pcmFmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ulawFmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.ULAW, 8000f, 8, 1, 1, 8000f, false)
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(ulawFmt,
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(src), pcmFmt, 65536L))
+    try ais.readAllBytes() finally ais.close()
+  }
+
+  /** The shared segment-RMS loop over n samples accessed by index —
+    * arithmetic identical to the original in-line loop (same iteration
+    * order, same divisor), so fast-path and JDK-path envelopes agree to
+    * the last float bit.
+    */
+  private def rmsSegments(n: Int, nSegs: Int, sample: Int => Double): Option[Array[Float]] =
+    if (n == 0) None
+    else {
+      val out = new Array[Float](nSegs)
+      var s = 0
+      while (s < nSegs) {
+        val i0 = s * n / nSegs
+        val i1 = math.max(i0 + 1, (s + 1) * n / nSegs)
+        var acc = 0.0
+        var i = i0
+        while (i < i1 && i < n) {
+          val v = sample(i)
+          acc += v * v
+          i += 1
+        }
+        out(s) = math.sqrt(acc / math.max(1, math.min(i1, n) - i0)).toFloat
+        s += 1
+      }
+      Some(out)
+    }
+
   /** [[tryDecodeAudio]] with a caller-chosen segment count — the 65-segment
     * form feeds [[audioHash64]] (64 adjacent-RMS comparisons), the
     * FeatureDim form the feature vector.
+    *
+    * Per-task-work fast paths (r21, guide §1.2 step 2): canonical 16-bit
+    * PCM and μ-law WAVs — the two formats this engine's fixtures and the
+    * telephony re-encode path actually produce — decode via a direct RIFF
+    * parse + (for μ-law) the JDK-derived [[ulawToPcm]] table, skipping
+    * `AudioSystem`'s per-call provider lookup and stream chain, which
+    * serialize on shared registry state under 32 concurrent tasks
+    * (measured: ~110-300 µs per clip single-threaded, dominating the
+    * audio queries' wall time). Sample values and the RMS arithmetic are
+    * identical by construction; anything [[parseWav]] deems non-canonical
+    * takes the unchanged JDK path (spec-pinned equal on both branches).
     */
   private[graft] def tryDecodeAudioSegs(bytes: Array[Byte], nSegs: Int): Option[Array[Float]] =
     if (!looksLikeWav(bytes)) None
-    else try {
+    else parseWav(bytes) match {
+      case Some(w) if w.format == 1 && w.bits == 16 =>
+        val len = math.max(0, math.min(w.dataLen, bytes.length - w.dataOff))
+        val frameSize = 2 * w.channels
+        val n = len / frameSize * w.channels
+        val off = w.dataOff
+        rmsSegments(n, nSegs,
+          i => ((bytes(off + 2 * i + 1).toInt << 8) | (bytes(off + 2 * i) & 0xFF)) / 32768.0)
+      case Some(w) if w.format == 7 && w.bits == 8 =>
+        val len = math.max(0, math.min(w.dataLen, bytes.length - w.dataOff))
+        val n = len / w.channels * w.channels
+        val off = w.dataOff
+        val tab = ulawToPcm
+        rmsSegments(n, nSegs, i => tab(bytes(off + i) & 0xFF) / 32768.0)
+      case _ => decodeAudioSegsJdk(bytes, nSegs)
+    }
+
+  /** The original `AudioSystem` decode chain — the fallback for every
+    * WAV [[parseWav]] classifies as non-canonical or non-PCM16/μ-law
+    * (a-law, 8-bit PCM, unsigned PCM, extensible headers).
+    */
+  private[graft] def decodeAudioSegsJdk(bytes: Array[Byte], nSegs: Int): Option[Array[Float]] =
+    try {
       val ais0 = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(bytes))
       val f0 = ais0.getFormat
@@ -204,32 +422,14 @@ object Multimodal {
         }
       try {
         val fmt = ais.getFormat
-        locally {
-          val data = ais.readAllBytes()
-          val n = data.length / 2
-          if (n == 0) None
-          else {
-            val out = new Array[Float](nSegs)
-            var s = 0
-            while (s < nSegs) {
-              val i0 = s * n / nSegs
-              val i1 = math.max(i0 + 1, (s + 1) * n / nSegs)
-              var acc = 0.0
-              var i = i0
-              while (i < i1 && i < n) {
-                val (lo, hi) =
-                  if (fmt.isBigEndian) (data(2 * i + 1) & 0xFF, data(2 * i).toInt)
-                  else (data(2 * i) & 0xFF, data(2 * i + 1).toInt)
-                val v = ((hi << 8) | lo) / 32768.0
-                acc += v * v
-                i += 1
-              }
-              out(s) = math.sqrt(acc / math.max(1, math.min(i1, n) - i0)).toFloat
-              s += 1
-            }
-            Some(out)
-          }
-        }
+        val data = ais.readAllBytes()
+        val n = data.length / 2
+        val big = fmt.isBigEndian
+        rmsSegments(n, nSegs, i => {
+          val lo = if (big) data(2 * i + 1) & 0xFF else data(2 * i) & 0xFF
+          val hi = if (big) data(2 * i).toInt else data(2 * i + 1).toInt
+          ((hi << 8) | lo) / 32768.0
+        })
       } finally ais.close()
     } catch { case scala.util.control.NonFatal(_) => None }
 
@@ -242,6 +442,50 @@ object Multimodal {
       img: java.awt.image.BufferedImage, gw: Int, gh: Int): Array[Float] = {
     val w = img.getWidth
     val h = img.getHeight
+    // Whole-raster pixel fetch, once per image (r21): per-pixel
+    // getRGB(x, y) pays a bounds check + SampleModel dispatch + color
+    // conversion PER CALL (w·h calls per grid, twice per image for the
+    // dhash+ahash pair). The packed values are identical by the getRGB
+    // contract — default-sRGB ints either way — and for the interleaved
+    // 3-byte BGR layout JPEG/BMP decodes produce, the raster bytes map
+    // straight to the same ints (sRGB ComponentColorModel is the identity
+    // on 8-bit components; spec-pinned against getRGB in OperatorsSuite).
+    val rgb: Array[Int] = {
+      val raster = img.getRaster
+      val bgrFast = img.getType == java.awt.image.BufferedImage.TYPE_3BYTE_BGR &&
+        (raster.getSampleModel match {
+          case sm: java.awt.image.PixelInterleavedSampleModel =>
+            sm.getPixelStride == 3 &&
+              java.util.Arrays.equals(sm.getBandOffsets, Array(2, 1, 0))
+          case _ => false
+        })
+      if (bgrFast) {
+        val sm = raster.getSampleModel.asInstanceOf[java.awt.image.PixelInterleavedSampleModel]
+        val db = raster.getDataBuffer.asInstanceOf[java.awt.image.DataBufferByte]
+        val data = db.getData
+        val scan = sm.getScanlineStride
+        // raster origin offset: translated child rasters don't appear on
+        // decode paths, but compute the base offset defensively
+        val base = db.getOffset +
+          (-raster.getSampleModelTranslateY) * scan +
+          (-raster.getSampleModelTranslateX) * 3
+        val out = new Array[Int](w * h)
+        var y = 0
+        while (y < h) {
+          var o = base + y * scan
+          var i = y * w
+          val end = i + w
+          while (i < end) {
+            out(i) = 0xFF000000 | ((data(o + 2) & 0xFF) << 16) |
+              ((data(o + 1) & 0xFF) << 8) | (data(o) & 0xFF)
+            o += 3
+            i += 1
+          }
+          y += 1
+        }
+        out
+      } else img.getRGB(0, 0, w, h, null, 0, w)
+    }
     val out = new Array[Float](gw * gh)
     var gy = 0
     while (gy < gh) {
@@ -255,10 +499,10 @@ object Multimodal {
         while (y < y1 && y < h) {
           var x = x0
           while (x < x1 && x < w) {
-            val rgb = img.getRGB(x, y)
-            acc += (0.299 * ((rgb >> 16) & 0xFF) +
-              0.587 * ((rgb >> 8) & 0xFF) +
-              0.114 * (rgb & 0xFF)) / 255.0
+            val p = rgb(y * w + x)
+            acc += (0.299 * ((p >> 16) & 0xFF) +
+              0.587 * ((p >> 8) & 0xFF) +
+              0.114 * (p & 0xFF)) / 255.0
             n += 1
             x += 1
           }
@@ -461,9 +705,54 @@ object Multimodal {
     md.digest()
   }
 
-  private def writeBmp(img: java.awt.image.BufferedImage): Array[Byte] = {
+  /** Thread-confined ImageWriter reuse for the default-param write paths
+    * (the [[tryDecodeImage]] reader-reuse pattern on the encode side):
+    * `ImageIO.write` consults the registry and creates + disposes a
+    * writer per call. Selection still goes through
+    * `getImageWritersByFormatName` (same first provider), the write call
+    * replicates `ImageIO.write`'s exact invocation (default param), and
+    * the JDK writers are deterministic for fixed input — byte-identity
+    * spec-pinned in OperatorsSuite.
+    */
+  private val threadWriters =
+    new ThreadLocal[java.util.HashMap[String, javax.imageio.ImageWriter]] {
+      override def initialValue(): java.util.HashMap[String, javax.imageio.ImageWriter] =
+        new java.util.HashMap()
+    }
+
+  private[graft] def writeImage(img: java.awt.image.BufferedImage, format: String): Array[Byte] = {
+    val cache = threadWriters.get()
+    var w = cache.get(format)
+    if (w == null) {
+      w = javax.imageio.ImageIO.getImageWritersByFormatName(format).next()
+      cache.put(format, w)
+    }
     val baos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "bmp", baos)
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
+    try {
+      w.setOutput(ios)
+      w.write(null, new javax.imageio.IIOImage(img, null, null), null)
+      ios.flush()
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        Option(cache.remove(format)).foreach { ww =>
+          try ww.dispose() catch { case scala.util.control.NonFatal(_) => () }
+        }
+        throw e
+    } finally {
+      try ios.close() catch { case scala.util.control.NonFatal(_) => () }
+    }
+    baos.toByteArray
+  }
+
+  private def writeBmp(img: java.awt.image.BufferedImage): Array[Byte] =
+    writeImage(img, "bmp")
+
+  /** `ImageIO.write` one-shot form — the byte-identity spec's reference. */
+  private[graft] def writeImageJdk(
+      img: java.awt.image.BufferedImage, format: String): Array[Byte] = {
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, format, baos)
     baos.toByteArray
   }
 
@@ -698,19 +987,33 @@ object Multimodal {
   private def imageReaderFrames(
       bytes: Array[Byte], maxFrames: Int): Iterator[java.awt.image.BufferedImage] = {
     if (!looksLikeImage(bytes)) return Iterator.empty
-    val iis = javax.imageio.ImageIO.createImageInputStream(
+    // same thread-confined reader reuse as [[tryDecodeImage]] (selection
+    // via getImageReaders on first use, fresh setInput per payload);
+    // frames materialize (strict Range.map) before the input closes
+    val fmt = imageFormatOf(bytes)
+    val cache = threadReaders.get()
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
       new java.io.ByteArrayInputStream(bytes))
-    val readers = javax.imageio.ImageIO.getImageReaders(iis)
-    if (!readers.hasNext) { iis.close(); return Iterator.empty }
-    val reader = readers.next()
     try {
+      var reader = cache.get(fmt)
+      if (reader == null) {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return Iterator.empty
+        reader = readers.next()
+        cache.put(fmt, reader)
+      }
       reader.setInput(iis)
       val n = math.min(reader.getNumImages(true), maxFrames)
-      // materialize before dispose: the frames outlive the reader
       (0 until n).map(reader.read).iterator
     } catch {
-      case scala.util.control.NonFatal(_) => Iterator.empty
-    } finally { reader.dispose(); iis.close() }
+      case scala.util.control.NonFatal(_) =>
+        Option(cache.remove(fmt)).foreach { rr =>
+          try rr.dispose() catch { case scala.util.control.NonFatal(_) => () }
+        }
+        Iterator.empty
+    } finally {
+      try iis.close() catch { case scala.util.control.NonFatal(_) => () }
+    }
   }
 
   /** Per-FRAME perceptual hashes for multi-frame media: one row
@@ -788,9 +1091,7 @@ object Multimodal {
         rows.map { r =>
           val text = r.getString(1)
           val frames = (0 until nFrames).map { fi =>
-            val baos = new java.io.ByteArrayOutputStream()
-            javax.imageio.ImageIO.write(noiseFrame(text, fi), "jpg", baos)
-            baos.toByteArray
+            writeImage(noiseFrame(text, fi), "jpg")
           }
           Row(r.getLong(0), "video", buildMjpegAvi(frames))
         }
@@ -939,7 +1240,45 @@ object Multimodal {
       }(enc)
   }
 
-  private def writeWav(pcmLe16: Array[Byte], nSamples: Int): Array[Byte] = {
+  /** Canonical 44-byte-header PCM16 WAV writer — byte-identical to
+    * `AudioSystem.write(..., Type.WAVE)` for 16-bit signed LE mono/stereo
+    * input (spec-pinned in OperatorsSuite against the JDK writer), without
+    * the per-call provider lookup + stream copy that serialize under 32
+    * concurrent tasks (~105 µs/clip single-threaded, the synth stage's
+    * dominant cost at sf0.1).
+    */
+  private[graft] def writeWavPcm16(
+      pcmLe16: Array[Byte], channels: Int, sampleRate: Int): Array[Byte] = {
+    val dataLen = pcmLe16.length
+    val out = new Array[Byte](44 + dataLen)
+    def ascii(off: Int, s: String): Unit = {
+      var i = 0
+      while (i < s.length) { out(off + i) = s.charAt(i).toByte; i += 1 }
+    }
+    def u32(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xFF).toByte; out(off + 1) = ((v >> 8) & 0xFF).toByte
+      out(off + 2) = ((v >> 16) & 0xFF).toByte; out(off + 3) = ((v >> 24) & 0xFF).toByte
+    }
+    def u16(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xFF).toByte; out(off + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    val blockAlign = 2 * channels
+    ascii(0, "RIFF"); u32(4, 36 + dataLen); ascii(8, "WAVE")
+    ascii(12, "fmt "); u32(16, 16); u16(20, 1); u16(22, channels)
+    u32(24, sampleRate); u32(28, sampleRate * blockAlign); u16(32, blockAlign)
+    u16(34, 16)
+    ascii(36, "data"); u32(40, dataLen)
+    System.arraycopy(pcmLe16, 0, out, 44, dataLen)
+    out
+  }
+
+  private def writeWav(pcmLe16: Array[Byte], nSamples: Int): Array[Byte] =
+    writeWavPcm16(pcmLe16, channels = 1, sampleRate = 8000)
+
+  /** The JDK-writer form of [[writeWav]] — kept as the byte-equality
+    * spec's reference implementation, not called on any query path.
+    */
+  private[graft] def writeWavJdk(pcmLe16: Array[Byte], nSamples: Int): Array[Byte] = {
     val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
     val ais = new javax.sound.sampled.AudioInputStream(
       new java.io.ByteArrayInputStream(pcmLe16), fmt, nSamples.toLong)
@@ -967,28 +1306,92 @@ object Multimodal {
     media.select(col("media_id"), col("content"))
       .mapPartitions { rows =>
         rows.flatMap { r =>
-          val bytes = r.getAs[Array[Byte]](1)
-          if (!looksLikeWav(bytes)) None
-          else try {
-            val src = javax.sound.sampled.AudioSystem.getAudioInputStream(
-              new java.io.ByteArrayInputStream(bytes))
-            try {
-              val ulaw = new javax.sound.sampled.AudioFormat(
-                javax.sound.sampled.AudioFormat.Encoding.ULAW,
-                src.getFormat.getSampleRate, 8, src.getFormat.getChannels,
-                src.getFormat.getChannels, src.getFormat.getSampleRate, false)
-              if (!javax.sound.sampled.AudioSystem.isConversionSupported(ulaw, src.getFormat))
-                None
-              else {
-                val conv = javax.sound.sampled.AudioSystem.getAudioInputStream(ulaw, src)
-                val baos = new java.io.ByteArrayOutputStream()
-                javax.sound.sampled.AudioSystem.write(
-                  conv, javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
-                Some(Row(r.getLong(0), "audio", baos.toByteArray))
-              }
-            } finally src.close()
-          } catch { case scala.util.control.NonFatal(_) => None }
+          reencodeUlawBytes(r.getAs[Array[Byte]](1))
+            .map(b => Row(r.getLong(0), "audio", b))
         }
       }(enc)
+  }
+
+  /** One payload through the μ-law transcode. Fast path (r21): canonical
+    * 16-bit PCM input — samples map through the JDK-derived [[pcmToUlaw]]
+    * table and the ULAW container is written directly (46-byte header:
+    * 18-byte fmt chunk with cbSize = 0, exactly the JDK WaveFileWriter
+    * layout — spec-pinned byte-identical against [[reencodeUlawJdk]] in
+    * OperatorsSuite), skipping the per-clip AudioSystem conversion chain
+    * + writer (~300 µs single-threaded, serialized across concurrent
+    * tasks by the shared provider registry). Non-canonical / non-PCM16
+    * inputs take the unchanged JDK chain.
+    */
+  private[graft] def reencodeUlawBytes(bytes: Array[Byte]): Option[Array[Byte]] =
+    if (!looksLikeWav(bytes)) None
+    else parseWav(bytes) match {
+      case Some(w) if w.format == 1 && w.bits == 16 =>
+        val len = math.max(0, math.min(w.dataLen, bytes.length - w.dataOff))
+        val frames = len / (2 * w.channels)
+        val nS = frames * w.channels
+        val ul = new Array[Byte](nS)
+        val off = w.dataOff
+        val tab = pcmToUlaw
+        var i = 0
+        while (i < nS) {
+          val v = (bytes(off + 2 * i + 1).toInt << 8) | (bytes(off + 2 * i) & 0xFF)
+          ul(i) = tab(v + 32768)
+          i += 1
+        }
+        Some(writeWavUlaw(ul, w.channels, w.sampleRate.toInt))
+      case _ => reencodeUlawJdk(bytes)
+    }
+
+  /** The original `AudioSystem` μ-law transcode chain — the fallback for
+    * non-canonical / non-PCM16 inputs, and the byte-equality spec's
+    * reference for the fast path above.
+    */
+  private[graft] def reencodeUlawJdk(bytes: Array[Byte]): Option[Array[Byte]] =
+    try {
+      val src = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val ulaw = new javax.sound.sampled.AudioFormat(
+          javax.sound.sampled.AudioFormat.Encoding.ULAW,
+          src.getFormat.getSampleRate, 8, src.getFormat.getChannels,
+          src.getFormat.getChannels, src.getFormat.getSampleRate, false)
+        if (!javax.sound.sampled.AudioSystem.isConversionSupported(ulaw, src.getFormat))
+          None
+        else {
+          val conv = javax.sound.sampled.AudioSystem.getAudioInputStream(ulaw, src)
+          val baos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(
+            conv, javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+          Some(baos.toByteArray)
+        }
+      } finally src.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** μ-law WAV container, byte-identical to the JDK WaveFileWriter's ULAW
+    * layout (verified against a header dump and spec-pinned): 18-byte fmt
+    * chunk (format 7, cbSize 0), no fact chunk, no odd-length pad.
+    */
+  private def writeWavUlaw(
+      ulawBytes: Array[Byte], channels: Int, sampleRate: Int): Array[Byte] = {
+    val dataLen = ulawBytes.length
+    val out = new Array[Byte](46 + dataLen)
+    def ascii(off: Int, s: String): Unit = {
+      var i = 0
+      while (i < s.length) { out(off + i) = s.charAt(i).toByte; i += 1 }
+    }
+    def u32(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xFF).toByte; out(off + 1) = ((v >> 8) & 0xFF).toByte
+      out(off + 2) = ((v >> 16) & 0xFF).toByte; out(off + 3) = ((v >> 24) & 0xFF).toByte
+    }
+    def u16(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xFF).toByte; out(off + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    ascii(0, "RIFF"); u32(4, 38 + dataLen); ascii(8, "WAVE")
+    ascii(12, "fmt "); u32(16, 18); u16(20, 7); u16(22, channels)
+    u32(24, sampleRate); u32(28, sampleRate * channels); u16(32, channels)
+    u16(34, 8); u16(36, 0)
+    ascii(38, "data"); u32(42, dataLen)
+    System.arraycopy(ulawBytes, 0, out, 46, dataLen)
+    out
   }
 }

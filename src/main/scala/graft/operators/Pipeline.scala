@@ -1060,7 +1060,14 @@ object Pipeline {
       tRow: DataFrame)
 
   private def knParts(reference: DataFrame, textCol: String): KnParts = {
-    // reference trigram types with their counts and key projections
+    // Reference trigram types with their counts and key projections.
+    // NOTE (r21 measured): tri feeds five consumers whose pruned copies
+    // re-run the scan+explode+agg subtree (7 scans in one composed plan),
+    // but a localCheckpoint(false) boundary here measured SLOWER at sf0.1
+    // (string-heavy block write + a materialization barrier vs fully
+    // parallel recompute on idle cores) — recompute is deliberate; the
+    // train-once artifact path (knTrainModel/KnModel) is the shape that
+    // amortizes the reference scans at production scale.
     val tri = knGramKeys(reference
       .select(explode(TextAnalysis.ngramsAll(col(textCol), 3)).as("__g"))
       .groupBy(col("__g")).agg(count(lit(1)).as("__c3")))

@@ -490,6 +490,75 @@ class OperatorsSuite extends AnyFunSuite {
       s"distinct clips too close: ${java.lang.Long.bitCount(ha ^ hb)}")
   }
 
+  test("image fast paths match one-shot ImageIO: reused-reader pixels, " +
+    "reused-writer bytes, raster-path luminance") {
+    import graft.operators.Multimodal
+    def pix(img: java.awt.image.BufferedImage): Seq[Int] = {
+      val w = img.getWidth; val h = img.getHeight
+      img.getRGB(0, 0, w, h, null, 0, w).toSeq
+    }
+    val rnd = new java.util.Random(11L)
+    for (fmt <- Seq("bmp", "png", "jpg", "gif"); trial <- 1 to 3) {
+      val img = new java.awt.image.BufferedImage(
+        37, 23, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 23; x <- 0 until 37) img.setRGB(x, y, rnd.nextInt(1 << 24))
+      // writer reuse is byte-identical to one-shot ImageIO.write
+      assert(java.util.Arrays.equals(
+        Multimodal.writeImage(img, fmt), Multimodal.writeImageJdk(img, fmt)),
+        s"writer reuse diverged for $fmt trial $trial")
+      // reader reuse decodes the same pixels and raster type as ImageIO.read
+      val bytes = Multimodal.writeImageJdk(img, fmt)
+      val fast = Multimodal.tryDecodeImage(bytes).get
+      val jdk = Multimodal.tryDecodeImageJdk(bytes).get
+      assert(fast.getType === jdk.getType, s"raster type diverged for $fmt")
+      assert(pix(fast) === pix(jdk), s"reader reuse diverged for $fmt trial $trial")
+      // gridLuminance raster fast path (3BYTE_BGR) ≡ bulk-getRGB path:
+      // hash a BGR decode and its INT_RGB pixel-identical copy
+      if (fast.getType === java.awt.image.BufferedImage.TYPE_3BYTE_BGR) {
+        val copy = new java.awt.image.BufferedImage(
+          fast.getWidth, fast.getHeight, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        copy.setRGB(0, 0, fast.getWidth, fast.getHeight, pix(fast).toArray, 0, fast.getWidth)
+        assert(Multimodal.dhash64(fast) === Multimodal.dhash64(copy),
+          s"raster-path dhash diverged for $fmt")
+        assert(Multimodal.ahash64(fast) === Multimodal.ahash64(copy),
+          s"raster-path ahash diverged for $fmt")
+      }
+    }
+  }
+
+  test("audio fast paths are byte-identical to the JDK chain: PCM16 WAV " +
+    "writer, PCM16/u-law decode, u-law transcode") {
+    import graft.operators.Multimodal
+    val rnd = new java.util.Random(7L)
+    // 1. canonical PCM16 writer ≡ AudioSystem.write at several lengths
+    for (n <- Seq(1, 5, 64, 2080)) {
+      val pcm = new Array[Byte](n * 2); rnd.nextBytes(pcm)
+      assert(java.util.Arrays.equals(
+        Multimodal.writeWavPcm16(pcm, 1, 8000), Multimodal.writeWavJdk(pcm, n)),
+        s"writeWavPcm16 diverged from the JDK writer at n=$n")
+    }
+    // 2. on RANDOM PCM16 clips (every sample value class): the direct RIFF
+    //    decode ≡ the AudioSystem chain bit-for-bit, the table-driven u-law
+    //    transcode ≡ the AudioSystem conversion chain byte-for-byte, and
+    //    the resulting u-law WAV decodes identically through both branches
+    for (seed <- 1 to 10) {
+      val r = new java.util.Random(seed.toLong)
+      val n = 500 + r.nextInt(2000)
+      val pcm = new Array[Byte](n * 2); r.nextBytes(pcm)
+      val wav = Multimodal.writeWavJdk(pcm, n)
+      assert(Multimodal.tryDecodeAudioSegs(wav, 65).get.toSeq ===
+        Multimodal.decodeAudioSegsJdk(wav, 65).get.toSeq,
+        s"PCM16 fast decode diverged at seed=$seed")
+      val fastU = Multimodal.reencodeUlawBytes(wav).get
+      val jdkU = Multimodal.reencodeUlawJdk(wav).get
+      assert(java.util.Arrays.equals(fastU, jdkU),
+        s"u-law fast transcode diverged at seed=$seed")
+      assert(Multimodal.tryDecodeAudioSegs(fastU, 65).get.toSeq ===
+        Multimodal.decodeAudioSegsJdk(fastU, 65).get.toSeq,
+        s"u-law fast decode diverged at seed=$seed")
+    }
+  }
+
   test("audioNearDupPairs e2e: every u-law re-encode links to its original; " +
     "non-audio payloads yield no hash row") {
     import graft.operators.Multimodal
