@@ -228,6 +228,32 @@ object Prof {
       }
       spark.stop(); return
     }
+    if (args.headOption.contains("plantime")) {
+      // planning-vs-execution split: time query CONSTRUCTION + analysis +
+      // optimization + physical planning (executedPlan forcing, no jobs)
+      // against the full noop-sink execution, per query. Distinguishes
+      // expression-tree/codegen overhead from actual compute.
+      // Usage: runMain graft.Prof plantime <queryName ...>
+      val names = args.drop(1).toSeq
+      for (name <- names) {
+        val fn = SparkEntry.queries(name)
+        // warmup both phases
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable => println(s"[prof] $name failed: ${e.getMessage}") }
+        (1 to 2).foreach { r =>
+          val t0 = System.nanoTime()
+          val df = fn(spark, sfDir)
+          val t1 = System.nanoTime()
+          df.queryExecution.executedPlan // force analysis+optimization+planning
+          val t2 = System.nanoTime()
+          df.write.format("noop").mode("overwrite").save()
+          val t3 = System.nanoTime()
+          println(f"[prof] $name round $r: construct ${(t1 - t0) / 1e9}%.2f s, " +
+            f"plan ${(t2 - t1) / 1e9}%.2f s, execute ${(t3 - t2) / 1e9}%.2f s")
+        }
+      }
+      spark.stop(); return
+    }
     if (args.headOption.contains("graphstage")) {
       // where do the iterative graph queries spend their time? Depth sweep:
       // pageRank at iters 1/2/3 (marginal = per-step cost, intercept =

@@ -1431,13 +1431,20 @@ object SparkEntry {
     // can't be cross-checked at all. Per iter: one edges⋈ranks shuffle +
     // one dst hash agg; scalar tables broadcast.
     "graph_pagerank" -> ((s, dir) => {
+      // symmetric closure via explode (r21): both directions from ONE
+      // execution of the lineitem⋈orders subtree (the dupClusters edge
+      // trick) — the former union-of-two-projections shape re-ran the
+      // broadcast join per branch and paid a pre-union distinct exchange
+      // that Graph.Prepared's own dedup makes redundant
       val e0 = lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
         .join(orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
           col("l_orderkey") === col("o_orderkey"))
         .select(concat(lit("s"), col("l_suppkey").cast("string")).as("src"),
           concat(lit("c"), col("o_custkey").cast("string")).as("dst"))
-        .distinct()
-      val sym = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      val sym = e0.select(explode(array(
+          struct(col("src"), col("dst")),
+          struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
       Graph.pageRank(sym, iters = 3)
         .orderBy(col("vertex"))
     }),
@@ -1451,13 +1458,17 @@ object SparkEntry {
     // the full reached set; integer distances make the distributed search
     // equal DuckDB's recursive-CTE unrolling bit-for-bit.
     "graph_reach" -> ((s, dir) => {
+      // symmetric closure via explode — single join execution, pre-union
+      // distinct dropped (shortestHops dedups); see graph_pagerank
       val e0 = lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
         .join(orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
           col("l_orderkey") === col("o_orderkey"))
         .select(concat(lit("s"), col("l_suppkey").cast("string")).as("src"),
           concat(lit("c"), col("o_custkey").cast("string")).as("dst"))
-        .distinct()
-      val sym = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      val sym = e0.select(explode(array(
+          struct(col("src"), col("dst")),
+          struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
       val seeds = supplier(s, dir)
         .filter(pmod(col("s_suppkey"), lit(10)) === 0)
         .select(concat(lit("s"), col("s_suppkey").cast("string")).as("vertex"))
@@ -1479,7 +1490,12 @@ object SparkEntry {
         .select(concat(lit("s"), col("l_suppkey").cast("string")).as("src"),
           concat(lit("c"), col("o_custkey").cast("string")).as("dst"),
           round(col("l_extendedprice") * 100, 0).cast("long").as("w"))
-      val sym = e0.union(e0.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+      // symmetric closure via explode — single join execution (see
+      // graph_pagerank); ssspBounded's min-agg collapses parallel edges
+      val sym = e0.select(explode(array(
+          struct(col("src"), col("dst"), col("w")),
+          struct(col("dst").as("src"), col("src").as("dst"), col("w")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.w").as("w"))
       val seeds = supplier(s, dir)
         .filter(pmod(col("s_suppkey"), lit(10)) === 0)
         .select(concat(lit("s"), col("s_suppkey").cast("string")).as("vertex"))
@@ -3657,8 +3673,12 @@ object SparkEntry {
         .filter(col("pass"))
         .select(col("doc_id"), col("lang"), col("text"))
       val clean = quality.withColumn("text", TextAnalysis.redact(col("text")))
-      // canonical normalization BEFORE any dedup key is computed
+      // canonical normalization BEFORE any dedup key is computed; lazy
+      // stage boundary (r21): normed forks into the fingerprint agg and
+      // the keep join, whose pruned copies re-ran the regex-heavy
+      // gopher → redact → normalize chain twice per plan
       val normed = clean.withColumn("text", TextAnalysis.normalizeText(col("text")))
+        .localCheckpoint(false)
       val keepIds = Dedup.exactByKey(
         normed.select(TextAnalysis.md5Fingerprint(col("text")).as("fp"), col("doc_id")),
         col("fp"), col("doc_id"))

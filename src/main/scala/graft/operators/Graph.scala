@@ -112,7 +112,14 @@ object Graph {
     var done = 0
     var residual = Long.MaxValue
     while (done < maxIters && residual > tolE12) {
-      val next = g.step(ranks).localCheckpoint(true)
+      // LAZY checkpoint per step (r21): the logical plan is truncated at
+      // construction (LogicalRDD — the 3^iters blowup was a property of
+      // UN-checkpointed lazy composition; the step RDDs form a shared
+      // DAG, each computed once and block-persisted mid-job), and the
+      // materializing action is the residual probe in converging mode or
+      // the CALLER'S action in fixed-depth mode — so a fixed-depth run
+      // is one job instead of one eager checkpoint job per step.
+      val next = g.step(ranks).localCheckpoint(false)
       if (tolE12 >= 0L)
         residual = next.join(ranks.withColumnRenamed("rank_e12", "__old"), "vertex")
           .agg(max(abs(col("rank_e12") - col("__old"))).as("r"))
@@ -128,12 +135,14 @@ object Graph {
     * rank recurrence (one ranks⟕edges fanout + one dst agg per step; the
     * 1-row dangling mass broadcast).
     *
-    * Construction runs jobs: every base table is an EAGER localCheckpoint —
-    * computed once, shared by every step's job via its blocks, which are
-    * ContextCleaner-owned (freed when Prepared drops out of scope). NOT
-    * persist: the blocks' lifetime would then need an unpersist the
-    * lazy-returning callers can never issue (the basket_rules
-    * CacheManager-leak class, BENCH_TRIAGE_r14). The vertex count `n` is
+    * Construction runs ONE job (r21; was three eager-checkpoint jobs):
+    * the base tables are LAZY localCheckpoints whose blocks materialize
+    * together under the vertex count — computed once, shared by every
+    * step's job via the blocks, which are ContextCleaner-owned (freed
+    * when Prepared drops out of scope). NOT persist: the blocks'
+    * lifetime would then need an unpersist the lazy-returning callers
+    * can never issue (the basket_rules CacheManager-leak class,
+    * BENCH_TRIAGE_r14). The vertex count `n` is
     * collected ONCE to a driver Long — it is loop-invariant, and folding it
     * into literals deletes a count agg + broadcast from every step (Java
     * Long division on the non-negative count matches IntegralDivide, so
@@ -157,15 +166,29 @@ object Graph {
     // counting toward out-degree — inflating total mass. A null endpoint
     // is not a vertex; it cannot receive or emit rank.
     val edc: DataFrame = {
+      // repartition(src) BEFORE the distinct (r21): hashpartitioning(src)
+      // satisfies the distinct's (src, dst) clustering, the degree agg's
+      // (src) clustering AND both self-join sides' (src) requirement, so
+      // the whole construction runs off ONE exchange (the two consumers'
+      // below-exchange subtrees stay identical → ReusedExchange) — the
+      // former distinct-first shape paid that exchange plus a src
+      // re-exchange on each join input (3 total). Row multiset unchanged;
+      // ranks stay bit-identical (integer recurrence).
       val ed = edges.select(col("src"), col("dst"))
         .filter(col("src").isNotNull && col("dst").isNotNull)
+        .repartition(col("src"))
         .distinct()
+      // LAZY checkpoint (r21): blocks materialize inside the verts count
+      // below, fusing the former three eager jobs (edc, verts, count)
+      // into ONE — the shortestHops probe-rides-the-checkpoint shape.
+      // Lineage is truncated at construction either way (LogicalRDD).
       ed.join(ed.groupBy(col("src")).agg(count(lit(1)).as("outdeg")), "src")
-        .localCheckpoint(true)
+        .localCheckpoint(false)
     }
     // vertices read edc's checkpoint blocks, not the raw edges
     val verts: DataFrame = edc.select(col("src").as("vertex"))
-      .union(edc.select(col("dst").as("vertex"))).distinct().localCheckpoint(true)
+      .union(edc.select(col("dst").as("vertex"))).distinct().localCheckpoint(false)
+    // ONE materializing action for both checkpoints + the loop-invariant n
     val n: Long = verts.count()
 
     def initialRanks: DataFrame =
@@ -242,8 +265,12 @@ object Graph {
     */
   def shortestHops(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
     require(maxHops >= 0, "shortestHops: maxHops must be >= 0")
-    val ed = edges.select(col("src"), col("dst")).distinct()
-      .repartition(col("src")).persist()
+    // repartition BEFORE the distinct (r21): hash(src) satisfies the
+    // (src, dst) clustering, so one exchange establishes both the dedup
+    // and the per-round probe layout — the former distinct-then-
+    // repartition shape shuffled the edge table twice
+    val ed = edges.select(col("src"), col("dst"))
+      .repartition(col("src")).distinct().persist()
     // seeds may list non-vertices or duplicates; dist 0 rows are the set
     var dist = seeds.select(col("vertex")).distinct()
       .select(col("vertex"), lit(0L).as("dist")).localCheckpoint(true)
@@ -365,8 +392,14 @@ object Graph {
     */
   def ssspBounded(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
     require(maxHops >= 0, "ssspBounded: maxHops must be >= 0")
-    val ed = edges.groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
-      .repartition(col("src")).persist()
+    // repartition BEFORE the min-agg (r21): hash(src) satisfies the
+    // (src, dst) grouping, so one exchange establishes both the parallel-
+    // edge collapse and the per-round probe layout (was: agg exchange +
+    // full re-shuffle). Trade: the exchange carries raw edge rows instead
+    // of map-side-combined ones — right for the near-duplicate-free edge
+    // lists this serves; flip the order back if parallel edges dominate.
+    val ed = edges.repartition(col("src"))
+      .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w")).persist()
     var dist = seeds.select(col("vertex")).distinct()
       .select(col("vertex"), lit(0L).as("dist")).localCheckpoint(true)
     var frontier = dist

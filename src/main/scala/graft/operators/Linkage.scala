@@ -96,10 +96,17 @@ object Linkage {
     val verified = pairs
       .withColumn("dist", levenshtein(col("__ln"), col("__rn"), maxDist))
       .filter(col("dist") >= 0 && col("dist") <= maxDist)
-    val w = Window.partitionBy(col("left_id")).orderBy(col("dist"), col("right_id"))
-    verified.withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") === 1)
-      .select(col("left_id"), col("right_id"), col("dist"))
+    // resolve as a lexicographic-min AGGREGATE, not a ranking window
+    // (r21, guide §2.3 "aggregate before you shuffle"): min over
+    // struct(dist, right_id) IS the (dist, right_id) total order, and
+    // the hash agg partially combines map-side — one row per (left_id,
+    // partition) through the exchange, where row_number had to exchange
+    // AND sort every verified pair. Output identical.
+    verified
+      .groupBy(col("left_id"))
+      .agg(min(struct(col("dist"), col("right_id"))).as("__best"))
+      .select(col("left_id"), col("__best.right_id").as("right_id"),
+        col("__best.dist").as("dist"))
   }
 
   /** [[bestMatch]] with a Jaro-Winkler verifier — same BLOCK step, but the
@@ -141,11 +148,16 @@ object Linkage {
       .withColumn("sim",
         round(graft.functions.JaroWinkler.jaroWinkler(col("__ln"), col("__rn")), 6))
       .filter(col("sim") >= minSim)
-    val w = Window.partitionBy(col("left_id"))
-      .orderBy(col("sim").desc, col("right_id"))
-    verified.withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") === 1)
-      .select(col("left_id"), col("right_id"), col("sim"))
+    // argmax via lexicographic-min aggregate (see bestMatch): min over
+    // struct(−sim, right_id) IS the (sim desc, right_id asc) total order
+    // — negation of the 6dp-rounded non-negative sim is exact, and every
+    // equal sim maps to the same negated key. Map-side combinable where
+    // the ranking window exchanged + sorted every verified pair.
+    verified
+      .groupBy(col("left_id"))
+      .agg(min(struct(negate(col("sim")).as("nsim"), col("right_id"))).as("__best"))
+      .select(col("left_id"), col("__best.right_id").as("right_id"),
+        negate(col("__best.nsim")).as("sim"))
   }
 
   /** The shared BLOCK step: distinct candidate pairs
