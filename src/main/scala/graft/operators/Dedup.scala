@@ -1160,8 +1160,11 @@ object Dedup {
         struct(checkedId(col(bCol), bCol).as("src"), checkedId(col(aCol), aCol).as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
-      .localCheckpoint()
-    val nEdges = edges.count() // edges are materialized — this is a cheap local job
+      .localCheckpoint(false)
+    // LAZY checkpoint (r21): the size-gate count below IS the
+    // materializing action — one job where the eager form paid an
+    // internal rdd.count job plus this count
+    val nEdges = edges.count()
     if (nEdges <= localEdgeThreshold) return dupClustersLocal(pairs.sparkSession, edges)
     // init = min(self, min direct neighbor): the first propagation hop is
     // folded into initialization, saving one full checkpoint+agg round

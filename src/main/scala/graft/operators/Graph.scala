@@ -273,7 +273,7 @@ object Graph {
       .repartition(col("src")).distinct().persist()
     // seeds may list non-vertices or duplicates; dist 0 rows are the set
     var dist = seeds.select(col("vertex")).distinct()
-      .select(col("vertex"), lit(0L).as("dist")).localCheckpoint(true)
+      .select(col("vertex"), lit(0L).as("dist")).localCheckpoint(false)
     var frontier = dist
     var hop = 0L
     var exhausted = false
@@ -401,7 +401,7 @@ object Graph {
     val ed = edges.repartition(col("src"))
       .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w")).persist()
     var dist = seeds.select(col("vertex")).distinct()
-      .select(col("vertex"), lit(0L).as("dist")).localCheckpoint(true)
+      .select(col("vertex"), lit(0L).as("dist")).localCheckpoint(false)
     var frontier = dist
     var hop = 0
     var done = false
@@ -450,12 +450,14 @@ object Graph {
     */
   def kCore(edges: DataFrame, k: Int, maxRounds: Int = 12): DataFrame = {
     require(k >= 1 && maxRounds >= 1, "kCore: k >= 1, maxRounds >= 1")
+    // LAZY checkpoint (r21): the first peel round's bad.count() is the
+    // materializing action — one job where the eager form paid its own
     var und = edges.select(
         least(col("src"), col("dst")).as("lo"),
         greatest(col("src"), col("dst")).as("hi"))
       .filter(col("lo") =!= col("hi"))
       .distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     def degrees(e: DataFrame): DataFrame =
       e.select(col("lo").as("v")).union(e.select(col("hi").as("v")))
         .groupBy(col("v")).agg(count(lit(1)).as("d"))
