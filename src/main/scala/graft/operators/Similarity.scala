@@ -210,36 +210,53 @@ object Similarity {
       df.select(scala.collection.immutable.ArraySeq.unsafeWrapArray(df.columns.map(col)) ++ tables.map { case (t, planes) =>
         hyperplaneSignature(col(vec), planes).as(s"__b$t")
       }: _*)
+    // Both exploded sides keep their full per-table signature columns
+    // (numTables longs per row — a few bytes): the first-matching-table
+    // filter below needs them on the joined row.
+    val sigCols = tables.map { case (t, _) => col(s"__b$t") }
     val c = withSigs(
       corpus.select(col(idCol).as("neighbor_id"), toDoubleArray(col(vecCol)).as("cvec"))
         .withColumn("cnorm", l2Norm(col("cvec"))), "cvec")
-      .select(col("neighbor_id"), col("cvec"), col("cnorm"),
+      .select(col("neighbor_id") +: col("cvec") +: col("cnorm") +: sigCols :+
         explode(array(tables.map { case (t, _) =>
           struct(lit(t).as("tbl"), col(s"__b$t").as("bucket"))
-        }: _*)).as("tb"))
-      .select(col("neighbor_id"), col("cvec"), col("cnorm"),
-        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+        }: _*)).as("tb"): _*)
+      .select(col("neighbor_id") +: col("cvec") +: col("cnorm") +:
+        tables.map { case (t, _) => col(s"__b$t").as(s"__cb$t") } :+
+        col("tb.tbl").as("tbl") :+ col("tb.bucket").as("bucket"): _*)
     val probes = withSigs(
       queries.select(col(idCol).as("query_id"), toDoubleArray(col(vecCol)).as("qvec"))
         .withColumn("qnorm", l2Norm(col("qvec"))), "qvec")
-      .select(col("query_id"), col("qvec"), col("qnorm"),
+      .select(col("query_id") +: col("qvec") +: col("qnorm") +: sigCols :+
         explode(array(tables.flatMap { case (t, _) =>
           struct(lit(t).as("tbl"), col(s"__b$t").as("bucket")) +:
             (0 until effPlanes).map(i =>
               struct(lit(t).as("tbl"), col(s"__b$t").bitwiseXOR(lit(1L << i)).as("bucket")))
-        }: _*)).as("tb"))
-      .select(col("query_id"), col("qvec"), col("qnorm"),
-        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
-    // score BEFORE deduping: a pair found by t tables/probes is scored t
-    // times (cheap — one 64-dim dot each), but the dedup shuffle then
-    // carries only (query_id, neighbor_id, cos_sim) instead of both full
-    // vectors + norms — ~16× fewer bytes through the exchange. Duplicate
-    // candidates score identically, so dropDuplicates stays deterministic.
+        }: _*)).as("tb"): _*)
+      .select(col("query_id") +: col("qvec") +: col("qnorm") +:
+        tables.map { case (t, _) => col(s"__b$t").as(s"__qb$t") } :+
+        col("tb.tbl").as("tbl") :+ col("tb.bucket").as("bucket"): _*)
+    // Candidate DEDUP BY CONSTRUCTION (r21): a pair co-buckets in table t
+    // exactly when bit_count(qb_t XOR cb_t) <= 1 (own bucket or one of
+    // the 1-bit multiprobe flips — the probed values per table are
+    // distinct, so within a table each pair matches at most one probe
+    // row). Keeping a joined row only when ITS table is the pair's FIRST
+    // matching table therefore yields each candidate pair exactly once —
+    // the same set the former dropDuplicates("query_id", "neighbor_id")
+    // produced, without shuffling every scored candidate through a
+    // (query, neighbor) hash aggregate (the query's largest exchange:
+    // ~1.7M rows at sf0.1). Duplicates never score, and topKScored's
+    // partial heap combine now runs directly map-side on the join output.
+    val firstMatch = tables.map { case (t, _) =>
+      bit_count(col(s"__qb$t").bitwiseXOR(col(s"__cb$t"))) <= 1
+    }.zipWithIndex.reverse.foldLeft(lit(numTables)) { case (acc, (m, t)) =>
+      when(m, lit(t)).otherwise(acc)
+    }
     val scored = probes.join(c, Seq("tbl", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
+      .filter(col("tbl") === firstMatch)
       .select(col("query_id"), col("neighbor_id"),
         (dot(col("qvec"), col("cvec")) / (col("qnorm") * col("cnorm"))).as("cos_sim"))
-      .dropDuplicates("query_id", "neighbor_id")
     topKScored(scored, k)
   }
 
