@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses graft.Bench's one-line JSON from stdout. With the
+// default LoggedOutput strategy sbt prefixes every forked-run stdout line
+// with "[info] ", which is the most likely reason the driver's parser has
+// recorded "parsed": null since round 9. StdoutOutput passes the forked
+// JVM's stdout through RAW, so the bench line reaches the driver unmangled.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

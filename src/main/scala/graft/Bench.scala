@@ -275,7 +275,11 @@ object Bench {
     // first-line, last-line, or tail-window parser all land on one
     // complete parseable JSON; humans and scripts read target/bench.json.
     println(fitted)
-    if (full != fitted) { println(full); println(fitted) }
+    if (full != fitted) println(full)
     spark.stop()
+    // printed once more AFTER spark.stop() so the final application stdout
+    // line (right before sbt's "[success]" trailer) is the complete fitted
+    // JSON, whatever window the driver's parser reads
+    if (full != fitted) println(fitted)
   }
 }

@@ -1757,7 +1757,14 @@ object Dedup {
     require(k > 0, "exactSubstringDups: k must be positive")
     // lazy stage boundary: grams feeds the min-owner agg AND the join
     // back — the agg's copy sits below its own exchange, so the scan +
-    // k-gram build ran twice per plan; 16-byte rows, computed once
+    // k-gram build ran twice per plan; 16-byte rows, computed once.
+    // SCALE BOUND (r21 ADVICE): the persisted block footprint is
+    // O(total corpus k-gram positions) at 16 B/row, and the truncated
+    // lineage means a lost block FAILS the job instead of recomputing —
+    // validated at bench scale; at cluster scale prefer recompute (drop
+    // the boundary) once the gram table outgrows aggregate storage-level
+    // memory+disk, the same re-read-vs-recompute switch documented for
+    // the other dedup boundaries.
     val grams = docs.select(col(idCol).as("__doc"),
         explode(TextAnalysis.shingles(col(textCol), k)).as("__gs"))
       .select(col("__doc"), xxhash64(col("__gs")).as("__g"))

@@ -147,6 +147,12 @@ object Multimodal {
           }
           None
       } finally {
+        // release the cached reader's reference to this payload's stream
+        // (a reader otherwise pins its last input between payloads — r21
+        // ADVICE); the reader object itself stays cached for reuse
+        Option(cache.get(fmt)).foreach { rr =>
+          try rr.setInput(null) catch { case scala.util.control.NonFatal(_) => () }
+        }
         try iis.close() catch { case scala.util.control.NonFatal(_) => () }
       }
     }
@@ -249,7 +255,14 @@ object Multimodal {
     */
   private[graft] final case class WavInfo(
       format: Int, channels: Int, sampleRate: Float, bits: Int,
-      dataOff: Int, dataLen: Int)
+      blockAlign: Int, dataOff: Int, dataLen: Int) {
+    /** Header frame size matches the packed layout the fast paths index
+      * by (channels · bits/8). A padded-frame WAV (blockAlign larger) is
+      * legal RIFF but must take the JDK chain, which honors the header's
+      * frameSize — the fast paths would mis-stride it (r21 ADVICE).
+      */
+    def canonicalFrames: Boolean = blockAlign == channels * (bits / 8)
+  }
 
   private def u16le(b: Array[Byte], off: Int): Int =
     (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8)
@@ -262,6 +275,7 @@ object Multimodal {
     var channels = 0
     var rate = 0f
     var bits = 0
+    var blockAlign = 0
     while (off + 8 <= end) {
       val size = u32le(bytes, off + 4)
       val body = off + 8
@@ -270,7 +284,7 @@ object Multimodal {
         // it to EOF); anything else is non-canonical → fall back
         if (fmtCode >= 0 && bytes(off) == 'd' && bytes(off + 1) == 'a' &&
             bytes(off + 2) == 't' && bytes(off + 3) == 'a')
-          return Some(WavInfo(fmtCode, channels, rate, bits, body,
+          return Some(WavInfo(fmtCode, channels, rate, bits, blockAlign, body,
             math.max(0, bytes.length - body)))
         return None
       }
@@ -281,12 +295,13 @@ object Multimodal {
         fmtCode = u16le(bytes, body)
         channels = u16le(bytes, body + 2)
         rate = u32le(bytes, body + 4).toFloat
+        blockAlign = u16le(bytes, body + 12)
         bits = u16le(bytes, body + 14)
         if (channels <= 0 || rate <= 0f) return None
       } else if (bytes(off) == 'd' && bytes(off + 1) == 'a' &&
           bytes(off + 2) == 't' && bytes(off + 3) == 'a') {
         if (fmtCode < 0) return None
-        return Some(WavInfo(fmtCode, channels, rate, bits, body, sz))
+        return Some(WavInfo(fmtCode, channels, rate, bits, blockAlign, body, sz))
       }
       off = body + sz + (sz & 1)
     }
@@ -380,14 +395,14 @@ object Multimodal {
   private[graft] def tryDecodeAudioSegs(bytes: Array[Byte], nSegs: Int): Option[Array[Float]] =
     if (!looksLikeWav(bytes)) None
     else parseWav(bytes) match {
-      case Some(w) if w.format == 1 && w.bits == 16 =>
+      case Some(w) if w.format == 1 && w.bits == 16 && w.canonicalFrames =>
         val len = math.max(0, math.min(w.dataLen, bytes.length - w.dataOff))
         val frameSize = 2 * w.channels
         val n = len / frameSize * w.channels
         val off = w.dataOff
         rmsSegments(n, nSegs,
           i => ((bytes(off + 2 * i + 1).toInt << 8) | (bytes(off + 2 * i) & 0xFF)) / 32768.0)
-      case Some(w) if w.format == 7 && w.bits == 8 =>
+      case Some(w) if w.format == 7 && w.bits == 8 && w.canonicalFrames =>
         val len = math.max(0, math.min(w.dataLen, bytes.length - w.dataOff))
         val n = len / w.channels * w.channels
         val off = w.dataOff
@@ -1325,7 +1340,7 @@ object Multimodal {
   private[graft] def reencodeUlawBytes(bytes: Array[Byte]): Option[Array[Byte]] =
     if (!looksLikeWav(bytes)) None
     else parseWav(bytes) match {
-      case Some(w) if w.format == 1 && w.bits == 16 =>
+      case Some(w) if w.format == 1 && w.bits == 16 && w.canonicalFrames =>
         val len = math.max(0, math.min(w.dataLen, bytes.length - w.dataOff))
         val frames = len / (2 * w.channels)
         val nS = frames * w.channels

@@ -187,6 +187,13 @@ object Similarity {
       md5Family: Boolean = false,
       targetOccupancy: Int = 32): DataFrame = {
     val effPlanes = if (numPlanes > 0) numPlanes else autoPlanes(corpus.count(), targetOccupancy)
+    // The dedup-by-construction filter below relies on signatures being
+    // exactly effPlanes bits wide: with >= 64 planes the 1-bit probe's
+    // `1L << i` wraps, probe buckets stop being distinct within a table,
+    // and a pair could join via multiple probe rows — enforce the
+    // invariant instead of leaving it implicit (r21 ADVICE).
+    require(effPlanes >= 1 && effPlanes <= 63,
+      s"lshTopK: numPlanes must be in [1, 63], got $effPlanes")
     // dim <= 0 → sample the dimensionality from the (small) query side at
     // plan time; hyperplanes of the wrong length would throw in DotProduct.
     val planeDim =
