@@ -109,10 +109,29 @@ object Analytics {
       frameRows: Int): Column = {
     val w = Window.partitionBy(col(keyCol)).orderBy(orderCols: _*)
       .rowsBetween(-(frameRows - 1), Window.currentRow)
-    val dec = "decimal(38,0)"
-    val x = xCol.cast(dec)
-    val y = yCol.cast(dec)
-    val n   = count(lit(1)).over(w).cast(dec)
+    // LONG moments behind an in-plan envelope guard (r22; was six
+    // DECIMAL(38,0) window sums — exact but each add/multiply runs
+    // through Spark's Decimal objects in the window pass). With
+    // |x|, |y| <= B = floor(sqrt(Long.Max/2) / frameRows), every moment
+    // and cross product (n·Σxy, Σx·Σy, n·Σx² − (Σx)², all bounded by
+    // 2·f²·B²) stays inside int64, so the LONG sums equal the DECIMAL
+    // sums value-for-value and the final long→double casts are the same
+    // correctly-rounded IEEE conversions the Decimal path performed —
+    // bit-identical output (oracle hash-gated; DuckDB replays HUGEINT).
+    // Beyond the envelope the guard FAILS LOUD per row with the DECIMAL
+    // advice instead of risking silent wraparound under non-ANSI
+    // sessions (ANSI mode would raise on the wrap anyway, just less
+    // helpfully). Nulls pass through the guard unchanged (sum/count skip
+    // them exactly as the decimal form did).
+    val bound = math.floor(math.sqrt(Long.MaxValue.toDouble / 2.0) / frameRows).toLong
+    def guarded(c: Column, name: String): Column =
+      when(assert_true(abs(coalesce(c, lit(0L))) <= bound,
+        lit(s"rollingCorr: |$name| exceeds the LONG-moment envelope " +
+          s"(${bound} at frameRows=$frameRows) — quantize the series " +
+          "coarser or restore the DECIMAL(38,0) moment variant")).isNull, c)
+    val x = guarded(xCol.cast("long"), "x")
+    val y = guarded(yCol.cast("long"), "y")
+    val n   = count(lit(1)).over(w)
     val sx  = sum(x).over(w)
     val sy  = sum(y).over(w)
     val sxy = sum(x * y).over(w)
@@ -1200,6 +1219,20 @@ object Analytics {
     // the cache is strictly worse than re-reading a 2-column parquet
     // projection — and the pin either leaked for the session's lifetime
     // or (unpersisted) cost every later pass its refill anyway.
+    // NOTE (r22 measured-and-rejected): the min-support pre-filter on item
+    // frequency BEFORE pairing (semantically free — a pair with n_ab >=
+    // minSupport needs both marginals >= minSupport) was implemented as a
+    // broadcast left_semi of the frequent-item set onto both pair sides
+    // and benched 3.84–4.24 s vs 2.60–2.64 s baseline at sf0.1, where the
+    // corpus has ZERO below-support items (every part appears in >= 2
+    // baskets — nothing can prune, so the probe + extra marginal subtree
+    // is pure overhead). The same no-op-null-filter trick that collapsed
+    // the KN type tables did not merge the marginal/count scans here
+    // either (the semi-join reorders the pruned aggregate's output
+    // attributes, breaking canonical equality). Deploy the pre-filter
+    // only on corpora with a long below-support tail — at 100 TB with a
+    // real vocabulary that is the common case, and the code is one
+    // broadcast semi-join as sketched above.
     val b = df.select(basketCol.as("__bk"), itemCol.as("__it")).distinct()
     val nBaskets = b.agg(countDistinct(col("__bk")).cast(dec).as("__N"))
     val itemN = b.groupBy(col("__it")).agg(count(lit(1)).cast(dec).as("__ni"))

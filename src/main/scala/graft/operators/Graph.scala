@@ -112,14 +112,19 @@ object Graph {
     var done = 0
     var residual = Long.MaxValue
     while (done < maxIters && residual > tolE12) {
-      // LAZY checkpoint per step (r21): the logical plan is truncated at
-      // construction (LogicalRDD — the 3^iters blowup was a property of
-      // UN-checkpointed lazy composition; the step RDDs form a shared
-      // DAG, each computed once and block-persisted mid-job), and the
-      // materializing action is the residual probe in converging mode or
-      // the CALLER'S action in fixed-depth mode — so a fixed-depth run
-      // is one job instead of one eager checkpoint job per step.
-      val next = g.step(ranks).localCheckpoint(false)
+      // Step checkpoint eagerness follows the mode (r22, reconciling the
+      // r21 driver-measured pagerank regression): in CONVERGING mode the
+      // residual probe right below is the materializing action, so a
+      // lazy checkpoint adds no job and each step's blocks land before
+      // the next step reads them. In FIXED-DEPTH mode (tolE12 < 0) there
+      // is NO per-step action — with lazy blocks the caller's single
+      // final job hands each step's three consumers (contribs / dangling
+      // / merge) an un-materialized LogicalRDD whose partitions they
+      // race to compute before the first copy lands, re-running step
+      // subtrees; the eager checkpoint (one small job per step, |V|-row
+      // output) measured 4.4 s vs lazy's 5.7-5.8 s on graph_pagerank
+      // (isolated min-of-2, idle box, both directions re-run).
+      val next = g.step(ranks).localCheckpoint(tolE12 < 0L)
       if (tolE12 >= 0L)
         residual = next.join(ranks.withColumnRenamed("rank_e12", "__old"), "vertex")
           .agg(max(abs(col("rank_e12") - col("__old"))).as("r"))

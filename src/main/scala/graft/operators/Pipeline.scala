@@ -1071,6 +1071,22 @@ object Pipeline {
     val tri = knGramKeys(reference
       .select(explode(TextAnalysis.ngramsAll(col(textCol), 3)).as("__g"))
       .groupBy(col("__g")).agg(count(lit(1)).as("__c3")))
+      // No-op null filter on every derived key (3-token grams can never
+      // produce a null key), added so ALL of tri's consumers share ONE
+      // canonical subtree below the gram exchange (r22, guide §2.4):
+      // without it each downstream join infers ITS key's isnotnull and
+      // pushes a consumer-specific filter below the exchange, so the
+      // scan + explode + partial-agg re-executed per consumer (7 scans
+      // per composed plan) instead of collapsing to ReusedExchange. With
+      // the filter in place the constraint already holds and nothing
+      // consumer-specific is pushed down.
+      // __c3 >= 1 is a tautology (group counts are positive) that keeps
+      // the count in every pruned copy: consumers that drop __c3 (bg and
+      // its children) otherwise specialize the aggregate to a bare
+      // distinct, splitting the subtree into two variants again.
+      .filter(col("__g").isNotNull && col("__uv").isNotNull &&
+        col("__vw").isNotNull && col("__v").isNotNull &&
+        col("__w").isNotNull && col("__c3") >= 1L)
     // per-context stats at order 3: total count + discount type counts
     val ctx3 = tri.groupBy(col("__uv")).agg(
       sum(col("__c3")).as("__ctot"),
