@@ -61,6 +61,51 @@ class AnalyticsSuite extends AnyFunSuite {
     assert(corrOf("yConst").forall(_ == 2.0), "zero y-variance yields the 2.0 sentinel")
   }
 
+  test("rollingCorr: LONG moments equal the DECIMAL(38,0) reference bit-for-bit; " +
+      "the envelope guard fails loud beyond the bound") {
+    // reference: the pre-r22 DECIMAL(38,0) moment formula, inlined
+    val f = 20
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(unix_micros(col("ts")), col("event_id"))
+      .rowsBetween(-(f - 1), org.apache.spark.sql.expressions.Window.currentRow)
+    val dec = "decimal(38,0)"
+    val xr = (unix_timestamp(col("ts")) - 1704067200L).cast(dec)
+    val yr = round(col("value") * 10000, 0).cast("long").cast(dec)
+    val n = count(lit(1)).over(w).cast(dec)
+    val (sx, sy) = (sum(xr).over(w), sum(yr).over(w))
+    val (sxy, sxx, syy) = (sum(xr * yr).over(w), sum(xr * xr).over(w), sum(yr * yr).over(w))
+    val varX = (n * sxx - sx * sx).cast("double")
+    val varY = (n * syy - sy * sy).cast("double")
+    val cov = (n * sxy - sx * sy).cast("double")
+    def ieee4(x: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      floor(x * 1e4 + 0.5).cast("long") / 1e4
+    val refCorr = when(varX > 0 && varY > 0,
+      ieee4(cov / sqrt(varX) / sqrt(varY))).otherwise(lit(2.0))
+    val ev = Tables.events(spark, sf)
+    val mismatches = ev
+      .withColumn("lng", Analytics.rollingCorr("user_id",
+        Seq(unix_micros(col("ts")), col("event_id")),
+        unix_timestamp(col("ts")) - 1704067200L,
+        round(col("value") * 10000, 0).cast("long"), f))
+      .withColumn("ref", refCorr)
+      // bit-level compare: NaN-safe equality on the raw doubles
+      .filter(!(col("lng") <=> col("ref")))
+      .count()
+    assert(mismatches === 0L,
+      "LONG-moment rollingCorr must reproduce the DECIMAL reference exactly")
+    // guard: a value past the envelope bound raises instead of wrapping
+    val bound = math.floor(math.sqrt(Long.MaxValue.toDouble / 2.0) / f).toLong
+    val hot = Seq(("k", 1L, bound + 1), ("k", 2L, bound + 1))
+      .toDF("k", "x", "y")
+    val ex = intercept[Exception] {
+      hot.withColumn("c",
+          Analytics.rollingCorr("k", Seq(col("x")), col("x"), col("y"), f))
+        .collect()
+    }
+    assert(ex.getMessage.contains("LONG-moment envelope"),
+      s"expected the envelope guard to raise, got: ${ex.getMessage}")
+  }
+
   test("rollingCorr: |r| <= 1 on real data wherever defined") {
     val ev = Tables.events(spark, sf)
     val out = ev.withColumn("c", Analytics.rollingCorr("user_id",

@@ -557,6 +557,19 @@ class OperatorsSuite extends AnyFunSuite {
         Multimodal.decodeAudioSegsJdk(fastU, 65).get.toSeq,
         s"u-law fast decode diverged at seed=$seed")
     }
+    // 3. a padded-frame WAV (blockAlign larger than channels*bits/8) must
+    //    NOT take the fast path (r22 blockAlign gate): parseWav reports
+    //    the header's blockAlign and canonicalFrames rejects it, so the
+    //    decode routes through the JDK chain that honors frameSize
+    val pcm = new Array[Byte](1000); rnd.nextBytes(pcm)
+    val padded = Multimodal.writeWavPcm16(pcm, 1, 8000)
+    padded(32) = 4 // fmt blockAlign: 2 (canonical mono16) -> 4 (padded)
+    val w = Multimodal.parseWav(padded).get
+    assert(w.blockAlign === 4 && !w.canonicalFrames,
+      "padded-frame WAV must be classified non-canonical")
+    assert(Multimodal.tryDecodeAudioSegs(padded, 65).map(_.toSeq) ===
+      Multimodal.decodeAudioSegsJdk(padded, 65).map(_.toSeq),
+      "padded-frame WAV must decode identically to the JDK chain (fallback)")
   }
 
   test("audioNearDupPairs e2e: every u-law re-encode links to its original; " +
